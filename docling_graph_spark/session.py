@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the 100 TB design point (AQE on, skew-join handling, Arrow batch
+transfer, compact shuffle) while remaining correct on local[N].  On a real
+cluster the same config ships via spark-submit --conf / --py-files.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "docling-graph-spark",
+    cores: Optional[int] = None,
+    shuffle_partitions: Optional[int] = None,
+    extra_conf: Optional[dict] = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(DEFAULT_SHUFFLE_PARTITIONS, cores)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        # --- adaptive execution: runtime re-plan, skew-join splitting,
+        #     post-shuffle partition coalescing — essential at 100 TB scale
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- Arrow transfer for pandas UDFs (the extraction hot path)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.pyspark.selfDestruct.enabled", "true")
+        # --- scans: keep partitions near executor-memory-friendly sizes
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # --- broadcast threshold: dimension/remap tables broadcast freely
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
