@@ -1,0 +1,118 @@
+"""Chunking + adaptive batching stage.
+
+Chunk boundaries follow the reference's greedy sentence-boundary splitter and
+batch assignment follows its two-phase packer (kernels.chunking /
+kernels.batching, parity-tested).  Both are *per-document* pure functions, so
+they run fused in a single Arrow-batched pandas UDF pass — no shuffle at all:
+a document's chunks are computed and batch-labelled where the document row
+lives.  (The reference computes chunks, then batches, as two sequential
+passes over driver-side lists; here the fusion is what makes the stage scale
+linearly with input splits.)
+
+Output: one row per chunk with lineage offsets and its batch id.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql import types as T
+
+from ..kernels import batching as k_batch
+from ..kernels import chunking as k_chunk
+from ..schemas import CHUNK_SPAN
+
+_CHUNK_ARRAY = T.ArrayType(CHUNK_SPAN)
+
+DEFAULT_MAX_TOKENS = 512
+DEFAULT_CONTEXT_LIMIT = 8000
+DEFAULT_MERGE_THRESHOLD = k_batch.DEFAULT_MERGE_THRESHOLD
+
+
+def make_chunker_udf(max_tokens: int = DEFAULT_MAX_TOKENS,
+                     context_limit: int = DEFAULT_CONTEXT_LIMIT,
+                     merge_threshold: float = DEFAULT_MERGE_THRESHOLD):
+    available = k_batch.available_tokens(context_limit)
+
+    @pandas_udf(_CHUNK_ARRAY)
+    def chunk_and_batch(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            if not text:
+                out.append([])
+                continue
+            spans = k_chunk.chunk_spans(text, max_tokens)
+            costs = [
+                k_batch.estimate_tokens(s.text) + k_batch.CHUNK_OVERHEAD_TOKENS
+                for s in spans
+            ]
+            batches = k_batch.batch_chunks(costs, available, merge_threshold)
+            batch_of = {}
+            for b in batches:
+                for idx in b.chunk_indices:
+                    batch_of[idx] = b.batch_id
+            out.append([
+                {
+                    "chunk_id": s.chunk_id,
+                    "start": s.start,
+                    "end": s.end,
+                    "text": s.text,
+                    "token_est": costs[i],
+                    "batch_id": batch_of.get(i, 0),
+                }
+                for i, s in enumerate(spans)
+            ])
+        return pd.Series(out)
+
+    return chunk_and_batch
+
+
+def chunk_documents(extracted: DataFrame,
+                    max_tokens: int = DEFAULT_MAX_TOKENS,
+                    context_limit: int = DEFAULT_CONTEXT_LIMIT,
+                    merge_threshold: float = DEFAULT_MERGE_THRESHOLD) -> DataFrame:
+    """extracted docs -> chunk rows
+    (url, lang, chunk_id, start, end, text, token_est, batch_id)."""
+    udf = make_chunker_udf(max_tokens, context_limit, merge_threshold)
+    with_chunks = extracted.select(
+        "url", "lang", udf(F.col("text")).alias("chunks")
+    )
+    c = F.explode("chunks").alias("c")
+    return with_chunks.select("url", "lang", c).select(
+        "url", "lang",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.start").alias("start"),
+        F.col("c.end").alias("end"),
+        F.col("c.text").alias("text"),
+        F.col("c.token_est").alias("token_est"),
+        F.col("c.batch_id").alias("batch_id"),
+    )
+
+
+def batch_summaries(chunks: DataFrame) -> DataFrame:
+    """(url, batch_id) -> chunk_count, total_tokens, combined_text —
+    combined text formatted exactly like the reference ChunkBatch
+    (`/root/reference/docling_graph/core/extractors/chunk_batcher.py:43-48`)."""
+    per_batch = (
+        chunks
+        .groupBy("url", "batch_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("chunk_id", "text"))).alias("cs"),
+            F.sum("token_est").alias("total_tokens"),
+            F.count("*").alias("chunk_count"),
+        )
+    )
+    n = F.size("cs")
+    numbered = F.transform(
+        "cs",
+        lambda s, i: F.concat(
+            F.lit("[Chunk "), (i + 1).cast("string"), F.lit("/"),
+            n.cast("string"), F.lit("]\n"), s["text"],
+        ),
+    )
+    return per_batch.select(
+        "url", "batch_id", "chunk_count", "total_tokens",
+        F.array_join(numbered, k_batch.CHUNK_SEPARATOR).alias("combined_text"),
+    )

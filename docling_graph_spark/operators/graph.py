@@ -1,0 +1,365 @@
+"""Graph assembly + cleanup as relational operators.
+
+Reference: `/root/reference/docling_graph/core/converters/graph_converter.py`
+(node/edge passes), `/root/reference/docling_graph/core/utils/graph_cleaner.py`
+(cleanup), `node_id_registry.py` (deterministic IDs).  The registry's mutable
+cross-batch state is eliminated: IDs are pure content hashes, so any
+partitioning of the corpus yields identical IDs (SURVEY §1.1).
+
+Node-ID modes:
+
+* ``blake2b`` — byte-parity with the reference (blake2b over the reference's
+  canonical ``json.dumps(..., sort_keys=True, default=str)``), computed in a
+  vectorized pandas UDF (Spark has no blake2b; SURVEY §2.8 F1);
+* ``xxhash64`` — pure JVM (whole-stage codegen) for the 100 TB fast path,
+  same format ``Class_<16 hex>``.
+
+Cleanup mapping (SURVEY §2.3-2.4): phantom filter = projection predicate (P4),
+content dedup = hash groupBy + broadcast remap join (A3+J2), orphan edges =
+two left-semi joins (J1), duplicate edges = dropDuplicates (A4).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql import types as T
+
+from ..kernels.fingerprint import entity_fingerprint
+from ..schemas import EDGES, NODES
+
+# --------------------------------------------------------------- node ids
+
+
+@pandas_udf(T.StringType())
+def _blake_fingerprint(class_name: pd.Series, payload_json: pd.Series) -> pd.Series:
+    out = []
+    for cls, payload in zip(class_name, payload_json):
+        record = json.loads(payload)
+        out.append(entity_fingerprint(record, cls, tuple(record.keys())))
+    return pd.Series(out)
+
+
+def node_id_col(class_name: str, id_cols: Dict[str, Column],
+                mode: str = "blake2b") -> Column:
+    """Deterministic node id ``Class_<fingerprint>`` from identity columns."""
+    if mode == "blake2b":
+        payload = F.to_json(
+            F.struct(*[c.alias(name) for name, c in id_cols.items()]),
+            {"ignoreNullFields": "false"},
+        )
+        fp = _blake_fingerprint(F.lit(class_name), payload)
+    elif mode == "xxhash64":
+        fp = F.lower(F.lpad(F.hex(F.xxhash64(
+            F.lit(class_name), *[c for _, c in sorted(id_cols.items())]
+        )), 16, "0"))
+    else:
+        raise ValueError(f"unknown id mode: {mode}")
+    return F.concat(F.lit(class_name + "_"), fp)
+
+
+def _props(*pairs: Tuple[str, Column]) -> Column:
+    entries = []
+    for name, col in pairs:
+        entries.append(F.lit(name))
+        entries.append(col.cast("string"))
+    return F.map_from_arrays(
+        F.array(*entries[0::2]), F.array(*entries[1::2])
+    )
+
+
+# --------------------------------------------------------- web-corpus graph
+
+
+def assemble_web_graph(
+    extracted: DataFrame,
+    chunks: DataFrame,
+    doc_mentions: DataFrame,
+    id_mode: str = "blake2b",
+    add_reverse_edges: bool = False,
+) -> Tuple[DataFrame, DataFrame]:
+    """Build (nodes, edges) for the document/chunk/term mention graph.
+
+    nodes: WebDocument (one per url), Chunk (one per url+chunk_id),
+    Term (one per distinct term+kind).  edges: has_chunk (doc->chunk),
+    mentions (doc->term, count property).
+    """
+    doc_id = node_id_col("WebDocument", {"url": F.col("url")}, id_mode)
+    doc_nodes = extracted.select(
+        doc_id.alias("id"),
+        F.lit("WebDocument").alias("label"),
+        F.lit("entity").alias("type"),
+        _props(
+            ("__class__", F.lit("WebDocument")),
+            ("url", F.col("url")),
+            ("lang", F.col("lang")),
+            ("kind", F.col("kind")),
+            ("n_chars", F.length("text")),
+        ).alias("properties"),
+    )
+
+    chunk_id_col = node_id_col(
+        "Chunk", {"url": F.col("url"), "chunk_id": F.col("chunk_id")}, id_mode
+    )
+    chunk_nodes = chunks.select(
+        chunk_id_col.alias("id"),
+        F.lit("Chunk").alias("label"),
+        F.lit("entity").alias("type"),
+        _props(
+            ("__class__", F.lit("Chunk")),
+            ("url", F.col("url")),
+            ("chunk_id", F.col("chunk_id")),
+            ("start", F.col("start")),
+            ("end", F.col("end")),
+            ("token_est", F.col("token_est")),
+            ("batch_id", F.col("batch_id")),
+        ).alias("properties"),
+    )
+
+    terms = doc_mentions.groupBy("term", "kind").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_mentions").alias("total_mentions"),
+    )
+    term_id = node_id_col(
+        "Term", {"term": F.col("term"), "kind": F.col("kind")}, id_mode
+    )
+    term_nodes = terms.select(
+        term_id.alias("id"),
+        F.lit("Term").alias("label"),
+        F.lit("entity").alias("type"),
+        _props(
+            ("__class__", F.lit("Term")),
+            ("term", F.col("term")),
+            ("kind", F.col("kind")),
+            ("n_docs", F.col("n_docs")),
+            ("total_mentions", F.col("total_mentions")),
+        ).alias("properties"),
+    )
+    nodes = doc_nodes.unionByName(chunk_nodes).unionByName(term_nodes)
+
+    has_chunk = chunks.select(
+        node_id_col("WebDocument", {"url": F.col("url")}, id_mode).alias("src"),
+        node_id_col("Chunk", {"url": F.col("url"),
+                              "chunk_id": F.col("chunk_id")}, id_mode).alias("dst"),
+        F.lit("has_chunk").alias("label"),
+        _props(("chunk_id", F.col("chunk_id"))).alias("properties"),
+    )
+    mention_edges = doc_mentions.select(
+        node_id_col("WebDocument", {"url": F.col("url")}, id_mode).alias("src"),
+        node_id_col("Term", {"term": F.col("term"),
+                             "kind": F.col("kind")}, id_mode).alias("dst"),
+        F.lit("mentions").alias("label"),
+        _props(
+            ("count", F.col("n_mentions")),
+            ("first_chunk_id", F.col("first_chunk_id")),
+        ).alias("properties"),
+    )
+    edges = has_chunk.unionByName(mention_edges)
+    if add_reverse_edges:
+        edges = edges.unionByName(reverse_edges(edges))
+    return nodes, edges
+
+
+def reverse_edges(edges: DataFrame) -> DataFrame:
+    """U1: reverse-edge union (`graph_converter.py:144-153`)."""
+    return edges.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.concat(F.lit("reverse_"), F.col("label")).alias("label"),
+        F.col("properties"),
+    )
+
+
+# -------------------------------------------------------------- cleanup ops
+
+_META_KEYS = ("id", "label", "type")
+
+
+def phantom_filter(nodes: DataFrame) -> DataFrame:
+    """P4: keep nodes with at least one meaningful property
+    (`graph_cleaner.py:129-175`; meaningful per `:21-62`)."""
+    meaningful = F.exists(
+        F.map_values(
+            F.map_filter("properties", lambda k, _v: ~k.isin(*_META_KEYS))
+        ),
+        lambda v: v.isNotNull() & (F.length(F.trim(v)) > 0),
+    )
+    return nodes.filter(meaningful)
+
+
+def dedup_nodes_exact(nodes: DataFrame) -> DataFrame:
+    """U4: one row per node id (IDs are content-deterministic, so attrs of
+    same-id rows are identical by construction — keep any)."""
+    return nodes.dropDuplicates(["id"])
+
+
+def content_hash_col(nodes: DataFrame) -> Column:
+    """A3 content hash over non-meta, non-null properties (JVM-side analogue
+    of `graph_cleaner.py:265-283` — self-consistent within this table)."""
+    cleaned = F.map_filter(
+        "properties", lambda k, v: ~k.isin(*_META_KEYS) & v.isNotNull()
+    )
+    entries = F.array_sort(F.transform(
+        F.map_entries(cleaned), lambda e: F.concat(e.key, F.lit("\x1f"), e.value)
+    ))
+    return F.xxhash64(F.col("label"), F.array_join(entries, ""))
+
+
+def dedup_nodes_by_content(
+    nodes: DataFrame, edges: DataFrame
+) -> Tuple[DataFrame, DataFrame]:
+    """A3+J2: merge content-identical nodes (canonical = min id) and redirect
+    edges through a broadcast remap join."""
+    hashed = nodes.withColumn("__h", content_hash_col(nodes))
+    canon = hashed.groupBy("__h").agg(F.min("id").alias("__canon"))
+    keep = (
+        hashed.join(canon, "__h")
+        .filter(F.col("id") == F.col("__canon"))
+        .drop("__h", "__canon")
+    )
+    remap = (
+        hashed.join(canon, "__h")
+        .filter(F.col("id") != F.col("__canon"))
+        .select(F.col("id").alias("__dup"), F.col("__canon"))
+    )
+    remap_b = F.broadcast(remap)
+    redirected = (
+        edges
+        .join(remap_b.withColumnRenamed("__dup", "src_dup")
+                     .withColumnRenamed("__canon", "src_canon"),
+              F.col("src") == F.col("src_dup"), "left")
+        .join(remap_b.withColumnRenamed("__dup", "dst_dup")
+                     .withColumnRenamed("__canon", "dst_canon"),
+              F.col("dst") == F.col("dst_dup"), "left")
+        .select(
+            F.coalesce("src_canon", "src").alias("src"),
+            F.coalesce("dst_canon", "dst").alias("dst"),
+            "label", "properties",
+        )
+        .filter(F.col("src") != F.col("dst"))  # no redirect self-loops
+    )
+    return keep, redirected
+
+
+def drop_orphan_edges(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """J1: left-semi join on both endpoints (`graph_cleaner.py:218-237`)."""
+    ids = nodes.select("id")
+    return (
+        edges.join(ids, edges.src == ids.id, "left_semi")
+        .join(ids, edges.dst == ids.id, "left_semi")
+    )
+
+
+def orphan_edge_count(nodes: DataFrame, edges: DataFrame) -> int:
+    """Validation variant (anti-join count, `graph_cleaner.py:325-331`)."""
+    ids = nodes.select("id")
+    bad_src = edges.join(ids, edges.src == ids.id, "left_anti")
+    bad_dst = edges.join(ids, edges.dst == ids.id, "left_anti")
+    return bad_src.count() + bad_dst.count()
+
+
+def dedup_edges(edges: DataFrame) -> DataFrame:
+    """A4: one edge per (src, dst, label) (`graph_cleaner.py:239-263`)."""
+    return edges.dropDuplicates(["src", "dst", "label"])
+
+
+def clean_graph(nodes: DataFrame, edges: DataFrame,
+                content_dedup: bool = False) -> Tuple[DataFrame, DataFrame]:
+    """Full cleanup chain in reference order (`graph_cleaner.py:76-127`)."""
+    nodes = phantom_filter(nodes)
+    nodes = dedup_nodes_exact(nodes)
+    if content_dedup:
+        nodes, edges = dedup_nodes_by_content(nodes, edges)
+    edges = drop_orphan_edges(nodes, edges)
+    edges = dedup_edges(edges)
+    return nodes, edges
+
+
+def fingerprint_collision_check(nodes: DataFrame) -> DataFrame:
+    """A9: a fingerprint must map to a single class
+    (`node_id_registry.py:124-134`).  Returns offending fingerprints."""
+    fp = F.substring_index(F.col("id"), "_", -1)
+    return (
+        nodes.select(fp.alias("fingerprint"), F.col("label"))
+        .groupBy("fingerprint")
+        .agg(F.countDistinct("label").alias("n_classes"))
+        .filter(F.col("n_classes") > 1)
+    )
+
+
+# ------------------------------------------------------------ template path
+
+_FLAT_SCHEMA = T.StructType([
+    T.StructField("row_kind", T.StringType(), False),   # node | edge
+    T.StructField("id", T.StringType(), True),
+    T.StructField("label", T.StringType(), True),
+    T.StructField("type", T.StringType(), True),
+    T.StructField("src", T.StringType(), True),
+    T.StructField("dst", T.StringType(), True),
+    T.StructField("properties",
+                  T.MapType(T.StringType(), T.StringType()), True),
+])
+
+
+def graph_from_template_records(
+    merged: DataFrame,
+    registry,
+    root_class: str,
+    add_reverse_edges: bool = False,
+) -> Tuple[DataFrame, DataFrame]:
+    """Merged template records (url, record_json) -> global (nodes, edges).
+
+    Flattening (the reference's recursive node/edge passes) runs per document
+    in an Arrow-batched UDF via the parity-tested kernel; global cleanup is
+    then relational (IDs are content hashes, so cross-document duplicates
+    collapse exactly like the reference's shared registry would).
+    """
+    from ..kernels.graph_build import clean_graph as kernel_clean
+    from ..kernels.graph_build import flatten_models
+
+    def flatten_partition(iterator):
+        for pdf in iterator:
+            rows: List[dict] = []
+            for js in pdf["record_json"]:
+                try:
+                    record = json.loads(js)
+                except Exception:
+                    continue
+                nodes, edges = flatten_models(
+                    [(root_class, record)], registry, add_reverse_edges
+                )
+                nodes, edges = kernel_clean(nodes, edges)
+                for n in nodes:
+                    props = {
+                        k: (v if isinstance(v, str) else json.dumps(v, default=str))
+                        for k, v in n.items()
+                        if k not in ("id", "label", "type") and v is not None
+                    }
+                    rows.append({
+                        "row_kind": "node", "id": n["id"], "label": n["label"],
+                        "type": n.get("type", "entity"), "src": None,
+                        "dst": None, "properties": props,
+                    })
+                for s, d, lbl in edges:
+                    rows.append({
+                        "row_kind": "edge", "id": None, "label": lbl,
+                        "type": None, "src": s, "dst": d, "properties": {},
+                    })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _FLAT_SCHEMA.fields]
+            )
+
+    flat = merged.select("record_json").mapInPandas(flatten_partition, _FLAT_SCHEMA)
+    nodes = flat.filter(F.col("row_kind") == "node").select(
+        "id", "label", "type", "properties"
+    )
+    edges = flat.filter(F.col("row_kind") == "edge").select(
+        "src", "dst", "label", "properties"
+    )
+    # global cleanup across documents
+    return clean_graph(nodes, edges)

@@ -15,6 +15,28 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors (the --py-files mechanism).
+
+    Local test sessions and clusters alike: executors' Python workers do not
+    inherit the driver's sys.path, so UDFs referencing this package fail
+    unless it is distributed.  On a production cluster this is
+    ``spark-submit --py-files dgspark.zip``; here we build the zip once per
+    session and register it via addPyFile.
+    """
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent
+    staging = Path(tempfile.mkdtemp(prefix="dgspark_pyfiles_"))
+    zip_base = staging / "docling_graph_spark"
+    archive = shutil.make_archive(
+        str(zip_base), "zip", root_dir=pkg_dir.parent, base_dir=pkg_dir.name
+    )
+    spark.sparkContext.addPyFile(archive)
+
+
 def get_spark(
     app_name: str = "docling-graph-spark",
     cores: Optional[int] = None,
@@ -46,4 +68,6 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark

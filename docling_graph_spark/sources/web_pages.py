@@ -1,0 +1,123 @@
+"""Synthetic Common-Crawl-style web_pages table, derived deterministically
+from the driver's documents.parquet (TESTDATA.md) — no external data.
+
+Per FIXTURES.md §1 / BASELINE.json input_hint the table has columns
+``(url string, warc_ts timestamp, html binary, text string, lang string)``:
+
+* ``url`` — power-law host distribution (40% of rows land on 7 hot hosts,
+  the rest spread over 211) to exercise salted-repartition skew handling;
+* ``html`` — the document text wrapped in deterministic boilerplate
+  (header/nav/aside/footer with high link density) with the main content in
+  ``<article><p>...`` blocks, HTML-escaped; every ~50th row instead carries a
+  ``%PDF``-magic binary payload to exercise the binary routing branch;
+* ``text`` — ground truth: the byte-parity oracle for extracted text.
+
+Everything is a pure column expression (JVM-side, no UDF) so the same table
+is reproducible in DuckDB SQL for the correctness oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --- deterministic host skew: doc_id % 5 < 2 -> one of 7 hot hosts
+HOT_HOSTS = 7
+COLD_HOSTS = 211
+PDF_EVERY = 50  # doc_id % PDF_EVERY == PDF_EVERY-1 -> fake-PDF payload row
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def host_id_expr(doc_id):
+    return F.when(doc_id % 5 < 2, doc_id % HOT_HOSTS).otherwise(
+        HOT_HOSTS + doc_id % COLD_HOSTS
+    )
+
+
+def url_expr(doc_id):
+    return F.concat(
+        F.lit("https://host"),
+        host_id_expr(doc_id).cast("string"),
+        F.lit(".example.com/doc/"),
+        doc_id.cast("string"),
+    )
+
+
+def _escape_html(col):
+    # minimal standard HTML escaping (order matters: & first)
+    col = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    col = F.replace(col, F.lit("<"), F.lit("&lt;"))
+    col = F.replace(col, F.lit(">"), F.lit("&gt;"))
+    return col
+
+
+def html_page_expr(doc_id, text, lang):
+    """Deterministic page: boilerplate chrome wrapping the escaped text.
+
+    Paragraph structure: the generator splits text on blank lines into <p>
+    blocks; the extractor joins block texts with blank lines — an exact
+    round-trip.  Splitting is done with a single replace of the separator by
+    the paragraph-break markup, keeping the whole expression JVM-side.
+    """
+    body = _escape_html(text)
+    body = F.replace(body, F.lit("\n\n"), F.lit("</p><p>"))
+    nav_n = (doc_id % 10).cast("string")
+    return F.concat(
+        F.lit("<!DOCTYPE html><html lang=\""), lang, F.lit("\"><head>"),
+        F.lit("<title>doc "), doc_id.cast("string"), F.lit("</title>"),
+        F.lit("<script>var t=1;</script><style>p{margin:0}</style></head><body>"),
+        F.lit("<header><h1>Site host"), host_id_expr(doc_id).cast("string"),
+        F.lit("</h1><nav><a href=\"/\">Home</a> <a href=\"/a"), nav_n,
+        F.lit("\">Section "), nav_n, F.lit("</a> <a href=\"/about\">About</a>"
+              " <a href=\"/contact\">Contact</a></nav></header>"),
+        F.lit("<aside class=\"sidebar\"><a href=\"/x\">Trending</a>"
+              " <a href=\"/y\">Popular</a> <a href=\"/z\">Latest</a></aside>"),
+        F.lit("<div id=\"content\"><article><p>"), body, F.lit("</p></article></div>"),
+        F.lit("<footer><a href=\"/terms\">Terms</a> <a href=\"/privacy\">Privacy</a>"
+              " <p>© 2024 host"), host_id_expr(doc_id).cast("string"),
+        F.lit(".example.com</p></footer></body></html>"),
+    )
+
+
+def synthesize_web_pages(spark: SparkSession, sf_dir: str,
+                         with_pdf_rows: bool = True) -> DataFrame:
+    """documents.parquet -> (url, warc_ts, html binary, text, lang)."""
+    docs = load_documents(spark, sf_dir)
+    d = F.col("doc_id")
+    html_str = html_page_expr(d, F.col("text"), F.col("lang"))
+    if with_pdf_rows:
+        from ..kernels.pdf_stub import make_fake_pdf  # noqa: F401 (docs)
+        # fake-PDF payload built with the same byte layout as
+        # kernels.pdf_stub.make_fake_pdf, as a pure column expression
+        body_len = F.length(F.col("text").cast("binary"))
+        pdf_str = F.concat(
+            F.lit("%PDF-1.4\n%dgspark synthetic single-stream document\n"
+                  "1 0 obj\n<< /Type /DGText /Length "),
+            body_len.cast("string"),
+            F.lit(" >>\nstream\n"),
+            F.col("text"),
+            F.lit("\nendstream\nendobj\ntrailer\n%%EOF\n"),
+        )
+        payload = F.when(d % PDF_EVERY == PDF_EVERY - 1, pdf_str).otherwise(html_str)
+    else:
+        payload = html_str
+    return docs.select(
+        url_expr(d).alias("url"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(secs=d.cast("double"))).alias("warc_ts"),
+        F.encode(payload, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+# DuckDB-SQL equivalents of the derivation, for oracle queries that need to
+# reconstruct url/host from doc_id.
+URL_SQL = ("concat('https://host', CAST(CASE WHEN doc_id % 5 < 2 THEN doc_id % 7 "
+           "ELSE 7 + doc_id % 211 END AS VARCHAR), '.example.com/doc/', "
+           "CAST(doc_id AS VARCHAR))")
+HOST_SQL = ("concat('host', CAST(CASE WHEN doc_id % 5 < 2 THEN doc_id % 7 "
+            "ELSE 7 + doc_id % 211 END AS VARCHAR), '.example.com')")

@@ -1,0 +1,139 @@
+"""End-to-end pipeline tests on the sf0.001 synthetic corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_graph_spark.pipeline import PipelineConfig, run_on_testdata
+from docling_graph_spark.sources.web_pages import synthesize_web_pages
+
+
+@pytest.fixture(scope="module")
+def result(spark, sf_smoke_dir):
+    cfg = PipelineConfig(max_tokens=25, id_mode="xxhash64")
+    return run_on_testdata(spark, sf_smoke_dir, cfg)
+
+
+def test_extracted_text_byte_identical(spark, sf_smoke_dir):
+    """THE invariant: extracted text per url == source text, byte for byte,
+    for both HTML and fake-PDF payload rows."""
+    from docling_graph_spark.operators.extract import extract_main_text
+
+    pages = synthesize_web_pages(spark, sf_smoke_dir)
+    extracted = extract_main_text(pages)
+    mismatches = (
+        extracted.join(pages.select("url", F.col("text").alias("truth")), "url")
+        .filter(
+            (F.col("text") != F.col("truth")) | F.col("error").isNotNull()
+        )
+    )
+    rows = mismatches.select("url", "kind", "error").limit(5).collect()
+    assert mismatches.count() == 0, f"mismatched extractions: {rows}"
+    kinds = dict(
+        extracted.groupBy("kind").count().collect()
+    )
+    assert kinds.get("pdf", 0) > 0 and kinds.get("html", 0) > 0
+
+
+def test_bytes_stripped_positive(result):
+    assert result.extracted.filter(
+        (F.col("kind") == "html") & (F.col("bytes_stripped") <= 0)
+    ).count() == 0
+
+
+def test_chunks_cover_document(result, spark, sf_smoke_dir):
+    """Chunk spans reconstruct the document text (single-space corpus:
+    fixed-width splits, strip-gaps of at most 1 space)."""
+    docs = spark.read.parquet(f"{sf_smoke_dir}/documents.parquet")
+    joined = (
+        result.chunks.groupBy("url")
+        .agg(
+            F.sum(F.col("end") - F.col("start")).alias("covered"),
+            F.max("end").alias("max_end"),
+            F.count("*").alias("n_chunks"),
+        )
+    )
+    total = joined.count()
+    assert total > 0
+    # every document (44..577 chars) with max_tokens=25 (100 chars) chunks
+    bad = joined.filter(
+        (F.col("max_end") <= 0) | (F.col("covered") <= 0)
+    ).count()
+    assert bad == 0
+    # multi-chunk docs exist (longest docs are > 100 chars)
+    assert joined.filter(F.col("n_chunks") > 1).count() > 0
+
+
+def test_chunk_count_matches_fixed_width_formula(result, spark, sf_smoke_dir):
+    """On a delimiter-free corpus the greedy chunker degrades to fixed-width
+    slicing: n_chunks == ceil(len/100)."""
+    docs = spark.read.parquet(f"{sf_smoke_dir}/documents.parquet")
+    expected = docs.select(
+        F.col("text"),
+        F.ceil(F.length("text") / 100.0).cast("long").alias("expected_chunks"),
+        F.col("doc_id"),
+    )
+    from docling_graph_spark.sources.web_pages import url_expr
+
+    expected = expected.select(
+        url_expr(F.col("doc_id")).alias("url"), "expected_chunks"
+    )
+    actual = result.chunks.groupBy("url").agg(F.count("*").alias("n"))
+    diff = expected.join(actual, "url").filter(
+        F.col("n") != F.col("expected_chunks")
+    )
+    assert diff.count() == 0
+
+
+def test_graph_structure(result):
+    nodes, edges = result.nodes, result.edges
+    labels = {r["label"] for r in nodes.select("label").distinct().collect()}
+    assert labels == {"WebDocument", "Chunk", "Term"}
+    elabels = {r["label"] for r in edges.select("label").distinct().collect()}
+    assert elabels == {"has_chunk", "mentions"}
+    # no orphans post-cleanup
+    from docling_graph_spark.operators.graph import orphan_edge_count
+
+    assert orphan_edge_count(nodes, edges) == 0
+    # ids unique
+    assert nodes.count() == nodes.select("id").distinct().count()
+
+
+def test_fingerprint_no_collisions(result):
+    from docling_graph_spark.operators.graph import fingerprint_collision_check
+
+    assert fingerprint_collision_check(result.nodes).count() == 0
+
+
+def test_blake2b_ids_match_reference_registry(spark, sf_smoke_dir):
+    """Parity: relational blake2b node ids == reference NodeIDRegistry ids."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from parity.ref_loader import load_ref
+    from pydantic import BaseModel
+
+    ref_reg_mod = load_ref("core/converters/node_id_registry.py")
+
+    class WebDocument(BaseModel):
+        url: str
+        model_config = {"graph_id_fields": ["url"]}
+
+    cfg = PipelineConfig(max_tokens=25, id_mode="blake2b")
+    res = run_on_testdata(spark, sf_smoke_dir, cfg)
+    sample = (
+        res.nodes.filter(F.col("label") == "WebDocument")
+        .select("id", F.col("properties")["url"].alias("url"))
+        .limit(20)
+        .collect()
+    )
+    reg = ref_reg_mod.NodeIDRegistry()
+    for row in sample:
+        assert row["id"] == reg.get_node_id(WebDocument(url=row["url"]))
+
+
+def test_metrics_shape(result):
+    rows = result.metrics.collect()
+    assert sum(r["docs_parsed"] for r in rows) == 500
+    assert all(r["errors"] == 0 for r in rows)
+    assert len(rows) > 7  # hosts spread
