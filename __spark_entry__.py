@@ -1,38 +1,74 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship document→graph pipeline on sf0.001; returns the
+                 per-label node/edge summary of the assembled graph.
+queries()      — one entry per implemented operator family (SURVEY.md §2),
+                 each (spark, sf_dir) -> DataFrame.
+oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible query
+                 (same column names/aliases; integer aggregates).
+
+Implementation lives in docling_graph_spark.queries.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _prepare(spark: SparkSession) -> None:
+    """Ship the package to executors (idempotent) — the --py-files analogue."""
+    from docling_graph_spark.session import ship_package
+
+    try:
+        ship_package(spark)
+    except Exception:
+        pass  # already shipped or driver-side path available on workers
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _prepare(spark)
+    from pyspark.sql import functions as F
+
+    from docling_graph_spark.pipeline import PipelineConfig, run_on_testdata
+
+    cfg = PipelineConfig(max_tokens=25, id_mode="blake2b")
+    res = run_on_testdata(spark, "/root/testdata/sf0.001", cfg)
+    nodes = res.nodes.groupBy("label").agg(F.count("*").alias("n")).select(
+        F.lit("node").alias("element"), "label", "n"
+    )
+    edges = res.edges.groupBy("label").agg(F.count("*").alias("n")).select(
+        F.lit("edge").alias("element"), "label", "n"
+    )
+    return nodes.unionByName(edges).orderBy("element", "label")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from docling_graph_spark.queries import catalog
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    cat = catalog()
+
+    def wrap(fn):
+        def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prepare(spark)
+            return fn(spark, sf_dir)
+
+        return runner
+
+    return {name: wrap(fn) for name, (fn, _sql) in cat.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracles for the SQL-expressible queries."""
+    from docling_graph_spark.queries import catalog
+
+    return {
+        name: sql for name, (_fn, sql) in catalog().items() if sql is not None
+    }
