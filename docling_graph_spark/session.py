@@ -24,17 +24,27 @@ def ship_package(spark: SparkSession) -> None:
     ``spark-submit --py-files dgspark.zip``; here we build the zip once per
     session and register it via addPyFile.
     """
-    import shutil
     import tempfile
+    import zipfile
     from pathlib import Path
 
+    sc = spark.sparkContext
+    if getattr(sc, "_dgspark_shipped", False):
+        return
+
+    # byte-deterministic zip (sorted entries, zeroed timestamps): re-adding
+    # the same file name with identical contents is a no-op for Spark,
+    # whereas differing bytes crash executors mid-job.
     pkg_dir = Path(__file__).resolve().parent
     staging = Path(tempfile.mkdtemp(prefix="dgspark_pyfiles_"))
-    zip_base = staging / "docling_graph_spark"
-    archive = shutil.make_archive(
-        str(zip_base), "zip", root_dir=pkg_dir.parent, base_dir=pkg_dir.name
-    )
-    spark.sparkContext.addPyFile(archive)
+    archive = staging / "docling_graph_spark.zip"
+    with zipfile.ZipFile(archive, "w", zipfile.ZIP_STORED) as zf:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            rel = p.relative_to(pkg_dir.parent)
+            info = zipfile.ZipInfo(str(rel), date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(info, p.read_bytes())
+    sc.addPyFile(str(archive))
+    sc._dgspark_shipped = True
 
 
 def get_spark(
