@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two strategies over the `embeddings` table:
+
+  * brute-force cosine top-k — the exactness baseline; O(Q·N·d) JVM-side
+    arithmetic (`zip_with` + `aggregate`, whole-stage-codegen'd, no Python).
+    Scale path: broadcast the (small) query set against the big corpus so
+    the scan side never shuffles.
+  * sign-LSH bucketed top-k — axis-aligned random-hyperplane LSH: the bucket
+    is the sign bitstring of the first `n_planes` components.  Candidates are
+    restricted to the query's bucket, cutting the candidate set ~2^n_planes×;
+    at 100 TB the corpus is written bucketed/partitioned by this key so a
+    query probes one partition (partition pruning) instead of scanning all.
+
+Float similarity values are kept internal; public outputs are rank-only
+(floats are not hash-stable across engines, ranks are).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side double-precision dot product over two array columns.
+
+    Left-to-right fold matches the SQL oracle's summation order exactly,
+    keeping tie-free rank comparisons engine-stable.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def sign_bucket(vec: Column, n_planes: int = 8) -> Column:
+    """Axis-aligned sign-LSH bucket: bitstring of sign(vec[i]), i < n_planes."""
+    return F.concat(
+        *[F.when(vec[i] >= 0, "1").otherwise("0") for i in range(n_planes)]
+    )
+
+
+def brute_force_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id: str = "query_id", query_vec: str = "q") -> DataFrame:
+    """Exact top-k: (query_id, rank, neighbor_id), self-matches excluded.
+
+    The query set is broadcast (small side); the corpus scan stays local to
+    its partitions — no shuffle of the big side, then a per-query top-k via
+    ranking window on the (|Q|·k)-sized candidate relation.
+    """
+    pairs = emb.join(
+        F.broadcast(queries), F.col(id_col) != F.col(query_id)
+    )
+    sim = cosine(F.col(query_vec), F.col(vec_col))
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.select(query_id, F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, F.col("rank").cast("long").alias("rank"), "neighbor_id")
+    )
+
+
+def lsh_bucketed_knn(emb: DataFrame, queries: DataFrame, k: int = 3,
+                     n_planes: int = 8, id_col: str = "vec_id",
+                     vec_col: str = "embedding", query_id: str = "query_id",
+                     query_vec: str = "q") -> DataFrame:
+    """Approximate top-k restricted to the query's sign-LSH bucket.
+
+    Equi-join on the bucket key instead of a cross join — Catalyst plans a
+    (broadcast) hash join, so only same-bucket pairs are ever materialized.
+    """
+    corpus = emb.withColumn("bucket", sign_bucket(F.col(vec_col), n_planes))
+    qs = queries.withColumn("bucket", sign_bucket(F.col(query_vec), n_planes))
+    pairs = corpus.join(F.broadcast(qs), "bucket").filter(
+        F.col(id_col) != F.col(query_id)
+    )
+    sim = cosine(F.col(query_vec), F.col(vec_col))
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.select(query_id, F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, F.col("rank").cast("long").alias("rank"), "neighbor_id")
+    )
+
+
+def near_dup_pairs(emb: DataFrame, top_n: int = 20, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: global top-N (a < b) by cosine.
+
+    All-pairs is O(N²·d) — acceptable as the small-scale exactness oracle; the
+    scale path is `lsh_bucketed_knn`'s bucket join with a high plane count.
+    Rank-only output: (rank, vec_a, vec_b).
+    """
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    sim = cosine(F.col("ea"), F.col("eb"))
+    w = Window.orderBy(F.desc("sim"), F.asc("vec_a"), F.asc("vec_b"))
+    return (
+        pairs.select("vec_a", "vec_b", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(F.col("rank").cast("long").alias("rank"), "vec_a", "vec_b")
+    )

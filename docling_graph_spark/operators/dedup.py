@@ -1,0 +1,211 @@
+"""Deduplication operators for a large-scale training-data pipeline.
+
+Four near-duplicate families over the `documents` table, each expressed in
+pure JVM-side DataFrame ops (no Python UDFs — the hashing primitive is
+`F.md5`, available identically in every SQL engine, which keeps the DuckDB
+oracles byte-compatible):
+
+  * exact dedup           — hash-groupBy (queries.q_exact_dedup)
+  * MinHash + LSH         — char-5-gram shingles → 16-perm MinHash signature
+                            → 4×4 banding → bucket self-join → Jaccard verify
+  * SimHash               — 32-bit signature from word-feature hash digits
+  * n-gram Jaccard        — exact pairwise Jaccard via common-shingle join
+
+Scale notes (100 TB design point):
+  * shingling is a `transform(sequence(...))` projection — no shuffle, fully
+    whole-stage-codegen'd; the only shuffles are the per-doc signature
+    aggregation (map-side partial min/sum applies) and the band bucket join.
+  * the LSH band join is the classic quadratic-blowup hazard: hot buckets
+    (boilerplate-heavy docs) are bounded by `max_bucket` (buckets larger than
+    the cap are dropped, as in production MinHash dedup systems — a bucket
+    with thousands of docs is boilerplate, not near-duplication signal).
+  * MinHash over k=16 permutations approximates Jaccard with σ≈0.25/√k;
+    candidates are verified with the exact Jaccard join before any drop
+    decision, so LSH errors only cost recall, never precision.
+
+MinHash here uses the "one hash function per permutation" construction:
+perm_i(shingle) = md5(i || ':' || shingle), signature_i = lexicographic min
+over the doc's distinct shingles.  md5 output is uniform, so the lexicographic
+min over hex strings is an order-isomorphic stand-in for the numeric min.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+SHINGLE_LEN = 5
+MAX_BUCKET = 64  # LSH buckets larger than this are boilerplate, not dups
+
+
+def shingles(docs: DataFrame, key: str = "doc_id",
+             text_col: str = "text", n: int = SHINGLE_LEN) -> DataFrame:
+    """Distinct lowercase char n-gram shingles: (key, shingle).
+
+    JVM-side via transform(sequence(...)); no shuffle, no Python.
+    """
+    norm = F.lower(F.col(text_col))
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(lower({text_col})) - {n - 1}, 1)),"
+        f" i -> substr(lower({text_col}), i, {n}))"
+    )
+    return (
+        docs.select(F.col(key), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+
+
+def minhash_signatures(sh: DataFrame, key: str = "doc_id",
+                       k: int = N_MINHASH) -> DataFrame:
+    """Per-doc MinHash signature: columns mh0..mh{k-1} (hex-string minima).
+
+    One shuffle (groupBy key) with map-side partial min — the partial/final
+    split means executors combine locally before exchanging, so shuffle bytes
+    are O(docs × k × 32B) regardless of shingle volume.
+    """
+    hashed = sh.select(
+        key,
+        *[
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(k)
+        ],
+    )
+    return hashed.groupBy(key).agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(k)]
+    )
+
+
+def lsh_bands(signatures: DataFrame, key: str = "doc_id",
+              bands: int = N_BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
+    """Unpivot the signature into (key, band, bucket) rows.
+
+    bucket = md5 of the band's concatenated signature rows; two docs landing
+    in the same (band, bucket) are LSH candidates.
+    """
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[f"mh{b * rows + r}" for r in range(rows)]))
+            .alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return signatures.select(
+        key, F.explode(F.array(*band_cols)).alias("bb")
+    ).select(key, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(band_rows: DataFrame, key: str = "doc_id",
+                        max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Self-join within (band, bucket) → distinct candidate (doc_a, doc_b).
+
+    Hot-bucket guard: buckets with > max_bucket members are dropped before
+    the join (quadratic blowup control — at web scale a giant bucket is
+    boilerplate, and boilerplate removal is the extractor's job, not dedup's).
+    """
+    sized = band_rows.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("bsz") <= max_bucket)
+    a = sized.select(F.col(key).alias("doc_a"), "band", "bucket")
+    b = sized.select(F.col(key).alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, sh: DataFrame,
+                   key: str = "doc_id") -> DataFrame:
+    """Exact Jaccard for candidate pairs via common-shingle equi-join.
+
+    Returns (doc_a, doc_b, jaccard_pct) with jaccard_pct = floor(100·|A∩B| /
+    |A∪B|) — integer-exact, so the DuckDB oracle hashes identically.
+    """
+    sizes = sh.groupBy(key).agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col(key).alias("doc_a"), "shingle")
+    sb = sh.select(F.col(key).alias("doc_b"), "shingle")
+    common = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    za = sizes.select(F.col(key).alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col(key).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                F.lit(100) * F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+            ).cast("long").alias("jaccard_pct"),
+        )
+    )
+
+
+def minhash_lsh_dedup(docs: DataFrame, key: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Full MinHash→LSH→verify pipeline; all candidate pairs + exact Jaccard."""
+    sh = shingles(docs, key, text_col)
+    sigs = minhash_signatures(sh, key)
+    cands = lsh_candidate_pairs(lsh_bands(sigs, key), key)
+    return jaccard_verify(cands, sh, key)
+
+
+def simhash_column(docs: DataFrame, key: str = "doc_id",
+                   text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Per-doc SimHash as a `bits`-char bitstring: (key, simhash).
+
+    Features = distinct lowercase words; bit i votes +1 when the i-th hex
+    digit of md5(word) is >= '8' (top half of the digit's 4-bit value), -1
+    otherwise; bit set when the vote sum is positive.  32 bits uses the full
+    md5 hex width; identical construction runs verbatim in the SQL oracle.
+    """
+    assert bits <= 32
+    words = docs.select(
+        key,
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), "[^a-z]+"))
+        ).alias("w"),
+    ).filter(F.length("w") > 0)
+    digest = F.md5(F.col("w"))
+    votes = words.groupBy(key).agg(
+        *[
+            F.sum(
+                F.when(F.substring(digest, i + 1, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    bitstr = F.concat(
+        *[F.when(F.col(f"v{i}") > 0, "1").otherwise("0") for i in range(bits)]
+    )
+    return votes.select(key, bitstr.alias("simhash"))
+
+
+def fingerprints(docs: DataFrame, key: str = "doc_id",
+                 text_col: str = "text", mod_hex_prefix: str = "0") -> DataFrame:
+    """MOD-p document fingerprinting (the scalable cousin of winnowing):
+
+    keep the shingles whose md5 starts with `mod_hex_prefix` — a deterministic
+    1/16 content-defined sample, stable under edits outside the sampled
+    k-grams.  Returns (key, fp) rows where fp is the shingle's md5.
+    """
+    sh = shingles(docs, key, text_col)
+    fp = F.md5(F.col("shingle"))
+    return (
+        sh.select(key, fp.alias("fp"))
+        .filter(F.col("fp").startswith(mod_hex_prefix))
+        .distinct()
+    )

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .operators import ann as op_ann
+from .operators import dedup as op_dedup
 from .operators import entities as op_entities
 from .operators import graph as op_graph
 from .operators import stats as op_stats
@@ -558,7 +560,284 @@ FROM documents GROUP BY lang ORDER BY lang
 
 
 # --------------------------------------------------------------------------
+# deduplication suite (operators/dedup.py) — MinHash+LSH, SimHash, n-gram
+# Jaccard, document fingerprinting.  Oracles replicate the md5-based
+# constructions verbatim (md5 is engine-identical; integer outputs only).
+
+_SHINGLES_CTE = """
+shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT d.doc_id,
+           substr(lower(d.text), CAST(i AS BIGINT), 5) AS shingle
+    FROM documents d,
+         LATERAL (SELECT unnest(generate_series(1,
+                  GREATEST(length(lower(d.text)) - 4, 1))) AS i)
+  ) WHERE length(shingle) > 0
+)
+"""
+
+_MINHASH_SIG = ",\n".join(
+    f"    min(md5('{i}:' || shingle)) AS mh{i}" for i in range(op_dedup.N_MINHASH)
+)
+_BAND_SELECTS = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sigs".format(
+        b=b,
+        expr=" || '|' || ".join(
+            f"mh{b * op_dedup.ROWS_PER_BAND + r}"
+            for r in range(op_dedup.ROWS_PER_BAND)
+        ),
+    )
+    for b in range(op_dedup.N_BANDS)
+)
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) → LSH(4×4 bands) → bucket join → exact-Jaccard verify;
+    top candidate pairs by integer Jaccard percent."""
+    docs = _read(spark, sf_dir, "documents")
+    verified = op_dedup.minhash_lsh_dedup(docs)
+    return (
+        verified.filter(F.col("jaccard_pct") >= 5)
+        .orderBy(F.desc("jaccard_pct"), "doc_a", "doc_b")
+        .limit(100)
+    )
+
+
+SQL_MINHASH_LSH = f"""
+WITH {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id,
+{_MINHASH_SIG}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+{_BAND_SELECTS}
+),
+sized AS (
+  SELECT doc_id, band, bucket,
+         count(*) OVER (PARTITION BY band, bucket) AS bsz
+  FROM bands
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sized a JOIN sized b ON a.band = b.band AND a.bucket = b.bucket
+   AND a.doc_id < b.doc_id
+  WHERE a.bsz <= {op_dedup.MAX_BUCKET} AND b.bsz <= {op_dedup.MAX_BUCKET}
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cands c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(floor((100 * n_common) / (za.sz + zb.sz - n_common)) AS BIGINT)
+         AS jaccard_pct
+FROM common
+JOIN sizes za ON za.doc_id = doc_a
+JOIN sizes zb ON zb.doc_id = doc_b
+WHERE floor((100 * n_common) / (za.sz + zb.sz - n_common)) >= 5
+ORDER BY jaccard_pct DESC, doc_a, doc_b LIMIT 100
+"""
+
+_SIMHASH_BITS = 32
+_SIMHASH_VOTES = ",\n".join(
+    f"    sum(CASE WHEN substr(md5(w), {i + 1}, 1) >= '8' THEN 1 ELSE -1 END)"
+    f" AS v{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_CONCAT = ", ".join(
+    f"CASE WHEN v{i} > 0 THEN '1' ELSE '0' END" for i in range(_SIMHASH_BITS)
+)
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures; per-lang distinct-signature counts
+    (n_docs > n_distinct ⇒ hash-identical near-duplicates)."""
+    docs = _read(spark, sf_dir, "documents")
+    sims = op_dedup.simhash_column(docs, bits=_SIMHASH_BITS)
+    return (
+        sims.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("simhash").alias("n_distinct_simhash"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_SIMHASH = f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, lang, w FROM (
+    SELECT doc_id, lang,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents
+  ) WHERE length(w) > 0
+),
+votes AS (
+  SELECT doc_id, any_value(lang) AS lang,
+{_SIMHASH_VOTES}
+  FROM words GROUP BY doc_id
+),
+sims AS (
+  SELECT lang, concat({_SIMHASH_CONCAT}) AS simhash FROM votes
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT simhash) AS BIGINT) AS n_distinct_simhash
+FROM sims GROUP BY lang ORDER BY lang
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard (doc_id < 100 slice) via
+    common-shingle equi-join; top-50 pairs by integer percent."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sh = op_dedup.shingles(docs)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    verified = op_dedup.jaccard_verify(
+        pairs.select("doc_a", "doc_b"), sh
+    )
+    return (
+        verified.filter(F.col("jaccard_pct") >= 5)
+        .orderBy(F.desc("jaccard_pct"), "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_SHINGLES_CTE},
+small AS (SELECT * FROM shingles WHERE doc_id < 100),
+sizes AS (SELECT doc_id, count(*) AS sz FROM small GROUP BY doc_id),
+common AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_common
+  FROM small sa JOIN small sb
+    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(floor((100 * n_common) / (za.sz + zb.sz - n_common)) AS BIGINT)
+         AS jaccard_pct
+FROM common
+JOIN sizes za ON za.doc_id = doc_a
+JOIN sizes zb ON zb.doc_id = doc_b
+WHERE floor((100 * n_common) / (za.sz + zb.sz - n_common)) >= 5
+ORDER BY jaccard_pct DESC, doc_a, doc_b LIMIT 50
+"""
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOD-16 content-defined fingerprint sampling; per-lang fingerprint
+    volume and global distinctness."""
+    docs = _read(spark, sf_dir, "documents")
+    fps = op_dedup.fingerprints(docs)
+    return (
+        fps.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("docs_with_fp"),
+            F.count("*").alias("total_fps"),
+            F.countDistinct("fp").alias("distinct_fps"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_DOC_FINGERPRINTS = f"""
+WITH {_SHINGLES_CTE},
+fps AS (
+  SELECT DISTINCT s.doc_id, d.lang, md5(s.shingle) AS fp
+  FROM shingles s JOIN documents d USING (doc_id)
+  WHERE md5(s.shingle) LIKE '0%'
+)
+SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_with_fp,
+       CAST(count(*) AS BIGINT) AS total_fps,
+       CAST(count(DISTINCT fp) AS BIGINT) AS distinct_fps
+FROM fps GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
 # embeddings: similarity search
+
+# engine-stable cosine: explicit double-precision, index-order summation
+_DUCK_DIM = 64
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    def dot(x, y):
+        return (
+            f"list_sum(list_transform(generate_series(1, {_DUCK_DIM}), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))"
+        )
+
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: global top-20 pairs."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return op_ann.near_dup_pairs(emb, top_n=20).orderBy("rank")
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_duck_cosine('a.embedding', 'b.embedding')} AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT CAST(rank AS BIGINT) AS rank, vec_a, vec_b FROM (
+  SELECT vec_a, vec_b,
+         row_number() OVER (ORDER BY sim DESC, vec_a, vec_b) AS rank
+  FROM pairs
+) WHERE rank <= 20 ORDER BY rank
+"""
+
+_DUCK_BUCKET = "concat(" + ", ".join(
+    f"CASE WHEN {{v}}[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
+) + ")"
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN: top-3 same-bucket neighbours per query."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    return op_ann.lsh_bucketed_knn(emb, queries, k=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+SQL_ANN_LSH = f"""
+WITH be AS (
+  SELECT vec_id, embedding,
+         {_DUCK_BUCKET.format(v='embedding')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket
+      FROM be WHERE vec_id < 8),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_duck_cosine('q.qe', 'e.embedding')} AS sim
+  FROM q JOIN be e USING (bucket) WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= 3 ORDER BY query_id, rank
+"""
 
 
 def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -594,11 +873,11 @@ def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EMBEDDING_KNN = """
+SQL_EMBEDDING_KNN = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
 pairs AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         list_cosine_similarity(q.qe, e.embedding) AS sim
+         {_duck_cosine('q.qe', 'e.embedding')} AS sim
   FROM q, embeddings e WHERE e.vec_id <> q.query_id
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
@@ -642,6 +921,13 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
         "quality_signals": (q_quality_signals, SQL_QUALITY_SIGNALS),
         "langid_votes": (q_langid_votes, SQL_LANGID_VOTES),
         "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+        # dedup suite
+        "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH),
+        "simhash_dedup": (q_simhash_dedup, SQL_SIMHASH),
+        "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
+        "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
         # similarity
         "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
+        "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+        "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
     }
