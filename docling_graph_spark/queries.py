@@ -560,6 +560,54 @@ FROM documents GROUP BY lang ORDER BY lang
 
 
 # --------------------------------------------------------------------------
+# exporters (exporters.py): Cypher statement projection, oracle-checked
+
+
+def q_cypher_doc_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 Cypher sink: CREATE statements for document nodes (doc_id < 50),
+    exercising the reference's escape + identifier-sanitize chains."""
+    from . import exporters
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    nodes = docs.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("id"),
+        F.lit("WebDocument").alias("label"),
+        F.lit("entity").alias("type"),
+        F.map_from_arrays(
+            F.array(F.lit("lang"), F.lit("n_chars"), F.lit("snippet")),
+            F.array(
+                F.col("lang"),
+                F.length("text").cast("string"),
+                F.substring("text", 1, 40),
+            ),
+        ).alias("properties"),
+    )
+    return exporters.cypher_node_statements(nodes).orderBy("id")
+
+
+_DUCK_ESC = (
+    "replace(replace(replace(replace({v}, '\\', '\\\\'), "
+    "'''', '\\'''), '\"', '\\\"'), chr(10), '\\n')"
+)
+
+SQL_CYPHER_DOC_NODES = f"""
+SELECT id, concat(
+  'CREATE (',
+  CASE WHEN regexp_replace(id, '[^a-zA-Z0-9_]', '_', 'g') SIMILAR TO '[0-9].*'
+       THEN 'n_' || regexp_replace(id, '[^a-zA-Z0-9_]', '_', 'g')
+       ELSE regexp_replace(id, '[^a-zA-Z0-9_]', '_', 'g') END,
+  ':WebDocument {{id: "', {_DUCK_ESC.format(v='id')}, '", ',
+  'lang: "', {_DUCK_ESC.format(v='lang')}, '", ',
+  'n_chars: "', CAST(length(text) AS VARCHAR), '", ',
+  'snippet: "', {_DUCK_ESC.format(v='substr(text, 1, 40)')}, '"}})'
+) AS stmt
+FROM (SELECT concat('doc:', CAST(doc_id AS VARCHAR)) AS id, lang, text
+      FROM documents WHERE doc_id < 50)
+ORDER BY id
+"""
+
+
+# --------------------------------------------------------------------------
 # deduplication suite (operators/dedup.py) — MinHash+LSH, SimHash, n-gram
 # Jaccard, document fingerprinting.  Oracles replicate the md5-based
 # constructions verbatim (md5 is engine-identical; integer outputs only).
@@ -921,6 +969,8 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
         "quality_signals": (q_quality_signals, SQL_QUALITY_SIGNALS),
         "langid_votes": (q_langid_votes, SQL_LANGID_VOTES),
         "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+        # exporters
+        "cypher_doc_nodes": (q_cypher_doc_nodes, SQL_CYPHER_DOC_NODES),
         # dedup suite
         "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH),
         "simhash_dedup": (q_simhash_dedup, SQL_SIMHASH),
