@@ -1,0 +1,60 @@
+"""Resumable checkpointed runs: left_anti restart, idempotent re-run,
+convergence with the one-shot pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_graph_spark.checkpointing import (
+    CheckpointedRun, completed_keys, pending_inputs,
+)
+from docling_graph_spark.pipeline import PipelineConfig, run_pipeline
+from docling_graph_spark.sources.web_pages import synthesize_web_pages
+
+CFG = PipelineConfig(id_mode="xxhash64")
+
+
+@pytest.fixture(scope="module")
+def pages(spark, sf_smoke_dir):
+    return synthesize_web_pages(spark, sf_smoke_dir)
+
+
+def test_pending_inputs_no_checkpoint(spark, pages, tmp_path):
+    done = completed_keys(spark, str(tmp_path / "nope"))
+    assert done is None
+    assert pending_inputs(pages, done) is pages
+
+
+def test_resume_processes_only_missing(spark, pages, tmp_path):
+    root = str(tmp_path / "ckpt")
+    first = pages.filter(F.crc32(F.col("url")) % 2 == 0)
+    run = CheckpointedRun(spark, root, CFG)
+
+    n1 = run.run(first)
+    assert n1 == first.count()
+
+    # restart over the FULL input: only the other half is processed
+    n2 = run.run(pages)
+    assert n1 + n2 == pages.count()
+
+    # third run is a no-op
+    assert run.run(pages) == 0
+
+    # converges to the one-shot result: same extracted urls, same graph ids
+    oneshot = run_pipeline(pages, CFG)
+    ck_urls = {r[0] for r in run.extracted().select("url").collect()}
+    os_urls = {r[0] for r in oneshot.extracted.select("url").collect()}
+    assert ck_urls == os_urls
+
+    ck_nodes = {r[0] for r in run.nodes().select("id").collect()}
+    os_nodes = {r[0] for r in oneshot.nodes.select("id").collect()}
+    assert ck_nodes == os_nodes
+
+    ck_edges = run.edges().count()
+    assert ck_edges == oneshot.edges.count()
+
+    # run manifest recorded one row per run() call
+    runs = spark.read.json(f"{root}/runs")
+    assert runs.count() == 3
+    assert {r["processed_docs"] for r in runs.collect()} == {n1, n2, 0}
