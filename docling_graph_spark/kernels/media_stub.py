@@ -1,0 +1,98 @@
+"""Media (image/audio/video) decode kernels — STUBBED decode, real plumbing.
+
+No image/audio libraries ship in this container, so the actual decode step
+is explicitly unavailable (`decode_media` raises NotImplementedError), while
+everything the Spark layer needs — magic-byte sniffing, typed metadata,
+batch-shaped feature extraction with a deterministic fake feature vector —
+is real and fully testable.  A production build swaps `fake_features` for a
+real decoder/encoder behind the same signatures.
+
+The deterministic fake features are a content hash expanded to floats:
+blake2b(payload) → `dim` uint16 words → [0,1) floats.  Same bytes, same
+vector, on any executor — which is exactly what the downstream plumbing
+tests need (dedup by cosine, partition-stable joins).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional, Tuple
+
+MEDIA_MAGIC: List[Tuple[bytes, str]] = [
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"RIFF", "riff"),          # refined below (WAVE/AVI)
+    (b"\x1a\x45\xdf\xa3", "video/webm"),
+    (b"ID3", "audio/mpeg"),
+    (b"OggS", "audio/ogg"),
+    (b"fLaC", "audio/flac"),
+    (b"%PDF", "application/pdf"),
+]
+
+
+def sniff_media_type(payload: Optional[bytes]) -> str:
+    """Magic-byte media classification (the binary analogue of the
+    reference's InputTypeDetector, `core/input/types.py:39-105`)."""
+    if not payload:
+        return "empty"
+    for magic, mtype in MEDIA_MAGIC:
+        if payload[: len(magic)] == magic:
+            if mtype == "riff":
+                tag = payload[8:12]
+                if tag == b"WAVE":
+                    return "audio/wav"
+                if tag == b"AVI ":
+                    return "video/avi"
+                return "application/riff"
+            return mtype
+    if payload[4:12] in (b"ftypisom", b"ftypmp42", b"ftypMSNV"):
+        return "video/mp4"
+    head = payload[:256].lstrip()
+    if head[:1] == b"<" or b"<html" in head.lower():
+        return "text/html"
+    return "application/octet-stream"
+
+
+def decode_media(payload: bytes, media_type: str):
+    """REAL decode entry point — intentionally unavailable in this sandbox.
+
+    A production deployment implements this with PIL/ffmpeg/torchaudio
+    behind the identical signature; the Spark operator calls
+    `fake_features` instead when running with stubbed decode.
+    """
+    raise NotImplementedError(
+        "media decode requires image/audio libraries not present in this "
+        f"container (requested: {media_type}); use fake_features for the "
+        "deterministic stub path"
+    )
+
+
+def fake_features(payload: bytes, dim: int = 8) -> List[float]:
+    """Deterministic content-derived feature vector in [0, 1)."""
+    need = dim * 2
+    raw = b""
+    counter = 0
+    while len(raw) < need:
+        raw += hashlib.blake2b(
+            payload, digest_size=32, salt=counter.to_bytes(8, "little")
+        ).digest()
+        counter += 1
+    return [
+        int.from_bytes(raw[2 * i: 2 * i + 2], "little") / 65536.0
+        for i in range(dim)
+    ]
+
+
+def fake_frame_sample(payload: bytes, n_frames: int = 4,
+                      dim: int = 8) -> List[List[float]]:
+    """Deterministic stand-in for video frame sampling: n_frames feature
+    vectors derived from evenly-spaced byte windows of the payload."""
+    if not payload:
+        return []
+    step = max(len(payload) // n_frames, 1)
+    return [
+        fake_features(payload[i * step: (i + 1) * step] or payload, dim)
+        for i in range(n_frames)
+    ]

@@ -1,0 +1,90 @@
+"""Multimodal columns: opaque binary payloads with typed metadata.
+
+Treats image/audio/video (and PDF/HTML) payloads as `binary` columns and
+runs classification + feature extraction as one Arrow-batched `mapInPandas`
+pass — the shape a real decode stage would use at 100 TB:
+
+  * `mapInPandas` (not a scalar pandas UDF) so a heavyweight decoder can be
+    initialized once per partition and stream Arrow batches through it;
+  * input pruning: only (url, html) cross the Arrow boundary;
+  * output is a flat typed schema — media_type from magic bytes, size,
+    content digest, fixed-dim feature vector — ready for the ANN operators
+    (operators/ann.py) downstream.
+
+The decode step itself is stubbed (kernels/media_stub.py): real decoding
+raises NotImplementedError in this container; the deterministic fake
+features keep every downstream join/partition/ANN path testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernels.media_stub import fake_features, sniff_media_type
+
+FEATURE_DIM = 8
+
+MEDIA_FEATURES = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("media_type", T.StringType(), False),
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("digest", T.StringType(), True),
+    T.StructField("features", T.ArrayType(T.FloatType()), True),
+])
+
+
+def media_features(web_pages: DataFrame,
+                   dim: int = FEATURE_DIM) -> DataFrame:
+    """(url, media_type, n_bytes, digest, features) per payload row."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-partition init hook: a real build constructs its decoder here,
+        # once, and reuses it across every Arrow batch of the partition
+        for pdf in batches:
+            payloads = pdf["html"]
+            n = len(pdf)
+            out = {
+                "url": pdf["url"],
+                "media_type": [None] * n,
+                "n_bytes": [0] * n,
+                "digest": [None] * n,
+                "features": [None] * n,
+            }
+            for i, payload in enumerate(payloads):
+                b = bytes(payload) if payload is not None else b""
+                out["media_type"][i] = sniff_media_type(b)
+                out["n_bytes"][i] = len(b)
+                if b:
+                    out["digest"][i] = hashlib.blake2b(
+                        b, digest_size=16
+                    ).hexdigest()
+                    out["features"][i] = fake_features(b, dim)
+            yield pd.DataFrame(out)
+
+    pruned = web_pages.select("url", "html")
+    return pruned.mapInPandas(process, schema=MEDIA_FEATURES)
+
+
+def media_type_stats(web_pages: DataFrame) -> DataFrame:
+    """Per-media-type corpus stats (count, total/avg payload bytes)."""
+    feats = media_features(web_pages)
+    return feats.groupBy("media_type").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+    ).orderBy("media_type")
+
+
+def exact_binary_dedup(web_pages: DataFrame) -> DataFrame:
+    """Exact payload-level dedup via content digest: one row per digest with
+    the lexicographically-smallest url as canonical."""
+    feats = media_features(web_pages).filter(F.col("digest").isNotNull())
+    return feats.groupBy("digest").agg(
+        F.min("url").alias("canonical_url"),
+        F.count("*").alias("n_copies"),
+    )

@@ -560,6 +560,28 @@ FROM documents GROUP BY lang ORDER BY lang
 
 
 # --------------------------------------------------------------------------
+# multimodal binary columns (operators/multimodal.py)
+
+
+def q_media_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte media classification over the binary payload column via
+    the mapInPandas feature stage; per-type doc count and payload bytes."""
+    from .operators import multimodal as op_mm
+    from .sources.web_pages import synthesize_web_pages
+
+    return op_mm.media_type_stats(synthesize_web_pages(spark, sf_dir))
+
+
+SQL_MEDIA_TYPE_STATS = f"""
+SELECT CASE WHEN doc_id % 50 = 49 THEN 'application/pdf'
+            ELSE 'text/html' END AS media_type,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum({_PAYLOAD_BYTES}) AS BIGINT) AS total_bytes
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # exporters (exporters.py): Cypher statement projection, oracle-checked
 
 
@@ -971,6 +993,8 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
         "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
         # exporters
         "cypher_doc_nodes": (q_cypher_doc_nodes, SQL_CYPHER_DOC_NODES),
+        # multimodal
+        "media_type_stats": (q_media_type_stats, SQL_MEDIA_TYPE_STATS),
         # dedup suite
         "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH),
         "simhash_dedup": (q_simhash_dedup, SQL_SIMHASH),
