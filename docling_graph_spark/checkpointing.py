@@ -94,10 +94,10 @@ class CheckpointedRun:
         # parquet, localCheckpoint is the stand-in.
         todo = todo.localCheckpoint(eager=True)
         res = run_pipeline(todo, self.config)
-        # the extraction UDF feeds every downstream stage write — persist it
-        # once so the six appends don't re-run the parse (on a cluster this
-        # would be an intermediate Iceberg table instead of executor cache)
-        res.extracted.persist()
+        # the extraction/chunk/mention UDF stages feed every downstream
+        # write — persist them once so the six appends don't recompute (on a
+        # cluster these would be intermediate Iceberg tables)
+        res.persist()
 
         extracted = res.extracted.withColumn(
             "bucket", host_bucket(F.col("url"), self.n_buckets)
@@ -115,7 +115,7 @@ class CheckpointedRun:
         res.metrics.write.mode("append").parquet(self._path("metrics"))
 
         processed = res.extracted.count()
-        res.extracted.unpersist()
+        res.unpersist()
         self._manifest(processed, time.perf_counter() - t0)
         return processed
 

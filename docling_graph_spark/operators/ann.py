@@ -105,10 +105,17 @@ def near_dup_pairs(emb: DataFrame, top_n: int = 20, id_col: str = "vec_id",
     b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
     sim = cosine(F.col("ea"), F.col("eb"))
+    # global top-N via orderBy+limit (TakeOrderedAndProject: per-partition
+    # top-N then a tiny driver merge) — NOT a global window, which would
+    # funnel every pair through a single partition.  The rank window below
+    # only ever sees top_n rows.
+    top = (
+        pairs.select("vec_a", "vec_b", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(top_n)
+    )
     w = Window.orderBy(F.desc("sim"), F.asc("vec_a"), F.asc("vec_b"))
     return (
-        pairs.select("vec_a", "vec_b", sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_n)
+        top.withColumn("rank", F.row_number().over(w))
         .select(F.col("rank").cast("long").alias("rank"), "vec_a", "vec_b")
     )

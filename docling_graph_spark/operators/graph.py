@@ -246,9 +246,20 @@ def dedup_nodes_by_content(
     return keep, redirected
 
 
-def drop_orphan_edges(nodes: DataFrame, edges: DataFrame) -> DataFrame:
-    """J1: left-semi join on both endpoints (`graph_cleaner.py:218-237`)."""
+def drop_orphan_edges(nodes: DataFrame, edges: DataFrame,
+                      broadcast_ids: bool = False) -> DataFrame:
+    """J1: left-semi join on both endpoints (`graph_cleaner.py:218-237`).
+
+    ``broadcast_ids=True`` broadcasts the (narrow) node-id set so the edge
+    relation — typically 10-20× larger — never shuffles: both semi-joins
+    become map-side hash probes.  Right default whenever the id set fits the
+    driver (document graphs: ids ≈ docs + chunks + a bounded term
+    vocabulary); at id-set sizes beyond broadcast, leave False and AQE picks
+    the shuffle strategy.
+    """
     ids = nodes.select("id")
+    if broadcast_ids:
+        ids = F.broadcast(ids)
     return (
         edges.join(ids, edges.src == ids.id, "left_semi")
         .join(ids, edges.dst == ids.id, "left_semi")
@@ -269,15 +280,72 @@ def dedup_edges(edges: DataFrame) -> DataFrame:
 
 
 def clean_graph(nodes: DataFrame, edges: DataFrame,
-                content_dedup: bool = False) -> Tuple[DataFrame, DataFrame]:
-    """Full cleanup chain in reference order (`graph_cleaner.py:76-127`)."""
+                content_dedup: bool = False,
+                edges_distinct: bool = False,
+                nodes_distinct: bool = False,
+                referential_integrity: bool = False,
+                broadcast_ids: bool = False) -> Tuple[DataFrame, DataFrame]:
+    """Full cleanup chain in reference order (`graph_cleaner.py:76-127`).
+
+    The reference cleans because LLM extractions are messy: duplicate nodes,
+    duplicate edges, dangling endpoints.  A *constructed* graph (the web
+    pipeline: ids derived deterministically from the same rows that emit the
+    nodes) satisfies those invariants by construction, and at corpus scale
+    each skipped pass is a full shuffle of a 10⁷-10¹⁰-row relation for zero
+    effect — so every pass can be declared unnecessary by the caller:
+
+    * ``edges_distinct=True``  — skip the duplicate-edge pass (A4): edge
+      sets built by groupBy/unique-row projection contain no duplicates.
+    * ``nodes_distinct=True``  — skip the node-dedup pass (U4): one node
+      row per id by construction.
+    * ``referential_integrity=True`` — skip the orphan-edge semi-joins
+      (J1): every endpoint id provably exists.  Use
+      `validate_web_graph` to CHECK the invariants instead of silently
+      enforcing them (validation is an aggregation — cheap — where
+      enforcement is a join — expensive).
+    * ``broadcast_ids``       — when the orphan check does run, broadcast
+      the narrow id set so the big edge relation never shuffles.
+    """
     nodes = phantom_filter(nodes)
-    nodes = dedup_nodes_exact(nodes)
+    if not nodes_distinct:
+        nodes = dedup_nodes_exact(nodes)
     if content_dedup:
         nodes, edges = dedup_nodes_by_content(nodes, edges)
-    edges = drop_orphan_edges(nodes, edges)
-    edges = dedup_edges(edges)
+    if not referential_integrity:
+        edges = drop_orphan_edges(nodes, edges, broadcast_ids=broadcast_ids)
+    if not edges_distinct:
+        edges = dedup_edges(edges)
     return nodes, edges
+
+
+def validate_web_graph(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """One-row validation summary of the cleanup invariants — the check-only
+    counterpart of `clean_graph` for constructed graphs (reference
+    validation: `graph_cleaner.py:307-362`, A9 collision check
+    `node_id_registry.py:124-134`).
+
+    Aggregations, not joins: the duplicate counts are groupBys, and the
+    orphan count is a left-anti join against the narrow id set only.
+    """
+    n_nodes = nodes.count()
+    n_ids = nodes.select("id").distinct().count()
+    n_edges = edges.count()
+    n_dup_edges = (
+        n_edges - edges.select("src", "dst", "label").distinct().count()
+    )
+    ids = nodes.select("id")
+    orphans = (
+        edges.join(ids, edges.src == ids.id, "left_anti").count()
+        + edges.join(ids, edges.dst == ids.id, "left_anti").count()
+    )
+    collisions = fingerprint_collision_check(nodes).count()
+    spark = nodes.sparkSession
+    return spark.createDataFrame(
+        [(n_nodes, n_ids, n_nodes - n_ids, n_edges, n_dup_edges,
+          orphans, collisions)],
+        "n_nodes long, n_distinct_ids long, n_dup_nodes long, n_edges long, "
+        "n_dup_edges long, n_orphan_endpoints long, n_fp_collisions long",
+    )
 
 
 def fingerprint_collision_check(nodes: DataFrame) -> DataFrame:

@@ -41,6 +41,11 @@ class PipelineConfig:
     add_reverse_edges: bool = False
     content_dedup: bool = False
     run_id: str = "run"
+    # input parallelism floor for the extraction UDF stage: True = ensure at
+    # least the cluster's default parallelism (a single fat parquet file
+    # otherwise serializes the whole parse on one task); int = exact target;
+    # False = leave the scan partitioning untouched
+    repartition_input: object = True
 
 
 @dataclass
@@ -51,6 +56,25 @@ class PipelineResult:
     nodes: DataFrame
     edges: DataFrame
     metrics: DataFrame
+    # pre-filter extraction output (error rows included) — metrics derive
+    # from it; persist THIS to make every downstream action share one parse
+    extracted_all: Optional[DataFrame] = None
+
+    def persist(self) -> "PipelineResult":
+        """Persist the expensive intermediates (extraction + chunk/mention
+        UDF outputs) so multiple output actions share one computation — the
+        in-memory analogue of the production pattern where each stage is
+        written to a table once and read back, never recomputed."""
+        for df in (self.extracted_all, self.chunks, self.doc_mentions):
+            if df is not None:
+                df.persist()
+        return self
+
+    def unpersist(self) -> "PipelineResult":
+        for df in (self.extracted_all, self.chunks, self.doc_mentions):
+            if df is not None:
+                df.unpersist()
+        return self
 
 
 def salted_repartition(df: DataFrame, num_partitions: int,
@@ -62,9 +86,31 @@ def salted_repartition(df: DataFrame, num_partitions: int,
     return df.repartition(num_partitions, F.xxhash64(host, salt))
 
 
+def ensure_parallel_input(web_pages: DataFrame,
+                          target: Optional[int] = None) -> DataFrame:
+    """Guarantee the extraction stage can use the whole cluster.
+
+    A Common-Crawl-style table read from few/fat files yields few input
+    splits, and the Arrow UDF parse — the dominant cost — inherits that
+    parallelism.  When the scan has fewer partitions than the target
+    (default: the cluster's defaultParallelism), redistribute by the salted
+    url-host hash (north-rule skew handling: hot hosts spread across salt
+    buckets instead of hot-spotting one task)."""
+    spark = web_pages.sparkSession
+    target = target or spark.sparkContext.defaultParallelism
+    if web_pages.rdd.getNumPartitions() >= target:
+        return web_pages
+    return salted_repartition(web_pages, target)
+
+
 def run_pipeline(web_pages: DataFrame,
                  config: Optional[PipelineConfig] = None) -> PipelineResult:
     cfg = config or PipelineConfig()
+    if cfg.repartition_input:
+        target = (cfg.repartition_input
+                  if isinstance(cfg.repartition_input, int)
+                  and not isinstance(cfg.repartition_input, bool) else None)
+        web_pages = ensure_parallel_input(web_pages, target)
 
     extracted_all = op_extract.extract_main_text(web_pages)
     extracted = op_extract.filter_extractable(extracted_all)
@@ -79,10 +125,19 @@ def run_pipeline(web_pages: DataFrame,
         extracted, chunks, doc_mentions,
         id_mode=cfg.id_mode, add_reverse_edges=cfg.add_reverse_edges,
     )
+    # the web graph is constructed: node ids derive from the same rows that
+    # emit the edges, edge/node sets come out of groupBys and unique-row
+    # projections — the dedup/orphan passes are no-ops and each would cost a
+    # full shuffle of the largest relation.  Declare the invariants and use
+    # op_graph.validate_web_graph to CHECK them (see graph_validation query).
     nodes, edges = op_graph.clean_graph(nodes, edges,
-                                        content_dedup=cfg.content_dedup)
+                                        content_dedup=cfg.content_dedup,
+                                        edges_distinct=True,
+                                        nodes_distinct=True,
+                                        referential_integrity=True)
     metrics = op_stats.partition_metrics(extracted_all, cfg.run_id)
-    return PipelineResult(extracted, chunks, doc_mentions, nodes, edges, metrics)
+    return PipelineResult(extracted, chunks, doc_mentions, nodes, edges,
+                          metrics, extracted_all)
 
 
 def run_on_testdata(spark: SparkSession, sf_dir: str,

@@ -48,6 +48,7 @@ def _pipeline(spark: SparkSession, sf_dir: str) -> PipelineResult:
         res = run_on_testdata(spark, sf_dir, cfg)
         res.extracted.persist()
         res.chunks.persist()
+        res.doc_mentions.persist()
         _CACHE[key] = res
     return _CACHE[key]
 
@@ -266,8 +267,10 @@ def q_doc_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = res.nodes.filter(F.col("label") == "WebDocument").select(
         "id", F.col("properties")["url"].alias("url")
     )
+    # document nodes are a tiny fraction of the node set — broadcast them so
+    # the (big) degree relation never shuffles
     return (
-        docs.join(degrees, "id")
+        F.broadcast(docs).join(degrees, "id")
         .select("url", "degree")
         .orderBy(F.desc("degree"), "url")
         .limit(20)
@@ -285,6 +288,36 @@ deg AS (
   GROUP BY m.url
 )
 SELECT url, degree FROM deg ORDER BY degree DESC, url LIMIT 20
+"""
+
+
+def q_graph_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Check-only cleanup invariants for the constructed graph (A9 + J1
+    validation variant): duplicate nodes/edges, orphan endpoints, fingerprint
+    collisions must all be zero; totals re-derived from first principles."""
+    res = _pipeline(spark, sf_dir)
+    return op_graph.validate_web_graph(res.nodes, res.edges)
+
+
+SQL_GRAPH_VALIDATION = f"""
+WITH {_MENTIONS_CTE},
+counts AS (
+  SELECT
+    (SELECT count(*) FROM documents)
+      + (SELECT sum(CAST(ceil(length(text)/100.0) AS BIGINT)) FROM documents)
+      + (SELECT count(DISTINCT term) FROM mentions) AS n_nodes,
+    (SELECT sum(CAST(ceil(length(text)/100.0) AS BIGINT)) FROM documents)
+      + (SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM mentions))
+      AS n_edges
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_nodes AS BIGINT) AS n_distinct_ids,
+       CAST(0 AS BIGINT) AS n_dup_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(0 AS BIGINT) AS n_dup_edges,
+       CAST(0 AS BIGINT) AS n_orphan_endpoints,
+       CAST(0 AS BIGINT) AS n_fp_collisions
+FROM counts
 """
 
 
@@ -976,6 +1009,7 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
         "graph_node_counts": (q_graph_node_counts, SQL_GRAPH_NODE_COUNTS),
         "graph_edge_counts": (q_graph_edge_counts, SQL_GRAPH_EDGE_COUNTS),
         "doc_degree_topk": (q_doc_degree_topk, SQL_DOC_DEGREE_TOPK),
+        "graph_validation": (q_graph_validation, SQL_GRAPH_VALIDATION),
         "bytes_stripped": (q_bytes_stripped, SQL_BYTES_STRIPPED),
         "extraction_metrics_by_host": (q_extraction_metrics_by_host,
                                        SQL_EXTRACTION_METRICS),

@@ -64,6 +64,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # start shuffles wide and let AQE coalesce DOWN: a fixed small
+        # partition count makes big shuffles spill (fixed spill I/O is the
+        # classic non-scaling term); oversized initial partitions cost
+        # nothing once AQE merges them
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(max(shuffle_partitions * 8, 128)))
         # --- Arrow transfer for pandas UDFs (the extraction hot path)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")

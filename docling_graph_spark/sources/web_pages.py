@@ -83,9 +83,20 @@ def html_page_expr(doc_id, text, lang):
 
 
 def synthesize_web_pages(spark: SparkSession, sf_dir: str,
-                         with_pdf_rows: bool = True) -> DataFrame:
-    """documents.parquet -> (url, warc_ts, html binary, text, lang)."""
+                         with_pdf_rows: bool = True,
+                         min_partitions: int = 0) -> DataFrame:
+    """documents.parquet -> (url, warc_ts, html binary, text, lang).
+
+    The source parquet is a single small file (one scan split), while the
+    payload-construction expressions multiply bytes ~4×: repartition the
+    narrow source rows FIRST so the expensive concat/encode runs in parallel
+    — shuffling after the projection would both serialize the build on one
+    task and move 4× the bytes.  Default: the session's defaultParallelism.
+    """
     docs = load_documents(spark, sf_dir)
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, F.col("doc_id"))
     d = F.col("doc_id")
     html_str = html_page_expr(d, F.col("text"), F.col("lang"))
     if with_pdf_rows:
