@@ -77,6 +77,30 @@ def extract_main_text(web_pages: DataFrame) -> DataFrame:
     )
 
 
+def make_template_extractor_udf(extractor_factory):
+    """Scalar Arrow UDF applying a FieldRuleExtractor to a text column,
+    returning the template-shaped record as canonical JSON.
+
+    The extractor is built lazily once per executor process (regex
+    compilation amortized across all Arrow batches).
+    """
+    import json
+
+    state: dict = {}
+
+    @pandas_udf("string")
+    def extract_record(text: pd.Series) -> pd.Series:
+        if "x" not in state:
+            state["x"] = extractor_factory()
+        ex = state["x"]
+        return pd.Series(
+            [json.dumps(ex.extract(t or ""), sort_keys=True, default=str)
+             for t in text]
+        )
+
+    return extract_record
+
+
 def filter_extractable(extracted: DataFrame) -> DataFrame:
     """P1: drop rows with empty/whitespace-only extracted text
     (`/root/reference/docling_graph/core/input/handlers.py:72-82`)."""

@@ -593,6 +593,135 @@ FROM documents GROUP BY lang ORDER BY lang
 
 
 # --------------------------------------------------------------------------
+# template path: field extraction → many-to-one deep merge (A1) → graph
+
+
+def _invoice_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two labelled-text batch partials per doc (doc_id < 200): batch 0
+    carries invoice_number/date, batch 1 vendor/total/items — the
+    many-to-one shape the reference merges across chunk batches."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = F.col("doc_id")
+    url = F.concat(F.lit("doc:"), d.cast("string"))
+    b0 = docs.select(
+        url.alias("url"), F.lit(0).alias("batch_id"),
+        F.concat(
+            F.lit("Invoice Number: INV-"), d.cast("string"),
+            F.lit("\nDate: 2024-01-"),
+            F.lpad((d % 28 + 1).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    b1 = docs.select(
+        url.alias("url"), F.lit(1).alias("batch_id"),
+        F.concat(
+            F.lit("Vendor: Vendor "), (d % 20).cast("string"),
+            F.lit("\nTotal Amount: "), F.col("n_chars").cast("string"),
+            F.lit(".50\nItem: A"), (d % 5).cast("string"),
+            F.lit("\nItem: B"), (d % 3).cast("string"),
+        ).alias("text"),
+    )
+    return b0.unionByName(b1)
+
+
+def q_template_invoice_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 end-to-end: deterministic labelled-field extraction per batch
+    partial, groupBy(url).applyInPandas deep merge with reference ordering
+    semantics, typed output."""
+    from .kernels.entity_extract import sample_invoice_extractor
+    from .operators import merge as op_merge
+    from .operators.extract import make_template_extractor_udf
+
+    parts = _invoice_partials(spark, sf_dir)
+    udf = make_template_extractor_udf(sample_invoice_extractor)
+    partials = parts.select(
+        "url", "batch_id", udf(F.col("text")).alias("record_json")
+    )
+    merged = op_merge.merge_template_records(partials)
+    rec = F.from_json(
+        "record_json",
+        "invoice_number string, date string, vendor_name string, "
+        "total_amount double, items array<string>",
+    )
+    return merged.select(
+        "url",
+        rec["invoice_number"].alias("invoice_number"),
+        rec["date"].alias("inv_date"),
+        rec["vendor_name"].alias("vendor_name"),
+        F.round(rec["total_amount"] * 100).cast("long").alias("total_cents"),
+        F.size(rec["items"]).cast("long").alias("n_items"),
+        F.col("n_partials").cast("long").alias("n_partials"),
+        "merge_status",
+    ).orderBy("url")
+
+
+SQL_TEMPLATE_INVOICE_MERGE = """
+SELECT concat('doc:', CAST(doc_id AS VARCHAR)) AS url,
+       concat('INV-', CAST(doc_id AS VARCHAR)) AS invoice_number,
+       concat('2024-01-', lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'))
+         AS inv_date,
+       concat('Vendor ', CAST(doc_id % 20 AS VARCHAR)) AS vendor_name,
+       CAST(n_chars * 100 + 50 AS BIGINT) AS total_cents,
+       CAST(2 AS BIGINT) AS n_items,
+       CAST(2 AS BIGINT) AS n_partials,
+       'ok' AS merge_status
+FROM documents WHERE doc_id < 200 ORDER BY url
+"""
+
+
+def q_template_graph_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/F1/F2 template graph: nested entity records → blake2b-fingerprint
+    node ids → recursive flatten (Arrow UDF kernel) → global cleanup.
+    Vendors repeat across invoices, so content-hash dedup must collapse them
+    exactly as the reference's shared NodeIDRegistry would."""
+    from .operators import graph as op_graph
+    from .templates import TemplateRegistry, TemplateSpec
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = F.col("doc_id")
+    record = F.to_json(F.struct(
+        F.concat(F.lit("INV-"), d.cast("string")).alias("invoice_number"),
+        F.col("n_chars").cast("double").alias("total_amount"),
+        F.struct(
+            F.concat(F.lit("Vendor "), (d % 20).cast("string"))
+            .alias("company_name"),
+        ).alias("vendor"),
+    ))
+    merged = docs.select(
+        F.concat(F.lit("doc:"), d.cast("string")).alias("url"),
+        record.alias("record_json"),
+    )
+    reg = (
+        TemplateRegistry()
+        .add(TemplateSpec("Invoice", id_fields=("invoice_number",),
+                          children={"vendor": "Vendor"}))
+        .add(TemplateSpec("Vendor", id_fields=("company_name",)))
+    )
+    nodes, edges = op_graph.graph_from_template_records(merged, reg, "Invoice")
+    n = nodes.groupBy("label").agg(F.count("*").alias("n")).select(
+        F.lit("node").alias("element"), "label", "n"
+    )
+    e = edges.groupBy("label").agg(F.count("*").alias("n")).select(
+        F.lit("edge").alias("element"), "label", "n"
+    )
+    return n.unionByName(e).orderBy("element", "label")
+
+
+SQL_TEMPLATE_GRAPH_COUNTS = """
+SELECT * FROM (
+  SELECT 'node' AS element, 'Invoice' AS label,
+         CAST(count(*) AS BIGINT) AS n FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT 'node', 'Vendor',
+         CAST(count(DISTINCT doc_id % 20) AS BIGINT)
+  FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT 'edge', 'vendor', CAST(count(*) AS BIGINT)
+  FROM documents WHERE doc_id < 200
+) ORDER BY element, label
+"""
+
+
+# --------------------------------------------------------------------------
 # multimodal binary columns (operators/multimodal.py)
 
 
@@ -1027,6 +1156,11 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
         "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
         # exporters
         "cypher_doc_nodes": (q_cypher_doc_nodes, SQL_CYPHER_DOC_NODES),
+        # template path (extraction + A1 merge + graph)
+        "template_invoice_merge": (q_template_invoice_merge,
+                                   SQL_TEMPLATE_INVOICE_MERGE),
+        "template_graph_counts": (q_template_graph_counts,
+                                  SQL_TEMPLATE_GRAPH_COUNTS),
         # multimodal
         "media_type_stats": (q_media_type_stats, SQL_MEDIA_TYPE_STATS),
         # dedup suite
