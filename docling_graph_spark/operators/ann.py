@@ -40,6 +40,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def with_norm(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    """Precompute ||v|| once per vector — an O(N) pass that removes two of
+    the three array folds from every O(N²) pair evaluation.  sqrt(dot(v,v))
+    here is the identical expression/fold the pairwise form would evaluate,
+    so downstream similarity values stay bit-identical."""
+    return df.withColumn(out, F.sqrt(dot(F.col(vec_col), F.col(vec_col))))
+
+
 def sign_bucket(vec: Column, n_planes: int = 8) -> Column:
     """Axis-aligned sign-LSH bucket: bitstring of sign(vec[i]), i < n_planes."""
     return F.concat(
@@ -56,10 +64,12 @@ def brute_force_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
     its partitions — no shuffle of the big side, then a per-query top-k via
     ranking window on the (|Q|·k)-sized candidate relation.
     """
-    pairs = emb.join(
-        F.broadcast(queries), F.col(id_col) != F.col(query_id)
+    corpus = with_norm(emb, vec_col, "_cn")
+    qs = with_norm(queries, query_vec, "_qn")
+    pairs = corpus.join(
+        F.broadcast(qs), F.col(id_col) != F.col(query_id)
     )
-    sim = cosine(F.col(query_vec), F.col(vec_col))
+    sim = dot(F.col(query_vec), F.col(vec_col)) / (F.col("_qn") * F.col("_cn"))
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         pairs.select(query_id, F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
@@ -78,12 +88,14 @@ def lsh_bucketed_knn(emb: DataFrame, queries: DataFrame, k: int = 3,
     Equi-join on the bucket key instead of a cross join — Catalyst plans a
     (broadcast) hash join, so only same-bucket pairs are ever materialized.
     """
-    corpus = emb.withColumn("bucket", sign_bucket(F.col(vec_col), n_planes))
-    qs = queries.withColumn("bucket", sign_bucket(F.col(query_vec), n_planes))
+    corpus = with_norm(emb, vec_col, "_cn").withColumn(
+        "bucket", sign_bucket(F.col(vec_col), n_planes))
+    qs = with_norm(queries, query_vec, "_qn").withColumn(
+        "bucket", sign_bucket(F.col(query_vec), n_planes))
     pairs = corpus.join(F.broadcast(qs), "bucket").filter(
         F.col(id_col) != F.col(query_id)
     )
-    sim = cosine(F.col(query_vec), F.col(vec_col))
+    sim = dot(F.col(query_vec), F.col(vec_col)) / (F.col("_qn") * F.col("_cn"))
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         pairs.select(query_id, F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
@@ -101,10 +113,13 @@ def near_dup_pairs(emb: DataFrame, top_n: int = 20, id_col: str = "vec_id",
     scale path is `lsh_bucketed_knn`'s bucket join with a high plane count.
     Rank-only output: (rank, vec_a, vec_b).
     """
-    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
-    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    normed = with_norm(emb, vec_col, "_n")
+    a = normed.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"),
+                      F.col("_n").alias("_na"))
+    b = normed.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"),
+                      F.col("_n").alias("_nb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    sim = cosine(F.col("ea"), F.col("eb"))
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("_na") * F.col("_nb"))
     # global top-N via orderBy+limit (TakeOrderedAndProject: per-partition
     # top-N then a tiny driver merge) — NOT a global window, which would
     # funnel every pair through a single partition.  The rank window below
