@@ -19,6 +19,7 @@ from typing import Optional
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from ..kernels.html_main import extract_main_content
@@ -99,6 +100,35 @@ def make_template_extractor_udf(extractor_factory):
         )
 
     return extract_record
+
+
+PARSED_RESPONSE = T.StructType([
+    T.StructField("json", T.StringType(), True),
+    T.StructField("status", T.StringType(), False),
+])
+
+
+def make_json_response_parser_udf(aggressive: bool = True):
+    """Arrow UDF over a model-output-shaped text column: markdown-fence
+    strip, JSON isolation, truncation repair (kernels/json_repair.py, F10).
+    Returns struct(json: canonical-JSON-or-null, status)."""
+    import json as _json
+
+    from ..kernels.json_repair import parse_response
+
+    @pandas_udf(PARSED_RESPONSE)
+    def parse_batch(content: pd.Series) -> pd.DataFrame:
+        out_json, out_status = [], []
+        for c in content:
+            parsed, status = parse_response(c, aggressive=aggressive)
+            out_json.append(
+                None if parsed is None
+                else _json.dumps(parsed, sort_keys=True)
+            )
+            out_status.append(status)
+        return pd.DataFrame({"json": out_json, "status": out_status})
+
+    return parse_batch
 
 
 def filter_extractable(extracted: DataFrame) -> DataFrame:

@@ -721,6 +721,43 @@ SELECT * FROM (
 """
 
 
+def q_json_response_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10/F11: model-output-shaped responses (fenced / prose-wrapped /
+    truncated, derived per doc) through the parse+repair kernel; per-status
+    counts and the recovered-field checksum prove repair actually recovers."""
+    from .operators.extract import make_json_response_parser_udf
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    payload = F.concat(
+        F.lit('{"doc_id": '), d.cast("string"),
+        F.lit(', "lang": "'), F.col("lang"), F.lit('"'),
+    )
+    response = (
+        F.when(d % 3 == 0, F.concat(F.lit("```json\n"), payload,
+                                    F.lit("}\n```")))
+        .when(d % 3 == 1, F.concat(F.lit("Here is the JSON: "), payload,
+                                   F.lit("} hope that helps!")))
+        .otherwise(F.concat(payload, F.lit(', "truncated_ke')))
+    )
+    parser = make_json_response_parser_udf(aggressive=True)
+    parsed = docs.select(parser(response).alias("p"))
+    rec = F.from_json(F.col("p.json"), "doc_id bigint, lang string")
+    return parsed.select(F.col("p.status").alias("status"),
+                         rec["doc_id"].alias("rid")).groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum("rid").alias("sum_doc_id"),
+    ).orderBy("status")
+
+
+SQL_JSON_RESPONSE_PARSE = """
+SELECT CASE WHEN doc_id % 3 = 2 THEN 'repaired' ELSE 'ok' END AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM documents GROUP BY 1 ORDER BY status
+"""
+
+
 # --------------------------------------------------------------------------
 # multimodal binary columns (operators/multimodal.py)
 
@@ -1161,6 +1198,8 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                                    SQL_TEMPLATE_INVOICE_MERGE),
         "template_graph_counts": (q_template_graph_counts,
                                   SQL_TEMPLATE_GRAPH_COUNTS),
+        "json_response_parse": (q_json_response_parse,
+                                SQL_JSON_RESPONSE_PARSE),
         # multimodal
         "media_type_stats": (q_media_type_stats, SQL_MEDIA_TYPE_STATS),
         # dedup suite
