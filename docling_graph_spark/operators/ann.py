@@ -63,8 +63,14 @@ def brute_force_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
     The query set is broadcast (small side); the corpus scan stays local to
     its partitions — no shuffle of the big side, then a per-query top-k via
     ranking window on the (|Q|·k)-sized candidate relation.
+
+    The non-equi broadcast join runs as BroadcastNestedLoopJoin whose
+    parallelism IS the corpus partition count — an under-split corpus is
+    spread first (no-op on a healthy layout).
     """
-    corpus = with_norm(emb, vec_col, "_cn")
+    from .partitioning import ensure_min_partitions
+
+    corpus = with_norm(ensure_min_partitions(emb, id_col), vec_col, "_cn")
     qs = with_norm(queries, query_vec, "_qn")
     pairs = corpus.join(
         F.broadcast(qs), F.col(id_col) != F.col(query_id)
@@ -88,6 +94,9 @@ def lsh_bucketed_knn(emb: DataFrame, queries: DataFrame, k: int = 3,
     Equi-join on the bucket key instead of a cross join — Catalyst plans a
     (broadcast) hash join, so only same-bucket pairs are ever materialized.
     """
+    from .partitioning import ensure_min_partitions
+
+    emb = ensure_min_partitions(emb, id_col)
     corpus = with_norm(emb, vec_col, "_cn").withColumn(
         "bucket", sign_bucket(F.col(vec_col), n_planes))
     qs = with_norm(queries, query_vec, "_qn").withColumn(
@@ -105,6 +114,84 @@ def lsh_bucketed_knn(emb: DataFrame, queries: DataFrame, k: int = 3,
     )
 
 
+def ivf_assign(emb: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its nearest coarse centroid (IVF list).
+
+    Centroid set is tiny → broadcast; each corpus partition scores its rows
+    against all C centroids locally (no shuffle of the big side), then a
+    per-vector argmax picks the list.  Tie-break: centroid_id asc, keeping
+    the assignment deterministic and engine-reproducible.
+
+    At 100 TB the assigned corpus is written once, partitioned/bucketed by
+    ``list_id``, so a query's nprobe lists map to partition pruning instead
+    of a scan.
+    """
+    from .partitioning import ensure_min_partitions
+
+    c = centroids.select(F.col("centroid_id"), F.col("cvec"), F.col("_cnorm"))
+    corpus = with_norm(ensure_min_partitions(emb, id_col), vec_col, "_vn")
+    sim = dot(F.col(vec_col), F.col("cvec")) / (F.col("_vn") * F.col("_cnorm"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("centroid_id"))
+    return (
+        corpus.crossJoin(F.broadcast(c))
+        .withColumn("_csim", sim)
+        .withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") == 1)
+        .select(id_col, vec_col, F.col("_vn"),
+                F.col("centroid_id").alias("list_id"))
+    )
+
+
+def ivf_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
+            n_centroids: int = 16, nprobe: int = 2,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_id: str = "query_id", query_vec: str = "q") -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse quantize the corpus into
+    ``n_centroids`` lists, probe the query's ``nprobe`` nearest lists, exact
+    cosine re-rank within the candidate union.
+
+    The coarse codebook here is deterministic (the first ``n_centroids``
+    corpus vectors) rather than k-means-trained — the *index structure* and
+    query path are the real thing; training is an offline concern that would
+    only change the centroid table.  Candidate cost drops from O(N) to
+    ~O(N·nprobe/C) per query.
+    """
+    centroids = with_norm(
+        emb.filter(F.col(id_col) < n_centroids), vec_col, "_cnorm"
+    ).select(F.col(id_col).alias("centroid_id"),
+             F.col(vec_col).alias("cvec"), "_cnorm")
+
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+
+    # query → its nprobe nearest lists (same scoring, rank <= nprobe)
+    qs = with_norm(queries, query_vec, "_qn")
+    qsim = dot(F.col(query_vec), F.col("cvec")) / (F.col("_qn") * F.col("_cnorm"))
+    qw = Window.partitionBy(query_id).orderBy(F.desc("_csim"), F.asc("centroid_id"))
+    probes = (
+        qs.crossJoin(F.broadcast(centroids))
+        .withColumn("_csim", qsim)
+        .withColumn("_crank", F.row_number().over(qw))
+        .filter(F.col("_crank") <= nprobe)
+        .select(query_id, query_vec, F.col("_qn"),
+                F.col("centroid_id").alias("list_id"))
+    )
+
+    # candidates = probed lists only (equi-join on list_id — at scale this is
+    # the partition-pruned read of nprobe buckets)
+    pairs = assigned.join(F.broadcast(probes), "list_id").filter(
+        F.col(id_col) != F.col(query_id)
+    )
+    sim = dot(F.col(query_vec), F.col(vec_col)) / (F.col("_qn") * F.col("_vn"))
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.select(query_id, F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, F.col("rank").cast("long").alias("rank"), "neighbor_id")
+    )
+
+
 def near_dup_pairs(emb: DataFrame, top_n: int = 20, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs: global top-N (a < b) by cosine.
@@ -112,8 +199,13 @@ def near_dup_pairs(emb: DataFrame, top_n: int = 20, id_col: str = "vec_id",
     All-pairs is O(N²·d) — acceptable as the small-scale exactness oracle; the
     scale path is `lsh_bucketed_knn`'s bucket join with a high plane count.
     Rank-only output: (rank, vec_a, vec_b).
+
+    The `<` join is a nested-loop join parallelized by the streamed (left)
+    side's partitions — spread an under-split input first.
     """
-    normed = with_norm(emb, vec_col, "_n")
+    from .partitioning import ensure_min_partitions
+
+    normed = with_norm(ensure_min_partitions(emb, id_col), vec_col, "_n")
     a = normed.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"),
                       F.col("_n").alias("_na"))
     b = normed.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"),

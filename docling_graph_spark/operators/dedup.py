@@ -48,8 +48,14 @@ def shingles(docs: DataFrame, key: str = "doc_id",
              text_col: str = "text", n: int = SHINGLE_LEN) -> DataFrame:
     """Distinct lowercase char n-gram shingles: (key, shingle).
 
-    JVM-side via transform(sequence(...)); no shuffle, no Python.
+    JVM-side via transform(sequence(...)); no extra shuffle on a well-split
+    input.  The explode and the per-shingle hashing downstream run in the
+    scan stage, so an under-split input is first spread over the cluster
+    (see operators/partitioning.py).
     """
+    from .partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(docs, key)
     norm = F.lower(F.col(text_col))
     grams = F.expr(
         f"transform(sequence(1, greatest(length(lower({text_col})) - {n - 1}, 1)),"
@@ -172,7 +178,10 @@ def simhash_column(docs: DataFrame, key: str = "doc_id",
     otherwise; bit set when the vote sum is positive.  32 bits uses the full
     md5 hex width; identical construction runs verbatim in the SQL oracle.
     """
+    from .partitioning import ensure_min_partitions
+
     assert bits <= 32
+    docs = ensure_min_partitions(docs, key)
     words = docs.select(
         key,
         F.explode(

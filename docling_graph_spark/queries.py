@@ -49,6 +49,10 @@ def _pipeline(spark: SparkSession, sf_dir: str) -> PipelineResult:
         res.extracted.persist()
         res.chunks.persist()
         res.doc_mentions.persist()
+        # graph relations are re-read by several catalog queries (counts,
+        # degree, validation) — persist them too so assembly runs once
+        res.nodes.persist()
+        res.edges.persist()
         _CACHE[key] = res
     return _CACHE[key]
 
@@ -1117,28 +1121,8 @@ def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
-    pairs = queries.join(F.broadcast(emb), F.col("vec_id") != F.col("query_id"))
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    sim = dot(F.col("q"), F.col("embedding")) / (
-        F.sqrt(dot(F.col("q"), F.col("q")))
-        * F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        pairs.select("query_id", F.col("vec_id").alias("neighbor_id"),
-                     sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", F.col("rank").cast("long").alias("rank"),
-                "neighbor_id")
-        .orderBy("query_id", "rank")
+    return op_ann.brute_force_knn(emb, queries, k=5).orderBy(
+        "query_id", "rank"
     )
 
 
@@ -1155,6 +1139,88 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
                             ORDER BY sim DESC, neighbor_id ASC) AS rank
   FROM pairs
 ) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: 16 coarse lists, nprobe=2, exact re-rank within
+    the probed lists (operators/ann.ivf_knn)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    return op_ann.ivf_knn(emb, queries, k=5, n_centroids=16, nprobe=2).orderBy(
+        "query_id", "rank"
+    )
+
+
+SQL_ANN_IVF = f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+           FROM embeddings WHERE vec_id < 16),
+assign AS (
+  SELECT vec_id, embedding, list_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id AS list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_duck_cosine('e.embedding', 'c.cvec')} DESC,
+                                       c.centroid_id ASC) AS r
+    FROM embeddings e, c) WHERE r = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+probes AS (
+  SELECT query_id, qe, list_id FROM (
+    SELECT q.query_id, q.qe, c.centroid_id AS list_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_duck_cosine('q.qe', 'c.cvec')} DESC,
+                                       c.centroid_id ASC) AS r
+    FROM q, c) WHERE r <= 2),
+pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_duck_cosine('p.qe', 'a.embedding')} AS sim
+  FROM probes p JOIN assign a USING (list_id) WHERE a.vec_id <> p.query_id)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM pairs) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+# --------------------------------------------------------------------------
+# Structured Streaming: watermarked window rollup + custom stateful operator
+# (drained with availableNow → deterministic batch-equivalent relations)
+
+
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-day tumbling windows over the events stream."""
+    import tempfile
+
+    from .streaming.windowed import run_windowed_counts
+
+    staging = tempfile.mkdtemp(prefix="dgspark_stream_wc_")
+    return run_windowed_counts(spark, f"{sf_dir}/events.parquet", staging)
+
+
+SQL_STREAM_WINDOW = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState per-user running totals, drained to final state."""
+    import tempfile
+
+    from .streaming.windowed import run_user_totals
+
+    staging = tempfile.mkdtemp(prefix="dgspark_stream_ut_")
+    return run_user_totals(spark, f"{sf_dir}/events.parquet", staging)
+
+
+SQL_STREAM_USER_TOTALS = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
@@ -1211,4 +1277,8 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
         "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
         "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
         "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
+        "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+        # streaming (availableNow-drained, deterministic)
+        "stream_window_counts": (q_stream_window_counts, SQL_STREAM_WINDOW),
+        "stream_user_totals": (q_stream_user_totals, SQL_STREAM_USER_TOTALS),
     }

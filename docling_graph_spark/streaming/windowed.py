@@ -1,0 +1,139 @@
+"""Structured-Streaming event-time operators: watermarked tumbling-window
+aggregation and an `applyInPandasWithState` custom stateful operator.
+
+The reference has no streaming (SURVEY §2.9); these are the engine-side
+additions a continuously-crawled corpus needs — event-time rollups of crawl
+telemetry with bounded state (watermark ages out window state on a real
+cluster) and arbitrary per-key running state for monitors that SQL windows
+cannot express.
+
+Both are written against a streaming DataFrame so the identical code runs on
+a real unbounded source; the test/oracle path drains a file source with
+``Trigger.AvailableNow`` into a memory sink, which makes the result a
+deterministic batch-equivalent relation (verified against a DuckDB oracle in
+the query catalog — `stream_window_counts`, `stream_user_totals`).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_DDL = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+def _cents() -> "F.Column":
+    """Integer cents (float sums are not hash-stable across engines).
+
+    Built lazily: executors import this module to unpickle the stateful UDF,
+    and Column construction requires a driver-side SparkContext.
+    """
+    return F.round(F.col("value") * 100).cast("long")
+
+
+def windowed_event_counts(events: DataFrame,
+                          watermark: str = "1 hour",
+                          window: str = "1 day") -> DataFrame:
+    """Watermarked tumbling-window rollup per event_type.
+
+    State bound: the watermark lets the engine drop window state older than
+    max(event time) - watermark, so state size is O(active windows), not
+    O(stream length).  Output: (day, event_type, n_events, value_cents) with
+    the window start rendered as a date string (engine-stable).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(_cents()).alias("value_cents"))
+        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+                "event_type", "n_events", "value_cents")
+    )
+
+
+def _user_totals_fn(key: Tuple, pdfs, state: GroupState):
+    """Per-user running (n_events, value_cents) accumulator."""
+    import pandas as pd
+
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+    )
+
+
+def user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    ``applyInPandasWithState`` (arbitrary state, Arrow-batched — the escape
+    hatch for semantics SQL aggregation can't express, e.g. monitors that
+    must emit the *running* value on every update)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _user_totals_fn,
+        outputStructType="user_id long, n_events long, value_cents long",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _events_stream_from_parquet(spark: SparkSession, events_path: str,
+                                staging_dir: str,
+                                max_files_per_trigger: int | None = None
+                                ) -> DataFrame:
+    """Stage the batch parquet into a directory and open it as a file-source
+    stream (file streams read directories; testdata is a single file)."""
+    spark.read.parquet(events_path).coalesce(1).write.mode(
+        "overwrite").parquet(staging_dir)
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(staging_dir)
+
+
+def drain_to_memory(result: DataFrame, name: str, output_mode: str) -> None:
+    """Run the streaming query to exhaustion (availableNow) into a memory
+    sink table `name`."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_windowed_counts(spark: SparkSession, events_path: str,
+                        staging_dir: str) -> DataFrame:
+    """Drained watermarked window rollup as a batch relation.
+
+    Complete output mode: every window is emitted on the final trigger (in
+    append mode the engine would — correctly — hold back windows newer than
+    the watermark, which never advances past the last batch of a drained
+    stream)."""
+    stream = _events_stream_from_parquet(spark, events_path, staging_dir)
+    drain_to_memory(windowed_event_counts(stream), "stream_window_counts",
+                    "complete")
+    return spark.table("stream_window_counts").orderBy("day", "event_type")
+
+
+def run_user_totals(spark: SparkSession, events_path: str,
+                    staging_dir: str,
+                    max_files_per_trigger: int | None = None) -> DataFrame:
+    """Drained per-user stateful totals as a batch relation.
+
+    Update mode appends one row per (user, trigger) to the memory sink; with
+    the staged single input file there is exactly one trigger, so the table
+    is the final state per user.  (Multi-trigger state evolution is covered
+    by tests/test_streaming.py, which takes the last update per key.)"""
+    stream = _events_stream_from_parquet(spark, events_path, staging_dir,
+                                         max_files_per_trigger)
+    drain_to_memory(user_totals_stateful(stream), "stream_user_totals",
+                    "update")
+    return spark.table("stream_user_totals").orderBy("user_id")

@@ -49,3 +49,90 @@ def test_incremental_stream_drains_and_converges(spark, sf_smoke_dir, tmp_path):
             == oneshot.chunks.count())
     assert (spark.read.parquet(f"{out}/doc_mentions").count()
             == oneshot.doc_mentions.count())
+
+
+def test_windowed_counts_match_batch_agg(spark, sf_smoke_dir, tmp_path):
+    """Watermarked tumbling-window rollup (drained) == batch groupBy."""
+    from docling_graph_spark.streaming.windowed import run_windowed_counts
+
+    got = run_windowed_counts(
+        spark, f"{sf_smoke_dir}/events.parquet", str(tmp_path / "stage")
+    ).collect()
+
+    ev = spark.read.parquet(f"{sf_smoke_dir}/events.parquet")
+    want = (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"),
+                                 "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.round(F.col("value") * 100).cast("long"))
+             .alias("value_cents"))
+        .orderBy("day", "event_type")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 1
+
+
+def test_stateful_user_totals_evolve_across_batches(spark, sf_smoke_dir,
+                                                    tmp_path):
+    """applyInPandasWithState carries per-key state across micro-batches:
+    with 2 input files drained one file per trigger, a user seen in both
+    batches gets a second update row whose totals include the first batch."""
+    from docling_graph_spark.streaming.windowed import (
+        _events_stream_from_parquet, drain_to_memory, user_totals_stateful)
+
+    ev = spark.read.parquet(f"{sf_smoke_dir}/events.parquet")
+    stage = str(tmp_path / "stage")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        stage, mode="append")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        stage, mode="append")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        ).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    drain_to_memory(user_totals_stateful(stream), "ut_multi", "update")
+    updates = spark.table("ut_multi")
+
+    # at least one user appears in both micro-batches -> two update rows
+    multi = updates.groupBy("user_id").count().filter(F.col("count") > 1)
+    assert multi.count() > 0
+
+    # last update per user == batch ground truth (state accumulated, not reset)
+    final = (
+        updates.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"),
+             F.max("value_cents").alias("value_cents"))
+    )
+    want = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    assert (final.orderBy("user_id").collect()
+            == want.orderBy("user_id").collect())
+
+
+def test_ivf_knn_recall_vs_brute_force(spark, sf_smoke_dir):
+    """IVF with nprobe=2/16 lists finds the true nearest neighbour for most
+    queries (approximate index: recall, not exactness, is the contract) and
+    is exact whenever the neighbour's list was probed."""
+    from docling_graph_spark.operators import ann as op_ann
+
+    emb = spark.read.parquet(f"{sf_smoke_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in op_ann.brute_force_knn(emb, queries, k=1).collect()
+    }
+    approx = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in op_ann.ivf_knn(emb, queries, k=1, n_centroids=16,
+                                nprobe=2).collect()
+    }
+    hits = sum(1 for k in exact if approx.get(k) == exact[k])
+    assert hits >= len(exact) // 2, f"recall@1 too low: {hits}/{len(exact)}"
