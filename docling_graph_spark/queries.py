@@ -1142,6 +1142,58 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
 """
 
 
+def q_docling_json_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/O1: serialized-document JSON load — from_json against a fixed
+    StructType, schema_name validation (every 20th doc carries a wrong tag
+    and must be rejected, not dropped silently), posexplode of the pages
+    array in page order.  The JSON is built deterministically from the text
+    corpus (2 pages per doc: first half / rest), so the oracle re-derives
+    the result from first principles."""
+    from .sources.docling_json import explode_pages, parse_document_json
+
+    docs = _read(spark, sf_dir, "documents")
+    p1 = F.expr("substr(text, 1, cast(ceil(length(text)/2.0) as int))")
+    p2 = F.expr("substr(text, cast(ceil(length(text)/2.0) as int) + 1)")
+    tag = F.when(F.col("doc_id") % 20 == 7, "LegacyDocument").otherwise(
+        "DoclingDocument"
+    )
+    doc_json = F.to_json(F.struct(
+        tag.alias("schema_name"),
+        F.lit("1.0").alias("version"),
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("name"),
+        F.array(
+            F.struct(F.lit(1).alias("page_no"), p1.alias("text")),
+            F.struct(F.lit(2).alias("page_no"), p2.alias("text")),
+        ).alias("pages"),
+    ))
+    parsed = parse_document_json(docs.withColumn("doc_json", doc_json))
+    routing = parsed.groupBy("lang").agg(
+        F.sum(F.col("doc_valid").cast("long")).alias("n_docs"),
+        F.sum((~F.col("doc_valid")).cast("long")).alias("n_rejected"),
+    )
+    pages = explode_pages(parsed.select("doc_id", "doc", "doc_valid"), "doc_id")
+    page_stats = (
+        pages.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_pages"),
+             F.sum(F.length("page_text").cast("long")).alias("page_chars"))
+    )
+    return routing.join(page_stats, "lang").select(
+        "lang", "n_docs", "n_rejected", "n_pages", "page_chars"
+    ).orderBy("lang")
+
+
+SQL_DOCLING_JSON_PAGES = """
+SELECT lang,
+       CAST(count(*) FILTER (WHERE doc_id % 20 <> 7) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE doc_id % 20 = 7) AS BIGINT) AS n_rejected,
+       CAST(2 * count(*) FILTER (WHERE doc_id % 20 <> 7) AS BIGINT) AS n_pages,
+       CAST(sum(length(text)) FILTER (WHERE doc_id % 20 <> 7) AS BIGINT)
+         AS page_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: 16 coarse lists, nprobe=2, exact re-rank within
     the probed lists (operators/ann.ivf_knn)."""
@@ -1278,6 +1330,7 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
         "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
         "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
         "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+        "docling_json_pages": (q_docling_json_pages, SQL_DOCLING_JSON_PAGES),
         # streaming (availableNow-drained, deterministic)
         "stream_window_counts": (q_stream_window_counts, SQL_STREAM_WINDOW),
         "stream_user_totals": (q_stream_user_totals, SQL_STREAM_USER_TOTALS),
