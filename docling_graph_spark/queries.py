@@ -1142,6 +1142,39 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
 """
 
 
+def q_scalar_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function family (SURVEY P7/F5/F6/F8) as one row-level
+    projection over documents: display truncation, property-key Title
+    Casing, filename sanitization, token estimation — all pure JVM column
+    expressions (functions/scalars.py)."""
+    from .functions import scalars as fns
+
+    docs = _read(spark, sf_dir, "documents")
+    prop_key = F.concat_ws("_", "source", "lang")
+    raw_name = F.concat(F.lit("doc "), F.col("doc_id").cast("string"),
+                        F.lit("."), F.col("lang"), F.lit(".txt"))
+    return docs.select(
+        "doc_id",
+        fns.truncate_string(F.col("text"), 40).alias("preview"),
+        fns.format_property_key(prop_key).alias("prop_key"),
+        fns.sanitize_filename(raw_name).alias("fname"),
+        fns.token_estimate(F.col("text")).alias("tok_est"),
+    ).orderBy("doc_id")
+
+
+SQL_SCALAR_FORMATTING = """
+SELECT doc_id,
+       CASE WHEN length(text) <= 40 THEN text
+            ELSE substr(text, 1, 37) || '...' END AS preview,
+       concat(upper(substr(source, 1, 1)), substr(source, 2), ' ',
+              upper(substr(lang, 1, 1)), substr(lang, 2)) AS prop_key,
+       replace(replace(concat('doc ', CAST(doc_id AS VARCHAR), '.', lang,
+                              '.txt'), '.', '_'), ' ', '_') AS fname,
+       CAST(ceil(length(text) / 4.0 * 1.2) AS INT) + 50 AS tok_est
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_docling_json_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/O1: serialized-document JSON load — from_json against a fixed
     StructType, schema_name validation (every 20th doc carries a wrong tag
@@ -1331,6 +1364,7 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
         "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
         "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
         "docling_json_pages": (q_docling_json_pages, SQL_DOCLING_JSON_PAGES),
+        "scalar_formatting": (q_scalar_formatting, SQL_SCALAR_FORMATTING),
         # streaming (availableNow-drained, deterministic)
         "stream_window_counts": (q_stream_window_counts, SQL_STREAM_WINDOW),
         "stream_user_totals": (q_stream_user_totals, SQL_STREAM_USER_TOTALS),
