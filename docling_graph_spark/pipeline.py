@@ -97,6 +97,11 @@ def ensure_parallel_input(web_pages: DataFrame,
     url-host hash (north-rule skew handling: hot hosts spread across salt
     buckets instead of hot-spotting one task)."""
     spark = web_pages.sparkSession
+    # a source that already guarantees >= defaultParallelism partitions tags
+    # itself, skipping the .rdd partition probe (several seconds of
+    # driver-side plan->RDD conversion); an explicit target still repartitions
+    if target is None and getattr(web_pages, "_dgspark_parallel_ok", False):
+        return web_pages
     target = target or spark.sparkContext.defaultParallelism
     if web_pages.rdd.getNumPartitions() >= target:
         return web_pages

@@ -31,6 +31,31 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _estimated_scan_partitions(path: str,
+                               max_partition_bytes: int = 128 << 20) -> int:
+    """Estimate how many input splits a parquet scan of ``path`` yields,
+    from local file sizes (split size = spark.sql.files.maxPartitionBytes,
+    128m session default).  Avoids ``df.rdd.getNumPartitions()``, which costs
+    seconds of driver-side plan->RDD conversion.  Non-local / unreadable
+    paths return a huge value, i.e. "assume parallel enough" — callers can
+    force with min_partitions."""
+    import os
+
+    try:
+        if os.path.isfile(path):
+            sizes = [os.path.getsize(path)]
+        else:
+            sizes = [
+                e.stat().st_size for e in os.scandir(path)
+                if e.is_file() and not e.name.startswith(("_", "."))
+            ]
+        if not sizes:
+            return 1 << 30
+        return sum(max(1, -(-s // max_partition_bytes)) for s in sizes)
+    except OSError:
+        return 1 << 30
+
+
 def host_id_expr(doc_id):
     return F.when(doc_id % 5 < 2, doc_id % HOT_HOSTS).otherwise(
         HOT_HOSTS + doc_id % COLD_HOSTS
@@ -95,7 +120,7 @@ def synthesize_web_pages(spark: SparkSession, sf_dir: str,
     """
     docs = load_documents(spark, sf_dir)
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
+    if _estimated_scan_partitions(f"{sf_dir}/documents.parquet") < target:
         docs = docs.repartition(target, F.col("doc_id"))
     d = F.col("doc_id")
     html_str = html_page_expr(d, F.col("text"), F.col("lang"))
@@ -115,7 +140,7 @@ def synthesize_web_pages(spark: SparkSession, sf_dir: str,
         payload = F.when(d % PDF_EVERY == PDF_EVERY - 1, pdf_str).otherwise(html_str)
     else:
         payload = html_str
-    return docs.select(
+    out = docs.select(
         url_expr(d).alias("url"),
         (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
          + F.make_interval(secs=d.cast("double"))).alias("warc_ts"),
@@ -123,6 +148,10 @@ def synthesize_web_pages(spark: SparkSession, sf_dir: str,
         F.col("text"),
         F.col("lang"),
     )
+    # parallelism is guaranteed above; tag the DF so downstream
+    # ensure_parallel_input skips its (driver-expensive) .rdd partition probe
+    out._dgspark_parallel_ok = True
+    return out
 
 
 # DuckDB-SQL equivalents of the derivation, for oracle queries that need to
