@@ -325,6 +325,148 @@ FROM counts
 """
 
 
+def q_reverse_edge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: reverse-edge union (`graph_converter.py:144-153`) — per-label edge
+    counts after adding a reverse_<label> twin for every edge."""
+    res = _pipeline(spark, sf_dir)
+    both = res.edges.unionByName(op_graph.reverse_edges(res.edges))
+    return both.groupBy("label").agg(F.count("*").alias("n")).orderBy("label")
+
+
+SQL_REVERSE_EDGE_COUNTS = f"""
+WITH {_MENTIONS_CTE},
+base AS (
+  SELECT 'has_chunk' AS label,
+         CAST(sum(CAST(ceil(length(text)/100.0) AS BIGINT)) AS BIGINT) AS n
+  FROM documents
+  UNION ALL
+  SELECT 'mentions', CAST(count(*) AS BIGINT) FROM (
+    SELECT DISTINCT doc_id, term FROM mentions
+  )
+)
+SELECT label, n FROM (
+  SELECT label, n FROM base
+  UNION ALL
+  SELECT 'reverse_' || label, n FROM base
+) ORDER BY label
+"""
+
+
+def q_node_dedup_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 + J2 end-to-end on a constructed duplicate-rich graph: one node per
+    doc with content = doc_id % 97 (≈97 content-identical groups), a
+    doc_id -> doc_id+1 'next' edge chain; content dedup keeps the canonical
+    (min-id) node per group and a broadcast remap join redirects every edge
+    endpoint (`graph_cleaner.py:177-216, 285-304`)."""
+    docs = _read(spark, sf_dir, "documents")
+    nid = F.format_string("n%08d", F.col("doc_id"))
+    nodes = docs.select(
+        nid.alias("id"),
+        F.lit("Doc").alias("label"),
+        F.lit("entity").alias("type"),
+        F.create_map(
+            F.lit("group"), (F.col("doc_id") % 97).cast("string")
+        ).alias("properties"),
+    )
+    nxt = docs.select(F.col("doc_id").alias("next_id"))
+    edges = (
+        docs.join(nxt, docs.doc_id + 1 == nxt.next_id)
+        .select(
+            nid.alias("src"),
+            F.format_string("n%08d", F.col("next_id")).alias("dst"),
+            F.lit("next").alias("label"),
+            F.create_map(F.lit("k"), F.lit("v")).alias("properties"),
+        )
+    )
+    n_nodes_before = nodes.count()
+    keep, redirected = op_graph.dedup_nodes_by_content(nodes, edges)
+    distinct = op_graph.dedup_edges(redirected)
+    return spark.createDataFrame(
+        [(n_nodes_before, keep.count(), redirected.count(), distinct.count())],
+        "n_nodes_before long, n_nodes_after long, n_edges_after long, "
+        "n_edges_distinct long",
+    )
+
+
+SQL_NODE_DEDUP_REMAP = """
+WITH nodes AS (
+  SELECT doc_id, doc_id % 97 AS grp,
+         'n' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id
+  FROM documents
+),
+canon AS (SELECT grp, min(id) AS cid FROM nodes GROUP BY grp),
+edges AS (
+  SELECT n1.grp AS g1, n2.grp AS g2
+  FROM nodes n1 JOIN nodes n2 ON n2.doc_id = n1.doc_id + 1
+),
+remapped AS (
+  SELECT c1.cid AS src_c, c2.cid AS dst_c
+  FROM edges e
+  JOIN canon c1 ON c1.grp = e.g1
+  JOIN canon c2 ON c2.grp = e.g2
+  WHERE c1.cid <> c2.cid
+)
+SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes_before,
+       CAST((SELECT count(*) FROM canon) AS BIGINT) AS n_nodes_after,
+       CAST((SELECT count(*) FROM remapped) AS BIGINT) AS n_edges_after,
+       CAST((SELECT count(*) FROM (SELECT DISTINCT src_c, dst_c FROM remapped))
+            AS BIGINT) AS n_edges_distinct
+"""
+
+
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: graph stats (`stats_calculator.py:10-35`) with integer-stable
+    outputs — node/edge counts, total degree (=2E), max degree."""
+    res = _pipeline(spark, sf_dir)
+    endpoints = res.edges.select(F.col("src").alias("id")).unionAll(
+        res.edges.select(F.col("dst").alias("id"))
+    )
+    deg = endpoints.groupBy("id").agg(F.count("*").alias("d"))
+    row = deg.agg(
+        F.sum("d").alias("total_degree"), F.max("d").alias("max_degree")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(res.nodes.count(), res.edges.count(),
+          int(row["total_degree"]), int(row["max_degree"]))],
+        "n_nodes long, n_edges long, total_degree long, max_degree long",
+    )
+
+
+SQL_GRAPH_DEGREE_STATS = f"""
+WITH {_MENTIONS_CTE},
+doc_terms AS (
+  SELECT doc_id, count(DISTINCT term) AS n_terms
+  FROM mentions GROUP BY doc_id
+),
+doc_deg AS (
+  SELECT d.doc_id,
+         CAST(ceil(length(d.text)/100.0) AS BIGINT)
+           + coalesce(t.n_terms, 0) AS deg
+  FROM documents d LEFT JOIN doc_terms t USING (doc_id)
+),
+term_deg AS (
+  SELECT term, count(DISTINCT doc_id) AS deg
+  FROM mentions GROUP BY term
+),
+counts AS (
+  SELECT
+    (SELECT count(*) FROM documents)
+      + (SELECT sum(CAST(ceil(length(text)/100.0) AS BIGINT)) FROM documents)
+      + (SELECT count(DISTINCT term) FROM mentions) AS n_nodes,
+    (SELECT sum(CAST(ceil(length(text)/100.0) AS BIGINT)) FROM documents)
+      + (SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM mentions))
+      AS n_edges,
+    greatest((SELECT max(deg) FROM doc_deg),
+             (SELECT max(deg) FROM term_deg), 1) AS max_degree
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(2 * n_edges AS BIGINT) AS total_degree,
+       CAST(max_degree AS BIGINT) AS max_degree
+FROM counts
+"""
+
+
 def q_bytes_stripped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule lineage metric: per-lang boilerplate bytes stripped by the
     main-content extractor (html chrome + pdf container overhead)."""
@@ -1327,6 +1469,10 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
         "graph_edge_counts": (q_graph_edge_counts, SQL_GRAPH_EDGE_COUNTS),
         "doc_degree_topk": (q_doc_degree_topk, SQL_DOC_DEGREE_TOPK),
         "graph_validation": (q_graph_validation, SQL_GRAPH_VALIDATION),
+        "reverse_edge_counts": (q_reverse_edge_counts,
+                                SQL_REVERSE_EDGE_COUNTS),
+        "node_dedup_remap": (q_node_dedup_remap, SQL_NODE_DEDUP_REMAP),
+        "graph_degree_stats": (q_graph_degree_stats, SQL_GRAPH_DEGREE_STATS),
         "bytes_stripped": (q_bytes_stripped, SQL_BYTES_STRIPPED),
         "extraction_metrics_by_host": (q_extraction_metrics_by_host,
                                        SQL_EXTRACTION_METRICS),
