@@ -91,6 +91,75 @@ def chunk_documents(extracted: DataFrame,
     )
 
 
+_HYBRID_CHUNK = T.ArrayType(T.StructType([
+    T.StructField("chunk_id", T.IntegerType()),
+    T.StructField("start", T.LongType()),
+    T.StructField("end", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("heading_path", T.ArrayType(T.StringType())),
+    T.StructField("context", T.StringType()),
+    T.StructField("token_est", T.IntegerType()),
+]))
+
+
+def make_hybrid_chunker_udf(max_tokens: int = DEFAULT_MAX_TOKENS,
+                            merge_peers: bool = True):
+    from ..kernels import hybrid_chunker as k_hybrid
+
+    @pandas_udf(_HYBRID_CHUNK)
+    def hybrid(texts: pd.Series, spans: pd.Series) -> pd.Series:
+        out = []
+        for text, blocks in zip(texts, spans):
+            if not text:
+                out.append([])
+                continue
+            bl = [
+                k_hybrid.Block(int(b["start"]), int(b["end"]), b["tag"])
+                for b in (blocks if blocks is not None else [])
+            ]
+            chunks = k_hybrid.hybrid_chunk(text, bl, max_tokens, merge_peers)
+            out.append([
+                {
+                    "chunk_id": c.chunk_id,
+                    "start": c.start,
+                    "end": c.end,
+                    "text": c.text,
+                    "heading_path": list(c.heading_path),
+                    "context": k_hybrid.contextualize(c),
+                    "token_est": c.token_est,
+                }
+                for c in chunks
+            ])
+        return pd.Series(out)
+
+    return hybrid
+
+
+def hybrid_chunk_documents(extracted: DataFrame,
+                           max_tokens: int = DEFAULT_MAX_TOKENS,
+                           merge_peers: bool = True) -> DataFrame:
+    """Structure-aware chunking (the HybridChunker analogue — see
+    kernels.hybrid_chunker): extracted docs with block spans -> chunk rows
+    (url, lang, chunk_id, start, end, text, heading_path, context,
+    token_est).  Zero shuffle: per-document pure function over (text,
+    spans), exploded where the row lives."""
+    udf = make_hybrid_chunker_udf(max_tokens, merge_peers)
+    with_chunks = extracted.select(
+        "url", "lang", udf(F.col("text"), F.col("spans")).alias("chunks")
+    )
+    c = F.explode("chunks").alias("c")
+    return with_chunks.select("url", "lang", c).select(
+        "url", "lang",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.start").alias("start"),
+        F.col("c.end").alias("end"),
+        F.col("c.text").alias("text"),
+        F.col("c.heading_path").alias("heading_path"),
+        F.col("c.context").alias("context"),
+        F.col("c.token_est").alias("token_est"),
+    )
+
+
 def batch_summaries(chunks: DataFrame) -> DataFrame:
     """(url, batch_id) -> chunk_count, total_tokens, combined_text —
     combined text formatted exactly like the reference ChunkBatch

@@ -30,27 +30,52 @@ YEAR_PATTERN = r"\b(?:1[89][0-9]{2}|20[0-9]{2})\b"
 
 def extract_mentions(chunks: DataFrame, text_col: str = "text") -> DataFrame:
     """chunk rows -> one row per mention occurrence
-    (url, lang, chunk_id, term, kind).  All JVM-side."""
-    terms = chunks.select(
+    (url, lang, chunk_id, term, kind).  All JVM-side.
+
+    Single pass, codegen-only expressions.  Two constraints shape this:
+
+    * a union of three per-kind scans reads (or recomputes) the chunk
+      relation three times — at corpus scale that triples the dominant cost
+      for identical output, so all three kinds extract in ONE projection and
+      explode through ONE Generate;
+    * higher-order functions (``transform`` et al.) are CodegenFallback in
+      Spark: one in the Generate expression forces the whole stage into
+      interpreted evaluation, where ICU-backed ``lower()`` over full chunk
+      text measured ~40x slower than the codegen path (60 s vs 1.5 s on the
+      sf0.1 corpus, 32 cores).  Hence: three plain ``regexp_extract_all``
+      arrays concatenated, and kind/lowercasing derived AFTER the explode on
+      the short matched strings — the three value spaces are disjoint
+      (emails contain '@', years are all-digit, terms are alphabetic), so
+      the kind is recoverable from the value alone."""
+    text = F.col(text_col)
+    # (?i) ASCII case-folding + post-explode lower == lower-then-match for
+    # the ASCII term pattern
+    arr = F.concat(
+        F.regexp_extract_all(text, F.lit("(?i)" + TERM_PATTERN), 0),
+        F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0),
+        F.regexp_extract_all(text, F.lit(YEAR_PATTERN), 0),
+    )
+    raw = F.col("raw")
+    kind = (
+        F.when(raw.contains("@"), F.lit("email"))
+        .when(raw.rlike("^[0-9]{4}$"), F.lit("year"))
+        .otherwise(F.lit("term"))
+    )
+    # translate(), not lower(): a pure byte-map that never touches the ICU
+    # case-mapping path (ICU's per-call overhead + synchronized
+    # BreakIterator cache serialize all executor threads — measured 47 s vs
+    # 5 s on this stage at 32 threads).  The matched values are ASCII by
+    # construction of the patterns, so the byte map is exact.
+    ascii_lower = F.translate(
+        raw, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+    )
+    return chunks.select(
+        "url", "lang", "chunk_id", F.explode(arr).alias("raw")
+    ).select(
         "url", "lang", "chunk_id",
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TERM_PATTERN), 0)
-        ).alias("term"),
-    ).withColumn("kind", F.lit("term"))
-    emails = chunks.select(
-        "url", "lang", "chunk_id",
-        F.explode(
-            F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_PATTERN), 0)
-        ).alias("term"),
-    ).select("url", "lang", "chunk_id", F.lower("term").alias("term")) \
-        .withColumn("kind", F.lit("email"))
-    years = chunks.select(
-        "url", "lang", "chunk_id",
-        F.explode(
-            F.regexp_extract_all(F.col(text_col), F.lit(YEAR_PATTERN), 0)
-        ).alias("term"),
-    ).withColumn("kind", F.lit("year"))
-    return terms.unionByName(emails).unionByName(years)
+        F.when(kind == "year", raw).otherwise(ascii_lower).alias("term"),
+        kind.alias("kind"),
+    )
 
 
 def doc_mentions(mentions: DataFrame) -> DataFrame:
