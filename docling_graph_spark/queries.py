@@ -20,8 +20,11 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Optional, Tuple
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 from .operators import ann as op_ann
@@ -464,6 +467,86 @@ SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
        CAST(2 * n_edges AS BIGINT) AS total_degree,
        CAST(max_degree AS BIGINT) AS max_degree
 FROM counts
+"""
+
+
+def q_hybrid_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid structure-aware chunker (the docling HybridChunker analogue,
+    `document_chunker.py:97-220` / kernels.hybrid_chunker) over deterministic
+    sectioned documents: each doc's text is cut into 120-char paragraphs,
+    grouped 3 per section under an h2 heading, then hybrid-chunked with
+    max_tokens=100 and merge_peers.  Output: histogram of per-doc chunk
+    counts.  The oracle reproduces the greedy merge in closed form (ratio 3,
+    est(n)=int(n*0.4): two 120-char paragraphs merge at 96<=100, a third
+    merges only when the tail paragraph is <= 8 chars)."""
+    from .operators import chunk as op_chunk
+
+    schema = T.StructType([
+        T.StructField("text", T.StringType()),
+        T.StructField("spans", T.ArrayType(T.StructType([
+            T.StructField("start", T.LongType()),
+            T.StructField("end", T.LongType()),
+            T.StructField("tag", T.StringType()),
+        ]))),
+    ])
+
+    @pandas_udf(schema)
+    def sectionize(texts: pd.Series) -> pd.DataFrame:
+        out_t, out_s = [], []
+        for text in texts:
+            paras = [text[i:i + 120] for i in range(0, len(text), 120)]
+            parts, blocks, pos = [], [], 0
+            for s in range(0, len(paras), 3):
+                for tag, t in [("h2", f"Section {s // 3}")] + [
+                    ("p", p) for p in paras[s:s + 3]
+                ]:
+                    if parts:
+                        pos += 2  # "\n\n"
+                    blocks.append({"start": pos, "end": pos + len(t),
+                                   "tag": tag})
+                    parts.append(t)
+                    pos += len(t)
+            out_t.append("\n\n".join(parts))
+            out_s.append(blocks)
+        return pd.DataFrame({"text": out_t, "spans": out_s})
+
+    docs = _read(spark, sf_dir, "documents")
+    sectioned = docs.withColumn("x", sectionize(F.col("text"))).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("lang"),
+        F.col("x.text").alias("text"),
+        F.col("x.spans").alias("spans"),
+    )
+    chunks = op_chunk.hybrid_chunk_documents(sectioned, max_tokens=100,
+                                             merge_peers=True)
+    per_doc = chunks.groupBy("url").agg(F.count("*").alias("n_chunks"))
+    return per_doc.groupBy("n_chunks").agg(
+        F.count("*").alias("n_docs")
+    ).orderBy("n_chunks")
+
+
+SQL_HYBRID_CHUNK_STATS = """
+WITH d AS (
+  SELECT doc_id, length(text) AS len,
+         CAST(ceil(length(text)/120.0) AS BIGINT) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         CAST(floor((n-1)/3.0) AS BIGINT) AS nfull,
+         n - 3*CAST(floor((n-1)/3.0) AS BIGINT) AS k,
+         len - 120*(n-1) AS tail
+  FROM d
+),
+per AS (
+  SELECT doc_id,
+         2*nfull + CASE WHEN k <= 2 THEN 1
+                        WHEN tail <= 8 THEN 1
+                        ELSE 2 END AS n_chunks
+  FROM c
+)
+SELECT n_chunks, CAST(count(*) AS BIGINT) AS n_docs
+FROM per GROUP BY n_chunks ORDER BY n_chunks
 """
 
 
@@ -1473,6 +1556,7 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                                 SQL_REVERSE_EDGE_COUNTS),
         "node_dedup_remap": (q_node_dedup_remap, SQL_NODE_DEDUP_REMAP),
         "graph_degree_stats": (q_graph_degree_stats, SQL_GRAPH_DEGREE_STATS),
+        "hybrid_chunk_stats": (q_hybrid_chunk_stats, SQL_HYBRID_CHUNK_STATS),
         "bytes_stripped": (q_bytes_stripped, SQL_BYTES_STRIPPED),
         "extraction_metrics_by_host": (q_extraction_metrics_by_host,
                                        SQL_EXTRACTION_METRICS),
