@@ -186,6 +186,35 @@ def _scale_level(sf_dir: str, cores: int, repeats: int,
             "docs_per_sec": round(docs / best, 2)}
 
 
+def _cpu_scaling_ceiling(n_small: int, n_large: int) -> dict:
+    """Hardware scaling ceiling of THIS box RIGHT NOW: aggregate throughput
+    of a pure-CPU burn at both process counts.  On a shared/virtualized host
+    the achievable ceiling moves with co-tenant load and frequency scaling —
+    an app-level efficiency number is only interpretable against it, so the
+    scaling report measures and carries both (plus their ratio)."""
+    import multiprocessing as mp
+
+    def thr(procs: int) -> float:
+        with mp.Pool(procs) as pool:
+            t0 = time.perf_counter()
+            pool.map(_burn, range(procs))
+            return procs / (time.perf_counter() - t0)
+
+    thr(n_small)  # pool/JIT warm-up
+    t_small = max(thr(n_small) for _ in range(2))
+    t_large = max(thr(n_large) for _ in range(2))
+    ceiling = (t_large / t_small) / (n_large / n_small)
+    return {"thr_small": round(t_small, 2), "thr_large": round(t_large, 2),
+            "ceiling": round(min(ceiling, 1.0), 3)}
+
+
+def _burn(_i: int) -> float:
+    x = 0
+    for i in range(20_000_000):
+        x += i * i
+    return x
+
+
 def bench_scaling(sf_dir: str, n_small: int, n_large: int,
                   repeats: int = 2, replicate: int = 240) -> dict:
     """Same job at two parallelism levels; efficiency = (T_N/T_4N)/factor.
@@ -196,7 +225,11 @@ def bench_scaling(sf_dir: str, n_small: int, n_large: int,
       level's times by up to 30%;
     * the input is the sf corpus replicated `replicate`× (distinct urls,
       same host skew) so compute dominates fixed per-stage latency;
-    * best-of-N after an in-process warm-up (JIT + Arrow init).
+    * best-of-N after an in-process warm-up (JIT + Arrow init);
+    * the box's own CPU scaling ceiling is measured alongside
+      (`_cpu_scaling_ceiling`) and the normalized efficiency (app / ceiling)
+      reported — on a shared host the raw number is bounded by whatever the
+      hypervisor grants at measurement time.
     """
     import subprocess
 
@@ -216,6 +249,7 @@ def bench_scaling(sf_dir: str, n_small: int, n_large: int,
 
     factor = n_large / n_small
     eff = (results[n_small]["sec"] / results[n_large]["sec"]) / factor
+    hw = _cpu_scaling_ceiling(n_small, n_large)
     return {
         "metric": "scaling efficiency (docs/sec pipeline, N vs 4N cores)",
         "sf": _sf_of(sf_dir),
@@ -225,6 +259,9 @@ def bench_scaling(sf_dir: str, n_small: int, n_large: int,
         "small": results[n_small],
         "large": results[n_large],
         "scaling_efficiency": round(eff, 3),
+        "cpu_ceiling": hw,
+        "scaling_efficiency_normalized": round(min(eff / hw["ceiling"], 1.0), 3)
+        if hw["ceiling"] > 0 else None,
     }
 
 

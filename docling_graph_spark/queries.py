@@ -199,6 +199,57 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+def q_batch_combined_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: combined batch text byte-parity through the oracle — the
+    reference's ``[Chunk i/n]`` headers joined by the CHUNK BOUNDARY
+    separator (`chunk_batcher.py:43-48`), checked as an md5 per batch.
+    Packing at available=200 with 100-char chunks is exactly 2 chunks per
+    batch (cost <= 90 each), so batch membership has the closed form
+    batch_id = chunk_id // 2."""
+    from .operators import chunk as op_chunk
+
+    res = _pipeline(spark, sf_dir)
+    chunks = op_chunk.chunk_documents(
+        res.extracted, MAX_TOKENS, BATCH_CONTEXT, 0.85
+    )
+    batches = op_chunk.batch_summaries(chunks)
+    return batches.select(
+        "url",
+        F.col("batch_id").cast("long").alias("batch_id"),
+        F.col("chunk_count").cast("long").alias("chunk_count"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.md5(F.col("combined_text")).alias("combined_md5"),
+    ).orderBy("url", "batch_id")
+
+
+SQL_BATCH_COMBINED_TEXT = f"""
+WITH {_CHUNKS_CTE},
+c AS (
+  SELECT url, chunk_id, CAST(chunk_id // 2 AS BIGINT) AS batch_id,
+         trim(raw) AS ctext,
+         CAST(floor(length(trim(raw))/3.0*1.2) AS BIGINT) + 50 AS cost
+  FROM chunks
+),
+numbered AS (
+  SELECT url, batch_id, ctext, cost, chunk_id,
+         row_number() OVER (PARTITION BY url, batch_id ORDER BY chunk_id)
+           AS rn,
+         count(*) OVER (PARTITION BY url, batch_id) AS n
+  FROM c
+)
+SELECT url, batch_id,
+       CAST(count(*) AS BIGINT) AS chunk_count,
+       CAST(sum(cost) AS BIGINT) AS total_tokens,
+       md5(string_agg('[Chunk ' || rn || '/' || n || ']' || chr(10) || ctext,
+                      chr(10) || chr(10) || '---CHUNK BOUNDARY---'
+                      || chr(10) || chr(10) ORDER BY chunk_id))
+         AS combined_md5
+FROM numbered
+GROUP BY url, batch_id
+ORDER BY url, batch_id
+"""
+
+
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mention extraction: top-50 terms by total mentions."""
     res = _pipeline(spark, sf_dir)
@@ -1557,6 +1608,8 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
         "node_dedup_remap": (q_node_dedup_remap, SQL_NODE_DEDUP_REMAP),
         "graph_degree_stats": (q_graph_degree_stats, SQL_GRAPH_DEGREE_STATS),
         "hybrid_chunk_stats": (q_hybrid_chunk_stats, SQL_HYBRID_CHUNK_STATS),
+        "batch_combined_text": (q_batch_combined_text,
+                                SQL_BATCH_COMBINED_TEXT),
         "bytes_stripped": (q_bytes_stripped, SQL_BYTES_STRIPPED),
         "extraction_metrics_by_host": (q_extraction_metrics_by_host,
                                        SQL_EXTRACTION_METRICS),
