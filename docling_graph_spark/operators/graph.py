@@ -106,19 +106,27 @@ def assemble_web_graph(
     chunk_id_col = node_id_col(
         "Chunk", {"url": F.col("url"), "chunk_id": F.col("chunk_id")}, id_mode
     )
+    # chunker-dependent properties: the fallback chunker carries batch_id
+    # (W1/W2 packing), the hybrid chunker carries the heading path instead
+    chunk_props = [
+        ("__class__", F.lit("Chunk")),
+        ("url", F.col("url")),
+        ("chunk_id", F.col("chunk_id")),
+        ("start", F.col("start")),
+        ("end", F.col("end")),
+        ("token_est", F.col("token_est")),
+    ]
+    if "batch_id" in chunks.columns:
+        chunk_props.append(("batch_id", F.col("batch_id")))
+    if "heading_path" in chunks.columns:
+        chunk_props.append(
+            ("heading", F.array_join(F.col("heading_path"), " > "))
+        )
     chunk_nodes = chunks.select(
         chunk_id_col.alias("id"),
         F.lit("Chunk").alias("label"),
         F.lit("entity").alias("type"),
-        _props(
-            ("__class__", F.lit("Chunk")),
-            ("url", F.col("url")),
-            ("chunk_id", F.col("chunk_id")),
-            ("start", F.col("start")),
-            ("end", F.col("end")),
-            ("token_est", F.col("token_est")),
-            ("batch_id", F.col("batch_id")),
-        ).alias("properties"),
+        _props(*chunk_props).alias("properties"),
     )
 
     terms = doc_mentions.groupBy("term", "kind").agg(

@@ -37,6 +37,10 @@ class PipelineConfig:
     max_tokens: int = op_chunk.DEFAULT_MAX_TOKENS
     context_limit: int = op_chunk.DEFAULT_CONTEXT_LIMIT
     merge_threshold: float = op_chunk.DEFAULT_MERGE_THRESHOLD
+    # "fallback": reference raw-text chunker + W1/W2 batching (byte-parity
+    # path); "hybrid": heading-aware HybridChunker analogue over the
+    # extractor's block spans (heading path carried into chunk-node props)
+    chunker: str = "fallback"
     id_mode: str = "blake2b"           # blake2b (parity) | xxhash64 (fast)
     add_reverse_edges: bool = False
     content_dedup: bool = False
@@ -120,9 +124,12 @@ def run_pipeline(web_pages: DataFrame,
     extracted_all = op_extract.extract_main_text(web_pages)
     extracted = op_extract.filter_extractable(extracted_all)
 
-    chunks = op_chunk.chunk_documents(
-        extracted, cfg.max_tokens, cfg.context_limit, cfg.merge_threshold
-    )
+    if cfg.chunker == "hybrid":
+        chunks = op_chunk.hybrid_chunk_documents(extracted, cfg.max_tokens)
+    else:
+        chunks = op_chunk.chunk_documents(
+            extracted, cfg.max_tokens, cfg.context_limit, cfg.merge_threshold
+        )
     mentions = op_entities.extract_mentions(chunks)
     doc_mentions = op_entities.doc_mentions(mentions)
 

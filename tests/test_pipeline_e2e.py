@@ -137,3 +137,27 @@ def test_metrics_shape(result):
     assert sum(r["docs_parsed"] for r in rows) == 500
     assert all(r["errors"] == 0 for r in rows)
     assert len(rows) > 7  # hosts spread
+
+
+def test_hybrid_chunker_pipeline(spark, sf_smoke_dir):
+    """chunker="hybrid" runs the heading-aware chunker end-to-end: chunk
+    nodes carry a heading property (empty path on the heading-less synthetic
+    corpus), graph assembles, and per-doc chunk spans still tile the text."""
+    cfg = PipelineConfig(max_tokens=25, id_mode="xxhash64", chunker="hybrid")
+    res = run_on_testdata(spark, sf_smoke_dir, cfg)
+    labels = dict(res.nodes.groupBy("label").count().collect())
+    assert labels.get("WebDocument", 0) > 0 and labels.get("Chunk", 0) > 0
+    chunk_props = (
+        res.nodes.filter(F.col("label") == "Chunk")
+        .select(F.map_keys("properties").alias("ks")).limit(1).collect()
+    )
+    assert "heading" in chunk_props[0]["ks"]
+    assert "batch_id" not in chunk_props[0]["ks"]
+    # span lineage: chunk text equals the extracted text slice
+    joined = (
+        res.chunks.alias("c")
+        .join(res.extracted.select("url", F.col("text").alias("doc")), "url")
+        .withColumn("slice", F.expr("substring(doc, start + 1, end - start)"))
+    )
+    assert joined.filter(F.col("slice") != F.col("text")).count() == 0
+    assert res.edges.filter(F.col("label") == "has_chunk").count() > 0
