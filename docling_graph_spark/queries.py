@@ -1161,8 +1161,9 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_MINHASH_LSH = f"""
-WITH {_SHINGLES_CTE},
+# shared CTE chain: shingles -> signatures -> bands -> candidates -> exact
+# Jaccard — composed by SQL_MINHASH_LSH and SQL_DUP_CLUSTERS
+_MINHASH_PAIRS_CTES = f"""{_SHINGLES_CTE},
 sigs AS (
   SELECT doc_id,
 {_MINHASH_SIG}
@@ -1190,16 +1191,65 @@ common AS (
   JOIN shingles sa ON sa.doc_id = c.doc_a
   JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
   GROUP BY c.doc_a, c.doc_b
-)
-SELECT doc_a, doc_b,
-       CAST(floor((100 * n_common) / (za.sz + zb.sz - n_common)) AS BIGINT)
-         AS jaccard_pct
-FROM common
-JOIN sizes za ON za.doc_id = doc_a
-JOIN sizes zb ON zb.doc_id = doc_b
-WHERE floor((100 * n_common) / (za.sz + zb.sz - n_common)) >= 5
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         CAST(floor((100 * n_common) / (za.sz + zb.sz - n_common)) AS BIGINT)
+           AS jaccard_pct
+  FROM common
+  JOIN sizes za ON za.doc_id = doc_a
+  JOIN sizes zb ON zb.doc_id = doc_b
+)"""
+
+SQL_MINHASH_LSH = f"""
+WITH {_MINHASH_PAIRS_CTES}
+SELECT doc_a, doc_b, jaccard_pct FROM verified
+WHERE jaccard_pct >= 5
 ORDER BY jaccard_pct DESC, doc_a, doc_b LIMIT 100
 """
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering: verified MinHash pairs (Jaccard >= 50%)
+    -> connected components (operators.dedup.connected_components, iterative
+    min-label propagation) -> cluster-size histogram plus the docs-to-drop
+    count (sum of size-1 over clusters: the dedup pipeline's keep-one-per-
+    cluster decision needs components, not pairs)."""
+    docs = _read(spark, sf_dir, "documents")
+    verified = op_dedup.minhash_lsh_dedup(docs)
+    pairs = verified.filter(F.col("jaccard_pct") >= 50)
+    labels = op_dedup.connected_components(pairs)
+    sizes = labels.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).alias("docs_to_drop"),
+    ).orderBy("cluster_size")
+
+
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+dup_pairs AS (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard_pct >= 50
+),
+dedges AS (
+  SELECT doc_a AS s, doc_b AS d FROM dup_pairs
+  UNION
+  SELECT doc_b, doc_a FROM dup_pairs
+),
+reach(id, comp) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM dedges)
+  UNION
+  SELECT e.d, r.comp FROM reach r JOIN dedges e ON e.s = r.id
+),
+labels AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+csizes AS (
+  SELECT component, count(*) AS cluster_size FROM labels GROUP BY component
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size - 1) AS BIGINT) AS docs_to_drop
+FROM csizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
 
 _SIMHASH_BITS = 32
 _SIMHASH_VOTES = ",\n".join(
@@ -1648,6 +1698,7 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
         "media_type_stats": (q_media_type_stats, SQL_MEDIA_TYPE_STATS),
         # dedup suite
         "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH),
+        "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
         "simhash_dedup": (q_simhash_dedup, SQL_SIMHASH),
         "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
         "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),

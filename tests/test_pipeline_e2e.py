@@ -161,3 +161,17 @@ def test_hybrid_chunker_pipeline(spark, sf_smoke_dir):
     )
     assert joined.filter(F.col("slice") != F.col("text")).count() == 0
     assert res.edges.filter(F.col("label") == "has_chunk").count() > 0
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation: a 4-chain (transitive dups) and a triangle
+    resolve to two components labelled by their min member."""
+    from docling_graph_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain: {1,2,3,4}
+         (10, 11), (11, 12), (10, 12)], # triangle: {10,11,12}
+        "doc_a long, doc_b long",
+    )
+    labels = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
