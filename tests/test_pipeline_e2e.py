@@ -175,3 +175,20 @@ def test_connected_components_chain_and_clique(spark):
     )
     labels = {r.id: r.component for r in connected_components(pairs).collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_smoke_dir):
+    """Index quality, not just plumbing: IVF top-5 with nprobe=4 of 16 lists
+    must recover most of the exact top-5 on the smoke embeddings."""
+    from docling_graph_spark.operators import ann as op_ann
+
+    emb = spark.read.parquet(f"{sf_smoke_dir}/embeddings.parquet")
+    queries = emb.limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    exact = op_ann.brute_force_knn(emb, queries, k=5)
+    approx = op_ann.ivf_knn(emb, queries, k=5, n_centroids=16, nprobe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
