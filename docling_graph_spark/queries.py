@@ -1489,12 +1489,16 @@ def q_scalar_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
     prop_key = F.concat_ws("_", "source", "lang")
     raw_name = F.concat(F.lit("doc "), F.col("doc_id").cast("string"),
                         F.lit("."), F.col("lang"), F.lit(".txt"))
+    ts = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
+        secs=F.col("doc_id").cast("double")
+    )
     return docs.select(
         "doc_id",
         fns.truncate_string(F.col("text"), 40).alias("preview"),
         fns.format_property_key(prop_key).alias("prop_key"),
         fns.sanitize_filename(raw_name).alias("fname"),
         fns.token_estimate(F.col("text")).alias("tok_est"),
+        fns.iso_datetime(ts).alias("iso_ts"),
     ).orderBy("doc_id")
 
 
@@ -1506,7 +1510,9 @@ SELECT doc_id,
               upper(substr(lang, 1, 1)), substr(lang, 2)) AS prop_key,
        replace(replace(concat('doc ', CAST(doc_id AS VARCHAR), '.', lang,
                               '.txt'), '.', '_'), ' ', '_') AS fname,
-       CAST(ceil(length(text) / 4.0 * 1.2) AS INT) + 50 AS tok_est
+       CAST(ceil(length(text) / 4.0 * 1.2) AS INT) + 50 AS tok_est,
+       strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+                '%Y-%m-%dT%H:%M:%S') AS iso_ts
 FROM documents ORDER BY doc_id
 """
 
