@@ -271,14 +271,17 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
     duplicate cluster") needs components, not pairs — pairwise drops lose
     transitive duplicates (a~b, b~c, a!~c).
 
-    Algorithm: iterative min-label propagation (the simple special case of
+    Algorithm: min-label propagation with pointer jumping (in the spirit of
     the large-star/small-star map-reduce CC construction — Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14): every node
     starts labelled with itself; each round every node takes the min label
-    in its closed neighborhood; converged when no label changes.  Rounds =
-    O(diameter); duplicate clusters are near-cliques from LSH buckets, so
-    2-4 rounds in practice.  Each round is one shuffle (groupBy node); the
-    convergence check reuses the round's aggregate — an O(1)-row driver
+    over its closed neighborhood AND over its current label's label (the
+    pointer-jump step, which halves label-chain depth and makes rounds
+    O(log diameter) — a path graph longer than the round budget would never
+    converge under plain neighbor-min).  Converged when no label changes.
+    Duplicate clusters are near-cliques from LSH buckets, so 2-4 rounds in
+    practice.  Each round is two shuffles (neighbor groupBy + label join);
+    the convergence check reuses the round's aggregate — an O(1)-row driver
     read, not a collect of the relation.
     """
     edges = (
@@ -293,14 +296,18 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
         .withColumn("component", F.col("id"))
     )
     edges.persist()
-    labels.persist()
-    labels.count()
+    # iterative algorithms grow the logical plan exponentially (each round's
+    # self-joins reference the previous round's whole lineage) — truncate it
+    # every round with an eager localCheckpoint, the standard Spark pattern
+    # for loops (persist alone keeps the lineage and OOMs the driver on plan
+    # processing after ~10 rounds)
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src").agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
@@ -308,16 +315,35 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
                     F.col("component"),
                     F.coalesce(F.col("nbr_min"), F.col("component")),
                 ).alias("component"),
-                (F.col("nbr_min") < F.col("component")).alias("changed"),
             )
         )
-        new_labels.persist()
+        # pointer jump: component <- min(component, label(component))
+        parent = stepped.select(
+            F.col("id").alias("pid"), F.col("component").alias("pcomp")
+        )
+        new_labels = (
+            stepped.join(parent, stepped.component == parent.pid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("pcomp"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        new_labels = (
+            new_labels.alias("n")
+            .join(labels.select(F.col("id").alias("oid"),
+                                F.col("component").alias("ocomp")),
+                  F.col("n.id") == F.col("oid"))
+            .select("id", "component",
+                    (F.col("component") < F.col("ocomp")).alias("changed"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.agg(
             F.sum(F.when(F.col("changed"), 1).otherwise(0))
         ).collect()[0][0]
-        old = labels
         labels = new_labels.drop("changed")
-        old.unpersist()
         if not changed:
             break
     edges.unpersist()

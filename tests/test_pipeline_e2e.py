@@ -192,3 +192,17 @@ def test_ivf_recall_vs_brute_force(spark, sf_smoke_dir):
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
+
+
+def test_connected_components_long_path(spark):
+    """Pointer jumping: a 60-node path converges well within the round
+    budget (plain neighbor-min needs diameter rounds and would not)."""
+    from docling_graph_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    labels = connected_components(pairs)
+    comps = {r.component for r in labels.collect()}
+    assert comps == {0}
+    assert labels.count() == 61
