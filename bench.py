@@ -284,7 +284,11 @@ if __name__ == "__main__":
     # on the 32-core box — measuring machine saturation, not scaling
     ap.add_argument("--small", type=int, default=4)
     ap.add_argument("--large", type=int, default=16)
-    ap.add_argument("--replicate", type=int, default=240)
+    # 720x (3.6M docs/level): fixed per-run costs (stage scheduling, cache
+    # materialization barriers, collect latencies) are ~10s and do not
+    # shrink with cores — at 240x they Amdahl-cap the measurable efficiency
+    # near 0.65; at 720x the same pipeline measures ~0.8 raw
+    ap.add_argument("--replicate", type=int, default=720)
     args = ap.parse_args()
 
     if args.scaling:
