@@ -69,3 +69,33 @@ def chunk_spans(text: str, max_tokens: int) -> List[ChunkSpan]:
             out.append(ChunkSpan(len(out), start, start + len(stripped), stripped))
         pos = window_end
     return out
+
+
+def schema_adjusted_max_tokens(original_max_tokens: int, schema_size: int) -> int:
+    """F9: shrink the chunk token budget to reserve context for the schema.
+
+    Parity with ``DocumentChunker.update_schema_config``
+    (`/root/reference/docling_graph/core/extractors/document_chunker.py:115-172`):
+    ``schema_tokens = int(schema_size / 3.5)``; the adjusted budget is
+    ``original - schema_tokens`` floored at 50% of the original.  Driver-side
+    scalar — computed once per template and broadcast into the chunk stage.
+    """
+    schema_tokens = int(schema_size / 3.5)
+    min_tokens = int(original_max_tokens * 0.5)
+    adjusted = original_max_tokens - schema_tokens
+    if adjusted < min_tokens:
+        return min_tokens
+    if adjusted < original_max_tokens:
+        return adjusted
+    return original_max_tokens
+
+
+def recommended_max_tokens(context_limit: int,
+                           system_prompt_tokens: int = 500,
+                           response_buffer_tokens: int = 500) -> int:
+    """F9 companion: context-budget formula, parity with
+    ``DocumentChunker.calculate_recommended_max_tokens``
+    (`/root/reference/docling_graph/core/extractors/document_chunker.py:174-197`):
+    ``max(512, int((context - system - response) * 0.8))``."""
+    available = context_limit - system_prompt_tokens - response_buffer_tokens
+    return max(512, int(available * 0.8))

@@ -21,6 +21,7 @@ from typing import Dict, Optional, Tuple
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .kernels import chunking
 from .operators import chunk as op_chunk
 from .operators import entities as op_entities
 from .operators import extract as op_extract
@@ -36,6 +37,10 @@ class PipelineConfig:
 
     max_tokens: int = op_chunk.DEFAULT_MAX_TOKENS
     context_limit: int = op_chunk.DEFAULT_CONTEXT_LIMIT
+    # F9: JSON-schema byte size of the extraction template; >0 shrinks the
+    # chunk token budget via kernels.chunking.schema_adjusted_max_tokens
+    # (reference document_chunker.py:115-172), computed once driver-side.
+    schema_size: int = 0
     merge_threshold: float = op_chunk.DEFAULT_MERGE_THRESHOLD
     # "fallback": reference raw-text chunker + W1/W2 batching (byte-parity
     # path); "hybrid": heading-aware HybridChunker analogue over the
@@ -124,11 +129,14 @@ def run_pipeline(web_pages: DataFrame,
     extracted_all = op_extract.extract_main_text(web_pages)
     extracted = op_extract.filter_extractable(extracted_all)
 
+    max_tokens = (chunking.schema_adjusted_max_tokens(cfg.max_tokens,
+                                                      cfg.schema_size)
+                  if cfg.schema_size > 0 else cfg.max_tokens)
     if cfg.chunker == "hybrid":
-        chunks = op_chunk.hybrid_chunk_documents(extracted, cfg.max_tokens)
+        chunks = op_chunk.hybrid_chunk_documents(extracted, max_tokens)
     else:
         chunks = op_chunk.chunk_documents(
-            extracted, cfg.max_tokens, cfg.context_limit, cfg.merge_threshold
+            extracted, max_tokens, cfg.context_limit, cfg.merge_threshold
         )
     mentions = op_entities.extract_mentions(chunks)
     doc_mentions = op_entities.doc_mentions(mentions)

@@ -114,3 +114,47 @@ def load_chunk_text_fallback():
         return raw(s, text)
 
     return call
+
+
+def load_schema_config():
+    """AST-extract ``DocumentChunker.update_schema_config`` and
+    ``calculate_recommended_max_tokens`` (document_chunker.py:115-197) without
+    importing docling.  Returns (adjust(original, schema_size) -> int,
+    recommend(context, system, response) -> int)."""
+    import ast
+
+    src = (REF / "core/extractors/document_chunker.py").read_text()
+    tree = ast.parse(src)
+    fns = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name in (
+                "update_schema_config", "calculate_recommended_max_tokens"):
+            node.decorator_list = []
+            fns[node.name] = node
+    assert len(fns) == 2
+    module = ast.Module(body=list(fns.values()), type_ignores=[])
+    ast.fix_missing_locations(module)
+    import logging
+    ns: dict = {"logging": logging, "rich_print": lambda *a, **k: None}
+    exec(compile(module, "<ref-schema-config>", "exec"), ns)
+
+    class _Tok:
+        max_tokens = 0
+
+    class _Self:
+        pass
+
+    def adjust(original: int, schema_size: int) -> int:
+        s = _Self()
+        s.tokenizer = _Tok()
+        s.chunker = _Self()
+        s.chunker.tokenizer = _Tok()
+        s.original_max_tokens = original
+        s.max_tokens = original
+        ns["update_schema_config"](s, schema_size)
+        return s.max_tokens
+
+    def recommend(context: int, system: int = 500, response: int = 500) -> int:
+        return ns["calculate_recommended_max_tokens"](context, system, response)
+
+    return adjust, recommend

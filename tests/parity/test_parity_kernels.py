@@ -257,3 +257,32 @@ ref_cleaner_mod = load_ref("core/utils/graph_cleaner.py")
 )
 def test_is_meaningful_parity(value):
     assert k_fp.is_meaningful(value) == ref_cleaner_mod.is_meaningful_value(value)
+
+
+# ------------------------------------------- F9 schema-size chunk adjustment
+
+from docling_graph_spark.kernels.chunking import (  # noqa: E402
+    recommended_max_tokens,
+    schema_adjusted_max_tokens,
+)
+
+from .ref_loader import load_schema_config  # noqa: E402
+
+ref_schema_adjust, ref_recommend = load_schema_config()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=1, max_value=200_000),
+       st.integers(min_value=0, max_value=1_000_000))
+def test_schema_adjust_parity_fuzz(original, schema_size):
+    assert (schema_adjusted_max_tokens(original, schema_size)
+            == ref_schema_adjust(original, schema_size))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=1_000_000),
+       st.integers(min_value=0, max_value=5_000),
+       st.integers(min_value=0, max_value=5_000))
+def test_recommended_max_tokens_parity_fuzz(context, system, response):
+    assert (recommended_max_tokens(context, system, response)
+            == ref_recommend(context, system, response))
