@@ -47,6 +47,9 @@ def main() -> int:
     ap.add_argument("--max-tokens", type=int, default=None)
     ap.add_argument("--cores", type=int, default=None,
                     help="local[N] cores when no master is configured")
+    ap.add_argument("--report", action="store_true",
+                    help="also write report.md + graph.html (bounded driver-"
+                         "side render of the assembled graph) to --output")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -90,7 +93,16 @@ def main() -> int:
         ).count()
     elif args.mode == "resume":
         from docling_graph_spark.checkpointing import CheckpointedRun
-        processed = CheckpointedRun(spark, args.output, cfg).run(pages)
+        ckpt_run = CheckpointedRun(spark, args.output, cfg)
+        processed = ckpt_run.run(pages)
+        if args.report:
+            from docling_graph_spark import visualizers
+            out = args.output.rstrip("/")
+            visualizers.write_report(ckpt_run.nodes(), ckpt_run.edges(),
+                                     f"{out}/report.md")
+            visualizers.write_interactive_html(ckpt_run.nodes(),
+                                               ckpt_run.edges(),
+                                               f"{out}/graph.html")
     else:
         from docling_graph_spark import exporters
         from docling_graph_spark.pipeline import run_pipeline
@@ -100,6 +112,11 @@ def main() -> int:
         res.chunks.write.mode("overwrite").parquet(f"{out}/chunks")
         res.metrics.write.mode("overwrite").parquet(f"{out}/metrics")
         exporters.write_csv(res.nodes, res.edges, out)
+        if args.report:
+            from docling_graph_spark import visualizers
+            visualizers.write_report(res.nodes, res.edges, f"{out}/report.md")
+            visualizers.write_interactive_html(res.nodes, res.edges,
+                                               f"{out}/graph.html")
         processed = spark.read.parquet(f"{out}/extracted").count()
 
     print(json.dumps({
