@@ -42,10 +42,13 @@ def extract_pdf_text(payload: bytes) -> Tuple[str, Optional[str]]:
     if not is_pdf(payload):
         return "", "not a PDF payload"
     start = payload.find(_STREAM_START)
-    if start == -1:
-        # A real PDF without our marker: a production build would hand this
-        # to a layout parser; the sandbox build reports it unparsed.
-        return "", "unsupported PDF structure (real parser not available in sandbox)"
+    if start == -1 or b"/DGText" not in payload[:start]:
+        # A real PDF (not our fake container): parse it with the minimal
+        # pure-stdlib content-stream parser (kernels/pdf_parse.py) — a
+        # production build swaps a full layout parser in behind the same
+        # signature.
+        from .pdf_parse import extract_real_pdf_text
+        return extract_real_pdf_text(payload)
     start += len(_STREAM_START)
     end = payload.find(_STREAM_END, start)
     if end == -1:

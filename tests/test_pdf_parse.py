@@ -1,0 +1,177 @@
+"""Real-PDF text extraction kernel (kernels/pdf_parse.py).
+
+Constructs genuine minimal PDFs (object scan, FlateDecode, BT/ET content
+streams) in-test — no external fixtures — and asserts deterministic text
+extraction through the same `extract_pdf_text` entry the Spark UDF uses.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from docling_graph_spark.kernels.pdf_parse import (
+    extract_content_stream_text,
+    extract_real_pdf_text,
+)
+from docling_graph_spark.kernels.pdf_stub import (
+    extract_pdf_text,
+    make_fake_pdf,
+)
+
+
+def _make_real_pdf(page_streams, compress=True):
+    """Assemble a minimal but structurally genuine PDF.
+
+    Layout: 1=Catalog, 2=Pages, then for page i: (3+2i)=Page, (4+2i)=content.
+    """
+    objs = {}
+    kids = []
+    next_id = 3
+    for stream in page_streams:
+        page_id, content_id = next_id, next_id + 1
+        next_id += 2
+        kids.append(f"{page_id} 0 R")
+        objs[page_id] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {content_id} 0 R >>"
+        ).encode()
+        data = stream.encode("latin-1") if isinstance(stream, str) else stream
+        if compress:
+            body = zlib.compress(data)
+            head = f"<< /Length {len(body)} /Filter /FlateDecode >>".encode()
+        else:
+            body = data
+            head = f"<< /Length {len(body)} >>".encode()
+        objs[content_id] = head + b"\nstream\n" + body + b"\nendstream"
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        f"<< /Type /Pages /Kids [{' '.join(kids)}] /Count {len(kids)} >>"
+    ).encode()
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    for num in sorted(objs):
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+SIMPLE_STREAM = "BT /F1 12 Tf 72 720 Td (Hello) Tj 0 -14 Td (World) Tj ET"
+
+
+def test_single_page_flate():
+    pdf = _make_real_pdf([SIMPLE_STREAM])
+    text, err = extract_real_pdf_text(pdf)
+    assert err is None
+    assert text == "Hello\nWorld"
+
+
+def test_uncompressed_stream():
+    pdf = _make_real_pdf([SIMPLE_STREAM], compress=False)
+    text, err = extract_real_pdf_text(pdf)
+    assert err is None
+    assert text == "Hello\nWorld"
+
+
+def test_multi_page_join():
+    pdf = _make_real_pdf([
+        "BT (Page one.) Tj ET",
+        "BT (Page two.) Tj ET",
+    ])
+    text, err = extract_real_pdf_text(pdf)
+    assert err is None
+    assert text == "Page one.\n\nPage two."
+
+
+def test_routed_through_extract_pdf_text():
+    # the UDF-facing entry must route real PDFs to the real parser ...
+    pdf = _make_real_pdf([SIMPLE_STREAM])
+    text, err = extract_pdf_text(pdf)
+    assert (text, err) == ("Hello\nWorld", None)
+    # ... while the fake container keeps its byte-identity fast path
+    text, err = extract_pdf_text(make_fake_pdf("verbatim payload\nline 2"))
+    assert (text, err) == ("verbatim payload\nline 2", None)
+
+
+def test_determinism():
+    pdf = _make_real_pdf([SIMPLE_STREAM, "BT (x) Tj ET"])
+    assert extract_real_pdf_text(pdf) == extract_real_pdf_text(pdf)
+
+
+def test_tj_array_and_hex_strings():
+    stream = "BT [(Wor) -120 (ld)] TJ T* <48692e> Tj ET"
+    assert extract_content_stream_text(stream.encode()) == "World\nHi."
+
+
+def test_literal_string_escapes():
+    stream = rb"BT (a\(b\)c \\ \164 line\nnext) Tj ET"
+    assert extract_content_stream_text(stream) == "a(b)c \\ t line\nnext"
+
+
+def test_utf16be_string():
+    payload = b"\xfe\xff" + "héllo".encode("utf-16-be")
+    stream = b"BT (" + payload.replace(b"\\", b"\\\\").replace(
+        b"(", b"\\(").replace(b")", b"\\)") + b") Tj ET"
+    assert extract_content_stream_text(stream) == "h\xe9llo"
+
+
+def test_quote_operators_newline():
+    stream = b"BT (first) Tj (second) ' ET"
+    assert extract_content_stream_text(stream) == "first\nsecond"
+
+
+def test_text_outside_bt_et_ignored():
+    stream = b"(not shown) Tj BT (shown) Tj ET"
+    assert extract_content_stream_text(stream) == "shown"
+
+
+def test_no_text_pdf_reports_error():
+    pdf = _make_real_pdf(["q 1 0 0 1 0 0 cm Q"])  # graphics only
+    text, err = extract_real_pdf_text(pdf)
+    assert text == "" and err is not None
+
+
+def test_garbage_payload():
+    text, err = extract_real_pdf_text(b"%PDF-1.4 not really")
+    assert text == "" and err is not None
+
+
+def test_real_pdf_through_spark_extract_udf(spark):
+    """A genuine PDF payload in the html column routes through the same
+    Arrow UDF as HTML rows and yields kind='pdf' with the parsed text."""
+    import datetime
+
+    from docling_graph_spark.operators.extract import extract_main_text
+    from docling_graph_spark.schemas import WEB_PAGES
+
+    pdf = _make_real_pdf([SIMPLE_STREAM])
+    rows = [
+        ("https://h0.example.com/real.pdf",
+         datetime.datetime(2024, 1, 1), bytearray(pdf), "", "en"),
+        ("https://h0.example.com/fake.pdf",
+         datetime.datetime(2024, 1, 1),
+         bytearray(make_fake_pdf("fake body")), "fake body", "en"),
+    ]
+    df = spark.createDataFrame(rows, schema=WEB_PAGES)
+    got = {r["url"]: r for r in extract_main_text(df).collect()}
+    real = got["https://h0.example.com/real.pdf"]
+    assert real["kind"] == "pdf" and real["error"] is None
+    assert real["text"] == "Hello\nWorld"
+    fake = got["https://h0.example.com/fake.pdf"]
+    assert fake["kind"] == "pdf" and fake["text"] == "fake body"
+
+
+def test_length_key_overrides_false_endstream():
+    """An uncompressed stream containing the literal bytes '\\nendstream'
+    mid-payload must not be truncated when /Length gives the true extent."""
+    stream = b"BT (part one) Tj T* ET\nendstream\nBT (part two) Tj ET"
+    body = (b"<< /Length " + str(len(stream)).encode() + b" >>"
+            + b"\nstream\n" + stream + b"\nendstream")
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n" + body + b"\nendobj\n"
+           b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    text, err = extract_real_pdf_text(pdf)
+    assert err is None
+    assert text == "part one\npart two"
