@@ -11,6 +11,10 @@ The headline number is the end-to-end document->graph pipeline
 the documents corpus: warm best-of-2 ("pipeline_e2e", the steady-state
 throughput a long-lived job sees), with the one-time cold cost (UDF worker
 spawn, Arrow init, codegen) reported separately as "pipeline_e2e_cold".
+"pipeline_e2e_steady" / "docs_per_sec_steady" measure one warm pass over a
+64x-replicated corpus, where fixed per-stage latency no longer dominates —
+the throughput figure comparable to the scaling runs and to a long-lived
+production job.
 Per-query timings cover the full catalog; pipeline-backed entries share one
 persisted extraction pass whose build is timed under "catalog_cache_build",
 matching how a production job would amortize the scan.
@@ -114,6 +118,16 @@ def bench(sf_dir: str, cores: int) -> dict:
                       key=lambda p: p[0])
     queries["pipeline_e2e"] = round(t_e2e, 3)
 
+    # steady-state throughput: the 5k-doc corpus finishes in ~3 s, where
+    # fixed per-stage latency (job scheduling, Arrow batch spin-up) is a
+    # large fraction of the wall time and docs/sec understates the engine by
+    # >10x.  One warm run on a 64x-replicated corpus (320k docs, distinct
+    # urls, same host skew) measures the throughput a long-lived job sees.
+    steady_rep = int(os.environ.get("SPARK_GRAFT_STEADY_REPLICATE", "64"))
+    t_steady, docs_steady = _run_pipeline_once(spark, sf_dir,
+                                               replicate=steady_rep)
+    queries["pipeline_e2e_steady"] = round(t_steady, 3)
+
     # full catalog; pipeline-backed entries share one persisted extraction
     # pass — build and force that shared cache once, timed separately, so
     # per-query numbers measure the query's own work
@@ -138,14 +152,14 @@ def bench(sf_dir: str, cores: int) -> dict:
     # tens of seconds; re-run clear outliers once and keep the minimum
     catalog_times = sorted(
         v for k, v in queries.items()
-        if k not in ("pipeline_e2e", "pipeline_e2e_cold", "catalog_cache_build")
+        if k not in ("pipeline_e2e", "pipeline_e2e_cold", "pipeline_e2e_steady",
+           "catalog_cache_build")
     )
     if catalog_times:
         median = catalog_times[len(catalog_times) // 2]
         threshold = max(5.0, 5 * median)
         for name, t in list(queries.items()):
-            if name in ("pipeline_e2e", "pipeline_e2e_cold",
-                        "catalog_cache_build") or t <= threshold:
+            if name not in cat or t <= threshold:
                 continue
             t0 = time.perf_counter()
             cat[name](spark, sf_dir).count()
@@ -160,6 +174,9 @@ def bench(sf_dir: str, cores: int) -> dict:
         "sf": _sf_of(sf_dir),
         "docs": docs,
         "docs_per_sec": round(docs / t_e2e, 2),
+        "steady_replicate": steady_rep,
+        "steady_docs": docs_steady,
+        "docs_per_sec_steady": round(docs_steady / t_steady, 2),
         "cores": cores,
     }
     spark.stop()
