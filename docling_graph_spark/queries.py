@@ -601,6 +601,67 @@ FROM per GROUP BY n_chunks ORDER BY n_chunks
 """
 
 
+def q_pdf_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 real-PDF path under the oracle gate: build genuine single-page
+    uncompressed PDFs (catalog/pages/page objects, /Length-bounded stream,
+    BT/ET literal-string text) from `documents.text` as a pure column
+    expression, extract them through the same Arrow UDF the pipeline uses
+    (kernels/pdf_parse.py does the object scan + content-stream parse), and
+    prove per-row byte-identity: extracted text == original text.
+
+    The oracle is the identity statement of that invariant — per-lang row
+    count (all of which must round-trip) and character sum over the raw
+    text.  A parser regression drops n_roundtrip / shifts sum_chars and
+    hash-fails against DuckDB.
+    """
+    from .operators.extract import extract_main_text
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 3)
+    url = F.concat(F.lit("pdf://doc/"), F.col("doc_id").cast("string"))
+    # PDF literal-string escapes (corpus is ASCII; escape anyway so the
+    # construction stays correct on arbitrary text)
+    esc = F.col("text")
+    for pat, rep in ((r"\\", r"\\\\"), (r"\(", r"\\("), (r"\)", r"\\)")):
+        esc = F.regexp_replace(esc, pat, rep)
+    stream = F.concat(F.lit("BT ("), esc, F.lit(") Tj ET"))
+    pdf = F.concat(
+        F.lit("%PDF-1.4\n"
+              "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+              "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+              "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+              "endobj\n4 0 obj\n<< /Length "),
+        F.length(stream).cast("string"),
+        F.lit(" >>\nstream\n"), stream,
+        F.lit("\nendstream\nendobj\ntrailer\n<< /Root 1 0 R >>\n%%EOF\n"),
+    )
+    pages = docs.select(
+        url.alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(pdf, "UTF-8").alias("html"),
+        F.lit("").alias("text"),
+        F.col("lang").alias("lang"),
+    )
+    extracted = extract_main_text(pages).select(
+        "url", "lang", F.col("text").alias("extracted"))
+    originals = docs.select(url.alias("url"), F.col("text").alias("orig"))
+    joined = extracted.join(originals, "url")
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("extracted") == F.col("orig")).cast("long"))
+         .alias("n_roundtrip"),
+        F.sum(F.length("extracted")).alias("sum_chars"),
+    ).orderBy("lang")
+
+
+SQL_PDF_REAL_ROUNDTRIP = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_roundtrip,
+       CAST(sum(strlen(text)) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 17 = 3
+GROUP BY lang ORDER BY lang
+"""
+
+
 def q_bytes_stripped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule lineage metric: per-lang boilerplate bytes stripped by the
     main-content extractor (html chrome + pdf container overhead)."""
@@ -1677,6 +1738,7 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
         "batch_combined_text": (q_batch_combined_text,
                                 SQL_BATCH_COMBINED_TEXT),
         "bytes_stripped": (q_bytes_stripped, SQL_BYTES_STRIPPED),
+        "pdf_real_roundtrip": (q_pdf_real_roundtrip, SQL_PDF_REAL_ROUNDTRIP),
         "extraction_metrics_by_host": (q_extraction_metrics_by_host,
                                        SQL_EXTRACTION_METRICS),
         # relational coverage
