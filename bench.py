@@ -8,9 +8,9 @@ Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
 
 The headline number is the end-to-end document->graph pipeline
 (extract -> chunk -> mention -> graph assembly -> cleanup -> metrics) over
-the documents corpus: warm best-of-2 ("pipeline_e2e", the steady-state
-throughput a long-lived job sees), with the one-time cold cost (UDF worker
-spawn, Arrow init, codegen) reported separately as "pipeline_e2e_cold".
+the documents corpus: warm best-of-3 ("pipeline_e2e"), with the one-time
+cold cost (UDF worker spawn, Arrow init, codegen) reported separately as
+"pipeline_e2e_cold".
 "pipeline_e2e_steady" / "docs_per_sec_steady" measure one warm pass over a
 64x-replicated corpus, where fixed per-stage latency no longer dominates —
 the throughput figure comparable to the scaling runs and to a long-lived
