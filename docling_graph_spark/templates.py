@@ -50,6 +50,64 @@ class TemplateRegistry:
         return name in self._specs
 
 
+def registry_from_pydantic(*model_classes: type) -> TemplateRegistry:
+    """Derive a :class:`TemplateRegistry` from reference-style pydantic
+    template classes, so users of the reference can pass their existing
+    templates unchanged.
+
+    Mirrors the reference's dynamic config/metadata reads
+    (`/root/reference/docling_graph/core/converters/graph_converter.py:26-47`
+    ``get_model_config_value``: ``is_entity`` default True,
+    ``graph_id_fields`` default empty; `:326-337` ``_get_edge_label``:
+    ``json_schema_extra["edge_label"]`` when it is a string), resolved
+    statically from the class annotations instead of per-instance —
+    nested child templates are discovered by walking each field's type
+    annotation for pydantic-model arguments (``Child``, ``Optional[Child]``,
+    ``List[Child]``) and registered transitively.
+    """
+    import typing
+
+    def _child_model(annotation) -> Optional[type]:
+        stack = [annotation]
+        while stack:
+            ann = stack.pop()
+            if isinstance(ann, type):
+                if hasattr(ann, "model_fields") and hasattr(ann, "model_config"):
+                    return ann
+                continue
+            stack.extend(typing.get_args(ann))
+        return None
+
+    reg = TemplateRegistry()
+    queue = list(model_classes)
+    while queue:
+        cls = queue.pop(0)
+        name = cls.__name__
+        if name in reg:
+            continue
+        config = cls.model_config
+        edge_labels: Dict[str, str] = {}
+        children: Dict[str, str] = {}
+        for field_name, field_info in cls.model_fields.items():
+            extra = getattr(field_info, "json_schema_extra", None)
+            if isinstance(extra, Mapping):
+                label = extra.get("edge_label")
+                if isinstance(label, str):
+                    edge_labels[field_name] = label
+            child = _child_model(field_info.annotation)
+            if child is not None:
+                children[field_name] = child.__name__
+                queue.append(child)
+        reg.add(TemplateSpec(
+            name,
+            is_entity=bool(config.get("is_entity", True)),
+            id_fields=tuple(config.get("graph_id_fields", ()) or ()),
+            edge_labels=edge_labels,
+            children=children,
+        ))
+    return reg
+
+
 def sample_registry() -> TemplateRegistry:
     """The reference test-fixture template family
     (`/root/reference/tests/fixtures/sample_templates/test_template.py`)."""
