@@ -30,19 +30,44 @@ def truncate_string(col: Column, max_length: int,
     ).otherwise(F.concat(F.substring(col, 1, keep), F.lit(suffix)))
 
 
+def _title_case(col: Column) -> Column:
+    """Python ``str.title()`` semantics for ASCII text, JVM-side: uppercase
+    every letter that follows a non-letter (string start counts), lowercase
+    the rest.  ``F.initcap`` is NOT this — it only breaks on whitespace, so
+    ``x2y``.title() == 'X2Y' but initcap gives 'X2y'.  Implemented as a
+    per-character fold (`F.aggregate` over the char array); property keys
+    are short, so the O(len) expression chain is cheap and stays in codegen.
+    """
+    chars = F.split(col, "")
+    folded = F.aggregate(
+        chars,
+        F.struct(
+            F.lit(True).alias("boundary"), F.lit("").alias("acc")
+        ),
+        lambda st, c: F.struct(
+            (~c.rlike("^[A-Za-z]$")).alias("boundary"),
+            F.concat(
+                st["acc"],
+                F.when(st["boundary"], F.upper(c)).otherwise(F.lower(c)),
+            ).alias("acc"),
+        ),
+        lambda st: st["acc"],
+    )
+    return folded
+
+
 def format_property_key(col: Column) -> Column:
     """F6: snake_case / camelCase → Title Case
     (`string_formatter.py:32-47`).
 
     snake_case: split on '_', capitalize each word.  camelCase: space before
-    each capital, then title-case.  The two-branch structure mirrors the
-    reference exactly (note its quirk: the camelCase branch `.title()`
-    lowercases the rest of ALL-CAPS runs — reproduced here).
+    each capital, then ``str.title()`` (which capitalizes after ANY
+    non-letter — digits included — reproduced by :func:`_title_case`; the
+    reference's `.title()` also lowercases the rest of ALL-CAPS runs).
+    ASCII-letter domain (pydantic field names), like the reference's usage.
     """
     snake = F.initcap(F.replace(col, F.lit("_"), F.lit(" ")))
-    camel = F.initcap(
-        F.lower(F.trim(F.regexp_replace(col, "([A-Z])", " $1")))
-    )
+    camel = _title_case(F.trim(F.regexp_replace(col, "([A-Z])", " $1")))
     return F.when(col.contains("_"), snake).otherwise(camel)
 
 
