@@ -1716,6 +1716,96 @@ FROM events GROUP BY user_id ORDER BY user_id
 # registry
 
 
+def q_input_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 input-type detection (reference decision tree, JVM-side
+    `sources.input_types.input_type`): classify deterministic filename /
+    URL / raw-string sources derived from doc_id, with the DoclingDocument
+    JSON content sniff on the .json slice
+    (`/root/reference/docling_graph/core/input/types.py:39-218`)."""
+    from .sources.input_types import input_type
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 10
+    source = (
+        F.when(m == 0, F.concat(F.lit("http://example.com/d"), d))
+        .when(m == 1, F.concat(F.lit("page_"), d, F.lit(".PDF")))
+        .when(m == 2, F.concat(F.lit("img/"), d, F.lit(".png")))
+        .when(m == 3, F.concat(F.lit("scan_"), d, F.lit(".TIFF")))
+        .when(m == 4, F.concat(F.lit("notes-"), d, F.lit(".txt")))
+        .when(m == 5, F.concat(F.lit("readme_"), d, F.lit(".markdown")))
+        .when(m == 6, F.concat(F.lit("doc_"), d, F.lit(".json")))
+        .when(m == 7, F.concat(F.lit("data_"), d, F.lit(".xyz")))
+        .when(m == 8, F.lit("raw text snippet without extension"))
+        .otherwise(F.lit(".hidden"))
+    )
+    j = F.col("doc_id") % 3
+    content = F.when(
+        m == 6,
+        F.when(j == 0, F.lit('{"schema_name": "DoclingDocument"}'))
+        .when(j == 1, F.lit('{"a": 1}'))
+        .otherwise(F.lit("{broken")),
+    ).otherwise(F.lit(""))
+    return (
+        docs.select(input_type(source, content).alias("input_type"))
+        .groupBy("input_type")
+        .agg(F.count("*").alias("n_sources"))
+        .orderBy("input_type")
+    )
+
+
+SQL_INPUT_TYPE_COUNTS = """
+WITH src AS (
+  SELECT doc_id,
+         CASE doc_id % 10
+           WHEN 0 THEN 'http://example.com/d' || doc_id
+           WHEN 1 THEN 'page_' || doc_id || '.PDF'
+           WHEN 2 THEN 'img/' || doc_id || '.png'
+           WHEN 3 THEN 'scan_' || doc_id || '.TIFF'
+           WHEN 4 THEN 'notes-' || doc_id || '.txt'
+           WHEN 5 THEN 'readme_' || doc_id || '.markdown'
+           WHEN 6 THEN 'doc_' || doc_id || '.json'
+           WHEN 7 THEN 'data_' || doc_id || '.xyz'
+           WHEN 8 THEN 'raw text snippet without extension'
+           ELSE '.hidden' END AS source,
+         CASE WHEN doc_id % 10 = 6 THEN
+           CASE doc_id % 3
+             WHEN 0 THEN '{"schema_name": "DoclingDocument"}'
+             WHEN 1 THEN '{"a": 1}'
+             ELSE '{broken' END
+         ELSE '' END AS content
+  FROM documents
+),
+suffixed AS (
+  SELECT source, content,
+         lower(regexp_extract(regexp_extract(source, '([^/]*)$', 1),
+                              '.(\\.[^.]*)$', 1)) AS sfx
+  FROM src
+),
+cls AS (
+  SELECT CASE
+    WHEN source LIKE 'http://%' OR source LIKE 'https://%' THEN 'url'
+    WHEN trim(source) = '' THEN 'text'
+    WHEN sfx = '.pdf' THEN 'pdf'
+    WHEN sfx IN ('.jpg','.jpeg','.png','.gif','.bmp','.tiff','.tif')
+      THEN 'image'
+    WHEN sfx = '.txt' THEN 'text_file'
+    WHEN sfx IN ('.md','.markdown') THEN 'markdown'
+    WHEN sfx = '.json' THEN
+      CASE WHEN json_valid(content) AND trim(content) LIKE '{%'
+                AND (json_extract(content, '$.schema_name') IS NOT NULL
+                     OR json_extract(content, '$.version') IS NOT NULL
+                     OR (json_extract(content, '$.pages') IS NOT NULL
+                         AND json_extract(content, '$.main_text') IS NOT NULL))
+           THEN 'docling_document' ELSE 'text' END
+    ELSE 'text' END AS input_type
+  FROM suffixed
+)
+SELECT input_type, CAST(count(*) AS BIGINT) AS n_sources
+FROM cls GROUP BY input_type ORDER BY input_type
+"""
+
+
 def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                                  Optional[str]]]:
     """name -> (spark function, oracle SQL or None for rows-only checks)."""
@@ -1764,6 +1854,8 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                                 SQL_JSON_RESPONSE_PARSE),
         # multimodal
         "media_type_stats": (q_media_type_stats, SQL_MEDIA_TYPE_STATS),
+        # S1 input-type detection
+        "input_type_counts": (q_input_type_counts, SQL_INPUT_TYPE_COUNTS),
         # dedup suite
         "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH),
         "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
