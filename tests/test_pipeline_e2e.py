@@ -173,8 +173,11 @@ def test_connected_components_chain_and_clique(spark):
          (10, 11), (11, 12), (10, 12)], # triangle: {10,11,12}
         "doc_a long, doc_b long",
     )
-    labels = {r.id: r.component for r in connected_components(pairs).collect()}
-    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+    for thr in (0, 100_000):  # distributed pointer-jumping AND driver union-find
+        labels = {r.id: r.component
+                  for r in connected_components(
+                      pairs, driver_threshold=thr).collect()}
+        assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
 
 
 def test_ivf_recall_vs_brute_force(spark, sf_smoke_dir):
@@ -202,7 +205,32 @@ def test_connected_components_long_path(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
     )
-    labels = connected_components(pairs)
+    labels = connected_components(pairs, driver_threshold=0)
     comps = {r.component for r in labels.collect()}
     assert comps == {0}
     assert labels.count() == 61
+
+
+def test_connected_components_paths_agree(spark):
+    """Scale-adaptive equivalence: the driver union-find shortcut and the
+    distributed pointer-jumping loop produce identical labelings on random
+    graphs (mixed cliques, chains, stars, singleton-pair edges)."""
+    import random
+
+    from docling_graph_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 80
+        edges = set()
+        while len(edges) < 70:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        pairs = spark.createDataFrame(
+            sorted(edges), "doc_a long, doc_b long")
+        fast = {(r.id, r.component) for r in
+                connected_components(pairs).collect()}
+        dist = {(r.id, r.component) for r in
+                connected_components(pairs, driver_threshold=0).collect()}
+        assert fast == dist, f"trial {trial}"
