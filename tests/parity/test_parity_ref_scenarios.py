@@ -302,3 +302,51 @@ def test_registry_derivation_matches_reference_metadata():
     ec = registry_from_pydantic(ECOrganization)
     assert ec.get("ECOrganization").children == {
         "employees": "ECPerson", "addresses": "Address"}  # tags: List[str] skipped
+
+
+# --- standalone cleaner scenario (tests/unit/core/utils/test_graph_cleaner.py:17-71)
+
+def test_dirty_graph_cleaner_scenario():
+    """The reference's canonical dirty graph (semantic duplicate, phantom,
+    duplicate edge, orphan edge) through the REAL GraphCleaner and through
+    our kernel clean_graph on the same raw attrs."""
+    import networkx as nx
+    cleaner_mod = load_ref("core/utils/graph_cleaner.py")
+
+    g = nx.DiGraph()
+    g.add_node("node-1", name="Alice")
+    g.add_node("node-2", name="Acme")
+    g.add_node("node-3", name="Bob")
+    g.add_node("node-4", name="Alice")                  # semantic duplicate
+    g.add_node("phantom-1", id="phantom-1", label="Person")  # phantom
+    g.add_edge("node-1", "node-2", label="WORKS_AT")
+    g.add_edge("node-1", "node-2", label="WORKS_AT")    # duplicate edge
+    g.add_edge("node-4", "node-2", label="WORKS_AT")    # from the duplicate
+    g.add_edge("node-3", "phantom-1", label="KNOWS")    # into the phantom
+    g.add_edge("node-1", "node-99", label="ORPHAN")     # dangling endpoint
+
+    ref = cleaner_mod.GraphCleaner(verbose=False).clean_graph(g)
+    ref_nodes = {n: dict(d) for n, d in ref.nodes(data=True)}
+    ref_edges = {(s, t): d.get("label") for s, t, d in ref.edges(data=True)}
+
+    nodes = [
+        {"id": "node-1", "name": "Alice"},
+        {"id": "node-2", "name": "Acme"},
+        {"id": "node-3", "name": "Bob"},
+        {"id": "node-4", "name": "Alice"},
+        {"id": "phantom-1", "label": "Person"},
+    ]
+    edges = [
+        ("node-1", "node-2", "WORKS_AT"),
+        ("node-1", "node-2", "WORKS_AT"),
+        ("node-4", "node-2", "WORKS_AT"),
+        ("node-3", "phantom-1", "KNOWS"),
+        ("node-1", "node-99", "ORPHAN"),
+    ]
+    our_nodes, our_edges = k_graph.clean_graph(nodes, edges)
+    assert {n["id"] for n in our_nodes} == set(ref_nodes)
+    assert {(s, d): l for s, d, l in our_edges} == ref_edges
+    for n in our_nodes:
+        attrs = {k: v for k, v in n.items() if k != "id"}
+        ref_attrs = {k: v for k, v in ref_nodes[n["id"]].items() if k != "id"}
+        assert attrs == ref_attrs, n["id"]
