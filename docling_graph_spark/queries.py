@@ -1806,6 +1806,151 @@ FROM cls GROUP BY input_type ORDER BY input_type
 """
 
 
+# --------------------------------------------------------------------------
+# corpus-prep suite (operators/textprep.py): PII redaction, line dedup,
+# host blocklist — deterministic structure synthesized from doc_id (the
+# word-salad corpus has no PII/lines/hosts of its own)
+
+def _pii_suffix():
+    # built lazily: Column construction needs an active SparkContext
+    return F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@mail.example.com today")),
+    ).when(
+        F.col("doc_id") % 4 == 1,
+        F.concat(F.lit(" call 555-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                 F.lit(" now")),
+    ).when(
+        F.col("doc_id") % 4 == 2,
+        F.concat(F.lit(" node at 10.0."),
+                 (F.col("doc_id") % 256).cast("string"), F.lit("."),
+                 ((F.col("doc_id") * 7) % 256).cast("string")),
+    ).otherwise(F.lit(""))
+
+_PII_SUFFIX_SQL = """CASE doc_id % 4
+  WHEN 0 THEN ' contact user' || doc_id || '@mail.example.com today'
+  WHEN 1 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' now'
+  WHEN 2 THEN ' node at 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+  ELSE '' END"""
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (corpus-prep): email/phone/IPv4 detection + token
+    redaction totals over the documents corpus, JVM regexp only."""
+    from .operators import textprep
+
+    docs = _read(spark, sf_dir, "documents")
+    content = docs.select(
+        F.concat(F.col("text"), _pii_suffix()).alias("text"))
+    return textprep.pii_redaction_stats(content)
+
+
+SQL_PII_REDACTION = (
+    """
+WITH c AS (SELECT text || @SUFFIX@ AS content FROM documents),
+m AS (
+  SELECT
+    len(regexp_extract_all(content, '@EMAIL@')) AS n_email,
+    len(regexp_extract_all(content, '@PHONE@')) AS n_phone,
+    len(regexp_extract_all(content, '@IP@')) AS n_ip,
+    length(regexp_replace(regexp_replace(regexp_replace(content,
+      '@EMAIL@', '[EMAIL]', 'g'), '@PHONE@', '[PHONE]', 'g'),
+      '@IP@', '[IP]', 'g')) - length(content) AS delta
+  FROM c)
+SELECT CAST(sum(n_email) AS BIGINT) AS n_emails,
+       CAST(sum(n_phone) AS BIGINT) AS n_phones,
+       CAST(sum(n_ip) AS BIGINT) AS n_ips,
+       CAST(sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_pii,
+       CAST(sum(delta) AS BIGINT) AS chars_delta
+FROM m
+"""
+    .replace("@SUFFIX@", _PII_SUFFIX_SQL)
+)
+
+from .operators.textprep import EMAIL_RE, IPV4_RE, PHONE_RE  # noqa: E402
+
+SQL_PII_REDACTION = (
+    SQL_PII_REDACTION
+    .replace("@EMAIL@", EMAIL_RE)
+    .replace("@PHONE@", PHONE_RE)
+    .replace("@IP@", IPV4_RE)
+)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level corpus dedup accounting: explode synthesized
+    per-doc lines (host-skewed footer boilerplate, rotating section lines,
+    a unique line per doc), count duplicates corpus-wide."""
+    from .operators import textprep
+
+    docs = _read(spark, sf_dir, "documents")
+    host = F.when(F.col("doc_id") % 5 < 2, F.col("doc_id") % 7) \
+        .otherwise(7 + F.col("doc_id") % 211)
+    lines = F.array(
+        F.concat(F.lit("footer host"), host.cast("string"),
+                 F.lit(" terms privacy")),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("subscribe to our newsletter")).otherwise(
+            F.concat(F.lit("section "), (F.col("doc_id") % 11).cast("string"))),
+        F.concat(F.lit("unique "), F.col("doc_id").cast("string")),
+    )
+    return textprep.line_dedup_stats(docs, lines)
+
+
+SQL_LINE_DEDUP = f"""
+WITH lines AS (
+  SELECT unnest([
+    'footer host' || CAST({_HOST_ID} AS VARCHAR) || ' terms privacy',
+    CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
+         ELSE 'section ' || (doc_id % 11) END,
+    'unique ' || doc_id]) AS line
+  FROM documents),
+per_line AS (SELECT line, count(*) AS cnt FROM lines GROUP BY line)
+SELECT CAST(sum(cnt) AS BIGINT) AS total_lines,
+       CAST(count(*) AS BIGINT) AS distinct_lines,
+       CAST(sum(cnt - 1) AS BIGINT) AS lines_removed,
+       CAST(max(cnt) AS BIGINT) AS max_line_repeat,
+       CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS boilerplate_lines
+FROM per_line
+"""
+
+_BLOCKED_HOSTS = ["host1.example.com", "host3.example.com",
+                  "host5.example.com", "host42.example.com"]
+
+
+def q_host_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host blocklist filter: broadcast left_anti/left_semi split of the
+    synthesized web corpus against a blocked-host dimension."""
+    from .operators import textprep
+    from .sources.web_pages import synthesize_web_pages
+
+    pages = synthesize_web_pages(spark, sf_dir)
+    return textprep.host_blocklist_split(pages, _BLOCKED_HOSTS)
+
+
+SQL_HOST_BLOCKLIST = f"""
+WITH h AS (
+  SELECT concat('host', CAST({_HOST_ID} AS VARCHAR), '.example.com') AS host
+  FROM documents),
+flagged AS (
+  SELECT host, host IN ({", ".join(repr(h) for h in _BLOCKED_HOSTS)})
+           AS blocked
+  FROM h)
+SELECT CAST(sum(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT) AS kept_docs,
+       CAST(count(DISTINCT CASE WHEN NOT blocked THEN host END) AS BIGINT)
+         AS kept_hosts,
+       CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped_docs,
+       CAST(count(DISTINCT CASE WHEN blocked THEN host END) AS BIGINT)
+         AS dropped_hosts
+FROM flagged
+"""
+
 def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                                  Optional[str]]]:
     """name -> (spark function, oracle SQL or None for rows-only checks)."""
@@ -1856,6 +2001,10 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
         "media_type_stats": (q_media_type_stats, SQL_MEDIA_TYPE_STATS),
         # S1 input-type detection
         "input_type_counts": (q_input_type_counts, SQL_INPUT_TYPE_COUNTS),
+        # corpus prep (textprep.py)
+        "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
+        "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
+        "host_blocklist": (q_host_blocklist, SQL_HOST_BLOCKLIST),
         # dedup suite
         "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH),
         "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),

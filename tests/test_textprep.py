@@ -1,0 +1,62 @@
+"""Corpus-prep operators: PII redaction, line-level dedup accounting,
+host blocklist split (operators/textprep.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docling_graph_spark.operators import textprep
+
+
+def test_redact_pii_tokens(spark):
+    df = spark.createDataFrame(
+        [("mail me at a.b+c@x-corp.io or call 555-0199 from 10.1.2.3",),
+         ("clean text, no pii here",),
+         ("double a@b.io c@d.org",)],
+        ["text"],
+    )
+    out = [r["red"] for r in
+           df.select(textprep.redact_pii(F.col("text")).alias("red"))
+           .collect()]
+    assert out[0] == "mail me at [EMAIL] or call [PHONE] from [IP]"
+    assert out[1] == "clean text, no pii here"
+    assert out[2] == "double [EMAIL] [EMAIL]"
+
+
+def test_pii_redaction_stats(spark):
+    df = spark.createDataFrame(
+        [("a@b.io and 555-1234",), ("10.0.0.1",), ("nothing",)], ["text"])
+    row = textprep.pii_redaction_stats(df).collect()[0]
+    assert (row["n_emails"], row["n_phones"], row["n_ips"]) == (1, 1, 1)
+    assert row["docs_with_pii"] == 2
+    # '[EMAIL]'(7) - 'a@b.io'(6) = +1; '[PHONE]'(7) - '555-1234'(8) = -1;
+    # '[IP]'(4) - '10.0.0.1'(8) = -4
+    assert row["chars_delta"] == (7 - 6) + (7 - 8) + (4 - 8)
+
+
+def test_line_dedup_stats(spark):
+    df = spark.createDataFrame(
+        [(["footer", "a"],), (["footer", "b"],), (["footer", "a"],)],
+        "lines array<string>",
+    )
+    row = textprep.line_dedup_stats(df, F.col("lines")).collect()[0]
+    assert row["total_lines"] == 6
+    assert row["distinct_lines"] == 3   # footer, a, b
+    assert row["lines_removed"] == 3    # 2 extra footers + 1 extra 'a'
+    assert row["max_line_repeat"] == 3
+    assert row["boilerplate_lines"] == 2
+
+
+def test_host_blocklist_split_counts_and_broadcast(spark):
+    pages = spark.createDataFrame(
+        [(f"https://host{i % 3}.example.com/p{i}",) for i in range(30)],
+        ["url"],
+    )
+    res = textprep.host_blocklist_split(pages, ["host1.example.com"])
+    row = res.collect()[0]
+    assert row["kept_docs"] == 20 and row["dropped_docs"] == 10
+    assert row["kept_hosts"] == 2 and row["dropped_hosts"] == 1
+    # the blocklist side must broadcast — no shuffle of the corpus side
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "left_anti" in plan.lower() or "LeftAnti" in plan
