@@ -406,30 +406,71 @@ _FLAT_SCHEMA = T.StructType([
 ])
 
 
+def dedup_nodes_keep_first(nodes: DataFrame,
+                           order_col: str = "__ord") -> DataFrame:
+    """U4 with the reference's first-model-wins registration semantics
+    (`graph_converter.py:206-209` ``visited_ids``: a node id already created
+    by an earlier model is skipped, so the EARLIEST model's properties stick).
+
+    Needed whenever ``graph_id_fields`` identity makes two models with
+    different property subsets produce the same node id (the one-to-one
+    strategy's per-page partial models).  Canonical order = ``order_col``
+    ascending (the reference's page/model ordinal).  Rows with equal
+    (id, order) must be identical — true by construction, since a single
+    model emits each id at most once.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy(F.col(order_col).asc())
+    return (
+        nodes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def graph_from_template_records(
     merged: DataFrame,
     registry,
     root_class: str,
     add_reverse_edges: bool = False,
+    order_col: Optional[str] = None,
 ) -> Tuple[DataFrame, DataFrame]:
-    """Merged template records (url, record_json) -> global (nodes, edges).
+    """Template records (url, record_json) -> global (nodes, edges).
 
     Flattening (the reference's recursive node/edge passes) runs per document
     in an Arrow-batched UDF via the parity-tested kernel; global cleanup is
     then relational (IDs are content hashes, so cross-document duplicates
     collapse exactly like the reference's shared registry would).
+
+    ``order_col=None`` is the many-to-one path: one merged record per url,
+    same-id rows are identical, cleanup = :func:`clean_graph`.
+    ``order_col`` set is the one-to-one path (`strategies/one_to_one.py`:
+    one partial model per page, never merged): the column is the model
+    ordinal, and same-id nodes from different models are resolved
+    first-model-wins via :func:`dedup_nodes_keep_first`, mirroring the
+    reference's shared ``visited_ids`` across sequential conversions.
     """
     from ..kernels.graph_build import clean_graph as kernel_clean
     from ..kernels.graph_build import flatten_models
 
+    schema = _FLAT_SCHEMA
+    if order_col is not None:
+        schema = T.StructType(
+            list(_FLAT_SCHEMA.fields)
+            + [T.StructField("__ord", T.LongType(), True)]
+        )
+
     def flatten_partition(iterator):
         for pdf in iterator:
             rows: List[dict] = []
-            for js in pdf["record_json"]:
+            ords = pdf["__ord"] if order_col is not None else None
+            for i, js in enumerate(pdf["record_json"]):
                 try:
                     record = json.loads(js)
                 except Exception:
                     continue
+                ord_val = int(ords.iloc[i]) if ords is not None else None
                 nodes, edges = flatten_models(
                     [(root_class, record)], registry, add_reverse_edges
                 )
@@ -443,23 +484,34 @@ def graph_from_template_records(
                     rows.append({
                         "row_kind": "node", "id": n["id"], "label": n["label"],
                         "type": n.get("type", "entity"), "src": None,
-                        "dst": None, "properties": props,
+                        "dst": None, "properties": props, "__ord": ord_val,
                     })
                 for s, d, lbl in edges:
                     rows.append({
                         "row_kind": "edge", "id": None, "label": lbl,
                         "type": None, "src": s, "dst": d, "properties": {},
+                        "__ord": ord_val,
                     })
             yield pd.DataFrame(
-                rows, columns=[f.name for f in _FLAT_SCHEMA.fields]
+                rows, columns=[f.name for f in schema.fields]
             )
 
-    flat = merged.select("record_json").mapInPandas(flatten_partition, _FLAT_SCHEMA)
-    nodes = flat.filter(F.col("row_kind") == "node").select(
-        "id", "label", "type", "properties"
-    )
+    cols = (["record_json"] if order_col is None
+            else [F.col(order_col).cast("long").alias("__ord"), "record_json"])
+    flat = merged.select(*cols).mapInPandas(flatten_partition, schema)
+    node_cols = ["id", "label", "type", "properties"]
+    if order_col is not None:
+        node_cols.append("__ord")
+    nodes = flat.filter(F.col("row_kind") == "node").select(*node_cols)
     edges = flat.filter(F.col("row_kind") == "edge").select(
         "src", "dst", "label", "properties"
     )
-    # global cleanup across documents
-    return clean_graph(nodes, edges)
+    if order_col is None:
+        # global cleanup across documents
+        return clean_graph(nodes, edges)
+    # one-to-one: reference cleanup order with first-model-wins node dedup
+    nodes = phantom_filter(nodes)
+    nodes = dedup_nodes_keep_first(nodes, "__ord").drop("__ord")
+    edges = edges.dropDuplicates(["src", "dst", "label"])
+    edges = drop_orphan_edges(nodes, edges, broadcast_ids=True)
+    return nodes, edges

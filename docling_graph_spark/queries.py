@@ -1062,6 +1062,123 @@ SELECT * FROM (
 """
 
 
+def q_template_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-one strategy (`strategies/one_to_one.py:95-141`): one partial
+    model per page, NEVER merged — vs many-to-one's A1 deep merge.  Page 0
+    carries the date, page 1 the vendor/total; both repeat the invoice-number
+    header (the id field), so both models map to the same Invoice node id and
+    the reference's shared ``visited_ids`` keeps the FIRST model's properties
+    (`graph_converter.py:206-209`).  The assembled Invoice node therefore has
+    the date but NOT the total (prop rows assert both), while page 1 still
+    contributes its Vendor node and invoice->vendor edge."""
+    from .kernels.entity_extract import sample_invoice_extractor
+    from .operators import graph as op_graph
+    from .operators.extract import make_template_extractor_udf
+    from .templates import TemplateRegistry, TemplateSpec
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = F.col("doc_id")
+    url = F.concat(F.lit("doc:"), d.cast("string"))
+    inv_header = F.concat(F.lit("Invoice Number: INV-"), d.cast("string"))
+    p0 = docs.select(
+        url.alias("url"), F.lit(0).alias("page_id"),
+        F.concat(
+            inv_header, F.lit("\nDate: 2024-01-"),
+            F.lpad((d % 28 + 1).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    p1 = docs.select(
+        url.alias("url"), F.lit(1).alias("page_id"),
+        F.concat(
+            inv_header, F.lit("\nVendor: Vendor "), (d % 20).cast("string"),
+            F.lit("\nTotal Amount: "), F.col("n_chars").cast("string"),
+            F.lit(".50"),
+        ).alias("text"),
+    )
+    pages = p0.unionByName(p1)
+    udf = make_template_extractor_udf(sample_invoice_extractor)
+    flat = pages.select(
+        "url", "page_id", udf(F.col("text")).alias("record_json")
+    )
+    # reshape the extractor's flat record into the nested template shape
+    # JVM-side (from_json -> struct -> to_json; null subtrees are omitted)
+    rec = F.from_json(
+        "record_json",
+        "invoice_number string, date string, vendor_name string, "
+        "total_amount double, items array<string>",
+    )
+    nested = flat.select(
+        "url",
+        F.col("page_id").alias("model_ord"),
+        F.to_json(F.struct(
+            rec["invoice_number"].alias("invoice_number"),
+            rec["date"].alias("date"),
+            rec["total_amount"].alias("total_amount"),
+            F.when(
+                rec["vendor_name"].isNotNull(),
+                F.struct(rec["vendor_name"].alias("company_name")),
+            ).alias("vendor"),
+        )).alias("record_json"),
+    )
+    reg = (
+        TemplateRegistry()
+        .add(TemplateSpec("Invoice", id_fields=("invoice_number",),
+                          children={"vendor": "Vendor"}))
+        .add(TemplateSpec("Vendor", id_fields=("company_name",)))
+    )
+    nodes, edges = op_graph.graph_from_template_records(
+        nested, reg, "Invoice", order_col="model_ord"
+    )
+    m = flat.agg(F.count("*").alias("n")).select(
+        F.lit("model").alias("element"), F.lit("SampleInvoice").alias("label"),
+        "n",
+    )
+    n = nodes.groupBy("label").agg(F.count("*").alias("n")).select(
+        F.lit("node").alias("element"), "label", "n"
+    )
+    e = edges.groupBy("label").agg(F.count("*").alias("n")).select(
+        F.lit("edge").alias("element"), "label", "n"
+    )
+    p = (
+        nodes.filter(F.col("label") == "Invoice")
+        .agg(
+            F.sum(F.map_contains_key("properties", "date").cast("long"))
+            .alias("with_date"),
+            F.sum(F.map_contains_key("properties", "total_amount")
+                  .cast("long")).alias("with_total"),
+        )
+        .selectExpr(
+            "stack(2, 'invoice_has_date', with_date, "
+            "'invoice_has_total', with_total) AS (label, n)"
+        )
+        .select(F.lit("prop").alias("element"), "label", "n")
+    )
+    return m.unionByName(n).unionByName(e).unionByName(p) \
+        .orderBy("element", "label")
+
+
+SQL_TEMPLATE_ONE_TO_ONE = """
+SELECT * FROM (
+  SELECT 'edge' AS element, 'vendor' AS label,
+         CAST(count(*) AS BIGINT) AS n FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT 'model', 'SampleInvoice', CAST(2 * count(*) AS BIGINT)
+  FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT 'node', 'Invoice', CAST(count(*) AS BIGINT)
+  FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT 'node', 'Vendor', CAST(count(DISTINCT doc_id % 20) AS BIGINT)
+  FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT 'prop', 'invoice_has_date', CAST(count(*) AS BIGINT)
+  FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT 'prop', 'invoice_has_total', CAST(0 AS BIGINT)
+) ORDER BY element, label
+"""
+
+
 def q_json_response_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F10/F11: model-output-shaped responses (fenced / prose-wrapped /
     truncated, derived per doc) through the parse+repair kernel; per-status
@@ -1995,6 +2112,8 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                                    SQL_TEMPLATE_INVOICE_MERGE),
         "template_graph_counts": (q_template_graph_counts,
                                   SQL_TEMPLATE_GRAPH_COUNTS),
+        "template_one_to_one": (q_template_one_to_one,
+                                SQL_TEMPLATE_ONE_TO_ONE),
         "json_response_parse": (q_json_response_parse,
                                 SQL_JSON_RESPONSE_PARSE),
         # multimodal
