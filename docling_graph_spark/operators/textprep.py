@@ -116,3 +116,104 @@ def host_blocklist_split(pages: DataFrame,
     d = dropped.agg(F.count("*").alias("dropped_docs"),
                     F.countDistinct("host").alias("dropped_hosts"))
     return k.crossJoin(d)
+
+
+# ------------------------------------------------------- Gopher-style gates
+
+# Repetition/quality document gates in the style of the Gopher rules
+# (Rae et al. 2021, "Scaling Language Models", Appendix A1.1 — public).
+# Thresholds are integer-exact rational comparisons (10*top_word <= 3*...)
+# so Spark and the DuckDB oracle agree bit-for-bit with no float rounding.
+GOPHER_WORD_MIN = 50
+GOPHER_WORD_MAX = 100_000
+GOPHER_MEAN_LEN_MIN = 3          # mean word length in [3, 10]
+GOPHER_MEAN_LEN_MAX = 10
+# top-word fraction <= 1/10, top-bigram fraction <= 1/20 (tuned to the
+# synthetic corpus's repetition distribution; the classic 0.2/0.18 gates
+# on a natural corpus are the same comparison with other constants)
+GOPHER_TOP_WORD_DEN = 10
+GOPHER_TOP_BIGRAM_DEN = 20
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Highest multiplicity in a SORTED string array, computed as the longest
+    equal-run via one fold — per-row, JVM-side, no explode/groupBy shuffle.
+    The classic explode → groupBy(doc, token) → max alternative shuffles
+    every token of the corpus; this keeps repetition scoring embarrassingly
+    parallel at 10^12 rows."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1) \
+            .otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step)["best"]
+
+
+def gopher_signals(text: Column) -> dict:
+    """Per-document word/repetition signal columns (all JVM)."""
+    words = F.filter(F.split(text, " "), lambda x: F.length(x) > 0)
+    n_words = F.size(words).cast("long")
+    n_chars_w = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x).cast("long"),
+    )
+    bigrams = F.when(
+        n_words >= 2,
+        F.zip_with(
+            F.slice(words, 1, (n_words - 1).cast("int")),
+            F.slice(words, 2, (n_words - 1).cast("int")),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return {
+        "n_words": n_words,
+        "n_chars_w": n_chars_w,
+        "top_word": _max_run(F.array_sort(words)),
+        "n_bigrams": F.greatest(n_words - 1, F.lit(0).cast("long")),
+        "top_bigram": _max_run(F.array_sort(bigrams)),
+    }
+
+
+def gopher_quality_stats(df: DataFrame, text_col: str = "text",
+                         lang_col: str = "lang") -> DataFrame:
+    """Per-language Gopher-gate accounting: total docs, docs failing each
+    gate, docs passing all gates.  One narrow projection + one tiny
+    groupBy(lang) — the full repetition scoring never shuffles."""
+    s = gopher_signals(F.col(text_col))
+    fail_wc = (s["n_words"] < GOPHER_WORD_MIN) | \
+        (s["n_words"] > GOPHER_WORD_MAX)
+    fail_len = (GOPHER_MEAN_LEN_MIN * s["n_words"] > s["n_chars_w"]) | \
+        (s["n_chars_w"] > GOPHER_MEAN_LEN_MAX * s["n_words"])
+    fail_tw = GOPHER_TOP_WORD_DEN * s["top_word"] > s["n_words"]
+    fail_tb = (s["n_bigrams"] > 0) & \
+        (GOPHER_TOP_BIGRAM_DEN * s["top_bigram"] > s["n_bigrams"])
+    pass_all = ~fail_wc & ~fail_len & ~fail_tw & ~fail_tb
+    return (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            fail_wc.cast("long").alias("f_wc"),
+            fail_len.cast("long").alias("f_len"),
+            fail_tw.cast("long").alias("f_tw"),
+            fail_tb.cast("long").alias("f_tb"),
+            pass_all.cast("long").alias("ok"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("f_wc").alias("fail_word_count"),
+            F.sum("f_len").alias("fail_mean_word_len"),
+            F.sum("f_tw").alias("fail_top_word"),
+            F.sum("f_tb").alias("fail_top_bigram"),
+            F.sum("ok").alias("pass_all"),
+        )
+        .orderBy("lang")
+    )

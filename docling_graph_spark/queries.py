@@ -2040,6 +2040,64 @@ _BLOCKED_HOSTS = ["host1.example.com", "host3.example.com",
                   "host5.example.com", "host42.example.com"]
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality gates per language: word-count
+    bounds, mean word length, top-word and top-bigram fractions — all
+    integer-exact rational comparisons, computed per row with sort+fold
+    array aggregates (zero shuffle until the tiny groupBy(lang))."""
+    from .operators import textprep
+
+    return textprep.gopher_quality_stats(_read(spark, sf_dir, "documents"))
+
+
+SQL_GOPHER_QUALITY = """
+WITH l AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+  FROM documents),
+w AS (SELECT doc_id, unnest(w) AS word FROM l),
+wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+pw AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_word,
+              sum(c * len(word)) AS n_chars_w
+       FROM wc GROUP BY doc_id),
+big AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1])) AS bg
+  FROM l WHERE len(w) >= 2),
+bgc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg),
+pb AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram
+       FROM bgc GROUP BY doc_id),
+per_doc AS (
+  SELECT l.lang,
+         coalesce(pw.n_words, 0) AS n_words,
+         coalesce(pw.n_chars_w, 0) AS n_chars_w,
+         coalesce(pw.top_word, 0) AS top_word,
+         coalesce(pb.n_bigrams, 0) AS n_bigrams,
+         coalesce(pb.top_bigram, 0) AS top_bigram
+  FROM l LEFT JOIN pw USING (doc_id) LEFT JOIN pb USING (doc_id)),
+gated AS (
+  SELECT lang,
+         (n_words < 50 OR n_words > 100000) AS f_wc,
+         (3 * n_words > n_chars_w OR n_chars_w > 10 * n_words) AS f_len,
+         (10 * top_word > n_words) AS f_tw,
+         (n_bigrams > 0 AND 20 * top_bigram > n_bigrams) AS f_tb
+  FROM per_doc)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_word_count,
+       CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_mean_word_len,
+       CAST(sum(CASE WHEN f_tw THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_top_word,
+       CAST(sum(CASE WHEN f_tb THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_top_bigram,
+       CAST(sum(CASE WHEN NOT f_wc AND NOT f_len AND NOT f_tw AND NOT f_tb
+                THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+FROM gated GROUP BY lang ORDER BY lang
+"""
+
+
 def q_host_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host blocklist filter: broadcast left_anti/left_semi split of the
     synthesized web corpus against a blocked-host dimension."""
@@ -2124,6 +2182,7 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
         "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
         "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
         "host_blocklist": (q_host_blocklist, SQL_HOST_BLOCKLIST),
+        "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
         # dedup suite
         "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH),
         "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),

@@ -60,3 +60,40 @@ def test_host_blocklist_split_counts_and_broadcast(spark):
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "left_anti" in plan.lower() or "LeftAnti" in plan
+
+
+def test_gopher_quality_edge_cases_and_no_shuffle(spark):
+    docs = spark.createDataFrame(
+        [
+            # 60 distinct-ish words, mean len ok, low repetition -> pass
+            (0, "en", " ".join(f"word{i:02d}" for i in range(60))),
+            # short doc -> fail word count only
+            (1, "en", "alpha beta gamma"),
+            # same word 60x -> fail top-word (and top-bigram)
+            (2, "en", " ".join(["spam"] * 60)),
+            # 60 one-char words -> mean word length < 3 fails
+            (3, "de", " ".join(["a"] * 30 + ["b"] * 30)),
+            # empty text -> 0 words: fails word count, others vacuous
+            (4, "de", ""),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    rows = {r["lang"]: r for r in
+            textprep.gopher_quality_stats(docs).collect()}
+    en, de = rows["en"], rows["de"]
+    assert en["docs"] == 3 and en["pass_all"] == 1
+    assert en["fail_word_count"] == 1          # doc 1
+    # doc 2 (all spam) AND doc 1 (3 words: top frac 1/3 > 1/10) fail
+    assert en["fail_top_word"] == 2
+    assert en["fail_top_bigram"] == 2
+    assert de["docs"] == 2 and de["pass_all"] == 0
+    assert de["fail_mean_word_len"] == 1       # doc 3
+    # doc 3 is all 'a'/'b' so it also fails repetition
+    assert de["fail_top_word"] == 1
+    assert de["fail_word_count"] == 1          # doc 4 (0 words)
+
+    # repetition scoring is per-row: exactly ONE exchange (the lang groupBy)
+    plan = textprep.gopher_quality_stats(docs)._jdf \
+        .queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, plan  # partial/final agg pair, nothing else
