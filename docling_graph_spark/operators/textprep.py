@@ -217,3 +217,70 @@ def gopher_quality_stats(df: DataFrame, text_col: str = "text",
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------------------ URL canonicalization
+
+# tracking parameters dropped during canonicalization (public convention:
+# UTM campaign tags + click ids)
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)(=.*)?$"
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a web URL, all JVM-side:
+
+    * scheme + host lowercased (``parse_url`` components)
+    * default port dropped (``:80`` http / ``:443`` https), others kept
+    * fragment dropped
+    * trailing slashes stripped from the path
+    * tracking params (``utm_*``, ``fbclid``, ``gclid``) removed, the rest
+      sorted bytewise so param order never splits a dedup group
+
+    Crawl dedup by canonical url runs BEFORE content hashing — dropping a
+    row here saves the whole parse at 10^12-row scale.
+
+    Unparseable urls canonicalize to NULL (``try_parse_url``; the throwing
+    ``parse_url`` would abort the whole job on one junk crawl row).
+    """
+    u = F.trim(url)
+    proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    authority = F.try_parse_url(u, F.lit("AUTHORITY"))
+    port = F.regexp_extract(authority, ":([0-9]+)$", 1)
+    default_port = F.coalesce(
+        *[F.when(proto == k, F.lit(v)) for k, v in _DEFAULT_PORTS.items()],
+        F.lit(""),
+    )
+    port_part = F.when(
+        (port == "") | (port == default_port), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_replace(
+        F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit("")), "/+$", ""
+    )
+    params = F.array_sort(F.filter(
+        F.split(F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit("")),
+                "&"),
+        lambda x: (F.length(x) > 0) & ~x.rlike(TRACKING_PARAM_RE),
+    ))
+    query_part = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    # concat is null-strict: any unparseable component nulls the whole url
+    return F.concat(proto, F.lit("://"), host, port_part, path, query_part)
+
+
+def canonical_url_dedup_stats(df: DataFrame,
+                              url_col: str = "url") -> DataFrame:
+    """Crawl-frontier dedup accounting: total urls, distinct canonical
+    forms, rows a canonical-url dedup would drop, and min/max canonical
+    strings as a byte-level spot check."""
+    canon = df.select(canonicalize_url(F.col(url_col)).alias("canonical"))
+    return canon.agg(
+        F.count("*").alias("total_urls"),
+        F.countDistinct("canonical").alias("distinct_canonical"),
+        (F.count("*") - F.countDistinct("canonical")).alias("collapsed"),
+        F.min("canonical").alias("min_canonical"),
+        F.max("canonical").alias("max_canonical"),
+    )

@@ -2040,6 +2040,52 @@ _BLOCKED_HOSTS = ["host1.example.com", "host3.example.com",
                   "host5.example.com", "host42.example.com"]
 
 
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + crawl dedup: each doc yields two dirty
+    variants of the same logical URL (cased host, default :443 port,
+    trailing slash, fragment, utm params, shuffled param order); doc_id%3==0
+    rows get a real extra param on one variant so not everything collapses.
+    The oracle constructs the expected canonical strings in closed form —
+    an independent derivation, byte-compared via min/max."""
+    from .operators import textprep
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    k = (d % 13).cast("string")
+    u1 = F.concat(
+        F.lit("https://Host"), k, F.lit(".Example.com:443/doc/"),
+        d.cast("string"), F.lit("/?utm_source=feed&b=2&a=1#frag"),
+    )
+    u2 = F.concat(
+        F.lit("https://host"), k, F.lit(".example.com/doc/"),
+        d.cast("string"), F.lit("?a=1&b=2"),
+        F.when(d % 3 == 0, F.lit("&page=2")).otherwise(F.lit("")),
+    )
+    urls = docs.select(u1.alias("url")).unionAll(docs.select(u2.alias("url")))
+    return textprep.canonical_url_dedup_stats(urls)
+
+
+SQL_URL_CANONICAL_DEDUP = """
+WITH c AS (
+  SELECT concat('https://host', CAST(doc_id % 13 AS VARCHAR),
+                '.example.com/doc/', CAST(doc_id AS VARCHAR),
+                '?a=1&b=2') AS canon1,
+         concat('https://host', CAST(doc_id % 13 AS VARCHAR),
+                '.example.com/doc/', CAST(doc_id AS VARCHAR), '?a=1&b=2',
+                CASE WHEN doc_id % 3 = 0 THEN '&page=2' ELSE '' END)
+           AS canon2
+  FROM documents),
+u AS (SELECT canon1 AS canonical FROM c
+      UNION ALL SELECT canon2 FROM c)
+SELECT CAST(count(*) AS BIGINT) AS total_urls,
+       CAST(count(DISTINCT canonical) AS BIGINT) AS distinct_canonical,
+       CAST(count(*) - count(DISTINCT canonical) AS BIGINT) AS collapsed,
+       min(canonical) AS min_canonical,
+       max(canonical) AS max_canonical
+FROM u
+"""
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/quality gates per language: word-count
     bounds, mean word length, top-word and top-bigram fractions — all
@@ -2183,6 +2229,8 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
         "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
         "host_blocklist": (q_host_blocklist, SQL_HOST_BLOCKLIST),
         "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
+        "url_canonical_dedup": (q_url_canonical_dedup,
+                                SQL_URL_CANONICAL_DEDUP),
         # dedup suite
         "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH),
         "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),

@@ -97,3 +97,25 @@ def test_gopher_quality_edge_cases_and_no_shuffle(spark):
         .queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange")
     assert n_exchanges <= 2, plan  # partial/final agg pair, nothing else
+
+
+def test_canonicalize_url_components(spark):
+    from pyspark.sql import functions as F
+
+    cases = [
+        # (input, expected canonical)
+        ("https://Host1.Example.com:443/a/b/?utm_source=x&b=2&a=1#f",
+         "https://host1.example.com/a/b?a=1&b=2"),
+        ("http://site.org:80/", "http://site.org"),
+        ("http://site.org:8080/p", "http://site.org:8080/p"),  # kept
+        ("https://x.com/p?fbclid=abc&gclid=1", "https://x.com/p"),
+        ("https://x.com/p?z=1&a=2", "https://x.com/p?a=2&z=1"),
+        ("https://x.com", "https://x.com"),
+        ("ftp://x.com:21/a?b=1#c", "ftp://x.com:21/a?b=1"),  # non-http kept
+        ("not a url", None),          # junk rows null out, never throw
+        ("", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r[0] for r in
+           df.select(textprep.canonicalize_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
