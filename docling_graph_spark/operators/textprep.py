@@ -284,3 +284,44 @@ def canonical_url_dedup_stats(df: DataFrame,
         F.min("canonical").alias("min_canonical"),
         F.max("canonical").alias("max_canonical"),
     )
+
+
+# ------------------------------------------------------------ TF-IDF top-k
+
+TERM_RE = "[a-z]{5,}"     # same token definition as the mention extractor
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    Weighting uses the reciprocal document frequency (score = tf / df)
+    instead of tf·ln(N/df): the ordering stays tf-idf-like (monotone
+    decreasing in df), while every score is one IEEE-754 division of two
+    small integers — bit-identical across engines, so ranks never flip on a
+    transcendental's last ulp.
+
+    Plan shape at scale: one shuffle for tf (groupBy doc,term), one tiny
+    agg for df (term dim << corpus), a term-keyed join back (AQE picks
+    broadcast when df fits), one per-doc window.  Ties break on term
+    bytes ascending.
+    """
+    from pyspark.sql.window import Window
+
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TERM_RE), 0)
+        ).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df_, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df").cast("double")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", F.col("rnk").cast("long").alias("rnk"), "term")
+    )

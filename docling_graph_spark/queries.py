@@ -2040,6 +2040,35 @@ _BLOCKED_HOSTS = ["host1.example.com", "host3.example.com",
                   "host5.example.com", "host42.example.com"]
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf (reciprocal-df
+    weighting: every score is one IEEE double division of two small ints,
+    so Spark and DuckDB rank identically — no transcendental ulp flips).
+    Deterministic tie-break on term bytes."""
+    from .operators import textprep
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return textprep.tfidf_topk(docs, k=3).orderBy("doc_id", "rnk")
+
+
+SQL_TFIDF_TOPK = """
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{5,}')) AS term
+  FROM documents WHERE doc_id < 100),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s AS (SELECT doc_id, term,
+             CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS score
+      FROM tf JOIN dfq USING (term)),
+r AS (SELECT doc_id, term,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rnk
+      FROM s)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rnk AS BIGINT) AS rnk, term
+FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+
 def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + crawl dedup: each doc yields two dirty
     variants of the same logical URL (cased host, default :443 port,
@@ -2231,6 +2260,7 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
         "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
         "url_canonical_dedup": (q_url_canonical_dedup,
                                 SQL_URL_CANONICAL_DEDUP),
+        "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
         # dedup suite
         "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH),
         "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
