@@ -248,20 +248,45 @@ def bench_scaling(sf_dir: str, n_small: int, n_large: int,
       reported — on a shared host the raw number is bounded by whatever the
       hypervisor grants at measurement time.
     """
+    import signal
     import subprocess
 
-    def run_level(cores: int) -> dict:
+    def run_level(cores: int, timeout_s: int = 1500) -> dict:
+        # Watchdog + one retry: Spark local mode can (rarely) deadlock when
+        # several tasks race getOrElseUpdate on the same persisted
+        # Python-UDF-computed blocks — the computing task's Python worker
+        # blocks writing a full socket while the would-be reader task parks
+        # on the block lock (observed via jstack: BlockInfoManager
+        # acquireLock + workers stuck in write()).  The level subprocess is
+        # its own session group so the hung JVM dies with it.
         code = (
             "import sys, json; sys.path.insert(0, {root!r});\n"
             "from bench import _scale_level;\n"
             "print('RESULT ' + json.dumps(_scale_level({sf!r}, {c}, 1, {rep})))"
         ).format(root=os.path.dirname(os.path.abspath(__file__)),
                  sf=sf_dir, c=cores, rep=replicate)
-        proc = subprocess.run([sys.executable, "-c", code],
-                              capture_output=True, text=True, check=True)
-        line = [ln for ln in proc.stdout.splitlines()
-                if ln.startswith("RESULT ")][-1]
-        return json.loads(line[len("RESULT "):])
+        last_err = None
+        for _attempt in range(2):
+            proc = subprocess.Popen(
+                [sys.executable, "-c", code], stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True, start_new_session=True,
+            )
+            try:
+                out, err = proc.communicate(timeout=timeout_s)
+            except subprocess.TimeoutExpired:
+                os.killpg(proc.pid, signal.SIGKILL)
+                proc.wait()
+                last_err = f"level {cores}: hung > {timeout_s}s, retried"
+                print(last_err, file=sys.stderr)
+                continue
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"level {cores} failed rc={proc.returncode}: {err[-2000:]}"
+                )
+            line = [ln for ln in out.splitlines()
+                    if ln.startswith("RESULT ")][-1]
+            return json.loads(line[len("RESULT "):])
+        raise RuntimeError(f"scaling level kept hanging: {last_err}")
 
     # interleave the levels (small, large, small, large, ...) so both sample
     # the same host conditions — on a shared box, running all small-level

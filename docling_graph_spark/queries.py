@@ -2040,6 +2040,74 @@ _BLOCKED_HOSTS = ["host1.example.com", "host3.example.com",
                   "host5.example.com", "host42.example.com"]
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion round-trip through the Spark 4 Python DataSource:
+    the documents table is written as deterministic WARC files (4 crawl
+    files + a warcinfo record each, generated once per corpus under /tmp),
+    read back via ``spark.read.format("warc")`` with one partition per
+    file, and summarized per lang — counts, payload bytes, and distinct
+    md5s byte-compare against the source-of-truth parquet."""
+    import hashlib
+    import os as _os
+
+    from .sources import warc as warc_src
+
+    rows = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text").orderBy("doc_id").collect()
+    )
+    key = hashlib.md5(
+        f"{len(rows)}:{rows[0].text if rows else ''}".encode()
+    ).hexdigest()[:10]
+    out = f"/tmp/dgspark_warc_{key}"
+    done = _os.path.join(out, "_DONE")
+    if not _os.path.exists(done):
+        _os.makedirs(out, exist_ok=True)
+        buckets: Dict[int, list] = {i: [] for i in range(4)}
+        for r in rows:
+            buckets[r.doc_id % 4].append(r)
+        for i, rs in buckets.items():
+            with open(_os.path.join(out, f"part{i}.warc"), "wb") as fh:
+                fh.write(warc_src.warc_record_bytes(
+                    "urn:warcinfo", b"crawler: dgspark",
+                    warc_type="warcinfo",
+                    content_type="application/warc-fields",
+                ))
+                for r in rs:
+                    fh.write(warc_src.warc_record_bytes(
+                        f"https://warc.example.com/{r.lang}/{r.doc_id}",
+                        r.text.encode(),
+                    ))
+        open(done, "w").close()
+    warc_src.register_warc_source(spark)
+    df = spark.read.format("warc").load(out)
+    resp = df.filter(F.col("record_type") == "response")
+    return (
+        resp.select(
+            F.regexp_extract("url", r"example\.com/([a-z]+)/", 1)
+            .alias("lang"),
+            F.length("html").cast("long").alias("n_bytes"),
+            F.md5("html").alias("h"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.countDistinct("h").alias("distinct_payloads"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_WARC_ROUNDTRIP = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_payloads
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by tf-idf (reciprocal-df
     weighting: every score is one IEEE double division of two small ints,
@@ -2261,6 +2329,7 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
         "url_canonical_dedup": (q_url_canonical_dedup,
                                 SQL_URL_CANONICAL_DEDUP),
         "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+        "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
         # dedup suite
         "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH),
         "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),

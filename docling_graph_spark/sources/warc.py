@@ -1,0 +1,234 @@
+"""WARC file source via the Spark 4 Python Data Source API.
+
+Common Crawl ships as WARC (ISO 28500) — the native wire format of the
+north star's "Common-Crawl-style web pages".  The reference has no WARC
+path (its URL handler downloads one live page, `core/input/handlers.py:
+124-304`); at corpus scale ingestion reads archived crawl files instead.
+
+Spark-first shape:
+
+* one :class:`InputPartition` per ``.warc`` file — crawls are published as
+  many ~1 GB files (Common Crawl: ~64k per snapshot), so the file is the
+  natural parallelism unit and a 1000-executor cluster load-balances on
+  files with zero coordination;
+* the reader emits Arrow-friendly plain tuples matching the ``web_pages``
+  schema, so ``spark.read.format("warc").load(dir)`` drops straight into
+  the extraction pipeline;
+* parsing is stdlib-only (the WARC framing is length-prefixed: the
+  ``Content-Length`` header sizes each record, ``\\r\\n\\r\\n`` separates
+  header block from payload) — no external crawl libraries.
+
+The writer half (:func:`write_warc`) exists for tests and for round-trip
+oracles: it produces byte-deterministic files (fixed WARC-Date, sorted
+extra headers), so reading back what was written is closed-form checkable.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+from typing import Iterator, List, Mapping, Optional, Sequence, Tuple
+
+CRLF = b"\r\n"
+
+
+# ----------------------------------------------------------------- parsing
+
+
+def parse_warc_records(
+    data: bytes,
+) -> Iterator[Tuple[dict, bytes]]:
+    """Yield (headers, payload) per WARC record in one file's bytes.
+
+    Framing per ISO 28500: a ``WARC/x.y`` version line, header lines until
+    an empty line, exactly ``Content-Length`` payload bytes, then two CRLFs
+    before the next record.  Malformed trailing garbage ends the scan
+    instead of raising — a truncated crawl file yields its complete prefix.
+    """
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record blank lines
+        while data.startswith(CRLF, pos):
+            pos += 2
+        if pos >= n:
+            return
+        header_end = data.find(CRLF + CRLF, pos)
+        if header_end < 0:
+            return
+        header_block = data[pos:header_end].decode("utf-8", "replace")
+        lines = header_block.split("\r\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            return
+        headers: dict = {"__version__": lines[0]}
+        for line in lines[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        payload_start = header_end + 4
+        payload_end = payload_start + length
+        if payload_end > n:
+            return
+        yield headers, data[payload_start:payload_end]
+        pos = payload_end
+
+
+def split_http_response(payload: bytes) -> Tuple[dict, bytes]:
+    """Split a ``WARC-Type: response`` payload into (http headers, body)."""
+    sep = payload.find(CRLF + CRLF)
+    if sep < 0 or not payload.startswith(b"HTTP/"):
+        return {}, payload
+    headers: dict = {}
+    head = payload[:sep].decode("utf-8", "replace")
+    for line in head.split("\r\n")[1:]:
+        if ":" in line:
+            k, v = line.split(":", 1)
+            headers[k.strip().lower()] = v.strip()
+    return headers, payload[sep + 4:]
+
+
+# ----------------------------------------------------------------- writing
+
+
+def warc_record_bytes(
+    url: str,
+    body: bytes,
+    warc_type: str = "response",
+    content_type: str = "text/html",
+    warc_date: str = "2024-01-01T00:00:00Z",
+    extra_headers: Optional[Mapping[str, str]] = None,
+) -> bytes:
+    """One byte-deterministic WARC record (HTTP response framing for
+    ``response`` records, raw payload otherwise)."""
+    if warc_type == "response":
+        http_head = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: {content_type}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        payload = http_head + body
+        payload_ct = "application/http; msgtype=response"
+    else:
+        payload = body
+        payload_ct = content_type
+    head_lines = [
+        "WARC/1.0",
+        f"WARC-Type: {warc_type}",
+        f"WARC-Target-URI: {url}",
+        f"WARC-Date: {warc_date}",
+        f"Content-Type: {payload_ct}",
+        f"Content-Length: {len(payload)}",
+    ]
+    for k in sorted(extra_headers or {}):
+        head_lines.append(f"{k}: {extra_headers[k]}")
+    return ("\r\n".join(head_lines) + "\r\n\r\n").encode() + payload + CRLF + CRLF
+
+
+def write_warc(path: str, records: Sequence[Tuple[str, bytes]],
+               **kwargs) -> None:
+    """Write (url, body) pairs as one WARC file."""
+    with open(path, "wb") as f:
+        for url, body in records:
+            f.write(warc_record_bytes(url, body, **kwargs))
+
+
+# ------------------------------------------------------- Spark data source
+
+# columns emitted by the reader (web_pages-compatible prefix)
+WARC_SCHEMA_DDL = (
+    "url string, warc_ts timestamp, record_type string, "
+    "content_type string, html binary"
+)
+
+
+def _list_warc_files(path: str) -> List[str]:
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith((".warc", ".warc.gz"))
+    )
+
+
+def _read_warc_file(path: str) -> Iterator[Tuple]:
+    if path.endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rb") as f:
+            data = f.read()
+    else:
+        with open(path, "rb") as f:
+            data = f.read()
+    for headers, payload in parse_warc_records(data):
+        rtype = headers.get("warc-type", "")
+        url = headers.get("warc-target-uri")
+        ts_raw = headers.get("warc-date", "")
+        try:
+            ts = datetime.strptime(ts_raw, "%Y-%m-%dT%H:%M:%SZ").replace(
+                tzinfo=timezone.utc
+            )
+        except ValueError:
+            ts = None
+        if rtype == "response":
+            http_headers, body = split_http_response(payload)
+            ctype = http_headers.get(
+                "content-type", headers.get("content-type", "")
+            )
+        else:
+            body = payload
+            ctype = headers.get("content-type", "")
+        yield (url, ts, rtype, ctype, body)
+
+
+def register_warc_source(spark) -> None:
+    """Register the ``warc`` format on a session (idempotent).
+
+    The DataSource subclass is defined inside so importing this module never
+    requires the pyspark datasource API (kept optional for older runtimes).
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _WarcFilePartition(InputPartition):
+        def __init__(self, path: str) -> None:
+            self.path = path
+
+    class _WarcReader(DataSourceReader):
+        def __init__(self, options) -> None:
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("warc source requires a path")
+
+        def partitions(self) -> Sequence[InputPartition]:
+            # one partition per crawl file: the Common-Crawl parallelism
+            # unit; an empty dir yields zero partitions, not an error
+            return [_WarcFilePartition(p)
+                    for p in _list_warc_files(self.path)]
+
+        def read(self, partition) -> Iterator[Tuple]:
+            return _read_warc_file(partition.path)
+
+    class WarcDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "warc"
+
+        def schema(self) -> str:
+            return WARC_SCHEMA_DDL
+
+        def reader(self, schema) -> DataSourceReader:
+            return _WarcReader(self.options)
+
+    # re-registering on a session that already has the format is a no-op
+    try:
+        spark.dataSource.register(WarcDataSource)
+    except Exception as exc:  # pragma: no cover - runtime-version specific
+        if "warc" not in str(exc).lower():
+            raise

@@ -1,0 +1,115 @@
+"""WARC source: pure parser round-trips + the Spark 4 Python DataSource."""
+
+from __future__ import annotations
+
+import os
+
+from docling_graph_spark.sources import warc
+
+
+def _records(n=5):
+    return [
+        (f"https://h{i}.example.com/p{i}", f"body {i} é".encode())
+        for i in range(n)
+    ]
+
+
+def test_parser_roundtrip_bytes():
+    blob = b"".join(warc.warc_record_bytes(u, b) for u, b in _records())
+    parsed = list(warc.parse_warc_records(blob))
+    assert len(parsed) == 5
+    for (url, body), (headers, payload) in zip(_records(), parsed):
+        assert headers["warc-target-uri"] == url
+        assert headers["warc-type"] == "response"
+        http, got_body = warc.split_http_response(payload)
+        assert got_body == body                  # byte-identical
+        assert http["content-type"] == "text/html"
+
+
+def test_parser_tolerates_truncation_and_garbage():
+    blob = b"".join(warc.warc_record_bytes(u, b) for u, b in _records(3))
+    # truncated mid-payload: complete prefix only
+    assert len(list(warc.parse_warc_records(blob[: len(blob) - 10]))) == 2
+    # trailing garbage after valid records: stops cleanly
+    assert len(list(warc.parse_warc_records(blob + b"garbage"))) == 3
+    assert list(warc.parse_warc_records(b"")) == []
+    assert list(warc.parse_warc_records(b"HTTP/1.1 200 OK\r\n\r\n")) == []
+
+
+def test_non_response_record_passthrough():
+    rec = warc.warc_record_bytes(
+        "urn:warcinfo", b"software: test", warc_type="warcinfo",
+        content_type="application/warc-fields",
+    )
+    [(headers, payload)] = list(warc.parse_warc_records(rec))
+    assert headers["warc-type"] == "warcinfo"
+    assert payload == b"software: test"
+
+
+def test_spark_datasource_reads_files_as_partitions(spark, tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    # 3 files, one warcinfo + responses each
+    for f in range(3):
+        recs = [(f"https://host{f}.example.com/{i}",
+                 f"text {f}-{i}".encode()) for i in range(4)]
+        path = str(d / f"part{f}.warc")
+        with open(path, "wb") as fh:
+            fh.write(warc.warc_record_bytes(
+                "urn:info", b"x: y", warc_type="warcinfo",
+                content_type="application/warc-fields"))
+            for u, b in recs:
+                fh.write(warc.warc_record_bytes(u, b))
+
+    warc.register_warc_source(spark)
+    df = spark.read.format("warc").load(str(d))
+    assert df.columns == ["url", "warc_ts", "record_type",
+                          "content_type", "html"]
+    rows = df.collect()
+    assert len(rows) == 15
+    resp = [r for r in rows if r.record_type == "response"]
+    assert len(resp) == 12
+    assert all(r.warc_ts is not None for r in resp)
+    bodies = {r.html.decode() for r in resp}
+    assert "text 2-3" in bodies and len(bodies) == 12
+    # parallelism unit = file
+    assert df.rdd.getNumPartitions() == 3
+
+
+# ------------------------------------------------------------ fuzz (no JVM)
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    _bodies = st.lists(st.binary(min_size=0, max_size=200),
+                       min_size=0, max_size=8)
+
+    @given(_bodies)
+    @settings(max_examples=150, deadline=None)
+    def test_fuzz_roundtrip_any_bodies(bodies):
+        recs = [(f"https://h.example.com/{i}", b)
+                for i, b in enumerate(bodies)]
+        blob = b"".join(warc.warc_record_bytes(u, b) for u, b in recs)
+        parsed = list(warc.parse_warc_records(blob))
+        assert len(parsed) == len(recs)
+        for (u, b), (h, payload) in zip(recs, parsed):
+            assert h["warc-target-uri"] == u
+            assert warc.split_http_response(payload)[1] == b
+
+    @given(_bodies, st.integers(min_value=0, max_value=10_000))
+    @settings(max_examples=150, deadline=None)
+    def test_fuzz_truncation_never_raises(bodies, cut):
+        recs = [(f"https://h.example.com/{i}", b)
+                for i, b in enumerate(bodies)]
+        blob = b"".join(warc.warc_record_bytes(u, b) for u, b in recs)
+        parsed = list(warc.parse_warc_records(blob[:cut]))
+        # a truncated file yields a (possibly empty) prefix, in order
+        assert len(parsed) <= len(recs)
+        for (u, _b), (h, _p) in zip(recs, parsed):
+            assert h["warc-target-uri"] == u
