@@ -429,12 +429,37 @@ def dedup_nodes_keep_first(nodes: DataFrame,
     )
 
 
+def _flat_rows(nodes, edges, extra: Optional[dict] = None) -> List[dict]:
+    """Kernel (nodes, edges) output -> flat row dicts (shared by both
+    template-record paths)."""
+    rows: List[dict] = []
+    for n in nodes:
+        props = {
+            k: (v if isinstance(v, str) else json.dumps(v, default=str))
+            for k, v in n.items()
+            if k not in ("id", "label", "type") and v is not None
+        }
+        rows.append({
+            "row_kind": "node", "id": n["id"], "label": n["label"],
+            "type": n.get("type", "entity"), "src": None,
+            "dst": None, "properties": props, **(extra or {}),
+        })
+    for s, d, lbl in edges:
+        rows.append({
+            "row_kind": "edge", "id": None, "label": lbl,
+            "type": None, "src": s, "dst": d, "properties": {},
+            **(extra or {}),
+        })
+    return rows
+
+
 def graph_from_template_records(
     merged: DataFrame,
     registry,
     root_class: str,
     add_reverse_edges: bool = False,
     order_col: Optional[str] = None,
+    group_col: str = "url",
 ) -> Tuple[DataFrame, DataFrame]:
     """Template records (url, record_json) -> global (nodes, edges).
 
@@ -444,74 +469,95 @@ def graph_from_template_records(
     collapse exactly like the reference's shared registry would).
 
     ``order_col=None`` is the many-to-one path: one merged record per url,
-    same-id rows are identical, cleanup = :func:`clean_graph`.
+    same-id rows are identical, flattening is a stateless mapInPandas and
+    cleanup = :func:`clean_graph`.
+
     ``order_col`` set is the one-to-one path (`strategies/one_to_one.py`:
-    one partial model per page, never merged): the column is the model
-    ordinal, and same-id nodes from different models are resolved
-    first-model-wins via :func:`dedup_nodes_keep_first`, mirroring the
-    reference's shared ``visited_ids`` across sequential conversions.
+    one partial model per page, never merged).  The reference converts a
+    document's model list sequentially with a SHARED ``visited_ids``, and
+    its visited check runs BEFORE recursion (`graph_converter.py:206-209`)
+    — so a duplicate root prunes its whole subtree: later models with the
+    same root id contribute nothing, not even new children (their dangling
+    edges die in the orphan pass).  To reproduce that exactly, each
+    document's records are flattened in ONE kernel call (ordered by
+    ``order_col``, shared visited set) via groupBy(``group_col``)
+    .applyInPandas; across documents, same-id nodes are resolved
+    deterministically first-group-wins (:func:`dedup_nodes_keep_first` on
+    ``group_col``) — the cross-document extension the single-document
+    reference never faces.
     """
     from ..kernels.graph_build import clean_graph as kernel_clean
     from ..kernels.graph_build import flatten_models
 
-    schema = _FLAT_SCHEMA
-    if order_col is not None:
-        schema = T.StructType(
-            list(_FLAT_SCHEMA.fields)
-            + [T.StructField("__ord", T.LongType(), True)]
+    if order_col is None:
+
+        def flatten_partition(iterator):
+            for pdf in iterator:
+                rows: List[dict] = []
+                for js in pdf["record_json"]:
+                    try:
+                        record = json.loads(js)
+                    except Exception:
+                        continue
+                    nodes, edges = flatten_models(
+                        [(root_class, record)], registry, add_reverse_edges
+                    )
+                    nodes, edges = kernel_clean(nodes, edges)
+                    rows.extend(_flat_rows(nodes, edges))
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in _FLAT_SCHEMA.fields]
+                )
+
+        flat = merged.select("record_json").mapInPandas(
+            flatten_partition, _FLAT_SCHEMA
+        )
+        nodes = flat.filter(F.col("row_kind") == "node").select(
+            "id", "label", "type", "properties"
+        )
+        edges = flat.filter(F.col("row_kind") == "edge").select(
+            "src", "dst", "label", "properties"
+        )
+        # global cleanup across documents
+        return clean_graph(nodes, edges)
+
+    # ---- one-to-one path: per-document sequential conversion -------------
+    schema = T.StructType(
+        list(_FLAT_SCHEMA.fields)
+        + [T.StructField("__grp", T.StringType(), True)]
+    )
+
+    def flatten_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__ord")
+        records = []
+        for js in pdf["record_json"]:
+            try:
+                records.append((root_class, json.loads(js)))
+            except Exception:
+                continue
+        nodes, edges = flatten_models(records, registry, add_reverse_edges)
+        nodes, edges = kernel_clean(nodes, edges)
+        grp = str(pdf["__grp"].iloc[0])
+        return pd.DataFrame(
+            _flat_rows(nodes, edges, {"__grp": grp}),
+            columns=[f.name for f in schema.fields],
         )
 
-    def flatten_partition(iterator):
-        for pdf in iterator:
-            rows: List[dict] = []
-            ords = pdf["__ord"] if order_col is not None else None
-            for i, js in enumerate(pdf["record_json"]):
-                try:
-                    record = json.loads(js)
-                except Exception:
-                    continue
-                ord_val = int(ords.iloc[i]) if ords is not None else None
-                nodes, edges = flatten_models(
-                    [(root_class, record)], registry, add_reverse_edges
-                )
-                nodes, edges = kernel_clean(nodes, edges)
-                for n in nodes:
-                    props = {
-                        k: (v if isinstance(v, str) else json.dumps(v, default=str))
-                        for k, v in n.items()
-                        if k not in ("id", "label", "type") and v is not None
-                    }
-                    rows.append({
-                        "row_kind": "node", "id": n["id"], "label": n["label"],
-                        "type": n.get("type", "entity"), "src": None,
-                        "dst": None, "properties": props, "__ord": ord_val,
-                    })
-                for s, d, lbl in edges:
-                    rows.append({
-                        "row_kind": "edge", "id": None, "label": lbl,
-                        "type": None, "src": s, "dst": d, "properties": {},
-                        "__ord": ord_val,
-                    })
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in schema.fields]
-            )
-
-    cols = (["record_json"] if order_col is None
-            else [F.col(order_col).cast("long").alias("__ord"), "record_json"])
-    flat = merged.select(*cols).mapInPandas(flatten_partition, schema)
-    node_cols = ["id", "label", "type", "properties"]
-    if order_col is not None:
-        node_cols.append("__ord")
-    nodes = flat.filter(F.col("row_kind") == "node").select(*node_cols)
+    flat = (
+        merged.select(
+            F.col(group_col).cast("string").alias("__grp"),
+            F.col(order_col).cast("long").alias("__ord"),
+            "record_json",
+        )
+        .groupBy("__grp")
+        .applyInPandas(flatten_group, schema)
+    )
+    nodes = flat.filter(F.col("row_kind") == "node").select(
+        "id", "label", "type", "properties", "__grp"
+    )
     edges = flat.filter(F.col("row_kind") == "edge").select(
         "src", "dst", "label", "properties"
     )
-    if order_col is None:
-        # global cleanup across documents
-        return clean_graph(nodes, edges)
-    # one-to-one: reference cleanup order with first-model-wins node dedup
-    nodes = phantom_filter(nodes)
-    nodes = dedup_nodes_keep_first(nodes, "__ord").drop("__ord")
+    nodes = dedup_nodes_keep_first(nodes, "__grp").drop("__grp")
     edges = edges.dropDuplicates(["src", "dst", "label"])
     edges = drop_orphan_edges(nodes, edges, broadcast_ids=True)
     return nodes, edges

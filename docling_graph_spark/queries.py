@@ -1064,13 +1064,21 @@ SELECT * FROM (
 
 def q_template_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-to-one strategy (`strategies/one_to_one.py:95-141`): one partial
-    model per page, NEVER merged — vs many-to-one's A1 deep merge.  Page 0
-    carries the date, page 1 the vendor/total; both repeat the invoice-number
-    header (the id field), so both models map to the same Invoice node id and
-    the reference's shared ``visited_ids`` keeps the FIRST model's properties
-    (`graph_converter.py:206-209`).  The assembled Invoice node therefore has
-    the date but NOT the total (prop rows assert both), while page 1 still
-    contributes its Vendor node and invoice->vendor edge."""
+    model per page, NEVER merged — vs many-to-one's A1 deep merge.  Three
+    pages per doc replay every reference `visited_ids` behavior
+    (parity-proven in tests/parity/test_parity_ref_scenarios.py):
+
+    * page 0: INV-d with date → root created, first model's props stick;
+    * page 1: INV-d again with vendor+total → root visited, the whole
+      subtree is PRUNED (`graph_converter.py:206-209` checks visited before
+      recursing): no total on the node, no Vendor created here — but the
+      edges pass has no visited check, so its INV→Vendor edge survives
+      because page 2 creates the endpoint;
+    * page 2: CN-d (credit note, new root) with the same vendor → Vendor
+      node + CN→Vendor edge land.
+
+    Expected: 400 Invoice nodes (INV with date only, CN), 20 Vendors, 400
+    vendor edges, zero invoices with a total."""
     from .kernels.entity_extract import sample_invoice_extractor
     from .operators import graph as op_graph
     from .operators.extract import make_template_extractor_udf
@@ -1080,6 +1088,7 @@ def q_template_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("doc_id")
     url = F.concat(F.lit("doc:"), d.cast("string"))
     inv_header = F.concat(F.lit("Invoice Number: INV-"), d.cast("string"))
+    vendor_line = F.concat(F.lit("\nVendor: Vendor "), (d % 20).cast("string"))
     p0 = docs.select(
         url.alias("url"), F.lit(0).alias("page_id"),
         F.concat(
@@ -1090,12 +1099,18 @@ def q_template_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 = docs.select(
         url.alias("url"), F.lit(1).alias("page_id"),
         F.concat(
-            inv_header, F.lit("\nVendor: Vendor "), (d % 20).cast("string"),
+            inv_header, vendor_line,
             F.lit("\nTotal Amount: "), F.col("n_chars").cast("string"),
             F.lit(".50"),
         ).alias("text"),
     )
-    pages = p0.unionByName(p1)
+    p2 = docs.select(
+        url.alias("url"), F.lit(2).alias("page_id"),
+        F.concat(
+            F.lit("Invoice Number: CN-"), d.cast("string"), vendor_line,
+        ).alias("text"),
+    )
+    pages = p0.unionByName(p1).unionByName(p2)
     udf = make_template_extractor_udf(sample_invoice_extractor)
     flat = pages.select(
         "url", "page_id", udf(F.col("text")).alias("record_json")
@@ -1160,21 +1175,22 @@ def q_template_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEMPLATE_ONE_TO_ONE = """
 SELECT * FROM (
   SELECT 'edge' AS element, 'vendor' AS label,
-         CAST(count(*) AS BIGINT) AS n FROM documents WHERE doc_id < 200
+         CAST(2 * count(*) AS BIGINT) AS n
+  FROM documents WHERE doc_id < 200              -- INV->V + CN->V per doc
   UNION ALL
-  SELECT 'model', 'SampleInvoice', CAST(2 * count(*) AS BIGINT)
+  SELECT 'model', 'SampleInvoice', CAST(3 * count(*) AS BIGINT)
   FROM documents WHERE doc_id < 200
   UNION ALL
-  SELECT 'node', 'Invoice', CAST(count(*) AS BIGINT)
-  FROM documents WHERE doc_id < 200
+  SELECT 'node', 'Invoice', CAST(2 * count(*) AS BIGINT)
+  FROM documents WHERE doc_id < 200              -- INV + CN per doc
   UNION ALL
   SELECT 'node', 'Vendor', CAST(count(DISTINCT doc_id % 20) AS BIGINT)
   FROM documents WHERE doc_id < 200
   UNION ALL
   SELECT 'prop', 'invoice_has_date', CAST(count(*) AS BIGINT)
-  FROM documents WHERE doc_id < 200
+  FROM documents WHERE doc_id < 200              -- page-0 INV models only
   UNION ALL
-  SELECT 'prop', 'invoice_has_total', CAST(0 AS BIGINT)
+  SELECT 'prop', 'invoice_has_total', CAST(0 AS BIGINT)  -- page 1 pruned
 ) ORDER BY element, label
 """
 

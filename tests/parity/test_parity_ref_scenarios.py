@@ -350,3 +350,66 @@ def test_dirty_graph_cleaner_scenario():
         attrs = {k: v for k, v in n.items() if k != "id"}
         ref_attrs = {k: v for k, v in ref_nodes[n["id"]].items() if k != "id"}
         assert attrs == ref_attrs, n["id"]
+
+
+# --- one-to-one strategy: shared visited_ids across sequential models --------
+# (`strategies/one_to_one.py:95-141` returns one partial model per page;
+# `graph_converter.py:206-209` checks visited BEFORE recursing, so a
+# duplicate root prunes its WHOLE subtree: later models with the same root
+# id contribute nothing — their new children are never created and their
+# dangling edges die in the orphan pass.  The Spark one-to-one path
+# reproduces this by flattening each document's records in one kernel call
+# with a shared visited set.)
+
+class PartialTag(BaseModel):
+    model_config = ConfigDict(graph_id_fields=["name"])
+    name: str = Field(...)
+
+
+class PartialDoc(BaseModel):
+    model_config = ConfigDict(graph_id_fields=["ref"])
+    ref: str = Field(...)
+    date: Optional[str] = Field(None)
+    total: Optional[float] = Field(None)
+    tag: Optional[PartialTag] = Field(
+        None, json_schema_extra={"edge_label": "TAGGED"}
+    )
+
+
+M_DATE = PartialDoc(ref="DOC-9", date="2024-01-15")
+M_TOTAL = PartialDoc(ref="DOC-9", total=42.5,
+                     tag=PartialTag(name="archived"))
+M_CREDIT = PartialDoc(ref="CN-9", tag=PartialTag(name="archived"))
+
+
+@pytest.mark.parametrize("order", ["date_first", "total_first"])
+def test_one_to_one_first_model_wins_and_prunes_subtree(order):
+    models = ([M_DATE, M_TOTAL] if order == "date_first"
+              else [M_TOTAL, M_DATE])
+    ref_nodes, ref_edges = assert_graph_parity(models)
+
+    doc = next(a for a in ref_nodes.values() if a["label"] == "PartialDoc")
+    if order == "date_first":
+        # duplicate-root subtree pruned: the SECOND model's brand-new child
+        # entity is never created and its dangling edge dies in the orphan
+        # pass — first model's property subset sticks
+        assert len(ref_nodes) == 1 and ref_edges == {}
+        assert doc.get("date") == "2024-01-15" and doc.get("total") is None
+    else:
+        # tag-carrying model first: child + edge land, date model pruned
+        assert len(ref_nodes) == 2
+        assert list(ref_edges.values()) == ["TAGGED"]
+        assert doc.get("total") == 42.5 and doc.get("date") is None
+
+
+def test_one_to_one_new_root_still_contributes_children():
+    # page 3 has a DIFFERENT root (credit note): its child entity lands.
+    # Notably the PRUNED page-2 model's edge survives too — the reference's
+    # edges pass has no visited check, so a dangling edge lives whenever its
+    # endpoint gets created via any other model before the orphan pass.
+    ref_nodes, ref_edges = assert_graph_parity([M_DATE, M_TOTAL, M_CREDIT])
+    labels = sorted(n["label"] for n in ref_nodes.values())
+    assert labels == ["PartialDoc", "PartialDoc", "PartialTag"]
+    assert sorted(ref_edges.values()) == ["TAGGED", "TAGGED"]
+    srcs = {ref_nodes[s].get("ref") for (s, _t) in ref_edges}
+    assert srcs == {"DOC-9", "CN-9"}
