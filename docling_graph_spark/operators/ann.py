@@ -28,6 +28,13 @@ def dot(a: Column, b: Column) -> Column:
 
     Left-to-right fold matches the SQL oracle's summation order exactly,
     keeping tie-free rank comparisons engine-stable.
+
+    Measured trade-off: unrolling the fold into a flat 64-term arithmetic
+    chain (to escape the higher-order functions' CodegenFallback) made the
+    end-to-end queries 2-4x SLOWER — the giant expression tree quadruples
+    analysis/codegen time while the fold's evaluation is nowhere near the
+    bottleneck at these candidate-set sizes (LSH/IVF pruning keeps the
+    pair relation small by design).  The fold stays.
     """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),

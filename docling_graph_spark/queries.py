@@ -432,13 +432,18 @@ def q_node_dedup_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.create_map(F.lit("k"), F.lit("v")).alias("properties"),
         )
     )
-    n_nodes_before = nodes.count()
     keep, redirected = op_graph.dedup_nodes_by_content(nodes, edges)
+    # the redirect chain feeds two counts (raw + distinct) — persist so the
+    # edge join runs once; the four counts then collapse into ONE action via
+    # crossJoin of single-row aggregates (4 separate .count() jobs measured
+    # ~4x the latency: each re-ran the hash+canon shuffle from scratch)
+    redirected = redirected.persist()
     distinct = op_graph.dedup_edges(redirected)
-    return spark.createDataFrame(
-        [(n_nodes_before, keep.count(), redirected.count(), distinct.count())],
-        "n_nodes_before long, n_nodes_after long, n_edges_after long, "
-        "n_edges_distinct long",
+    return (
+        nodes.agg(F.count("*").alias("n_nodes_before"))
+        .crossJoin(keep.agg(F.count("*").alias("n_nodes_after")))
+        .crossJoin(redirected.agg(F.count("*").alias("n_edges_after")))
+        .crossJoin(distinct.agg(F.count("*").alias("n_edges_distinct")))
     )
 
 
