@@ -85,6 +85,24 @@ def fake_features(payload: bytes, dim: int = 8) -> List[float]:
     ]
 
 
+def fake_resize(payload: bytes, width: int = 16, height: int = 16) -> bytes:
+    """Deterministic stand-in for image resize/thumbnailing: evenly-spaced
+    byte sampling of the payload down to a ``width*height`` byte grid.
+
+    A production build replaces this with a real decoder+resampler (PIL
+    et al.) behind the identical signature; the Spark plumbing observes
+    only what this stub already provides — a binary output column with
+    declared target dimensions, batch-shaped through the same
+    ``mapInPandas`` pass as decode/feature extraction."""
+    if not payload:
+        return b""
+    n = width * height
+    if len(payload) <= n:
+        return bytes(payload)
+    step = len(payload) / n
+    return bytes(payload[int(i * step)] for i in range(n))
+
+
 def fake_frame_sample(payload: bytes, n_frames: int = 4,
                       dim: int = 8) -> List[List[float]]:
     """Deterministic stand-in for video frame sampling: n_frames feature

@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..kernels.media_stub import fake_features, sniff_media_type
+from ..kernels.media_stub import (
+    fake_features,
+    fake_frame_sample,
+    fake_resize,
+    sniff_media_type,
+)
 
 FEATURE_DIM = 8
 
@@ -69,6 +74,61 @@ def media_features(web_pages: DataFrame,
 
     pruned = web_pages.select("url", "html")
     return pruned.mapInPandas(process, schema=MEDIA_FEATURES)
+
+
+MEDIA_TRANSFORMED = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("media_type", T.StringType(), False),
+    T.StructField("thumb", T.BinaryType(), True),
+    T.StructField("thumb_w", T.IntegerType(), False),
+    T.StructField("thumb_h", T.IntegerType(), False),
+    T.StructField("n_frames", T.IntegerType(), False),
+    T.StructField(
+        "frame_features", T.ArrayType(T.ArrayType(T.FloatType())), True
+    ),
+])
+
+
+def media_transform(web_pages: DataFrame, width: int = 16, height: int = 16,
+                    n_frames: int = 4, dim: int = FEATURE_DIM) -> DataFrame:
+    """Resize + frame-sample plumbing in one Arrow pass: per payload, a
+    resized thumbnail payload (stubbed byte-grid resample, declared target
+    dims) and ``n_frames`` per-frame feature vectors for video-shaped
+    payloads.  Same mapInPandas shape as `media_features`: decoder state
+    initializes once per partition, only (url, html) cross the Arrow
+    boundary, output schema is flat and typed (binary thumb + nested
+    float arrays) — the layout a downstream training-data writer stores
+    directly as Iceberg columns."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "url": pdf["url"],
+                "media_type": [None] * n,
+                "thumb": [None] * n,
+                "thumb_w": [width] * n,
+                "thumb_h": [height] * n,
+                "n_frames": [0] * n,
+                "frame_features": [None] * n,
+            }
+            for i, payload in enumerate(pdf["html"]):
+                b = bytes(payload) if payload is not None else b""
+                mtype = sniff_media_type(b)
+                out["media_type"][i] = mtype
+                if not b:
+                    continue
+                out["thumb"][i] = fake_resize(b, width, height)
+                if mtype.startswith(("video/", "audio/")):
+                    frames = fake_frame_sample(b, n_frames, dim)
+                else:
+                    frames = [fake_features(b, dim)]
+                out["n_frames"][i] = len(frames)
+                out["frame_features"][i] = frames
+            yield pd.DataFrame(out)
+
+    pruned = web_pages.select("url", "html")
+    return pruned.mapInPandas(process, schema=MEDIA_TRANSFORMED)
 
 
 def media_type_stats(web_pages: DataFrame) -> DataFrame:

@@ -86,6 +86,48 @@ def test_exact_binary_dedup(media_df):
     assert dd[jpg_digest[0]]["canonical_url"] == "u://dup1"  # min(url)
 
 
+def test_fake_resize_kernel():
+    # shrinks to the byte grid, deterministic, identity below the target size
+    big = bytes(range(256)) * 4
+    t1 = media_stub.fake_resize(big, 16, 16)
+    t2 = media_stub.fake_resize(big, 16, 16)
+    assert t1 == t2 and len(t1) == 256
+    small = b"tiny"
+    assert media_stub.fake_resize(small, 16, 16) == small
+    assert media_stub.fake_resize(b"", 16, 16) == b""
+
+
+def test_media_transform_schema_and_shapes(spark):
+    ts = datetime.datetime(2024, 1, 1)
+    avi = b"RIFF\x00\x00\x00\x00AVI " + bytes(range(200))
+    rows = [
+        ("u://jpg", ts, b"\xff\xd8\xff\xe0" + b"j" * 400, None, "en"),
+        ("u://avi", ts, avi, None, "en"),
+        ("u://null", ts, None, None, "en"),
+    ]
+    df = spark.createDataFrame(rows, schema=schemas.WEB_PAGES)
+    out = multimodal.media_transform(df, width=8, height=8, n_frames=4)
+    assert out.schema == multimodal.MEDIA_TRANSFORMED
+    got = {r["url"]: r for r in out.collect()}
+    jpg = got["u://jpg"]
+    assert jpg["media_type"] == "image/jpeg"
+    assert len(jpg["thumb"]) == 64 and jpg["thumb_w"] == 8
+    # image payloads get a single feature vector, video gets n_frames
+    assert jpg["n_frames"] == 1
+    assert len(jpg["frame_features"][0]) == multimodal.FEATURE_DIM
+    avi_row = got["u://avi"]
+    assert avi_row["media_type"] == "video/avi"
+    assert avi_row["n_frames"] == 4 and len(avi_row["frame_features"]) == 4
+    assert got["u://null"]["thumb"] is None
+    assert got["u://null"]["n_frames"] == 0
+    # determinism across runs
+    again = {r["url"]: r for r in
+             multimodal.media_transform(df, width=8, height=8,
+                                        n_frames=4).collect()}
+    assert again["u://avi"]["frame_features"] == avi_row["frame_features"]
+    assert again["u://jpg"]["thumb"] == jpg["thumb"]
+
+
 def test_media_features_on_corpus(spark, sf_smoke_dir):
     from docling_graph_spark.sources.web_pages import synthesize_web_pages
 
