@@ -1259,6 +1259,34 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+def q_media_transform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize + frame-sample plumbing (`operators/multimodal.media_transform`)
+    over the synthetic payload corpus: per-media-type doc count, total
+    thumbnail bytes (byte-grid resample caps at 8x8=64 per payload), and
+    total sampled frame vectors (1 per non-video payload)."""
+    from .operators import multimodal as op_mm
+    from .sources.web_pages import synthesize_web_pages
+
+    out = op_mm.media_transform(
+        synthesize_web_pages(spark, sf_dir), width=8, height=8, n_frames=4
+    )
+    return out.groupBy("media_type").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("thumb")).alias("thumb_bytes"),
+        F.sum("n_frames").alias("total_frames"),
+    ).orderBy("media_type")
+
+
+SQL_MEDIA_TRANSFORM_STATS = f"""
+SELECT CASE WHEN doc_id % 50 = 49 THEN 'application/pdf'
+            ELSE 'text/html' END AS media_type,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(least({_PAYLOAD_BYTES}, 64)) AS BIGINT) AS thumb_bytes,
+       CAST(count(*) AS BIGINT) AS total_frames
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # exporters (exporters.py): Cypher statement projection, oracle-checked
 
@@ -2340,6 +2368,9 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                                 SQL_JSON_RESPONSE_PARSE),
         # multimodal
         "media_type_stats": (q_media_type_stats, SQL_MEDIA_TYPE_STATS),
+        "media_transform_stats": (
+            q_media_transform_stats, SQL_MEDIA_TRANSFORM_STATS
+        ),
         # S1 input-type detection
         "input_type_counts": (q_input_type_counts, SQL_INPUT_TYPE_COUNTS),
         # corpus prep (textprep.py)
