@@ -2089,34 +2089,40 @@ _BLOCKED_HOSTS = ["host1.example.com", "host3.example.com",
                   "host5.example.com", "host42.example.com"]
 
 
+_WARC_FILES = 16
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingestion round-trip through the Spark 4 Python DataSource:
-    the documents table is written as deterministic WARC files (4 crawl
+    the documents table is written as deterministic WARC files (16 crawl
     files + a warcinfo record each, generated once per corpus under /tmp),
     read back via ``spark.read.format("warc")`` with one partition per
     file, and summarized per lang — counts, payload bytes, and distinct
-    md5s byte-compare against the source-of-truth parquet."""
+    md5s byte-compare against the source-of-truth parquet.
+
+    The crawl-file count is the read parallelism (one partition per file,
+    exactly how a real crawl lands: thousands of ~1 GB WARCs); cache key =
+    (corpus dir, row count), so the full-text collect that writes the
+    files runs only on a cache miss."""
     import hashlib
     import os as _os
 
     from .sources import warc as warc_src
 
-    rows = (
-        _read(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "text").orderBy("doc_id").collect()
-    )
+    docs = _read(spark, sf_dir, "documents")
     key = hashlib.md5(
-        f"{len(rows)}:{rows[0].text if rows else ''}".encode()
+        f"{sf_dir}:{docs.count()}:{_WARC_FILES}".encode()
     ).hexdigest()[:10]
     out = f"/tmp/dgspark_warc_{key}"
     done = _os.path.join(out, "_DONE")
     if not _os.path.exists(done):
+        rows = docs.select("doc_id", "lang", "text").orderBy("doc_id").collect()
         _os.makedirs(out, exist_ok=True)
-        buckets: Dict[int, list] = {i: [] for i in range(4)}
+        buckets: Dict[int, list] = {i: [] for i in range(_WARC_FILES)}
         for r in rows:
-            buckets[r.doc_id % 4].append(r)
+            buckets[r.doc_id % _WARC_FILES].append(r)
         for i, rs in buckets.items():
-            with open(_os.path.join(out, f"part{i}.warc"), "wb") as fh:
+            with open(_os.path.join(out, f"part{i:02d}.warc"), "wb") as fh:
                 fh.write(warc_src.warc_record_bytes(
                     "urn:warcinfo", b"crawler: dgspark",
                     warc_type="warcinfo",
