@@ -82,6 +82,15 @@ def user_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_from_staged(spark: SparkSession, staging_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """Open an already-staged directory as the events file-source stream."""
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(staging_dir)
+
+
 def _events_stream_from_parquet(spark: SparkSession, events_path: str,
                                 staging_dir: str,
                                 max_files_per_trigger: int | None = None
@@ -90,10 +99,7 @@ def _events_stream_from_parquet(spark: SparkSession, events_path: str,
     stream (file streams read directories; testdata is a single file)."""
     spark.read.parquet(events_path).coalesce(1).write.mode(
         "overwrite").parquet(staging_dir)
-    reader = spark.readStream.schema(EVENTS_DDL)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(staging_dir)
+    return stream_from_staged(spark, staging_dir, max_files_per_trigger)
 
 
 def drain_to_memory(result: DataFrame, name: str, output_mode: str) -> None:
