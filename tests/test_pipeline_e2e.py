@@ -234,3 +234,55 @@ def test_connected_components_paths_agree(spark):
         dist = {(r.id, r.component) for r in
                 connected_components(pairs, driver_threshold=0).collect()}
         assert fast == dist, f"trial {trial}"
+
+
+def test_malformed_payloads_never_crash(spark):
+    """Adversarial payload rows flow through the full pipeline as error /
+    filtered rows — never exceptions, never dropped from the metrics."""
+    import datetime
+
+    from docling_graph_spark import schemas
+    from docling_graph_spark.pipeline import run_pipeline
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("https://a.example.com/ok", ts,
+         b"<!DOCTYPE html><html><body><p>" + b"good content here " * 20
+         + b"</p></body></html>", None, "en"),
+        ("https://a.example.com/empty", ts, b"", None, "en"),
+        ("https://a.example.com/null", ts, None, None, "en"),
+        ("https://a.example.com/pdfjunk", ts, b"%PDF-1.4 garbage no objects",
+         None, "en"),
+        ("https://a.example.com/bad-utf8", ts,
+         b"\xff\xfe<html><body><p>\xc3\x28 broken</p></body></html>",
+         None, "en"),
+        ("https://a.example.com/boilerplate-only", ts,
+         b"<html><body><p></p></body></html>", None, "en"),
+        ("https://a.example.com/nulls", ts,
+         b"<html><body><p>text with nulls</p></body></html>", None, None),
+    ]
+    pages = spark.createDataFrame(rows, schema=schemas.WEB_PAGES)
+    cfg = PipelineConfig(max_tokens=25, id_mode="xxhash64",
+                         repartition_input=False)
+    res = run_pipeline(pages, cfg)
+
+    # every input row is accounted for in the raw extraction relation
+    raw = res.extracted_all.collect()
+    assert len(raw) == len(rows)
+    by_url = {r["url"].rsplit("/", 1)[-1]: r for r in raw}
+    assert by_url["ok"]["error"] is None and by_url["ok"]["text"]
+    # junk rows surface as error values or empty text, never exceptions
+    for key in ("empty", "null", "pdfjunk"):
+        r = by_url[key]
+        assert r["error"] is not None or not (r["text"] or "").strip(), key
+
+    # downstream graph assembles from the surviving rows only, no crash
+    nodes = res.nodes.collect()
+    edges = res.edges.collect()
+    assert any(n["label"] == "WebDocument" for n in nodes)
+    ids = {n["id"] for n in nodes}
+    assert all(e["src"] in ids and e["dst"] in ids for e in edges)
+
+    # determinism: identical input -> identical node-id set
+    res2 = run_pipeline(pages, cfg)
+    assert {n["id"] for n in res2.nodes.collect()} == ids
