@@ -41,11 +41,14 @@ BATCH_CONTEXT = 1200     # available=200 -> 2 chunks per batch (cost<=90 each)
 # cached pipeline run per sf_dir (queries share the lazy plans + persisted
 # extraction so the driver's per-query invocations don't re-extract)
 
-_CACHE: Dict[Tuple[str, str], PipelineResult] = {}
+_CACHE: Dict[Tuple[int, str, str], PipelineResult] = {}
 
 
 def _pipeline(spark: SparkSession, sf_dir: str) -> PipelineResult:
-    key = (sf_dir, "std")
+    # keyed by session identity too: a persisted DataFrame dies with its
+    # session, so a caller that recreates the SparkSession between query
+    # invocations must rebuild (stale entries are just dropped references)
+    key = (id(spark), sf_dir, "std")
     if key not in _CACHE:
         cfg = PipelineConfig(max_tokens=MAX_TOKENS, id_mode="xxhash64")
         res = run_on_testdata(spark, sf_dir, cfg)
@@ -1376,18 +1379,20 @@ _BAND_SELECTS = "\n  UNION ALL\n".join(
 )
 
 
-_MINHASH_CACHE: Dict[str, DataFrame] = {}
+_MINHASH_CACHE: Dict[Tuple[int, str], DataFrame] = {}
 
 
 def _minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verified MinHash pair relation, persisted once per corpus — it feeds
-    both the pair-listing query and the connected-components clustering
-    (the production shape too: dedup pipelines materialize verified pairs
-    once, then every downstream decision reads the same small relation)."""
-    if sf_dir not in _MINHASH_CACHE:
+    """Verified MinHash pair relation, persisted once per (session, corpus)
+    — it feeds both the pair-listing query and the connected-components
+    clustering (the production shape too: dedup pipelines materialize
+    verified pairs once, then every downstream decision reads the same
+    small relation)."""
+    key = (id(spark), sf_dir)
+    if key not in _MINHASH_CACHE:
         docs = _read(spark, sf_dir, "documents")
-        _MINHASH_CACHE[sf_dir] = op_dedup.minhash_lsh_dedup(docs).persist()
-    return _MINHASH_CACHE[sf_dir]
+        _MINHASH_CACHE[key] = op_dedup.minhash_lsh_dedup(docs).persist()
+    return _MINHASH_CACHE[key]
 
 
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
