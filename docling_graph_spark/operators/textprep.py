@@ -325,3 +325,45 @@ def tfidf_topk(docs: DataFrame, k: int = 3,
         .filter(F.col("rnk") <= k)
         .select("doc_id", F.col("rnk").cast("long").alias("rnk"), "term")
     )
+
+
+# --------------------------------------------- deterministic hash sampling
+
+def hash_sample(df: DataFrame, key_col: str, hex_threshold: str,
+                seed: str = "dgspark") -> DataFrame:
+    """Deterministic, engine-stable corpus sampling: keep a row iff the
+    first ``len(hex_threshold)`` hex digits of md5(seed || key) sort below
+    ``hex_threshold``.
+
+    This is how a 100 TB corpus is sampled reproducibly: the decision is a
+    pure function of the row key — no RNG state, no partition order, the
+    same subset on every engine, every cluster size, every re-run, and it
+    composes with resume/checkpoint (a restarted job re-derives the same
+    sample).  Rate = int(hex_threshold, 16) / 16^len(hex_threshold); two
+    digits give 1/256 granularity ('10' -> 6.25%).  The comparison is on
+    hex STRINGS, which both Spark and DuckDB produce lowercase — no
+    integer conversion, no float rounding.  Scan-stage filter: prunes at
+    the source, shuffles nothing.
+    """
+    n = len(hex_threshold)
+    digest = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    return df.filter(F.substring(digest, 1, n) < F.lit(hex_threshold))
+
+
+def stratified_sample_stats(df: DataFrame, key_col: str, strata_col: str,
+                            hex_threshold: str = "10",
+                            seed: str = "dgspark") -> DataFrame:
+    """Per-stratum row counts of the deterministic sample next to the full
+    population (the sanity report a sampling stage emits: did every
+    stratum land near the nominal rate?)."""
+    sampled = hash_sample(df, key_col, hex_threshold, seed)
+    pop = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count("*").alias("n_total"))
+    smp = sampled.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count("*").alias("n_sampled"))
+    return (
+        pop.join(smp, "stratum", "left")
+        .select("stratum", "n_total",
+                F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"))
+        .orderBy("stratum")
+    )

@@ -2199,6 +2199,29 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (~6.25% via 2-hex-digit threshold '10'),
+    stratified report per lang: the reproducible-subset primitive a 100 TB
+    corpus needs (pure function of the row key — same subset on any engine,
+    cluster size, or restart; no RNG state, no partition-order dependence)."""
+    from .operators import textprep
+
+    docs = _read(spark, sf_dir, "documents")
+    return textprep.stratified_sample_stats(
+        docs, key_col="doc_id", strata_col="lang", hex_threshold="10"
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang AS stratum,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN substr(md5('dgspark' || CAST(doc_id AS VARCHAR)),
+                                 1, 2) < '10'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by tf-idf (reciprocal-df
     weighting: every score is one IEEE double division of two small ints,
@@ -2423,6 +2446,7 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
         "url_canonical_dedup": (q_url_canonical_dedup,
                                 SQL_URL_CANONICAL_DEDUP),
         "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+        "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
         "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
         # dedup suite
         "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH),

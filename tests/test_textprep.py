@@ -119,3 +119,30 @@ def test_canonicalize_url_components(spark):
     got = [r[0] for r in
            df.select(textprep.canonicalize_url(F.col("url"))).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_hash_sample_deterministic_and_rate(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    s1 = {r[0] for r in
+          textprep.hash_sample(df, "doc_id", "10").collect()}
+    s2 = {r[0] for r in
+          textprep.hash_sample(df, "doc_id", "10").collect()}
+    assert s1 == s2  # pure function of the key, no RNG state
+    # matches a local recomputation of the same decision
+    expect = {i for i in range(4000)
+              if hashlib.md5(f"dgspark{i}".encode()).hexdigest()[:2] < "10"}
+    assert s1 == expect
+    # nominal rate 16/256 = 6.25%; binomial spread at n=4000 stays well
+    # inside [4%, 9%]
+    assert 0.04 < len(s1) / 4000 < 0.09
+    # threshold widening is monotone: the 6.25% sample nests in the 25% one
+    s4 = {r[0] for r in textprep.hash_sample(df, "doc_id", "40").collect()}
+    assert s1 <= s4
+    # different seed -> different (but still deterministic) subset
+    sx = {r[0] for r in
+          textprep.hash_sample(df, "doc_id", "10", seed="other").collect()}
+    assert sx != s1
