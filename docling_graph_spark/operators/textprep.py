@@ -367,3 +367,31 @@ def stratified_sample_stats(df: DataFrame, key_col: str, strata_col: str,
                 F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"))
         .orderBy("stratum")
     )
+
+
+def split_by_hash(df: DataFrame, key_col: str,
+                  bounds: "tuple[str, str]" = ("e0", "f0"),
+                  seed: str = "dgsplit") -> DataFrame:
+    """Deterministic disjoint train/val/test assignment: the md5(seed||key)
+    hex prefix partitions the corpus by range — rows below ``bounds[0]``
+    are 'train', below ``bounds[1]`` 'val', the rest 'test'.
+
+    Same engine-stability argument as `hash_sample` (pure function of the
+    row key, hex-string comparison, no RNG), plus the property sampling
+    cannot give: the three splits are DISJOINT and EXHAUSTIVE by
+    construction, survive restarts and repartitioning, and a row never
+    migrates between splits when the corpus grows — the guarantee a
+    training pipeline needs to keep held-out data held out.  Default
+    bounds ('e0','f0') give 87.5% / 6.25% / 6.25%.
+    """
+    lo, hi = bounds
+    n = max(len(lo), len(hi))
+    digest = F.substring(
+        F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, n
+    )
+    return df.withColumn(
+        "split",
+        F.when(digest < F.lit(lo), "train")
+         .when(digest < F.lit(hi), "val")
+         .otherwise("test"),
+    )

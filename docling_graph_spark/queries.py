@@ -2222,6 +2222,34 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic disjoint train/val/test assignment by md5 hex-range
+    (87.5/6.25/6.25 at bounds e0/f0): per-split doc counts and total chars.
+    Rows never migrate between splits on corpus growth or restart — the
+    held-out-stays-held-out guarantee."""
+    from .operators import textprep
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        textprep.split_by_hash(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.length("text")).alias("total_chars"))
+        .orderBy("split")
+    )
+
+
+SQL_TRAIN_VAL_TEST = """
+SELECT CASE WHEN substr(md5('dgsplit' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e0'
+            THEN 'train'
+            WHEN substr(md5('dgsplit' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f0'
+            THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by tf-idf (reciprocal-df
     weighting: every score is one IEEE double division of two small ints,
@@ -2447,6 +2475,7 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                                 SQL_URL_CANONICAL_DEDUP),
         "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
         "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+        "train_val_test_split": (q_train_val_test_split, SQL_TRAIN_VAL_TEST),
         "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
         # dedup suite
         "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH),

@@ -146,3 +146,28 @@ def test_hash_sample_deterministic_and_rate(spark):
     sx = {r[0] for r in
           textprep.hash_sample(df, "doc_id", "10", seed="other").collect()}
     assert sx != s1
+
+
+def test_split_by_hash_disjoint_exhaustive_stable(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 3000).select(F.col("id").alias("doc_id"))
+    out = textprep.split_by_hash(df, "doc_id").collect()
+    assert len(out) == 3000  # exhaustive: every row gets exactly one split
+    by_split = {}
+    for r in out:
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by_split) == {"train", "val", "test"}
+    # matches a local recomputation (engine-stable decision)
+    for i in range(3000):
+        h = hashlib.md5(f"dgsplit{i}".encode()).hexdigest()[:2]
+        want = "train" if h < "e0" else ("val" if h < "f0" else "test")
+        assert i in by_split[want]
+    # growing the corpus never migrates existing rows between splits
+    bigger = spark.range(0, 6000).select(F.col("id").alias("doc_id"))
+    out2 = {r["doc_id"]: r["split"]
+            for r in textprep.split_by_hash(bigger, "doc_id").collect()}
+    for split, ids in by_split.items():
+        assert all(out2[i] == split for i in ids)
