@@ -159,8 +159,13 @@ def _max_run(sorted_arr: Column) -> Column:
 
 
 def gopher_signals(text: Column) -> dict:
-    """Per-document word/repetition signal columns (all JVM)."""
-    words = F.filter(F.split(text, " "), lambda x: F.length(x) > 0)
+    """Per-document word/repetition signal columns (all JVM).
+
+    NULL text coalesces to '' so a null-text document yields 0 words (and
+    fails the word-count gate) exactly like the SQL oracle's coalesce —
+    without this, every signal is NULL and the row lands in NO bucket."""
+    words = F.filter(F.split(F.coalesce(text, F.lit("")), " "),
+                     lambda x: F.length(x) > 0)
     n_words = F.size(words).cast("long")
     n_chars_w = F.aggregate(
         words, F.lit(0).cast("long"),

@@ -41,14 +41,68 @@ BATCH_CONTEXT = 1200     # available=200 -> 2 chunks per batch (cost<=90 each)
 # cached pipeline run per sf_dir (queries share the lazy plans + persisted
 # extraction so the driver's per-query invocations don't re-extract)
 
-_CACHE: Dict[Tuple[int, str, str], PipelineResult] = {}
+_CACHE: Dict[Tuple[str, str, str], PipelineResult] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Stable identity for cache keys.  ``id(spark)`` is unsafe: CPython
+    reuses object ids after GC, so a fresh session allocated at a dead
+    session's address would alias its stale cache entry (DataFrames
+    persisted against a stopped context).  The applicationId changes with
+    every new SparkContext, so entries die with the context that owns the
+    persisted blocks."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:  # stopped context — never matches a live key
+        return f"dead-{id(spark)}"
+
+
+def clear_caches() -> None:
+    """Unpersist and drop every catalog-level cached DataFrame — the hook a
+    bench loop calls between corpora so persisted blocks don't accumulate."""
+    for res in _CACHE.values():
+        for df in (res.extracted, res.chunks, res.doc_mentions,
+                   res.nodes, res.edges):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    _CACHE.clear()
+    for df in _MINHASH_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _MINHASH_CACHE.clear()
+    for df in _TRACKED_PERSISTS.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _TRACKED_PERSISTS.clear()
+
+
+_TRACKED_PERSISTS: Dict[Tuple[str, str, str], DataFrame] = {}
+
+
+def _tracked_persist(spark: SparkSession, sf_dir: str, tag: str,
+                     df: DataFrame) -> DataFrame:
+    """persist() with leak tracking: re-invoking the same query replaces (and
+    unpersists) the previous cached blocks instead of stacking a new copy per
+    call for the session lifetime."""
+    key = (_session_key(spark), sf_dir, tag)
+    old = _TRACKED_PERSISTS.get(key)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _TRACKED_PERSISTS[key] = df.persist()
+    return df
 
 
 def _pipeline(spark: SparkSession, sf_dir: str) -> PipelineResult:
-    # keyed by session identity too: a persisted DataFrame dies with its
-    # session, so a caller that recreates the SparkSession between query
-    # invocations must rebuild (stale entries are just dropped references)
-    key = (id(spark), sf_dir, "std")
+    key = (_session_key(spark), sf_dir, "std")
     if key not in _CACHE:
         cfg = PipelineConfig(max_tokens=MAX_TOKENS, id_mode="xxhash64")
         res = run_on_testdata(spark, sf_dir, cfg)
@@ -439,8 +493,10 @@ def q_node_dedup_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the redirect chain feeds two counts (raw + distinct) — persist so the
     # edge join runs once; the four counts then collapse into ONE action via
     # crossJoin of single-row aggregates (4 separate .count() jobs measured
-    # ~4x the latency: each re-ran the hash+canon shuffle from scratch)
-    redirected = redirected.persist()
+    # ~4x the latency: each re-ran the hash+canon shuffle from scratch).
+    # Tracked persist: repeat invocations swap the cached blocks instead of
+    # leaking one copy per call for the session lifetime.
+    redirected = _tracked_persist(spark, sf_dir, "dedup_remap", redirected)
     distinct = op_graph.dedup_edges(redirected)
     return (
         nodes.agg(F.count("*").alias("n_nodes_before"))
@@ -1379,7 +1435,7 @@ _BAND_SELECTS = "\n  UNION ALL\n".join(
 )
 
 
-_MINHASH_CACHE: Dict[Tuple[int, str], DataFrame] = {}
+_MINHASH_CACHE: Dict[Tuple[str, str], DataFrame] = {}
 
 
 def _minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1388,7 +1444,7 @@ def _minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering (the production shape too: dedup pipelines materialize
     verified pairs once, then every downstream decision reads the same
     small relation)."""
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _MINHASH_CACHE:
         docs = _read(spark, sf_dir, "documents")
         _MINHASH_CACHE[key] = op_dedup.minhash_lsh_dedup(docs).persist()
@@ -1860,21 +1916,73 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
 # (drained with availableNow → deterministic batch-equivalent relations)
 
 
-def _staged_stream_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
-    """Stage the events parquet for the file-source stream once per corpus
-    (marker-cached under /tmp) — re-staging on every invocation doubled the
-    streaming queries' wall time with a write that never changes."""
+def _corpus_fingerprint(sf_dir: str, table: str) -> str:
+    """Content fingerprint of a parquet table (names + sizes + mtimes): a
+    regenerated corpus at the same path gets a new staging key instead of
+    serving stale cached artifacts.  No Spark job — pure file metadata."""
     import hashlib
     import os as _os
 
-    key = hashlib.md5(f"{sf_dir}:{tag}".encode()).hexdigest()[:10]
-    staging = f"/tmp/dgspark_stream_{tag}_{key}"
-    done = _os.path.join(staging, "_STAGED")
-    if not _os.path.exists(done):
-        spark.read.parquet(f"{sf_dir}/events.parquet").coalesce(1).write.mode(
-            "overwrite").parquet(staging)
-        open(done, "w").close()
-    return staging
+    path = f"{sf_dir}/{table}.parquet"
+    h = hashlib.md5(path.encode())
+    if _os.path.isdir(path):
+        for name in sorted(_os.listdir(path)):
+            st = _os.stat(_os.path.join(path, name))
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    elif _os.path.exists(path):
+        st = _os.stat(path)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
+def _cache_root() -> str:
+    """Per-user staging root (no cross-user /tmp collisions on shared hosts)."""
+    import getpass
+    import os as _os
+    import tempfile
+
+    try:
+        user = getpass.getuser()
+    except Exception:
+        user = str(_os.getuid()) if hasattr(_os, "getuid") else "anon"
+    root = _os.path.join(tempfile.gettempdir(), f"dgspark-{user}")
+    _os.makedirs(root, exist_ok=True)
+    return root
+
+
+def _staged_artifact(tag: str, key: str, build) -> str:
+    """Once-per-content staging with an atomic publish: ``build(tmp_dir)``
+    writes into a pid-suffixed temp dir which is then renamed into place.
+    Two processes racing past the existence check both build; the rename
+    loser discards its copy — readers only ever see complete artifacts."""
+    import os as _os
+    import shutil
+
+    final = _os.path.join(_cache_root(), f"{tag}_{key}")
+    if _os.path.exists(final):
+        return final
+    tmp = f"{final}.tmp{_os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    _os.makedirs(tmp, exist_ok=True)
+    build(tmp)
+    try:
+        _os.rename(tmp, final)
+    except OSError:  # concurrent builder won the race; its artifact is whole
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
+def _staged_stream_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Stage the events parquet for the file-source stream once per corpus
+    content — re-staging on every invocation doubled the streaming queries'
+    wall time with a write that never changes."""
+    key = _corpus_fingerprint(sf_dir, "events")
+
+    def build(tmp: str) -> None:
+        spark.read.parquet(f"{sf_dir}/events.parquet").coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+
+    return _staged_artifact(f"stream_{tag}", key, build)
 
 
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2137,39 +2245,59 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5s byte-compare against the source-of-truth parquet.
 
     The crawl-file count is the read parallelism (one partition per file,
-    exactly how a real crawl lands: thousands of ~1 GB WARCs); cache key =
-    (corpus dir, row count), so the full-text collect that writes the
-    files runs only on a cache miss."""
-    import hashlib
-    import os as _os
-
+    exactly how a real crawl lands: thousands of ~1 GB WARCs).  The fixture
+    files are written FROM EXECUTORS: rows are hash-repartitioned on their
+    bucket (every bucket lands whole in one task) and each task streams its
+    buckets to disk — no full-relation collect to the driver, so staging
+    scales with the corpus the same way a production WARC writer would (at
+    cluster scale the open() targets shared storage).  Cache key = corpus
+    content fingerprint; publish is atomic (temp dir + rename)."""
     from .sources import warc as warc_src
 
     docs = _read(spark, sf_dir, "documents")
-    key = hashlib.md5(
-        f"{sf_dir}:{docs.count()}:{_WARC_FILES}".encode()
-    ).hexdigest()[:10]
-    out = f"/tmp/dgspark_warc_{key}"
-    done = _os.path.join(out, "_DONE")
-    if not _os.path.exists(done):
-        rows = docs.select("doc_id", "lang", "text").orderBy("doc_id").collect()
-        _os.makedirs(out, exist_ok=True)
-        buckets: Dict[int, list] = {i: [] for i in range(_WARC_FILES)}
-        for r in rows:
-            buckets[r.doc_id % _WARC_FILES].append(r)
-        for i, rs in buckets.items():
-            with open(_os.path.join(out, f"part{i:02d}.warc"), "wb") as fh:
-                fh.write(warc_src.warc_record_bytes(
-                    "urn:warcinfo", b"crawler: dgspark",
-                    warc_type="warcinfo",
-                    content_type="application/warc-fields",
-                ))
-                for r in rs:
-                    fh.write(warc_src.warc_record_bytes(
-                        f"https://warc.example.com/{r.lang}/{r.doc_id}",
-                        r.text.encode(),
+    key = _corpus_fingerprint(sf_dir, "documents")
+
+    def build(tmp: str) -> None:
+        n_files = _WARC_FILES
+
+        def write_bucket_files(rows) -> None:
+            import os as _os
+
+            from docling_graph_spark.sources.warc import warc_record_bytes
+
+            cur_bucket, fh = None, None
+            for r in rows:
+                if r.bucket != cur_bucket:
+                    if fh is not None:
+                        fh.close()
+                    fh = open(
+                        _os.path.join(tmp, f"part{r.bucket:02d}.warc"), "wb"
+                    )
+                    fh.write(warc_record_bytes(
+                        "urn:warcinfo", b"crawler: dgspark",
+                        warc_type="warcinfo",
+                        content_type="application/warc-fields",
                     ))
-        open(done, "w").close()
+                    cur_bucket = r.bucket
+                fh.write(warc_record_bytes(
+                    f"https://warc.example.com/{r.lang}/{r.doc_id}",
+                    r.text.encode(),
+                ))
+            if fh is not None:
+                fh.close()
+
+        (
+            docs.select("doc_id", "lang", "text",
+                        (F.col("doc_id") % n_files).cast("int").alias("bucket"))
+            # same bucket -> same partition (hash on the bucket value), so
+            # each file is written completely by exactly one task; the sort
+            # within the partition makes every file byte-deterministic
+            .repartition(n_files, "bucket")
+            .sortWithinPartitions("bucket", "doc_id")
+            .foreachPartition(write_bucket_files)
+        )
+
+    out = _staged_artifact("warc", key, build)
     warc_src.register_warc_source(spark)
     df = spark.read.format("warc").load(out)
     resp = df.filter(F.col("record_type") == "response")

@@ -226,9 +226,23 @@ def register_warc_source(spark) -> None:
         def reader(self, schema) -> DataSourceReader:
             return _WarcReader(self.options)
 
-    # re-registering on a session that already has the format is a no-op
+    # re-registering on a session that already has the format is a no-op —
+    # but ONLY the specific already-exists error is swallowed; a genuine
+    # registration failure whose message merely mentions the format name
+    # must still surface (it would otherwise fail later, confusingly, at
+    # spark.read.format('warc'))
     try:
         spark.dataSource.register(WarcDataSource)
     except Exception as exc:  # pragma: no cover - runtime-version specific
-        if "warc" not in str(exc).lower():
+        condition = ""
+        for probe in ("getCondition", "getErrorClass"):
+            fn = getattr(exc, probe, None)
+            if callable(fn):
+                try:
+                    condition = fn() or ""
+                    break
+                except Exception:
+                    pass
+        already = "DATA_SOURCE_ALREADY_EXISTS"
+        if already not in condition and already not in str(exc):
             raise
