@@ -7,6 +7,23 @@ queries()      — one entry per implemented operator family (SURVEY.md §2),
 oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible query
                  (same column names/aliases; integer aggregates).
 
+The registry holds EXACTLY 50 entries: the driver's correctness harness
+records at most 50 (round 1 registered 56 and only the first 50 in dict
+order got CORRECTNESS rows), so small same-family queries are merged into
+one labelled relation each.  Merge map (merged query -> operators covered):
+
+  graph_type_counts   = graph_node_counts + graph_edge_counts   (A5)
+  media_pipeline_stats= media_type_stats + media_transform_stats
+                        (multimodal typing / resize / frame-sample)
+  corpus_prep_stats   = pii_redaction + line_dedup + host_blocklist
+                        + url_canonical_dedup  (stage,metric,value rows)
+  sampling_splits     = stratified_sample + train_val_test_split
+  stream_aggregates   = stream_window_counts (watermarked tumbling window)
+                        + stream_user_totals (applyInPandasWithState)
+
+Every merged section still runs its full operator; the single-purpose
+query functions remain in docling_graph_spark.queries as building blocks.
+
 Implementation lives in docling_graph_spark.queries.
 """
 

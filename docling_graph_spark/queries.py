@@ -1259,6 +1259,99 @@ SELECT * FROM (
 """
 
 
+def q_template_file_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template loading by string path, end-to-end (reference
+    TemplateLoadingStage `pipeline/stages.py:286-365` + user template file
+    à la `docs/examples/templates/insurance.py`): ``templates.load_template``
+    imports the example insurance template shipped in this repo
+    (examples/templates/insurance.py), ``registry_from_pydantic`` derives
+    the graph metadata from the pydantic classes — ``edge()`` json-schema
+    labels, an ``is_entity=False`` component, ``graph_id_fields`` identity —
+    and synthesized policy records flow through the standard graph kernel.
+
+    Checks the loader-visible behaviors: edge labels come from the FILE's
+    ``edge()`` metadata (held_by / provides_coverage, not the field names),
+    the premium component is embedded in the policy node (never a node),
+    and shared policyholders / coverage codes collapse to one entity each."""
+    import os
+
+    from .operators import graph as op_graph
+    from .templates import registry_from_template_path
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    reg, root = registry_from_template_path(
+        os.path.join(pkg_root, "examples", "templates", "insurance.py")
+        + ":InsurancePolicy"
+    )
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = F.col("doc_id")
+
+    def cov(expr):
+        return F.struct(
+            F.concat(F.lit("C-"), expr.cast("string")).alias("code"),
+            F.concat(F.lit("peril "), expr.cast("string")).alias("peril"),
+        )
+
+    record = F.to_json(F.struct(
+        F.concat(F.lit("POL-"), d.cast("string")).alias("policy_number"),
+        F.concat(F.lit("2024-02-"),
+                 F.lpad((d % 28 + 1).cast("string"), 2, "0"))
+        .alias("start_date"),
+        F.struct(
+            (d % 500).cast("double").alias("amount"),
+            F.lit("EUR").alias("currency"),
+        ).alias("premium"),
+        F.struct(
+            F.concat(F.lit("Holder "), (d % 50).cast("string"))
+            .alias("full_name"),
+            F.concat(F.lit("holder"), (d % 50).cast("string"),
+                     F.lit("@example.com")).alias("email"),
+        ).alias("policyholder"),
+        F.array(cov(d % 7), cov((d + 1) % 7)).alias("coverages"),
+    ))
+    merged = docs.select(
+        F.concat(F.lit("doc:"), d.cast("string")).alias("url"),
+        record.alias("record_json"),
+    )
+    nodes, edges = op_graph.graph_from_template_records(merged, reg, root)
+    n = nodes.groupBy("label").agg(F.count("*").alias("n")).select(
+        F.lit("node").alias("element"), "label", "n"
+    )
+    e = edges.groupBy("label").agg(F.count("*").alias("n")).select(
+        F.lit("edge").alias("element"), "label", "n"
+    )
+    p = nodes.filter(F.col("label") == "InsurancePolicy").agg(
+        F.sum(F.map_contains_key("properties", "premium").cast("long"))
+        .alias("n")
+    ).select(F.lit("prop").alias("element"),
+             F.lit("policy_has_premium").alias("label"), "n")
+    return n.unionByName(e).unionByName(p).orderBy("element", "label")
+
+
+SQL_TEMPLATE_FILE_GRAPH = """
+SELECT * FROM (
+  SELECT 'edge' AS element, 'held_by' AS label,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT 'edge', 'provides_coverage', CAST(2 * count(*) AS BIGINT)
+  FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT 'node', 'Coverage', CAST(count(DISTINCT doc_id % 7) AS BIGINT)
+  FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT 'node', 'InsurancePolicy', CAST(count(*) AS BIGINT)
+  FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT 'node', 'Person', CAST(count(DISTINCT doc_id % 50) AS BIGINT)
+  FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT 'prop', 'policy_has_premium', CAST(count(*) AS BIGINT)
+  FROM documents WHERE doc_id < 200
+) ORDER BY element, label
+"""
+
+
 def q_json_response_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F10/F11: model-output-shaped responses (fenced / prose-wrapped /
     truncated, derived per doc) through the parse+repair kernel; per-status
@@ -2539,18 +2632,222 @@ SELECT CAST(sum(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT) AS kept_docs,
 FROM flagged
 """
 
+# --------------------------------------------------------------------------
+# merged driver-facing queries
+#
+# The driver's correctness harness records at most 50 catalog entries (round
+# 1 registered 56; exactly the first 50 in dict order got CORRECTNESS rows).
+# Small same-family queries are therefore fused into one oracle-checked
+# relation each — every underlying operator still runs and is still value-
+# checked, just as a labelled section of a merged result.  The unmerged
+# single-purpose variants remain above as the building blocks (and are
+# exercised directly by tests/test_entry_oracles.py history + unit tests).
+
+
+def _unpivot_single_row(df: DataFrame, stage: str) -> DataFrame:
+    """1-row × N-col summary → N rows of (stage, metric, value-as-string)."""
+    kv = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("metric"),
+                 F.col(c).cast("string").alias("value"))
+        for c in df.columns
+    ])).alias("kv")
+    return df.select(kv).select(
+        F.lit(stage).alias("stage"),
+        F.col("kv.metric").alias("metric"),
+        F.col("kv.value").alias("value"),
+    )
+
+
+def q_graph_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 node + edge label distributions of the assembled web graph in one
+    relation (element = node | edge)."""
+    res = _pipeline(spark, sf_dir)
+    n = res.nodes.groupBy("label").agg(F.count("*").alias("n")).select(
+        F.lit("node").alias("element"), "label", "n"
+    )
+    e = res.edges.groupBy("label").agg(F.count("*").alias("n")).select(
+        F.lit("edge").alias("element"), "label", "n"
+    )
+    return n.unionByName(e).orderBy("element", "label")
+
+
+SQL_GRAPH_TYPE_COUNTS = f"""
+WITH {_MENTIONS_CTE}
+SELECT * FROM (
+  SELECT 'node' AS element, 'WebDocument' AS label,
+         CAST(count(*) AS BIGINT) AS n FROM documents
+  UNION ALL
+  SELECT 'node', 'Chunk',
+         CAST(sum(CAST(ceil(length(text)/100.0) AS BIGINT)) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'node', 'Term', CAST(count(DISTINCT term) AS BIGINT) FROM mentions
+  UNION ALL
+  SELECT 'edge', 'has_chunk',
+         CAST(sum(CAST(ceil(length(text)/100.0) AS BIGINT)) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'edge', 'mentions', CAST(count(*) AS BIGINT) FROM (
+    SELECT DISTINCT doc_id, term FROM mentions
+  )
+) ORDER BY element, label
+"""
+
+
+def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal columns end-to-end in one relation: magic-byte typing +
+    payload accounting (media_features pass) joined with the resize /
+    frame-sample transform stage (media_transform pass) per media type."""
+    from .operators import multimodal as op_mm
+    from .sources.web_pages import synthesize_web_pages
+
+    pages = synthesize_web_pages(spark, sf_dir)
+    types = op_mm.media_type_stats(pages)
+    transformed = op_mm.media_transform(pages, width=8, height=8, n_frames=4)
+    tstats = transformed.groupBy("media_type").agg(
+        F.sum(F.length("thumb")).alias("thumb_bytes"),
+        F.sum("n_frames").alias("total_frames"),
+    )
+    return types.join(tstats, "media_type").select(
+        "media_type", "n_docs", "total_bytes", "thumb_bytes", "total_frames"
+    ).orderBy("media_type")
+
+
+SQL_MEDIA_PIPELINE_STATS = f"""
+SELECT CASE WHEN doc_id % 50 = 49 THEN 'application/pdf'
+            ELSE 'text/html' END AS media_type,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum({_PAYLOAD_BYTES}) AS BIGINT) AS total_bytes,
+       CAST(sum(least({_PAYLOAD_BYTES}, 64)) AS BIGINT) AS thumb_bytes,
+       CAST(count(*) AS BIGINT) AS total_frames
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-prep suite in one relation (stage, metric, value): PII
+    redaction, C4-style line dedup, broadcast host blocklist, URL
+    canonicalization dedup.  Each stage runs its full operator; the 1-row
+    summaries are unpivoted and unioned."""
+    return (
+        _unpivot_single_row(q_pii_redaction(spark, sf_dir), "pii")
+        .unionByName(_unpivot_single_row(
+            q_line_dedup(spark, sf_dir), "line_dedup"))
+        .unionByName(_unpivot_single_row(
+            q_host_blocklist(spark, sf_dir), "host_blocklist"))
+        .unionByName(_unpivot_single_row(
+            q_url_canonical_dedup(spark, sf_dir), "url_canonical"))
+        .orderBy("stage", "metric")
+    )
+
+
+def _sql_unpivot(cte: str, stage: str, metrics: list) -> str:
+    return "\n  UNION ALL\n".join(
+        f"  SELECT '{stage}' AS stage, '{m}' AS metric, "
+        f"CAST({m} AS VARCHAR) AS value FROM {cte}"
+        for m in metrics
+    )
+
+
+SQL_CORPUS_PREP_STATS = f"""
+WITH pii AS ({SQL_PII_REDACTION}),
+ld AS ({SQL_LINE_DEDUP}),
+hb AS ({SQL_HOST_BLOCKLIST}),
+uc AS ({SQL_URL_CANONICAL_DEDUP})
+SELECT stage, metric, value FROM (
+{_sql_unpivot('pii', 'pii',
+              ['n_emails', 'n_phones', 'n_ips', 'docs_with_pii',
+               'chars_delta'])}
+  UNION ALL
+{_sql_unpivot('ld', 'line_dedup',
+              ['total_lines', 'distinct_lines', 'lines_removed',
+               'max_line_repeat', 'boilerplate_lines'])}
+  UNION ALL
+{_sql_unpivot('hb', 'host_blocklist',
+              ['kept_docs', 'kept_hosts', 'dropped_docs', 'dropped_hosts'])}
+  UNION ALL
+{_sql_unpivot('uc', 'url_canonical',
+              ['total_urls', 'distinct_canonical', 'collapsed',
+               'min_canonical', 'max_canonical'])}
+) ORDER BY stage, metric
+"""
+
+
+def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling + split assignment in one relation:
+    hash-stratified sample accounting per lang (section='sample') and
+    md5-range train/val/test assignment (section='split')."""
+    strat = q_stratified_sample(spark, sf_dir)
+    spl = q_train_val_test_split(spark, sf_dir)
+    a = strat.select(
+        F.lit("sample").alias("section"), F.col("stratum").alias("bucket"),
+        F.col("n_total").alias("n_docs"), F.col("n_sampled").alias("measure"),
+    )
+    b = spl.select(
+        F.lit("split").alias("section"), F.col("split").alias("bucket"),
+        F.col("n_docs").alias("n_docs"), F.col("total_chars").alias("measure"),
+    )
+    return a.unionByName(b).orderBy("section", "bucket")
+
+
+SQL_SAMPLING_SPLITS = f"""
+SELECT section, bucket, n_docs, measure FROM (
+  SELECT 'sample' AS section, stratum AS bucket, n_total AS n_docs,
+         n_sampled AS measure FROM ({SQL_STRATIFIED_SAMPLE})
+  UNION ALL
+  SELECT 'split', split, n_docs, total_chars FROM ({SQL_TRAIN_VAL_TEST})
+) ORDER BY section, bucket
+"""
+
+
+def q_stream_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming coverage in one relation: the watermarked
+    tumbling-window rollup (section='window') and the
+    applyInPandasWithState per-user running totals (section='user'), both
+    drained with availableNow into deterministic batch relations."""
+    wc = q_stream_window_counts(spark, sf_dir)
+    ut = q_stream_user_totals(spark, sf_dir)
+    a = wc.select(
+        F.lit("window").alias("section"), F.col("day").alias("k1"),
+        F.col("event_type").alias("k2"), "n_events", "value_cents",
+    )
+    b = ut.select(
+        F.lit("user").alias("section"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.lit("").alias("k2"), "n_events", "value_cents",
+    )
+    return a.unionByName(b).orderBy("section", "k1", "k2")
+
+
+SQL_STREAM_AGGREGATES = f"""
+SELECT section, k1, k2, n_events, value_cents FROM (
+  SELECT 'window' AS section, day AS k1, event_type AS k2, n_events,
+         value_cents FROM ({SQL_STREAM_WINDOW})
+  UNION ALL
+  SELECT 'user', CAST(user_id AS VARCHAR), '', n_events, value_cents
+  FROM ({SQL_STREAM_USER_TOTALS})
+) ORDER BY section, k1, k2
+"""
+
+
+# --------------------------------------------------------------------------
+# registry: AT MOST 50 entries (driver correctness cap, asserted in
+# tests/test_entry_oracles.py) — every operator family from SURVEY §2 keeps
+# a row; small same-family queries are served by the merged relations above.
+
+
 def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                                  Optional[str]]]:
     """name -> (spark function, oracle SQL or None for rows-only checks)."""
     return {
         # pipeline
+        # pipeline (17)
         "doc_stats_by_lang": (q_doc_stats_by_lang, SQL_DOC_STATS),
         "chunk_distribution": (q_chunk_distribution, SQL_CHUNK_DISTRIBUTION),
         "chunk_rows": (q_chunk_rows, SQL_CHUNK_ROWS),
         "batch_counts": (q_batch_counts, SQL_BATCH_COUNTS),
         "top_terms": (q_top_terms, SQL_TOP_TERMS),
-        "graph_node_counts": (q_graph_node_counts, SQL_GRAPH_NODE_COUNTS),
-        "graph_edge_counts": (q_graph_edge_counts, SQL_GRAPH_EDGE_COUNTS),
+        "graph_type_counts": (q_graph_type_counts, SQL_GRAPH_TYPE_COUNTS),
         "doc_degree_topk": (q_doc_degree_topk, SQL_DOC_DEGREE_TOPK),
         "graph_validation": (q_graph_validation, SQL_GRAPH_VALIDATION),
         "reverse_edge_counts": (q_reverse_edge_counts,
@@ -2564,61 +2861,56 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
         "pdf_real_roundtrip": (q_pdf_real_roundtrip, SQL_PDF_REAL_ROUNDTRIP),
         "extraction_metrics_by_host": (q_extraction_metrics_by_host,
                                        SQL_EXTRACTION_METRICS),
-        # relational coverage
+        "docling_json_pages": (q_docling_json_pages, SQL_DOCLING_JSON_PAGES),
+        # relational coverage (5)
         "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
         "orders_per_nation": (q_orders_per_nation, SQL_ORDERS_PER_NATION),
         "orders_no_lineitem": (q_orders_no_lineitem, SQL_ORDERS_NO_LINEITEM),
         "top_orders_per_customer": (q_top_orders_per_customer,
                                     SQL_TOP_ORDERS_PER_CUSTOMER),
         "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
-        # text analysis
+        # text analysis (4)
         "token_stats": (q_token_stats, SQL_TOKEN_STATS),
         "quality_signals": (q_quality_signals, SQL_QUALITY_SIGNALS),
         "langid_votes": (q_langid_votes, SQL_LANGID_VOTES),
         "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
-        # exporters
+        # exporters + scalar functions (2)
         "cypher_doc_nodes": (q_cypher_doc_nodes, SQL_CYPHER_DOC_NODES),
-        # template path (extraction + A1 merge + graph)
+        "scalar_formatting": (q_scalar_formatting, SQL_SCALAR_FORMATTING),
+        # template path: extraction + A1 merge + graph + file loading (5)
         "template_invoice_merge": (q_template_invoice_merge,
                                    SQL_TEMPLATE_INVOICE_MERGE),
         "template_graph_counts": (q_template_graph_counts,
                                   SQL_TEMPLATE_GRAPH_COUNTS),
         "template_one_to_one": (q_template_one_to_one,
                                 SQL_TEMPLATE_ONE_TO_ONE),
+        "template_file_graph": (q_template_file_graph,
+                                SQL_TEMPLATE_FILE_GRAPH),
         "json_response_parse": (q_json_response_parse,
                                 SQL_JSON_RESPONSE_PARSE),
-        # multimodal
-        "media_type_stats": (q_media_type_stats, SQL_MEDIA_TYPE_STATS),
-        "media_transform_stats": (
-            q_media_transform_stats, SQL_MEDIA_TRANSFORM_STATS
-        ),
-        # S1 input-type detection
+        # multimodal (1: typing + transform merged)
+        "media_pipeline_stats": (q_media_pipeline_stats,
+                                 SQL_MEDIA_PIPELINE_STATS),
+        # S1 input-type detection (1)
         "input_type_counts": (q_input_type_counts, SQL_INPUT_TYPE_COUNTS),
-        # corpus prep (textprep.py)
-        "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
-        "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
-        "host_blocklist": (q_host_blocklist, SQL_HOST_BLOCKLIST),
+        # corpus prep (4: pii/line-dedup/blocklist/url-canonical merged)
+        "corpus_prep_stats": (q_corpus_prep_stats, SQL_CORPUS_PREP_STATS),
         "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
-        "url_canonical_dedup": (q_url_canonical_dedup,
-                                SQL_URL_CANONICAL_DEDUP),
         "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
-        "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-        "train_val_test_split": (q_train_val_test_split, SQL_TRAIN_VAL_TEST),
+        "sampling_splits": (q_sampling_splits, SQL_SAMPLING_SPLITS),
+        # sources (1)
         "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
-        # dedup suite
+        # dedup suite (5)
         "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH),
         "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
         "simhash_dedup": (q_simhash_dedup, SQL_SIMHASH),
         "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
         "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
-        # similarity
+        # similarity (4)
         "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
         "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
         "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
         "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
-        "docling_json_pages": (q_docling_json_pages, SQL_DOCLING_JSON_PAGES),
-        "scalar_formatting": (q_scalar_formatting, SQL_SCALAR_FORMATTING),
-        # streaming (availableNow-drained, deterministic)
-        "stream_window_counts": (q_stream_window_counts, SQL_STREAM_WINDOW),
-        "stream_user_totals": (q_stream_user_totals, SQL_STREAM_USER_TOTALS),
+        # streaming (1: windowed + stateful merged)
+        "stream_aggregates": (q_stream_aggregates, SQL_STREAM_AGGREGATES),
     }

@@ -108,6 +108,91 @@ def registry_from_pydantic(*model_classes: type) -> TemplateRegistry:
     return reg
 
 
+def load_template(template_str: str) -> type:
+    """Load a template class by string path — the reference's
+    ``TemplateLoadingStage._load_from_string``
+    (`/root/reference/docling_graph/pipeline/stages.py:286-365`) so a user
+    with an existing ``docs/examples/templates/insurance.py`` can point at
+    it unchanged.
+
+    Accepted forms:
+
+    * dotted path ``pkg.module.ClassName`` — imported as-is; on
+      ``ModuleNotFoundError`` the current working directory is temporarily
+      prepended to ``sys.path`` and the import retried (the reference's
+      cwd fallback), then removed again;
+    * file path ``path/to/file.py:ClassName`` — loaded directly via
+      importlib spec (rebuild extension: the reference reaches files only
+      through the cwd fallback; an explicit path avoids depending on the
+      caller's cwd, which a Spark driver rarely controls).
+
+    The loaded object must be a pydantic-model-like class (``model_fields``
+    + ``model_config``) so :func:`registry_from_pydantic` can derive the
+    graph metadata; anything else raises ``TypeError`` (the reference
+    raises ConfigurationError for non-BaseModel objects).
+    """
+    import importlib
+    import importlib.util
+    import os
+    import sys
+
+    def _validate(obj) -> type:
+        if not isinstance(obj, type) or not (
+            hasattr(obj, "model_fields") and hasattr(obj, "model_config")
+        ):
+            raise TypeError(
+                f"template must be a pydantic BaseModel subclass, got "
+                f"{type(obj).__name__} from {template_str!r}"
+            )
+        return obj
+
+    if ":" in template_str and template_str.rsplit(":", 1)[0].endswith(".py"):
+        file_path, class_name = template_str.rsplit(":", 1)
+        if not os.path.isabs(file_path):
+            file_path = os.path.abspath(file_path)
+        mod_name = "_dgspark_template_" + os.path.splitext(
+            os.path.basename(file_path)
+        )[0]
+        spec = importlib.util.spec_from_file_location(mod_name, file_path)
+        if spec is None or spec.loader is None:
+            raise ImportError(f"cannot load template file {file_path!r}")
+        module = importlib.util.module_from_spec(spec)
+        # register before exec: pydantic class machinery and pickling (UDF
+        # closures capture the classes) both resolve __module__ via
+        # sys.modules; repeat loads of the same file reuse the entry
+        sys.modules[mod_name] = module
+        spec.loader.exec_module(module)
+        return _validate(getattr(module, class_name))
+
+    if "." not in template_str:
+        raise ValueError(
+            f"template path must contain at least one dot: {template_str!r} "
+            "(example: module.Class)"
+        )
+    module_path, class_name = template_str.rsplit(".", 1)
+    try:
+        module = importlib.import_module(module_path)
+    except ModuleNotFoundError:
+        cwd = os.getcwd()
+        if cwd not in sys.path:
+            sys.path.insert(0, cwd)
+            try:
+                module = importlib.import_module(module_path)
+            finally:
+                if cwd in sys.path:
+                    sys.path.remove(cwd)
+        else:
+            raise
+    return _validate(getattr(module, class_name))
+
+
+def registry_from_template_path(template_str: str):
+    """One-call migration path: string template path → (registry, root
+    class name), ready for ``graph_from_template_records``."""
+    cls = load_template(template_str)
+    return registry_from_pydantic(cls), cls.__name__
+
+
 def sample_registry() -> TemplateRegistry:
     """The reference test-fixture template family
     (`/root/reference/tests/fixtures/sample_templates/test_template.py`)."""

@@ -413,3 +413,49 @@ def test_one_to_one_new_root_still_contributes_children():
     assert sorted(ref_edges.values()) == ["TAGGED", "TAGGED"]
     srcs = {ref_nodes[s].get("ref") for (s, _t) in ref_edges}
     assert srcs == {"DOC-9", "CN-9"}
+
+
+# --- file-loaded template through the loader (stages.py:286-365) --------------
+
+def test_file_loaded_template_matches_reference_converter():
+    """Load the repo's example template FILE via load_template (the
+    reference's string-path loading, `pipeline/stages.py:286-365`), build
+    instances of the loaded classes, and assert our registry-driven graph
+    equals the reference GraphConverter's on the same instances — the full
+    migration path of a reference user pointing at their template file."""
+    import os
+    import sys
+
+    from docling_graph_spark.templates import load_template
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    Policy = load_template(os.path.join(
+        repo, "examples", "templates", "insurance.py") + ":InsurancePolicy")
+    mod = sys.modules[Policy.__module__]
+
+    def policy(n, holder, codes):
+        return mod.InsurancePolicy(
+            policy_number=f"POL-{n}",
+            start_date="2024-02-01",
+            premium=mod.Money(amount=10.0 * n, currency="EUR"),
+            policyholder=mod.Person(
+                full_name=f"Holder {holder}",
+                email=f"holder{holder}@example.com",
+            ),
+            coverages=[mod.Coverage(code=f"C-{c}", peril=f"peril {c}")
+                       for c in codes],
+        )
+
+    # two policies share the holder and one coverage code: entity dedup by
+    # graph_id_fields must collapse them in both implementations
+    models = [policy(1, 7, [1, 2]), policy(2, 7, [2, 3])]
+    ref_nodes, ref_edges = assert_graph_parity(models)
+    labels = sorted(a["label"] for a in ref_nodes.values())
+    assert labels == ["Coverage", "Coverage", "Coverage",
+                      "InsurancePolicy", "InsurancePolicy", "Person"]
+    assert sorted(ref_edges.values()) == [
+        "held_by", "held_by",
+        "provides_coverage", "provides_coverage",
+        "provides_coverage", "provides_coverage",
+    ]

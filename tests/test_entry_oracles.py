@@ -69,6 +69,18 @@ def test_query_matches_oracle(spark, sf_smoke_dir, name):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
 
 
+def test_catalog_within_driver_cap():
+    """The driver's correctness harness records at most 50 catalog entries
+    (round 1 registered 56 and exactly the first 50 in dict order got
+    CORRECTNESS rows — the trailing 6 were silently dropped).  Keep the
+    registry at <= 50 so every registered query is driver-checked."""
+    cat = entry_mod.queries()
+    assert len(cat) <= 50, (
+        f"catalog has {len(cat)} entries; the driver only records the "
+        "first 50 — merge same-family queries instead of exceeding the cap"
+    )
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
