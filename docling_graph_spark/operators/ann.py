@@ -199,6 +199,72 @@ def ivf_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def near_dup_pairs_banded(emb: DataFrame, top_n: int = 20,
+                          n_planes: int = 16, n_bands: int = 4,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via BANDED sign-LSH — the scale
+    path that replaces :func:`near_dup_pairs`'s all-pairs nested loop.
+
+    MinHash-style banding over sign bits: each vector's first ``n_planes``
+    component signs form a bitstring, split into ``n_bands`` bands; two
+    vectors are candidates iff they agree on ALL bits of at least one band.
+    Candidates come from a self-EQUI-JOIN on (band, band-bits) — Catalyst
+    plans a hash join, so the only pairs ever materialized share a bucket;
+    there is no nested-loop/cartesian operator anywhere in the plan
+    (plan-asserted in tests/test_functions_plans.py).  Exact cosine then
+    re-ranks the candidates and a global TakeOrderedAndProject keeps the
+    top ``top_n`` — per-partition top-N + a tiny driver merge, never a
+    single-partition global window.
+
+    Cost: each side of the join is N·n_bands rows; per-band buckets hold
+    ~N/2^(planes/bands) vectors, so candidates are ~n_bands·N·bucket/2
+    instead of N²/2.  At 100 TB the banded relation is written bucketed by
+    band_key so candidate generation is a co-located join, and bits-per-
+    band grows with log(N) to keep buckets bounded (more planes = finer
+    buckets = better reduction, at the recall cost LSH theory prescribes).
+    Recall: a pair with cosine s agrees per axis-aligned plane w.p.
+    ~1-acos(s)/pi, so true near-dups (s >= 0.9) survive banding w.h.p.
+    while random pairs are pruned — the planted-pair property is unit-
+    tested; the catalog oracle replicates this exact construction, so the
+    gate checks determinism of the banded algorithm itself."""
+    from .partitioning import ensure_min_partitions
+
+    rows_per_band = n_planes // n_bands
+    normed = with_norm(ensure_min_partitions(emb, id_col), vec_col, "_n")
+    bits = sign_bucket(F.col(vec_col), n_planes)
+    band_keys = F.array(*[
+        F.concat(F.lit(f"{b}:"),
+                 F.substring(bits, b * rows_per_band + 1, rows_per_band))
+        for b in range(n_bands)
+    ])
+    banded = normed.select(
+        id_col, vec_col, "_n", F.explode(band_keys).alias("band_key")
+    )
+    a = banded.select(F.col(id_col).alias("vec_a"),
+                      F.col(vec_col).alias("ea"),
+                      F.col("_n").alias("_na"), "band_key")
+    b = banded.select(F.col(id_col).alias("vec_b"),
+                      F.col(vec_col).alias("eb"),
+                      F.col("_n").alias("_nb"), "band_key")
+    cand = (
+        a.join(b, "band_key")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])   # >=1 shared band, counted once
+    )
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("_na") * F.col("_nb"))
+    top = (
+        cand.select("vec_a", "vec_b", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("sim"), F.asc("vec_a"), F.asc("vec_b"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(F.col("rank").cast("long").alias("rank"), "vec_a", "vec_b")
+    )
+
+
 def near_dup_pairs(emb: DataFrame, top_n: int = 20, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs: global top-N (a < b) by cosine.

@@ -1786,16 +1786,50 @@ def _duck_cosine(a: str, b: str) -> str:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate detection: global top-20 pairs."""
+    """Embedding-cosine near-duplicate detection, BUCKETED: banded sign-LSH
+    candidate generation (16 planes x 4 bands, band equi-join — no
+    nested-loop/cartesian operator in the plan, asserted in
+    tests/test_functions_plans.py) + exact cosine re-rank, global top-20.
+    The oracle replicates the identical banded construction, so the gate
+    value-checks the scale-path algorithm itself; `op_ann.near_dup_pairs`
+    remains as the all-pairs exactness baseline (unit-tested recall)."""
     emb = _read(spark, sf_dir, "embeddings")
-    return op_ann.near_dup_pairs(emb, top_n=20).orderBy("rank")
+    return op_ann.near_dup_pairs_banded(
+        emb, top_n=20, n_planes=16, n_bands=4
+    ).orderBy("rank")
 
+
+_NEARDUP_PLANES, _NEARDUP_BANDS = 16, 4
+_NEARDUP_RPB = _NEARDUP_PLANES // _NEARDUP_BANDS
+_DUCK_SIGN_BITS = "concat(" + ", ".join(
+    f"CASE WHEN {{v}}[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+    for i in range(_NEARDUP_PLANES)
+) + ")"
+_DUCK_BAND_SELECTS = "\n  UNION ALL\n".join(
+    f"  SELECT vec_id, '{b}:' || substr(bs, {b * _NEARDUP_RPB + 1}, "
+    f"{_NEARDUP_RPB}) AS band_key FROM bits"
+    for b in range(_NEARDUP_BANDS)
+)
 
 SQL_EMBEDDING_NEAR_DUP = f"""
-WITH pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         {_duck_cosine('a.embedding', 'b.embedding')} AS sim
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WITH bits AS (
+  SELECT vec_id, {_DUCK_SIGN_BITS.format(v='embedding')} AS bs
+  FROM embeddings
+),
+bands AS (
+{_DUCK_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.vec_a, c.vec_b,
+         {_duck_cosine('ea.embedding', 'eb.embedding')} AS sim
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
 )
 SELECT CAST(rank AS BIGINT) AS rank, vec_a, vec_b FROM (
   SELECT vec_a, vec_b,

@@ -121,3 +121,54 @@ def test_pipeline_python_confined_to_kernels(spark, sf_smoke_dir):
                           PipelineConfig(id_mode="xxhash64"))
     nodes = plans.python_eval_nodes(res.edges)
     assert set(nodes) <= {"ArrowEvalPython"}, nodes
+
+
+def test_banded_near_dup_has_no_nested_loop(spark, sf_smoke_dir):
+    """The scale-path near-dup plan must generate candidates via the band
+    EQUI-join — no BroadcastNestedLoopJoin / CartesianProduct anywhere
+    (the all-pairs baseline, by contrast, is exactly such a join)."""
+    from docling_graph_spark.operators import ann as op_ann
+
+    emb = spark.read.parquet(f"{sf_smoke_dir}/embeddings.parquet")
+    banded = op_ann.near_dup_pairs_banded(emb, top_n=20)
+    plan = plans.formatted_plan(banded)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    allpairs = op_ann.near_dup_pairs(emb, top_n=20)
+    ap_plan = plans.formatted_plan(allpairs)
+    assert ("BroadcastNestedLoopJoin" in ap_plan
+            or "CartesianProduct" in ap_plan)
+
+
+def test_banded_near_dup_finds_planted_high_sim_pairs(spark):
+    """LSH guarantee: pairs with high cosine survive banding w.h.p.  Plant
+    5 near-identical pairs (cosine >= 0.98) among 200 deterministic noise
+    vectors; the banded top-5 must be exactly the planted pairs."""
+    import hashlib
+    import struct
+
+    from docling_graph_spark.operators import ann as op_ann
+
+    def vec(seed: str):
+        raw = b"".join(
+            hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=8).digest()
+            for i in range(16)
+        )
+        return [
+            (struct.unpack("<H", raw[2 * i: 2 * i + 2])[0] / 32768.0) - 1.0
+            for i in range(64)
+        ]
+
+    rows = []
+    for i in range(200):
+        rows.append((i, vec(f"noise{i}")))
+    # planted: a tiny deterministic perturbation of an existing vector
+    for j in range(5):
+        base = vec(f"noise{j}")
+        rows.append((1000 + j, [v + 0.01 * ((j + k) % 3) for k, v in
+                                enumerate(base)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = op_ann.near_dup_pairs_banded(emb, top_n=5).collect()
+    found = {(r.vec_a, r.vec_b) for r in top}
+    assert found == {(j, 1000 + j) for j in range(5)}
