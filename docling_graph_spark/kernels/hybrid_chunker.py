@@ -73,8 +73,18 @@ def hybrid_chunk(
     blocks: Sequence[Block],
     max_tokens: int,
     merge_peers: bool = True,
+    token_counter=None,
 ) -> List[HybridChunk]:
-    """Chunk ``text`` along its block structure under a token budget."""
+    """Chunk ``text`` along its block structure under a token budget.
+
+    ``token_counter`` (callable str -> int) makes the budget checks
+    tokenizer-bounded like the reference's HybridChunker wrapping a real
+    HF tokenizer (`document_chunker.py:60-95`); ``None`` keeps the byte-
+    stable length heuristic.  The oversized-block SPLIT path stays the
+    char-based parity kernel (`chunking.chunk_spans`) either way — split
+    boundaries are the reference fallback contract, only the fits/merges
+    decisions consult the counter."""
+    count = token_counter if token_counter is not None else estimate_tokens
     if not text:
         return []
     if not blocks:
@@ -93,7 +103,7 @@ def hybrid_chunk(
             path.append((level, btext))
             continue
         hp = tuple(h for _, h in path)
-        if estimate_tokens(btext) <= max_tokens:
+        if count(btext) <= max_tokens:
             raw.append((b.start, b.end, hp))
         else:
             for s in chunk_spans(btext, max_tokens):
@@ -111,16 +121,16 @@ def hybrid_chunk(
             if (
                 prev.heading_path == hp
                 and text[prev.end:start] == SEPARATOR
-                and estimate_tokens(text[prev.start:end]) <= max_tokens
+                and count(text[prev.start:end]) <= max_tokens
             ):
                 merged_text = text[prev.start:end]
                 chunks[-1] = HybridChunk(
                     prev.chunk_id, prev.start, end, merged_text, hp,
-                    estimate_tokens(merged_text),
+                    count(merged_text),
                 )
                 continue
         ctext = text[start:end]
         chunks.append(HybridChunk(
-            len(chunks), start, end, ctext, hp, estimate_tokens(ctext)
+            len(chunks), start, end, ctext, hp, count(ctext)
         ))
     return chunks

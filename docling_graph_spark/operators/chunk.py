@@ -33,11 +33,17 @@ DEFAULT_MERGE_THRESHOLD = k_batch.DEFAULT_MERGE_THRESHOLD
 
 def make_chunker_udf(max_tokens: int = DEFAULT_MAX_TOKENS,
                      context_limit: int = DEFAULT_CONTEXT_LIMIT,
-                     merge_threshold: float = DEFAULT_MERGE_THRESHOLD):
+                     merge_threshold: float = DEFAULT_MERGE_THRESHOLD,
+                     tokenizer_name=None):
     available = k_batch.available_tokens(context_limit)
 
     @pandas_udf(_CHUNK_ARRAY)
     def chunk_and_batch(texts: pd.Series) -> pd.Series:
+        # resolved lazily on the executor; constructed tokenizers are cached
+        # per process (kernels.tokenization) — None = reference heuristic
+        from ..kernels.tokenization import get_token_counter
+
+        count = get_token_counter(tokenizer_name)
         out = []
         for text in texts:
             if not text:
@@ -45,7 +51,7 @@ def make_chunker_udf(max_tokens: int = DEFAULT_MAX_TOKENS,
                 continue
             spans = k_chunk.chunk_spans(text, max_tokens)
             costs = [
-                k_batch.estimate_tokens(s.text) + k_batch.CHUNK_OVERHEAD_TOKENS
+                count(s.text) + k_batch.CHUNK_OVERHEAD_TOKENS
                 for s in spans
             ]
             batches = k_batch.batch_chunks(costs, available, merge_threshold)
@@ -72,10 +78,16 @@ def make_chunker_udf(max_tokens: int = DEFAULT_MAX_TOKENS,
 def chunk_documents(extracted: DataFrame,
                     max_tokens: int = DEFAULT_MAX_TOKENS,
                     context_limit: int = DEFAULT_CONTEXT_LIMIT,
-                    merge_threshold: float = DEFAULT_MERGE_THRESHOLD) -> DataFrame:
+                    merge_threshold: float = DEFAULT_MERGE_THRESHOLD,
+                    tokenizer_name=None) -> DataFrame:
     """extracted docs -> chunk rows
-    (url, lang, chunk_id, start, end, text, token_est, batch_id)."""
-    udf = make_chunker_udf(max_tokens, context_limit, merge_threshold)
+    (url, lang, chunk_id, start, end, text, token_est, batch_id).
+
+    ``tokenizer_name`` plugs a real HF tokenizer into the batching cost
+    estimates when the library is installed (reference
+    `document_chunker.py:60-95`); default None = the byte-stable heuristic."""
+    udf = make_chunker_udf(max_tokens, context_limit, merge_threshold,
+                           tokenizer_name)
     with_chunks = extracted.select(
         "url", "lang", udf(F.col("text")).alias("chunks")
     )
@@ -103,11 +115,15 @@ _HYBRID_CHUNK = T.ArrayType(T.StructType([
 
 
 def make_hybrid_chunker_udf(max_tokens: int = DEFAULT_MAX_TOKENS,
-                            merge_peers: bool = True):
+                            merge_peers: bool = True,
+                            tokenizer_name=None):
     from ..kernels import hybrid_chunker as k_hybrid
 
     @pandas_udf(_HYBRID_CHUNK)
     def hybrid(texts: pd.Series, spans: pd.Series) -> pd.Series:
+        from ..kernels.tokenization import get_token_counter
+
+        count = get_token_counter(tokenizer_name)
         out = []
         for text, blocks in zip(texts, spans):
             if not text:
@@ -117,7 +133,8 @@ def make_hybrid_chunker_udf(max_tokens: int = DEFAULT_MAX_TOKENS,
                 k_hybrid.Block(int(b["start"]), int(b["end"]), b["tag"])
                 for b in (blocks if blocks is not None else [])
             ]
-            chunks = k_hybrid.hybrid_chunk(text, bl, max_tokens, merge_peers)
+            chunks = k_hybrid.hybrid_chunk(text, bl, max_tokens, merge_peers,
+                                           token_counter=count)
             out.append([
                 {
                     "chunk_id": c.chunk_id,
@@ -137,13 +154,14 @@ def make_hybrid_chunker_udf(max_tokens: int = DEFAULT_MAX_TOKENS,
 
 def hybrid_chunk_documents(extracted: DataFrame,
                            max_tokens: int = DEFAULT_MAX_TOKENS,
-                           merge_peers: bool = True) -> DataFrame:
+                           merge_peers: bool = True,
+                           tokenizer_name=None) -> DataFrame:
     """Structure-aware chunking (the HybridChunker analogue — see
     kernels.hybrid_chunker): extracted docs with block spans -> chunk rows
     (url, lang, chunk_id, start, end, text, heading_path, context,
     token_est).  Zero shuffle: per-document pure function over (text,
     spans), exploded where the row lives."""
-    udf = make_hybrid_chunker_udf(max_tokens, merge_peers)
+    udf = make_hybrid_chunker_udf(max_tokens, merge_peers, tokenizer_name)
     with_chunks = extracted.select(
         "url", "lang", udf(F.col("text"), F.col("spans")).alias("chunks")
     )

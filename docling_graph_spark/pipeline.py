@@ -46,6 +46,10 @@ class PipelineConfig:
     # path); "hybrid": heading-aware HybridChunker analogue over the
     # extractor's block spans (heading path carried into chunk-node props)
     chunker: str = "fallback"
+    # optional real tokenizer for the chunk/batch token budgets (reference
+    # `document_chunker.py:60-95`): an HF tokenizer name, used when the
+    # tokenizer libraries are installed; None = byte-stable length heuristic
+    tokenizer_name: Optional[str] = None
     id_mode: str = "blake2b"           # blake2b (parity) | xxhash64 (fast)
     add_reverse_edges: bool = False
     content_dedup: bool = False
@@ -55,6 +59,13 @@ class PipelineConfig:
     # otherwise serializes the whole parse on one task); int = exact target;
     # False = leave the scan partitioning untouched
     repartition_input: object = True
+    # persist the expensive intermediates (extraction / chunk / mention UDF
+    # outputs) as part of building the result, so a caller that runs several
+    # output actions (nodes AND edges AND metrics) parses each document once
+    # — without this the edges plan re-runs the Arrow extraction per union
+    # branch.  False for single-action jobs that write one table and exit
+    # (a pure pipeline needs no cache; persisting would only cost memory).
+    materialize: bool = True
 
 
 @dataclass
@@ -133,10 +144,13 @@ def run_pipeline(web_pages: DataFrame,
                                                       cfg.schema_size)
                   if cfg.schema_size > 0 else cfg.max_tokens)
     if cfg.chunker == "hybrid":
-        chunks = op_chunk.hybrid_chunk_documents(extracted, max_tokens)
+        chunks = op_chunk.hybrid_chunk_documents(
+            extracted, max_tokens, tokenizer_name=cfg.tokenizer_name
+        )
     else:
         chunks = op_chunk.chunk_documents(
-            extracted, max_tokens, cfg.context_limit, cfg.merge_threshold
+            extracted, max_tokens, cfg.context_limit, cfg.merge_threshold,
+            tokenizer_name=cfg.tokenizer_name,
         )
     mentions = op_entities.extract_mentions(chunks)
     doc_mentions = op_entities.doc_mentions(mentions)
@@ -156,8 +170,11 @@ def run_pipeline(web_pages: DataFrame,
                                         nodes_distinct=True,
                                         referential_integrity=True)
     metrics = op_stats.partition_metrics(extracted_all, cfg.run_id)
-    return PipelineResult(extracted, chunks, doc_mentions, nodes, edges,
-                          metrics, extracted_all)
+    result = PipelineResult(extracted, chunks, doc_mentions, nodes, edges,
+                            metrics, extracted_all)
+    if cfg.materialize:
+        result.persist()
+    return result
 
 
 def run_on_testdata(spark: SparkSession, sf_dir: str,

@@ -61,8 +61,11 @@ def clear_caches() -> None:
     """Unpersist and drop every catalog-level cached DataFrame — the hook a
     bench loop calls between corpora so persisted blocks don't accumulate."""
     for res in _CACHE.values():
-        for df in (res.extracted, res.chunks, res.doc_mentions,
-                   res.nodes, res.edges):
+        try:
+            res.unpersist()
+        except Exception:
+            pass
+        for df in (res.nodes, res.edges):
             try:
                 df.unpersist()
             except Exception:
@@ -105,12 +108,11 @@ def _pipeline(spark: SparkSession, sf_dir: str) -> PipelineResult:
     key = (_session_key(spark), sf_dir, "std")
     if key not in _CACHE:
         cfg = PipelineConfig(max_tokens=MAX_TOKENS, id_mode="xxhash64")
+        # materialize=True (default) persists extraction/chunk/mention
+        # intermediates inside run_pipeline; graph relations are re-read by
+        # several catalog queries (counts, degree, validation) — persist
+        # them too so assembly runs once
         res = run_on_testdata(spark, sf_dir, cfg)
-        res.extracted.persist()
-        res.chunks.persist()
-        res.doc_mentions.persist()
-        # graph relations are re-read by several catalog queries (counts,
-        # degree, validation) — persist them too so assembly runs once
         res.nodes.persist()
         res.edges.persist()
         _CACHE[key] = res

@@ -172,3 +172,18 @@ def test_banded_near_dup_finds_planted_high_sim_pairs(spark):
     top = op_ann.near_dup_pairs_banded(emb, top_n=5).collect()
     found = {(r.vec_a, r.vec_b) for r in top}
     assert found == {(j, 1000 + j) for j in range(5)}
+
+
+def test_materialized_pipeline_shares_one_extraction(spark, sf_smoke_dir):
+    """materialize=True (default): every output action reads the persisted
+    extraction/chunk relations — the edges plan's union branches must scan
+    the cache, not re-run the Arrow extraction per branch."""
+    from docling_graph_spark.pipeline import PipelineConfig
+    from docling_graph_spark.pipeline import run_on_testdata as run
+
+    res = run(spark, sf_smoke_dir, PipelineConfig(max_tokens=25))
+    try:
+        plan = plans.formatted_plan(res.edges)
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    finally:
+        res.unpersist()
