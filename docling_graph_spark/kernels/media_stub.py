@@ -56,12 +56,20 @@ def sniff_media_type(payload: Optional[bytes]) -> str:
 
 
 def decode_media(payload: bytes, media_type: str):
-    """REAL decode entry point — intentionally unavailable in this sandbox.
+    """REAL decode entry point.
 
-    A production deployment implements this with PIL/ffmpeg/torchaudio
-    behind the identical signature; the Spark operator calls
-    `fake_features` instead when running with stubbed decode.
+    ``image/png`` decodes for real — stdlib-only codec
+    (`kernels/png_codec.py`: chunk walk, IDAT inflate, full filter-0..4
+    defilter).  Every other media type still requires libraries this
+    container doesn't ship (PIL/ffmpeg/torchaudio) and raises
+    NotImplementedError behind the identical signature a production
+    deployment would implement; the Spark operator falls back to
+    `fake_features` for those.
     """
+    if media_type == "image/png":
+        from .png_codec import decode_png
+
+        return decode_png(payload)
     raise NotImplementedError(
         "media decode requires image/audio libraries not present in this "
         f"container (requested: {media_type}); use fake_features for the "

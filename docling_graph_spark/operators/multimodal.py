@@ -131,6 +131,63 @@ def media_transform(web_pages: DataFrame, width: int = 16, height: int = 16,
     return pruned.mapInPandas(process, schema=MEDIA_TRANSFORMED)
 
 
+MEDIA_DECODED = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("media_type", T.StringType(), False),
+    T.StructField("decoded", T.BooleanType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("pixel_sum", T.LongType(), True),
+    T.StructField("decode_error", T.StringType(), True),
+])
+
+
+def media_decode_stats(web_pages: DataFrame) -> DataFrame:
+    """REAL decode over the payload column: per row, the decoded image
+    dimensions / channel count / pixel checksum where a real decoder exists
+    (PNG, via the stdlib codec), and a routed error string where it does
+    not — decode failures become a column, never an executor crash.  Same
+    mapInPandas shape as the other media stages (per-partition decoder
+    init, (url, html) pruned across the Arrow boundary)."""
+    from ..kernels.media_stub import decode_media
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "url": pdf["url"],
+                "media_type": [None] * n,
+                "decoded": [False] * n,
+                "width": [None] * n,
+                "height": [None] * n,
+                "channels": [None] * n,
+                "pixel_sum": [None] * n,
+                "decode_error": [None] * n,
+            }
+            for i, payload in enumerate(pdf["html"]):
+                b = bytes(payload) if payload is not None else b""
+                mtype = sniff_media_type(b)
+                out["media_type"][i] = mtype
+                try:
+                    dec = decode_media(b, mtype)
+                except NotImplementedError as exc:
+                    out["decode_error"][i] = f"unsupported: {exc}"
+                    continue
+                except Exception as exc:  # malformed payload -> routed
+                    out["decode_error"][i] = f"malformed: {exc}"
+                    continue
+                out["decoded"][i] = True
+                out["width"][i] = dec.width
+                out["height"][i] = dec.height
+                out["channels"][i] = dec.channels
+                out["pixel_sum"][i] = sum(dec.pixels)
+            yield pd.DataFrame(out)
+
+    pruned = web_pages.select("url", "html")
+    return pruned.mapInPandas(process, schema=MEDIA_DECODED)
+
+
 def media_type_stats(web_pages: DataFrame) -> DataFrame:
     """Per-media-type corpus stats (count, total/avg payload bytes)."""
     feats = media_features(web_pages)

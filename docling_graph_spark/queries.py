@@ -1947,33 +1947,56 @@ FROM documents ORDER BY doc_id
 
 
 def q_docling_json_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4/O1: serialized-document JSON load — from_json against a fixed
-    StructType, schema_name validation (every 20th doc carries a wrong tag
-    and must be rejected, not dropped silently), posexplode of the pages
-    array in page order.  The JSON is built deterministically from the text
-    corpus (2 pages per doc: first half / rest), so the oracle re-derives
-    the result from first principles."""
+    """S4/O1: serialized-document JSON load with FULL structural validation
+    (reference `core/input/validators.py:211-355`): from_json against a
+    fixed StructType plus the validator's check chain, each failure kind
+    routed to a classified doc_error (wrong schema_name, missing version,
+    unparseable JSON, mis-shaped pages) — rejected, never dropped silently.
+    Valid documents posexplode their pages array in page order.  The JSON
+    (2 pages per doc: first half / rest) and every malformed variant are
+    built deterministically from doc_id, so the oracle re-derives the
+    result from first principles."""
     from .sources.docling_json import explode_pages, parse_document_json
 
     docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
     p1 = F.expr("substr(text, 1, cast(ceil(length(text)/2.0) as int))")
     p2 = F.expr("substr(text, cast(ceil(length(text)/2.0) as int) + 1)")
-    tag = F.when(F.col("doc_id") % 20 == 7, "LegacyDocument").otherwise(
-        "DoclingDocument"
-    )
-    doc_json = F.to_json(F.struct(
+    tag = F.when(d % 20 == 7, "LegacyDocument").otherwise("DoclingDocument")
+    version = F.when(d % 20 == 13, F.lit(None).cast("string")) \
+        .otherwise(F.lit("1.0"))  # to_json omits null fields -> absent key
+    good_json = F.to_json(F.struct(
         tag.alias("schema_name"),
-        F.lit("1.0").alias("version"),
-        F.concat(F.lit("doc-"), F.col("doc_id")).alias("name"),
+        version.alias("version"),
+        F.concat(F.lit("doc-"), d).alias("name"),
         F.array(
             F.struct(F.lit(1).alias("page_no"), p1.alias("text")),
             F.struct(F.lit(2).alias("page_no"), p2.alias("text")),
         ).alias("pages"),
     ))
+    doc_json = (
+        # %20==3: truncated -> unparseable JSON
+        F.when(d % 20 == 3,
+               F.substring(good_json, 1, F.length(good_json) - 5))
+        # %20==17: pages serialized as an object -> pages-shape failure
+        .when(d % 20 == 17, F.concat(
+            F.lit('{"schema_name":"DoclingDocument","version":"1.0",'
+                  '"name":"doc-'), d.cast("string"),
+            F.lit('","pages":{"1":"x"}}'),
+        ))
+        .otherwise(good_json)
+    )
     parsed = parse_document_json(docs.withColumn("doc_json", doc_json))
+    err = F.col("doc_error")
     routing = parsed.groupBy("lang").agg(
         F.sum(F.col("doc_valid").cast("long")).alias("n_docs"),
         F.sum((~F.col("doc_valid")).cast("long")).alias("n_rejected"),
+        F.sum((err == "wrong_schema_name").cast("long"))
+        .alias("n_wrong_schema"),
+        F.sum((err == "missing_version").cast("long"))
+        .alias("n_missing_version"),
+        F.sum((err == "invalid_json").cast("long")).alias("n_invalid_json"),
+        F.sum((err == "bad_pages").cast("long")).alias("n_bad_pages"),
     )
     pages = explode_pages(parsed.select("doc_id", "doc", "doc_valid"), "doc_id")
     page_stats = (
@@ -1983,17 +2006,30 @@ def q_docling_json_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.length("page_text").cast("long")).alias("page_chars"))
     )
     return routing.join(page_stats, "lang").select(
-        "lang", "n_docs", "n_rejected", "n_pages", "page_chars"
+        "lang", "n_docs", "n_rejected", "n_wrong_schema",
+        "n_missing_version", "n_invalid_json", "n_bad_pages",
+        "n_pages", "page_chars"
     ).orderBy("lang")
 
 
 SQL_DOCLING_JSON_PAGES = """
 SELECT lang,
-       CAST(count(*) FILTER (WHERE doc_id % 20 <> 7) AS BIGINT) AS n_docs,
-       CAST(count(*) FILTER (WHERE doc_id % 20 = 7) AS BIGINT) AS n_rejected,
-       CAST(2 * count(*) FILTER (WHERE doc_id % 20 <> 7) AS BIGINT) AS n_pages,
-       CAST(sum(length(text)) FILTER (WHERE doc_id % 20 <> 7) AS BIGINT)
-         AS page_chars
+       CAST(count(*) FILTER (WHERE doc_id % 20 NOT IN (3, 7, 13, 17))
+            AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE doc_id % 20 IN (3, 7, 13, 17))
+            AS BIGINT) AS n_rejected,
+       CAST(count(*) FILTER (WHERE doc_id % 20 = 7) AS BIGINT)
+         AS n_wrong_schema,
+       CAST(count(*) FILTER (WHERE doc_id % 20 = 13) AS BIGINT)
+         AS n_missing_version,
+       CAST(count(*) FILTER (WHERE doc_id % 20 = 3) AS BIGINT)
+         AS n_invalid_json,
+       CAST(count(*) FILTER (WHERE doc_id % 20 = 17) AS BIGINT)
+         AS n_bad_pages,
+       CAST(2 * count(*) FILTER (WHERE doc_id % 20 NOT IN (3, 7, 13, 17))
+            AS BIGINT) AS n_pages,
+       CAST(sum(length(text)) FILTER (WHERE doc_id % 20 NOT IN (3, 7, 13, 17))
+            AS BIGINT) AS page_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -2730,10 +2766,22 @@ SELECT * FROM (
 """
 
 
+_PNG_DOCS = 64  # doc_id < 64 get a deterministic synthetic PNG
+
+
 def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal columns end-to-end in one relation: magic-byte typing +
-    payload accounting (media_features pass) joined with the resize /
-    frame-sample transform stage (media_transform pass) per media type."""
+    """Multimodal columns end-to-end in one (stage, metric, value) relation:
+
+    * stage 'media' — magic-byte typing + payload accounting
+      (media_features pass) joined with the resize / frame-sample transform
+      stage (media_transform pass), per media type;
+    * stage 'png_decode' — REAL decode: deterministic grayscale PNGs
+      (width 4+d%5, height 3+d%7, pixel k = (d*7+k)%256) are encoded in an
+      Arrow batch stage, decoded by the stdlib PNG codec
+      (kernels/png_codec.py — IDAT inflate + full defilter) through
+      `multimodal.media_decode_stats`, and the decoded dimensions / pixel
+      checksums are compared against the oracle's closed-form pixel math.
+    """
     from .operators import multimodal as op_mm
     from .sources.web_pages import synthesize_web_pages
 
@@ -2744,19 +2792,103 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("thumb")).alias("thumb_bytes"),
         F.sum("n_frames").alias("total_frames"),
     )
-    return types.join(tstats, "media_type").select(
-        "media_type", "n_docs", "total_bytes", "thumb_bytes", "total_frames"
-    ).orderBy("media_type")
+    joined = types.join(tstats, "media_type")
+    kv = F.explode(F.array(*[
+        F.struct(
+            F.concat(F.col("media_type"), F.lit(":" + c)).alias("metric"),
+            F.col(c).cast("string").alias("value"),
+        )
+        for c in ["n_docs", "total_bytes", "thumb_bytes", "total_frames"]
+    ])).alias("kv")
+    media_rows = joined.select(kv).select(
+        F.lit("media").alias("stage"),
+        F.col("kv.metric").alias("metric"),
+        F.col("kv.value").alias("value"),
+    )
+
+    def build_pngs(batches):
+        from docling_graph_spark.kernels.png_codec import encode_png_gray
+
+        for pdf in batches:
+            urls, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 4 + d % 5, 3 + d % 7
+                px = bytes((d * 7 + k) % 256 for k in range(w * h))
+                urls.append(f"png:{d}")
+                blobs.append(encode_png_gray(w, h, px))
+            yield pd.DataFrame({"url": urls, "html": blobs})
+
+    pngs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PNG_DOCS)
+        .select("doc_id")
+        .mapInPandas(build_pngs, "url string, html binary")
+    )
+    dec = op_mm.media_decode_stats(pngs)
+    png_agg = dec.agg(
+        F.count("*").alias("n_pngs"),
+        F.sum(F.col("decoded").cast("long")).alias("n_decoded"),
+        F.sum(F.col("width").cast("long") * F.col("height"))
+        .alias("sum_pixels"),
+        F.sum("pixel_sum").alias("sum_pixel_values"),
+        F.sum(F.col("width").cast("long")).alias("sum_width"),
+        F.sum(F.col("height").cast("long")).alias("sum_height"),
+    )
+    png_rows = _unpivot_single_row(png_agg, "png_decode")
+    return media_rows.unionByName(png_rows).orderBy("stage", "metric")
 
 
 SQL_MEDIA_PIPELINE_STATS = f"""
-SELECT CASE WHEN doc_id % 50 = 49 THEN 'application/pdf'
-            ELSE 'text/html' END AS media_type,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum({_PAYLOAD_BYTES}) AS BIGINT) AS total_bytes,
-       CAST(sum(least({_PAYLOAD_BYTES}, 64)) AS BIGINT) AS thumb_bytes,
-       CAST(count(*) AS BIGINT) AS total_frames
-FROM documents GROUP BY 1 ORDER BY 1
+WITH m AS (
+  SELECT CASE WHEN doc_id % 50 = 49 THEN 'application/pdf'
+              ELSE 'text/html' END AS media_type,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({_PAYLOAD_BYTES}) AS BIGINT) AS total_bytes,
+         CAST(sum(least({_PAYLOAD_BYTES}, 64)) AS BIGINT) AS thumb_bytes,
+         CAST(count(*) AS BIGINT) AS total_frames
+  FROM documents GROUP BY 1
+),
+png AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h
+  FROM documents WHERE doc_id < {_PNG_DOCS}
+),
+pxv AS (
+  SELECT sum((png.doc_id * 7 + k) % 256) AS s
+  FROM png, LATERAL (SELECT unnest(generate_series(0, png.w * png.h - 1))
+                     AS k)
+)
+SELECT stage, metric, value FROM (
+  SELECT 'media' AS stage, media_type || ':n_docs' AS metric,
+         CAST(n_docs AS VARCHAR) AS value FROM m
+  UNION ALL
+  SELECT 'media', media_type || ':total_bytes', CAST(total_bytes AS VARCHAR)
+  FROM m
+  UNION ALL
+  SELECT 'media', media_type || ':thumb_bytes', CAST(thumb_bytes AS VARCHAR)
+  FROM m
+  UNION ALL
+  SELECT 'media', media_type || ':total_frames',
+         CAST(total_frames AS VARCHAR) FROM m
+  UNION ALL
+  SELECT 'png_decode', 'n_pngs',
+         CAST((SELECT count(*) FROM png) AS VARCHAR)
+  UNION ALL
+  SELECT 'png_decode', 'n_decoded',
+         CAST((SELECT count(*) FROM png) AS VARCHAR)
+  UNION ALL
+  SELECT 'png_decode', 'sum_pixels',
+         CAST((SELECT sum(w * h) FROM png) AS VARCHAR)
+  UNION ALL
+  SELECT 'png_decode', 'sum_pixel_values',
+         CAST((SELECT s FROM pxv) AS VARCHAR)
+  UNION ALL
+  SELECT 'png_decode', 'sum_width',
+         CAST((SELECT sum(w) FROM png) AS VARCHAR)
+  UNION ALL
+  SELECT 'png_decode', 'sum_height',
+         CAST((SELECT sum(h) FROM png) AS VARCHAR)
+) ORDER BY stage, metric
 """
 
 

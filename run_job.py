@@ -21,6 +21,11 @@ Modes:
   oneshot — full pipeline, overwrite outputs (no checkpoint)
   resume  — CheckpointedRun: left_anti restart over the output tables
   stream  — Structured-Streaming availableNow drain with offset checkpoints
+
+Config file (the reference's `docling-graph convert --config config.yaml`
+surface, `cli/commands/convert.py:129-164`): `--config job.yaml` supplies
+every flag; precedence is CLI > file > built-in defaults.  `run_job.py init`
+writes a commented scaffold (the reference's `docling-graph init`).
 """
 
 from __future__ import annotations
@@ -33,17 +38,63 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+CONFIG_SCAFFOLD = """\
+# docling-graph-spark job config (run_job.py --config <this file>)
+# Precedence: CLI flags > this file > built-in defaults.
+
+# input: /path/to/web_pages_parquet     # real crawl table
+sf_dir: /root/testdata/sf0.001          # or: synthesize from testdata
+output: /tmp/dgspark_out
+mode: oneshot                           # oneshot | resume | stream
+# stream_checkpoint: /tmp/dgspark_ckpt  # stream mode offset checkpoints
+# cores: 8                              # local[N] when no master configured
+report: false                           # also write report.md + graph.html
+
+# pipeline knobs (docling_graph_spark.pipeline.PipelineConfig subset)
+defaults:
+  id_mode: xxhash64                     # blake2b (parity) | xxhash64 (fast)
+  max_tokens: 512
+  chunker: fallback                     # fallback | hybrid
+  # tokenizer_name: sentence-transformers/all-MiniLM-L6-v2
+  # context_limit: 8000
+  # merge_threshold: 0.85
+  # add_reverse_edges: false
+  # content_dedup: false
+"""
+
+# PipelineConfig fields settable from the yaml `defaults:` block
+_PIPELINE_KEYS = (
+    "max_tokens", "context_limit", "schema_size", "merge_threshold",
+    "chunker", "tokenizer_name", "id_mode", "add_reverse_edges",
+    "content_dedup", "run_id", "materialize",
+)
+
+
+def _load_config(path: str) -> dict:
+    import yaml
+
+    with open(path, encoding="utf-8") as f:
+        data = yaml.safe_load(f) or {}
+    if not isinstance(data, dict):
+        raise SystemExit(f"config file {path!r} must be a YAML mapping")
+    return data
+
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("command", nargs="?", choices=["run", "init"],
+                    default="run",
+                    help="run (default) or init (write a config scaffold)")
+    ap.add_argument("--config", default=None,
+                    help="YAML config file (CLI flags override its values)")
     ap.add_argument("--input", help="web_pages table path (parquet/Iceberg)")
     ap.add_argument("--sf-dir", help="testdata dir to synthesize input from")
-    ap.add_argument("--output", required=True, help="output root")
+    ap.add_argument("--output", default=None, help="output root")
     ap.add_argument("--mode", choices=["oneshot", "resume", "stream"],
-                    default="resume")
+                    default=None)
     ap.add_argument("--stream-checkpoint", default=None)
     ap.add_argument("--id-mode", choices=["blake2b", "xxhash64"],
-                    default="xxhash64")
+                    default=None)
     ap.add_argument("--max-tokens", type=int, default=None)
     ap.add_argument("--cores", type=int, default=None,
                     help="local[N] cores when no master is configured")
@@ -51,6 +102,29 @@ def main() -> int:
                     help="also write report.md + graph.html (bounded driver-"
                          "side render of the assembled graph) to --output")
     args = ap.parse_args()
+
+    if args.command == "init":
+        target = args.config or "config.yaml"
+        if os.path.exists(target):
+            ap.error(f"refusing to overwrite existing {target}")
+        with open(target, "w", encoding="utf-8") as f:
+            f.write(CONFIG_SCAFFOLD)
+        print(json.dumps({"wrote": target}))
+        return 0
+
+    # ---- precedence: CLI > config file > built-in defaults ---------------
+    file_cfg = _load_config(args.config) if args.config else {}
+    file_defaults = file_cfg.get("defaults", {}) or {}
+    args.input = args.input or file_cfg.get("input")
+    args.sf_dir = args.sf_dir or file_cfg.get("sf_dir")
+    args.output = args.output or file_cfg.get("output")
+    args.mode = args.mode or file_cfg.get("mode") or "resume"
+    args.stream_checkpoint = (args.stream_checkpoint
+                              or file_cfg.get("stream_checkpoint"))
+    args.cores = args.cores if args.cores is not None else file_cfg.get("cores")
+    args.report = args.report or bool(file_cfg.get("report", False))
+    if not args.output:
+        ap.error("--output is required (flag or config file)")
 
     from pyspark.sql import SparkSession
 
@@ -68,7 +142,10 @@ def main() -> int:
 
     from docling_graph_spark.pipeline import PipelineConfig
 
-    cfg_kwargs = {"id_mode": args.id_mode}
+    cfg_kwargs = {k: file_defaults[k] for k in _PIPELINE_KEYS
+                  if k in file_defaults}
+    cfg_kwargs["id_mode"] = args.id_mode or cfg_kwargs.get("id_mode",
+                                                           "xxhash64")
     if args.max_tokens:
         cfg_kwargs["max_tokens"] = args.max_tokens
     cfg = PipelineConfig(**cfg_kwargs)

@@ -1,0 +1,116 @@
+"""Stdlib PNG codec: encode→decode roundtrip, defilter correctness against
+an independently-constructed filtered stream (all 5 filter types), color
+types, and error routing through the media decode operator."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from docling_graph_spark.kernels.media_stub import decode_media
+from docling_graph_spark.kernels.png_codec import (
+    PNG_SIGNATURE,
+    decode_png,
+    encode_png_gray,
+)
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _png(width, height, bit_depth, color_type, raw, interlace=0):
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type,
+                       0, 0, interlace)
+    return (PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+
+
+def test_gray_roundtrip():
+    w, h = 7, 5
+    px = bytes((i * 13 + 5) % 256 for i in range(w * h))
+    dec = decode_png(encode_png_gray(w, h, px))
+    assert (dec.width, dec.height, dec.channels) == (w, h, 1)
+    assert dec.pixels == px
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_defilter_matches_forward_filter(ftype):
+    """Forward-filter a known RGB image with one filter type per row, then
+    decode: output must equal the original samples (spec-defined inverse)."""
+    w, h, ch = 5, 4, 3
+    orig = bytes((y * 31 + x * 7 + 3) % 256 for y in range(h)
+                 for x in range(w * ch))
+    stride = w * ch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    rows = []
+    for y in range(h):
+        line = orig[y * stride:(y + 1) * stride]
+        prev = orig[(y - 1) * stride:y * stride] if y else bytes(stride)
+        filt = bytearray([ftype])
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                v = line[i]
+            elif ftype == 1:
+                v = line[i] - a
+            elif ftype == 2:
+                v = line[i] - b
+            elif ftype == 3:
+                v = line[i] - ((a + b) >> 1)
+            else:
+                v = line[i] - paeth(a, b, c)
+            filt.append(v & 0xFF)
+        rows.append(bytes(filt))
+    dec = decode_png(_png(w, h, 8, 2, b"".join(rows)))
+    assert dec.channels == 3
+    assert dec.pixels == orig
+
+
+def test_rejects_bad_signature_and_truncation():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"NOPE" + b"\x00" * 32)
+    good = encode_png_gray(4, 4, bytes(16))
+    with pytest.raises(Exception):
+        decode_png(good[:20])
+
+
+def test_unsupported_features_raise_not_implemented():
+    raw = bytes(4 * (1 + 2))  # 16-bit gray 2x... (content irrelevant)
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(_png(2, 2, 16, 0, raw))
+    with pytest.raises(NotImplementedError, match="interlace"):
+        decode_png(_png(2, 2, 8, 0, bytes(6), interlace=1))
+
+
+def test_decode_media_routes_png_and_stubs_rest():
+    png = encode_png_gray(3, 2, bytes(range(6)))
+    dec = decode_media(png, "image/png")
+    assert (dec.width, dec.height) == (3, 2)
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff-jpeg-ish", "image/jpeg")
+
+
+def test_media_decode_stats_routes_errors(spark):
+    from docling_graph_spark.operators.multimodal import media_decode_stats
+
+    png = encode_png_gray(4, 3, bytes(range(12)))
+    rows = [("ok", png), ("trunc", png[:15]),
+            ("jpeg", b"\xff\xd8\xffJFIF....")]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r.url: r for r in media_decode_stats(df).collect()}
+    assert got["ok"].decoded and (got["ok"].width, got["ok"].height) == (4, 3)
+    assert got["ok"].pixel_sum == sum(range(12))
+    assert not got["trunc"].decoded
+    assert not got["jpeg"].decoded
+    assert got["jpeg"].decode_error.startswith("unsupported")
