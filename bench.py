@@ -164,7 +164,7 @@ def bench(sf_dir: str, cores: int) -> dict:
     )
     if catalog_times:
         median = catalog_times[len(catalog_times) // 2]
-        threshold = max(5.0, 5 * median)
+        threshold = max(3.0, 5 * median)
         for name, t in list(queries.items()):
             if name not in cat or t <= threshold:
                 continue

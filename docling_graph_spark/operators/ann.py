@@ -199,6 +199,33 @@ def ivf_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def banded_embeddings(emb: DataFrame, n_planes: int = 16, n_bands: int = 4,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Explode each vector into its ``n_bands`` sign-LSH band keys:
+    (id, vec, _n norm, band_key) with one row per (vector, band).
+
+    This is the relation a 100 TB deployment writes ONCE, bucketed by
+    ``band_key`` (operators/bucketing.write_bucketed): candidate
+    generation then becomes a co-located join — zero Exchange on the
+    corpus side for any probe relation bucketed the same way, partition
+    pruning for single-bucket lookups (plan-asserted in
+    tests/test_bucketing.py)."""
+    from .partitioning import ensure_min_partitions
+
+    rows_per_band = n_planes // n_bands
+    normed = with_norm(ensure_min_partitions(emb, id_col), vec_col, "_n")
+    bits = sign_bucket(F.col(vec_col), n_planes)
+    band_keys = F.array(*[
+        F.concat(F.lit(f"{b}:"),
+                 F.substring(bits, b * rows_per_band + 1, rows_per_band))
+        for b in range(n_bands)
+    ])
+    return normed.select(
+        id_col, vec_col, "_n", F.explode(band_keys).alias("band_key")
+    )
+
+
 def near_dup_pairs_banded(emb: DataFrame, top_n: int = 20,
                           n_planes: int = 16, n_bands: int = 4,
                           id_col: str = "vec_id",
@@ -228,19 +255,7 @@ def near_dup_pairs_banded(emb: DataFrame, top_n: int = 20,
     while random pairs are pruned — the planted-pair property is unit-
     tested; the catalog oracle replicates this exact construction, so the
     gate checks determinism of the banded algorithm itself."""
-    from .partitioning import ensure_min_partitions
-
-    rows_per_band = n_planes // n_bands
-    normed = with_norm(ensure_min_partitions(emb, id_col), vec_col, "_n")
-    bits = sign_bucket(F.col(vec_col), n_planes)
-    band_keys = F.array(*[
-        F.concat(F.lit(f"{b}:"),
-                 F.substring(bits, b * rows_per_band + 1, rows_per_band))
-        for b in range(n_bands)
-    ])
-    banded = normed.select(
-        id_col, vec_col, "_n", F.explode(band_keys).alias("band_key")
-    )
+    banded = banded_embeddings(emb, n_planes, n_bands, id_col, vec_col)
     a = banded.select(F.col(id_col).alias("vec_a"),
                       F.col(vec_col).alias("ea"),
                       F.col("_n").alias("_na"), "band_key")

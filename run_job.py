@@ -82,9 +82,12 @@ def _load_config(path: str) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("command", nargs="?", choices=["run", "init"],
+    ap.add_argument("command", nargs="?", choices=["run", "init", "inspect"],
                     default="run",
-                    help="run (default) or init (write a config scaffold)")
+                    help="run (default), init (write a config scaffold), or "
+                         "inspect (render report.md + graph.html from an "
+                         "existing job output dir — the reference's "
+                         "`docling-graph inspect`)")
     ap.add_argument("--config", default=None,
                     help="YAML config file (CLI flags override its values)")
     ap.add_argument("--input", help="web_pages table path (parquet/Iceberg)")
@@ -110,6 +113,42 @@ def main() -> int:
         with open(target, "w", encoding="utf-8") as f:
             f.write(CONFIG_SCAFFOLD)
         print(json.dumps({"wrote": target}))
+        return 0
+
+    if args.command == "inspect":
+        # the reference's `docling-graph inspect` (cli/commands/inspect.py:
+        # 15-117): load an exported graph, render the self-contained
+        # Cytoscape HTML + markdown report.  Reads the nodes/edges CSV
+        # datasets a `run` wrote into --output.
+        if args.config:
+            file_cfg = _load_config(args.config)
+            args.output = args.output or file_cfg.get("output")
+        if not args.output:
+            ap.error("inspect requires --output (the job output dir)")
+        from pyspark.sql import SparkSession, functions as F
+
+        existing = SparkSession.getActiveSession()
+        if existing is not None:
+            spark = existing
+        else:
+            from docling_graph_spark.session import get_spark
+            spark = get_spark(app_name="docling-graph-spark-inspect",
+                              cores=args.cores)
+        spark.sparkContext.setLogLevel("WARN")
+        from docling_graph_spark import visualizers
+
+        out = args.output.rstrip("/")
+        props = F.from_json("properties", "map<string,string>") \
+            .alias("properties")
+        nodes = spark.read.option("header", True).csv(f"{out}/nodes.csv") \
+            .select("id", "label", "type", props)
+        edges = spark.read.option("header", True).csv(f"{out}/edges.csv") \
+            .select("src", "dst", "label", props)
+        report = visualizers.write_report(nodes, edges, f"{out}/report.md")
+        html = visualizers.write_interactive_html(nodes, edges,
+                                                  f"{out}/graph.html")
+        print(json.dumps({"report": report, "html": html,
+                          "nodes": nodes.count(), "edges": edges.count()}))
         return 0
 
     # ---- precedence: CLI > config file > built-in defaults ---------------

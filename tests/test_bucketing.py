@@ -82,3 +82,54 @@ def test_bucketed_aggregation_no_exchange(spark, bucketed_tables):
             "groupBy(bucket key) over a bucketed table must not shuffle")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_banded_ann_corpus_bucketed_probe_is_exchange_free(spark,
+                                                           sf_smoke_dir):
+    """The 100 TB ANN layout: the banded embedding relation is written ONCE
+    bucketed by band_key; a probe relation bucketed the same way joins with
+    ZERO Exchange on either side — candidate generation without shuffling
+    the corpus (operators/ann.banded_embeddings docstring contract)."""
+    from pyspark.sql import functions as F
+
+    from docling_graph_spark.operators import ann as op_ann
+    from docling_graph_spark.operators import bucketing
+
+    # clean both catalog entry and managed location (a previous session's
+    # warehouse dir survives the metastore and blocks saveAsTable)
+    import shutil
+
+    for t in ("banded_corpus", "banded_probes"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    emb = spark.read.parquet(f"{sf_smoke_dir}/embeddings.parquet")
+    banded = op_ann.banded_embeddings(emb).select(
+        "vec_id", "band_key", "_n"
+    )
+    probes = banded.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "band_key"
+    )
+    bucketing.write_bucketed(banded, "banded_corpus", ["band_key"],
+                             num_buckets=8, sort_cols=["band_key"])
+    bucketing.write_bucketed(probes, "banded_probes", ["band_key"],
+                             num_buckets=8, sort_cols=["band_key"])
+    corpus_t = bucketing.read_table(spark, "banded_corpus")
+    probes_t = bucketing.read_table(spark, "banded_probes")
+    # disable auto-broadcast: the probe side is tiny at test scale so Spark
+    # would broadcast (also shuffle-free, but then the layout isn't what's
+    # being exercised); at 100 TB the probe relation is NOT broadcastable
+    # and the bucketed sort-merge join is the plan that must hold
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = corpus_t.join(probes_t, "band_key").filter(
+            F.col("vec_id") != F.col("query_id")
+        )
+        assert joined.count() > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, \
+            "bucketed-bucketed band join must not shuffle either side"
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -77,3 +77,23 @@ def test_cli_overrides_config_file(tmp_path, capsys, spark, sf_smoke_dir,
     # CLI flag (none) fell back to the file, which also has none
     with pytest.raises(SystemExit):
         _run(["--config", str(cfg_path)], capsys)
+
+
+def test_inspect_renders_report_from_output_dir(spark, sf_smoke_dir,
+                                                tmp_path, capsys):
+    """run (oneshot) then inspect: the reference's convert -> inspect flow
+    (`cli/commands/inspect.py:15-117`) against the CSV export."""
+    out_dir = str(tmp_path / "gout")
+    cfg_path = tmp_path / "job.yaml"
+    cfg_path.write_text(yaml.safe_dump({
+        "sf_dir": sf_smoke_dir, "output": out_dir, "mode": "oneshot",
+        "defaults": {"max_tokens": 25},
+    }))
+    rc, _ = _run(["--config", str(cfg_path)], capsys)
+    assert rc == 0
+    rc, out = _run(["inspect", "--output", out_dir], capsys)
+    assert rc == 0
+    assert out["nodes"] > 0 and out["edges"] > 0
+    assert os.path.exists(f"{out_dir}/report.md")
+    assert os.path.exists(f"{out_dir}/graph.html")
+    assert "<html" in open(f"{out_dir}/graph.html").read()[:2000].lower()

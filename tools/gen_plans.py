@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md sections: capture `.explain("formatted")` for the
+flagship pipeline and representative catalog queries at sf0.01.
+
+Usage: python tools/gen_plans.py [section ...]   (no args = print all)
+Output goes to stdout as markdown; paste/patch into PLANS.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from docling_graph_spark import queries as qmod
+    from docling_graph_spark.plans import formatted_plan
+    from docling_graph_spark.session import get_spark
+
+    spark = get_spark(app_name="gen-plans", cores=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sections = {}
+
+    # flagship edges (materialized: union branches read the cache)
+    res = qmod._pipeline(spark, SF)
+    res.edges.count()  # force the cache so the executed plan shows the scan
+    sections["flagship-edges-materialized"] = (
+        "flagship pipeline → edges (materialize=True: union branches read "
+        "InMemoryTableScan — one extraction pass for every output action)",
+        formatted_plan(res.edges),
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    from docling_graph_spark.operators import ann as op_ann
+
+    sections["near-dup-banded"] = (
+        "embedding_near_dup — banded sign-LSH (band equi-join candidates; "
+        "no nested-loop/cartesian operator anywhere)",
+        formatted_plan(op_ann.near_dup_pairs_banded(emb, top_n=20)),
+    )
+
+    wanted = sys.argv[1:] or list(sections)
+    for key in wanted:
+        title, plan = sections[key]
+        print(f"\n## {title}\n\n```\n{plan.strip()}\n```")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
