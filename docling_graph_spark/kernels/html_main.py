@@ -28,6 +28,8 @@ import re
 from html.parser import HTMLParser
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
+from .html_fast import fast_feed
+
 DROP_TAGS = frozenset({
     "script", "style", "noscript", "template", "svg", "iframe", "canvas",
     "form", "button", "input", "select", "textarea", "object", "embed",
@@ -76,17 +78,25 @@ class _TreeBuilder(HTMLParser):
         self._n = 0
 
     def handle_starttag(self, tag: str, attrs) -> None:
+        self.start_node(tag, dict(attrs))
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.leaf_node(tag, dict(attrs))
+
+    # attrs-already-a-dict entry points (the fast tokenizer builds the dict
+    # directly, skipping the list-of-tuples round trip)
+    def start_node(self, tag: str, attrs: Dict[str, str]) -> None:
         if tag in VOID_TAGS:
-            self.handle_startendtag(tag, attrs)
+            self.leaf_node(tag, attrs)
             return
         self._n += 1
-        node = _Node(tag, dict(attrs), self._cur, self._n)
+        node = _Node(tag, attrs, self._cur, self._n)
         self._cur.children.append(node)
         self._cur = node
 
-    def handle_startendtag(self, tag: str, attrs) -> None:
+    def leaf_node(self, tag: str, attrs: Dict[str, str]) -> None:
         self._n += 1
-        node = _Node(tag, dict(attrs), self._cur, self._n)
+        node = _Node(tag, attrs, self._cur, self._n)
         self._cur.children.append(node)
 
     def handle_endtag(self, tag: str) -> None:
@@ -119,6 +129,48 @@ def _is_boilerplate(node: _Node) -> bool:
         return True
     hint = f"{node.attrs.get('id', '')} {node.attrs.get('class', '')}"
     return bool(hint.strip()) and bool(BOILERPLATE_HINT.search(hint))
+
+
+def _analyze(node: _Node, out: List[Tuple[float, int, "_Node"]]) -> Tuple[int, int, float]:
+    """Single post-order pass fusing _prune + _measure + _score_containers
+    (kept below as the readable spec; differential-tested equal).
+
+    Returns ``(text_len, link_text_len, block_score)`` of the kept subtree,
+    where ``block_score`` is the sum of ``max(0, t - 2*l)`` over the node's
+    MAXIMAL block-tag descendants — exactly what the stack walk in
+    _score_containers computes per container, but shared bottom-up instead
+    of recomputed per ancestor.  All partial sums are integer-valued floats
+    (< 2**53), so summation order cannot change the winner."""
+    kept: List[Any] = []
+    total = 0
+    linked = 0
+    bscore = 0.0
+    for child in node.children:
+        if isinstance(child, str):
+            kept.append(child)
+            total += len(child.strip())
+            continue
+        if child.tag in DROP_TAGS or _is_boilerplate(child):
+            continue
+        t, l, bs = _analyze(child, out)
+        kept.append(child)
+        total += t
+        linked += t if child.tag == "a" else l
+        if child.tag in BLOCK_TAGS:
+            bscore += max(0.0, t - 2.0 * l)
+        else:
+            bscore += bs
+    node.children = kept
+    tag = node.tag
+    if bscore > 0 and (tag in CONTAINER_TAGS or tag == "#root"):
+        bonus = SEMANTIC_BONUS.get(tag, 1.0)
+        if tag != "#root":
+            attrs = node.attrs
+            hint = f"{attrs.get('id', '')} {attrs.get('class', '')}"
+            if hint.strip() and CONTENT_HINT.search(hint):
+                bonus *= 1.5
+        out.append((bscore * bonus, node.order, node))
+    return total, linked, bscore
 
 
 def _prune(node: _Node) -> None:
@@ -222,19 +274,24 @@ def extract_main_content(html: bytes | str) -> ExtractionResult:
         raw_len = len(html.encode("utf-8"))
         markup = html
 
+    # Fast path: one-shot tokenizer emitting the stdlib parser's exact token
+    # stream (kernels/html_fast.py). Any construct it does not replicate —
+    # or any unexpected error — falls back to a from-scratch stdlib parse,
+    # so the output is the stdlib output on every input by construction
+    # (differentially enforced in tests/test_html_fast.py).
     builder = _TreeBuilder()
     try:
-        builder.feed(markup)
-        builder.close()
+        fast_feed(markup, builder)
     except Exception:
-        pass  # html.parser is forgiving; keep whatever tree we built
+        builder = _TreeBuilder()
+        try:
+            builder.feed(markup)
+            builder.close()
+        except Exception:
+            pass  # html.parser is forgiving; keep whatever tree we built
     root = builder.root
-    _prune(root)
-
-    cache: Dict[int, Tuple[int, int]] = {}
-    _measure(root, cache)
     candidates: List[Tuple[float, int, _Node]] = []
-    _score_containers(root, cache, candidates)
+    _analyze(root, candidates)
 
     if candidates:
         # max score; ties broken by earliest document order
