@@ -23,7 +23,7 @@ from pyspark.sql import types as T
 
 from ..kernels.entity_extract import FieldRuleExtractor
 
-TERM_PATTERN = "[a-z]{5,}"
+TERM_PATTERN = "[a-z]{5,}"  # case-folded spelling; the scan uses [a-zA-Z]
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 YEAR_PATTERN = r"\b(?:1[89][0-9]{2}|20[0-9]{2})\b"
 
@@ -48,10 +48,12 @@ def extract_mentions(chunks: DataFrame, text_col: str = "text") -> DataFrame:
       (emails contain '@', years are all-digit, terms are alphabetic), so
       the kind is recoverable from the value alone."""
     text = F.col(text_col)
-    # (?i) ASCII case-folding + post-explode lower == lower-then-match for
-    # the ASCII term pattern
+    # explicit [a-zA-Z] class + post-explode lower == lower-then-match for
+    # the ASCII term pattern; spelled as a plain range union rather than
+    # (?i)[a-z] because Java compiles the latter into a per-character
+    # case-folding predicate — same matches, slower scan
     arr = F.concat(
-        F.regexp_extract_all(text, F.lit("(?i)" + TERM_PATTERN), 0),
+        F.regexp_extract_all(text, F.lit("[a-zA-Z]{5,}"), 0),
         F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0),
         F.regexp_extract_all(text, F.lit(YEAR_PATTERN), 0),
     )
