@@ -8,21 +8,33 @@ append is idempotent at the key level.
 
 On a production cluster the tables are Iceberg (atomic snapshot commits,
 incremental reads between snapshot ids, time travel for lineage); in this
-sandbox the same protocol runs on plain parquet datasets — the operator
-shapes (left_anti restart, keyed append, run manifest) are identical, only
-the commit atomicity differs.  Citations: reference metadata sink
+sandbox the same protocol runs on plain parquet datasets.  The one Iceberg
+property that must NOT be dropped on the way down is commit atomicity
+across the run: six independent parquet appends are not a transaction, and
+a crash after the `extracted` append but before the `edges` append would
+make the restart treat those urls as done — their edges silently lost
+forever.  So runs commit the way an Iceberg snapshot does: every stage
+append is stamped with the run's id (`_run_id` column = the data files),
+and the run-manifest row written LAST is the commit point (= the metadata
+swap).  The resume anti-join and all readers see only committed runs;
+rows from a crashed run are invisible orphans that the retry supersedes
+(Iceberg's expire-snapshots would reclaim them; on parquet they are
+dead weight until a compaction pass).  Citations: reference metadata sink
 `/root/reference/docling_graph/pipeline/orchestrator.py:149-240` (the run
 manifest), resume protocol per SURVEY §2.9.
 
 Scale notes: the anti-join's build side is only the key column of the done
 set (column pruning keeps it narrow); with Iceberg the done-keys scan prunes
 to the partitions the restart touches.  Appends are partitioned by url-host
-bucket so a resumed run's writes land in the same layout.
+bucket so a resumed run's writes land in the same layout.  The committed
+run-id set is one tiny relation (one row per run) broadcast into the
+`_run_id` semi-join.
 """
 
 from __future__ import annotations
 
 import time
+import uuid
 from dataclasses import asdict
 from typing import Optional
 
@@ -32,15 +44,27 @@ from pyspark.sql import functions as F
 from .pipeline import PipelineConfig, PipelineResult, run_pipeline
 
 STAGES = ("extracted", "chunks", "doc_mentions", "nodes", "edges", "metrics")
+RUN_ID_COL = "_run_id"
 
 
 def completed_keys(spark: SparkSession, table_path: str,
-                   key: str = "url") -> Optional[DataFrame]:
-    """Keys already committed to a stage table; None when no checkpoint."""
+                   key: str = "url",
+                   committed: Optional[DataFrame] = None) -> Optional[DataFrame]:
+    """Keys already committed to a stage table; None when no checkpoint.
+
+    With ``committed`` (a one-column ``_run_id`` relation from the run
+    manifest), only rows whose run actually committed count as done —
+    rows appended by a run that crashed before its manifest write are
+    invisible to the restart.  Without it (or for legacy tables written
+    before run stamping), every present key counts.
+    """
     try:
-        return spark.read.parquet(table_path).select(key).distinct()
+        done = spark.read.parquet(table_path)
     except Exception:
         return None
+    if committed is not None and RUN_ID_COL in done.columns:
+        done = done.join(F.broadcast(committed), RUN_ID_COL, "left_semi")
+    return done.select(key).distinct()
 
 
 def pending_inputs(inputs: DataFrame, done: Optional[DataFrame],
@@ -61,9 +85,11 @@ class CheckpointedRun:
     """Drive the document→graph pipeline with per-stage table checkpoints.
 
     `run()` processes only the documents whose url is absent from the
-    `extracted` checkpoint, appends every stage table, and records a run
-    manifest — calling it repeatedly with overlapping inputs converges with
-    no duplicate work and no duplicate rows.
+    committed `extracted` checkpoint, appends every stage table stamped
+    with a fresh run id, and commits by writing the run-manifest row last —
+    calling it repeatedly with overlapping inputs converges with no
+    duplicate work and no duplicate rows, and a run that dies between
+    appends leaves only invisible (uncommitted) orphan rows behind.
     """
 
     def __init__(self, spark: SparkSession, root: str,
@@ -77,13 +103,40 @@ class CheckpointedRun:
     def _path(self, stage: str) -> str:
         return f"{self.root}/{stage}"
 
+    # ------------------------------------------------------------ commits
+
+    def committed_runs(self) -> Optional[DataFrame]:
+        """One-column ``_run_id`` relation of committed runs (None = no
+        manifest yet)."""
+        try:
+            runs = self.spark.read.json(self._path("runs"))
+        except Exception:
+            return None
+        if "run_id" not in runs.columns:
+            return None  # legacy manifest without run stamping
+        return (
+            runs.where(F.col("status") == "committed")
+            .select(F.col("run_id").alias(RUN_ID_COL)).distinct()
+        )
+
+    def _filter_committed(self, df: DataFrame) -> DataFrame:
+        if RUN_ID_COL not in df.columns:
+            return df  # legacy table written before run stamping
+        committed = self.committed_runs()
+        if committed is not None:
+            df = df.join(F.broadcast(committed), RUN_ID_COL, "left_semi")
+        return df.drop(RUN_ID_COL)
+
+    # ---------------------------------------------------------------- run
+
     def run(self, web_pages: DataFrame) -> int:
         """Process pending inputs; returns number of newly processed docs."""
-        done = completed_keys(self.spark, self._path("extracted"))
+        done = completed_keys(self.spark, self._path("extracted"),
+                              committed=self.committed_runs())
         todo = pending_inputs(web_pages, done)
         # cheap emptiness probe: limit(1) avoids a full count of the input
         if todo.limit(1).isEmpty():
-            self._manifest(0, 0.0)
+            self._manifest("", 0, 0.0)
             return 0
 
         t0 = time.perf_counter()
@@ -99,41 +152,66 @@ class CheckpointedRun:
         # cluster these would be intermediate Iceberg tables)
         res.persist()
 
+        run_id = uuid.uuid4().hex
+        self._append_stages(res, run_id)
+        processed = res.extracted.count()
+        res.unpersist()
+        # the commit point: a run is visible if and only if this row landed
+        self._manifest(run_id, processed, time.perf_counter() - t0)
+        return processed
+
+    def _append_stages(self, res: PipelineResult, run_id: str) -> None:
+        """The data-file half of the commit: six appends stamped with
+        ``run_id``, invisible until `_manifest` records the run as
+        committed.  Split out so tests can simulate a crash between the
+        appends and the commit."""
+        rid = F.lit(run_id)
         extracted = res.extracted.withColumn(
             "bucket", host_bucket(F.col("url"), self.n_buckets)
-        )
+        ).withColumn(RUN_ID_COL, rid)
         extracted.write.mode("append").partitionBy("bucket").parquet(
             self._path("extracted")
         )
-        res.chunks.write.mode("append").parquet(self._path("chunks"))
-        res.doc_mentions.write.mode("append").parquet(self._path("doc_mentions"))
-        # graph relations are url-derived, so appends stay disjoint per run;
-        # Term nodes can repeat across runs — readers dedup by id (idempotent
-        # content-hash ids make that a dropDuplicates, not a merge)
-        res.nodes.write.mode("append").parquet(self._path("nodes"))
-        res.edges.write.mode("append").parquet(self._path("edges"))
-        res.metrics.write.mode("append").parquet(self._path("metrics"))
+        for name, df in (
+            ("chunks", res.chunks),
+            ("doc_mentions", res.doc_mentions),
+            # graph relations are url-derived, so appends stay disjoint per
+            # run; Term nodes can repeat across runs — readers dedup by id
+            # (idempotent content-hash ids make that a dropDuplicates, not
+            # a merge)
+            ("nodes", res.nodes),
+            ("edges", res.edges),
+            ("metrics", res.metrics),
+        ):
+            df.withColumn(RUN_ID_COL, rid).write.mode("append").parquet(
+                self._path(name)
+            )
 
-        processed = res.extracted.count()
-        res.unpersist()
-        self._manifest(processed, time.perf_counter() - t0)
-        return processed
+    # ------------------------------------------------------------ readers
 
     def nodes(self) -> DataFrame:
         """Graph nodes across all committed runs (id-level dedup)."""
-        return self.spark.read.parquet(self._path("nodes")).dropDuplicates(["id"])
+        return self._filter_committed(
+            self.spark.read.parquet(self._path("nodes"))
+        ).dropDuplicates(["id"])
 
     def edges(self) -> DataFrame:
-        return self.spark.read.parquet(self._path("edges")).dropDuplicates(
-            ["src", "dst", "label"]
-        )
+        return self._filter_committed(
+            self.spark.read.parquet(self._path("edges"))
+        ).dropDuplicates(["src", "dst", "label"])
 
     def extracted(self) -> DataFrame:
-        return self.spark.read.parquet(self._path("extracted"))
+        return self._filter_committed(
+            self.spark.read.parquet(self._path("extracted"))
+        )
 
-    def _manifest(self, processed: int, wall_seconds: float) -> None:
-        """S12 run-manifest row (`orchestrator.py:149-240` analogue)."""
+    def _manifest(self, run_id: str, processed: int,
+                  wall_seconds: float) -> None:
+        """S12 run-manifest row (`orchestrator.py:149-240` analogue); doubles
+        as the atomic commit record for ``run_id``'s appends."""
         row = {
+            "run_id": run_id,
+            "status": "committed",
             "run_ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
             "processed_docs": processed,
             "wall_seconds": round(wall_seconds, 3),

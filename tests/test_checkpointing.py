@@ -58,3 +58,46 @@ def test_resume_processes_only_missing(spark, pages, tmp_path):
     runs = spark.read.json(f"{root}/runs")
     assert runs.count() == 3
     assert {r["processed_docs"] for r in runs.collect()} == {n1, n2, 0}
+
+
+def test_crashed_run_is_invisible_and_retried(spark, pages, tmp_path):
+    """Iceberg-style commit semantics on parquet: stage appends from a run
+    that died before its manifest write (the commit point) must be invisible
+    to readers AND to the resume anti-join, so the retry reprocesses those
+    documents instead of silently losing their downstream tables."""
+    root = str(tmp_path / "ckpt_crash")
+    run = CheckpointedRun(spark, root, CFG)
+
+    half = pages.filter(F.crc32(F.col("url")) % 2 == 0)
+    n1 = run.run(half)
+    assert n1 == half.count()
+
+    # simulate a crash: append all six stage tables for the other half but
+    # die before the manifest commit
+    other = pages.filter(F.crc32(F.col("url")) % 2 != 0)
+    res = run_pipeline(other.localCheckpoint(eager=True), CFG).persist()
+    run._append_stages(res, "deadbeef-crashed")
+    res.unpersist()
+
+    # orphan rows are invisible: readers show only the committed half
+    committed_urls = {r[0] for r in run.extracted().select("url").collect()}
+    assert committed_urls == {r[0] for r in half.select("url").collect()}
+
+    # the retry reprocesses exactly the crashed documents...
+    n2 = run.run(pages)
+    assert n2 == other.count()
+
+    # ...and the final state equals the one-shot result despite the
+    # physically duplicated (orphaned) rows on disk
+    oneshot = run_pipeline(pages, CFG)
+    assert {r[0] for r in run.extracted().select("url").collect()} == \
+        {r[0] for r in oneshot.extracted.select("url").collect()}
+    assert {r[0] for r in run.nodes().select("id").collect()} == \
+        {r[0] for r in oneshot.nodes.select("id").collect()}
+    assert run.edges().count() == oneshot.edges.count()
+
+    # raw table really does contain the orphans (the dead weight a
+    # compaction/expire pass would reclaim) — proves the filter is doing
+    # the work, not an accidental overwrite
+    raw = spark.read.parquet(f"{root}/extracted")
+    assert raw.count() == pages.count() + other.count()
