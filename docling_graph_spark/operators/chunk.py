@@ -103,6 +103,24 @@ def chunk_documents(extracted: DataFrame,
     )
 
 
+def chunks_from_combined(combined: DataFrame) -> DataFrame:
+    """Chunk rows from the fused extract+chunk relation (same schema as
+    chunk_documents' output; pure JVM filter + explode + flatten — no second
+    Python pass)."""
+    c = F.explode("chunks").alias("c")
+    return combined.filter(
+        F.col("error").isNull() & (F.length(F.trim(F.col("text"))) > 0)
+    ).select("url", "lang", c).select(
+        "url", "lang",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.start").alias("start"),
+        F.col("c.end").alias("end"),
+        F.col("c.text").alias("text"),
+        F.col("c.token_est").alias("token_est"),
+        F.col("c.batch_id").alias("batch_id"),
+    )
+
+
 _HYBRID_CHUNK = T.ArrayType(T.StructType([
     T.StructField("chunk_id", T.IntegerType()),
     T.StructField("start", T.LongType()),

@@ -24,7 +24,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..kernels.html_main import extract_main_content
 from ..kernels.pdf_stub import extract_pdf_text, is_pdf
-from ..schemas import EXTRACTION_RESULT
+from ..schemas import CHUNK_SPAN, EXTRACTION_RESULT
 
 
 @pandas_udf(EXTRACTION_RESULT)
@@ -62,6 +62,122 @@ def extract_payload(html: pd.Series) -> pd.DataFrame:
         "kind": kinds,
         "error": errors,
     })
+
+
+def make_extract_chunk_udf(max_tokens: int, context_limit: int,
+                           merge_threshold: float, tokenizer_name=None):
+    """Fused extract+chunk UDF: one Python pass, one Arrow round trip.
+
+    Extraction and chunking are both per-document pure functions, so running
+    them as two pandas-UDF stages pays the JVM↔Python plumbing twice AND
+    ships the full extracted text across the Arrow boundary twice (out of
+    the extract stage, back into the chunk stage) — measured ~40-80 µs/doc
+    of pure overhead per stage against a ~4 µs chunk kernel.  The fused UDF
+    emits the extraction result plus the chunk array in a single pass;
+    `extracted` and `chunks` remain separate relations downstream as cheap
+    JVM projections of the one materialized combined relation.
+
+    Chunking applies exactly where the two-stage pipeline would have: rows
+    passing the P1 filter (no error, non-whitespace text — PDF errors always
+    carry empty text, kernels/pdf_stub.py:40-59, so the in-UDF gate is
+    equivalent).  Byte-identical outputs to the two-stage path by
+    construction (same kernels, same inputs); enforced by the oracle gate.
+    """
+    from ..kernels import batching as k_batch
+    from ..kernels import chunking as k_chunk
+
+    schema = T.StructType(
+        list(EXTRACTION_RESULT.fields)
+        + [T.StructField("chunks", T.ArrayType(CHUNK_SPAN), True)]
+    )
+    available = k_batch.available_tokens(context_limit)
+
+    @pandas_udf(schema)
+    def extract_and_chunk_payload(html: pd.Series) -> pd.DataFrame:
+        from ..kernels.tokenization import get_token_counter
+
+        count = get_token_counter(tokenizer_name)
+        texts, spans_col, stripped, kinds, errors, chunk_col = \
+            [], [], [], [], [], []
+        for payload in html:
+            text, spans, nbytes, kind, err = "", [], 0, "empty", None
+            try:
+                if payload is None or len(payload) == 0:
+                    err = "empty payload"
+                elif is_pdf(bytes(payload)):
+                    kind = "pdf"
+                    text, err = extract_pdf_text(bytes(payload))
+                    nbytes = len(payload) - len(text.encode("utf-8"))
+                else:
+                    kind = "html"
+                    result = extract_main_content(bytes(payload))
+                    text = result.text
+                    spans = [
+                        {"start": s.start, "end": s.end, "tag": s.tag}
+                        for s in result.spans
+                    ]
+                    nbytes = result.bytes_stripped
+            except Exception as exc:  # zero-data-loss: record, don't drop
+                err = f"extraction failed: {exc}"
+            chunks = []
+            if err is None and text.strip():
+                cspans = k_chunk.chunk_spans(text, max_tokens)
+                costs = [
+                    count(s.text) + k_batch.CHUNK_OVERHEAD_TOKENS
+                    for s in cspans
+                ]
+                batches = k_batch.batch_chunks(costs, available,
+                                               merge_threshold)
+                batch_of = {}
+                for b in batches:
+                    for idx in b.chunk_indices:
+                        batch_of[idx] = b.batch_id
+                chunks = [
+                    {
+                        "chunk_id": s.chunk_id,
+                        "start": s.start,
+                        "end": s.end,
+                        "text": s.text,
+                        "token_est": costs[i],
+                        "batch_id": batch_of.get(i, 0),
+                    }
+                    for i, s in enumerate(cspans)
+                ]
+            texts.append(text)
+            spans_col.append(spans)
+            stripped.append(nbytes)
+            kinds.append(kind)
+            errors.append(err)
+            chunk_col.append(chunks)
+        return pd.DataFrame({
+            "text": texts,
+            "spans": spans_col,
+            "bytes_stripped": stripped,
+            "kind": kinds,
+            "error": errors,
+            "chunks": chunk_col,
+        })
+
+    return extract_and_chunk_payload
+
+
+def extract_and_chunk(web_pages: DataFrame, max_tokens: int,
+                      context_limit: int, merge_threshold: float,
+                      tokenizer_name=None) -> DataFrame:
+    """web_pages -> combined extracted+chunks relation
+    (url, warc_ts, lang, text, spans, bytes_stripped, kind, error, chunks)."""
+    udf = make_extract_chunk_udf(max_tokens, context_limit, merge_threshold,
+                                 tokenizer_name)
+    out = web_pages.withColumn("x", udf(F.col("html")))
+    return out.select(
+        "url", "warc_ts", "lang",
+        F.col("x.text").alias("text"),
+        F.col("x.spans").alias("spans"),
+        F.col("x.bytes_stripped").alias("bytes_stripped"),
+        F.col("x.kind").alias("kind"),
+        F.col("x.error").alias("error"),
+        F.col("x.chunks").alias("chunks"),
+    )
 
 
 def extract_main_text(web_pages: DataFrame) -> DataFrame:

@@ -79,19 +79,30 @@ class PipelineResult:
     # pre-filter extraction output (error rows included) — metrics derive
     # from it; persist THIS to make every downstream action share one parse
     extracted_all: Optional[DataFrame] = None
+    # fused extract+chunk relation (fallback chunker path): extracted_all
+    # and chunks are cheap projections of this one Python pass — persisting
+    # it replaces persisting them separately
+    combined: Optional[DataFrame] = None
+
+    def _persist_roots(self):
+        if self.combined is not None:
+            return (self.combined, self.doc_mentions)
+        return (self.extracted_all, self.chunks, self.doc_mentions)
 
     def persist(self) -> "PipelineResult":
-        """Persist the expensive intermediates (extraction + chunk/mention
-        UDF outputs) so multiple output actions share one computation — the
-        in-memory analogue of the production pattern where each stage is
-        written to a table once and read back, never recomputed."""
-        for df in (self.extracted_all, self.chunks, self.doc_mentions):
+        """Persist the expensive intermediates (the fused extract+chunk
+        relation — or, on the hybrid path, extraction + chunk outputs —
+        plus the mention aggregate) so multiple output actions share one
+        computation — the in-memory analogue of the production pattern where
+        each stage is written to a table once and read back, never
+        recomputed."""
+        for df in self._persist_roots():
             if df is not None:
                 df.persist()
         return self
 
     def unpersist(self) -> "PipelineResult":
-        for df in (self.extracted_all, self.chunks, self.doc_mentions):
+        for df in self._persist_roots():
             if df is not None:
                 df.unpersist()
         return self
@@ -137,21 +148,26 @@ def run_pipeline(web_pages: DataFrame,
                   and not isinstance(cfg.repartition_input, bool) else None)
         web_pages = ensure_parallel_input(web_pages, target)
 
-    extracted_all = op_extract.extract_main_text(web_pages)
-    extracted = op_extract.filter_extractable(extracted_all)
-
     max_tokens = (chunking.schema_adjusted_max_tokens(cfg.max_tokens,
                                                       cfg.schema_size)
                   if cfg.schema_size > 0 else cfg.max_tokens)
+    combined = None
     if cfg.chunker == "hybrid":
+        extracted_all = op_extract.extract_main_text(web_pages)
+        extracted = op_extract.filter_extractable(extracted_all)
         chunks = op_chunk.hybrid_chunk_documents(
             extracted, max_tokens, tokenizer_name=cfg.tokenizer_name
         )
     else:
-        chunks = op_chunk.chunk_documents(
-            extracted, max_tokens, cfg.context_limit, cfg.merge_threshold,
+        # fallback chunker: one fused Python pass (extract + chunk), both
+        # relations projected from it JVM-side
+        combined = op_extract.extract_and_chunk(
+            web_pages, max_tokens, cfg.context_limit, cfg.merge_threshold,
             tokenizer_name=cfg.tokenizer_name,
         )
+        extracted_all = combined.drop("chunks")
+        extracted = op_extract.filter_extractable(extracted_all)
+        chunks = op_chunk.chunks_from_combined(combined)
     mentions = op_entities.extract_mentions(chunks)
     doc_mentions = op_entities.doc_mentions(mentions)
 
@@ -171,7 +187,7 @@ def run_pipeline(web_pages: DataFrame,
                                         referential_integrity=True)
     metrics = op_stats.partition_metrics(extracted_all, cfg.run_id)
     result = PipelineResult(extracted, chunks, doc_mentions, nodes, edges,
-                            metrics, extracted_all)
+                            metrics, extracted_all, combined)
     if cfg.materialize:
         result.persist()
     return result
