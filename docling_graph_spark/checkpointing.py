@@ -205,6 +205,52 @@ class CheckpointedRun:
             self.spark.read.parquet(self._path("extracted"))
         )
 
+    # -------------------------------------------------------- maintenance
+
+    def compact(self) -> dict:
+        """Expire orphan rows left by crashed (uncommitted) runs — the
+        parquet stand-in for Iceberg's ``expire_snapshots`` + data-file
+        rewrite.  Each stage table is rewritten keeping only committed
+        rows, swapped in with a rename (readers in flight keep their
+        already-planned file list; new readers see the compacted table).
+
+        Returns ``{stage: rows_reclaimed}``.  No-op (zero reclaimed) when
+        every appended run committed — compaction is maintenance, never a
+        correctness requirement, because readers filter to committed runs
+        anyway."""
+        import shutil
+
+        committed = self.committed_runs()
+        reclaimed: dict = {}
+        for stage in STAGES:
+            path = self._path(stage)
+            try:
+                df = self.spark.read.parquet(path)
+            except Exception:
+                continue
+            if RUN_ID_COL not in df.columns:
+                continue  # legacy table: nothing to attribute
+            if committed is not None:
+                keep = df.join(F.broadcast(committed), RUN_ID_COL,
+                               "left_semi")
+            else:
+                keep = df.limit(0)
+            n_total = df.count()
+            n_keep = keep.count()
+            reclaimed[stage] = n_total - n_keep
+            if n_total == n_keep:
+                continue
+            tmp = f"{path}.compacting"
+            writer = keep.write.mode("overwrite")
+            if stage == "extracted":
+                writer = writer.partitionBy("bucket")
+            writer.parquet(tmp)
+            old = f"{path}.old"
+            shutil.move(path, old)
+            shutil.move(tmp, path)
+            shutil.rmtree(old)
+        return reclaimed
+
     def _manifest(self, run_id: str, processed: int,
                   wall_seconds: float) -> None:
         """S12 run-manifest row (`orchestrator.py:149-240` analogue); doubles

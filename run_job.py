@@ -93,7 +93,8 @@ def main() -> int:
     ap.add_argument("--input", help="web_pages table path (parquet/Iceberg)")
     ap.add_argument("--sf-dir", help="testdata dir to synthesize input from")
     ap.add_argument("--output", default=None, help="output root")
-    ap.add_argument("--mode", choices=["oneshot", "resume", "stream"],
+    ap.add_argument("--mode", choices=["oneshot", "resume", "stream",
+                                       "compact"],
                     default=None)
     ap.add_argument("--stream-checkpoint", default=None)
     ap.add_argument("--id-mode", choices=["blake2b", "xxhash64"],
@@ -194,7 +195,7 @@ def main() -> int:
     elif args.sf_dir:
         from docling_graph_spark.sources.web_pages import synthesize_web_pages
         pages = synthesize_web_pages(spark, args.sf_dir)
-    elif args.mode != "stream":
+    elif args.mode not in ("stream", "compact"):
         ap.error("--input or --sf-dir is required")
 
     t0 = time.perf_counter()
@@ -207,6 +208,13 @@ def main() -> int:
         processed = spark.read.parquet(
             f"{args.output.rstrip('/')}/extracted"
         ).count()
+    elif args.mode == "compact":
+        # expire crashed-run orphan rows from a resume checkpoint
+        # (Iceberg expire_snapshots analogue; see checkpointing.compact)
+        from docling_graph_spark.checkpointing import CheckpointedRun
+        ckpt_run = CheckpointedRun(spark, args.output, cfg)
+        reclaimed = ckpt_run.compact()
+        processed = sum(reclaimed.values())
     elif args.mode == "resume":
         from docling_graph_spark.checkpointing import CheckpointedRun
         ckpt_run = CheckpointedRun(spark, args.output, cfg)

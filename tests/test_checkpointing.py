@@ -101,3 +101,33 @@ def test_crashed_run_is_invisible_and_retried(spark, pages, tmp_path):
     # the work, not an accidental overwrite
     raw = spark.read.parquet(f"{root}/extracted")
     assert raw.count() == pages.count() + other.count()
+
+
+def test_compact_reclaims_only_orphans(spark, pages, tmp_path):
+    """compact() rewrites stage tables without uncommitted-run orphans; a
+    fully-committed checkpoint is untouched (zero reclaimed)."""
+    root = str(tmp_path / "ckpt_compact")
+    run = CheckpointedRun(spark, root, CFG)
+    half = pages.filter(F.crc32(F.col("url")) % 2 == 0)
+    run.run(half)
+
+    assert set(run.compact().values()) == {0}
+
+    other = pages.filter(F.crc32(F.col("url")) % 2 != 0)
+    res = run_pipeline(other.localCheckpoint(eager=True), CFG).persist()
+    run._append_stages(res, "deadbeef-crashed")
+    n_orphan_extracted = res.extracted.count()
+    res.unpersist()
+
+    reclaimed = run.compact()
+    assert reclaimed["extracted"] == n_orphan_extracted
+    assert all(v > 0 for v in reclaimed.values())
+
+    # physical rows now equal the committed view; readers unchanged
+    raw = spark.read.parquet(f"{root}/extracted")
+    assert raw.count() == half.count()
+    assert {r[0] for r in run.extracted().select("url").collect()} == \
+        {r[0] for r in half.select("url").collect()}
+
+    # resume after compaction still reprocesses the crashed half
+    assert run.run(pages) == other.count()
