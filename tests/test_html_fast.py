@@ -131,3 +131,55 @@ def test_extraction_reconstructs_known_page():
     res = extract_main_content(page)
     assert res.text == body
     assert [s.tag for s in res.spans] == ["p", "p"]
+
+
+def _spec_candidates(markup: str):
+    """The readable recursive spec: _prune + _measure + _score_containers."""
+    root = _tree_stdlib(markup)
+    hm._prune(root)
+    cache = {}
+    hm._measure(root, cache)
+    out = []
+    hm._score_containers(root, cache, out)
+    return sorted((round(s, 6), o) for s, o, _ in out)
+
+
+def _fused_candidates(markup: str):
+    root = _tree_stdlib(markup)
+    out = []
+    hm._analyze(root, out)
+    return sorted((round(s, 6), o) for s, o, _ in out)
+
+
+def test_analyze_matches_recursive_spec(spark, sf_smoke_dir):
+    from docling_graph_spark.sources.web_pages import synthesize_web_pages
+
+    rows = (
+        synthesize_web_pages(spark, sf_smoke_dir)
+        .limit(200).select("html").collect()
+    )
+    for r in rows:
+        m = bytes(r.html).decode("utf-8", errors="replace")
+        assert _fused_candidates(m) == _spec_candidates(m)
+
+
+def test_nesting_bomb_extracts_without_error():
+    """A 50k-deep <div> chain (real crawls contain these) must extract the
+    content, not blow the recursion limit into an error row."""
+    depth = 50_000
+    page = (
+        "<body>" + "<div>" * depth
+        + "<p>needle in the deep</p>"
+        + "</div>" * depth + "</body>"
+    )
+    res = extract_main_content(page)
+    assert res.text == "needle in the deep"
+    assert [s.tag for s in res.spans] == ["p"]
+
+
+def test_deep_inline_chain_in_block():
+    depth = 20_000
+    page = ("<div><p>" + "<em>" * depth + "core" + "</em>" * depth
+            + "</p></div>")
+    res = extract_main_content(page)
+    assert res.text == "core"
