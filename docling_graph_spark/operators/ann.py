@@ -150,24 +150,73 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame,
     )
 
 
-def ivf_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
-            n_centroids: int = 16, nprobe: int = 2,
-            id_col: str = "vec_id", vec_col: str = "embedding",
-            query_id: str = "query_id", query_vec: str = "q") -> DataFrame:
-    """IVF (inverted-file) approximate top-k: coarse quantize the corpus into
-    ``n_centroids`` lists, probe the query's ``nprobe`` nearest lists, exact
-    cosine re-rank within the candidate union.
+def train_ivf_centroids(emb: DataFrame, n_centroids: int = 16,
+                        iters: int = 2, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Lloyd-refined coarse codebook: first-N init (deterministic), then
+    ``iters`` rounds of assign → per-list element-wise mean, entirely as
+    DataFrame ops.
 
-    The coarse codebook here is deterministic (the first ``n_centroids``
-    corpus vectors) rather than k-means-trained — the *index structure* and
-    query path are the real thing; training is an offline concern that would
-    only change the centroid table.  Candidate cost drops from O(N) to
-    ~O(N·nprobe/C) per query.
+    Shapes for scale: each round is ONE pass over the corpus — broadcast
+    centroids into `ivf_assign` (no shuffle of the big side), then a
+    posexplode + (list_id, dim) partial-aggregated mean; the only shuffled
+    relation is C×d rows.  Empty lists keep their previous centroid.
+    Training is the offline index-build path; the oracle-gated `ann_ivf`
+    query keeps the untrained first-N codebook (float reduction order in
+    the mean is engine-specific, so a trained codebook is not
+    SQL-oracle-reproducible — its value is recall, proven in
+    tests/test_ann_trained.py against the brute-force ground truth).
     """
     centroids = with_norm(
         emb.filter(F.col(id_col) < n_centroids), vec_col, "_cnorm"
     ).select(F.col(id_col).alias("centroid_id"),
              F.col(vec_col).alias("cvec"), "_cnorm")
+    for _ in range(iters):
+        assigned = ivf_assign(emb, centroids, id_col, vec_col)
+        dims = assigned.select(
+            F.col("list_id"), F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        means = (
+            dims.groupBy("list_id", "pos").agg(F.avg("val").alias("m"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                F.col("list_id").alias("centroid_id"),
+                F.expr("transform(pm, x -> cast(x.m as float))").alias("cvec"),
+            )
+        )
+        # empty lists keep the previous centroid
+        refreshed = (
+            centroids.select("centroid_id", F.col("cvec").alias("_old"))
+            .join(means, "centroid_id", "left")
+            .select("centroid_id",
+                    F.coalesce(F.col("cvec"), F.col("_old")).alias("cvec"))
+        )
+        centroids = with_norm(refreshed, "cvec", "_cnorm")
+    return centroids
+
+
+def ivf_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
+            n_centroids: int = 16, nprobe: int = 2,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_id: str = "query_id", query_vec: str = "q",
+            centroids: DataFrame = None) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse quantize the corpus into
+    ``n_centroids`` lists, probe the query's ``nprobe`` nearest lists, exact
+    cosine re-rank within the candidate union.
+
+    The default coarse codebook is deterministic (the first ``n_centroids``
+    corpus vectors) — the *index structure* and query path are the real
+    thing; training is an offline concern that only changes the centroid
+    table.  Pass ``centroids`` (e.g. from `train_ivf_centroids`) to plug a
+    Lloyd-refined codebook into the same query path.  Candidate cost drops
+    from O(N) to ~O(N·nprobe/C) per query.
+    """
+    if centroids is None:
+        centroids = with_norm(
+            emb.filter(F.col(id_col) < n_centroids), vec_col, "_cnorm"
+        ).select(F.col(id_col).alias("centroid_id"),
+                 F.col(vec_col).alias("cvec"), "_cnorm")
 
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
 
