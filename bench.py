@@ -324,9 +324,108 @@ def bench_scaling(sf_dir: str, n_small: int, n_large: int,
     }
 
 
+def bench_bigpages(sf_dir: str, cores: int, page_bytes: int = 50 << 10,
+                   repeats: int = 3) -> dict:
+    """Realistic-page-size run: same corpus fattened to ~page_bytes of body
+    text per document (real crawl pages run 50-100 KB; the sf corpus
+    averages ~300 B).  Reports e2e docs/sec AND html MB/sec — the
+    bytes-based figure is the one that transfers to real crawls — plus a
+    full byte-parity check (extracted text == ground truth for every url)
+    at this page size, where any buffer-handling bug in the fast HTML
+    tokenizer would surface."""
+    from pyspark.sql import functions as F
+
+    from docling_graph_spark.pipeline import PipelineConfig, run_pipeline
+    from docling_graph_spark.session import get_spark
+    from docling_graph_spark.sources.web_pages import synthesize_web_pages
+
+    spark = get_spark(app_name="dgspark-bigpages", cores=cores,
+                      shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = synthesize_web_pages(spark, sf_dir, fatten_to_bytes=page_bytes)
+    # materialize the input once so page construction isn't timed
+    pages = pages.persist()
+    n_docs = pages.count()
+    html_bytes = pages.agg(
+        F.sum(F.length("html")).alias("b")).collect()[0][0]
+
+    cfg = PipelineConfig(id_mode="xxhash64")
+    best = None
+    for _ in range(repeats + 1):  # +1 warm-up
+        t0 = time.perf_counter()
+        res = run_pipeline(pages, cfg)
+        res.persist()
+        res.nodes.count()
+        res.edges.count()
+        docs = res.metrics.agg({"docs_parsed": "sum"}).collect()[0][0]
+        dt = time.perf_counter() - t0
+        res.unpersist()
+        if best is None or dt < best[0]:
+            best = (dt, int(docs))
+    # steady-state at this page size: replicate the fattened corpus (distinct
+    # urls, same host skew) so fixed per-stage latency stops dominating —
+    # the MB/s figure that transfers to a long-lived job on real crawls
+    rep = int(os.environ.get("SPARK_GRAFT_BIGPAGE_REPLICATE", "8"))
+    reps = spark.range(rep).select(F.col("id").alias("rep"))
+    pages_rep = (
+        pages.crossJoin(F.broadcast(reps))
+        .withColumn("url", F.concat_ws("?r=", F.col("url"),
+                                       F.col("rep").cast("string")))
+        .drop("rep")
+    ).persist()
+    n_rep = pages_rep.count()
+    t_steady = None
+    for _ in range(3):  # first run is warm-up at this plan size
+        t0 = time.perf_counter()
+        res = run_pipeline(pages_rep, cfg)
+        res.persist()
+        res.nodes.count()
+        res.edges.count()
+        res.metrics.agg({"docs_parsed": "sum"}).collect()
+        dt = time.perf_counter() - t0
+        res.unpersist()
+        t_steady = dt if t_steady is None or dt < t_steady else t_steady
+    pages_rep.unpersist()
+
+    # byte-parity gate at this page size: every extracted row must equal its
+    # ground-truth text column (north-rule invariant), checked by joining the
+    # extraction output back to the input on url
+    res = run_pipeline(pages, cfg)
+    truth = pages.select("url", F.col("text").alias("truth"))
+    mismatches = (
+        res.extracted.select("url", "text")
+        .join(truth, "url")
+        .filter(F.col("text") != F.col("truth"))
+        .count()
+    )
+    n_extracted = res.extracted.count()
+    out = {
+        "metric": "e2e throughput at realistic page size",
+        "sf": _sf_of(sf_dir),
+        "page_bytes_target": page_bytes,
+        "docs": best[1],
+        "html_mb": round(html_bytes / 1e6, 1),
+        "sec": round(best[0], 3),
+        "docs_per_sec": round(best[1] / best[0], 2),
+        "html_mb_per_sec": round(html_bytes / 1e6 / best[0], 2),
+        "extracted_rows": n_extracted,
+        "parity_mismatches": mismatches,
+        "steady_docs": n_rep,
+        "steady_html_mb": round(html_bytes * rep / 1e6, 1),
+        "steady_sec": round(t_steady, 3),
+        "steady_docs_per_sec": round(n_rep / t_steady, 2),
+        "steady_html_mb_per_sec": round(html_bytes * rep / 1e6 / t_steady, 2),
+        "cores": cores,
+    }
+    spark.stop()
+    return out
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--bigpages", action="store_true")
+    ap.add_argument("--page-bytes", type=int, default=50 << 10)
     ap.add_argument("--sf-dir", default=SF_DIR)
     # 4 vs 16 cores, not 8 vs 32: every JVM task thread pairs with a
     # Python UDF worker process, so local[32] would run ~64 busy processes
@@ -343,5 +442,8 @@ if __name__ == "__main__":
     if args.scaling:
         print(json.dumps(bench_scaling(args.sf_dir, args.small, args.large,
                                        replicate=args.replicate)))
+    elif args.bigpages:
+        print(json.dumps(bench_bigpages(args.sf_dir, CPUS,
+                                        page_bytes=args.page_bytes)))
     else:
         print(json.dumps(bench(args.sf_dir, CPUS)))

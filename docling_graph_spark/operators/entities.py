@@ -42,19 +42,35 @@ def extract_mentions(chunks: DataFrame, text_col: str = "text") -> DataFrame:
       Spark: one in the Generate expression forces the whole stage into
       interpreted evaluation, where ICU-backed ``lower()`` over full chunk
       text measured ~40x slower than the codegen path (60 s vs 1.5 s on the
-      sf0.1 corpus, 32 cores).  Hence: three plain ``regexp_extract_all``
-      arrays concatenated, and kind/lowercasing derived AFTER the explode on
-      the short matched strings — the three value spaces are disjoint
-      (emails contain '@', years are all-digit, terms are alphabetic), so
-      the kind is recoverable from the value alone."""
+      sf0.1 corpus, 32 cores).  Hence: plain split/extract_all arrays
+      concatenated (see scan-cost notes below), and kind/lowercasing derived
+      AFTER the explode on the short matched strings — the three value
+      spaces are disjoint (emails contain '@', years are all-digit, terms
+      are alphabetic), so the kind is recoverable from the value alone."""
     text = F.col(text_col)
-    # explicit [a-zA-Z] class + post-explode lower == lower-then-match for
-    # the ASCII term pattern; spelled as a plain range union rather than
-    # (?i)[a-z] because Java compiles the latter into a per-character
-    # case-folding predicate — same matches, slower scan
+    # Scan-cost notes (measured at 50 KB/page, 2.1 GB of chunk text, 32
+    # cores — where this stage dominates the whole pipeline):
+    # * terms via split-on-non-alpha, NOT regexp_extract_all("[a-zA-Z]{5,}"):
+    #   split yields exactly the maximal alphabetic runs and measured 3.7x
+    #   faster (4.4 s vs 16.4 s) — extract_all restarts the matcher per
+    #   match, split consumes the string in one pass.  The {5,} length gate
+    #   moves AFTER the explode (plain codegen filter on short strings);
+    #   a pre-explode HOF filter() would drop the empty/short tokens earlier
+    #   but measured slower overall (17.1 s vs 13.5 s end-to-end) — HOFs are
+    #   CodegenFallback and the extra exploded rows are cheaper than an
+    #   interpreted Generate input.
+    # * the email pattern is the most expensive scan by far (38 s over this
+    #   corpus with ZERO matches: every alphanumeric run backtracks hunting
+    #   for '@'), so it is gated behind a contains('@') byte scan — a text
+    #   without '@' cannot match, so the gate is exact.
+    # * (?i)[a-z] is spelled [a-zA-Z]: Java compiles the former into a
+    #   per-character case-folding predicate — same matches, slower scan.
+    empty = F.array().cast("array<string>")
     arr = F.concat(
-        F.regexp_extract_all(text, F.lit("[a-zA-Z]{5,}"), 0),
-        F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0),
+        F.split(text, "[^a-zA-Z]+"),
+        F.when(text.contains("@"),
+               F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0)
+               ).otherwise(empty),
         F.regexp_extract_all(text, F.lit(YEAR_PATTERN), 0),
     )
     raw = F.col("raw")
@@ -73,6 +89,11 @@ def extract_mentions(chunks: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return chunks.select(
         "url", "lang", "chunk_id", F.explode(arr).alias("raw")
+    ).filter(
+        # drop the <5-char / empty split tokens (years are all-digit and
+        # never appear in the split array, so they pass via the rlike arm;
+        # emails are >=6 chars by pattern construction)
+        (F.length("raw") >= 5) | F.col("raw").rlike("^[0-9]{4}$")
     ).select(
         "url", "lang", "chunk_id",
         F.when(kind == "year", raw).otherwise(ascii_lower).alias("term"),

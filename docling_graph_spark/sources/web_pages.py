@@ -109,7 +109,8 @@ def html_page_expr(doc_id, text, lang):
 
 def synthesize_web_pages(spark: SparkSession, sf_dir: str,
                          with_pdf_rows: bool = True,
-                         min_partitions: int = 0) -> DataFrame:
+                         min_partitions: int = 0,
+                         fatten_to_bytes: int = 0) -> DataFrame:
     """documents.parquet -> (url, warc_ts, html binary, text, lang).
 
     The source parquet is a single small file (one scan split), while the
@@ -122,6 +123,26 @@ def synthesize_web_pages(spark: SparkSession, sf_dir: str,
     target = min_partitions or spark.sparkContext.defaultParallelism
     if _estimated_scan_partitions(f"{sf_dir}/documents.parquet") < target:
         docs = docs.repartition(target, F.col("doc_id"))
+    if fatten_to_bytes > 0:
+        # Realistic-page-size mode: the driver corpus averages <1 KB of text
+        # per document while real crawl pages run 50-100 KB.  Repeat each
+        # document's text (blank-line separated, i.e. extra <p> blocks after
+        # html_page_expr's split) until the body reaches ~fatten_to_bytes.
+        # Pure column expression; the `text` ground-truth column goes through
+        # the SAME transform, so the byte-parity invariant (extracted text ==
+        # text per url) still holds exactly.
+        k = F.when(
+            F.length(F.trim(F.col("text"))) == 0, F.lit(1)
+        ).otherwise(
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.lit(fatten_to_bytes)
+                       / (F.length(F.col("text").cast("binary")) + F.lit(2))),
+            )
+        ).cast("int")
+        docs = docs.withColumn(
+            "text", F.array_join(F.array_repeat(F.col("text"), k), "\n\n")
+        )
     d = F.col("doc_id")
     html_str = html_page_expr(d, F.col("text"), F.col("lang"))
     if with_pdf_rows:
