@@ -106,16 +106,26 @@ def chunk_documents(extracted: DataFrame,
 def chunks_from_combined(combined: DataFrame) -> DataFrame:
     """Chunk rows from the fused extract+chunk relation (same schema as
     chunk_documents' output; pure JVM filter + explode + flatten — no second
-    Python pass)."""
+    Python pass).
+
+    The fused UDF ships chunks WITHOUT their text (schemas.CHUNK_SPAN_LITE):
+    every chunk string is the exact code-point slice text[start:end] of the
+    document text, and Spark's substring() slices by code point exactly like
+    Python (differential-tested incl. astral chars,
+    tests/test_chunk_substring.py) — so the text is rebuilt here JVM-side
+    instead of crossing the Arrow boundary a second time."""
     c = F.explode("chunks").alias("c")
     return combined.filter(
         F.col("error").isNull() & (F.length(F.trim(F.col("text"))) > 0)
-    ).select("url", "lang", c).select(
+    ).select("url", "lang", "text", c).select(
         "url", "lang",
         F.col("c.chunk_id").alias("chunk_id"),
         F.col("c.start").alias("start"),
         F.col("c.end").alias("end"),
-        F.col("c.text").alias("text"),
+        F.substring(
+            F.col("text"), (F.col("c.start") + F.lit(1)).cast("int"),
+            (F.col("c.end") - F.col("c.start")).cast("int"),
+        ).alias("text"),
         F.col("c.token_est").alias("token_est"),
         F.col("c.batch_id").alias("batch_id"),
     )

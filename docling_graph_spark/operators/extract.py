@@ -24,7 +24,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..kernels.html_main import extract_main_content
 from ..kernels.pdf_stub import extract_pdf_text, is_pdf
-from ..schemas import CHUNK_SPAN, EXTRACTION_RESULT
+from ..schemas import CHUNK_SPAN_LITE, EXTRACTION_RESULT
 
 
 @pandas_udf(EXTRACTION_RESULT)
@@ -88,7 +88,7 @@ def make_extract_chunk_udf(max_tokens: int, context_limit: int,
 
     schema = T.StructType(
         list(EXTRACTION_RESULT.fields)
-        + [T.StructField("chunks", T.ArrayType(CHUNK_SPAN), True)]
+        + [T.StructField("chunks", T.ArrayType(CHUNK_SPAN_LITE), True)]
     )
     available = k_batch.available_tokens(context_limit)
 
@@ -132,12 +132,15 @@ def make_extract_chunk_udf(max_tokens: int, context_limit: int,
                 for b in batches:
                     for idx in b.chunk_indices:
                         batch_of[idx] = b.batch_id
+                # no "text" field: chunk strings are exact slices
+                # text[start:end] (schemas.CHUNK_SPAN_LITE) — the JVM
+                # rebuilds them with substring(), so the full chunk text
+                # never crosses the Arrow boundary a second time
                 chunks = [
                     {
                         "chunk_id": s.chunk_id,
                         "start": s.start,
                         "end": s.end,
-                        "text": s.text,
                         "token_est": costs[i],
                         "batch_id": batch_of.get(i, 0),
                     }

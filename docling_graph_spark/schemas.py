@@ -43,6 +43,20 @@ CHUNK_SPAN = T.StructType([
     T.StructField("batch_id", T.IntegerType(), False),
 ])
 
+# Fused extract+chunk UDF output: chunk text is NOT shipped across the
+# Arrow boundary — every chunk string is an exact code-point slice
+# text[start:end] of the document text by construction
+# (kernels/chunking.chunk_spans emits stripped-region offsets; the
+# single-chunk short-circuit is text[0:len]), so the JVM reconstructs it
+# with substring() for free, halving UDF output bytes and cache footprint.
+CHUNK_SPAN_LITE = T.StructType([
+    T.StructField("chunk_id", T.IntegerType(), False),
+    T.StructField("start", T.LongType(), False),
+    T.StructField("end", T.LongType(), False),
+    T.StructField("token_est", T.IntegerType(), False),
+    T.StructField("batch_id", T.IntegerType(), False),
+])
+
 CHUNKS = T.StructType([
     T.StructField("url", T.StringType(), False),
     T.StructField("lang", T.StringType(), True),
