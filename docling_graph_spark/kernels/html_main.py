@@ -28,6 +28,7 @@ import re
 from html.parser import HTMLParser
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
+from .encoding import sniff_decode
 from .html_fast import fast_feed
 
 DROP_TAGS = frozenset({
@@ -375,7 +376,11 @@ def extract_main_content(html: bytes | str) -> ExtractionResult:
     """Strip boilerplate and return (main text, block spans, bytes_stripped)."""
     if isinstance(html, bytes):
         raw_len = len(html)
-        markup = html.decode("utf-8", errors="replace")
+        # charset sniff (BOM -> strict UTF-8 -> meta prescan -> cp1252):
+        # real crawl payloads are ~10% legacy encodings with an in-document
+        # declaration; decoding those as UTF-8-with-replacement destroys
+        # every non-ASCII character (kernels/encoding.py)
+        markup, _enc = sniff_decode(html)
     else:
         raw_len = len(html.encode("utf-8"))
         markup = html
