@@ -128,8 +128,27 @@ def warc_record_bytes(
 
 
 def write_warc(path: str, records: Sequence[Tuple[str, bytes]],
-               **kwargs) -> None:
-    """Write (url, body) pairs as one WARC file."""
+               gzip_per_record: Optional[bool] = None, **kwargs) -> None:
+    """Write (url, body) pairs as one WARC file.
+
+    ``gzip_per_record`` (default: inferred from a ``.gz`` path suffix)
+    writes each record as its OWN gzip member — the Common Crawl
+    convention (each record independently range-fetchable; readers see one
+    transparent concatenated stream).  mtime=0 and no filename in the gzip
+    header keep the output byte-deterministic like the plain writer."""
+    if gzip_per_record is None:
+        gzip_per_record = path.endswith(".gz")
+    if gzip_per_record:
+        import gzip as _gzip
+        import io
+
+        with open(path, "wb") as f:
+            for url, body in records:
+                buf = io.BytesIO()
+                with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                    gz.write(warc_record_bytes(url, body, **kwargs))
+                f.write(buf.getvalue())
+        return
     with open(path, "wb") as f:
         for url, body in records:
             f.write(warc_record_bytes(url, body, **kwargs))

@@ -76,6 +76,52 @@ def test_spark_datasource_reads_files_as_partitions(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 3
 
 
+def test_per_record_gzip_members_roundtrip(tmp_path):
+    """Common Crawl convention: each record is its own gzip member.  The
+    multi-member file must read back identically to the plain file, and
+    each member must be independently decompressible (range-fetch shape)."""
+    import gzip
+    import zlib
+
+    recs = _records(6)
+    gz_path = str(tmp_path / "cc.warc.gz")
+    warc.write_warc(gz_path, recs)          # inferred from .gz suffix
+    plain_path = str(tmp_path / "cc.warc")
+    warc.write_warc(plain_path, recs)
+
+    raw = open(gz_path, "rb").read()
+    # 6 independent members: 6 gzip magics at member boundaries
+    assert raw.count(b"\x1f\x8b\x08") >= 6
+    # first member alone decompresses to exactly one record
+    d = zlib.decompressobj(wbits=31)
+    first = d.decompress(raw)
+    one = list(warc.parse_warc_records(first))
+    assert len(one) == 1
+
+    # transparent concatenated-stream read == plain bytes
+    assert gzip.open(gz_path, "rb").read() == open(plain_path, "rb").read()
+
+    parsed = list(warc.parse_warc_records(gzip.open(gz_path, "rb").read()))
+    assert [h["warc-target-uri"] for h, _ in parsed] == [u for u, _ in recs]
+
+    # deterministic output (mtime=0, no filename in member headers)
+    gz2 = str(tmp_path / "cc2.warc.gz")
+    warc.write_warc(gz2, recs)
+    assert open(gz2, "rb").read() == raw
+
+
+def test_spark_datasource_reads_gz_members(spark, tmp_path):
+    d = tmp_path / "gzcrawl"
+    d.mkdir()
+    recs = _records(5)
+    warc.write_warc(str(d / "part0.warc.gz"), recs)
+    warc.register_warc_source(spark)
+    df = spark.read.format("warc").load(str(d))
+    rows = df.collect()
+    assert len(rows) == 5
+    assert {r.html.decode() for r in rows} == {b.decode() for _, b in recs}
+
+
 # ------------------------------------------------------------ fuzz (no JVM)
 
 try:
