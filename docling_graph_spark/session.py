@@ -55,6 +55,18 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(DEFAULT_SHUFFLE_PARTITIONS, cores)
+    # PYTHONPATH for python processes the JVM launches directly: executors'
+    # UDF workers get the package via addPyFile (ship_package below), but
+    # the Python *data-source runners* (streaming offset management, batch
+    # planning) are separate driver-side python workers that only see
+    # PYTHONPATH — exactly what `spark-submit --py-files` exports on a real
+    # cluster.  Must be set before the JVM gateway launches.
+    _pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _pkg_parent not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _pkg_parent + (os.pathsep + _pp if _pp else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")

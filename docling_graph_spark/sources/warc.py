@@ -203,6 +203,59 @@ def _read_warc_file(path: str) -> Iterator[Tuple]:
         yield (url, ts, rtype, ctype, body)
 
 
+def _stream_reader_cls():
+    """Build the streaming reader class lazily (keeps the datasource API
+    import optional, like the batch reader below).
+
+    Continuous crawl ingestion: a crawl directory GROWS — new
+    ``*.warc(.gz)`` files land as the crawler publishes them.  Offsets are
+    a high-watermark over the sorted file names (`{"watermark": name}`):
+    every file with name <= watermark has been emitted.  That matches the
+    Common Crawl naming scheme (sequence-numbered
+    ``...-00000/00001/...warc.gz``), where new files always sort after old
+    ones — the same monotonic-name contract documented for the batch
+    source's one-partition-per-file layout.  One micro-batch partition per
+    new file; commit() is a no-op because the watermark in the checkpoint
+    IS the durable state (the engine persists offsets, the source stays
+    stateless — resume replays nothing)."""
+    from pyspark.sql.datasource import DataSourceStreamReader, InputPartition
+
+    class _WarcFilePartition(InputPartition):
+        def __init__(self, path: str) -> None:
+            self.path = path
+
+    class _WarcStreamReader(DataSourceStreamReader):
+        def __init__(self, options) -> None:
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("warc source requires a path")
+
+        def initialOffset(self) -> dict:
+            return {"watermark": ""}
+
+        def latestOffset(self) -> dict:
+            files = _list_warc_files(self.path)
+            last = os.path.basename(files[-1]) if files else ""
+            return {"watermark": last}
+
+        def partitions(self, start: dict, end: dict):
+            lo = start.get("watermark", "")
+            hi = end.get("watermark", "")
+            return [
+                _WarcFilePartition(p)
+                for p in _list_warc_files(self.path)
+                if lo < os.path.basename(p) <= hi
+            ]
+
+        def read(self, partition):
+            return _read_warc_file(partition.path)
+
+        def commit(self, end: dict) -> None:
+            pass
+
+    return _WarcStreamReader
+
+
 def register_warc_source(spark) -> None:
     """Register the ``warc`` format on a session (idempotent).
 
@@ -244,6 +297,13 @@ def register_warc_source(spark) -> None:
 
         def reader(self, schema) -> DataSourceReader:
             return _WarcReader(self.options)
+
+        def streamReader(self, schema):
+            # continuous crawl ingestion: spark.readStream.format("warc")
+            # tails the directory by file-name watermark (see
+            # _stream_reader_cls) — checkpointed, so restart resumes at
+            # the last committed file without replays
+            return _stream_reader_cls()(self.options)
 
     # re-registering on a session that already has the format is a no-op —
     # but ONLY the specific already-exists error is swallowed; a genuine

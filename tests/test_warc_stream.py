@@ -1,0 +1,63 @@
+"""Streaming WARC ingestion: `spark.readStream.format("warc")` tails a
+growing crawl directory by file-name watermark (one micro-batch partition
+per new file), checkpointed so a restarted query resumes at the last
+committed file with zero replays — the continuous-ingestion analogue of
+the batch source's one-partition-per-crawl-file layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from docling_graph_spark.sources import warc
+
+
+def _write_crawl_file(d: str, seq: int, n: int = 3) -> None:
+    recs = [
+        (f"https://h{seq}.example.com/p{i}", f"body {seq}-{i}".encode())
+        for i in range(n)
+    ]
+    warc.write_warc(os.path.join(d, f"crawl-{seq:05d}.warc.gz"), recs)
+
+
+def _drain(spark, src_dir: str, out_dir: str, ckpt: str) -> None:
+    df = spark.readStream.format("warc").load(src_dir)
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_stream_tails_directory_with_checkpointed_resume(spark, tmp_path):
+    src = str(tmp_path / "crawl"); os.makedirs(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    warc.register_warc_source(spark)
+
+    _write_crawl_file(src, 0)
+    _write_crawl_file(src, 1)
+    _drain(spark, src, out, ckpt)
+    first = spark.read.parquet(out)
+    assert first.count() == 6
+    urls = {r.url for r in first.select("url").collect()}
+    assert any("h0.example" in u for u in urls)
+    assert any("h1.example" in u for u in urls)
+
+    # crawler publishes two more files; SAME checkpoint -> only new files
+    # are read (no replay of crawl-00000/00001)
+    _write_crawl_file(src, 2)
+    _write_crawl_file(src, 3, n=2)
+    _drain(spark, src, out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 11  # 6 old (not rewritten) + 3 + 2 new
+    bodies = sorted(r.html.decode() for r in rows)
+    assert bodies.count("body 0-0") == 1  # exactly once: no replay
+    assert "body 3-1" in bodies
+
+    # nothing new: a third drain emits zero additional rows
+    _drain(spark, src, out, ckpt)
+    assert spark.read.parquet(out).count() == 11
