@@ -34,8 +34,25 @@ from ..schemas import WEB_PAGES
 
 
 def stream_web_pages(spark: SparkSession, input_dir: str,
-                     max_files_per_trigger: Optional[int] = None) -> DataFrame:
-    """File-source stream over a growing directory of web-page parquet."""
+                     max_files_per_trigger: Optional[int] = None,
+                     input_format: str = "parquet") -> DataFrame:
+    """File-source stream over a growing directory of web-page parquet —
+    or, with ``input_format="warc"``, over raw crawl files via the
+    streaming WARC source (sources/warc.py): response records map onto the
+    WEB_PAGES shape (text/lang NULL — extraction derives them), so the
+    same foreachBatch pipeline ingests either representation."""
+    if input_format == "warc":
+        from pyspark.sql import functions as F
+
+        from ..sources.warc import register_warc_source
+
+        register_warc_source(spark)
+        raw = spark.readStream.format("warc").load(input_dir)
+        return raw.filter(F.col("record_type") == "response").select(
+            "url", "warc_ts", "html",
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
     reader = spark.readStream.schema(WEB_PAGES)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -44,7 +61,8 @@ def stream_web_pages(spark: SparkSession, input_dir: str,
 
 def run_incremental(spark: SparkSession, input_dir: str, output_root: str,
                     checkpoint_dir: str,
-                    config: Optional[PipelineConfig] = None) -> None:
+                    config: Optional[PipelineConfig] = None,
+                    input_format: str = "parquet") -> None:
     """Drain all currently-unprocessed input files, then stop.
 
     Appends `extracted`, `chunks`, `doc_mentions` and `metrics` tables under
@@ -72,7 +90,7 @@ def run_incremental(spark: SparkSession, input_dir: str, output_root: str,
         extracted.unpersist()
 
     query = (
-        stream_web_pages(spark, input_dir)
+        stream_web_pages(spark, input_dir, input_format=input_format)
         .writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -190,12 +190,16 @@ def main() -> int:
         cfg_kwargs["max_tokens"] = args.max_tokens
     cfg = PipelineConfig(**cfg_kwargs)
 
-    if args.input:
+    # stream/compact manage their own input (the stream source may be a raw
+    # WARC directory, not parquet) — only the batch modes load pages here
+    if args.mode in ("stream", "compact"):
+        pass
+    elif args.input:
         pages = spark.read.parquet(args.input)
     elif args.sf_dir:
         from docling_graph_spark.sources.web_pages import synthesize_web_pages
         pages = synthesize_web_pages(spark, args.sf_dir)
-    elif args.mode not in ("stream", "compact"):
+    else:
         ap.error("--input or --sf-dir is required")
 
     t0 = time.perf_counter()
@@ -204,7 +208,17 @@ def main() -> int:
             ap.error("--mode stream requires --input (a growing directory)")
         from docling_graph_spark.streaming.incremental import run_incremental
         ckpt = args.stream_checkpoint or f"{args.output.rstrip('/')}/_stream_ckpt"
-        run_incremental(spark, args.input, args.output, ckpt, cfg)
+        # auto-detect raw crawl directories: *.warc / *.warc.gz files stream
+        # through the WARC source, anything else is web_pages parquet
+        fmt = "parquet"
+        try:
+            if any(f.endswith((".warc", ".warc.gz"))
+                   for f in os.listdir(args.input)):
+                fmt = "warc"
+        except OSError:
+            pass
+        run_incremental(spark, args.input, args.output, ckpt, cfg,
+                        input_format=fmt)
         processed = spark.read.parquet(
             f"{args.output.rstrip('/')}/extracted"
         ).count()

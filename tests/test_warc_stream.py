@@ -32,6 +32,37 @@ def _drain(spark, src_dir: str, out_dir: str, ckpt: str) -> None:
     q.awaitTermination()
 
 
+def test_incremental_pipeline_ingests_warc_stream(spark, tmp_path):
+    """Continuous crawl → graph stage tables: run_incremental with
+    input_format='warc' drains raw crawl files through the full
+    extract→chunk→mention foreachBatch pipeline, appending only new files
+    on re-drain (the spark-submit `--mode stream` path for a WARC dir)."""
+    from docling_graph_spark.streaming.incremental import run_incremental
+
+    src = str(tmp_path / "rawcrawl"); os.makedirs(src)
+    out = str(tmp_path / "stages")
+    ckpt = str(tmp_path / "sckpt")
+    body = ("<html><body><article><p>Streaming extraction works fine. "
+            "Another sentence follows here.</p></article></body></html>")
+    warc.write_warc(os.path.join(src, "crawl-00000.warc.gz"),
+                    [(f"https://s{i}.example.com/p", body.encode())
+                     for i in range(3)])
+
+    run_incremental(spark, src, out, ckpt, input_format="warc")
+    extracted = spark.read.parquet(f"{out}/extracted")
+    assert extracted.count() == 3
+    texts = {r.text for r in extracted.select("text").collect()}
+    assert texts == {"Streaming extraction works fine. "
+                     "Another sentence follows here."}
+    assert spark.read.parquet(f"{out}/doc_mentions").count() > 0
+
+    # one more crawl file lands; same checkpoint -> 1 new doc, no replay
+    warc.write_warc(os.path.join(src, "crawl-00001.warc.gz"),
+                    [("https://s9.example.com/p", body.encode())])
+    run_incremental(spark, src, out, ckpt, input_format="warc")
+    assert spark.read.parquet(f"{out}/extracted").count() == 4
+
+
 def test_stream_tails_directory_with_checkpointed_resume(spark, tmp_path):
     src = str(tmp_path / "crawl"); os.makedirs(src)
     out = str(tmp_path / "out")
