@@ -173,15 +173,26 @@ def _list_warc_files(path: str) -> List[str]:
     )
 
 
-def _read_warc_file(path: str) -> Iterator[Tuple]:
+# decompressed-size cap per crawl file: a hostile/corrupt gzip member can
+# expand a few KB to tens of GB and OOM the executor (crawl files are
+# published ~1 GB compressed, ~<5 GB decompressed).  Reads are truncated at
+# the cap; parse_warc_records yields the complete-record prefix, so a
+# capped file degrades to fewer records, never a crash.
+MAX_DECOMPRESSED_BYTES = int(os.environ.get(
+    "DGSPARK_WARC_MAX_DECOMPRESSED", str(8 << 30)))
+
+
+def _read_warc_file(path: str,
+                    max_bytes: Optional[int] = None) -> Iterator[Tuple]:
+    cap = MAX_DECOMPRESSED_BYTES if max_bytes is None else max_bytes
     if path.endswith(".gz"):
         import gzip
 
         with gzip.open(path, "rb") as f:
-            data = f.read()
+            data = f.read(cap)
     else:
         with open(path, "rb") as f:
-            data = f.read()
+            data = f.read(cap)
     for headers, payload in parse_warc_records(data):
         rtype = headers.get("warc-type", "")
         url = headers.get("warc-target-uri")

@@ -122,6 +122,32 @@ def test_spark_datasource_reads_gz_members(spark, tmp_path):
     assert {r.html.decode() for r in rows} == {b.decode() for _, b in recs}
 
 
+def test_decompression_bomb_capped(tmp_path):
+    """A gzip member expanding past the cap must degrade to the complete-
+    record prefix, not OOM: 64 MB of zeros compress to ~64 KB."""
+    import gzip
+    import io
+
+    path = str(tmp_path / "bomb.warc.gz")
+    good = warc.warc_record_bytes("https://ok.example/1", b"fine")
+    bomb = warc.warc_record_bytes("https://bomb.example/1",
+                                  b"\x00" * (64 << 20))
+    with open(path, "wb") as f:
+        for blob in (good, bomb):
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(blob)
+            f.write(buf.getvalue())
+    assert os.path.getsize(path) < (1 << 20)
+
+    rows = list(warc._read_warc_file(path, max_bytes=1 << 20))
+    assert len(rows) == 1                      # bomb truncated away
+    assert rows[0][0] == "https://ok.example/1"
+
+    rows_full = list(warc._read_warc_file(path))  # default 8 GiB cap: fine
+    assert len(rows_full) == 2
+
+
 # ------------------------------------------------------------ fuzz (no JVM)
 
 try:
