@@ -390,7 +390,7 @@ def bench_bigpages(sf_dir: str, cores: int, page_bytes: int = 50 << 10,
     # byte-parity gate at this page size: every extracted row must equal its
     # ground-truth text column (north-rule invariant), checked by joining the
     # extraction output back to the input on url
-    res = run_pipeline(pages, cfg)
+    res = run_pipeline(pages, cfg).persist()
     truth = pages.select("url", F.col("text").alias("truth"))
     mismatches = (
         res.extracted.select("url", "text")
@@ -399,6 +399,7 @@ def bench_bigpages(sf_dir: str, cores: int, page_bytes: int = 50 << 10,
         .count()
     )
     n_extracted = res.extracted.count()
+    res.unpersist()
     out = {
         "metric": "e2e throughput at realistic page size",
         "sf": _sf_of(sf_dir),

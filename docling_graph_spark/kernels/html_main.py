@@ -372,15 +372,20 @@ def _collect_blocks_iter(node: _Node, out: List[Tuple[str, str]]) -> None:
             frames.pop()
 
 
-def extract_main_content(html: bytes | str) -> ExtractionResult:
-    """Strip boilerplate and return (main text, block spans, bytes_stripped)."""
+def extract_main_content(html: bytes | str,
+                         transport: Optional[str] = None) -> ExtractionResult:
+    """Strip boilerplate and return (main text, block spans, bytes_stripped).
+
+    ``transport`` is an optional HTTP Content-Type header value (a WARC
+    response record carries one): its charset parameter takes precedence
+    over the in-document declaration, per the HTML5 order."""
     if isinstance(html, bytes):
         raw_len = len(html)
-        # charset sniff (BOM -> strict UTF-8 -> meta prescan -> cp1252):
-        # real crawl payloads are ~10% legacy encodings with an in-document
+        # charset sniff (BOM -> transport -> strict UTF-8 -> meta prescan
+        # -> cp1252): real crawl payloads are ~10% legacy encodings with a
         # declaration; decoding those as UTF-8-with-replacement destroys
         # every non-ASCII character (kernels/encoding.py)
-        markup, _enc = sniff_decode(html)
+        markup, _enc = sniff_decode(html, transport)
     else:
         raw_len = len(html.encode("utf-8"))
         markup = html

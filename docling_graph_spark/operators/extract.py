@@ -28,9 +28,9 @@ from ..schemas import CHUNK_SPAN_LITE, EXTRACTION_RESULT
 
 
 @pandas_udf(EXTRACTION_RESULT)
-def extract_payload(html: pd.Series) -> pd.DataFrame:
+def extract_payload(html: pd.Series, ctype: pd.Series) -> pd.DataFrame:
     texts, spans_col, stripped, kinds, errors = [], [], [], [], []
-    for payload in html:
+    for payload, transport in zip(html, ctype):
         text, spans, nbytes, kind, err = "", [], 0, "empty", None
         try:
             if payload is None or len(payload) == 0:
@@ -41,7 +41,7 @@ def extract_payload(html: pd.Series) -> pd.DataFrame:
                 nbytes = len(payload) - len(text.encode("utf-8"))
             else:
                 kind = "html"
-                result = extract_main_content(bytes(payload))
+                result = extract_main_content(bytes(payload), transport)
                 text = result.text
                 spans = [
                     {"start": s.start, "end": s.end, "tag": s.tag}
@@ -93,13 +93,14 @@ def make_extract_chunk_udf(max_tokens: int, context_limit: int,
     available = k_batch.available_tokens(context_limit)
 
     @pandas_udf(schema)
-    def extract_and_chunk_payload(html: pd.Series) -> pd.DataFrame:
+    def extract_and_chunk_payload(html: pd.Series,
+                                  ctype: pd.Series) -> pd.DataFrame:
         from ..kernels.tokenization import get_token_counter
 
         count = get_token_counter(tokenizer_name)
         texts, spans_col, stripped, kinds, errors, chunk_col = \
             [], [], [], [], [], []
-        for payload in html:
+        for payload, transport in zip(html, ctype):
             text, spans, nbytes, kind, err = "", [], 0, "empty", None
             try:
                 if payload is None or len(payload) == 0:
@@ -110,7 +111,7 @@ def make_extract_chunk_udf(max_tokens: int, context_limit: int,
                     nbytes = len(payload) - len(text.encode("utf-8"))
                 else:
                     kind = "html"
-                    result = extract_main_content(bytes(payload))
+                    result = extract_main_content(bytes(payload), transport)
                     text = result.text
                     spans = [
                         {"start": s.start, "end": s.end, "tag": s.tag}
@@ -180,6 +181,14 @@ def make_extract_chunk_udf(max_tokens: int, context_limit: int,
     return extract_and_chunk_payload
 
 
+def _transport_col(df: DataFrame):
+    """HTTP Content-Type hint for charset sniffing: present on relations
+    coming from the WARC reader, NULL (no hint) otherwise."""
+    if "content_type" in df.columns:
+        return F.col("content_type")
+    return F.lit(None).cast("string")
+
+
 def extract_and_chunk(web_pages: DataFrame, max_tokens: int,
                       context_limit: int, merge_threshold: float,
                       tokenizer_name=None) -> DataFrame:
@@ -187,7 +196,7 @@ def extract_and_chunk(web_pages: DataFrame, max_tokens: int,
     (url, warc_ts, lang, text, spans, bytes_stripped, kind, error, chunks)."""
     udf = make_extract_chunk_udf(max_tokens, context_limit, merge_threshold,
                                  tokenizer_name)
-    out = web_pages.withColumn("x", udf(F.col("html")))
+    out = web_pages.withColumn("x", udf(F.col("html"), _transport_col(web_pages)))
     return out.select(
         "url", "warc_ts", "lang",
         F.col("x.text").alias("text"),
@@ -202,7 +211,8 @@ def extract_and_chunk(web_pages: DataFrame, max_tokens: int,
 def extract_main_text(web_pages: DataFrame) -> DataFrame:
     """web_pages -> extracted docs
     (url, warc_ts, lang, text, spans, bytes_stripped, kind, error)."""
-    out = web_pages.withColumn("x", extract_payload(F.col("html")))
+    out = web_pages.withColumn(
+        "x", extract_payload(F.col("html"), _transport_col(web_pages)))
     return out.select(
         "url", "warc_ts", "lang",
         F.col("x.text").alias("text"),

@@ -182,14 +182,40 @@ MAX_DECOMPRESSED_BYTES = int(os.environ.get(
     "DGSPARK_WARC_MAX_DECOMPRESSED", str(8 << 30)))
 
 
+def _gunzip_members(raw: bytes, cap: int) -> bytes:
+    """Decompress concatenated gzip members up to ``cap`` output bytes.
+
+    Tolerates truncation and corruption the way the record parser does:
+    a member cut off mid-stream (an in-flight crawl file still being
+    written) or a corrupt member yields the decompressed prefix instead of
+    raising — parse_warc_records then emits the complete-record prefix.
+    (gzip.open().read() raises EOFError on a truncated final member, which
+    would crash a streaming micro-batch that listed an in-flight file.)"""
+    import zlib
+
+    parts: List[bytes] = []
+    total = 0
+    buf = raw
+    while buf and total < cap:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out = d.decompress(buf, cap - total)
+        except zlib.error:
+            break  # corrupt member: keep the complete prefix
+        parts.append(out)
+        total += len(out)
+        if not d.eof:
+            break  # truncated member (or output cap hit): stop cleanly
+        buf = d.unused_data
+    return b"".join(parts)
+
+
 def _read_warc_file(path: str,
                     max_bytes: Optional[int] = None) -> Iterator[Tuple]:
     cap = MAX_DECOMPRESSED_BYTES if max_bytes is None else max_bytes
     if path.endswith(".gz"):
-        import gzip
-
-        with gzip.open(path, "rb") as f:
-            data = f.read(cap)
+        with open(path, "rb") as f:
+            data = _gunzip_members(f.read(), cap)
     else:
         with open(path, "rb") as f:
             data = f.read(cap)
@@ -228,7 +254,15 @@ def _stream_reader_cls():
     source's one-partition-per-file layout.  One micro-batch partition per
     new file; commit() is a no-op because the watermark in the checkpoint
     IS the durable state (the engine persists offsets, the source stays
-    stateless — resume replays nothing)."""
+    stateless — resume replays nothing).
+
+    Publish contract: a file must be COMPLETE when it appears under its
+    final name (write to a temp name or another directory, then rename —
+    the standard crawler pattern; Common Crawl snapshots are immutable).
+    A file caught mid-write does not crash the batch — the gzip reader
+    salvages the complete-member prefix (`_gunzip_members`) and the record
+    parser the complete-record prefix — but records appended after the
+    read are behind the committed watermark and will not be re-read."""
     from pyspark.sql.datasource import DataSourceStreamReader, InputPartition
 
     class _WarcFilePartition(InputPartition):

@@ -48,10 +48,15 @@ def stream_web_pages(spark: SparkSession, input_dir: str,
 
         register_warc_source(spark)
         raw = spark.readStream.format("warc").load(input_dir)
+        # content_type rides along as a 6th column: the extraction UDF
+        # uses its charset parameter as the transport-layer hint (HTML5
+        # order: BOM > transport > content), which is the only charset
+        # signal for legacy pages with no in-document declaration
         return raw.filter(F.col("record_type") == "response").select(
             "url", "warc_ts", "html",
             F.lit(None).cast("string").alias("text"),
             F.lit(None).cast("string").alias("lang"),
+            "content_type",
         )
     reader = spark.readStream.schema(WEB_PAGES)
     if max_files_per_trigger is not None:

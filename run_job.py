@@ -209,14 +209,26 @@ def main() -> int:
         from docling_graph_spark.streaming.incremental import run_incremental
         ckpt = args.stream_checkpoint or f"{args.output.rstrip('/')}/_stream_ckpt"
         # auto-detect raw crawl directories: *.warc / *.warc.gz files stream
-        # through the WARC source, anything else is web_pages parquet
-        fmt = "parquet"
+        # through the WARC source, anything else is web_pages parquet.
+        # The detected format is PINNED in the checkpoint dir on first run:
+        # source offsets are format-specific, so re-detecting per run could
+        # drive one checkpoint with two incompatible source types (e.g. an
+        # empty dir detected as parquet, then warc files landing).
+        fmt_marker = os.path.join(ckpt, "dgspark_input_format")
         try:
-            if any(f.endswith((".warc", ".warc.gz"))
-                   for f in os.listdir(args.input)):
-                fmt = "warc"
+            with open(fmt_marker) as fh:
+                fmt = fh.read().strip() or "parquet"
         except OSError:
-            pass
+            fmt = "parquet"
+            try:
+                if any(f.endswith((".warc", ".warc.gz"))
+                       for f in os.listdir(args.input)):
+                    fmt = "warc"
+            except OSError:
+                pass
+            os.makedirs(ckpt, exist_ok=True)
+            with open(fmt_marker, "w") as fh:
+                fh.write(fmt)
         run_incremental(spark, args.input, args.output, ckpt, cfg,
                         input_format=fmt)
         processed = spark.read.parquet(

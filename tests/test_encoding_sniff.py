@@ -104,6 +104,57 @@ def test_truncated_multibyte_never_raises():
     assert enc == "shift_jis" and text
 
 
+def test_meta_utf16_label_means_utf8():
+    # HTML5 prescan rule: a meta-declared utf-16 label is a lie (a real
+    # UTF-16 doc could not be prescanned as ASCII) and means UTF-8
+    raw = page(BODY, '<meta charset="utf-16">').encode("utf-8")
+    text, enc = sniff_decode(raw)
+    assert enc == "utf-8"
+    assert BODY in text
+
+
+def test_non_text_codec_label_refused():
+    # codecs.lookup('hex') succeeds but bytes.decode('hex') raises; the
+    # label must be refused so the fallback chain applies
+    raw = page(BODY, '<meta charset="hex">').encode("cp1252")
+    text, enc = sniff_decode(raw)
+    assert enc == "cp1252"
+    assert BODY in text
+
+
+def test_transport_charset_precedence():
+    # HTTP Content-Type charset (HTML5: transport beats content) — the
+    # only signal for legacy pages with no in-document declaration
+    raw = page(JP).encode("shift_jis")
+    text, enc = sniff_decode(raw, "text/html; charset=Shift_JIS")
+    assert enc == "shift_jis"
+    assert JP in text
+    # transport wins over a conflicting meta declaration
+    raw2 = page(JP, '<meta charset="gbk">').encode("shift_jis")
+    text2, enc2 = sniff_decode(raw2, "text/html; charset=shift_jis")
+    assert enc2 == "shift_jis" and JP in text2
+    # bogus transport charset falls through to the content chain
+    raw3 = page(BODY, '<meta charset="windows-1252">').encode("cp1252")
+    text3, enc3 = sniff_decode(raw3, "text/html; charset=nonsense")
+    assert enc3 == "cp1252" and BODY in text3
+
+
+def test_sniff_encoding_agrees_with_sniff_decode():
+    import codecs as c
+    samples = [
+        page(BODY).encode("utf-8"),
+        page(BODY).encode("cp1252"),
+        page(JP, '<meta charset="shift_jis">').encode("shift_jis"),
+        c.BOM_UTF8 + page(BODY).encode("utf-8"),
+        c.BOM_UTF16_LE + page(BODY).encode("utf-16-le"),
+    ]
+    for raw in samples:
+        for transport in (None, "text/html", "text/html; charset=utf-8"):
+            t, e = sniff_decode(raw, transport)
+            assert e == sniff_encoding(raw, transport)
+            assert t == raw.decode(e, errors="replace")
+
+
 def test_extract_main_content_legacy_payload():
     raw = page(BODY, '<meta charset="windows-1252">').encode("cp1252")
     result = extract_main_content(raw)

@@ -122,6 +122,41 @@ def test_spark_datasource_reads_gz_members(spark, tmp_path):
     assert {r.html.decode() for r in rows} == {b.decode() for _, b in recs}
 
 
+def test_truncated_gz_member_salvages_prefix(tmp_path):
+    """An in-flight crawl file (gzip member cut off mid-stream) must yield
+    the complete-member prefix, not raise EOFError — the streaming reader
+    can list a file the crawler is still writing."""
+    import gzip
+    import io
+
+    recs = _records(4)
+    path = str(tmp_path / "inflight.warc.gz")
+    warc.write_warc(path, recs)
+    raw = open(path, "rb").read()
+
+    # cut mid-file (inside some member's compressed data): the complete
+    # prefix survives, the rest is dropped, nothing raises
+    cut = raw[: int(len(raw) * 0.55)]
+    open(path, "wb").write(cut)
+    rows = list(warc._read_warc_file(path))
+    assert 1 <= len(rows) < 4
+    assert [r[0] for r in rows] == [u for u, _ in recs[: len(rows)]]
+
+    # cut inside the FIRST member: zero records, still no exception
+    open(path, "wb").write(raw[:20])
+    assert list(warc._read_warc_file(path)) == []
+
+    # corrupt bytes between members: complete prefix only
+    with open(path, "wb") as f:
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(warc.warc_record_bytes(*recs[0]))
+        f.write(buf.getvalue())
+        f.write(b"\x00garbage not gzip\x00")
+    rows = list(warc._read_warc_file(path))
+    assert len(rows) == 1 and rows[0][0] == recs[0][0]
+
+
 def test_decompression_bomb_capped(tmp_path):
     """A gzip member expanding past the cap must degrade to the complete-
     record prefix, not OOM: 64 MB of zeros compress to ~64 KB."""

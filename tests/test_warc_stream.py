@@ -63,6 +63,30 @@ def test_incremental_pipeline_ingests_warc_stream(spark, tmp_path):
     assert spark.read.parquet(f"{out}/extracted").count() == 4
 
 
+def test_transport_charset_reaches_extraction(spark, tmp_path):
+    """A legacy page labeled ONLY via the HTTP Content-Type header (no
+    in-document meta — common for shift_jis/gbk servers) must extract its
+    exact text: the content_type column rides from the WARC reader into
+    the extraction UDF as the transport-layer charset hint."""
+    from docling_graph_spark.streaming.incremental import run_incremental
+
+    src = str(tmp_path / "sjis"); os.makedirs(src)
+    out = str(tmp_path / "sjout"); ckpt = str(tmp_path / "sjckpt")
+    jp = "日本語のテキストです。これはテストです。"
+    body = (f"<html><body><article><p>{jp}</p></article></body></html>"
+            ).encode("shift_jis")
+    warc.write_warc(
+        os.path.join(src, "crawl-00000.warc.gz"),
+        [("https://sjis.example.jp/p", body)],
+        content_type="text/html; charset=Shift_JIS",
+    )
+    run_incremental(spark, src, out, ckpt, input_format="warc")
+    rows = spark.read.parquet(f"{out}/extracted").collect()
+    assert len(rows) == 1
+    assert rows[0].text == jp
+    assert "�" not in rows[0].text
+
+
 def test_stream_tails_directory_with_checkpointed_resume(spark, tmp_path):
     src = str(tmp_path / "crawl"); os.makedirs(src)
     out = str(tmp_path / "out")
