@@ -139,19 +139,75 @@ def write_warc(path: str, records: Sequence[Tuple[str, bytes]],
     if gzip_per_record is None:
         gzip_per_record = path.endswith(".gz")
     if gzip_per_record:
-        import gzip as _gzip
-        import io
-
         with open(path, "wb") as f:
             for url, body in records:
-                buf = io.BytesIO()
-                with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
-                    gz.write(warc_record_bytes(url, body, **kwargs))
-                f.write(buf.getvalue())
+                f.write(_gzip_member(warc_record_bytes(url, body, **kwargs)))
         return
     with open(path, "wb") as f:
         for url, body in records:
             f.write(warc_record_bytes(url, body, **kwargs))
+
+
+def _gzip_member(blob: bytes) -> bytes:
+    """One deterministic gzip member (mtime=0, no filename)."""
+    import gzip as _gzip
+    import io
+
+    buf = io.BytesIO()
+    with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(blob)
+    return buf.getvalue()
+
+
+def write_wet(extracted, out_dir: str, n_files: int = 16,
+              gzip_members: bool = True) -> None:
+    """Extracted-text DataFrame → WET-style crawl files (WARC ``conversion``
+    records, the Common Crawl WET layout), written FROM EXECUTORS.
+
+    Takes any relation with (url, text) — e.g. ``PipelineResult.extracted``
+    — and writes ``n_files`` deterministic files: rows hash-partition on
+    url so every output file is built whole by one task and no text ever
+    collects to the driver; within a file records are url-sorted, so the
+    same relation always produces the same bytes (byte-deterministic like
+    the writer above; one gzip member per record when ``gzip_members``).
+    At cluster scale ``out_dir`` is shared storage.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    _os.makedirs(out_dir, exist_ok=True)
+    bucket = F.pmod(F.xxhash64(F.col("url")), F.lit(n_files)).alias("bucket")
+    rows = (
+        extracted.select("url", "text", bucket)
+        .repartition(n_files, F.col("bucket"))
+        .sortWithinPartitions("bucket", "url")
+    )
+    gz = gzip_members
+
+    def write_partition(it) -> None:
+        cur, fh = None, None
+        for r in it:
+            if r.bucket != cur:
+                if fh is not None:
+                    fh.close()
+                suffix = ".warc.gz" if gz else ".warc"
+                fh = open(_os.path.join(
+                    out_dir, f"wet-{int(r.bucket):05d}{suffix}"), "wb")
+                info = warc_record_bytes(
+                    "urn:dgspark:wetinfo", b"format: WET-style conversion",
+                    warc_type="warcinfo",
+                    content_type="application/warc-fields")
+                fh.write(_gzip_member(info) if gz else info)
+                cur = r.bucket
+            rec = warc_record_bytes(
+                r.url, (r.text or "").encode("utf-8"),
+                warc_type="conversion", content_type="text/plain")
+            fh.write(_gzip_member(rec) if gz else rec)
+        if fh is not None:
+            fh.close()
+
+    rows.foreachPartition(write_partition)
 
 
 # ------------------------------------------------------- Spark data source
