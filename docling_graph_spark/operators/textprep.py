@@ -32,6 +32,37 @@ PII_KINDS = (
 )
 
 
+# stopword-vote language ID (n-gram heuristic family): the highest-voting
+# stopword list wins, ties broken en > es > de, zero votes -> "und"
+# (ISO 639-3 undetermined).  Pure JVM expressions — reused by the
+# langid_votes oracle query and by the WARC ingestion path, where crawl
+# records carry no language column.
+LANG_STOPWORDS = (
+    ("en", "the|and|of|to|in|is"),
+    ("es", "el|la|los|de|que|y"),
+    ("de", "der|die|das|und|ist"),
+)
+
+
+def lang_votes(text: Column) -> dict:
+    return {
+        lang: F.size(F.regexp_extract_all(
+            F.lower(text), F.lit(rf"\b(?:{words})\b"), 0))
+        for lang, words in LANG_STOPWORDS
+    }
+
+
+def detect_lang(text: Column) -> Column:
+    v = lang_votes(text)
+    en, es, de = v["en"], v["es"], v["de"]
+    return (
+        F.when((en >= es) & (en >= de) & (en > 0), "en")
+        .when((es >= de) & (es > 0), "es")
+        .when(de > 0, "de")
+        .otherwise("und")
+    )
+
+
 def pii_counts(text: Column) -> dict:
     """Per-kind match-count columns for one text column."""
     return {

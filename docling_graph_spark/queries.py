@@ -945,22 +945,10 @@ FROM documents GROUP BY lang ORDER BY lang
 def q_langid_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID (n-gram heuristic family), claimed vs
     detected distribution."""
+    from .operators.textprep import detect_lang
+
     docs = _read(spark, sf_dir, "documents")
-
-    def votes(words: str):
-        return F.size(
-            F.regexp_extract_all(F.lower("text"), F.lit(rf"\b(?:{words})\b"), 0)
-        )
-
-    en = votes("the|and|of|to|in|is")
-    es = votes("el|la|los|de|que|y")
-    de = votes("der|die|das|und|ist")
-    detected = (
-        F.when((en >= es) & (en >= de) & (en > 0), "en")
-        .when((es >= de) & (es > 0), "es")
-        .when(de > 0, "de")
-        .otherwise("und")
-    )
+    detected = detect_lang(F.col("text"))
     return docs.select(F.col("lang"), detected.alias("detected")).groupBy(
         "lang", "detected"
     ).agg(F.count("*").alias("n")).orderBy("lang", "detected")

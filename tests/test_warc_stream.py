@@ -42,8 +42,8 @@ def test_incremental_pipeline_ingests_warc_stream(spark, tmp_path):
     src = str(tmp_path / "rawcrawl"); os.makedirs(src)
     out = str(tmp_path / "stages")
     ckpt = str(tmp_path / "sckpt")
-    body = ("<html><body><article><p>Streaming extraction works fine. "
-            "Another sentence follows here.</p></article></body></html>")
+    body = ("<html><body><article><p>The streaming extraction is working "
+            "and the graph is fine.</p></article></body></html>")
     warc.write_warc(os.path.join(src, "crawl-00000.warc.gz"),
                     [(f"https://s{i}.example.com/p", body.encode())
                      for i in range(3)])
@@ -51,9 +51,11 @@ def test_incremental_pipeline_ingests_warc_stream(spark, tmp_path):
     run_incremental(spark, src, out, ckpt, input_format="warc")
     extracted = spark.read.parquet(f"{out}/extracted")
     assert extracted.count() == 3
-    texts = {r.text for r in extracted.select("text").collect()}
-    assert texts == {"Streaming extraction works fine. "
-                     "Another sentence follows here."}
+    rows = extracted.select("text", "lang").collect()
+    assert {r.text for r in rows} == {"The streaming extraction is working "
+                                      "and the graph is fine."}
+    # crawl records carry no lang: the stopword-vote detector fills it
+    assert {r.lang for r in rows} == {"en"}
     assert spark.read.parquet(f"{out}/doc_mentions").count() > 0
 
     # one more crawl file lands; same checkpoint -> 1 new doc, no replay
