@@ -67,13 +67,18 @@ def stream_web_pages(spark: SparkSession, input_dir: str,
 def run_incremental(spark: SparkSession, input_dir: str, output_root: str,
                     checkpoint_dir: str,
                     config: Optional[PipelineConfig] = None,
-                    input_format: str = "parquet") -> None:
+                    input_format: str = "parquet",
+                    wet_dir: Optional[str] = None) -> None:
     """Drain all currently-unprocessed input files, then stop.
 
     Appends `extracted`, `chunks`, `doc_mentions` and `metrics` tables under
     `output_root`; graph assembly stays a downstream batch job over the
     accumulated tables (Term nodes aggregate across the whole corpus, which
     a per-micro-batch view cannot see).
+
+    ``wet_dir``: also publish each micro-batch's extracted text as
+    WET-style crawl files (``wet_dir/batch-<id>/wet-*.warc.gz``, written
+    from executors) — continuous WET production from a raw crawl stream.
     """
     cfg = config or PipelineConfig()
     root = output_root.rstrip("/")
@@ -102,6 +107,10 @@ def run_incremental(spark: SparkSession, input_dir: str, output_root: str,
         chunks.write.mode("append").parquet(f"{root}/chunks")
         mentions.write.mode("append").parquet(f"{root}/doc_mentions")
         metrics.write.mode("append").parquet(f"{root}/metrics")
+        if wet_dir:
+            from ..sources.warc import write_wet
+
+            write_wet(extracted, f"{wet_dir.rstrip('/')}/batch-{batch_id}")
         extracted.unpersist()
 
     query = (

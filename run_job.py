@@ -97,6 +97,9 @@ def main() -> int:
                                        "compact"],
                     default=None)
     ap.add_argument("--stream-checkpoint", default=None)
+    ap.add_argument("--wet-output", default=None,
+                    help="stream mode: also publish each micro-batch's "
+                         "extracted text as WET-style crawl files here")
     ap.add_argument("--id-mode", choices=["blake2b", "xxhash64"],
                     default=None)
     ap.add_argument("--max-tokens", type=int, default=None)
@@ -230,7 +233,7 @@ def main() -> int:
             with open(fmt_marker, "w") as fh:
                 fh.write(fmt)
         run_incremental(spark, args.input, args.output, ckpt, cfg,
-                        input_format=fmt)
+                        input_format=fmt, wet_dir=args.wet_output)
         processed = spark.read.parquet(
             f"{args.output.rstrip('/')}/extracted"
         ).count()

@@ -58,11 +58,18 @@ def test_incremental_pipeline_ingests_warc_stream(spark, tmp_path):
     assert {r.lang for r in rows} == {"en"}
     assert spark.read.parquet(f"{out}/doc_mentions").count() > 0
 
-    # one more crawl file lands; same checkpoint -> 1 new doc, no replay
+    # one more crawl file lands; same checkpoint -> 1 new doc, no replay,
+    # and with wet_dir set the new batch also publishes WET files
+    wet = str(tmp_path / "wetout")
     warc.write_warc(os.path.join(src, "crawl-00001.warc.gz"),
                     [("https://s9.example.com/p", body.encode())])
-    run_incremental(spark, src, out, ckpt, input_format="warc")
+    run_incremental(spark, src, out, ckpt, input_format="warc", wet_dir=wet)
     assert spark.read.parquet(f"{out}/extracted").count() == 4
+    batches = os.listdir(wet)
+    assert len(batches) == 1  # only the new micro-batch produced WET
+    wdf = spark.read.format("warc").load(os.path.join(wet, batches[0]))
+    conv = wdf.filter(wdf.record_type == "conversion").collect()
+    assert len(conv) == 1 and conv[0].url == "https://s9.example.com/p"
 
 
 def test_transport_charset_reaches_extraction(spark, tmp_path):
