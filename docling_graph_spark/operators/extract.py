@@ -189,6 +189,18 @@ def _transport_col(df: DataFrame):
     return F.lit(None).cast("string")
 
 
+def _lang_col():
+    """Input lang, or the stopword-vote detector over the extracted text
+    when the input has none (crawl records carry no language column) —
+    coalesce is lazily evaluated in codegen, so rows that arrive with a
+    lang never pay the detection regexes.  Same fill on both the batch and
+    streaming ingestion paths, so lang-grouped stage tables agree
+    regardless of which mode ingested a file."""
+    from .textprep import detect_lang
+
+    return F.coalesce(F.col("lang"), detect_lang(F.col("x.text"))).alias("lang")
+
+
 def extract_and_chunk(web_pages: DataFrame, max_tokens: int,
                       context_limit: int, merge_threshold: float,
                       tokenizer_name=None) -> DataFrame:
@@ -198,7 +210,7 @@ def extract_and_chunk(web_pages: DataFrame, max_tokens: int,
                                  tokenizer_name)
     out = web_pages.withColumn("x", udf(F.col("html"), _transport_col(web_pages)))
     return out.select(
-        "url", "warc_ts", "lang",
+        "url", "warc_ts", _lang_col(),
         F.col("x.text").alias("text"),
         F.col("x.spans").alias("spans"),
         F.col("x.bytes_stripped").alias("bytes_stripped"),
@@ -214,7 +226,7 @@ def extract_main_text(web_pages: DataFrame) -> DataFrame:
     out = web_pages.withColumn(
         "x", extract_payload(F.col("html"), _transport_col(web_pages)))
     return out.select(
-        "url", "warc_ts", "lang",
+        "url", "warc_ts", _lang_col(),
         F.col("x.text").alias("text"),
         F.col("x.spans").alias("spans"),
         F.col("x.bytes_stripped").alias("bytes_stripped"),

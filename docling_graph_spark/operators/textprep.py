@@ -32,31 +32,42 @@ PII_KINDS = (
 )
 
 
-# stopword-vote language ID (n-gram heuristic family): the highest-voting
-# stopword list wins, ties broken en > es > de, zero votes -> "und"
-# (ISO 639-3 undetermined).  Pure JVM expressions — reused by the
-# langid_votes oracle query and by the WARC ingestion path, where crawl
-# records carry no language column.
+# stopword-vote language ID (n-gram heuristic family): Han-script chars
+# outvoting every stopword list -> "zh"; else the highest-voting stopword
+# list wins, ties broken en > fr > es > de; zero votes -> "und" (ISO 639-3
+# undetermined).  The fr list avoids forms shared with es (la/de/que are
+# es-only here).  Pure JVM expressions, patterns in the Java-regex ∩ RE2
+# portable subset — reused by the langid_votes oracle query (mirror any
+# change in queries.SQL_LANGID_VOTES) and by the crawl ingestion path,
+# where WARC records carry no language column.  A richer Python-kernel
+# variant (per-word set membership) lives in kernels/textstats.py for the
+# quality-signal queries; THIS detector is the one that writes persisted
+# lang values.
 LANG_STOPWORDS = (
     ("en", "the|and|of|to|in|is"),
+    ("fr", "le|les|et|est|dans|une"),
     ("es", "el|la|los|de|que|y"),
     ("de", "der|die|das|und|ist"),
 )
+HAN_RANGE = "[\\x{4e00}-\\x{9fff}]"
 
 
 def lang_votes(text: Column) -> dict:
-    return {
-        lang: F.size(F.regexp_extract_all(
-            F.lower(text), F.lit(rf"\b(?:{words})\b"), 0))
+    votes = {
+        lang: F.regexp_count(F.lower(text), F.lit(rf"\b(?:{words})\b"))
         for lang, words in LANG_STOPWORDS
     }
+    votes["zh"] = F.regexp_count(text, F.lit(HAN_RANGE))
+    return votes
 
 
 def detect_lang(text: Column) -> Column:
     v = lang_votes(text)
-    en, es, de = v["en"], v["es"], v["de"]
+    en, fr, es, de, zh = v["en"], v["fr"], v["es"], v["de"], v["zh"]
     return (
-        F.when((en >= es) & (en >= de) & (en > 0), "en")
+        F.when(zh > F.greatest(en, fr, es, de), "zh")
+        .when((en >= fr) & (en >= es) & (en >= de) & (en > 0), "en")
+        .when((fr >= es) & (fr >= de) & (fr > 0), "fr")
         .when((es >= de) & (es > 0), "es")
         .when(de > 0, "de")
         .otherwise("und")

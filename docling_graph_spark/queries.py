@@ -958,12 +958,16 @@ SQL_LANGID_VOTES = r"""
 WITH scored AS (
   SELECT lang,
     length(regexp_extract_all(lower(text), '\b(?:the|and|of|to|in|is)\b')) AS en,
+    length(regexp_extract_all(lower(text), '\b(?:le|les|et|est|dans|une)\b')) AS fr,
     length(regexp_extract_all(lower(text), '\b(?:el|la|los|de|que|y)\b')) AS es,
-    length(regexp_extract_all(lower(text), '\b(?:der|die|das|und|ist)\b')) AS de
+    length(regexp_extract_all(lower(text), '\b(?:der|die|das|und|ist)\b')) AS de,
+    length(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh
   FROM documents
 )
 SELECT lang,
-  CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+  CASE WHEN zh > greatest(en, fr, es, de) THEN 'zh'
+       WHEN en >= fr AND en >= es AND en >= de AND en > 0 THEN 'en'
+       WHEN fr >= es AND fr >= de AND fr > 0 THEN 'fr'
        WHEN es >= de AND es > 0 THEN 'es'
        WHEN de > 0 THEN 'de' ELSE 'und' END AS detected,
   CAST(count(*) AS BIGINT) AS n

@@ -179,33 +179,56 @@ def write_wet(extracted, out_dir: str, n_files: int = 16,
     _os.makedirs(out_dir, exist_ok=True)
     bucket = F.pmod(F.xxhash64(F.col("url")), F.lit(n_files)).alias("bucket")
     rows = (
-        extracted.select("url", "text", bucket)
+        extracted.filter(F.col("url").isNotNull())  # a NULL uri would
+        .select("url", "text", bucket)              # serialize as 'None'
         .repartition(n_files, F.col("bucket"))
         .sortWithinPartitions("bucket", "url")
     )
     gz = gzip_members
 
     def write_partition(it) -> None:
-        cur, fh = None, None
-        for r in it:
-            if r.bucket != cur:
-                if fh is not None:
-                    fh.close()
-                suffix = ".warc.gz" if gz else ".warc"
-                fh = open(_os.path.join(
-                    out_dir, f"wet-{int(r.bucket):05d}{suffix}"), "wb")
-                info = warc_record_bytes(
-                    "urn:dgspark:wetinfo", b"format: WET-style conversion",
-                    warc_type="warcinfo",
-                    content_type="application/warc-fields")
-                fh.write(_gzip_member(info) if gz else info)
-                cur = r.bucket
-            rec = warc_record_bytes(
-                r.url, (r.text or "").encode("utf-8"),
-                warc_type="conversion", content_type="text/plain")
-            fh.write(_gzip_member(rec) if gz else rec)
-        if fh is not None:
-            fh.close()
+        # complete-on-appearance publish contract (see _stream_reader_cls):
+        # write under a dot-temp name, rename into place at close; a failed
+        # task leaves only temp litter, never a truncated final-named file
+        # that downstream readers would accept as complete
+        cur, fh, tmp, final = None, None, None, None
+
+        def close_and_publish() -> None:
+            nonlocal fh
+            if fh is not None:
+                fh.close()
+                _os.replace(tmp, final)
+                fh = None
+
+        try:
+            for r in it:
+                if r.bucket != cur:
+                    close_and_publish()
+                    suffix = ".warc.gz" if gz else ".warc"
+                    final = _os.path.join(
+                        out_dir, f"wet-{int(r.bucket):05d}{suffix}")
+                    tmp = _os.path.join(
+                        out_dir, f".wet-{int(r.bucket):05d}{suffix}.tmp")
+                    fh = open(tmp, "wb")
+                    info = warc_record_bytes(
+                        "urn:dgspark:wetinfo",
+                        b"format: WET-style conversion",
+                        warc_type="warcinfo",
+                        content_type="application/warc-fields")
+                    fh.write(_gzip_member(info) if gz else info)
+                    cur = r.bucket
+                rec = warc_record_bytes(
+                    r.url, (r.text or "").encode("utf-8"),
+                    warc_type="conversion", content_type="text/plain")
+                fh.write(_gzip_member(rec) if gz else rec)
+            close_and_publish()
+        finally:
+            if fh is not None:       # error path: drop the partial temp
+                fh.close()
+                try:
+                    _os.remove(tmp)
+                except OSError:
+                    pass
 
     rows.foreachPartition(write_partition)
 

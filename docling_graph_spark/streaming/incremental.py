@@ -84,17 +84,10 @@ def run_incremental(spark: SparkSession, input_dir: str, output_root: str,
     root = output_root.rstrip("/")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import functions as F
-
-        from ..operators.textprep import detect_lang
-
+        # extract_main_text fills NULL lang from the extracted text
+        # (operators/extract._lang_col) — same on the batch path, so both
+        # ingestion modes produce identical stage-table lang values
         extracted_all = op_extract.extract_main_text(batch_df)
-        # crawl records carry no language column (lang arrives NULL from
-        # the WARC mapping): fill it from the extracted text with the
-        # stopword-vote detector so the appended stage tables are
-        # self-contained; rows that already have a lang keep it
-        extracted_all = extracted_all.withColumn(
-            "lang", F.coalesce(F.col("lang"), detect_lang(F.col("text"))))
         extracted = op_extract.filter_extractable(extracted_all).persist()
         chunks = op_chunk.chunk_documents(
             extracted, cfg.max_tokens, cfg.context_limit, cfg.merge_threshold

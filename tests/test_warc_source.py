@@ -163,6 +163,7 @@ def test_wet_export_roundtrip(spark, tmp_path):
     byte-identical text — the crawl-in → WET-out loop."""
     from docling_graph_spark.pipeline import PipelineConfig, run_on_testdata
 
+    warc.register_warc_source(spark)  # standalone-run safe
     res = run_on_testdata(spark, "/root/testdata/sf0.001",
                           PipelineConfig(id_mode="xxhash64"))
     out = str(tmp_path / "wet")
