@@ -68,7 +68,8 @@ def run_incremental(spark: SparkSession, input_dir: str, output_root: str,
                     checkpoint_dir: str,
                     config: Optional[PipelineConfig] = None,
                     input_format: str = "parquet",
-                    wet_dir: Optional[str] = None) -> None:
+                    wet_dir: Optional[str] = None,
+                    dedup_urls: bool = False) -> None:
     """Drain all currently-unprocessed input files, then stop.
 
     Appends `extracted`, `chunks`, `doc_mentions` and `metrics` tables under
@@ -79,11 +80,35 @@ def run_incremental(spark: SparkSession, input_dir: str, output_root: str,
     ``wet_dir``: also publish each micro-batch's extracted text as
     WET-style crawl files (``wet_dir/batch-<id>/wet-*.warc.gz``, written
     from executors) — continuous WET production from a raw crawl stream.
+
+    ``dedup_urls``: real crawls re-capture urls across crawl files; with
+    this on, each url is processed once — within a micro-batch the newest
+    capture (max warc_ts) wins, and urls already in the accumulated
+    ``extracted`` table are skipped (left_anti, the same restart shape as
+    ``checkpointing.CheckpointedRun``).  Off by default: some corpora
+    want every capture as a separate row (temporal diffs).
     """
     cfg = config or PipelineConfig()
     root = output_root.rstrip("/")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if dedup_urls:
+            from pyspark.sql import Window, functions as F
+
+            # newest capture per url within the batch (deterministic:
+            # warc_ts desc, then the record's own order is irrelevant
+            # because (url, warc_ts) pairs from a crawl are unique)
+            w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+            batch_df = (batch_df.withColumn("_rn", F.row_number().over(w))
+                        .filter(F.col("_rn") == 1).drop("_rn"))
+            from pyspark.errors import AnalysisException
+
+            try:
+                seen = spark.read.parquet(f"{root}/extracted").select("url")
+            except AnalysisException:
+                seen = None  # first batch: no accumulated table yet
+            if seen is not None:
+                batch_df = batch_df.join(seen, "url", "left_anti")
         # extract_main_text fills NULL lang from the extracted text
         # (operators/extract._lang_col) — same on the batch path, so both
         # ingestion modes produce identical stage-table lang values

@@ -100,6 +100,10 @@ def main() -> int:
     ap.add_argument("--wet-output", default=None,
                     help="stream mode: also publish each micro-batch's "
                          "extracted text as WET-style crawl files here")
+    ap.add_argument("--dedup-urls", action="store_true",
+                    help="stream mode: process each url once (newest "
+                         "capture wins within a batch; re-crawls of "
+                         "already-ingested urls are skipped)")
     ap.add_argument("--id-mode", choices=["blake2b", "xxhash64"],
                     default=None)
     ap.add_argument("--max-tokens", type=int, default=None)
@@ -233,7 +237,8 @@ def main() -> int:
             with open(fmt_marker, "w") as fh:
                 fh.write(fmt)
         run_incremental(spark, args.input, args.output, ckpt, cfg,
-                        input_format=fmt, wet_dir=args.wet_output)
+                        input_format=fmt, wet_dir=args.wet_output,
+                        dedup_urls=args.dedup_urls)
         processed = spark.read.parquet(
             f"{args.output.rstrip('/')}/extracted"
         ).count()

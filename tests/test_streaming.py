@@ -51,6 +51,45 @@ def test_incremental_stream_drains_and_converges(spark, sf_smoke_dir, tmp_path):
             == oneshot.doc_mentions.count())
 
 
+def test_dedup_urls_keeps_newest_capture_once(spark, sf_smoke_dir, tmp_path):
+    """--dedup-urls crawl semantics: within a micro-batch the newest capture
+    of a url wins; re-crawls of already-ingested urls are skipped on later
+    drains. The deduped stream converges with a one-shot batch run over the
+    distinct (newest) captures."""
+    pages = synthesize_web_pages(spark, sf_smoke_dir)
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: full crawl + older re-captures of half the urls (same url,
+    # warc_ts one day earlier, tampered html so a wrong winner is visible)
+    older = (pages.filter(F.crc32(F.col("url")) % 2 == 0)
+             .withColumn("warc_ts",
+                         F.col("warc_ts") - F.expr("INTERVAL 1 DAY"))
+             .withColumn("html", F.to_binary(F.lit("<html>stale</html>"),
+                                             F.lit("utf-8"))))
+    pages.unionByName(older).write.mode("append").parquet(inbox)
+    run_incremental(spark, inbox, out, ckpt, CFG, dedup_urls=True)
+
+    extracted = spark.read.parquet(f"{out}/extracted")
+    oneshot = run_pipeline(pages, CFG).extracted
+    assert extracted.count() == oneshot.count()
+    assert extracted.select("url").distinct().count() == extracted.count()
+    # newest-wins: kept warc_ts per url matches the original (newer) capture
+    got = {(r["url"], r["warc_ts"]) for r in
+           extracted.select("url", "warc_ts").collect()}
+    want = {(r["url"], r["warc_ts"]) for r in
+            oneshot.select("url", "warc_ts").collect()}
+    assert got == want
+
+    # batch 2: a fresh re-crawl of already-ingested urls -> all skipped
+    (pages.filter(F.crc32(F.col("url")) % 3 == 0)
+     .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY"))
+     .write.mode("append").parquet(inbox))
+    run_incremental(spark, inbox, out, ckpt, CFG, dedup_urls=True)
+    assert spark.read.parquet(f"{out}/extracted").count() == oneshot.count()
+
+
 def test_windowed_counts_match_batch_agg(spark, sf_smoke_dir, tmp_path):
     """Watermarked tumbling-window rollup (drained) == batch groupBy."""
     from docling_graph_spark.streaming.windowed import run_windowed_counts
