@@ -45,10 +45,19 @@ def sniff_media_type(payload: Optional[bytes]) -> str:
                     return "audio/wav"
                 if tag == b"AVI ":
                     return "video/avi"
+                if tag == b"WEBP":
+                    return "image/webp"
                 return "application/riff"
             return mtype
     if payload[4:12] in (b"ftypisom", b"ftypmp42", b"ftypMSNV"):
         return "video/mp4"
+    if payload[:2] == b"BM":
+        # 'BM' alone is a weak 2-byte magic (plain text can start with it):
+        # only classify as BMP when the DIB header actually parses
+        from .media_probe import _probe_bmp
+
+        if _probe_bmp(payload) is not None:
+            return "image/bmp"
     head = payload[:256].lstrip()
     if head[:1] == b"<" or b"<html" in head.lower():
         return "text/html"

@@ -149,7 +149,15 @@ def media_decode_stats(web_pages: DataFrame) -> DataFrame:
     (PNG, via the stdlib codec), and a routed error string where it does
     not — decode failures become a column, never an executor crash.  Same
     mapInPandas shape as the other media stages (per-partition decoder
-    init, (url, html) pruned across the Arrow boundary)."""
+    init, (url, html) pruned across the Arrow boundary).
+
+    Where full decode is unavailable but the container header carries its
+    own geometry (JPEG SOF / GIF LSD / BMP DIB / WEBP frame header —
+    kernels/media_probe.py), width/height/channels are filled from the
+    header probe: ``decoded`` stays False (no pixels were produced) and
+    ``decode_error`` records 'header-only'.  This is the cheap metadata
+    path a 100 TB image-filter stage runs on every row."""
+    from ..kernels.media_probe import probe_dimensions
     from ..kernels.media_stub import decode_media
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -172,7 +180,14 @@ def media_decode_stats(web_pages: DataFrame) -> DataFrame:
                 try:
                     dec = decode_media(b, mtype)
                 except NotImplementedError as exc:
-                    out["decode_error"][i] = f"unsupported: {exc}"
+                    hdr = probe_dimensions(b)
+                    if hdr is not None:
+                        out["width"][i] = hdr.width
+                        out["height"][i] = hdr.height
+                        out["channels"][i] = hdr.channels
+                        out["decode_error"][i] = "header-only"
+                    else:
+                        out["decode_error"][i] = f"unsupported: {exc}"
                     continue
                 except Exception as exc:  # malformed payload -> routed
                     out["decode_error"][i] = f"malformed: {exc}"

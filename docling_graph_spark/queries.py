@@ -2828,7 +2828,53 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("height").cast("long")).alias("sum_height"),
     )
     png_rows = _unpivot_single_row(png_agg, "png_decode")
-    return media_rows.unionByName(png_rows).orderBy("stage", "metric")
+
+    # stage 'header_probe': REAL container-metadata extraction for formats
+    # with no full decoder — JPEG SOF / GIF LSD / BMP DIB / WEBP VP8X
+    # headers (kernels/media_probe.py) synthesized deterministically
+    # (format = doc_id%4, w = 20+doc_id%17, h = 10+doc_id%13), geometry
+    # read back through media_decode_stats' header fallback and compared
+    # against the oracle's closed-form sums per format.
+    def build_probes(batches):
+        from docling_graph_spark.kernels.media_probe import (
+            make_bmp_header, make_gif_header, make_jpeg_header,
+            make_webp_vp8x_header)
+
+        makers = [make_jpeg_header, make_gif_header, make_bmp_header,
+                  make_webp_vp8x_header]
+        for pdf in batches:
+            urls, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                urls.append(f"img:{d}")
+                blobs.append(makers[d % 4](20 + d % 17, 10 + d % 13))
+            yield pd.DataFrame({"url": urls, "html": blobs})
+
+    imgs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PNG_DOCS)
+        .select("doc_id")
+        .mapInPandas(build_probes, "url string, html binary")
+    )
+    probed = op_mm.media_decode_stats(imgs).groupBy("media_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("width").cast("long")).alias("w"),
+        F.sum(F.col("height").cast("long")).alias("h"),
+    )
+    pkv = F.explode(F.array(*[
+        F.struct(
+            F.concat(F.col("media_type"), F.lit(":" + c)).alias("metric"),
+            F.col(c).cast("string").alias("value"),
+        )
+        for c in ["n", "w", "h"]
+    ])).alias("kv")
+    probe_rows = probed.select(pkv).select(
+        F.lit("header_probe").alias("stage"),
+        F.col("kv.metric").alias("metric"),
+        F.col("kv.value").alias("value"),
+    )
+    return (media_rows.unionByName(png_rows).unionByName(probe_rows)
+            .orderBy("stage", "metric"))
 
 
 SQL_MEDIA_PIPELINE_STATS = f"""
@@ -2849,6 +2895,14 @@ pxv AS (
   SELECT sum((png.doc_id * 7 + k) % 256) AS s
   FROM png, LATERAL (SELECT unnest(generate_series(0, png.w * png.h - 1))
                      AS k)
+),
+probe AS (
+  SELECT CASE doc_id % 4 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/gif'
+              WHEN 2 THEN 'image/bmp' ELSE 'image/webp' END AS media_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(20 + doc_id % 17) AS BIGINT) AS w,
+         CAST(sum(10 + doc_id % 13) AS BIGINT) AS h
+  FROM documents WHERE doc_id < {_PNG_DOCS} GROUP BY 1
 )
 SELECT stage, metric, value FROM (
   SELECT 'media' AS stage, media_type || ':n_docs' AS metric,
@@ -2880,6 +2934,12 @@ SELECT stage, metric, value FROM (
   UNION ALL
   SELECT 'png_decode', 'sum_height',
          CAST((SELECT sum(h) FROM png) AS VARCHAR)
+  UNION ALL
+  SELECT 'header_probe', media_type || ':n', CAST(n AS VARCHAR) FROM probe
+  UNION ALL
+  SELECT 'header_probe', media_type || ':w', CAST(w AS VARCHAR) FROM probe
+  UNION ALL
+  SELECT 'header_probe', media_type || ':h', CAST(h AS VARCHAR) FROM probe
 ) ORDER BY stage, metric
 """
 
