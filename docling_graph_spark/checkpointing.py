@@ -207,6 +207,60 @@ class CheckpointedRun:
 
     # -------------------------------------------------------- maintenance
 
+    def compact_files(self, target_bytes: int = 128 << 20) -> dict:
+        """Bin-pack each stage table's data files toward ``target_bytes``
+        (Iceberg ``rewrite_data_files`` analogue) — the other half of
+        checkpoint maintenance next to :meth:`compact`.
+
+        Every resumed run and every streaming micro-batch *appends*, so a
+        long-lived checkpoint accumulates one small file per task per run:
+        after 10k micro-batches a 100 TB table is millions of kilobyte
+        files, and the planner pays per-file open/footer costs that dwarf
+        the scan.  This rewrites any stage whose files are far smaller than
+        the target into ~``total_bytes / target_bytes`` files, keeping the
+        ``bucket`` partition layout of the ``extracted`` stage.
+
+        Returns ``{stage: (files_before, files_after)}`` for the rewritten
+        stages; stages already near the target are left untouched (never
+        rewrite what compaction cannot improve — at 100 TB the rewrite IS
+        the expensive operation).
+        """
+        rewritten: dict = {}
+        for stage in STAGES:
+            path = self._path(stage)
+            stats = _data_file_stats(self.spark, path)
+            if stats is None:
+                continue
+            n_files, total_bytes, n_dirs = stats
+            ideal = max(1, -(-total_bytes // target_bytes))  # ceil
+            # a hive-partitioned table cannot go below one file per
+            # populated partition directory — that's the achievable floor
+            if stage == "extracted":
+                ideal = max(ideal, n_dirs)
+            # hysteresis: only rewrite when the table is fragmented well
+            # past the ideal layout, so repeated maintenance is idempotent
+            if n_files <= max(ideal * 2, ideal + 4):
+                continue
+            df = self.spark.read.parquet(path)
+            part_col = "bucket" if stage == "extracted" else None
+            if part_col and part_col in df.columns:
+                packed = df.repartition(F.col(part_col))
+                writer = packed.write.mode("overwrite").partitionBy(part_col)
+            else:
+                packed = df.repartition(int(ideal))
+                writer = packed.write.mode("overwrite")
+            # cap file size from the observed bytes/row so one fat bucket
+            # cannot produce a single outsized file
+            n_rows = df.count()
+            if n_rows and total_bytes:
+                rows_per_file = max(1, int(n_rows * target_bytes
+                                           / total_bytes))
+                writer = writer.option("maxRecordsPerFile", rows_per_file)
+            _atomic_rewrite(path, writer)
+            after = _data_file_stats(self.spark, path)
+            rewritten[stage] = (n_files, after[0] if after else 0)
+        return rewritten
+
     def compact(self) -> dict:
         """Expire orphan rows left by crashed (uncommitted) runs — the
         parquet stand-in for Iceberg's ``expire_snapshots`` + data-file
@@ -218,8 +272,6 @@ class CheckpointedRun:
         every appended run committed — compaction is maintenance, never a
         correctness requirement, because readers filter to committed runs
         anyway."""
-        import shutil
-
         committed = self.committed_runs()
         reclaimed: dict = {}
         for stage in STAGES:
@@ -240,15 +292,10 @@ class CheckpointedRun:
             reclaimed[stage] = n_total - n_keep
             if n_total == n_keep:
                 continue
-            tmp = f"{path}.compacting"
             writer = keep.write.mode("overwrite")
             if stage == "extracted":
                 writer = writer.partitionBy("bucket")
-            writer.parquet(tmp)
-            old = f"{path}.old"
-            shutil.move(path, old)
-            shutil.move(tmp, path)
-            shutil.rmtree(old)
+            _atomic_rewrite(path, writer)
         return reclaimed
 
     def _manifest(self, run_id: str, processed: int,
@@ -266,3 +313,47 @@ class CheckpointedRun:
         self.spark.createDataFrame([row]).write.mode("append").json(
             self._path("runs")
         )
+
+
+# ------------------------------------------------------- file maintenance
+
+def _data_file_stats(spark: SparkSession, path: str):
+    """(file_count, total_bytes) of a table's parquet data files, or None
+    when the table does not exist.  Uses the Hadoop FileSystem API so the
+    listing works against whatever filesystem the path lives on (HDFS, S3A,
+    local) — the same listing the scan planner performs."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    it = fs.listFiles(jpath, True)  # recursive: descends bucket=N dirs
+    n_files = 0
+    total = 0
+    parents = set()
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        if p.getName().endswith(".parquet"):
+            n_files += 1
+            total += st.getLen()
+            parents.add(p.getParent().toString())
+    if n_files == 0:
+        return None
+    return n_files, total, len(parents)
+
+
+def _atomic_rewrite(path: str, writer) -> None:
+    """Materialize ``writer`` at a sibling temp dir, then swap it into
+    ``path`` — readers in flight keep their already-planned file list, new
+    readers see the rewritten table (the parquet stand-in for an Iceberg
+    rewrite commit; on object stores the swap is the table-format's
+    metadata pointer update, which is why production uses Iceberg)."""
+    import shutil
+
+    tmp = f"{path}.compacting"
+    writer.parquet(tmp)
+    old = f"{path}.old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)

@@ -100,6 +100,10 @@ def main() -> int:
     ap.add_argument("--wet-output", default=None,
                     help="stream mode: also publish each micro-batch's "
                          "extracted text as WET-style crawl files here")
+    ap.add_argument("--target-file-mb", type=int, default=None,
+                    help="compact mode: also bin-pack each stage table's "
+                         "data files toward this size (small-files "
+                         "maintenance after many incremental runs)")
     ap.add_argument("--dedup-urls", action="store_true",
                     help="stream mode: process each url once (newest "
                          "capture wins within a batch; re-crawls of "
@@ -249,6 +253,10 @@ def main() -> int:
         ckpt_run = CheckpointedRun(spark, args.output, cfg)
         reclaimed = ckpt_run.compact()
         processed = sum(reclaimed.values())
+        if args.target_file_mb:
+            packed = ckpt_run.compact_files(args.target_file_mb << 20)
+            for stage, (before, after) in sorted(packed.items()):
+                print(f"compacted {stage}: {before} -> {after} files")
     elif args.mode == "resume":
         from docling_graph_spark.checkpointing import CheckpointedRun
         ckpt_run = CheckpointedRun(spark, args.output, cfg)

@@ -131,3 +131,38 @@ def test_compact_reclaims_only_orphans(spark, pages, tmp_path):
 
     # resume after compaction still reprocesses the crashed half
     assert run.run(pages) == other.count()
+
+
+def test_compact_files_binpacks_fragmented_table(spark, pages, tmp_path):
+    """Many small incremental runs fragment the stage tables into one file
+    per task per run; compact_files rewrites them toward the target size
+    (file count drops, rows/values unchanged, partition layout kept)."""
+    from docling_graph_spark.checkpointing import _data_file_stats
+
+    root = str(tmp_path / "ckpt_files")
+    run = CheckpointedRun(spark, root, CFG)
+    # four tiny runs -> at least 4 data files per stage table
+    urls = pages.select("url")
+    for k in range(4):
+        part = pages.filter(F.crc32(F.col("url")) % 4 == k)
+        run.run(part)
+
+    before_rows = run.extracted().count()
+    before_chunks = spark.read.parquet(f"{root}/chunks").count()
+    n_before = _data_file_stats(spark, f"{root}/extracted")[0]
+    assert n_before >= 4
+
+    packed = run.compact_files(target_bytes=256 << 20)
+    assert "extracted" in packed  # fragmented table got rewritten
+    n_after = _data_file_stats(spark, f"{root}/extracted")[0]
+    assert n_after < n_before
+
+    # content unchanged, bucket partition layout preserved
+    assert run.extracted().count() == before_rows
+    assert spark.read.parquet(f"{root}/chunks").count() == before_chunks
+    ext = spark.read.parquet(f"{root}/extracted")
+    assert "bucket" in ext.columns
+    # resume protocol still sees everything as done
+    assert run.run(pages) == 0
+    # idempotent: a second pass finds nothing fragmented enough to rewrite
+    assert run.compact_files(target_bytes=256 << 20) == {}
