@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import chunk as op_chunk
 from ..operators import entities as op_entities
@@ -139,3 +140,65 @@ def run_incremental(spark: SparkSession, input_dir: str, output_root: str,
         .start()
     )
     query.awaitTermination()
+
+
+def assemble_accumulated_graph(spark: SparkSession, output_root: str,
+                               config: Optional[PipelineConfig] = None,
+                               write: bool = True):
+    """The downstream batch job the streaming docstring promises: build the
+    document/chunk/term graph over the stage tables a stream (or many
+    resumed runs) accumulated under ``output_root``.
+
+    Graph assembly cannot run per micro-batch because Term nodes aggregate
+    mention counts across the WHOLE corpus — a batch-local view would emit
+    one Term node per (term, batch) with partial counts.  So ingestion
+    appends the document-local relations (extracted/chunks/doc_mentions,
+    all keyed by url — disjoint per batch, safely appendable) and this job
+    finalizes the corpus-global ones.
+
+    Node ids derive from urls, so the tables must hold ONE capture per url:
+    `dedup_urls` ingestion and the resume protocol both guarantee that.
+    With duplicate captures present the chunk/mention rows of the captures
+    are indistinguishable (their natural keys carry no capture stamp) and
+    no deterministic graph exists — detected here and refused rather than
+    silently mixing captures.
+
+    Writes ``nodes``/``edges`` parquet tables under ``output_root``
+    (overwrite: finalize rebuilds the corpus-global snapshot; the stage
+    tables stay append-only).  Returns ``(nodes, edges)``.
+    """
+    from ..operators import graph as op_graph
+
+    cfg = config or PipelineConfig()
+    root = output_root.rstrip("/")
+    extracted = spark.read.parquet(f"{root}/extracted")
+    chunks = spark.read.parquet(f"{root}/chunks")
+    doc_mentions = spark.read.parquet(f"{root}/doc_mentions")
+
+    dup = extracted.groupBy("url").count().filter(F.col("count") > 1)
+    if not dup.limit(1).isEmpty():
+        raise ValueError(
+            "extracted table holds multiple captures of the same url — "
+            "graph finalize needs one capture per url (ingest with "
+            "dedup_urls=True or the resume protocol); found e.g. "
+            f"{dup.limit(3).collect()}"
+        )
+
+    nodes, edges = op_graph.assemble_web_graph(
+        extracted, chunks, doc_mentions,
+        id_mode=cfg.id_mode, add_reverse_edges=cfg.add_reverse_edges,
+    )
+    # same declared invariants as pipeline.run_pipeline: ids derive from
+    # the rows that emit the edges, so the dedup/orphan passes are no-ops —
+    # declare and (separately) validate instead of paying full shuffles
+    nodes, edges = op_graph.clean_graph(
+        nodes, edges, content_dedup=cfg.content_dedup,
+        edges_distinct=True, nodes_distinct=True,
+        referential_integrity=True,
+    )
+    if write:
+        nodes.write.mode("overwrite").parquet(f"{root}/nodes")
+        edges.write.mode("overwrite").parquet(f"{root}/edges")
+        nodes = spark.read.parquet(f"{root}/nodes")
+        edges = spark.read.parquet(f"{root}/edges")
+    return nodes, edges

@@ -94,7 +94,7 @@ def main() -> int:
     ap.add_argument("--sf-dir", help="testdata dir to synthesize input from")
     ap.add_argument("--output", default=None, help="output root")
     ap.add_argument("--mode", choices=["oneshot", "resume", "stream",
-                                       "compact"],
+                                       "compact", "graph"],
                     default=None)
     ap.add_argument("--stream-checkpoint", default=None)
     ap.add_argument("--wet-output", default=None,
@@ -203,7 +203,7 @@ def main() -> int:
 
     # stream/compact manage their own input (the stream source may be a raw
     # WARC directory, not parquet) — only the batch modes load pages here
-    if args.mode in ("stream", "compact"):
+    if args.mode in ("stream", "compact", "graph"):
         pass
     elif args.input:
         pages = spark.read.parquet(args.input)
@@ -246,6 +246,19 @@ def main() -> int:
         processed = spark.read.parquet(
             f"{args.output.rstrip('/')}/extracted"
         ).count()
+    elif args.mode == "graph":
+        # finalize: corpus-global graph over the stage tables a stream (or
+        # resumed runs) accumulated — Term nodes need the whole corpus
+        from docling_graph_spark.streaming.incremental import (
+            assemble_accumulated_graph,
+        )
+        nodes, edges = assemble_accumulated_graph(spark, args.output, cfg)
+        processed = nodes.count()
+        print(f"graph finalized: {processed} nodes, {edges.count()} edges")
+        if args.report:
+            from docling_graph_spark import visualizers
+            visualizers.write_report(
+                nodes, edges, f"{args.output.rstrip('/')}/report.md")
     elif args.mode == "compact":
         # expire crashed-run orphan rows from a resume checkpoint
         # (Iceberg expire_snapshots analogue; see checkpointing.compact)

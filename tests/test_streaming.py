@@ -50,6 +50,27 @@ def test_incremental_stream_drains_and_converges(spark, sf_smoke_dir, tmp_path):
     assert (spark.read.parquet(f"{out}/doc_mentions").count()
             == oneshot.doc_mentions.count())
 
+    # downstream graph finalize over the accumulated tables == one-shot graph
+    from docling_graph_spark.streaming.incremental import (
+        assemble_accumulated_graph,
+    )
+    nodes, edges = assemble_accumulated_graph(spark, out, CFG)
+    assert ({r[0] for r in nodes.select("id").collect()}
+            == {r[0] for r in oneshot.nodes.select("id").collect()})
+    assert edges.count() == oneshot.edges.count()
+    # persisted as tables under the output root
+    assert spark.read.parquet(f"{out}/nodes").count() == nodes.count()
+
+    # duplicate-capture guard: a second stale capture of one url is refused
+    dup_out = str(tmp_path / "dup_out")
+    final.write.mode("append").parquet(f"{dup_out}/extracted")
+    final.limit(1).write.mode("append").parquet(f"{dup_out}/extracted")
+    spark.read.parquet(f"{out}/chunks").write.parquet(f"{dup_out}/chunks")
+    spark.read.parquet(f"{out}/doc_mentions").write.parquet(
+        f"{dup_out}/doc_mentions")
+    with pytest.raises(ValueError, match="multiple captures"):
+        assemble_accumulated_graph(spark, dup_out, CFG)
+
 
 def test_dedup_urls_keeps_newest_capture_once(spark, sf_smoke_dir, tmp_path):
     """--dedup-urls crawl semantics: within a micro-batch the newest capture
