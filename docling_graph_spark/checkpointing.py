@@ -224,6 +224,11 @@ class CheckpointedRun:
         stages; stages already near the target are left untouched (never
         rewrite what compaction cannot improve — at 100 TB the rewrite IS
         the expensive operation).
+
+        Run it between ingestion runs, not concurrently with one: the
+        rewrite snapshots the table then swaps, so rows appended after the
+        snapshot would be lost (Iceberg's optimistic commit retry is the
+        production answer; plain parquet has no commit protocol to race).
         """
         rewritten: dict = {}
         for stage in STAGES:

@@ -144,7 +144,8 @@ def run_incremental(spark: SparkSession, input_dir: str, output_root: str,
 
 def assemble_accumulated_graph(spark: SparkSession, output_root: str,
                                config: Optional[PipelineConfig] = None,
-                               write: bool = True):
+                               write: bool = True,
+                               check_unique: bool = True):
     """The downstream batch job the streaming docstring promises: build the
     document/chunk/term graph over the stage tables a stream (or many
     resumed runs) accumulated under ``output_root``.
@@ -175,8 +176,12 @@ def assemble_accumulated_graph(spark: SparkSession, output_root: str,
     chunks = spark.read.parquet(f"{root}/chunks")
     doc_mentions = spark.read.parquet(f"{root}/doc_mentions")
 
-    dup = extracted.groupBy("url").count().filter(F.col("count") > 1)
-    if not dup.limit(1).isEmpty():
+    # the guard is one aggregation over the url column; at full corpus
+    # scale a caller whose ingestion already guarantees uniqueness
+    # (dedup_urls / resume protocol) can skip it with check_unique=False
+    dup = (extracted.groupBy("url").count().filter(F.col("count") > 1)
+           if check_unique else None)
+    if dup is not None and not dup.limit(1).isEmpty():
         raise ValueError(
             "extracted table holds multiple captures of the same url — "
             "graph finalize needs one capture per url (ingest with "
