@@ -71,6 +71,22 @@ def test_incremental_pipeline_ingests_warc_stream(spark, tmp_path):
     conv = wdf.filter(wdf.record_type == "conversion").collect()
     assert len(conv) == 1 and conv[0].url == "https://s9.example.com/p"
 
+    # the rest of the crawl story on the same accumulated tables:
+    # maintenance bin-pack (2 drains fragmented the stage tables), then
+    # the downstream corpus-global graph finalize
+    from docling_graph_spark.checkpointing import CheckpointedRun
+    from docling_graph_spark.streaming.incremental import (
+        assemble_accumulated_graph,
+    )
+
+    CheckpointedRun(spark, out).compact_files(target_bytes=256 << 20)
+    nodes, edges = assemble_accumulated_graph(spark, out)
+    by_label = {r["label"]: r["count"]
+                for r in nodes.groupBy("label").count().collect()}
+    assert by_label["WebDocument"] == 4
+    assert by_label.get("Chunk", 0) >= 4
+    assert edges.count() > 0
+
 
 def test_transport_charset_reaches_extraction(spark, tmp_path):
     """A legacy page labeled ONLY via the HTTP Content-Type header (no
