@@ -388,3 +388,124 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
             break
     edges.unpersist()
     return labels
+
+
+# ---------------------------------------------------------------------------
+# word-n-gram family: benchmark decontamination + exact duplicated-substring
+# detection (Lee et al. 2021, "Deduplicating Training Data Makes Language
+# Models Better" — n-gram-granular approximation of the suffix-array method,
+# which is the shape that distributes: grouping equal n-grams is a single
+# shuffle, where a true distributed suffix array is multiple sort rounds).
+
+DECONTAM_NGRAM = 8
+"""Word n-gram width used by the test fixtures.
+
+Production decontamination convention is 13-gram overlap (GPT-3 appendix C /
+PaLM section 8); the synthetic corpus median document is ~56 words, so the
+fixtures use 8 to keep every document eligible.  Both operators take ``n``."""
+
+
+def word_ngrams(docs: DataFrame, key: str = "doc_id",
+                text_col: str = "text",
+                n: int = DECONTAM_NGRAM) -> DataFrame:
+    """Positional word n-grams: (key, pos, gram) with pos 1-based.
+
+    Tokenization is lowercase + split on non-alphanumeric runs — entirely
+    JVM-side (split/filter/transform/slice higher-order functions), no
+    Python.  Documents shorter than ``n`` tokens yield no rows.  The
+    CASE guard matters: ``sequence(1, 0)`` in Spark counts DOWN (step -1),
+    so the transform must be gated on size >= n rather than clamped.
+    """
+    from .partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(docs, key)
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')")
+    base = docs.select(F.col(key), toks.alias("_toks"))
+    grams = F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(1, size(_toks) - {n - 1}), "
+        f"          i -> array_join(slice(_toks, i, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+    return (
+        base.select(F.col(key), F.posexplode(grams).alias("_p", "gram"))
+        .select(F.col(key), (F.col("_p") + 1).alias("pos"), "gram")
+    )
+
+
+def decontaminate(train: DataFrame, eval_docs: DataFrame,
+                  key: str = "doc_id", text_col: str = "text",
+                  n: int = DECONTAM_NGRAM,
+                  min_overlap: int = 1) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share word
+    n-grams with an evaluation set (the GPT-3/PaLM 13-gram-collision rule).
+
+    Returns one row per training document:
+    (key, overlap_grams = count of DISTINCT eval n-grams present,
+     contaminated = overlap_grams >= min_overlap).
+
+    Scale shape: the eval side is small by definition (benchmarks are
+    O(100k) docs), so its distinct gram set is broadcast — the 100 TB
+    training side is never shuffled by the probe; the only wide exchange is
+    the per-doc overlap aggregation, which carries only matching rows
+    (a tiny fraction of the corpus).  For eval sets too large to broadcast
+    raw, hash grams to int64 first (same md5-prefix trick as MinHash) to
+    shrink the broadcast ~10x.
+    """
+    tg = word_ngrams(train, key, text_col, n)
+    eg = word_ngrams(eval_docs, key, text_col, n).select("gram").distinct()
+    per = (
+        tg.join(F.broadcast(eg), "gram")
+        .groupBy(key)
+        .agg(F.countDistinct("gram").alias("overlap_grams"))
+    )
+    return (
+        train.select(key).join(per, key, "left")
+        .select(
+            F.col(key),
+            F.coalesce("overlap_grams", F.lit(0)).alias("overlap_grams"),
+            (F.coalesce("overlap_grams", F.lit(0)) >= min_overlap)
+            .alias("contaminated"),
+        )
+    )
+
+
+def duplicated_spans(docs: DataFrame, key: str = "doc_id",
+                     text_col: str = "text",
+                     n: int = DECONTAM_NGRAM) -> Tuple[DataFrame, DataFrame]:
+    """Exact duplicated-substring detection at n-gram granularity.
+
+    A gram is *duplicated* when it occurs in >= 2 distinct documents (the
+    cross-document clause of Lee et al.'s ExactSubstr; within-doc repeats
+    alone don't count).  Returns (per_gram, per_doc):
+
+      per_gram: (gram, n_docs, n_occ) for duplicated grams only;
+      per_doc:  (key, n_grams, dup_grams) — total gram occurrences and how
+                many of them are duplicated, per document (dup_grams /
+                n_grams is the doc's duplicated-text fraction).
+
+    Scale shape: two hash aggregations (gram×doc, then gram — both with
+    map-side partial aggregation) plus one equi-join of the positional gram
+    stream against the duplicated-gram relation.  No quadratic pair blowup:
+    a gram shared by k documents costs k rows, not k², which is what makes
+    this the distributed-friendly stand-in for a suffix array.
+    """
+    g = word_ngrams(docs, key, text_col, n)
+    per_doc_gram = g.groupBy("gram", key).agg(F.count("*").alias("occ"))
+    per_gram = (
+        per_doc_gram.groupBy("gram")
+        .agg(F.count("*").alias("n_docs"), F.sum("occ").alias("n_occ"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    per_doc = (
+        per_doc_gram.join(per_gram.select("gram"), "gram", "left_semi")
+        .groupBy(key).agg(F.sum("occ").alias("dup_grams"))
+    )
+    totals = g.groupBy(key).agg(F.count("*").alias("n_grams"))
+    per_doc = (
+        totals.join(per_doc, key, "left")
+        .select(F.col(key), "n_grams",
+                F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"))
+    )
+    return per_gram, per_doc

@@ -1762,6 +1762,115 @@ FROM fps GROUP BY lang ORDER BY lang
 """
 
 
+# word-n-gram family (operators/dedup.py word_ngrams): benchmark
+# decontamination + exact duplicated-substring detection.  The DuckDB CTE
+# reproduces the Spark tokenization exactly: lowercase, split on
+# non-alphanumeric runs, empties dropped, 1-based n-gram positions.
+
+def _word_grams_cte(n: int) -> str:
+    return f"""
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(ts[i:i + {n - 1}], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - {n - 1}))
+                      AS i)
+  WHERE len(ts) >= {n}
+)"""
+
+
+_EVAL_MOD, _EVAL_RESIDUE = 97, 3  # deterministic synthetic eval set
+# Fixture n-gram widths: the synthetic corpus draws from a small vocabulary,
+# so 4-grams collide across the eval/train split (14 contaminated docs at
+# sf0.01 — a live join path) while 8-grams exercise duplicated-substring
+# detection (47 docs with cross-doc dup spans).  Production decontamination
+# uses 13 (GPT-3/PaLM); both operators take ``n``.
+_DECONTAM_FIXTURE_N = 4
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM n-gram-collision rule): docs
+    with ``doc_id % 97 == 3`` play the eval set; every other document is
+    flagged if it shares >= 1 word 4-gram with any eval doc.  Eval grams are
+    broadcast — the training side is never shuffled by the probe."""
+    docs = _read(spark, sf_dir, "documents")
+    evald = docs.filter(F.col("doc_id") % _EVAL_MOD == _EVAL_RESIDUE)
+    train = docs.filter(F.col("doc_id") % _EVAL_MOD != _EVAL_RESIDUE)
+    res = op_dedup.decontaminate(train, evald, n=_DECONTAM_FIXTURE_N)
+    summary = res.agg(
+        F.count("*").alias("n_train"),
+        F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+        .alias("contaminated_docs"),
+        F.sum(F.when(F.col("contaminated"), 0).otherwise(1))
+        .alias("clean_docs"),
+        F.coalesce(F.max("overlap_grams"), F.lit(0)).alias("max_overlap"),
+        F.coalesce(F.sum("overlap_grams"), F.lit(0))
+        .alias("total_overlap_grams"),
+    )
+    return evald.agg(F.count("*").alias("n_eval")).crossJoin(summary)
+
+
+SQL_DECONTAMINATION = f"""
+WITH {_word_grams_cte(_DECONTAM_FIXTURE_N)},
+eg AS (SELECT DISTINCT gram FROM grams
+       WHERE doc_id % {_EVAL_MOD} = {_EVAL_RESIDUE}),
+tover AS (
+  SELECT g.doc_id, count(DISTINCT g.gram) AS ov
+  FROM grams g JOIN eg USING (gram)
+  WHERE g.doc_id % {_EVAL_MOD} <> {_EVAL_RESIDUE}
+  GROUP BY g.doc_id
+),
+tr AS (SELECT count(*) AS n FROM documents
+       WHERE doc_id % {_EVAL_MOD} <> {_EVAL_RESIDUE})
+SELECT CAST((SELECT count(*) FROM documents
+             WHERE doc_id % {_EVAL_MOD} = {_EVAL_RESIDUE}) AS BIGINT)
+         AS n_eval,
+       CAST((SELECT n FROM tr) AS BIGINT) AS n_train,
+       CAST(count(*) AS BIGINT) AS contaminated_docs,
+       CAST((SELECT n FROM tr) - count(*) AS BIGINT) AS clean_docs,
+       CAST(coalesce(max(ov), 0) AS BIGINT) AS max_overlap,
+       CAST(coalesce(sum(ov), 0) AS BIGINT) AS total_overlap_grams
+FROM tover
+"""
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection at word-8-gram granularity
+    (Lee et al. 2021's ExactSubstr, distributed as a gram group-join rather
+    than a suffix array): corpus summary of grams occurring in >= 2 docs."""
+    docs = _read(spark, sf_dir, "documents")
+    per_gram, per_doc = op_dedup.duplicated_spans(docs)
+    a = per_gram.agg(
+        F.count("*").alias("dup_gram_values"),
+        F.coalesce(F.sum("n_occ"), F.lit(0)).alias("dup_positions"),
+    )
+    b = per_doc.agg(
+        F.coalesce(F.sum("n_grams"), F.lit(0)).alias("total_grams"),
+        F.sum(F.when(F.col("dup_grams") > 0, 1).otherwise(0))
+        .alias("docs_with_dup"),
+    )
+    return b.crossJoin(a)
+
+
+SQL_DUP_SPANS = f"""
+WITH {_word_grams_cte(op_dedup.DECONTAM_NGRAM)},
+pd AS (SELECT gram, doc_id, count(*) AS occ FROM grams GROUP BY 1, 2),
+pg AS (SELECT gram, count(*) AS n_docs, sum(occ) AS n_occ FROM pd GROUP BY 1)
+SELECT CAST(coalesce(sum(n_occ), 0) AS BIGINT) AS total_grams,
+       CAST(coalesce(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS dup_gram_values,
+       CAST(coalesce(sum(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END), 0)
+            AS BIGINT) AS dup_positions,
+       CAST((SELECT count(DISTINCT pd.doc_id) FROM pd JOIN pg USING (gram)
+             WHERE pg.n_docs >= 2) AS BIGINT) AS docs_with_dup
+FROM pg
+"""
+
+
 # --------------------------------------------------------------------------
 # embeddings: similarity search
 
@@ -2947,8 +3056,10 @@ SELECT stage, metric, value FROM (
 def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-prep suite in one relation (stage, metric, value): PII
     redaction, C4-style line dedup, broadcast host blocklist, URL
-    canonicalization dedup.  Each stage runs its full operator; the 1-row
-    summaries are unpivoted and unioned."""
+    canonicalization dedup, benchmark decontamination (broadcast eval-gram
+    probe), and exact duplicated-substring detection (word-8-gram
+    group-join).  Each stage runs its full operator; the 1-row summaries
+    are unpivoted and unioned."""
     return (
         _unpivot_single_row(q_pii_redaction(spark, sf_dir), "pii")
         .unionByName(_unpivot_single_row(
@@ -2957,6 +3068,10 @@ def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_host_blocklist(spark, sf_dir), "host_blocklist"))
         .unionByName(_unpivot_single_row(
             q_url_canonical_dedup(spark, sf_dir), "url_canonical"))
+        .unionByName(_unpivot_single_row(
+            q_decontamination(spark, sf_dir), "decontam"))
+        .unionByName(_unpivot_single_row(
+            q_dup_spans(spark, sf_dir), "dup_spans"))
         .orderBy("stage", "metric")
     )
 
@@ -2973,7 +3088,9 @@ SQL_CORPUS_PREP_STATS = f"""
 WITH pii AS ({SQL_PII_REDACTION}),
 ld AS ({SQL_LINE_DEDUP}),
 hb AS ({SQL_HOST_BLOCKLIST}),
-uc AS ({SQL_URL_CANONICAL_DEDUP})
+uc AS ({SQL_URL_CANONICAL_DEDUP}),
+dc AS ({SQL_DECONTAMINATION}),
+ds AS ({SQL_DUP_SPANS})
 SELECT stage, metric, value FROM (
 {_sql_unpivot('pii', 'pii',
               ['n_emails', 'n_phones', 'n_ips', 'docs_with_pii',
@@ -2989,6 +3106,14 @@ SELECT stage, metric, value FROM (
 {_sql_unpivot('uc', 'url_canonical',
               ['total_urls', 'distinct_canonical', 'collapsed',
                'min_canonical', 'max_canonical'])}
+  UNION ALL
+{_sql_unpivot('dc', 'decontam',
+              ['n_eval', 'n_train', 'contaminated_docs', 'clean_docs',
+               'max_overlap', 'total_overlap_grams'])}
+  UNION ALL
+{_sql_unpivot('ds', 'dup_spans',
+              ['total_grams', 'dup_gram_values', 'dup_positions',
+               'docs_with_dup'])}
 ) ORDER BY stage, metric
 """
 
