@@ -1,0 +1,124 @@
+"""Host-level web link graph: outlink extraction + integer PageRank.
+
+The reference (SylvainWT/docling-graph) has no crawl-graph notion — its
+graph is entity/chunk-level per document.  At Common-Crawl scale the host
+link graph is a first-class training-pipeline artifact (crawl
+prioritization, spam/host quality scoring, PageRank-weighted sampling), so
+the graft adds it over the same `(url, html)` pages relation the extraction
+pipeline consumes.
+
+Scale/determinism design:
+
+* outlink extraction is one JVM `regexp_extract_all` over the payload in
+  the scan stage — no Python row path, no shuffle;
+* the host graph is a single map-side-combinable groupBy;
+* PageRank uses INTEGER arithmetic only (ranks scaled by `scale`, per-edge
+  contributions via exact integer division).  Integer addition is
+  commutative and associative, so the result is bit-identical regardless of
+  partitioning, task order, or engine — which is what lets a DuckDB oracle
+  hash-match a distributed Spark run exactly (floating-point PageRank sums
+  in shuffle order cannot guarantee that).  The deliberate simplifications
+  vs textbook PageRank: dangling-host mass is dropped (not redistributed)
+  and ranks are un-normalized — rank ORDER is unaffected, which is what the
+  downstream consumers (sampling weights, crawl priorities) use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HREF_RE = r'<a href="([^"]+)"'
+HOST_RE = r"^https?://([^/]+)"
+
+PAGERANK_SCALE = 1_000_000
+PAGERANK_ITERATIONS = 5
+DAMPING_NUM, DAMPING_DEN = 85, 100  # d = 0.85 as an exact rational
+
+
+def extract_outlinks(pages: DataFrame, url_col: str = "url",
+                     html_col: str = "html") -> DataFrame:
+    """(url, html) -> (src_host, dst_host, href), one row per anchor.
+
+    Relative hrefs resolve to the page's own host; absolute http(s) hrefs
+    to their own host.  Non-HTML payloads (e.g. PDF bytes) simply match no
+    anchors.  Entirely codegen'd: decode + regexp + explode in the scan
+    stage."""
+    src_host = F.regexp_extract(F.col(url_col), HOST_RE, 1)
+    hrefs = F.expr(
+        f"regexp_extract_all(CAST({html_col} AS STRING), "
+        f"'{HREF_RE}', 1)"
+    )
+    out = pages.select(src_host.alias("src_host"),
+                       F.explode(hrefs).alias("href"))
+    dst = F.when(
+        F.col("href").rlike("^https?://"),
+        F.regexp_extract("href", HOST_RE, 1),
+    ).otherwise(F.col("src_host"))
+    return out.select("src_host", dst.alias("dst_host"), "href")
+
+
+def host_link_graph(pages: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """Weighted host-level edge list: (src_host, dst_host, n_links)."""
+    return (
+        extract_outlinks(pages, url_col, html_col)
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+def pagerank(edges: DataFrame, src: str = "src_host",
+             dst: str = "dst_host", weight: str = "n_links",
+             iterations: int = PAGERANK_ITERATIONS,
+             scale: int = PAGERANK_SCALE) -> DataFrame:
+    """Integer weighted PageRank over a host edge list: (host, rank).
+
+    r_0(v) = scale;
+    r_{t+1}(v) = floor(15*scale/100)
+                 + sum over in-edges (u,v):
+                     (85 * r_t(u) * w(u,v)) div (100 * W(u))
+    with W(u) = total out-weight of u.  All operations are int64-exact
+    (hosts*scale plus per-term products stay far below 2^63 for any
+    realistic host count), so the fixpoint trajectory is engine- and
+    partitioning-independent.
+
+    Shuffle accounting per iteration: one join of the edge list against the
+    rank relation on src (sort-merge or broadcast if the rank side is small
+    — at host granularity even the full web is ~10^8 rows, broadcastable
+    per-executor at ~1 GB, and Spark's AQE picks that up) plus one groupBy
+    dst with map-side partial sums.  For iteration counts beyond ~10, break
+    lineage every few rounds with localCheckpoint, as
+    operators/dedup.connected_components does."""
+    base = (15 * scale) // DAMPING_DEN
+    nodes = (
+        edges.select(F.col(src).alias("host"))
+        .unionByName(edges.select(F.col(dst).alias("host")))
+        .distinct()
+    )
+    outw = edges.groupBy(src).agg(F.sum(weight).alias("out_w"))
+    ew = (
+        edges.join(outw, src)
+        .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
+                F.col(weight).alias("e_w"), "out_w")
+    )
+    ranks = nodes.select("host", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            ew.join(ranks, ew.e_src == ranks.host)
+            .select(
+                F.col("e_dst").alias("host"),
+                F.expr(f"({DAMPING_NUM} * rank * e_w) div "
+                       f"({DAMPING_DEN} * out_w)").alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "host", "left")
+            .select(
+                "host",
+                (F.lit(base) + F.coalesce("c", F.lit(0))).alias("rank"),
+            )
+        )
+    return ranks

@@ -149,15 +149,10 @@ mentions AS (
 )
 """
 
-# exact reconstruction of the synthetic page payload (sources/web_pages.py)
-_PAYLOAD_BYTES = f"""
-CASE WHEN doc_id % 50 = 49 THEN strlen(
-  '%PDF-1.4' || chr(10) || '%dgspark synthetic single-stream document'
-  || chr(10) || '1 0 obj' || chr(10) || '<< /Type /DGText /Length '
-  || CAST(strlen(text) AS VARCHAR) || ' >>' || chr(10) || 'stream'
-  || chr(10) || text || chr(10) || 'endstream' || chr(10) || 'endobj'
-  || chr(10) || 'trailer' || chr(10) || '%%EOF' || chr(10))
-ELSE strlen(
+# exact reconstruction of the synthetic page payload (sources/web_pages.py);
+# the html expression is factored out so link-graph oracles can regexp over
+# the full page string, not just its length
+_HTML_PAGE_SQL = f"""
   '<!DOCTYPE html><html lang="' || lang || '"><head>'
   || '<title>doc ' || CAST(doc_id AS VARCHAR) || '</title>'
   || '<script>var t=1;</script><style>p{{margin:0}}</style></head><body>'
@@ -169,10 +164,25 @@ ELSE strlen(
   || '<div id="content"><article><p>'
   || replace(replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), chr(10)||chr(10), '</p><p>')
   || '</p></article></div>'
-  || '<footer><a href="/terms">Terms</a> <a href="/privacy">Privacy</a> <p>© 2024 host'
-  || CAST({_HOST_ID} AS VARCHAR) || '.example.com</p></footer></body></html>')
-END
+  || '<footer><a href="/terms">Terms</a> <a href="/privacy">Privacy</a>'
+  || ' <a href="https://host' || CAST(doc_id % 7 AS VARCHAR)
+  || '.example.com/">Top</a> <a href="https://host'
+  || CAST((doc_id * 13 + 5) % 218 AS VARCHAR)
+  || '.example.com/doc/' || CAST((doc_id * 31 + 11) % 997 AS VARCHAR)
+  || '">Related</a> <p>© 2024 host'
+  || CAST({_HOST_ID} AS VARCHAR) || '.example.com</p></footer></body></html>'
 """.replace("{{", "{").replace("}}", "}")
+
+_PAYLOAD_BYTES = f"""
+CASE WHEN doc_id % 50 = 49 THEN strlen(
+  '%PDF-1.4' || chr(10) || '%dgspark synthetic single-stream document'
+  || chr(10) || '1 0 obj' || chr(10) || '<< /Type /DGText /Length '
+  || CAST(strlen(text) AS VARCHAR) || ' >>' || chr(10) || 'stream'
+  || chr(10) || text || chr(10) || 'endstream' || chr(10) || 'endobj'
+  || chr(10) || 'trailer' || chr(10) || '%%EOF' || chr(10))
+ELSE strlen({_HTML_PAGE_SQL})
+END
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1869,6 +1879,89 @@ SELECT CAST(coalesce(sum(n_occ), 0) AS BIGINT) AS total_grams,
              WHERE pg.n_docs >= 2) AS BIGINT) AS docs_with_dup
 FROM pg
 """
+
+
+# host-level link graph + integer PageRank (operators/linkgraph.py).
+# Pytest-oracle-gated (tests/test_linkgraph.py — the 50-entry driver catalog
+# is frozen); the oracle regexps over the full SQL-reconstructed page string
+# (_HTML_PAGE_SQL) and unrolls the integer PageRank iterations as CTEs.
+
+
+def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted host→host edge list extracted from page anchors (relative
+    hrefs resolve to the page's own host; absolute ones to theirs)."""
+    from .operators import linkgraph as op_lg
+    from .sources.web_pages import synthesize_web_pages
+
+    pages = synthesize_web_pages(spark, sf_dir)
+    return (op_lg.host_link_graph(pages)
+            .orderBy("src_host", "dst_host"))
+
+
+_LINKS_CTE = f"""
+links AS (
+  SELECT doc_id,
+         concat('host', CAST({_HOST_ID} AS VARCHAR), '.example.com')
+           AS src_host,
+         unnest(regexp_extract_all({_HTML_PAGE_SQL}, '<a href="([^"]+)"', 1))
+           AS href
+  FROM documents WHERE doc_id % 50 <> 49
+),
+hg AS (
+  SELECT src_host,
+         CASE WHEN href LIKE 'http%'
+              THEN regexp_extract(href, '^https?://([^/]+)', 1)
+              ELSE src_host END AS dst_host,
+         CAST(count(*) AS BIGINT) AS n_links
+  FROM links GROUP BY 1, 2
+)"""
+
+SQL_HOST_LINK_GRAPH = f"""
+WITH {_LINKS_CTE}
+SELECT src_host, dst_host, n_links FROM hg ORDER BY src_host, dst_host
+"""
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer weighted PageRank (5 iterations, scale 10^6) over the host
+    link graph — exact int64 arithmetic, so the distributed result is
+    bit-identical to the oracle's unrolled-CTE evaluation."""
+    from .operators import linkgraph as op_lg
+    from .sources.web_pages import synthesize_web_pages
+
+    pages = synthesize_web_pages(spark, sf_dir)
+    edges = op_lg.host_link_graph(pages)
+    return (op_lg.pagerank(edges)
+            .orderBy(F.desc("rank"), "host"))
+
+
+def _pagerank_unrolled_sql(iterations: int, scale: int) -> str:
+    """DuckDB oracle for operators/linkgraph.pagerank: each iteration is an
+    explicit CTE (r0..rN) computing the same integer recurrence."""
+    base = (15 * scale) // 100
+    ctes = f""",
+nodes AS (SELECT DISTINCT host FROM (
+  SELECT src_host AS host FROM hg UNION SELECT dst_host FROM hg)),
+outw AS (SELECT src_host, sum(n_links) AS out_w FROM hg GROUP BY 1),
+r0 AS (SELECT host, CAST({scale} AS BIGINT) AS rank FROM nodes)"""
+    for i in range(1, iterations + 1):
+        ctes += f""",
+r{i} AS (
+  SELECT n.host, CAST({base} + coalesce(c.s, 0) AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT hg.dst_host AS host,
+           sum((85 * r{i - 1}.rank * hg.n_links) // (100 * outw.out_w)) AS s
+    FROM hg
+    JOIN r{i - 1} ON r{i - 1}.host = hg.src_host
+    JOIN outw ON outw.src_host = hg.src_host
+    GROUP BY 1) c ON c.host = n.host
+)"""
+    return (f"WITH {_LINKS_CTE}{ctes}\n"
+            f"SELECT host, rank FROM r{iterations} "
+            f"ORDER BY rank DESC, host")
+
+
+SQL_HOST_PAGERANK = _pagerank_unrolled_sql(5, 1_000_000)
 
 
 # --------------------------------------------------------------------------

@@ -102,7 +102,19 @@ def html_page_expr(doc_id, text, lang):
               " <a href=\"/y\">Popular</a> <a href=\"/z\">Latest</a></aside>"),
         F.lit("<div id=\"content\"><article><p>"), body, F.lit("</p></article></div>"),
         F.lit("<footer><a href=\"/terms\">Terms</a> <a href=\"/privacy\">Privacy</a>"
-              " <p>© 2024 host"), host_id_expr(doc_id).cast("string"),
+              # two deterministic CROSS-HOST outlinks (absolute URLs) so the
+              # corpus carries a real host-level link graph: one
+              # popularity-skewed link into the hot hosts (inlinks
+              # concentrate, like real crawls) and one long-tail link.
+              # Boilerplate-positioned (footer), so main-content extraction
+              # byte-parity is unaffected; the SQL twin is
+              # queries._HTML_PAGE_SQL.
+              " <a href=\"https://host"), (doc_id % HOT_HOSTS).cast("string"),
+        F.lit(".example.com/\">Top</a> <a href=\"https://host"),
+        ((doc_id * 13 + 5) % (HOT_HOSTS + COLD_HOSTS)).cast("string"),
+        F.lit(".example.com/doc/"), ((doc_id * 31 + 11) % 997).cast("string"),
+        F.lit("\">Related</a> <p>© 2024 host"),
+        host_id_expr(doc_id).cast("string"),
         F.lit(".example.com</p></footer></body></html>"),
     )
 

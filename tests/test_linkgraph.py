@@ -1,0 +1,97 @@
+"""Host-level link graph + integer PageRank (operators/linkgraph.py).
+
+The two queries are pytest-oracle-gated with the same machinery as the
+driver gate (tests/test_entry_oracles.py): Spark result vs a DuckDB oracle
+over the same parquet, compared on columns + row count + order-insensitive
+values.  They are not in the 50-entry driver catalog (frozen by the
+driver's recording cap)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from docling_graph_spark import queries as q
+from docling_graph_spark.operators import linkgraph as op_lg
+
+
+def _oracle(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    res = con.execute(sql)
+    return [d[0] for d in res.description], res.fetchall()
+
+
+def _compare(sdf, dcols, drows):
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows)
+    order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+    order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    sset = sorted(tuple(r[i] for i in order_s) for r in srows)
+    dset = sorted(tuple(r[i] for i in order_d) for r in drows)
+    assert sset == dset, [p for p in zip(sset, dset) if p[0] != p[1]][:5]
+
+
+def test_host_link_graph_matches_oracle(spark, sf_smoke_dir):
+    sdf = q.q_host_link_graph(spark, sf_smoke_dir)
+    dcols, drows = _oracle(sf_smoke_dir, q.SQL_HOST_LINK_GRAPH)
+    _compare(sdf, dcols, drows)
+
+
+def test_host_pagerank_matches_oracle(spark, sf_smoke_dir):
+    sdf = q.q_host_pagerank(spark, sf_smoke_dir)
+    dcols, drows = _oracle(sf_smoke_dir, q.SQL_HOST_PAGERANK)
+    _compare(sdf, dcols, drows)
+
+
+def test_outlinks_resolution(spark):
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example.com/x",
+             b'<a href="/rel">r</a> <a href="https://b.example.com/p">b</a>'),
+            ("https://c.example.com/y", b"%PDF-1.4 no anchors here"),
+        ],
+        ["url", "html"],
+    )
+    rows = {(r.src_host, r.dst_host, r.href)
+            for r in op_lg.extract_outlinks(pages).collect()}
+    assert rows == {
+        ("a.example.com", "a.example.com", "/rel"),
+        ("a.example.com", "b.example.com", "https://b.example.com/p"),
+    }
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, ["src_host", "dst_host", "n_links"])
+
+
+def test_pagerank_hand_computed(spark):
+    # A -> B (w=1); B -> A (w=3), B -> C (w=1); C dangles.
+    edges = _edges(spark, [("A", "B", 1), ("B", "A", 3), ("B", "C", 1)])
+    r = {row.host: row.rank
+         for row in op_lg.pagerank(edges, iterations=1, scale=1000).collect()}
+    # base = 150; A: 150 + (85*1000*3)//(100*4) = 150 + 637 = 787
+    # B: 150 + (85*1000*1)//(100*1) = 1000; C: 150 + (85*1000*1)//(100*4)=362
+    assert r == {"A": 787, "B": 1000, "C": 362}
+
+
+def test_pagerank_is_deterministic_under_repartition(spark):
+    edges = _edges(spark, [("A", "B", 2), ("B", "C", 1), ("C", "A", 5),
+                           ("A", "C", 1), ("C", "B", 2)])
+    a = {r.host: r.rank for r in op_lg.pagerank(edges).collect()}
+    b = {r.host: r.rank
+         for r in op_lg.pagerank(edges.repartition(7)).collect()}
+    assert a == b
+
+
+def test_hot_hosts_attract_rank(spark, sf_smoke_dir):
+    """The synthesizer's popularity-skewed footer link must concentrate
+    PageRank on the hot hosts (host0..host6)."""
+    ranks = q.q_host_pagerank(spark, sf_smoke_dir).collect()
+    top7 = {r.host for r in ranks[:7]}
+    assert top7 == {f"host{i}.example.com" for i in range(7)}
