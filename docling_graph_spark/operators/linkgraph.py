@@ -122,3 +122,33 @@ def pagerank(edges: DataFrame, src: str = "src_host",
             )
         )
     return ranks
+
+
+ANCHOR_RE = r'<a href="([^"]+)">([^<]*)</a>'
+
+
+def anchor_text_pairs(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """(url, html) -> (src_host, dst_host, href, anchor): one row per
+    anchor with its link text — the (anchor text, target) pair corpus used
+    for retrieval/query-doc training data at crawl scale.
+
+    Same scan-stage shape as extract_outlinks: two group extractions of the
+    one anchor regex, zipped positionally (the i-th href belongs to the
+    i-th anchor text), then exploded.  No Python row path, no shuffle."""
+    src_host = F.regexp_extract(F.col(url_col), HOST_RE, 1)
+    html_s = F.expr(f"CAST({html_col} AS STRING)")
+    hrefs = F.regexp_extract_all(html_s, F.lit(ANCHOR_RE), 1)
+    texts = F.regexp_extract_all(html_s, F.lit(ANCHOR_RE), 2)
+    z = pages.select(
+        src_host.alias("src_host"),
+        F.explode(F.arrays_zip(hrefs.alias("href"),
+                               texts.alias("anchor"))).alias("z"),
+    )
+    dst = F.when(
+        F.col("z.href").rlike("^https?://"),
+        F.regexp_extract(F.col("z.href"), HOST_RE, 1),
+    ).otherwise(F.col("src_host"))
+    return z.select("src_host", dst.alias("dst_host"),
+                    F.col("z.href").alias("href"),
+                    F.col("z.anchor").alias("anchor"))

@@ -1964,6 +1964,44 @@ r{i} AS (
 SQL_HOST_PAGERANK = _pagerank_unrolled_sql(5, 1_000_000)
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text corpus rollup: per link text, occurrence count and
+    distinct target hosts — the (anchor, target) pair relation used as
+    retrieval-training data from crawls."""
+    from .operators import linkgraph as op_lg
+    from .sources.web_pages import synthesize_web_pages
+
+    pairs = op_lg.anchor_text_pairs(synthesize_web_pages(spark, sf_dir))
+    return (
+        pairs.groupBy("anchor")
+        .agg(F.count("*").alias("n"),
+             F.countDistinct("dst_host").alias("n_dst_hosts"))
+        .orderBy("anchor")
+    )
+
+
+SQL_ANCHOR_TEXTS = f"""
+WITH anchors AS (
+  SELECT concat('host', CAST({_HOST_ID} AS VARCHAR), '.example.com')
+           AS src_host,
+         regexp_extract_all({_HTML_PAGE_SQL},
+                            '<a href="([^"]+)">([^<]*)</a>', 1) AS hl,
+         regexp_extract_all({_HTML_PAGE_SQL},
+                            '<a href="([^"]+)">([^<]*)</a>', 2) AS al
+  FROM documents WHERE doc_id % 50 <> 49
+),
+pairs AS (
+  SELECT src_host, hl[i] AS href, al[i] AS anchor
+  FROM anchors, LATERAL (SELECT unnest(generate_series(1, len(hl))) AS i)
+)
+SELECT anchor, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT CASE WHEN href LIKE 'http%'
+                 THEN regexp_extract(href, '^https?://([^/]+)', 1)
+                 ELSE src_host END) AS BIGINT) AS n_dst_hosts
+FROM pairs GROUP BY anchor ORDER BY anchor
+"""
+
+
 # --------------------------------------------------------------------------
 # embeddings: similarity search
 

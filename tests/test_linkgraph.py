@@ -95,3 +95,23 @@ def test_hot_hosts_attract_rank(spark, sf_smoke_dir):
     ranks = q.q_host_pagerank(spark, sf_smoke_dir).collect()
     top7 = {r.host for r in ranks[:7]}
     assert top7 == {f"host{i}.example.com" for i in range(7)}
+
+
+def test_anchor_text_pairs_unit(spark):
+    pages = spark.createDataFrame(
+        [("https://a.example.com/x",
+          b'<a href="/r">Rel</a> x <a href="https://b.example.com/p">B!</a>')],
+        ["url", "html"],
+    )
+    rows = {(r.dst_host, r.href, r.anchor)
+            for r in op_lg.anchor_text_pairs(pages).collect()}
+    assert rows == {
+        ("a.example.com", "/r", "Rel"),
+        ("b.example.com", "https://b.example.com/p", "B!"),
+    }
+
+
+def test_anchor_texts_matches_oracle(spark, sf_smoke_dir):
+    sdf = q.q_anchor_texts(spark, sf_smoke_dir)
+    dcols, drows = _oracle(sf_smoke_dir, q.SQL_ANCHOR_TEXTS)
+    _compare(sdf, dcols, drows)
