@@ -20,6 +20,9 @@ one labelled relation each.  Merge map (merged query -> operators covered):
   sampling_splits     = stratified_sample + train_val_test_split
   stream_aggregates   = stream_window_counts (watermarked tumbling window)
                         + stream_user_totals (applyInPandasWithState)
+  signature_stats     = simhash_dedup + doc_fingerprints  (per-lang join)
+  link_graph_stats    = host_link_graph + host_pagerank + anchor_texts
+                        (crawl link-graph suite, operators/linkgraph.py)
 
 Every merged section still runs its full operator; the single-purpose
 query functions remain in docling_graph_spark.queries as building blocks.

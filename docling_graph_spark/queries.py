@@ -1881,10 +1881,10 @@ FROM pg
 """
 
 
-# host-level link graph + integer PageRank (operators/linkgraph.py).
-# Pytest-oracle-gated (tests/test_linkgraph.py — the 50-entry driver catalog
-# is frozen); the oracle regexps over the full SQL-reconstructed page string
-# (_HTML_PAGE_SQL) and unrolls the integer PageRank iterations as CTEs.
+# host-level link graph + integer PageRank (operators/linkgraph.py),
+# driver-gated via the merged link_graph_stats relation below; the oracle
+# regexps over the full SQL-reconstructed page string (_HTML_PAGE_SQL) and
+# unrolls the integer PageRank iterations as CTEs.
 
 
 def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1999,6 +1999,73 @@ SELECT anchor, CAST(count(*) AS BIGINT) AS n,
                  THEN regexp_extract(href, '^https?://([^/]+)', 1)
                  ELSE src_host END) AS BIGINT) AS n_dst_hosts
 FROM pairs GROUP BY anchor ORDER BY anchor
+"""
+
+
+def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl link-graph suite in one relation (section, k1, k2, v1, v2):
+    the weighted host→host edge list (section='edge'), the integer
+    PageRank fixpoint over it (section='rank'), and the anchor-text
+    rollup used as retrieval-training pairs (section='anchor').  Pages
+    are parsed once; the edge relation is reused by the rank section."""
+    from .operators import linkgraph as op_lg
+    from .sources.web_pages import synthesize_web_pages
+
+    pages = synthesize_web_pages(spark, sf_dir)
+    edges = op_lg.host_link_graph(pages)
+    zero = F.lit(0).cast("long")
+    edge_rows = edges.select(
+        F.lit("edge").alias("section"), F.col("src_host").alias("k1"),
+        F.col("dst_host").alias("k2"), F.col("n_links").alias("v1"),
+        zero.alias("v2"),
+    )
+    rank_rows = op_lg.pagerank(edges).select(
+        F.lit("rank").alias("section"), F.col("host").alias("k1"),
+        F.lit("").alias("k2"), F.col("rank").alias("v1"), zero.alias("v2"),
+    )
+    anchor_rows = (
+        op_lg.anchor_text_pairs(pages)
+        .groupBy("anchor")
+        .agg(F.count("*").alias("v1"),
+             F.countDistinct("dst_host").alias("v2"))
+        .select(F.lit("anchor").alias("section"),
+                F.col("anchor").alias("k1"), F.lit("").alias("k2"),
+                "v1", "v2")
+    )
+    return (edge_rows.unionByName(rank_rows).unionByName(anchor_rows)
+            .orderBy("section", "k1", "k2"))
+
+
+SQL_LINK_GRAPH_STATS = f"""
+SELECT section, k1, k2, v1, v2 FROM (
+  SELECT 'edge' AS section, src_host AS k1, dst_host AS k2,
+         n_links AS v1, CAST(0 AS BIGINT) AS v2
+  FROM ({SQL_HOST_LINK_GRAPH})
+  UNION ALL
+  SELECT 'rank', host, '', rank, 0 FROM ({SQL_HOST_PAGERANK})
+  UNION ALL
+  SELECT 'anchor', anchor, '', n, n_dst_hosts FROM ({SQL_ANCHOR_TEXTS})
+) ORDER BY section, k1, k2
+"""
+
+
+def q_signature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-family dedup stats in one per-lang relation: 32-bit
+    SimHash distinctness (n_docs > n_distinct_simhash ⇒ hash-identical
+    near-duplicates) joined with MOD-16 content-defined fingerprint
+    sampling volume/distinctness."""
+    return (
+        q_simhash_dedup(spark, sf_dir)
+        .join(q_doc_fingerprints(spark, sf_dir), "lang")
+        .orderBy("lang")
+    )
+
+
+SQL_SIGNATURE_STATS = f"""
+SELECT s.lang, s.n_docs, s.n_distinct_simhash,
+       f.docs_with_fp, f.total_fps, f.distinct_fps
+FROM ({SQL_SIMHASH}) s JOIN ({SQL_DOC_FINGERPRINTS}) f USING (lang)
+ORDER BY lang
 """
 
 
@@ -3376,12 +3443,13 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
         "sampling_splits": (q_sampling_splits, SQL_SAMPLING_SPLITS),
         # sources (1)
         "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
-        # dedup suite (5)
+        # dedup suite (4: simhash + fingerprints merged)
         "minhash_lsh_dedup": (q_minhash_lsh_dedup, SQL_MINHASH_LSH),
         "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
-        "simhash_dedup": (q_simhash_dedup, SQL_SIMHASH),
+        "signature_stats": (q_signature_stats, SQL_SIGNATURE_STATS),
         "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
-        "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
+        # crawl link graph (1: edges + integer PageRank + anchors merged)
+        "link_graph_stats": (q_link_graph_stats, SQL_LINK_GRAPH_STATS),
         # similarity (4)
         "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
         "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
