@@ -1,0 +1,120 @@
+"""Token-budget shard packing: assign documents to fixed-size training
+shards by global prefix sum, computed with the two-pass distributed
+prefix-sum pattern.
+
+A training run consumes the corpus as a sequence of shards, each holding
+roughly `budget` tokens of documents in a stable global order.  The shard
+of a document is a pure function of the corpus:
+
+    shard_id(doc) = (sum of tokens of all docs ordered before it) div budget
+
+i.e. a document is placed by the token *position* where it starts, so a
+document that straddles a budget boundary belongs to the shard where it
+begins and a shard's true size is bounded by ``budget + max_doc_tokens``.
+The assignment is deterministic and engine-independent (it depends only on
+the ordering column and token counts, never on partitioning), which is
+what lets a DuckDB window-function oracle hash-match a distributed run.
+
+Scale design — the naive formulation is a single global window
+(``sum() over (order by doc_id)``), which Spark executes as a sort into
+ONE partition: a non-starter at 10^12 rows.  Instead:
+
+1. ``repartitionByRange(order_col)`` — range-partition the (narrow)
+   ``(order, tokens)`` projection; partitions hold disjoint, sorted key
+   ranges.
+2. Per-partition prefix sums via a window PARTITIONED by
+   ``spark_partition_id()`` — runs in parallel, no global sort.
+3. Per-partition totals (one row per partition, a few hundred/thousand
+   rows) are collected to the driver, ordered by each partition's minimum
+   key — legal because range partitioning makes partition key-ranges
+   disjoint — and turned into per-partition global offsets.
+4. Offsets are broadcast-joined back; ``shard_id = (offset +
+   local_prefix - tokens) div budget``.
+
+Driver traffic is O(#partitions), never O(rows).  The reference
+(SylvainWT/docling-graph) has no corpus-sharding notion — its batcher
+(`core/extractors/chunk_batcher.py:214-269`) greedily packs chunks of one
+document for LLM calls; this operator is the corpus-level analogue a
+training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# integer-exact analogue of the reference's len/4 * 1.2 heuristic
+# (chunk_batcher.py:59-68): 0.3 tokens per character, exact in int64.
+TOKENS_SQL = "(length({col}) * 3) div 10"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``n_tokens`` — the integer heuristic estimate (0.3/char)."""
+    return docs.withColumn(
+        "n_tokens", F.expr(TOKENS_SQL.format(col=text_col)).cast("long")
+    )
+
+
+def pack_shards(docs: DataFrame, budget: int,
+                order_col: str = "doc_id",
+                tokens_col: str = "n_tokens",
+                num_partitions: int | None = None) -> DataFrame:
+    """(order_col, tokens_col, ...) -> + ``shard_id``: global token-budget
+    shard assignment in ``order_col`` order via distributed prefix sum.
+
+    ``order_col`` must be a total order (unique values).  Only the narrow
+    projection is shuffled; callers keep wide payloads out of ``docs``
+    and join the assignment back on ``order_col``.
+    """
+    spark = docs.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    narrow = (
+        docs.select(order_col, F.coalesce(
+            F.col(tokens_col), F.lit(0)).cast("long").alias("_tok"))
+        .repartitionByRange(n_parts, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = (Window.partitionBy("_pid").orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = narrow.withColumn("_local_prefix", F.sum("_tok").over(w))
+
+    # one row per partition; driver-bounded by parallelism, not data size
+    totals = (
+        local.groupBy("_pid")
+        .agg(F.sum("_tok").alias("_t"), F.min(order_col).alias("_k"))
+        .collect()
+    )
+    offsets, running = {}, 0
+    for row in sorted(totals, key=lambda r: r["_k"]):
+        offsets[row["_pid"]] = running
+        running += row["_t"]
+    if offsets:
+        off_df = spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()],
+            "_pid int, _offset long",
+        )
+    else:
+        off_df = spark.createDataFrame([], "_pid int, _offset long")
+
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .select(
+            order_col,
+            F.col("_tok").alias(tokens_col),
+            # int64 `div`, not float division: prefix sums at 10^12-doc
+            # scale exceed double's 53-bit exact-integer range
+            F.expr(f"(_offset + _local_prefix - _tok) div {int(budget)}")
+            .alias("shard_id"),
+        )
+    )
+
+
+def shard_stats(assigned: DataFrame,
+                tokens_col: str = "n_tokens") -> DataFrame:
+    """Per-shard packing report: (shard_id, n_docs, shard_tokens)."""
+    return (
+        assigned.groupBy("shard_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(tokens_col).alias("shard_tokens"))
+        .orderBy("shard_id")
+    )

@@ -3316,10 +3316,47 @@ SELECT stage, metric, value FROM (
 """
 
 
+_SHARD_BUDGET = 4096
+
+
+def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (operators/sharding.py): global
+    prefix-sum assignment in doc_id order, 4096-token shards; per-shard
+    doc count and token fill.  Computed with the distributed two-pass
+    prefix sum (range partition → local window → O(#partitions) offsets),
+    never a single global window."""
+    from .operators import sharding as op_sh
+
+    docs = _read(spark, sf_dir, "documents")
+    assigned = op_sh.pack_shards(
+        op_sh.token_counts(docs.select("doc_id", "text")),
+        budget=_SHARD_BUDGET,
+    )
+    return op_sh.shard_stats(assigned)
+
+
+SQL_SHARD_PACKING = f"""
+WITH tok AS (
+  SELECT doc_id, (length(text) * 3) // 10 AS n_tokens FROM documents),
+pos AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_pos
+  FROM tok)
+SELECT start_pos // {_SHARD_BUDGET} AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+FROM pos GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic sampling + split assignment in one relation:
-    hash-stratified sample accounting per lang (section='sample') and
-    md5-range train/val/test assignment (section='split')."""
+    """Deterministic sampling, split assignment and shard packing in one
+    relation: hash-stratified sample accounting per lang
+    (section='sample'), md5-range train/val/test assignment
+    (section='split'), and token-budget shard packing (section='shard',
+    bucket=shard_id)."""
     strat = q_stratified_sample(spark, sf_dir)
     spl = q_train_val_test_split(spark, sf_dir)
     a = strat.select(
@@ -3330,7 +3367,13 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("split").alias("section"), F.col("split").alias("bucket"),
         F.col("n_docs").alias("n_docs"), F.col("total_chars").alias("measure"),
     )
-    return a.unionByName(b).orderBy("section", "bucket")
+    c = q_shard_packing(spark, sf_dir).select(
+        F.lit("shard").alias("section"),
+        F.col("shard_id").cast("string").alias("bucket"),
+        F.col("n_docs").alias("n_docs"),
+        F.col("shard_tokens").alias("measure"),
+    )
+    return a.unionByName(b).unionByName(c).orderBy("section", "bucket")
 
 
 SQL_SAMPLING_SPLITS = f"""
@@ -3339,6 +3382,9 @@ SELECT section, bucket, n_docs, measure FROM (
          n_sampled AS measure FROM ({SQL_STRATIFIED_SAMPLE})
   UNION ALL
   SELECT 'split', split, n_docs, total_chars FROM ({SQL_TRAIN_VAL_TEST})
+  UNION ALL
+  SELECT 'shard', CAST(shard_id AS VARCHAR), n_docs, shard_tokens
+  FROM ({SQL_SHARD_PACKING})
 ) ORDER BY section, bucket
 """
 

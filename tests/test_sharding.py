@@ -1,0 +1,71 @@
+"""Token-budget shard packing (operators/sharding.py): the distributed
+prefix-sum assignment must be a pure function of (order, tokens) —
+invariant to partition count — and match the sequential definition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_graph_spark.operators import sharding
+
+
+def _seq_shards(rows, budget):
+    """Sequential oracle: shard = floor(start_position / budget)."""
+    out, pos = {}, 0
+    for key, tok in sorted(rows):
+        out[key] = pos // budget
+        pos += tok
+    return out
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    rows = [(i, f"doc {i} " + "x" * ((i * 37) % 200)) for i in range(500)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_matches_sequential_definition(spark, toy):
+    counted = sharding.token_counts(toy)
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in sharding.pack_shards(counted, budget=300).collect()
+    }
+    expected = _seq_shards(
+        [(r["doc_id"], r["n_tokens"]) for r in counted.collect()], 300
+    )
+    assert got == expected
+
+
+def test_invariant_to_partition_count(spark, toy):
+    counted = sharding.token_counts(toy)
+    a = sharding.pack_shards(counted, budget=300, num_partitions=2)
+    b = sharding.pack_shards(
+        counted.repartition(17), budget=300, num_partitions=13
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_shard_fill_bounded(spark, toy):
+    """Every shard except possibly the last holds >= budget - max_doc
+    tokens and <= budget + max_doc tokens (boundary-straddle semantics)."""
+    budget = 300
+    counted = sharding.token_counts(toy)
+    max_doc = counted.agg(F.max("n_tokens")).collect()[0][0]
+    stats = sharding.shard_stats(
+        sharding.pack_shards(counted, budget=budget)
+    ).collect()
+    for row in stats[:-1]:
+        assert budget - max_doc <= row["shard_tokens"] <= budget + max_doc
+    assert stats[-1]["shard_tokens"] <= budget + max_doc
+
+
+def test_null_and_empty_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 0), (4, 5)],
+        "doc_id long, n_tokens long",
+    )
+    got = {r["doc_id"]: r["shard_id"]
+           for r in sharding.pack_shards(df, budget=8).collect()}
+    # positions: 1 -> 0, 2 -> 10, 3 -> 10, 4 -> 10
+    assert got == {1: 0, 2: 1, 3: 1, 4: 1}
