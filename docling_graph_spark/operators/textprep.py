@@ -442,3 +442,113 @@ def split_by_hash(df: DataFrame, key_col: str,
          .when(digest < F.lit(hi), "val")
          .otherwise("test"),
     )
+
+
+# ----------------------------------------------- char-trigram LM fluency
+
+# CCNet-style statistical quality filtering (Wenzek et al. 2020 scores
+# documents with a KenLM language model and keeps the low-perplexity
+# tail).  The graft's deterministic analogue: a character-trigram model
+# trained on the corpus itself, scoring each document by its average
+# scaled conditional trigram probability p(c | ab).  All arithmetic is
+# int64-exact (scaled integer division), so a distributed Spark run and
+# the DuckDB oracle produce bit-identical scores — a real-perplexity
+# float sum in shuffle order could not guarantee that.
+#
+# Scale design: the model is a groupBy over exploded trigrams, but the
+# alphabet is 27 chars (a-z + space after normalization) so map-side
+# partial aggregation collapses every partition to <= 27^3 = 19,683 rows
+# before the shuffle; the trained model broadcast-joins back to the
+# instance stream, and the per-doc score groupBy combines map-side too
+# (explode keeps a document's rows co-located).  No stage materializes
+# anything proportional to corpus size beyond the scan itself.
+
+TRIGRAM_SCALE = 1_000_000
+
+
+def _trigram_norm(text: Column) -> Column:
+    """' ' || lowercased text with non-[a-z] runs collapsed to ' ' || ' '.
+
+    27-symbol alphabet; the padding spaces give word-boundary context to
+    edge trigrams.  Heuristic is alphabet-targeted (non-Latin scripts
+    collapse to space runs) — language routing happens upstream via
+    langid, as in CCNet's per-language models."""
+    return F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))),
+                         "[^a-z]+", " "),
+        F.lit(" "),
+    )
+
+
+def _trigram_instances(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, gram): one row per trigram position.  Documents whose
+    normalized form is shorter than 3 chars emit no rows."""
+    norm = _trigram_norm(F.col(text_col))
+    with_norm = docs.select("doc_id", norm.alias("_n"))
+    idx = F.when(
+        F.length("_n") >= 3,
+        F.expr("sequence(1, length(_n) - 2)"),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        with_norm.select("doc_id", F.explode(idx).alias("_i"), "_n")
+        .select("doc_id", F.expr("substring(_n, _i, 3)").alias("gram"))
+    )
+
+
+def trigram_model(docs: DataFrame, text_col: str = "text",
+                  scale: int = TRIGRAM_SCALE) -> DataFrame:
+    """Corpus char-trigram model: (gram, p_scaled) with
+    p_scaled = (scale * count(gram)) div count(first-2-chars context),
+    contexts counted over trigram positions.  <= 27^3 rows — broadcastable
+    anywhere."""
+    c3 = _trigram_instances(docs, text_col).groupBy("gram").agg(
+        F.count("*").alias("c3"))
+    c2 = (
+        c3.groupBy(F.substring("gram", 1, 2).alias("ctx"))
+        .agg(F.sum("c3").alias("c2"))
+    )
+    return (
+        c3.withColumn("ctx", F.substring("gram", 1, 2))
+        .join(c2, "ctx")
+        .select("gram",
+                F.expr(f"({int(scale)} * c3) div c2").alias("p_scaled"))
+    )
+
+
+def trigram_fluency_scores(docs: DataFrame, text_col: str = "text",
+                           scale: int = TRIGRAM_SCALE) -> DataFrame:
+    """(doc_id, n_grams, score): score = mean scaled conditional trigram
+    probability (integer div).  Docs with no trigram are absent (callers
+    left-join and route them as unscored)."""
+    model = trigram_model(docs, text_col, scale)
+    inst = _trigram_instances(docs, text_col)
+    return (
+        inst.join(F.broadcast(model), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"),
+             F.sum("p_scaled").alias("_s"))
+        .select("doc_id", "n_grams",
+                F.expr("_s div n_grams").alias("score"))
+    )
+
+
+def trigram_fluency_report(docs: DataFrame, text_col: str = "text",
+                           scale: int = TRIGRAM_SCALE,
+                           low_threshold: int | None = None) -> DataFrame:
+    """1-row corpus fluency report: scored/unscored doc counts, score
+    extrema/sum, and the low-fluency count under ``low_threshold``
+    (default scale/20 — the 'keep the fluent tail' gate)."""
+    thr = low_threshold if low_threshold is not None else scale // 20
+    scores = trigram_fluency_scores(docs, text_col, scale)
+    joined = docs.select("doc_id").join(scores, "doc_id", "left")
+    return joined.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("score").isNull(), 1).otherwise(0))
+         .alias("n_unscored"),
+        F.sum(F.coalesce("score", F.lit(0))).alias("sum_score"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+        F.sum(F.when(F.col("score") < thr, 1).otherwise(0))
+         .alias("low_fluency_docs"),
+    )

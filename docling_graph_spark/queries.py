@@ -3251,13 +3251,57 @@ SELECT stage, metric, value FROM (
 """
 
 
+def q_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical quality scoring, deterministic analogue:
+    corpus-trained char-trigram model, integer-scaled mean conditional
+    probability per doc (operators/textprep.trigram_fluency_report)."""
+    from .operators import textprep
+
+    docs = _read(spark, sf_dir, "documents")
+    return textprep.trigram_fluency_report(docs)
+
+
+SQL_LM_FLUENCY = """
+WITH nrm AS (
+  SELECT doc_id,
+         ' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' '
+           AS n
+  FROM documents),
+inst AS (
+  SELECT doc_id, substr(n, CAST(i AS BIGINT), 3) AS gram
+  FROM nrm, LATERAL (SELECT unnest(generate_series(1, length(n) - 2)) AS i)
+  WHERE length(n) >= 3),
+c3 AS (SELECT gram, count(*) AS c3 FROM inst GROUP BY gram),
+c2 AS (SELECT substr(gram, 1, 2) AS ctx, sum(c3) AS c2 FROM c3 GROUP BY 1),
+model AS (
+  SELECT gram, (1000000 * c3.c3) // c2.c2 AS p_scaled
+  FROM c3 JOIN c2 ON substr(c3.gram, 1, 2) = c2.ctx),
+scores AS (
+  SELECT doc_id, sum(p_scaled) // count(*) AS score
+  FROM inst JOIN model USING (gram) GROUP BY doc_id),
+j AS (
+  SELECT d.doc_id, s.score
+  FROM documents d LEFT JOIN scores s USING (doc_id))
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unscored,
+       CAST(sum(coalesce(score, 0)) AS BIGINT) AS sum_score,
+       CAST(min(score) AS BIGINT) AS min_score,
+       CAST(max(score) AS BIGINT) AS max_score,
+       CAST(sum(CASE WHEN score < 50000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_fluency_docs
+FROM j
+"""
+
+
 def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-prep suite in one relation (stage, metric, value): PII
     redaction, C4-style line dedup, broadcast host blocklist, URL
     canonicalization dedup, benchmark decontamination (broadcast eval-gram
-    probe), and exact duplicated-substring detection (word-8-gram
-    group-join).  Each stage runs its full operator; the 1-row summaries
-    are unpivoted and unioned."""
+    probe), exact duplicated-substring detection (word-8-gram group-join),
+    and char-trigram LM fluency scoring (CCNet-analogue quality gate).
+    Each stage runs its full operator; the 1-row summaries are unpivoted
+    and unioned."""
     return (
         _unpivot_single_row(q_pii_redaction(spark, sf_dir), "pii")
         .unionByName(_unpivot_single_row(
@@ -3270,6 +3314,8 @@ def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_decontamination(spark, sf_dir), "decontam"))
         .unionByName(_unpivot_single_row(
             q_dup_spans(spark, sf_dir), "dup_spans"))
+        .unionByName(_unpivot_single_row(
+            q_lm_fluency(spark, sf_dir), "lm_fluency"))
         .orderBy("stage", "metric")
     )
 
@@ -3288,7 +3334,8 @@ ld AS ({SQL_LINE_DEDUP}),
 hb AS ({SQL_HOST_BLOCKLIST}),
 uc AS ({SQL_URL_CANONICAL_DEDUP}),
 dc AS ({SQL_DECONTAMINATION}),
-ds AS ({SQL_DUP_SPANS})
+ds AS ({SQL_DUP_SPANS}),
+lm AS ({SQL_LM_FLUENCY})
 SELECT stage, metric, value FROM (
 {_sql_unpivot('pii', 'pii',
               ['n_emails', 'n_phones', 'n_ips', 'docs_with_pii',
@@ -3312,6 +3359,10 @@ SELECT stage, metric, value FROM (
 {_sql_unpivot('ds', 'dup_spans',
               ['total_grams', 'dup_gram_values', 'dup_positions',
                'docs_with_dup'])}
+  UNION ALL
+{_sql_unpivot('lm', 'lm_fluency',
+              ['n_docs', 'n_unscored', 'sum_score', 'min_score',
+               'max_score', 'low_fluency_docs'])}
 ) ORDER BY stage, metric
 """
 
