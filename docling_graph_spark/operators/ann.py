@@ -363,3 +363,57 @@ def near_dup_pairs(emb: DataFrame, top_n: int = 20, id_col: str = "vec_id",
         top.withColumn("rank", F.row_number().over(w))
         .select(F.col("rank").cast("long").alias("rank"), "vec_a", "vec_b")
     )
+
+
+def semantic_dedup(emb: DataFrame, n_centroids: int = 16,
+                   threshold: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): cluster embeddings with a
+    coarse codebook, then WITHIN each cluster drop every vector whose
+    cosine to a smaller-id cluster-mate reaches ``threshold`` — semantic
+    near-duplicate removal without an all-pairs pass.
+
+    Returns (vec_id, list_id, keep): full assignment with a boolean drop
+    mark (smallest id of a duplicate group survives).
+
+    Scale shape: assignment is the broadcast-centroid argmax of
+    :func:`ivf_assign` (no shuffle of the corpus side beyond the
+    under-split guard); candidate pairs come from a self-EQUI-JOIN on
+    ``list_id``, so pair volume is sum of squared cluster sizes (~N²/k on
+    balanced clusters, vs N² all-pairs) — the SemDeDup paper's clustering
+    trick, and with k scaled as O(N) the per-cluster work stays bounded.
+    The codebook here is the deterministic first-N init (documented
+    oracle-parity choice, as in `ivf_knn`); swap in
+    :func:`train_ivf_centroids` for Lloyd-refined lists at no change to
+    the dedup semantics.  Cosine comparisons reuse the index-order fold of
+    :func:`dot`, so Spark and the SQL oracle compute identical doubles and
+    agree on every threshold comparison bit-for-bit.
+    """
+    c = with_norm(
+        emb.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("cvec"),
+        ),
+        "cvec", "_cnorm",
+    )
+    assigned = ivf_assign(emb, c, id_col, vec_col)
+    a = assigned.select(F.col(id_col).alias("_ida"),
+                        F.col(vec_col).alias("_ea"),
+                        F.col("_vn").alias("_na"), "list_id")
+    b = assigned.select(F.col(id_col).alias("_idb"),
+                        F.col(vec_col).alias("_eb"),
+                        F.col("_vn").alias("_nb"), "list_id")
+    sim = dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
+    dropped = (
+        a.join(b, "list_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(sim >= F.lit(float(threshold)))
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(True)),
+                      id_col, "left")
+        .select(id_col, "list_id",
+                F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"))
+    )

@@ -2375,6 +2375,81 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
 """
 
 
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-search strategy suite in one relation: brute-force
+    exact cosine top-5 (method='exact'), sign-LSH bucketed top-3
+    (method='lsh'), and IVF nprobe=2 top-5 (method='ivf') — the same 8
+    query vectors through all three plans."""
+    a = q_embedding_knn(spark, sf_dir).withColumn("method", F.lit("exact"))
+    b = q_ann_lsh_bucketed(spark, sf_dir).withColumn("method", F.lit("lsh"))
+    c = q_ann_ivf(spark, sf_dir).withColumn("method", F.lit("ivf"))
+    return (a.unionByName(b).unionByName(c)
+            .select("method", "query_id", "rank", "neighbor_id")
+            .orderBy("method", "query_id", "rank"))
+
+
+SQL_ANN_TOPK = f"""
+SELECT method, query_id, rank, neighbor_id FROM (
+  SELECT 'exact' AS method, * FROM ({SQL_EMBEDDING_KNN})
+  UNION ALL
+  SELECT 'lsh', * FROM ({SQL_ANN_LSH})
+  UNION ALL
+  SELECT 'ivf', * FROM ({SQL_ANN_IVF})
+) ORDER BY method, query_id, rank
+"""
+
+
+_SEMDEDUP_COPIES = 40
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/ann.semantic_dedup): coarse-cluster the
+    embeddings, drop within-cluster cosine>=0.95 duplicates.  The corpus
+    is augmented with 40 planted exact duplicates (vec_id+1000) so the
+    drop path is exercised — the synthetic embeddings are near-orthogonal
+    (max pairwise cosine ~0.51), so exactly the planted copies fall."""
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < _SEMDEDUP_COPIES).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    res = op_ann.semantic_dedup(emb.unionByName(copies))
+    return (
+        res.groupBy("list_id")
+        .agg(F.count("*").alias("n_vecs"),
+             F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"))
+        .orderBy("list_id")
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000, embedding FROM embeddings
+  WHERE vec_id < {_SEMDEDUP_COPIES}),
+c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+      FROM embeddings WHERE vec_id < 16),
+assign AS (
+  SELECT vec_id, embedding, list_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id AS list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_duck_cosine('e.embedding', 'c.cvec')} DESC,
+                                       c.centroid_id ASC) AS r
+    FROM aug e, c) WHERE r = 1),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= 0.95)
+SELECT list_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped
+FROM assign a LEFT JOIN drops d USING (vec_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming: watermarked window rollup + custom stateful operator
 # (drained with availableNow → deterministic batch-equivalent relations)
@@ -3547,11 +3622,10 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
         "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
         # crawl link graph (1: edges + integer PageRank + anchors merged)
         "link_graph_stats": (q_link_graph_stats, SQL_LINK_GRAPH_STATS),
-        # similarity (4)
-        "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
+        # similarity (3: exact/lsh/ivf top-k merged; + SemDeDup)
+        "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
         "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
-        "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
-        "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+        "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
         # streaming (1: windowed + stateful merged)
         "stream_aggregates": (q_stream_aggregates, SQL_STREAM_AGGREGATES),
     }

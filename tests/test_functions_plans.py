@@ -97,8 +97,8 @@ def test_relational_queries_are_pure_jvm(spark, sf_correct_dir):
 
     cat = catalog()
     for name in ["lineitem_pricing", "orders_per_nation", "token_stats",
-                 "minhash_lsh_dedup", "signature_stats", "embedding_knn",
-                 "link_graph_stats",
+                 "minhash_lsh_dedup", "signature_stats", "ann_topk",
+                 "semantic_dedup", "link_graph_stats",
                  "langid_votes", "event_sessions"]:
         fn, _ = cat[name]
         nodes = plans.python_eval_nodes(fn(spark, sf_correct_dir))
