@@ -1,0 +1,73 @@
+"""Per-page crawl metadata extraction: title, declared language, heading,
+outlink count — one codegen'd regexp pass in the scan stage.
+
+WET/WAT-style header fields every crawl-processing pipeline records next
+to the extracted text (the reference extracts per-document metadata into
+its graph nodes via LLM templates — `docling_graph/core/converters/
+graph_converter.py` node attributes; this is the deterministic page-level
+analogue over the `(url, html)` relation).
+
+Scale: pure `pyspark.sql.functions` column expressions (CAST + three
+regexp_extract + one regexp_extract_all), no Python row path, no shuffle
+— the whole operator fuses into the scan's WholeStageCodegen span.
+Non-HTML payloads (PDF bytes, images) simply match nothing and yield
+empty strings / zero counts, so no type routing is needed upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TITLE_RE = "<title>([^<]*)</title>"
+HTML_LANG_RE = '<html lang="([^"]+)"'
+H1_RE = "<h1>([^<]*)</h1>"
+HREF_RE = '<a href="([^"]+)"'
+
+
+def page_metadata(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html",
+                  keep_cols: "tuple[str, ...]" = ()) -> DataFrame:
+    """(url, html, ...) -> (url, *keep_cols, title, html_lang, h1,
+    n_links).
+
+    Fields are '' / 0 when absent — never NULL — so downstream
+    aggregations need no null routing and match SQL oracles that use
+    regexp_extract's empty-string no-match convention.  ``keep_cols``
+    pass through projection-only (no join-back needed)."""
+    s = F.col(html_col).cast("string")
+    return pages.select(
+        F.col(url_col).alias("url"),
+        *[F.col(c) for c in keep_cols],
+        F.regexp_extract(s, TITLE_RE, 1).alias("title"),
+        F.regexp_extract(s, HTML_LANG_RE, 1).alias("html_lang"),
+        F.regexp_extract(s, H1_RE, 1).alias("h1"),
+        F.size(F.expr(
+            f"regexp_extract_all(CAST({html_col} AS STRING), "
+            f"'{HREF_RE}', 1)"
+        )).cast("long").alias("n_links"),
+    )
+
+
+def metadata_stats(pages: DataFrame, lang_col: str = "lang",
+                   url_col: str = "url",
+                   html_col: str = "html") -> DataFrame:
+    """Per-declared-corpus-lang rollup: page counts, title coverage and
+    volume, html-lang agreement with the corpus label, outlink totals."""
+    meta = page_metadata(
+        pages.withColumnRenamed(lang_col, "_lang"),
+        url_col, html_col, keep_cols=("_lang",),
+    )
+    return (
+        meta.groupBy(F.col("_lang").alias("lang"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.when(F.col("title") != "", 1).otherwise(0))
+             .alias("n_with_title"),
+            F.sum(F.length("title").cast("long")).alias("title_chars"),
+            F.sum(F.when(F.col("html_lang") == F.col("_lang"), 1)
+                  .otherwise(0)).alias("n_lang_match"),
+            F.sum("n_links").alias("total_links"),
+        )
+        .orderBy("lang")
+    )

@@ -173,15 +173,24 @@ _HTML_PAGE_SQL = f"""
   || CAST({_HOST_ID} AS VARCHAR) || '.example.com</p></footer></body></html>'
 """.replace("{{", "{").replace("}}", "}")
 
-_PAYLOAD_BYTES = f"""
-CASE WHEN doc_id % 50 = 49 THEN strlen(
+_PDF_PAYLOAD_SQL = """
   '%PDF-1.4' || chr(10) || '%dgspark synthetic single-stream document'
   || chr(10) || '1 0 obj' || chr(10) || '<< /Type /DGText /Length '
   || CAST(strlen(text) AS VARCHAR) || ' >>' || chr(10) || 'stream'
   || chr(10) || text || chr(10) || 'endstream' || chr(10) || 'endobj'
-  || chr(10) || 'trailer' || chr(10) || '%%EOF' || chr(10))
+  || chr(10) || 'trailer' || chr(10) || '%%EOF' || chr(10)
+"""
+
+_PAYLOAD_BYTES = f"""
+CASE WHEN doc_id % 50 = 49 THEN strlen({_PDF_PAYLOAD_SQL})
 ELSE strlen({_HTML_PAGE_SQL})
 END
+"""
+
+# the full page payload as a string (HTML page or PDF byte stream)
+_PAGE_STRING_SQL = f"""
+CASE WHEN doc_id % 50 = 49 THEN {_PDF_PAYLOAD_SQL}
+ELSE {_HTML_PAGE_SQL} END
 """
 
 
@@ -2049,6 +2058,35 @@ SELECT section, k1, k2, v1, v2 FROM (
 """
 
 
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl page-metadata extraction (operators/metadata.py): per-lang
+    title coverage/volume, html-lang agreement, outlink totals — WET/WAT
+    header fields as one codegen'd regexp pass.  PDF payload rows match
+    nothing and count as zero-metadata pages."""
+    from .operators import metadata as op_md
+    from .sources.web_pages import synthesize_web_pages
+
+    return op_md.metadata_stats(synthesize_web_pages(spark, sf_dir))
+
+
+SQL_PAGE_METADATA = f"""
+WITH pg AS (
+  SELECT lang, {_PAGE_STRING_SQL} AS s FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(CASE WHEN regexp_extract(s, '<title>([^<]*)</title>', 1)
+                          <> '' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_title,
+       CAST(sum(length(regexp_extract(s, '<title>([^<]*)</title>', 1)))
+            AS BIGINT) AS title_chars,
+       CAST(sum(CASE WHEN regexp_extract(s, '<html lang="([^"]+)"', 1)
+                          = lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lang_match,
+       CAST(sum(len(regexp_extract_all(s, '<a href="([^"]+)"', 1)))
+            AS BIGINT) AS total_links
+FROM pg GROUP BY lang ORDER BY lang
+"""
+
+
 def q_signature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature-family dedup stats in one per-lang relation: 32-bit
     SimHash distinctness (n_docs > n_distinct_simhash ⇒ hash-identical
@@ -3622,6 +3660,8 @@ def catalog() -> Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
         "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
         # crawl link graph (1: edges + integer PageRank + anchors merged)
         "link_graph_stats": (q_link_graph_stats, SQL_LINK_GRAPH_STATS),
+        # crawl page metadata (1)
+        "page_metadata": (q_page_metadata, SQL_PAGE_METADATA),
         # similarity (3: exact/lsh/ivf top-k merged; + SemDeDup)
         "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
         "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
