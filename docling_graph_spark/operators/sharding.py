@@ -76,7 +76,13 @@ def pack_shards(docs: DataFrame, budget: int,
     )
     w = (Window.partitionBy("_pid").orderBy(order_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    local = narrow.withColumn("_local_prefix", F.sum("_tok").over(w))
+    # materialize the windowed narrow relation ONCE: the totals pass and
+    # the final join both consume it, and a recompute would repeat the
+    # range shuffle + sort (and re-derive partition ids) — localCheckpoint
+    # pins the pid assignment both passes must share
+    local = narrow.withColumn(
+        "_local_prefix", F.sum("_tok").over(w)
+    ).localCheckpoint(eager=False)
 
     # one row per partition; driver-bounded by parallelism, not data size
     totals = (

@@ -21,6 +21,10 @@ Modes:
   oneshot — full pipeline, overwrite outputs (no checkpoint)
   resume  — CheckpointedRun: left_anti restart over the output tables
   stream  — Structured-Streaming availableNow drain with offset checkpoints
+  compact — checkpoint maintenance: orphan expiry (+ file bin-packing)
+  graph   — corpus-global graph finalize over accumulated stage tables
+  shards  — training-shard export: token-budget packing of the extracted
+            table, written partitioned by shard_id with a manifest
 
 Config file (the reference's `docling-graph convert --config config.yaml`
 surface, `cli/commands/convert.py:129-164`): `--config job.yaml` supplies
@@ -45,7 +49,7 @@ CONFIG_SCAFFOLD = """\
 # input: /path/to/web_pages_parquet     # real crawl table
 sf_dir: /root/testdata/sf0.001          # or: synthesize from testdata
 output: /tmp/dgspark_out
-mode: oneshot                           # oneshot | resume | stream
+mode: oneshot                           # oneshot | resume | stream | compact | graph | shards
 # stream_checkpoint: /tmp/dgspark_ckpt  # stream mode offset checkpoints
 # cores: 8                              # local[N] when no master configured
 report: false                           # also write report.md + graph.html
@@ -94,12 +98,15 @@ def main() -> int:
     ap.add_argument("--sf-dir", help="testdata dir to synthesize input from")
     ap.add_argument("--output", default=None, help="output root")
     ap.add_argument("--mode", choices=["oneshot", "resume", "stream",
-                                       "compact", "graph"],
+                                       "compact", "graph", "shards"],
                     default=None)
     ap.add_argument("--stream-checkpoint", default=None)
     ap.add_argument("--wet-output", default=None,
                     help="stream mode: also publish each micro-batch's "
                          "extracted text as WET-style crawl files here")
+    ap.add_argument("--shard-budget", type=int, default=1 << 20,
+                    help="shards mode: tokens per training shard "
+                         "(default 1Mi)")
     ap.add_argument("--target-file-mb", type=int, default=None,
                     help="compact mode: also bin-pack each stage table's "
                          "data files toward this size (small-files "
@@ -201,9 +208,10 @@ def main() -> int:
         cfg_kwargs["max_tokens"] = args.max_tokens
     cfg = PipelineConfig(**cfg_kwargs)
 
-    # stream/compact manage their own input (the stream source may be a raw
-    # WARC directory, not parquet) — only the batch modes load pages here
-    if args.mode in ("stream", "compact", "graph"):
+    # stream/compact/shards manage their own input (the stream source may
+    # be a raw WARC directory; shards consumes a prior run's extracted
+    # table) — only the batch modes load pages here
+    if args.mode in ("stream", "compact", "graph", "shards"):
         pass
     elif args.input:
         pages = spark.read.parquet(args.input)
@@ -259,6 +267,33 @@ def main() -> int:
             from docling_graph_spark import visualizers
             visualizers.write_report(
                 nodes, edges, f"{args.output.rstrip('/')}/report.md")
+    elif args.mode == "shards":
+        # training-shard export over a prior run's extracted table:
+        # deterministic token-budget packing (operators/sharding.py), the
+        # wide rows written partitioned by shard_id so a trainer consumes
+        # one directory per shard; assignment joined back on url (the
+        # shuffle carries only the narrow (url, tokens) projection).
+        from pyspark.sql import functions as F
+
+        from docling_graph_spark.operators import sharding
+
+        out = args.output.rstrip("/")
+        ext = spark.read.parquet(f"{out}/extracted")
+        counted = sharding.token_counts(
+            ext.select(F.col("url").alias("doc_id"), "text"))
+        assigned = sharding.pack_shards(
+            counted, budget=args.shard_budget
+        ).withColumnRenamed("doc_id", "url")
+        (ext.join(assigned.select("url", "shard_id", "n_tokens"), "url")
+            .write.mode("overwrite").partitionBy("shard_id")
+            .parquet(f"{out}/shards"))
+        manifest = sharding.shard_stats(assigned)
+        manifest.coalesce(1).write.mode("overwrite").parquet(
+            f"{out}/shard_manifest")
+        for r in manifest.collect():
+            print(f"shard {r['shard_id']}: {r['n_docs']} docs, "
+                  f"{r['shard_tokens']} tokens")
+        processed = spark.read.parquet(f"{out}/shards").count()
     elif args.mode == "compact":
         # expire crashed-run orphan rows from a resume checkpoint
         # (Iceberg expire_snapshots analogue; see checkpointing.compact)

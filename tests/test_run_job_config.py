@@ -97,3 +97,32 @@ def test_inspect_renders_report_from_output_dir(spark, sf_smoke_dir,
     assert os.path.exists(f"{out_dir}/report.md")
     assert os.path.exists(f"{out_dir}/graph.html")
     assert "<html" in open(f"{out_dir}/graph.html").read()[:2000].lower()
+
+
+def test_shards_mode_exports_budgeted_shards(spark, sf_smoke_dir, tmp_path,
+                                             capsys):
+    """oneshot -> shards: the extracted table is packed into token-budget
+    shards, written partitioned by shard_id with a manifest; every doc
+    appears exactly once and shard token totals respect the boundary-
+    straddle bound."""
+    out_dir = str(tmp_path / "sout")
+    rc, _ = _run(["--sf-dir", sf_smoke_dir, "--output", out_dir,
+                  "--mode", "oneshot", "--max-tokens", "25"], capsys)
+    assert rc == 0
+    rc, out = _run(["--mode", "shards", "--output", out_dir,
+                    "--shard-budget", "2000"], capsys)
+    assert rc == 0
+
+    ext = spark.read.parquet(f"{out_dir}/extracted")
+    shards = spark.read.parquet(f"{out_dir}/shards")
+    assert out["processed_docs"] == ext.count() == shards.count()
+    assert shards.select("url").distinct().count() == ext.count()
+
+    manifest = {r["shard_id"]: r
+                for r in spark.read.parquet(
+                    f"{out_dir}/shard_manifest").collect()}
+    assert len(manifest) >= 2
+    max_doc = max(r["n_tokens"] for r in shards.select("n_tokens").collect())
+    for sid, row in manifest.items():
+        if sid != max(manifest):
+            assert row["shard_tokens"] <= 2000 + max_doc
