@@ -46,6 +46,41 @@ def main() -> int:
         formatted_plan(op_ann.near_dup_pairs_banded(emb, top_n=20)),
     )
 
+    sections["semantic-dedup"] = (
+        "semantic_dedup — SemDeDup cluster assignment (broadcast-centroid "
+        "cross) + within-cluster equi-join pair pruning (no cartesian)",
+        formatted_plan(op_ann.semantic_dedup(emb)),
+    )
+
+    from docling_graph_spark.operators import sharding as op_sh
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sections["shard-packing"] = (
+        "pack_shards — distributed prefix sum: RangePartitioning exchange "
+        "of the NARROW projection only, per-partition window, broadcast "
+        "offset join (totals pass is O(#partitions) to the driver)",
+        formatted_plan(op_sh.pack_shards(
+            op_sh.token_counts(docs.select("doc_id", "text")), 4096)),
+    )
+
+    from docling_graph_spark.operators import textprep as op_tp
+
+    sections["trigram-fluency"] = (
+        "trigram_fluency_scores — explode/groupBy model collapses map-side "
+        "to <=27^3 rows, model broadcast back, per-doc agg combines "
+        "map-side (explode keeps doc rows co-located)",
+        formatted_plan(op_tp.trigram_fluency_scores(docs)),
+    )
+
+    from docling_graph_spark.operators import metadata as op_md
+    from docling_graph_spark.sources.web_pages import synthesize_web_pages
+
+    sections["page-metadata"] = (
+        "metadata_stats — one codegen'd regexp pass in the scan stage, "
+        "single Exchange for the per-lang rollup",
+        formatted_plan(op_md.metadata_stats(synthesize_web_pages(spark, SF))),
+    )
+
     wanted = sys.argv[1:] or list(sections)
     for key in wanted:
         title, plan = sections[key]
