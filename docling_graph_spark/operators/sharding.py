@@ -55,6 +55,41 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bucketed_local_prefix(docs: DataFrame, order_col: str,
+                          tokens_col: str, n_parts: int) -> DataFrame:
+    """(order, tokens) -> (order, _tok, _pid, _local_prefix): ordered
+    range buckets with per-bucket running sums — the pre-offset half of
+    the distributed prefix sum.
+
+    Integer order keys get explicit buckets `(key - min) div width` from
+    a min/max aggregate (columnar-stats cheap), so the per-bucket window's
+    own hash exchange is the ONLY narrow shuffle (plan-asserted in
+    tests/test_sharding.py).  Other key types fall back to
+    `repartitionByRange` + `spark_partition_id()`, paying one extra range
+    exchange to discover boundaries."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    narrow = docs.select(order_col, F.coalesce(
+        F.col(tokens_col), F.lit(0)).cast("long").alias("_tok"))
+    if isinstance(docs.schema[order_col].dataType,
+                  (ByteType, ShortType, IntegerType, LongType)):
+        lo, hi = narrow.agg(F.min(order_col), F.max(order_col)).collect()[0]
+        if lo is None:
+            lo, hi = 0, 0
+        width = max(1, (int(hi) - int(lo) + n_parts) // n_parts)
+        narrow = narrow.withColumn(
+            "_pid",
+            F.expr(f"(({order_col} - {int(lo)}) div {width})").cast("int"))
+    else:
+        narrow = (
+            narrow.repartitionByRange(n_parts, F.col(order_col))
+            .withColumn("_pid", F.spark_partition_id())
+        )
+    w = (Window.partitionBy("_pid").orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return narrow.withColumn("_local_prefix", F.sum("_tok").over(w))
+
+
 def pack_shards(docs: DataFrame, budget: int,
                 order_col: str = "doc_id",
                 tokens_col: str = "n_tokens",
@@ -65,23 +100,25 @@ def pack_shards(docs: DataFrame, budget: int,
     ``order_col`` must be a total order (unique values).  Only the narrow
     projection is shuffled; callers keep wide payloads out of ``docs``
     and join the assignment back on ``order_col``.
+
+    Shuffle accounting: the per-group window needs ONE hash exchange of
+    the narrow relation on the group key.  For integer order keys the
+    group is an explicit range bucket `(key - min) div width` computed
+    from a min/max aggregate (columnar-stats cheap), so that window
+    exchange is the only narrow shuffle.  Non-numeric keys (urls) fall
+    back to `repartitionByRange` + `spark_partition_id()`, paying one
+    extra range exchange to discover the bucket boundaries.  Either way
+    bucket *balance* only affects parallelism, never the assignment —
+    offsets are derived from per-bucket totals ordered by bucket minimum.
     """
     spark = docs.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
-    narrow = (
-        docs.select(order_col, F.coalesce(
-            F.col(tokens_col), F.lit(0)).cast("long").alias("_tok"))
-        .repartitionByRange(n_parts, F.col(order_col))
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    w = (Window.partitionBy("_pid").orderBy(order_col)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     # materialize the windowed narrow relation ONCE: the totals pass and
     # the final join both consume it, and a recompute would repeat the
-    # range shuffle + sort (and re-derive partition ids) — localCheckpoint
-    # pins the pid assignment both passes must share
-    local = narrow.withColumn(
-        "_local_prefix", F.sum("_tok").over(w)
+    # shuffle + sort (and, on the fallback path, re-derive partition ids)
+    # — localCheckpoint pins the bucket assignment both passes must share
+    local = bucketed_local_prefix(
+        docs, order_col, tokens_col, n_parts
     ).localCheckpoint(eager=False)
 
     # one row per partition; driver-bounded by parallelism, not data size

@@ -60,6 +60,23 @@ def test_shard_fill_bounded(spark, toy):
     assert stats[-1]["shard_tokens"] <= budget + max_doc
 
 
+def test_string_order_key_fallback_path(spark, toy):
+    """Non-numeric order keys route through repartitionByRange +
+    spark_partition_id and must produce the same assignment as the
+    sequential definition over the string order."""
+    keyed = sharding.token_counts(toy).select(
+        F.concat(F.lit("https://h/"),
+                 F.lpad(F.col("doc_id").cast("string"), 6, "0"))
+        .alias("url"), "n_tokens")
+    got = {r["url"]: r["shard_id"]
+           for r in sharding.pack_shards(
+               keyed, budget=300, order_col="url",
+               num_partitions=5).collect()}
+    expected = _seq_shards(
+        [(r["url"], r["n_tokens"]) for r in keyed.collect()], 300)
+    assert got == expected
+
+
 def test_null_and_empty_tokens(spark):
     df = spark.createDataFrame(
         [(1, 10), (2, None), (3, 0), (4, 5)],
@@ -69,3 +86,21 @@ def test_null_and_empty_tokens(spark):
            for r in sharding.pack_shards(df, budget=8).collect()}
     # positions: 1 -> 0, 2 -> 10, 3 -> 10, 4 -> 10
     assert got == {1: 0, 2: 1, 3: 1, 4: 1}
+
+
+def test_numeric_key_single_narrow_shuffle(spark, toy):
+    """Integer order keys compute explicit range buckets, so the prefix
+    window's hash exchange is the only Exchange in the plan; string keys
+    pay the extra range exchange."""
+    from docling_graph_spark.plans import formatted_plan
+
+    counted = sharding.token_counts(toy)
+    plan_num = formatted_plan(
+        sharding.bucketed_local_prefix(counted, "doc_id", "n_tokens", 8))
+    assert plan_num.count("+- Exchange") == 1, plan_num
+
+    keyed = counted.select(
+        F.col("doc_id").cast("string").alias("k"), "n_tokens")
+    plan_str = formatted_plan(
+        sharding.bucketed_local_prefix(keyed, "k", "n_tokens", 8))
+    assert plan_str.count("+- Exchange") == 2, plan_str
