@@ -56,9 +56,11 @@ def main() -> int:
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     sections["shard-packing"] = (
-        "pack_shards — distributed prefix sum: RangePartitioning exchange "
-        "of the NARROW projection only, per-partition window, broadcast "
-        "offset join (totals pass is O(#partitions) to the driver)",
+        "pack_shards — distributed prefix sum: integer keys bucket via a "
+        "min/max agg so the per-bucket window's hash exchange is the ONLY "
+        "narrow shuffle (plan-asserted; string keys add one range "
+        "exchange); broadcast offset join, totals pass O(#buckets) to the "
+        "driver, prefix relation localCheckpointed once",
         formatted_plan(op_sh.pack_shards(
             op_sh.token_counts(docs.select("doc_id", "text")), 4096)),
     )
