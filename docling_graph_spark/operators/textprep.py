@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Java-regex ∩ RE2 portable patterns
@@ -551,4 +551,69 @@ def trigram_fluency_report(docs: DataFrame, text_col: str = "text",
         F.max("score").alias("max_score"),
         F.sum(F.when(F.col("score") < thr, 1).otherwise(0))
          .alias("low_fluency_docs"),
+    )
+
+
+# -------------------------------------------------- per-host document caps
+
+def host_cap_sample(pages: DataFrame, k: int, url_col: str = "url",
+                    n_salts: int = 16, seed: str = "dghostcap") -> DataFrame:
+    """Keep at most ``k`` documents per host — the corpus-diversity rule
+    that stops mega-hosts from dominating a crawl-derived training set.
+
+    Selection is by md5(seed||url) order (deterministic but hash-uniform,
+    so the survivors are an unbiased per-host sample rather than the
+    lexicographically-first urls), tie-broken by url.  Returns the input
+    rows that survive, plus the host and rank columns.
+
+    Skew design: a single `row_number() over (partition by host)` window
+    serializes each host on one task — and crawl host sizes are power-law,
+    so the biggest host becomes the stage's critical path.  This runs the
+    standard two-stage top-K instead: stage 1 ranks within (host, salt)
+    buckets — ``n_salts``-way parallel even for one mega-host — and keeps
+    at most k per bucket; stage 2 ranks the surviving ≤ k·n_salts rows per
+    host.  Any row in the true per-host top-k is also in its salt bucket's
+    top-k, so the result is EXACTLY the single-window answer (equivalence
+    is unit-tested), but the heavy window never sees more than k·n_salts
+    rows per host."""
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    key = F.md5(F.concat(F.lit(seed), F.col(url_col)))
+    salted = pages.withColumn("_host", host).withColumn("_key", key) \
+        .withColumn("_salt",
+                    F.conv(F.substring("_key", 1, 2), 16, 10).cast("int")
+                    % F.lit(n_salts))
+    w1 = Window.partitionBy("_host", "_salt").orderBy("_key", url_col)
+    stage1 = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+    )
+    w2 = Window.partitionBy("_host").orderBy("_key", url_col)
+    return (
+        stage1.withColumn("host_rank", F.row_number().over(w2))
+        .filter(F.col("host_rank") <= k)
+        .drop("_salt", "_r1", "_key")
+        .withColumnRenamed("_host", "host")
+    )
+
+
+def host_cap_stats(pages: DataFrame, k: int,
+                   url_col: str = "url") -> DataFrame:
+    """1-row report for the per-host cap: doc/host totals, survivors,
+    hosts that hit the cap, and the biggest host before capping."""
+    kept = host_cap_sample(pages, k, url_col)
+    pre = pages.select(
+        F.parse_url(F.col(url_col), F.lit("HOST")).alias("host"))
+    pre_hosts = pre.groupBy("host").agg(F.count("*").alias("n"))
+    kept_hosts = kept.groupBy("host").agg(F.count("*").alias("n"))
+    a = pre_hosts.agg(
+        F.sum("n").alias("total_docs"),
+        F.count("*").alias("n_hosts"),
+        F.max("n").alias("max_host_docs"),
+        F.sum(F.when(F.col("n") > k, 1).otherwise(0)).alias("hosts_at_cap"),
+    )
+    b = kept_hosts.agg(F.sum("n").alias("kept_docs"),
+                       F.max("n").alias("max_kept_docs"))
+    return a.crossJoin(b).select(
+        "total_docs", "kept_docs", "n_hosts", "hosts_at_cap",
+        "max_host_docs", "max_kept_docs",
     )

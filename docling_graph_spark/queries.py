@@ -3515,12 +3515,50 @@ FROM pos GROUP BY 1 ORDER BY 1
 """
 
 
+_HOSTCAP_K = 8
+
+
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap (operators/textprep.host_cap_sample): keep at
+    most 8 docs per host by deterministic hash order, via the skew-aware
+    two-stage top-K (salt buckets first, so one mega-host never
+    serializes the window)."""
+    from .operators import textprep
+    from .sources.web_pages import synthesize_web_pages
+
+    return textprep.host_cap_stats(
+        synthesize_web_pages(spark, sf_dir), k=_HOSTCAP_K)
+
+
+SQL_HOST_CAP = f"""
+WITH ranked AS (
+  SELECT host, row_number() OVER (PARTITION BY host
+                                  ORDER BY k, url) AS rn
+  FROM (SELECT concat('host', CAST({_HOST_ID} AS VARCHAR),
+               '.example.com') AS host,
+               {_URL} AS url,
+               md5('dghostcap' || {_URL}) AS k
+        FROM documents)),
+pre AS (SELECT host, count(*) AS n FROM ranked GROUP BY host),
+kept AS (SELECT host, count(*) AS n FROM ranked
+         WHERE rn <= {_HOSTCAP_K} GROUP BY host)
+SELECT (SELECT CAST(sum(n) AS BIGINT) FROM pre) AS total_docs,
+       (SELECT CAST(sum(n) AS BIGINT) FROM kept) AS kept_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM pre) AS n_hosts,
+       (SELECT CAST(sum(CASE WHEN n > {_HOSTCAP_K} THEN 1 ELSE 0 END)
+               AS BIGINT) FROM pre) AS hosts_at_cap,
+       (SELECT CAST(max(n) AS BIGINT) FROM pre) AS max_host_docs,
+       (SELECT CAST(max(n) AS BIGINT) FROM kept) AS max_kept_docs
+"""
+
+
 def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic sampling, split assignment and shard packing in one
-    relation: hash-stratified sample accounting per lang
-    (section='sample'), md5-range train/val/test assignment
-    (section='split'), and token-budget shard packing (section='shard',
-    bucket=shard_id)."""
+    """Deterministic sampling, split assignment, shard packing and
+    per-host caps in one relation: hash-stratified sample accounting per
+    lang (section='sample'), md5-range train/val/test assignment
+    (section='split'), token-budget shard packing (section='shard',
+    bucket=shard_id), and the per-host document cap
+    (section='hostcap')."""
     strat = q_stratified_sample(spark, sf_dir)
     spl = q_train_val_test_split(spark, sf_dir)
     a = strat.select(
@@ -3537,7 +3575,23 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").alias("n_docs"),
         F.col("shard_tokens").alias("measure"),
     )
-    return a.unionByName(b).unionByName(c).orderBy("section", "bucket")
+    hc = q_host_cap(spark, sf_dir)
+    d = hc.select(F.explode(F.array(
+        F.struct(F.lit("docs").alias("bucket"),
+                 F.col("kept_docs").alias("n_docs"),
+                 F.col("total_docs").alias("measure")),
+        F.struct(F.lit("hosts").alias("bucket"),
+                 F.col("hosts_at_cap").alias("n_docs"),
+                 F.col("n_hosts").alias("measure")),
+        F.struct(F.lit("max_host").alias("bucket"),
+                 F.col("max_kept_docs").alias("n_docs"),
+                 F.col("max_host_docs").alias("measure")),
+    )).alias("kv")).select(
+        F.lit("hostcap").alias("section"), F.col("kv.bucket").alias("bucket"),
+        F.col("kv.n_docs").alias("n_docs"), F.col("kv.measure").alias("measure"),
+    )
+    return (a.unionByName(b).unionByName(c).unionByName(d)
+            .orderBy("section", "bucket"))
 
 
 SQL_SAMPLING_SPLITS = f"""
@@ -3549,6 +3603,15 @@ SELECT section, bucket, n_docs, measure FROM (
   UNION ALL
   SELECT 'shard', CAST(shard_id AS VARCHAR), n_docs, shard_tokens
   FROM ({SQL_SHARD_PACKING})
+  UNION ALL
+  SELECT 'hostcap', bucket, n_docs, measure FROM (
+    SELECT 'docs' AS bucket, kept_docs AS n_docs, total_docs AS measure
+    FROM ({SQL_HOST_CAP})
+    UNION ALL
+    SELECT 'hosts', hosts_at_cap, n_hosts FROM ({SQL_HOST_CAP})
+    UNION ALL
+    SELECT 'max_host', max_kept_docs, max_host_docs FROM ({SQL_HOST_CAP})
+  )
 ) ORDER BY section, bucket
 """
 
