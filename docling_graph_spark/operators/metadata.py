@@ -19,10 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .linkgraph import HREF_RE  # one anchor pattern: n_links must agree
+                                # with the link graph / anchor oracles
+
 TITLE_RE = "<title>([^<]*)</title>"
 HTML_LANG_RE = '<html lang="([^"]+)"'
 H1_RE = "<h1>([^<]*)</h1>"
-HREF_RE = '<a href="([^"]+)"'
 
 
 def page_metadata(pages: DataFrame, url_col: str = "url",
@@ -33,9 +35,11 @@ def page_metadata(pages: DataFrame, url_col: str = "url",
 
     Fields are '' / 0 when absent — never NULL — so downstream
     aggregations need no null routing and match SQL oracles that use
-    regexp_extract's empty-string no-match convention.  ``keep_cols``
-    pass through projection-only (no join-back needed)."""
-    s = F.col(html_col).cast("string")
+    regexp_extract's empty-string no-match convention.  A NULL payload
+    (failed fetch rows in real crawl tables) coalesces to the empty
+    string up front, so the no-NULL contract holds for it too.
+    ``keep_cols`` pass through projection-only (no join-back needed)."""
+    s = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
     return pages.select(
         F.col(url_col).alias("url"),
         *[F.col(c) for c in keep_cols],
@@ -43,7 +47,7 @@ def page_metadata(pages: DataFrame, url_col: str = "url",
         F.regexp_extract(s, HTML_LANG_RE, 1).alias("html_lang"),
         F.regexp_extract(s, H1_RE, 1).alias("h1"),
         F.size(F.expr(
-            f"regexp_extract_all(CAST({html_col} AS STRING), "
+            f"regexp_extract_all(coalesce(CAST({html_col} AS STRING), ''), "
             f"'{HREF_RE}', 1)"
         )).cast("long").alias("n_links"),
     )

@@ -149,7 +149,7 @@ def host_blocklist_split(pages: DataFrame,
     block = F.broadcast(
         spark.createDataFrame([(h,) for h in blocked_hosts], ["blocked_host"])
     )
-    hosts = pages.select(F.parse_url(F.col(url_col), F.lit("HOST"))
+    hosts = pages.select(F.try_parse_url(F.col(url_col), F.lit("HOST"))
                          .alias("host"))
     kept = hosts.join(block, hosts.host == block.blocked_host, "left_anti")
     dropped = hosts.join(block, hosts.host == block.blocked_host, "left_semi")
@@ -575,8 +575,20 @@ def host_cap_sample(pages: DataFrame, k: int, url_col: str = "url",
     host.  Any row in the true per-host top-k is also in its salt bucket's
     top-k, so the result is EXACTLY the single-window answer (equivalence
     is unit-tested), but the heavy window never sees more than k·n_salts
-    rows per host."""
-    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    rows per host.
+
+    Callers should project ``pages`` down to the narrow columns they need
+    back — both windows shuffle every column passed in (host_cap_stats
+    passes only ``url_col``)."""
+    for reserved in ("host", "host_rank"):
+        if reserved in pages.columns:
+            raise ValueError(
+                f"host_cap_sample adds a {reserved!r} column; rename or "
+                f"drop the input's {reserved!r} first")
+    # try_parse_url, not parse_url: ANSI-mode parse_url throws on one junk
+    # crawl url and aborts the job; unparseable urls group under the NULL
+    # host and are capped together like any other host
+    host = F.try_parse_url(F.col(url_col), F.lit("HOST"))
     key = F.md5(F.concat(F.lit(seed), F.col(url_col)))
     salted = pages.withColumn("_host", host).withColumn("_key", key) \
         .withColumn("_salt",
@@ -599,10 +611,13 @@ def host_cap_sample(pages: DataFrame, k: int, url_col: str = "url",
 def host_cap_stats(pages: DataFrame, k: int,
                    url_col: str = "url") -> DataFrame:
     """1-row report for the per-host cap: doc/host totals, survivors,
-    hosts that hit the cap, and the biggest host before capping."""
-    kept = host_cap_sample(pages, k, url_col)
+    hosts that hit the cap, and the biggest host before capping.
+
+    Only the url column enters the ranking windows — the wide page
+    payload never shuffles."""
+    kept = host_cap_sample(pages.select(url_col), k, url_col)
     pre = pages.select(
-        F.parse_url(F.col(url_col), F.lit("HOST")).alias("host"))
+        F.try_parse_url(F.col(url_col), F.lit("HOST")).alias("host"))
     pre_hosts = pre.groupBy("host").agg(F.count("*").alias("n"))
     kept_hosts = kept.groupBy("host").agg(F.count("*").alias("n"))
     a = pre_hosts.agg(

@@ -2443,12 +2443,13 @@ _SEMDEDUP_COPIES = 40
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/ann.semantic_dedup): coarse-cluster the
     embeddings, drop within-cluster cosine>=0.95 duplicates.  The corpus
-    is augmented with 40 planted exact duplicates (vec_id+1000) so the
+    is augmented with 40 planted exact duplicates (vec_id+10^6 — above
+    any real vec_id at every sf tier) so the
     drop path is exercised — the synthetic embeddings are near-orthogonal
     (max pairwise cosine ~0.51), so exactly the planted copies fall."""
     emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = emb.filter(F.col("vec_id") < _SEMDEDUP_COPIES).select(
-        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
     res = op_ann.semantic_dedup(emb.unionByName(copies))
     return (
@@ -2463,7 +2464,7 @@ SQL_SEMANTIC_DEDUP = f"""
 WITH aug AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 1000, embedding FROM embeddings
+  SELECT vec_id + 1000000, embedding FROM embeddings
   WHERE vec_id < {_SEMDEDUP_COPIES}),
 c AS (SELECT vec_id AS centroid_id, embedding AS cvec
       FROM embeddings WHERE vec_id < 16),

@@ -290,10 +290,13 @@ def main() -> int:
         manifest = sharding.shard_stats(assigned)
         manifest.coalesce(1).write.mode("overwrite").parquet(
             f"{out}/shard_manifest")
-        for r in manifest.collect():
+        rows = manifest.collect()
+        for r in rows:
             print(f"shard {r['shard_id']}: {r['n_docs']} docs, "
                   f"{r['shard_tokens']} tokens")
-        processed = spark.read.parquet(f"{out}/shards").count()
+        # the manifest already counts every written row — no re-scan of
+        # the wide shards table just for the summary line
+        processed = sum(r["n_docs"] for r in rows)
     elif args.mode == "compact":
         # expire crashed-run orphan rows from a resume checkpoint
         # (Iceberg expire_snapshots analogue; see checkpointing.compact)

@@ -68,3 +68,19 @@ def test_stats_shape(spark, pages):
     assert row["hosts_at_cap"] == 2
     assert row["max_host_docs"] == 400
     assert row["max_kept_docs"] == 8
+
+
+def test_reserved_column_conflict_raises(spark, pages):
+    with pytest.raises(ValueError, match="host"):
+        textprep.host_cap_sample(
+            pages.withColumn("host", F.lit("x")), k=3)
+
+
+def test_junk_urls_do_not_abort(spark):
+    df = spark.createDataFrame(
+        [("https://ok.example.com/a",), ("not a url at all",),
+         ("https://ok.example.com/b",)], "url string")
+    row = textprep.host_cap_stats(df, k=1).collect()[0]
+    assert row["total_docs"] == 3
+    # junk url groups under the NULL host and is capped like any host
+    assert row["kept_docs"] == 2

@@ -15,9 +15,12 @@ def test_fields_and_non_html_rows(spark):
                b'<a href="https://x.com/b">B</a></body></html>'),
         ("u2", b"%PDF-1.4 not html at all"),
         ("u3", b'<html><body>no title, no links</body></html>'),
+        ("u4", None),  # failed fetch: NULL payload must not yield NULLs
     ]
     df = spark.createDataFrame(rows, "url string, html binary")
     got = {r["url"]: r for r in metadata.page_metadata(df).collect()}
+    assert got["u4"]["title"] == "" and got["u4"]["n_links"] == 0
+    assert got["u4"]["html_lang"] == "" and got["u4"]["h1"] == ""
     assert got["u1"]["title"] == "Hi there"
     assert got["u1"]["html_lang"] == "en"
     assert got["u1"]["h1"] == "Head"
