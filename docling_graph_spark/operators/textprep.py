@@ -230,6 +230,20 @@ def gopher_signals(text: Column) -> dict:
     }
 
 
+def gopher_pass(text: Column) -> Column:
+    """Per-document pass-ALL-gates predicate — the filter form of
+    :func:`gopher_quality_stats` (identical integer-exact comparisons)."""
+    s = gopher_signals(text)
+    fail_wc = (s["n_words"] < GOPHER_WORD_MIN) | \
+        (s["n_words"] > GOPHER_WORD_MAX)
+    fail_len = (GOPHER_MEAN_LEN_MIN * s["n_words"] > s["n_chars_w"]) | \
+        (s["n_chars_w"] > GOPHER_MEAN_LEN_MAX * s["n_words"])
+    fail_tw = GOPHER_TOP_WORD_DEN * s["top_word"] > s["n_words"]
+    fail_tb = (s["n_bigrams"] > 0) & \
+        (GOPHER_TOP_BIGRAM_DEN * s["top_bigram"] > s["n_bigrams"])
+    return ~fail_wc & ~fail_len & ~fail_tw & ~fail_tb
+
+
 def gopher_quality_stats(df: DataFrame, text_col: str = "text",
                          lang_col: str = "lang") -> DataFrame:
     """Per-language Gopher-gate accounting: total docs, docs failing each

@@ -25,6 +25,9 @@ Modes:
   graph   — corpus-global graph finalize over accumulated stage tables
   shards  — training-shard export: token-budget packing of the extracted
             table, written partitioned by shard_id with a manifest
+  curate  — training-data funnel over the extracted text: Gopher gates,
+            LM-fluency gate, exact dedup, per-host caps, splits, shard
+            packing; writes curated/ + funnel.json
 
 Config file (the reference's `docling-graph convert --config config.yaml`
 surface, `cli/commands/convert.py:129-164`): `--config job.yaml` supplies
@@ -98,15 +101,17 @@ def main() -> int:
     ap.add_argument("--sf-dir", help="testdata dir to synthesize input from")
     ap.add_argument("--output", default=None, help="output root")
     ap.add_argument("--mode", choices=["oneshot", "resume", "stream",
-                                       "compact", "graph", "shards"],
+                                       "compact", "graph", "shards", "curate"],
                     default=None)
     ap.add_argument("--stream-checkpoint", default=None)
     ap.add_argument("--wet-output", default=None,
                     help="stream mode: also publish each micro-batch's "
                          "extracted text as WET-style crawl files here")
     ap.add_argument("--shard-budget", type=int, default=1 << 20,
-                    help="shards mode: tokens per training shard "
+                    help="shards/curate modes: tokens per training shard "
                          "(default 1Mi)")
+    ap.add_argument("--host-cap", type=int, default=10_000,
+                    help="curate mode: max docs kept per host")
     ap.add_argument("--target-file-mb", type=int, default=None,
                     help="compact mode: also bin-pack each stage table's "
                          "data files toward this size (small-files "
@@ -267,6 +272,27 @@ def main() -> int:
             from docling_graph_spark import visualizers
             visualizers.write_report(
                 nodes, edges, f"{args.output.rstrip('/')}/report.md")
+    elif args.mode == "curate":
+        # training-data funnel: extract, then gate/dedup/cap/split/pack
+        # (docling_graph_spark/curation.py) — curated corpus written
+        # partitioned by split + shard_id, funnel counts to funnel.json
+        from docling_graph_spark.curation import CurationConfig, curate
+        from docling_graph_spark.pipeline import run_pipeline
+
+        out = args.output.rstrip("/")
+        res = run_pipeline(pages, cfg)
+        cres = curate(
+            res.extracted.select("url", "text", "lang"),
+            CurationConfig(host_cap=args.host_cap,
+                           shard_budget=args.shard_budget),
+        )
+        (cres.curated.write.mode("overwrite")
+             .partitionBy("split", "shard_id").parquet(f"{out}/curated"))
+        with open(f"{out}/funnel.json", "w", encoding="utf-8") as fh:
+            json.dump(dict(cres.funnel), fh, indent=1)
+        for stage, n_docs in cres.funnel:
+            print(f"funnel {stage}: {n_docs}")
+        processed = cres.funnel[-1][1]
     elif args.mode == "shards":
         # training-shard export over a prior run's extracted table:
         # deterministic token-budget packing (operators/sharding.py), the

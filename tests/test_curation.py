@@ -1,0 +1,89 @@
+"""Corpus-curation funnel (docling_graph_spark/curation.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_graph_spark.curation import CurationConfig, CurationResult, curate
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_smoke_dir):
+    return (
+        spark.read.parquet(f"{sf_smoke_dir}/documents.parquet")
+        .selectExpr(
+            "concat('https://h', cast(doc_id % 7 as string), "
+            "'.example.com/d/', cast(doc_id as string)) as url",
+            "text", "lang")
+    )
+
+
+@pytest.fixture(scope="module")
+def result(docs) -> CurationResult:
+    return curate(docs, CurationConfig(host_cap=10, shard_budget=500))
+
+
+def test_funnel_monotonic_and_named(result):
+    names = [s for s, _ in result.funnel]
+    assert names == ["input", "gopher_quality", "lm_fluency",
+                     "exact_dedup", "host_cap", "curated"]
+    counts = [n for _, n in result.funnel]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[0] > 0 and counts[-1] > 0
+
+
+def test_host_cap_applied(result):
+    per_host = (
+        result.curated
+        .groupBy(F.try_parse_url("url", F.lit("HOST")).alias("h"))
+        .agg(F.count("*").alias("n")).collect()
+    )
+    assert all(r["n"] <= 10 for r in per_host)
+
+
+def test_splits_and_shards(result):
+    rows = result.curated.select("split", "shard_id").collect()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    for r in rows:
+        if r["split"] == "train":
+            assert r["shard_id"] >= 0
+        else:
+            assert r["shard_id"] == -1
+    n_curated = dict(result.funnel)["curated"]
+    assert len(rows) == n_curated
+
+
+def test_deterministic_rerun(docs, result):
+    again = curate(docs, CurationConfig(host_cap=10, shard_budget=500))
+    assert again.funnel == result.funnel
+    a = sorted(map(tuple, result.curated.collect()))
+    b = sorted(map(tuple, again.curated.collect()))
+    assert a == b
+
+
+def test_run_job_curate_mode(spark, sf_smoke_dir, tmp_path, capsys):
+    import sys
+
+    import run_job
+
+    out_dir = str(tmp_path / "cur_out")
+    old = sys.argv
+    sys.argv = ["run_job.py", "--sf-dir", sf_smoke_dir, "--output", out_dir,
+                "--mode", "curate", "--host-cap", "10",
+                "--shard-budget", "500", "--max-tokens", "25"]
+    try:
+        rc = run_job.main()
+    finally:
+        sys.argv = old
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(out[-1])
+    funnel = json.load(open(f"{out_dir}/funnel.json"))
+    assert summary["processed_docs"] == funnel["curated"] > 0
+    curated = spark.read.parquet(f"{out_dir}/curated")
+    assert curated.count() == funnel["curated"]
+    assert os.path.isdir(f"{out_dir}/curated")
