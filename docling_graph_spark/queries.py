@@ -3408,6 +3408,111 @@ FROM j
 """
 
 
+# keep in sync with curation.FLUENCY_DEFAULT_THRESHOLD (TRIGRAM_SCALE/20)
+FLUENCY_THRESHOLD_SQL = 50_000
+_HOSTCAP_K = 8
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation funnel (docling_graph_spark/curation.py)
+    over the synthesized corpus: per-stage survivor counts for
+    Gopher gates → LM-fluency gate → exact dedup → host cap.  The oracle
+    replays every gate as chained CTEs, so this row set checks the
+    COMPOSITION of the operator suite, not just each operator alone."""
+    from . import curation
+    from .sources.web_pages import synthesize_web_pages
+
+    docs = synthesize_web_pages(spark, sf_dir).select("url", "text", "lang")
+    res = curation.curate(
+        docs, curation.CurationConfig(host_cap=_HOSTCAP_K))
+    return spark.createDataFrame(
+        [(s, int(n)) for s, n in res.funnel], "stage string, n_docs long"
+    ).orderBy("stage")
+
+
+SQL_CURATION_FUNNEL = f"""
+WITH docs0 AS (
+  SELECT doc_id, {_URL} AS url, text, lang FROM documents),
+g_l AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '),
+                     x -> len(x) > 0) AS w
+  FROM docs0),
+g_w AS (SELECT doc_id, unnest(w) AS word FROM g_l),
+g_wc AS (SELECT doc_id, word, count(*) AS c FROM g_w
+         GROUP BY doc_id, word),
+g_pw AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_word,
+                sum(c * len(word)) AS n_chars_w
+         FROM g_wc GROUP BY doc_id),
+g_big AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1])) AS bg
+  FROM g_l WHERE len(w) >= 2),
+g_bgc AS (SELECT doc_id, bg, count(*) AS c FROM g_big GROUP BY doc_id, bg),
+g_pb AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram
+         FROM g_bgc GROUP BY doc_id),
+g_per AS (
+  SELECT g_l.doc_id,
+         coalesce(g_pw.n_words, 0) AS n_words,
+         coalesce(g_pw.n_chars_w, 0) AS n_chars_w,
+         coalesce(g_pw.top_word, 0) AS top_word,
+         coalesce(g_pb.n_bigrams, 0) AS n_bigrams,
+         coalesce(g_pb.top_bigram, 0) AS top_bigram
+  FROM g_l LEFT JOIN g_pw USING (doc_id) LEFT JOIN g_pb USING (doc_id)),
+d1 AS (
+  SELECT docs0.* FROM docs0 JOIN g_per USING (doc_id)
+  WHERE NOT (n_words < 50 OR n_words > 100000)
+    AND NOT (3 * n_words > n_chars_w OR n_chars_w > 10 * n_words)
+    AND NOT (10 * top_word > n_words)
+    AND NOT (n_bigrams > 0 AND 20 * top_bigram > n_bigrams)),
+t_nrm AS (
+  SELECT doc_id,
+         ' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' '
+           AS n
+  FROM d1),
+t_inst AS (
+  SELECT doc_id, substr(n, CAST(i AS BIGINT), 3) AS gram
+  FROM t_nrm, LATERAL (SELECT unnest(generate_series(1, length(n) - 2))
+                       AS i)
+  WHERE length(n) >= 3),
+t_c3 AS (SELECT gram, count(*) AS c3 FROM t_inst GROUP BY gram),
+t_c2 AS (SELECT substr(gram, 1, 2) AS ctx, sum(c3) AS c2
+         FROM t_c3 GROUP BY 1),
+t_model AS (
+  SELECT gram, (1000000 * t_c3.c3) // t_c2.c2 AS p_scaled
+  FROM t_c3 JOIN t_c2 ON substr(t_c3.gram, 1, 2) = t_c2.ctx),
+t_scores AS (
+  SELECT doc_id, sum(p_scaled) // count(*) AS score
+  FROM t_inst JOIN t_model USING (gram) GROUP BY doc_id),
+d2 AS (
+  SELECT d1.* FROM d1 JOIN t_scores USING (doc_id)
+  WHERE score >= {FLUENCY_THRESHOLD_SQL}),
+dd AS (SELECT md5(text) AS h, min(url) AS u FROM d2 GROUP BY 1),
+d3 AS (SELECT d2.* FROM d2 JOIN dd ON d2.url = dd.u),
+hc_ranked AS (
+  SELECT url, row_number() OVER (
+    PARTITION BY regexp_extract(url, '^https?://([^/]+)', 1)
+    ORDER BY md5('dghostcap' || url), url) AS rn
+  FROM d3),
+d4 AS (SELECT d3.* FROM d3 JOIN hc_ranked USING (url)
+       WHERE rn <= {_HOSTCAP_K})
+SELECT stage, n_docs FROM (
+  SELECT 'input' AS stage,
+         (SELECT CAST(count(*) AS BIGINT) FROM docs0) AS n_docs
+  UNION ALL SELECT 'gopher_quality',
+         (SELECT CAST(count(*) AS BIGINT) FROM d1)
+  UNION ALL SELECT 'lm_fluency',
+         (SELECT CAST(count(*) AS BIGINT) FROM d2)
+  UNION ALL SELECT 'exact_dedup',
+         (SELECT CAST(count(*) AS BIGINT) FROM d3)
+  UNION ALL SELECT 'host_cap',
+         (SELECT CAST(count(*) AS BIGINT) FROM d4)
+  UNION ALL SELECT 'curated',
+         (SELECT CAST(count(*) AS BIGINT) FROM d4)
+) ORDER BY stage
+"""
+
+
 def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-prep suite in one relation (stage, metric, value): PII
     redaction, C4-style line dedup, broadcast host blocklist, URL
@@ -3430,6 +3535,10 @@ def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_dup_spans(spark, sf_dir), "dup_spans"))
         .unionByName(_unpivot_single_row(
             q_lm_fluency(spark, sf_dir), "lm_fluency"))
+        .unionByName(q_curation_funnel(spark, sf_dir).select(
+            F.lit("funnel").alias("stage"),
+            F.col("stage").alias("metric"),
+            F.col("n_docs").cast("string").alias("value")))
         .orderBy("stage", "metric")
     )
 
@@ -3449,7 +3558,8 @@ hb AS ({SQL_HOST_BLOCKLIST}),
 uc AS ({SQL_URL_CANONICAL_DEDUP}),
 dc AS ({SQL_DECONTAMINATION}),
 ds AS ({SQL_DUP_SPANS}),
-lm AS ({SQL_LM_FLUENCY})
+lm AS ({SQL_LM_FLUENCY}),
+fu AS ({SQL_CURATION_FUNNEL})
 SELECT stage, metric, value FROM (
 {_sql_unpivot('pii', 'pii',
               ['n_emails', 'n_phones', 'n_ips', 'docs_with_pii',
@@ -3477,6 +3587,9 @@ SELECT stage, metric, value FROM (
 {_sql_unpivot('lm', 'lm_fluency',
               ['n_docs', 'n_unscored', 'sum_score', 'min_score',
                'max_score', 'low_fluency_docs'])}
+  UNION ALL
+  SELECT 'funnel' AS stage, fu.stage AS metric,
+         CAST(n_docs AS VARCHAR) AS value FROM fu
 ) ORDER BY stage, metric
 """
 
@@ -3516,7 +3629,6 @@ FROM pos GROUP BY 1 ORDER BY 1
 """
 
 
-_HOSTCAP_K = 8
 
 
 def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
