@@ -23,6 +23,18 @@ one labelled relation each.  Merge map (merged query -> operators covered):
   signature_stats     = simhash_dedup + doc_fingerprints  (per-lang join)
   link_graph_stats    = host_link_graph + host_pagerank + anchor_texts
                         (crawl link-graph suite, operators/linkgraph.py)
+  ann_topk            = embedding_knn + ann_lsh_bucketed + ann_ivf
+                        (method column: exact | lsh | ivf)
+
+Round-2-continuation additions (still 50 total):
+  corpus_prep_stats  += lm_fluency stage (char-trigram LM scoring) and
+                        funnel stage (the full curation.py composition,
+                        chained-CTE oracle)
+  sampling_splits    += shard section (token-budget prefix-sum packing)
+                        and hostcap section (per-host doc caps)
+  semantic_dedup      = SemDeDup cluster near-dup (40 planted dups)
+  page_metadata       = title/html-lang/h1/outlink extraction
+  link_graph_stats / signature_stats as above
 
 Every merged section still runs its full operator; the single-purpose
 query functions remain in docling_graph_spark.queries as building blocks.
