@@ -77,6 +77,7 @@ def clear_caches() -> None:
         except Exception:
             pass
     _MINHASH_CACHE.clear()
+    _FUNNEL_CACHE.clear()
     for df in _TRACKED_PERSISTS.values():
         try:
             df.unpersist()
@@ -3413,20 +3414,32 @@ FLUENCY_THRESHOLD_SQL = 50_000
 _HOSTCAP_K = 8
 
 
+_FUNNEL_CACHE: Dict[Tuple[str, str, str], list] = {}
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end curation funnel (docling_graph_spark/curation.py)
     over the synthesized corpus: per-stage survivor counts for
     Gopher gates → LM-fluency gate → exact dedup → host cap.  The oracle
     replays every gate as chained CTEs, so this row set checks the
-    COMPOSITION of the operator suite, not just each operator alone."""
-    from . import curation
-    from .sources.web_pages import synthesize_web_pages
+    COMPOSITION of the operator suite, not just each operator alone.
 
-    docs = synthesize_web_pages(spark, sf_dir).select("url", "text", "lang")
-    res = curation.curate(
-        docs, curation.CurationConfig(host_cap=_HOSTCAP_K))
+    The funnel runs 4 sequential checkpoint+count jobs, so the (tiny,
+    deterministic) count list is memoized per (session, corpus) — same
+    keying discipline as the pipeline cache."""
+    key = (_session_key(spark), sf_dir,
+           _corpus_fingerprint(sf_dir, "documents"))
+    if key not in _FUNNEL_CACHE:
+        from . import curation
+        from .sources.web_pages import synthesize_web_pages
+
+        docs = synthesize_web_pages(spark, sf_dir).select(
+            "url", "text", "lang")
+        res = curation.curate(
+            docs, curation.CurationConfig(host_cap=_HOSTCAP_K))
+        _FUNNEL_CACHE[key] = [(s, int(n)) for s, n in res.funnel]
     return spark.createDataFrame(
-        [(s, int(n)) for s, n in res.funnel], "stage string, n_docs long"
+        _FUNNEL_CACHE[key], "stage string, n_docs long"
     ).orderBy("stage")
 
 
