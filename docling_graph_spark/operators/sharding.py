@@ -19,11 +19,12 @@ Scale design — the naive formulation is a single global window
 (``sum() over (order by doc_id)``), which Spark executes as a sort into
 ONE partition: a non-starter at 10^12 rows.  Instead:
 
-1. ``repartitionByRange(order_col)`` — range-partition the (narrow)
-   ``(order, tokens)`` projection; partitions hold disjoint, sorted key
-   ranges.
-2. Per-partition prefix sums via a window PARTITIONED by
-   ``spark_partition_id()`` — runs in parallel, no global sort.
+1. Bucket the (narrow) ``(order, tokens)`` projection into ordered,
+   disjoint key ranges — explicit ``(key - min) div width`` buckets for
+   integer keys (no extra shuffle), ``repartitionByRange`` +
+   ``spark_partition_id()`` otherwise.
+2. Per-bucket prefix sums via a window PARTITIONED by the bucket id —
+   runs in parallel, no global sort.
 3. Per-partition totals (one row per partition, a few hundred/thousand
    rows) are collected to the driver, ordered by each partition's minimum
    key — legal because range partitioning makes partition key-ranges
@@ -160,4 +161,42 @@ def shard_stats(assigned: DataFrame,
         .agg(F.count("*").alias("n_docs"),
              F.sum(tokens_col).alias("shard_tokens"))
         .orderBy("shard_id")
+    )
+
+
+def pack_sequences(docs_with_shards: DataFrame,
+                   order_col: str = "doc_id",
+                   text_col: str = "text",
+                   tokens_col: str = "n_tokens",
+                   separator: str = "\n\n") -> DataFrame:
+    """(shard_id, order, text, tokens) -> one row per shard:
+    (shard_id, packed_text, n_docs, n_tokens) — the concatenated
+    trainer-input form of a shard, documents joined in ``order_col``
+    order by ``separator``.
+
+    This is the "sample packing" step after :func:`pack_shards`: a
+    shard's documents are concatenated into one sequence the trainer
+    consumes directly.  Deterministic: array_sort on the (order, text)
+    struct fixes concatenation order regardless of partitioning.
+
+    Scale: one groupBy(shard_id) — each group's payload is bounded by
+    the shard budget (+1 straddling doc), so collect_list rows are
+    budget-sized by construction, never corpus-sized; the agg shuffles
+    each text byte exactly once."""
+    parts = F.array_sort(F.collect_list(F.struct(
+        F.col(order_col).alias("o"), F.col(text_col).alias("t"),
+    )))
+    return (
+        docs_with_shards.groupBy("shard_id")
+        .agg(
+            parts.alias("_parts"),
+            F.count("*").alias("n_docs"),
+            F.sum(tokens_col).alias("n_tokens"),
+        )
+        .select(
+            "shard_id",
+            F.array_join(F.transform("_parts", lambda s: s["t"]),
+                         separator).alias("packed_text"),
+            "n_docs", "n_tokens",
+        )
     )

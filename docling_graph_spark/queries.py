@@ -3683,8 +3683,11 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-host caps in one relation: hash-stratified sample accounting per
     lang (section='sample'), md5-range train/val/test assignment
     (section='split'), token-budget shard packing (section='shard',
-    bucket=shard_id), and the per-host document cap
-    (section='hostcap')."""
+    bucket=shard_id), packed trainer sequences (section='packed',
+    bucket=md5 of the packed bytes — an exact-content gate), and the
+    per-host document cap (section='hostcap')."""
+    from .operators import sharding as op_sh_mod
+
     strat = q_stratified_sample(spark, sf_dir)
     spl = q_train_val_test_split(spark, sf_dir)
     a = strat.select(
@@ -3701,6 +3704,16 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").alias("n_docs"),
         F.col("shard_tokens").alias("measure"),
     )
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    counted = op_sh_mod.token_counts(docs)
+    assigned = op_sh_mod.pack_shards(counted, budget=_SHARD_BUDGET)
+    packed = op_sh_mod.pack_sequences(assigned.join(docs, "doc_id"))
+    e = packed.select(
+        F.lit("packed").alias("section"),
+        F.md5(F.col("packed_text").cast("binary")).alias("bucket"),
+        F.col("n_docs").alias("n_docs"),
+        F.length("packed_text").cast("long").alias("measure"),
+    )
     hc = q_host_cap(spark, sf_dir)
     d = hc.select(F.explode(F.array(
         F.struct(F.lit("docs").alias("bucket"),
@@ -3716,7 +3729,7 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("hostcap").alias("section"), F.col("kv.bucket").alias("bucket"),
         F.col("kv.n_docs").alias("n_docs"), F.col("kv.measure").alias("measure"),
     )
-    return (a.unionByName(b).unionByName(c).unionByName(d)
+    return (a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
             .orderBy("section", "bucket"))
 
 
@@ -3729,6 +3742,18 @@ SELECT section, bucket, n_docs, measure FROM (
   UNION ALL
   SELECT 'shard', CAST(shard_id AS VARCHAR), n_docs, shard_tokens
   FROM ({SQL_SHARD_PACKING})
+  UNION ALL
+  SELECT 'packed', md5(p), n_docs, length(p) FROM (
+    SELECT shard_id,
+           string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS p,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT doc_id, text,
+             coalesce(sum((length(text) * 3) // 10) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {_SHARD_BUDGET} AS shard_id
+      FROM documents)
+    GROUP BY shard_id)
   UNION ALL
   SELECT 'hostcap', bucket, n_docs, measure FROM (
     SELECT 'docs' AS bucket, kept_docs AS n_docs, total_docs AS measure

@@ -112,6 +112,9 @@ def main() -> int:
                          "(default 1Mi)")
     ap.add_argument("--host-cap", type=int, default=10_000,
                     help="curate mode: max docs kept per host")
+    ap.add_argument("--packed", action="store_true",
+                    help="shards mode: also write packed trainer "
+                         "sequences (one concatenated text per shard)")
     ap.add_argument("--target-file-mb", type=int, default=None,
                     help="compact mode: also bin-pack each stage table's "
                          "data files toward this size (small-files "
@@ -320,6 +323,13 @@ def main() -> int:
         for r in rows:
             print(f"shard {r['shard_id']}: {r['n_docs']} docs, "
                   f"{r['shard_tokens']} tokens")
+        if args.packed:
+            packed = sharding.pack_sequences(
+                ext.select("url", "text")
+                   .join(assigned.select("url", "shard_id", "n_tokens"),
+                         "url"),
+                order_col="url", text_col="text")
+            packed.write.mode("overwrite").parquet(f"{out}/packed")
         # the manifest already counts every written row — no re-scan of
         # the wide shards table just for the summary line
         processed = sum(r["n_docs"] for r in rows)

@@ -126,3 +126,21 @@ def test_shards_mode_exports_budgeted_shards(spark, sf_smoke_dir, tmp_path,
     for sid, row in manifest.items():
         if sid != max(manifest):
             assert row["shard_tokens"] <= 2000 + max_doc
+
+
+def test_shards_mode_packed_sequences(spark, sf_smoke_dir, tmp_path,
+                                      capsys):
+    out_dir = str(tmp_path / "pout")
+    rc, _ = _run(["--sf-dir", sf_smoke_dir, "--output", out_dir,
+                  "--mode", "oneshot", "--max-tokens", "25"], capsys)
+    assert rc == 0
+    rc, _ = _run(["--mode", "shards", "--output", out_dir,
+                  "--shard-budget", "2000", "--packed"], capsys)
+    assert rc == 0
+    packed = spark.read.parquet(f"{out_dir}/packed")
+    ext = spark.read.parquet(f"{out_dir}/extracted")
+    rows = packed.collect()
+    assert sum(r["n_docs"] for r in rows) == ext.count()
+    # every shard's packed text joins its docs with the separator
+    assert all(r["packed_text"].count("\n\n") >= r["n_docs"] - 1 >= 0
+               for r in rows)

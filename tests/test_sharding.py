@@ -104,3 +104,24 @@ def test_numeric_key_single_narrow_shuffle(spark, toy):
     plan_str = formatted_plan(
         sharding.bucketed_local_prefix(keyed, "k", "n_tokens", 8))
     assert plan_str.count("+- Exchange") == 2, plan_str
+
+
+def test_pack_sequences_order_and_totals(spark):
+    df = spark.createDataFrame(
+        [(3, "c", 1, 0), (1, "a", 1, 0), (2, "b", 1, 0), (9, "z", 1, 1)],
+        "doc_id long, text string, n_tokens long, shard_id long")
+    got = {r["shard_id"]: r
+           for r in sharding.pack_sequences(df).collect()}
+    assert got[0]["packed_text"] == "a\n\nb\n\nc"   # doc_id order
+    assert got[0]["n_docs"] == 3 and got[0]["n_tokens"] == 3
+    assert got[1]["packed_text"] == "z"
+
+
+def test_pack_sequences_partitioning_invariant(spark, toy):
+    counted = sharding.token_counts(toy)
+    assigned = sharding.pack_shards(counted, budget=300)
+    joined = assigned.join(toy, "doc_id")
+    a = sorted(map(tuple, sharding.pack_sequences(joined).collect()))
+    b = sorted(map(tuple, sharding.pack_sequences(
+        joined.repartition(17)).collect()))
+    assert a == b
