@@ -87,3 +87,29 @@ def test_run_job_curate_mode(spark, sf_smoke_dir, tmp_path, capsys):
     curated = spark.read.parquet(f"{out_dir}/curated")
     assert curated.count() == funnel["curated"]
     assert os.path.isdir(f"{out_dir}/curated")
+
+
+def test_adversarial_corpus_flows_through(spark):
+    """NULL/empty/whitespace/single-word texts and junk urls must flow
+    through every gate without crashing; none survive the quality gates
+    (word-count floor) except the long fluent docs."""
+    # 60 distinct medium-length words: passes word-count floor, mean-len
+    # band, and the top-word/top-bigram repetition gates
+    fluent = " ".join(f"token{i:03d}" for i in range(60))
+    rows = (
+        [(f"https://ok.example.com/{i}", fluent + f" tail{i}", "en")
+         for i in range(30)]
+        + [("https://bad.example.com/null", None, "en"),
+           ("https://bad.example.com/empty", "", "en"),
+           ("https://bad.example.com/space", "   ", "en"),
+           ("https://bad.example.com/one", "word", "en"),
+           ("not a url at all", fluent, "en")]
+    )
+    docs = spark.createDataFrame(rows, "url string, text string, lang string")
+    res = curate(docs, CurationConfig(host_cap=50, shard_budget=200))
+    funnel = dict(res.funnel)
+    assert funnel["input"] == 35
+    # the 30 fluent docs + the junk-url fluent doc pass quality gates
+    assert funnel["gopher_quality"] == 31
+    assert funnel["curated"] == 31
+    assert res.curated.filter(F.col("text").isNull()).count() == 0
