@@ -646,3 +646,45 @@ def host_cap_stats(pages: DataFrame, k: int,
         "total_docs", "kept_docs", "n_hosts", "hosts_at_cap",
         "max_host_docs", "max_kept_docs",
     )
+
+
+def trigram_fluency_scores_per_lang(docs: DataFrame,
+                                    text_col: str = "text",
+                                    lang_col: str = "lang",
+                                    scale: int = TRIGRAM_SCALE) -> DataFrame:
+    """(doc_id, lang, n_grams, score): per-LANGUAGE trigram models — the
+    faithful CCNet shape (Wenzek et al. 2020 scores each language against
+    its own KenLM model).  Same integer arithmetic as the corpus-global
+    :func:`trigram_fluency_scores`; the model key is (lang, gram), still
+    ≤ n_langs·27³ rows and broadcastable.
+
+    Routing matters for mixed corpora: under a global model the dominant
+    language's trigram distribution scores every other language as
+    disfluent; per-lang models judge each document against its own
+    language's statistics (property unit-tested with an interleaved
+    en/"rot13-like" corpus)."""
+    inst = (
+        _trigram_instances(
+            docs.select("doc_id", text_col), text_col)
+        .join(docs.select("doc_id", F.col(lang_col).alias("lang")),
+              "doc_id")
+    )
+    c3 = inst.groupBy("lang", "gram").agg(F.count("*").alias("c3"))
+    c2 = (
+        c3.groupBy("lang", F.substring("gram", 1, 2).alias("ctx"))
+        .agg(F.sum("c3").alias("c2"))
+    )
+    model = (
+        c3.withColumn("ctx", F.substring("gram", 1, 2))
+        .join(c2, ["lang", "ctx"])
+        .select("lang", "gram",
+                F.expr(f"({int(scale)} * c3) div c2").alias("p_scaled"))
+    )
+    return (
+        inst.join(F.broadcast(model), ["lang", "gram"])
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_grams"),
+             F.sum("p_scaled").alias("_s"))
+        .select("doc_id", "lang", "n_grams",
+                F.expr("_s div n_grams").alias("score"))
+    )

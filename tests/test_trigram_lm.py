@@ -58,3 +58,25 @@ def test_deterministic_across_partitioning(spark, corpus):
     b = sorted(map(tuple, textprep.trigram_fluency_scores(
         corpus.repartition(7)).collect()))
     assert a == b
+
+
+def test_per_lang_models_route_correctly(spark):
+    """Under per-lang models, a minority language's fluent docs score as
+    well against their own model as the majority language does against
+    its — a global model would score them as gibberish."""
+    en = "the quick brown fox jumps over the lazy dog and runs away home"
+    xx = "zqx vwk pzj qvw xzk jqp wvz kxq pjz qwv zkx jpq"  # own statistics
+    rows = ([(i, en + f" extra{i}", "en") for i in range(30)]
+            + [(100 + i, xx + f" zz{i}", "xx") for i in range(10)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    per = {r["doc_id"]: r["score"]
+           for r in textprep.trigram_fluency_scores_per_lang(docs).collect()}
+    glob = {r["doc_id"]: r["score"]
+            for r in textprep.trigram_fluency_scores(docs).collect()}
+    xx_per = min(per[100 + i] for i in range(10))
+    xx_glob = max(glob[100 + i] for i in range(10))
+    # routing lifts the minority language's scores
+    assert xx_per > xx_glob
+    thr = textprep.TRIGRAM_SCALE // 20
+    assert xx_per >= thr         # passes the gate under its own model
