@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-HREF_RE = r'<a href="([^"]+)"'
+HREF_RE = r'<a [^>]*href="([^"]+)"'  # attrs may precede href
 HOST_RE = r"^https?://([^/]+)"
 
 PAGERANK_SCALE = 1_000_000
@@ -36,19 +36,33 @@ PAGERANK_ITERATIONS = 5
 DAMPING_NUM, DAMPING_DEN = 85, 100  # d = 0.85 as an exact rational
 
 
+# whole <a ...> open tag carrying rel=nofollow (SEO-standard link-juice
+# opt-out, also used for ugc/sponsored links since 2019): any rel value
+# containing the nofollow token
+NOFOLLOW_TAG_RE = '<a [^>]*rel="[^"]*nofollow[^"]*"[^>]*>'
+
+
 def extract_outlinks(pages: DataFrame, url_col: str = "url",
-                     html_col: str = "html") -> DataFrame:
+                     html_col: str = "html",
+                     skip_nofollow: bool = False) -> DataFrame:
     """(url, html) -> (src_host, dst_host, href), one row per anchor.
 
     Relative hrefs resolve to the page's own host; absolute http(s) hrefs
     to their own host.  Non-HTML payloads (e.g. PDF bytes) simply match no
     anchors.  Entirely codegen'd: decode + regexp + explode in the scan
-    stage."""
+    stage.
+
+    ``skip_nofollow=True`` drops anchors whose tag carries
+    rel="...nofollow..." BEFORE href extraction (crawl-graph convention:
+    nofollow links carry no endorsement, so they should not contribute
+    PageRank mass or anchor pairs) — implemented by blanking the matching
+    tags with one extra regexp_replace, still scan-stage codegen."""
     src_host = F.regexp_extract(F.col(url_col), HOST_RE, 1)
-    hrefs = F.expr(
-        f"regexp_extract_all(CAST({html_col} AS STRING), "
-        f"'{HREF_RE}', 1)"
-    )
+    payload = f"CAST({html_col} AS STRING)"
+    if skip_nofollow:
+        payload = (f"regexp_replace({payload}, "
+                   f"'{NOFOLLOW_TAG_RE}', '<a>')")
+    hrefs = F.expr(f"regexp_extract_all({payload}, '{HREF_RE}', 1)")
     out = pages.select(src_host.alias("src_host"),
                        F.explode(hrefs).alias("href"))
     dst = F.when(
@@ -59,10 +73,11 @@ def extract_outlinks(pages: DataFrame, url_col: str = "url",
 
 
 def host_link_graph(pages: DataFrame, url_col: str = "url",
-                    html_col: str = "html") -> DataFrame:
+                    html_col: str = "html",
+                    skip_nofollow: bool = False) -> DataFrame:
     """Weighted host-level edge list: (src_host, dst_host, n_links)."""
     return (
-        extract_outlinks(pages, url_col, html_col)
+        extract_outlinks(pages, url_col, html_col, skip_nofollow)
         .groupBy("src_host", "dst_host")
         .agg(F.count("*").alias("n_links"))
     )
@@ -124,7 +139,7 @@ def pagerank(edges: DataFrame, src: str = "src_host",
     return ranks
 
 
-ANCHOR_RE = r'<a href="([^"]+)">([^<]*)</a>'
+ANCHOR_RE = r'<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>'
 
 
 def anchor_text_pairs(pages: DataFrame, url_col: str = "url",

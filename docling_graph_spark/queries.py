@@ -1913,7 +1913,7 @@ links AS (
   SELECT doc_id,
          concat('host', CAST({_HOST_ID} AS VARCHAR), '.example.com')
            AS src_host,
-         unnest(regexp_extract_all({_HTML_PAGE_SQL}, '<a href="([^"]+)"', 1))
+         unnest(regexp_extract_all({_HTML_PAGE_SQL}, '<a [^>]*href="([^"]+)"', 1))
            AS href
   FROM documents WHERE doc_id % 50 <> 49
 ),
@@ -1995,9 +1995,9 @@ WITH anchors AS (
   SELECT concat('host', CAST({_HOST_ID} AS VARCHAR), '.example.com')
            AS src_host,
          regexp_extract_all({_HTML_PAGE_SQL},
-                            '<a href="([^"]+)">([^<]*)</a>', 1) AS hl,
+                            '<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>', 1) AS hl,
          regexp_extract_all({_HTML_PAGE_SQL},
-                            '<a href="([^"]+)">([^<]*)</a>', 2) AS al
+                            '<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>', 2) AS al
   FROM documents WHERE doc_id % 50 <> 49
 ),
 pairs AS (
@@ -2082,7 +2082,7 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_pages,
        CAST(sum(CASE WHEN regexp_extract(s, '<html lang="([^"]+)"', 1)
                           = lang THEN 1 ELSE 0 END) AS BIGINT)
          AS n_lang_match,
-       CAST(sum(len(regexp_extract_all(s, '<a href="([^"]+)"', 1)))
+       CAST(sum(len(regexp_extract_all(s, '<a [^>]*href="([^"]+)"', 1)))
             AS BIGINT) AS total_links
 FROM pg GROUP BY lang ORDER BY lang
 """

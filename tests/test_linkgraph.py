@@ -115,3 +115,23 @@ def test_anchor_texts_matches_oracle(spark, sf_smoke_dir):
     sdf = q.q_anchor_texts(spark, sf_smoke_dir)
     dcols, drows = _oracle(sf_smoke_dir, q.SQL_ANCHOR_TEXTS)
     _compare(sdf, dcols, drows)
+
+
+def test_nofollow_links_excluded(spark):
+    html = (b'<html><body>'
+            b'<a href="https://good.example.com/">endorsed</a>'
+            b'<a href="https://spam.example.com/" rel="nofollow">paid</a>'
+            b'<a rel="ugc nofollow" href="https://ugc.example.com/">c</a>'
+            b'<a href="/local" rel="author">fine</a>'
+            b'</body></html>')
+    pages = spark.createDataFrame(
+        [("https://src.example.com/p", html)], "url string, html binary")
+    from docling_graph_spark.operators import linkgraph as lg
+
+    all_links = {r["dst_host"]
+                 for r in lg.extract_outlinks(pages).collect()}
+    followed = {r["dst_host"] for r in lg.extract_outlinks(
+        pages, skip_nofollow=True).collect()}
+    assert all_links == {"good.example.com", "spam.example.com",
+                         "ugc.example.com", "src.example.com"}
+    assert followed == {"good.example.com", "src.example.com"}
