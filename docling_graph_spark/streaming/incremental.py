@@ -70,7 +70,8 @@ def run_incremental(spark: SparkSession, input_dir: str, output_root: str,
                     config: Optional[PipelineConfig] = None,
                     input_format: str = "parquet",
                     wet_dir: Optional[str] = None,
-                    dedup_urls: bool = False) -> None:
+                    dedup_urls: bool = False,
+                    link_edges: bool = False) -> None:
     """Drain all currently-unprocessed input files, then stop.
 
     Appends `extracted`, `chunks`, `doc_mentions` and `metrics` tables under
@@ -81,6 +82,13 @@ def run_incremental(spark: SparkSession, input_dir: str, output_root: str,
     ``wet_dir``: also publish each micro-batch's extracted text as
     WET-style crawl files (``wet_dir/batch-<id>/wet-*.warc.gz``, written
     from executors) — continuous WET production from a raw crawl stream.
+
+    ``link_edges``: also append each micro-batch's host-level outlink
+    edge list (partial counts) to ``host_edges``;
+    :func:`finalize_link_graph` re-aggregates and ranks downstream.
+    With ``dedup_urls`` the accumulated edges are exactly-once per url;
+    without it, re-captures contribute one edge set per capture
+    (temporal-diff semantics, same as the stage tables).
 
     ``dedup_urls``: real crawls re-capture urls across crawl files; with
     this on, each url is processed once — within a micro-batch the newest
@@ -130,6 +138,14 @@ def run_incremental(spark: SparkSession, input_dir: str, output_root: str,
             from ..sources.warc import write_wet
 
             write_wet(extracted, f"{wet_dir.rstrip('/')}/batch-{batch_id}")
+        if link_edges:
+            from ..operators import linkgraph as op_lg
+
+            # per-batch partial counts; finalize_link_graph re-sums —
+            # integer add is associative, so accumulation order and batch
+            # boundaries cannot change the final weights
+            op_lg.host_link_graph(batch_df).write.mode("append").parquet(
+                f"{root}/host_edges")
         extracted.unpersist()
 
     query = (
@@ -207,3 +223,29 @@ def assemble_accumulated_graph(spark: SparkSession, output_root: str,
         nodes = spark.read.parquet(f"{root}/nodes")
         edges = spark.read.parquet(f"{root}/edges")
     return nodes, edges
+
+
+def finalize_link_graph(spark: SparkSession, output_root: str,
+                        write: bool = True) -> "tuple[DataFrame, DataFrame]":
+    """Corpus-global host link graph + integer PageRank over the
+    ``host_edges`` partial counts a stream accumulated: re-aggregate
+    (sum of per-batch n_links — exact, since integer addition is
+    associative across any batch split) and rank.  Returns
+    (edges, ranks); with ``write`` they land as ``host_edges_final`` /
+    ``host_ranks`` snapshots (overwrite — finalize rebuilds the global
+    view, the append-only partials remain the source of truth)."""
+    from pyspark.sql import functions as F
+
+    from ..operators import linkgraph as op_lg
+
+    root = output_root.rstrip("/")
+    partials = spark.read.parquet(f"{root}/host_edges")
+    edges = (partials.groupBy("src_host", "dst_host")
+             .agg(F.sum("n_links").alias("n_links")))
+    ranks = op_lg.pagerank(edges)
+    if write:
+        edges.write.mode("overwrite").parquet(f"{root}/host_edges_final")
+        ranks.write.mode("overwrite").parquet(f"{root}/host_ranks")
+        edges = spark.read.parquet(f"{root}/host_edges_final")
+        ranks = spark.read.parquet(f"{root}/host_ranks")
+    return edges, ranks

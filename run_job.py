@@ -119,6 +119,10 @@ def main() -> int:
                     help="compact mode: also bin-pack each stage table's "
                          "data files toward this size (small-files "
                          "maintenance after many incremental runs)")
+    ap.add_argument("--link-graph", action="store_true",
+                    help="stream mode: also accumulate the host-level "
+                         "outlink edge list per micro-batch; graph mode "
+                         "finalizes it into host_edges_final/host_ranks")
     ap.add_argument("--dedup-urls", action="store_true",
                     help="stream mode: process each url once (newest "
                          "capture wins within a batch; re-crawls of "
@@ -258,7 +262,8 @@ def main() -> int:
                 fh.write(fmt)
         run_incremental(spark, args.input, args.output, ckpt, cfg,
                         input_format=fmt, wet_dir=args.wet_output,
-                        dedup_urls=args.dedup_urls)
+                        dedup_urls=args.dedup_urls,
+                        link_edges=args.link_graph)
         processed = spark.read.parquet(
             f"{args.output.rstrip('/')}/extracted"
         ).count()
@@ -271,6 +276,13 @@ def main() -> int:
         nodes, edges = assemble_accumulated_graph(spark, args.output, cfg)
         processed = nodes.count()
         print(f"graph finalized: {processed} nodes, {edges.count()} edges")
+        if os.path.isdir(f"{args.output.rstrip('/')}/host_edges"):
+            from docling_graph_spark.streaming.incremental import (
+                finalize_link_graph,
+            )
+            le, lr = finalize_link_graph(spark, args.output)
+            print(f"link graph finalized: {le.count()} host edges, "
+                  f"{lr.count()} ranked hosts")
         if args.report:
             from docling_graph_spark import visualizers
             visualizers.write_report(

@@ -196,3 +196,33 @@ def test_ivf_knn_recall_vs_brute_force(spark, sf_smoke_dir):
     }
     hits = sum(1 for k in exact if approx.get(k) == exact[k])
     assert hits >= len(exact) // 2, f"recall@1 too low: {hits}/{len(exact)}"
+
+
+def test_incremental_link_graph_matches_batch(spark, sf_smoke_dir,
+                                              tmp_path):
+    """Host-edge partials accumulated across two stream drains re-sum to
+    exactly the single-batch link graph, and the finalized integer
+    PageRank is bit-identical to ranking the batch-computed edges."""
+    from docling_graph_spark.operators import linkgraph as op_lg
+    from docling_graph_spark.streaming.incremental import (
+        finalize_link_graph,
+    )
+
+    pages = synthesize_web_pages(spark, sf_smoke_dir)
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    half1 = pages.filter(F.crc32(F.col("url")) % 2 == 0)
+    half2 = pages.filter(F.crc32(F.col("url")) % 2 == 1)
+    half1.write.mode("append").parquet(inbox)
+    run_incremental(spark, inbox, out, ckpt, CFG, link_edges=True)
+    half2.write.mode("append").parquet(inbox)
+    run_incremental(spark, inbox, out, ckpt, CFG, link_edges=True)
+
+    edges, ranks = finalize_link_graph(spark, out)
+    want_edges = sorted(map(tuple, op_lg.host_link_graph(pages).collect()))
+    assert sorted(map(tuple, edges.collect())) == want_edges
+    want_ranks = sorted(map(tuple, op_lg.pagerank(
+        op_lg.host_link_graph(pages)).collect()))
+    assert sorted(map(tuple, ranks.collect())) == want_ranks
