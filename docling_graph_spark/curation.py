@@ -49,6 +49,9 @@ FLUENCY_DEFAULT_THRESHOLD = textprep.TRIGRAM_SCALE // 20
 class CurationConfig:
     gopher: bool = True
     fluency_threshold: int | None = FLUENCY_DEFAULT_THRESHOLD
+    # True = CCNet-style per-language trigram models (each doc judged
+    # against its own language's statistics); False = corpus-global model
+    fluency_per_lang: bool = False
     host_cap: int | None = 10_000
     shard_budget: int = 1 << 20
     split_bounds: "tuple[str, str]" = ("e0", "f0")
@@ -78,8 +81,13 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None,
         funnel.append(("gopher_quality", n))
 
     if cfg.fluency_threshold is not None:
-        scores = textprep.trigram_fluency_scores(
-            cur.select(F.col(url_col).alias("doc_id"), text_col))
+        if cfg.fluency_per_lang:
+            scores = textprep.trigram_fluency_scores_per_lang(
+                cur.select(F.col(url_col).alias("doc_id"), text_col,
+                           "lang"))
+        else:
+            scores = textprep.trigram_fluency_scores(
+                cur.select(F.col(url_col).alias("doc_id"), text_col))
         keep = scores.filter(
             F.col("score") >= cfg.fluency_threshold
         ).select(F.col("doc_id").alias(url_col))

@@ -113,3 +113,17 @@ def test_adversarial_corpus_flows_through(spark):
     assert funnel["gopher_quality"] == 31
     assert funnel["curated"] == 31
     assert res.curated.filter(F.col("text").isNull()).count() == 0
+
+
+def test_per_lang_fluency_config(spark):
+    """fluency_per_lang routes each language through its own model: a
+    minority language that a global model would gate out survives."""
+    en = " ".join(f"token{i:03d}" for i in range(60))
+    xx = " ".join(f"zqxw{i:03d}" for i in range(60))
+    rows = ([(f"https://e.example.com/{i}", en + f" t{i}", "en")
+             for i in range(30)]
+            + [(f"https://x.example.com/{i}", xx + f" z{i}", "xx")
+               for i in range(10)])
+    docs = spark.createDataFrame(rows, "url string, text string, lang string")
+    per = curate(docs, CurationConfig(host_cap=None, fluency_per_lang=True))
+    assert dict(per.funnel)["lm_fluency"] == 40
