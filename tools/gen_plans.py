@@ -83,6 +83,14 @@ def main() -> int:
         formatted_plan(op_md.metadata_stats(synthesize_web_pages(spark, SF))),
     )
 
+    sections["host-cap"] = (
+        "host_cap_sample — skew-aware two-stage top-K: (host, salt) "
+        "window bounds any partition at k*salts rows before the per-host "
+        "window; only the narrow url projection shuffles",
+        formatted_plan(op_tp.host_cap_sample(
+            synthesize_web_pages(spark, SF).select("url"), k=8)),
+    )
+
     wanted = sys.argv[1:] or list(sections)
     for key in wanted:
         title, plan = sections[key]
