@@ -12,6 +12,9 @@ curated set byte-for-byte):
                                    corpus-trained char-trigram model,
                                    integer-scaled scores)
     → exact content dedup         (md5(text) groups, smallest url wins)
+    → MinHash near-dup clusters   (optional: dedup.minhash_lsh_dedup →
+                                   connected components, one survivor
+                                   per cluster)
     → per-host document cap       (textprep.host_cap_sample — skew-aware
                                    two-stage top-K)
     → train/val/test split        (textprep.split_by_hash — disjoint,
@@ -52,6 +55,10 @@ class CurationConfig:
     # True = CCNet-style per-language trigram models (each doc judged
     # against its own language's statistics); False = corpus-global model
     fluency_per_lang: bool = False
+    # MinHash near-dup stage after exact dedup: verified-Jaccard percent
+    # threshold (e.g. 80), or None to skip.  Keeps one doc per duplicate
+    # CLUSTER (connected components), not per pair — transitive dups fall.
+    near_dup_jaccard: int | None = None
     host_cap: int | None = 10_000
     shard_budget: int = 1 << 20
     split_bounds: "tuple[str, str]" = ("e0", "f0")
@@ -106,6 +113,20 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None,
     cur = cur.join(winners, url_col, "left_semi")
     cur, n = _checkpointed_count(cur)
     funnel.append(("exact_dedup", n))
+
+    if cfg.near_dup_jaccard is not None:
+        from .operators import dedup as op_dedup
+
+        pairs = op_dedup.minhash_lsh_dedup(
+            cur.select(F.col(url_col).alias("doc_id"), text_col))
+        dup_pairs = pairs.filter(
+            F.col("jaccard_pct") >= cfg.near_dup_jaccard)
+        comp = op_dedup.connected_components(dup_pairs)
+        losers = (comp.filter(F.col("id") != F.col("component"))
+                  .select(F.col("id").alias(url_col)))
+        cur = cur.join(losers, url_col, "left_anti")
+        cur, n = _checkpointed_count(cur)
+        funnel.append(("near_dup", n))
 
     if cfg.host_cap is not None:
         kept = textprep.host_cap_sample(

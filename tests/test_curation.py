@@ -127,3 +127,30 @@ def test_per_lang_fluency_config(spark):
     docs = spark.createDataFrame(rows, "url string, text string, lang string")
     per = curate(docs, CurationConfig(host_cap=None, fluency_per_lang=True))
     assert dict(per.funnel)["lm_fluency"] == 40
+
+
+def test_near_dup_stage_drops_transitive_cluster(spark):
+    """With near_dup_jaccard set, a chain of near-identical docs (a~b,
+    b~c) collapses to ONE survivor even if a and c differ more — the
+    connected-components semantics pairwise dropping would miss."""
+    base = " ".join(f"token{i:03d}" for i in range(200))
+    words = base.split()
+    v1, v2, v3 = list(words), list(words), list(words)
+    v2[10] = "changed"                       # b ~ a
+    v3[10] = "changed"; v3[120] = "also"     # c ~ b, farther from a
+    others = [(f"https://u.example.com/{i}",
+               " ".join(f"word{i}x{j:03d}" for j in range(200)), "en")
+              for i in range(5)]
+    rows = ([("https://d.example.com/a", " ".join(v1), "en"),
+             ("https://d.example.com/b", " ".join(v2), "en"),
+             ("https://d.example.com/c", " ".join(v3), "en")] + others)
+    docs = spark.createDataFrame(rows, "url string, text string, lang string")
+    res = curate(docs, CurationConfig(host_cap=None, near_dup_jaccard=80,
+                                      fluency_threshold=None))
+    funnel = dict(res.funnel)
+    assert funnel["exact_dedup"] == 8
+    assert funnel["near_dup"] == 6          # b and c dropped, a survives
+    kept = {r["url"] for r in res.curated.collect()}
+    assert "https://d.example.com/a" in kept
+    assert "https://d.example.com/b" not in kept
+    assert "https://d.example.com/c" not in kept
