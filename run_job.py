@@ -106,12 +106,19 @@ def main() -> int:
     ap.add_argument("--stream-checkpoint", default=None)
     ap.add_argument("--wet-output", default=None,
                     help="stream mode: also publish each micro-batch's "
-                         "extracted text as WET-style crawl files here")
+                         "extracted text as WET-style crawl files here; "
+                         "curate mode: write the curated corpus as WET")
     ap.add_argument("--shard-budget", type=int, default=1 << 20,
                     help="shards/curate modes: tokens per training shard "
                          "(default 1Mi)")
     ap.add_argument("--host-cap", type=int, default=10_000,
                     help="curate mode: max docs kept per host")
+    ap.add_argument("--near-dup-jaccard", type=int, default=None,
+                    help="curate mode: MinHash near-dup cluster stage at "
+                         "this verified-Jaccard percent (off if unset)")
+    ap.add_argument("--per-lang-fluency", action="store_true",
+                    help="curate mode: per-language trigram models "
+                         "instead of one corpus-global model")
     ap.add_argument("--packed", action="store_true",
                     help="shards mode: also write packed trainer "
                          "sequences (one concatenated text per shard)")
@@ -299,10 +306,19 @@ def main() -> int:
         cres = curate(
             res.extracted.select("url", "text", "lang"),
             CurationConfig(host_cap=args.host_cap,
-                           shard_budget=args.shard_budget),
+                           shard_budget=args.shard_budget,
+                           near_dup_jaccard=args.near_dup_jaccard,
+                           fluency_per_lang=args.per_lang_fluency),
         )
         (cres.curated.write.mode("overwrite")
              .partitionBy("split", "shard_id").parquet(f"{out}/curated"))
+        if args.wet_output:
+            # curated WET corpus: the surviving docs as crawl-convention
+            # conversion records, written from executors
+            from docling_graph_spark.sources.warc import write_wet
+
+            write_wet(cres.curated.select("url", "text", "lang"),
+                      args.wet_output.rstrip("/"))
         with open(f"{out}/funnel.json", "w", encoding="utf-8") as fh:
             json.dump(dict(cres.funnel), fh, indent=1)
         for stage, n_docs in cres.funnel:

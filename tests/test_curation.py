@@ -154,3 +154,27 @@ def test_near_dup_stage_drops_transitive_cluster(spark):
     assert "https://d.example.com/a" in kept
     assert "https://d.example.com/b" not in kept
     assert "https://d.example.com/c" not in kept
+
+
+def test_run_job_curate_flags_and_wet(spark, sf_smoke_dir, tmp_path,
+                                      capsys):
+    import sys
+
+    import run_job
+
+    out_dir = str(tmp_path / "cflag_out")
+    wet_dir = str(tmp_path / "wet")
+    old = sys.argv
+    sys.argv = ["run_job.py", "--sf-dir", sf_smoke_dir, "--output", out_dir,
+                "--mode", "curate", "--host-cap", "10",
+                "--near-dup-jaccard", "80", "--per-lang-fluency",
+                "--wet-output", wet_dir, "--max-tokens", "25"]
+    try:
+        rc = run_job.main()
+    finally:
+        sys.argv = old
+    assert rc == 0
+    funnel = json.load(open(f"{out_dir}/funnel.json"))
+    assert "near_dup" in funnel and funnel["curated"] > 0
+    wet_files = [f for f in os.listdir(wet_dir) if f.endswith(".warc.gz")]
+    assert wet_files, os.listdir(wet_dir)
