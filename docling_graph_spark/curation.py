@@ -6,6 +6,8 @@ the input corpus, so a re-run or a different cluster produces the same
 curated set byte-for-byte):
 
   input
+    → unique-url normalization    (crawl re-captures: one deterministic
+                                   row per url — min md5(text) wins)
     → Gopher quality gates        (textprep.gopher_pass — word-count /
                                    mean-length / repetition rules)
     → LM fluency gate             (textprep.trigram_fluency_scores —
@@ -78,10 +80,23 @@ def _checkpointed_count(df: DataFrame) -> "tuple[DataFrame, int]":
 def curate(docs: DataFrame, cfg: CurationConfig | None = None,
            url_col: str = "url", text_col: str = "text") -> CurationResult:
     """(url, text, lang) -> curated corpus + funnel report."""
+    from pyspark.sql import Window
+
     cfg = cfg or CurationConfig()
     funnel = [("input", docs.count())]
 
-    cur = docs
+    # crawl tables re-capture urls; every downstream stage (semi-joins on
+    # url, pack_shards' total-order precondition) assumes url uniqueness,
+    # so normalize first: one deterministic winner per url (min md5(text),
+    # tie-broken by text — NULL text coalesces so engines sort alike)
+    w = Window.partitionBy(url_col).orderBy(
+        F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary")),
+        text_col)
+    cur = (docs.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1).drop("_rn"))
+    cur, n = _checkpointed_count(cur)
+    funnel.append(("unique_url", n))
+
     if cfg.gopher:
         cur = cur.filter(textprep.gopher_pass(F.col(text_col)))
         cur, n = _checkpointed_count(cur)

@@ -28,7 +28,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-HREF_RE = r'<a [^>]*href="([^"]+)"'  # attrs may precede href
+# attrs may precede href; the mandatory SPACE right before `href=` stops
+# the greedy prefix from latching onto attribute names that merely END in
+# href (data-href, ng-href) — '<a href' itself matches with empty prefix
+HREF_RE = r'<a[^>]* href="([^"]+)"'
 HOST_RE = r"^https?://([^/]+)"
 
 PAGERANK_SCALE = 1_000_000
@@ -39,7 +42,7 @@ DAMPING_NUM, DAMPING_DEN = 85, 100  # d = 0.85 as an exact rational
 # whole <a ...> open tag carrying rel=nofollow (SEO-standard link-juice
 # opt-out, also used for ugc/sponsored links since 2019): any rel value
 # containing the nofollow token
-NOFOLLOW_TAG_RE = '<a [^>]*rel="[^"]*nofollow[^"]*"[^>]*>'
+NOFOLLOW_TAG_RE = '<a[^>]* rel="[^"]*nofollow[^"]*"[^>]*>'
 
 
 def extract_outlinks(pages: DataFrame, url_col: str = "url",
@@ -139,7 +142,7 @@ def pagerank(edges: DataFrame, src: str = "src_host",
     return ranks
 
 
-ANCHOR_RE = r'<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>'
+ANCHOR_RE = r'<a[^>]* href="([^"]+)"[^>]*>([^<]*)</a>'
 
 
 def anchor_text_pairs(pages: DataFrame, url_col: str = "url",

@@ -230,18 +230,27 @@ def gopher_signals(text: Column) -> dict:
     }
 
 
+def _gopher_fails(text: Column) -> dict:
+    """The four fail-gate predicates over :func:`gopher_signals` — the
+    single source both the stats report and the curation filter consume
+    (a tweak to one comparison cannot desynchronize them)."""
+    s = gopher_signals(text)
+    return {
+        "wc": (s["n_words"] < GOPHER_WORD_MIN)
+        | (s["n_words"] > GOPHER_WORD_MAX),
+        "len": (GOPHER_MEAN_LEN_MIN * s["n_words"] > s["n_chars_w"])
+        | (s["n_chars_w"] > GOPHER_MEAN_LEN_MAX * s["n_words"]),
+        "tw": GOPHER_TOP_WORD_DEN * s["top_word"] > s["n_words"],
+        "tb": (s["n_bigrams"] > 0)
+        & (GOPHER_TOP_BIGRAM_DEN * s["top_bigram"] > s["n_bigrams"]),
+    }
+
+
 def gopher_pass(text: Column) -> Column:
     """Per-document pass-ALL-gates predicate — the filter form of
     :func:`gopher_quality_stats` (identical integer-exact comparisons)."""
-    s = gopher_signals(text)
-    fail_wc = (s["n_words"] < GOPHER_WORD_MIN) | \
-        (s["n_words"] > GOPHER_WORD_MAX)
-    fail_len = (GOPHER_MEAN_LEN_MIN * s["n_words"] > s["n_chars_w"]) | \
-        (s["n_chars_w"] > GOPHER_MEAN_LEN_MAX * s["n_words"])
-    fail_tw = GOPHER_TOP_WORD_DEN * s["top_word"] > s["n_words"]
-    fail_tb = (s["n_bigrams"] > 0) & \
-        (GOPHER_TOP_BIGRAM_DEN * s["top_bigram"] > s["n_bigrams"])
-    return ~fail_wc & ~fail_len & ~fail_tw & ~fail_tb
+    f = _gopher_fails(text)
+    return ~f["wc"] & ~f["len"] & ~f["tw"] & ~f["tb"]
 
 
 def gopher_quality_stats(df: DataFrame, text_col: str = "text",
@@ -249,14 +258,9 @@ def gopher_quality_stats(df: DataFrame, text_col: str = "text",
     """Per-language Gopher-gate accounting: total docs, docs failing each
     gate, docs passing all gates.  One narrow projection + one tiny
     groupBy(lang) — the full repetition scoring never shuffles."""
-    s = gopher_signals(F.col(text_col))
-    fail_wc = (s["n_words"] < GOPHER_WORD_MIN) | \
-        (s["n_words"] > GOPHER_WORD_MAX)
-    fail_len = (GOPHER_MEAN_LEN_MIN * s["n_words"] > s["n_chars_w"]) | \
-        (s["n_chars_w"] > GOPHER_MEAN_LEN_MAX * s["n_words"])
-    fail_tw = GOPHER_TOP_WORD_DEN * s["top_word"] > s["n_words"]
-    fail_tb = (s["n_bigrams"] > 0) & \
-        (GOPHER_TOP_BIGRAM_DEN * s["top_bigram"] > s["n_bigrams"])
+    f = _gopher_fails(F.col(text_col))
+    fail_wc, fail_len, fail_tw, fail_tb = (
+        f["wc"], f["len"], f["tw"], f["tb"])
     pass_all = ~fail_wc & ~fail_len & ~fail_tw & ~fail_tb
     return (
         df.select(
@@ -495,18 +499,24 @@ def _trigram_norm(text: Column) -> Column:
     )
 
 
-def _trigram_instances(docs: DataFrame, text_col: str) -> DataFrame:
-    """(doc_id, gram): one row per trigram position.  Documents whose
-    normalized form is shorter than 3 chars emit no rows."""
+def _trigram_instances(docs: DataFrame, text_col: str,
+                       keep_cols: "tuple[str, ...]" = ()) -> DataFrame:
+    """(doc_id, *keep_cols, gram): one row per trigram position.
+    Documents whose normalized form is shorter than 3 chars emit no rows.
+    ``keep_cols`` ride along the projection (never a join — the instance
+    stream is one row per corpus character, far too big to shuffle just
+    to attach a label)."""
     norm = _trigram_norm(F.col(text_col))
-    with_norm = docs.select("doc_id", norm.alias("_n"))
+    with_norm = docs.select("doc_id", *keep_cols, norm.alias("_n"))
     idx = F.when(
         F.length("_n") >= 3,
         F.expr("sequence(1, length(_n) - 2)"),
     ).otherwise(F.array().cast("array<int>"))
     return (
-        with_norm.select("doc_id", F.explode(idx).alias("_i"), "_n")
-        .select("doc_id", F.expr("substring(_n, _i, 3)").alias("gram"))
+        with_norm.select("doc_id", *keep_cols,
+                         F.explode(idx).alias("_i"), "_n")
+        .select("doc_id", *keep_cols,
+                F.expr("substring(_n, _i, 3)").alias("gram"))
     )
 
 
@@ -663,12 +673,9 @@ def trigram_fluency_scores_per_lang(docs: DataFrame,
     disfluent; per-lang models judge each document against its own
     language's statistics (property unit-tested with an interleaved
     en/"rot13-like" corpus)."""
-    inst = (
-        _trigram_instances(
-            docs.select("doc_id", text_col), text_col)
-        .join(docs.select("doc_id", F.col(lang_col).alias("lang")),
-              "doc_id")
-    )
+    inst = _trigram_instances(
+        docs.select("doc_id", F.col(lang_col).alias("lang"), text_col),
+        text_col, keep_cols=("lang",))
     c3 = inst.groupBy("lang", "gram").agg(F.count("*").alias("c3"))
     c2 = (
         c3.groupBy("lang", F.substring("gram", 1, 2).alias("ctx"))

@@ -1913,7 +1913,7 @@ links AS (
   SELECT doc_id,
          concat('host', CAST({_HOST_ID} AS VARCHAR), '.example.com')
            AS src_host,
-         unnest(regexp_extract_all({_HTML_PAGE_SQL}, '<a [^>]*href="([^"]+)"', 1))
+         unnest(regexp_extract_all({_HTML_PAGE_SQL}, '<a[^>]* href="([^"]+)"', 1))
            AS href
   FROM documents WHERE doc_id % 50 <> 49
 ),
@@ -1995,9 +1995,9 @@ WITH anchors AS (
   SELECT concat('host', CAST({_HOST_ID} AS VARCHAR), '.example.com')
            AS src_host,
          regexp_extract_all({_HTML_PAGE_SQL},
-                            '<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>', 1) AS hl,
+                            '<a[^>]* href="([^"]+)"[^>]*>([^<]*)</a>', 1) AS hl,
          regexp_extract_all({_HTML_PAGE_SQL},
-                            '<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>', 2) AS al
+                            '<a[^>]* href="([^"]+)"[^>]*>([^<]*)</a>', 2) AS al
   FROM documents WHERE doc_id % 50 <> 49
 ),
 pairs AS (
@@ -2082,7 +2082,7 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_pages,
        CAST(sum(CASE WHEN regexp_extract(s, '<html lang="([^"]+)"', 1)
                           = lang THEN 1 ELSE 0 END) AS BIGINT)
          AS n_lang_match,
-       CAST(sum(len(regexp_extract_all(s, '<a [^>]*href="([^"]+)"', 1)))
+       CAST(sum(len(regexp_extract_all(s, '<a[^>]* href="([^"]+)"', 1)))
             AS BIGINT) AS total_links
 FROM pg GROUP BY lang ORDER BY lang
 """
@@ -3446,11 +3446,16 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CURATION_FUNNEL = f"""
 WITH docs0 AS (
   SELECT doc_id, {_URL} AS url, text, lang FROM documents),
+docs1 AS (
+  SELECT doc_id, url, text, lang FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY url ORDER BY md5(coalesce(text, '')), text) AS rn
+    FROM docs0) WHERE rn = 1),
 g_l AS (
   SELECT doc_id,
          list_filter(string_split(coalesce(text, ''), ' '),
                      x -> len(x) > 0) AS w
-  FROM docs0),
+  FROM docs1),
 g_w AS (SELECT doc_id, unnest(w) AS word FROM g_l),
 g_wc AS (SELECT doc_id, word, count(*) AS c FROM g_w
          GROUP BY doc_id, word),
@@ -3473,7 +3478,7 @@ g_per AS (
          coalesce(g_pb.top_bigram, 0) AS top_bigram
   FROM g_l LEFT JOIN g_pw USING (doc_id) LEFT JOIN g_pb USING (doc_id)),
 d1 AS (
-  SELECT docs0.* FROM docs0 JOIN g_per USING (doc_id)
+  SELECT docs1.* FROM docs1 JOIN g_per USING (doc_id)
   WHERE NOT (n_words < 50 OR n_words > 100000)
     AND NOT (3 * n_words > n_chars_w OR n_chars_w > 10 * n_words)
     AND NOT (10 * top_word > n_words)
@@ -3512,6 +3517,8 @@ d4 AS (SELECT d3.* FROM d3 JOIN hc_ranked USING (url)
 SELECT stage, n_docs FROM (
   SELECT 'input' AS stage,
          (SELECT CAST(count(*) AS BIGINT) FROM docs0) AS n_docs
+  UNION ALL SELECT 'unique_url',
+         (SELECT CAST(count(*) AS BIGINT) FROM docs1)
   UNION ALL SELECT 'gopher_quality',
          (SELECT CAST(count(*) AS BIGINT) FROM d1)
   UNION ALL SELECT 'lm_fluency',
@@ -3698,15 +3705,17 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("split").alias("section"), F.col("split").alias("bucket"),
         F.col("n_docs").alias("n_docs"), F.col("total_chars").alias("measure"),
     )
-    c = q_shard_packing(spark, sf_dir).select(
+    # ONE distributed prefix-sum pass feeds both the shard-stats and
+    # packed-sequence sections (the assignment relation is shared)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    counted = op_sh_mod.token_counts(docs)
+    assigned = op_sh_mod.pack_shards(counted, budget=_SHARD_BUDGET)
+    c = op_sh_mod.shard_stats(assigned).select(
         F.lit("shard").alias("section"),
         F.col("shard_id").cast("string").alias("bucket"),
         F.col("n_docs").alias("n_docs"),
         F.col("shard_tokens").alias("measure"),
     )
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    counted = op_sh_mod.token_counts(docs)
-    assigned = op_sh_mod.pack_shards(counted, budget=_SHARD_BUDGET)
     packed = op_sh_mod.pack_sequences(assigned.join(docs, "doc_id"))
     e = packed.select(
         F.lit("packed").alias("section"),

@@ -86,7 +86,10 @@ def run_incremental(spark: SparkSession, input_dir: str, output_root: str,
     ``link_edges``: also append each micro-batch's host-level outlink
     edge list (partial counts) to ``host_edges``;
     :func:`finalize_link_graph` re-aggregates and ranks downstream.
-    With ``dedup_urls`` the accumulated edges are exactly-once per url;
+    With ``dedup_urls`` the accumulated edges are exactly-once per url,
+    tracked by a dedicated ``host_edges_urls`` ledger (NOT the extracted
+    table — a url whose extraction fails the extractable filter has
+    still contributed edges, and a recapture must not double them);
     without it, re-captures contribute one edge set per capture
     (temporal-diff semantics, same as the stage tables).
 
@@ -143,9 +146,27 @@ def run_incremental(spark: SparkSession, input_dir: str, output_root: str,
 
             # per-batch partial counts; finalize_link_graph re-sums —
             # integer add is associative, so accumulation order and batch
-            # boundaries cannot change the final weights
-            op_lg.host_link_graph(batch_df).write.mode("append").parquet(
+            # boundaries cannot change the final weights.  With
+            # dedup_urls the baseline is a DEDICATED url ledger, not the
+            # extracted table: a url whose extraction fails the
+            # extractable filter still contributed its edges, and a
+            # recapture must not contribute them again.
+            edge_src = batch_df
+            if dedup_urls:
+                try:
+                    ledger = spark.read.parquet(
+                        f"{root}/host_edges_urls").select("url")
+                except Exception:
+                    ledger = None
+                if ledger is not None:
+                    edge_src = edge_src.join(ledger, "url", "left_anti")
+                edge_src = edge_src.persist()
+            op_lg.host_link_graph(edge_src).write.mode("append").parquet(
                 f"{root}/host_edges")
+            if dedup_urls:
+                edge_src.select("url").write.mode("append").parquet(
+                    f"{root}/host_edges_urls")
+                edge_src.unpersist()
         extracted.unpersist()
 
     query = (

@@ -283,13 +283,19 @@ def main() -> int:
         nodes, edges = assemble_accumulated_graph(spark, args.output, cfg)
         processed = nodes.count()
         print(f"graph finalized: {processed} nodes, {edges.count()} edges")
-        if os.path.isdir(f"{args.output.rstrip('/')}/host_edges"):
-            from docling_graph_spark.streaming.incremental import (
-                finalize_link_graph,
-            )
+        # probe via Spark, not os.path: the output root may be s3:// or
+        # hdfs://, where a local isdir() is always False
+        from pyspark.errors import AnalysisException
+
+        from docling_graph_spark.streaming.incremental import (
+            finalize_link_graph,
+        )
+        try:
             le, lr = finalize_link_graph(spark, args.output)
             print(f"link graph finalized: {le.count()} host edges, "
                   f"{lr.count()} ranked hosts")
+        except AnalysisException:
+            pass  # no host_edges table: stream ran without --link-graph
         if args.report:
             from docling_graph_spark import visualizers
             visualizers.write_report(
@@ -319,8 +325,17 @@ def main() -> int:
 
             write_wet(cres.curated.select("url", "text", "lang"),
                       args.wet_output.rstrip("/"))
-        with open(f"{out}/funnel.json", "w", encoding="utf-8") as fh:
-            json.dump(dict(cres.funnel), fh, indent=1)
+        # portable funnel table (works on s3://hdfs:// outputs) ...
+        spark.createDataFrame(
+            [(s_, int(n_)) for s_, n_ in cres.funnel],
+            "stage string, n_docs long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out}/funnel")
+        # ... plus the local-FS convenience file when the root is local
+        try:
+            with open(f"{out}/funnel.json", "w", encoding="utf-8") as fh:
+                json.dump(dict(cres.funnel), fh, indent=1)
+        except OSError:
+            pass
         for stage, n_docs in cres.funnel:
             print(f"funnel {stage}: {n_docs}")
         processed = cres.funnel[-1][1]

@@ -13,12 +13,21 @@ from docling_graph_spark.plans import formatted_plan
 
 QUERY_NAMES = sorted(entry_mod.queries())
 
+# the ONLY queries allowed to plan a BroadcastNestedLoopJoin — each is an
+# intentional tiny-build-side broadcast cross (centroid scoring in the
+# ANN/SemDeDup family, 1-row summary crossJoins in the stats relations).
+# Any other query growing a nested-loop join is a plan regression.
+BNLJ_ALLOWED = {
+    "ann_topk", "semantic_dedup",          # broadcast-centroid argmax
+    "node_dedup_remap", "corpus_prep_stats",  # 1-row summary crossJoin
+    "sampling_splits",                        # 1-row host-cap stats join
+}
+
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_no_cartesian_or_unbroadcast_nlj(spark, sf_smoke_dir, name):
     df = entry_mod.queries()[name](spark, sf_smoke_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, name
-    for line in plan.splitlines():
-        if "BroadcastNestedLoopJoin" in line and "Build" in line:
-            assert "BuildRight" in line or "BuildLeft" in line, (name, line)
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -29,8 +29,8 @@ def result(docs) -> CurationResult:
 
 def test_funnel_monotonic_and_named(result):
     names = [s for s, _ in result.funnel]
-    assert names == ["input", "gopher_quality", "lm_fluency",
-                     "exact_dedup", "host_cap", "curated"]
+    assert names == ["input", "unique_url", "gopher_quality",
+                     "lm_fluency", "exact_dedup", "host_cap", "curated"]
     counts = [n for _, n in result.funnel]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
     assert counts[0] > 0 and counts[-1] > 0
@@ -178,3 +178,23 @@ def test_run_job_curate_flags_and_wet(spark, sf_smoke_dir, tmp_path,
     assert "near_dup" in funnel and funnel["curated"] > 0
     wet_files = [f for f in os.listdir(wet_dir) if f.endswith(".warc.gz")]
     assert wet_files, os.listdir(wet_dir)
+
+
+def test_duplicate_urls_normalized(spark):
+    """Re-captured urls collapse to one deterministic row before any
+    gate, so joins can't multiply rows and the curated count is exact."""
+    base = " ".join(f"token{i:03d}" for i in range(60))
+    rows = ([("https://r.example.com/a", base + " v1", "en"),
+             ("https://r.example.com/a", base + " v2", "en"),
+             ("https://r.example.com/b", base + " b", "en")])
+    docs = spark.createDataFrame(rows, "url string, text string, lang string")
+    res = curate(docs, CurationConfig(host_cap=None,
+                                      fluency_threshold=None))
+    f = dict(res.funnel)
+    assert f["input"] == 3 and f["unique_url"] == 2
+    assert res.curated.count() == f["curated"] == 2
+    # deterministic winner: min md5(text)
+    again = curate(docs.repartition(7), CurationConfig(
+        host_cap=None, fluency_threshold=None))
+    assert sorted(map(tuple, res.curated.collect())) == \
+        sorted(map(tuple, again.curated.collect()))

@@ -135,3 +135,24 @@ def test_nofollow_links_excluded(spark):
     assert all_links == {"good.example.com", "spam.example.com",
                          "ugc.example.com", "src.example.com"}
     assert followed == {"good.example.com", "src.example.com"}
+
+
+def test_data_href_attributes_not_extracted(spark):
+    """Attributes merely ENDING in href (data-href, ng-href) must not
+    donate outlinks, and must not hijack the real href's capture."""
+    html = (b'<html><body>'
+            b'<a href="https://real.example.com/" '
+            b'data-href="https://tracker.example.com/">x</a>'
+            b'<a data-href="https://phantom.example.com/">no real href</a>'
+            b'<a data-rel="nofollow" href="https://kept.example.com/">k</a>'
+            b'</body></html>')
+    pages = spark.createDataFrame(
+        [("https://src.example.com/p", html)], "url string, html binary")
+    from docling_graph_spark.operators import linkgraph as lg
+
+    hosts = {r["dst_host"] for r in lg.extract_outlinks(pages).collect()}
+    assert hosts == {"real.example.com", "kept.example.com"}
+    # data-rel="nofollow" is NOT a rel attribute: link survives skip mode
+    followed = {r["dst_host"] for r in lg.extract_outlinks(
+        pages, skip_nofollow=True).collect()}
+    assert followed == hosts

@@ -226,3 +226,39 @@ def test_incremental_link_graph_matches_batch(spark, sf_smoke_dir,
     want_ranks = sorted(map(tuple, op_lg.pagerank(
         op_lg.host_link_graph(pages)).collect()))
     assert sorted(map(tuple, ranks.collect())) == want_ranks
+
+
+def test_link_edges_exactly_once_despite_failed_extraction(spark,
+                                                           tmp_path):
+    """Under dedup_urls, a url whose extraction fails the extractable
+    filter must still contribute its link edges exactly once across
+    recaptures (the edge ledger is independent of the extracted table)."""
+    from docling_graph_spark.streaming.incremental import (
+        finalize_link_graph,
+    )
+
+    html = (b'<html><body><a href="https://t.example.com/">x</a>'
+            b'</body></html>')
+    import datetime
+
+    ts1 = datetime.datetime(2024, 1, 1)
+    ts2 = datetime.datetime(2024, 1, 2)
+    row = ("https://src.example.com/empty", html, "", "en")
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "url string, html binary, text string, lang string"
+    spark.createDataFrame([row], schema).withColumn(
+        "warc_ts", F.lit(ts1)).write.mode("append").parquet(inbox)
+    run_incremental(spark, inbox, out, ckpt, CFG, dedup_urls=True,
+                    link_edges=True)
+    # recapture of the same url arrives in a later crawl file
+    spark.createDataFrame([row], schema).withColumn(
+        "warc_ts", F.lit(ts2)).write.mode("append").parquet(inbox)
+    run_incremental(spark, inbox, out, ckpt, CFG, dedup_urls=True,
+                    link_edges=True)
+
+    edges, _ = finalize_link_graph(spark, out, write=False)
+    got = {(r["src_host"], r["dst_host"]): r["n_links"]
+           for r in edges.collect()}
+    assert got == {("src.example.com", "t.example.com"): 1}
