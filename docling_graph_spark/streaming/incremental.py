@@ -65,13 +65,69 @@ def stream_web_pages(spark: SparkSession, input_dir: str,
     return reader.parquet(input_dir)
 
 
+def _bloom_dir(root: str) -> str:
+    return f"{root}/url_bloom"
+
+
+def _load_bloom(spark: SparkSession, root: str, num_bits: int,
+                ledger: DataFrame) -> DataFrame:
+    """Words table of the seen-url Bloom filter, rebuilding from the url
+    ledger when absent or sized differently (a prior run without the gate,
+    a crash before the very first publish, or a re-size).  A REBUILT or
+    freshly-read filter may over-approximate the ledger (publish happens
+    before the stage-table append), which only sends extra candidates to
+    the verifying anti-join — never a false negative."""
+    import json
+    import os
+
+    path = _bloom_dir(root)
+    meta_path = os.path.join(path, "_bloom_meta.json")
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("num_bits") == num_bits:
+            return spark.read.parquet(path)
+    except Exception:
+        pass
+    from ..operators import bloom as op_bloom
+
+    words = op_bloom.bloom_words(ledger, "url", num_bits)
+    _publish_bloom_words(spark, root, num_bits, words)
+    return spark.read.parquet(path)
+
+
+def _publish_bloom_words(spark: SparkSession, root: str, num_bits: int,
+                         words: DataFrame) -> None:
+    """Atomic swap: materialize at a temp sibling, rename into place."""
+    import json
+    import os
+    import shutil
+
+    path = _bloom_dir(root)
+    tmp = f"{path}.publishing"
+    shutil.rmtree(tmp, ignore_errors=True)
+    words.coalesce(1).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_bloom_meta.json"), "w") as f:
+        json.dump({"num_bits": num_bits}, f)
+    old = f"{path}.old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    # the swap invalidates Spark's session-wide file-status cache for the
+    # path (metadataCacheTTLSeconds defaults to never-expire)
+    spark.catalog.refreshByPath(path)
+
+
 def run_incremental(spark: SparkSession, input_dir: str, output_root: str,
                     checkpoint_dir: str,
                     config: Optional[PipelineConfig] = None,
                     input_format: str = "parquet",
                     wet_dir: Optional[str] = None,
                     dedup_urls: bool = False,
-                    link_edges: bool = False) -> None:
+                    link_edges: bool = False,
+                    bloom_bits: int = 0) -> None:
     """Drain all currently-unprocessed input files, then stop.
 
     Appends `extracted`, `chunks`, `doc_mentions` and `metrics` tables under
@@ -99,6 +155,16 @@ def run_incremental(spark: SparkSession, input_dir: str, output_root: str,
     ``extracted`` table are skipped (left_anti, the same restart shape as
     ``checkpointing.CheckpointedRun``).  Off by default: some corpora
     want every capture as a separate row (temporal diffs).
+
+    ``bloom_bits`` (with ``dedup_urls``): gate the history anti-join with
+    a Bloom filter over seen urls (``operators/bloom.py``).  Bloom-negative
+    rows are provably new and bypass the join; only the re-capture +
+    false-positive sliver joins the ledger — the per-batch cost stops
+    growing with history size.  The filter is maintained incrementally
+    (``bit_or`` merge, atomic swap publish) and is published BEFORE the
+    stage-table append, so after any crash it can only over-approximate
+    the ledger (extra verify-join candidates, never a missed duplicate).
+    0 disables the gate.  Size via ``operators.bloom.bloom_num_bits``.
     """
     cfg = config or PipelineConfig()
     root = output_root.rstrip("/")
@@ -120,7 +186,22 @@ def run_incremental(spark: SparkSession, input_dir: str, output_root: str,
             except AnalysisException:
                 seen = None  # first batch: no accumulated table yet
             if seen is not None:
-                batch_df = batch_df.join(seen, "url", "left_anti")
+                if bloom_bits > 0:
+                    from ..operators import bloom as op_bloom
+
+                    words = _load_bloom(spark, root, bloom_bits, seen)
+                    gated = op_bloom.bloom_maybe_seen(
+                        batch_df, "url", words, bloom_bits)
+                    definite_new = (gated.filter(~F.col("maybe_seen"))
+                                    .drop("maybe_seen"))
+                    # bloom positives verify against the real ledger, so
+                    # false positives cost a join probe, not a lost row
+                    candidates = (gated.filter(F.col("maybe_seen"))
+                                  .drop("maybe_seen")
+                                  .join(seen, "url", "left_anti"))
+                    batch_df = definite_new.unionByName(candidates)
+                else:
+                    batch_df = batch_df.join(seen, "url", "left_anti")
         # extract_main_text fills NULL lang from the extracted text
         # (operators/extract._lang_col) — same on the batch path, so both
         # ingestion modes produce identical stage-table lang values
@@ -133,6 +214,19 @@ def run_incremental(spark: SparkSession, input_dir: str, output_root: str,
         metrics = op_stats.partition_metrics(
             extracted_all, f"{cfg.run_id}-b{batch_id}"
         )
+        if dedup_urls and bloom_bits > 0:
+            from ..operators import bloom as op_bloom
+
+            # publish BEFORE the append: a crash between the two leaves the
+            # filter over-approximating the ledger (harmless), never under
+            delta = op_bloom.bloom_words(
+                extracted.select("url"), "url", bloom_bits)
+            try:
+                existing = spark.read.parquet(_bloom_dir(root))
+                merged = op_bloom.bloom_update(existing, delta)
+            except Exception:
+                merged = delta  # very first batch: no filter yet
+            _publish_bloom_words(spark, root, bloom_bits, merged)
         extracted.write.mode("append").parquet(f"{root}/extracted")
         chunks.write.mode("append").parquet(f"{root}/chunks")
         mentions.write.mode("append").parquet(f"{root}/doc_mentions")

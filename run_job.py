@@ -134,6 +134,11 @@ def main() -> int:
                     help="stream mode: process each url once (newest "
                          "capture wins within a batch; re-crawls of "
                          "already-ingested urls are skipped)")
+    ap.add_argument("--bloom-bits", type=int, default=0,
+                    help="stream mode with --dedup-urls: gate the "
+                         "seen-url anti-join with a Bloom filter of this "
+                         "many bits (0 = off); bloom-negative rows skip "
+                         "the history join entirely")
     ap.add_argument("--id-mode", choices=["blake2b", "xxhash64"],
                     default=None)
     ap.add_argument("--max-tokens", type=int, default=None)
@@ -270,7 +275,8 @@ def main() -> int:
         run_incremental(spark, args.input, args.output, ckpt, cfg,
                         input_format=fmt, wet_dir=args.wet_output,
                         dedup_urls=args.dedup_urls,
-                        link_edges=args.link_graph)
+                        link_edges=args.link_graph,
+                        bloom_bits=args.bloom_bits)
         processed = spark.read.parquet(
             f"{args.output.rstrip('/')}/extracted"
         ).count()
