@@ -509,3 +509,79 @@ def duplicated_spans(docs: DataFrame, key: str = "doc_id",
                 F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"))
     )
     return per_gram, per_doc
+
+
+def excise_dup_spans(docs: DataFrame, key: str = "doc_id",
+                     text_col: str = "text",
+                     n: int = DECONTAM_NGRAM) -> DataFrame:
+    """ExactSubstr *removal* (Lee et al. 2021 §4.1): rewrite every document
+    with its non-canonical duplicated spans excised, keeping exactly the
+    first corpus-wide occurrence of each duplicated n-gram.
+
+    Semantics (deterministic, engine-independent — mirrored 1:1 by the
+    DuckDB oracle):
+
+    * a gram is duplicated when it occurs in >= 2 distinct documents;
+    * its canonical occurrence is (fdoc, fpos) = the min ``key`` holding
+      it, then the min position within that document;
+    * every other occurrence is removable; a word index is removed when
+      ANY removable occurrence covers it (occurrence at pos covers words
+      [pos, pos+n));
+    * the rewrite keeps the surviving *normalized* tokens (lowercase,
+      split on non-alphanumeric runs — the same token stream the grams
+      were built from) joined by single spaces.  A production excision
+      maps token indexes back to original byte offsets via the span
+      machinery; the normalized form is what both engines can rebuild
+      byte-identically, which is what the oracle gate hashes.
+
+    Returns (key, n_words, n_removed, rebuilt) — one row per input doc,
+    including untouched and empty ones.
+
+    Scale shape: the gram side is the same two hash aggregations as
+    :func:`duplicated_spans` plus two equi-joins (gram -> first doc ->
+    first pos); the rewrite itself never shuffles words — removed indexes
+    collapse to one small array per doc (bounded by doc length) and the
+    token filter is a codegen'd higher-order expression over the in-row
+    token array, so the heavy side moves through exactly one
+    ``collect_set`` aggregation keyed by ``key``.
+    """
+    g = word_ngrams(docs, key, text_col, n)  # (key, pos, gram)
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct(key).alias("_nd"), F.min(key).alias("_fdoc"))
+        .filter(F.col("_nd") >= 2)
+        .select("gram", "_fdoc")
+    )
+    occ = g.join(dup, "gram")  # (gram, key, pos, _fdoc)
+    fpos = (
+        occ.filter(F.col(key) == F.col("_fdoc"))
+        .groupBy("gram").agg(F.min("pos").alias("_fpos"))
+    )
+    removable = occ.join(fpos, "gram").filter(
+        ~((F.col(key) == F.col("_fdoc")) & (F.col("pos") == F.col("_fpos")))
+    )
+    covered = removable.select(
+        F.col(key),
+        F.explode(F.sequence(F.col("pos"),
+                             F.col("pos") + F.lit(n - 1))).alias("_widx"),
+    )
+    rm = covered.groupBy(key).agg(F.collect_set("_widx").alias("_rm"))
+    # NULL text ⇒ zero tokens (size(NULL array) is -1 in Spark; the oracle's
+    # NULL n_words is sum-skipped, which equals adding this 0)
+    toks = F.expr(
+        f"filter(split(lower(coalesce({text_col}, '')), '[^a-z0-9]+'),"
+        f" t -> t <> '')")
+    base = docs.select(F.col(key), toks.alias("_toks"))
+    out = base.join(rm, key, "left").withColumn(
+        "_rm", F.coalesce("_rm", F.expr("array()").cast("array<int>")))
+    kept = F.expr(
+        "transform(filter(transform(_toks, (t, i) -> "
+        "  struct(t AS t, i + 1 AS ix)), "
+        "  s -> NOT array_contains(_rm, s.ix)), s -> s.t)"
+    )
+    return out.select(
+        F.col(key),
+        F.size("_toks").cast("long").alias("n_words"),
+        F.size("_rm").cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("rebuilt"),
+    )

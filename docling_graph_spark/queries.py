@@ -1891,6 +1891,118 @@ FROM pg
 """
 
 
+def q_dup_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr *removal* summary (operators/dedup.excise_dup_spans):
+    every non-canonical duplicated word-8-gram run excised, first
+    corpus-wide occurrence kept.  The gate is exact-content: both engines
+    rebuild the excised corpus token-by-token and the checksum column sums
+    a 48-bit md5 prefix of every rebuilt document (order-independent, so
+    no global sort is needed on either side)."""
+    docs = _read(spark, sf_dir, "documents")
+    ex = op_dedup.excise_dup_spans(docs)
+    reb_md5 = F.md5(F.col("rebuilt").cast("binary"))
+    return ex.agg(
+        F.count("*").alias("docs_total"),
+        F.sum(F.when(F.col("n_removed") > 0, 1).otherwise(0))
+        .cast("long").alias("docs_rewritten"),
+        F.sum("n_words").cast("long").alias("words_total"),
+        F.sum("n_removed").cast("long").alias("words_removed"),
+        F.countDistinct("rebuilt").cast("long").alias("distinct_rebuilt"),
+        F.min(reb_md5).alias("content_min_md5"),
+        F.max(reb_md5).alias("content_max_md5"),
+        F.sum(F.conv(F.substring(reb_md5, 1, 12), 16, 10).cast("long"))
+        .cast("long").alias("content_checksum"),
+    )
+
+
+_EXCISE_N = op_dedup.DECONTAM_NGRAM
+
+SQL_DUP_EXCISION = f"""
+WITH {_word_grams_cte(_EXCISE_N)},
+pg AS (SELECT gram, min(doc_id) AS fdoc FROM grams
+       GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+occ AS (SELECT g.doc_id, g.pos, g.gram, p.fdoc
+        FROM grams g JOIN pg p USING (gram)),
+fpos AS (SELECT gram, min(pos) AS fpos FROM occ
+         WHERE doc_id = fdoc GROUP BY gram),
+rem AS (SELECT o.doc_id, o.pos FROM occ o JOIN fpos f USING (gram)
+        WHERE NOT (o.doc_id = o.fdoc AND o.pos = f.fpos)),
+cov AS (SELECT DISTINCT doc_id, widx FROM rem,
+        LATERAL (SELECT unnest(generate_series(pos, pos + {_EXCISE_N - 1}))
+                 AS widx)),
+words AS (SELECT doc_id, i AS widx, ts[i] AS w FROM toks,
+          LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i)),
+rmc AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+keptagg AS (SELECT w.doc_id, string_agg(w.w, ' ' ORDER BY w.widx) AS rebuilt
+            FROM words w LEFT JOIN cov c
+              ON w.doc_id = c.doc_id AND w.widx = c.widx
+            WHERE c.widx IS NULL GROUP BY w.doc_id),
+reb AS (SELECT t.doc_id, len(t.ts) AS n_words,
+               coalesce(r.n_removed, 0) AS n_removed,
+               coalesce(k.rebuilt, '') AS rebuilt
+        FROM toks t LEFT JOIN rmc r USING (doc_id)
+        LEFT JOIN keptagg k USING (doc_id))
+SELECT CAST(count(*) AS BIGINT) AS docs_total,
+       CAST(coalesce(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS docs_rewritten,
+       CAST(coalesce(sum(n_words), 0) AS BIGINT) AS words_total,
+       CAST(coalesce(sum(n_removed), 0) AS BIGINT) AS words_removed,
+       CAST(count(DISTINCT rebuilt) AS BIGINT) AS distinct_rebuilt,
+       min(md5(rebuilt)) AS content_min_md5,
+       max(md5(rebuilt)) AS content_max_md5,
+       CAST(coalesce(sum(CAST(('0x' || substr(md5(rebuilt), 1, 12))
+                          AS UBIGINT)), 0) AS BIGINT) AS content_checksum
+FROM reb
+"""
+
+
+def q_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated incremental url dedup (operators/bloom.py), the
+    streaming seen-url gate replayed as a batch query: history = urls of
+    docs with doc_id % 4 != 0, batch = every url; bloom-negative rows skip
+    the ledger anti-join, bloom-positive rows verify against it.  The
+    oracle computes the exact set difference, so a green row proves the
+    end-to-end no-false-negative property AND that the verify join removed
+    every true re-capture (min/max/sum over surviving doc ids)."""
+    from .operators import bloom as op_bloom
+    from .sources.web_pages import url_expr
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", url_expr(F.col("doc_id")).alias("url"))
+    history = docs.filter(F.col("doc_id") % 4 != 0).select("url")
+    n_hist = history.count()  # O(1)-row action, sizes the filter
+    num_bits = op_bloom.bloom_num_bits(n_hist, fpr=0.01)
+    words = op_bloom.bloom_words(history, "url", num_bits)
+    gated = op_bloom.bloom_maybe_seen(docs, "url", words, num_bits)
+    new_rows = (
+        gated.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        .unionByName(
+            gated.filter(F.col("maybe_seen")).drop("maybe_seen")
+            .join(history, "url", "left_anti"))
+    )
+    totals = docs.agg(F.count("*").cast("long").alias("n_batch"))
+    return totals.crossJoin(new_rows.agg(
+        F.lit(int(n_hist)).cast("long").alias("n_history"),
+        F.count("*").alias("n_new"),
+        F.min("doc_id").cast("long").alias("min_new_doc"),
+        F.max("doc_id").cast("long").alias("max_new_doc"),
+        F.sum("doc_id").cast("long").alias("sum_new_doc"),
+    ))
+
+
+SQL_BLOOM_GATE = f"""
+WITH b AS (SELECT doc_id, {_URL} AS url FROM documents),
+h AS (SELECT url FROM b WHERE doc_id % 4 <> 0),
+nw AS (SELECT doc_id FROM b WHERE url NOT IN (SELECT url FROM h))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_batch,
+       (SELECT CAST(count(*) AS BIGINT) FROM h) AS n_history,
+       (SELECT CAST(count(*) AS BIGINT) FROM nw) AS n_new,
+       (SELECT CAST(min(doc_id) AS BIGINT) FROM nw) AS min_new_doc,
+       (SELECT CAST(max(doc_id) AS BIGINT) FROM nw) AS max_new_doc,
+       (SELECT CAST(sum(doc_id) AS BIGINT) FROM nw) AS sum_new_doc
+"""
+
+
 # host-level link graph + integer PageRank (operators/linkgraph.py),
 # driver-gated via the merged link_graph_stats relation below; the oracle
 # regexps over the full SQL-reconstructed page string (_HTML_PAGE_SQL) and
@@ -3538,7 +3650,10 @@ def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     redaction, C4-style line dedup, broadcast host blocklist, URL
     canonicalization dedup, benchmark decontamination (broadcast eval-gram
     probe), exact duplicated-substring detection (word-8-gram group-join),
-    and char-trigram LM fluency scoring (CCNet-analogue quality gate).
+    ExactSubstr span *removal* with an exact-content rebuild checksum,
+    Bloom-gated incremental url dedup (no-false-negative gate vs the exact
+    set difference), and char-trigram LM fluency scoring (CCNet-analogue
+    quality gate).
     Each stage runs its full operator; the 1-row summaries are unpivoted
     and unioned."""
     return (
@@ -3553,6 +3668,10 @@ def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_decontamination(spark, sf_dir), "decontam"))
         .unionByName(_unpivot_single_row(
             q_dup_spans(spark, sf_dir), "dup_spans"))
+        .unionByName(_unpivot_single_row(
+            q_dup_excision(spark, sf_dir), "dup_excision"))
+        .unionByName(_unpivot_single_row(
+            q_bloom_gate(spark, sf_dir), "bloom_gate"))
         .unionByName(_unpivot_single_row(
             q_lm_fluency(spark, sf_dir), "lm_fluency"))
         .unionByName(q_curation_funnel(spark, sf_dir).select(
@@ -3578,6 +3697,8 @@ hb AS ({SQL_HOST_BLOCKLIST}),
 uc AS ({SQL_URL_CANONICAL_DEDUP}),
 dc AS ({SQL_DECONTAMINATION}),
 ds AS ({SQL_DUP_SPANS}),
+de AS ({SQL_DUP_EXCISION}),
+bg AS ({SQL_BLOOM_GATE}),
 lm AS ({SQL_LM_FLUENCY}),
 fu AS ({SQL_CURATION_FUNNEL})
 SELECT stage, metric, value FROM (
@@ -3603,6 +3724,15 @@ SELECT stage, metric, value FROM (
 {_sql_unpivot('ds', 'dup_spans',
               ['total_grams', 'dup_gram_values', 'dup_positions',
                'docs_with_dup'])}
+  UNION ALL
+{_sql_unpivot('de', 'dup_excision',
+              ['docs_total', 'docs_rewritten', 'words_total',
+               'words_removed', 'distinct_rebuilt', 'content_min_md5',
+               'content_max_md5', 'content_checksum'])}
+  UNION ALL
+{_sql_unpivot('bg', 'bloom_gate',
+              ['n_batch', 'n_history', 'n_new', 'min_new_doc',
+               'max_new_doc', 'sum_new_doc'])}
   UNION ALL
 {_sql_unpivot('lm', 'lm_fluency',
               ['n_docs', 'n_unscored', 'sum_score', 'min_score',
