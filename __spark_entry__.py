@@ -30,6 +30,13 @@ Round-2-continuation additions (still 50 total):
   corpus_prep_stats  += lm_fluency stage (char-trigram LM scoring) and
                         funnel stage (the full curation.py composition,
                         chained-CTE oracle)
+
+Round-2 additions (still 50 total):
+  corpus_prep_stats  += dup_excision stage (ExactSubstr span REMOVAL,
+                        exact-content rebuild checksum both engines
+                        recompute) and bloom_gate stage (Bloom-gated
+                        incremental url dedup vs the exact set
+                        difference — end-to-end no-false-negative gate)
   sampling_splits    += shard section (token-budget prefix-sum packing)
                         and hostcap section (per-host doc caps)
   semantic_dedup      = SemDeDup cluster near-dup (40 planted dups)

@@ -105,24 +105,62 @@ class CheckpointedRun:
 
     # ------------------------------------------------------------ commits
 
-    def committed_runs(self) -> Optional[DataFrame]:
+    def committed_runs(self, as_of=None) -> Optional[DataFrame]:
         """One-column ``_run_id`` relation of committed runs (None = no
-        manifest yet)."""
+        manifest yet).
+
+        ``as_of`` pins the relation to a snapshot — Iceberg's ``VERSION AS
+        OF`` on the parquet stand-in.  Accepts a snapshot sequence number
+        (int, see :meth:`snapshots`) or a run id (str): only runs whose
+        manifest row committed at-or-before that snapshot are visible.  A
+        run id that never committed resolves to no snapshot and raises —
+        silently returning latest would un-pin a lineage query."""
         try:
             runs = self.spark.read.json(self._path("runs"))
         except Exception:
             return None
         if "run_id" not in runs.columns:
             return None  # legacy manifest without run stamping
-        return (
-            runs.where(F.col("status") == "committed")
-            .select(F.col("run_id").alias(RUN_ID_COL)).distinct()
-        )
+        runs = runs.where(F.col("status") == "committed")
+        if as_of is not None:
+            if "seq" not in runs.columns:
+                raise ValueError(
+                    "manifest predates snapshot sequencing; no time travel")
+            if isinstance(as_of, str):
+                pin = [r.seq for r in
+                       runs.where(F.col("run_id") == as_of)
+                       .select("seq").collect()]
+                if not pin:
+                    raise ValueError(f"run {as_of!r} never committed")
+                as_of = max(pin)
+            runs = runs.where(F.col("seq") <= int(as_of))
+        return runs.select(F.col("run_id").alias(RUN_ID_COL)).distinct()
 
-    def _filter_committed(self, df: DataFrame) -> DataFrame:
+    def snapshots(self) -> Optional[DataFrame]:
+        """The snapshot log: committed manifest rows ordered by ``seq``
+        (run id, commit timestamp, rows processed, config lineage) — the
+        Iceberg ``snapshots`` metadata-table analogue, and the argument
+        source for ``as_of`` time travel."""
+        try:
+            runs = self.spark.read.json(self._path("runs"))
+        except Exception:
+            return None
+        if "seq" not in runs.columns:
+            return None
+        return runs.where(F.col("status") == "committed").orderBy("seq")
+
+    def _next_seq(self) -> int:
+        try:
+            runs = self.spark.read.json(self._path("runs"))
+            top = runs.agg(F.max("seq").alias("m")).collect()[0].m
+            return int(top or 0) + 1
+        except Exception:
+            return 1
+
+    def _filter_committed(self, df: DataFrame, as_of=None) -> DataFrame:
         if RUN_ID_COL not in df.columns:
             return df  # legacy table written before run stamping
-        committed = self.committed_runs()
+        committed = self.committed_runs(as_of=as_of)
         if committed is not None:
             df = df.join(F.broadcast(committed), RUN_ID_COL, "left_semi")
         return df.drop(RUN_ID_COL)
@@ -189,20 +227,21 @@ class CheckpointedRun:
 
     # ------------------------------------------------------------ readers
 
-    def nodes(self) -> DataFrame:
-        """Graph nodes across all committed runs (id-level dedup)."""
+    def nodes(self, as_of=None) -> DataFrame:
+        """Graph nodes across committed runs (id-level dedup); ``as_of``
+        (snapshot seq or run id) time-travels to that snapshot."""
         return self._filter_committed(
-            self.spark.read.parquet(self._path("nodes"))
+            self.spark.read.parquet(self._path("nodes")), as_of=as_of
         ).dropDuplicates(["id"])
 
-    def edges(self) -> DataFrame:
+    def edges(self, as_of=None) -> DataFrame:
         return self._filter_committed(
-            self.spark.read.parquet(self._path("edges"))
+            self.spark.read.parquet(self._path("edges")), as_of=as_of
         ).dropDuplicates(["src", "dst", "label"])
 
-    def extracted(self) -> DataFrame:
+    def extracted(self, as_of=None) -> DataFrame:
         return self._filter_committed(
-            self.spark.read.parquet(self._path("extracted"))
+            self.spark.read.parquet(self._path("extracted")), as_of=as_of
         )
 
     # -------------------------------------------------------- maintenance
@@ -310,6 +349,9 @@ class CheckpointedRun:
         row = {
             "run_id": run_id,
             "status": "committed",
+            # monotone snapshot sequence — the time-travel axis (run_ts has
+            # second resolution, so ties are possible there; seq is total)
+            "seq": self._next_seq(),
             "run_ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
             "processed_docs": processed,
             "wall_seconds": round(wall_seconds, 3),

@@ -143,3 +143,51 @@ def bloom_maybe_seen(df: DataFrame, col: str, words: DataFrame,
     drop = [c for i in range(num_hashes)
             for c in (f"_bp{i}", f"_bw{i}", f"_bm{i}", f"_bits{i}")]
     return out.drop(*drop)
+
+
+def bloom_maybe_seen_big(df: DataFrame, col: str, words: DataFrame,
+                         num_bits: int,
+                         num_hashes: int = DEFAULT_NUM_HASHES,
+                         out_col: str = "maybe_seen") -> DataFrame:
+    """Probe variant for filters too large to broadcast (the 10^12-url
+    sharded layout from the module docstring, e.g. 512 Mbit ≈ 64 MiB of
+    words per shard × many shards).
+
+    Instead of k broadcast joins, the k probes of each row are exploded to
+    (value, word, mask) rows and resolved with ONE equi-join on ``word``
+    against the words table, then folded back per value:
+
+        maybe_seen(v)  ⇔  every probe word exists AND has its mask bit set
+
+    Cost model: one shuffle of k×|batch| narrow probe rows (16 B each) +
+    one shuffle of the words table (or zero if it is bucketed by word) +
+    one re-aggregation keyed by the probed VALUE — not the input row — so
+    the big side's other columns never move; callers re-join the verdict
+    on ``col``.  Use the broadcast variant whenever the filter fits in
+    executor memory; this one exists so filter size is bounded by the
+    cluster, not by one executor's heap.
+
+    Returns a (``col``, ``out_col``) relation with one row per DISTINCT
+    probed value.
+    """
+    vals = df.select(F.col(col)).distinct().select(
+        F.col(col),
+        F.array(*_positions(F.col(col), num_bits, num_hashes))
+        .alias("_probe"),
+    )
+    flat = vals.select(
+        col,
+        F.posexplode("_probe").alias("_i", "_pos"),
+    ).select(
+        col,
+        (F.col("_pos") / 64).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), "
+               "CAST(pmod(_pos, 64) AS INT))").alias("mask"),
+    )
+    joined = flat.join(words, "word", "left")
+    hit = (F.col("bits").isNotNull()
+           & (F.col("bits").bitwiseAND(F.col("mask")) != 0))
+    return (
+        joined.groupBy(col)
+        .agg((F.count("*") == F.sum(hit.cast("int"))).alias(out_col))
+    )

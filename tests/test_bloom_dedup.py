@@ -145,3 +145,25 @@ def test_bloom_rebuilds_from_ledger_when_missing(spark, sf_smoke_dir,
     import os
 
     assert os.path.exists(f"{out}/url_bloom/_bloom_meta.json")
+
+
+def test_big_probe_matches_broadcast_probe(spark):
+    """The non-broadcast (sharded-scale) probe returns the identical
+    verdict per value as the broadcast probe — same filter, same hashes,
+    different physical plan."""
+    seen = _urls(spark, "https://a.example/p", 1500)
+    probe = _urls(spark, "https://a.example/p", 1000).unionByName(
+        _urls(spark, "https://b.example/q", 1000))
+    bits = op_bloom.bloom_num_bits(1500, fpr=0.05)
+    words = op_bloom.bloom_words(seen, "url", bits)
+
+    small = op_bloom.bloom_maybe_seen(probe, "url", words, bits)
+    big = op_bloom.bloom_maybe_seen_big(probe, "url", words, bits)
+
+    diff = (small.select("url", "maybe_seen")
+            .join(big.withColumnRenamed("maybe_seen", "ms_big"), "url")
+            .filter(F.col("maybe_seen") != F.col("ms_big")))
+    assert diff.count() == 0
+    # inserted values must all probe positive through the big path too
+    ins = big.join(seen, "url", "left_semi")
+    assert ins.filter(~F.col("maybe_seen")).count() == 0

@@ -166,3 +166,33 @@ def test_compact_files_binpacks_fragmented_table(spark, pages, tmp_path):
     assert run.run(pages) == 0
     # idempotent: a second pass finds nothing fragmented enough to rewrite
     assert run.compact_files(target_bytes=256 << 20) == {}
+
+
+def test_time_travel_snapshots(spark, pages, tmp_path):
+    """as_of pins reads to a snapshot: the first run's rows only, whether
+    addressed by sequence number or by run id."""
+    root = str(tmp_path / "ckpt_tt")
+    first = pages.filter(F.crc32(F.col("url")) % 2 == 0)
+    run = CheckpointedRun(spark, root, CFG)
+    n1 = run.run(first)
+    n2 = run.run(pages)
+    assert n1 and n2
+
+    snaps = run.snapshots().collect()
+    assert [int(s.seq) for s in snaps] == [1, 2]
+
+    # latest view sees both runs
+    assert run.extracted().count() == n1 + n2
+    # snapshot 1 sees exactly the first run, by seq and by run id
+    assert run.extracted(as_of=1).count() == n1
+    assert run.extracted(as_of=snaps[0].run_id).count() == n1
+    first_urls = {r.url for r in first.select("url").collect()}
+    tt_urls = {r.url for r in
+               run.extracted(as_of=1).select("url").collect()}
+    assert tt_urls == first_urls
+    # graph relations time-travel too
+    assert run.nodes(as_of=1).count() < run.nodes().count()
+
+    # an uncommitted / unknown run id must raise, not silently un-pin
+    with pytest.raises(ValueError):
+        run.extracted(as_of="nonexistent-run")
