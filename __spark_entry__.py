@@ -31,6 +31,15 @@ Round-2-continuation additions (still 50 total):
                         funnel stage (the full curation.py composition,
                         chained-CTE oracle)
 
+Round-2-final additions (still 50 total):
+  media_pipeline_stats += wav_decode stage (REAL stdlib PCM WAV decode —
+                        RIFF chunk walk + integer sample stats, truncated/
+                        compressed payloads routed as errors; closed-form
+                        oracle math)
+  corpus_prep_stats  += ccnet stage (CCNet head/middle/tail perplexity
+                        binning: tercile cutoff values from the trigram-LM
+                        score histogram, value-comparison bin rule)
+
 Round-2 additions (still 50 total):
   corpus_prep_stats  += dup_excision stage (ExactSubstr span REMOVAL,
                         exact-content rebuild checksum both engines

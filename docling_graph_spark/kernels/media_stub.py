@@ -69,9 +69,11 @@ def decode_media(payload: bytes, media_type: str):
 
     ``image/png`` decodes for real — stdlib-only codec
     (`kernels/png_codec.py`: chunk walk, IDAT inflate, full filter-0..4
-    defilter).  Every other media type still requires libraries this
-    container doesn't ship (PIL/ffmpeg/torchaudio) and raises
-    NotImplementedError behind the identical signature a production
+    defilter).  ``audio/wav`` PCM decodes for real too
+    (`kernels/wav_codec.py`: RIFF chunk walk, fmt parse, 8/16/32-bit
+    integer sample decode).  Every other media type still requires
+    libraries this container doesn't ship (PIL/ffmpeg/torchaudio) and
+    raises NotImplementedError behind the identical signature a production
     deployment would implement; the Spark operator falls back to
     `fake_features` for those.
     """
@@ -79,6 +81,10 @@ def decode_media(payload: bytes, media_type: str):
         from .png_codec import decode_png
 
         return decode_png(payload)
+    if media_type == "audio/wav":
+        from .wav_codec import decode_wav
+
+        return decode_wav(payload)
     raise NotImplementedError(
         "media decode requires image/audio libraries not present in this "
         f"container (requested: {media_type}); use fake_features for the "

@@ -1,0 +1,122 @@
+"""Pure-Python WAV (RIFF PCM) codec — the REAL audio decoder.
+
+The media stage treats audio payloads as opaque binary columns with
+stubbed decode (`media_stub.decode_media`) because no audio libraries ship
+in this container — but canonical PCM WAV needs nothing beyond ``struct``,
+so this module provides a real decode path: RIFF header walk, ``fmt ``
+parse, ``data`` chunk extraction, and integer sample decode for the three
+uncompressed PCM layouts (8-bit unsigned, 16-bit and 32-bit signed
+little-endian, WAVE_FORMAT_PCM = 1 per RIFF/Multimedia Programming
+Interface spec).  Compressed formats (ADPCM, float, MP3-in-RIFF) raise —
+the caller routes that to a ``decode_error`` column, never a crash.
+
+The encoder half exists for fixtures and oracles: a fixed header layout
+with no optional chunks makes encode→decode a pure roundtrip, so tests
+and the DuckDB oracle can reason about decoded samples in closed form.
+
+This is the audio analogue of the reference's binary-input handling
+(`core/input/types.py:39-105` detects by magic bytes; decode itself is
+delegated to external converters there) — here the container-feasible
+subset is decoded for real, mirroring `kernels/png_codec.py` for images.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import NamedTuple
+
+WAVE_FORMAT_PCM = 1
+
+
+class DecodedWav(NamedTuple):
+    n_channels: int
+    sample_rate: int
+    bit_depth: int
+    n_frames: int          # samples per channel
+    samples: list          # interleaved integer samples (all channels)
+
+
+def encode_wav_pcm16(sample_rate: int, n_channels: int,
+                     samples: list) -> bytes:
+    """Canonical 16-bit PCM WAV: RIFF + fmt(16) + data, no optional chunks.
+
+    ``samples`` are interleaved int16 values; ``len(samples)`` must be a
+    multiple of ``n_channels``.
+    """
+    if n_channels <= 0:
+        raise ValueError("n_channels must be positive")
+    if len(samples) % n_channels:
+        raise ValueError("sample count not a multiple of channel count")
+    data = struct.pack("<%dh" % len(samples), *samples)
+    block_align = n_channels * 2
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack("<HHIIHH", WAVE_FORMAT_PCM, n_channels, sample_rate,
+                      byte_rate, block_align, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> DecodedWav:
+    """Decode a PCM WAV payload to integer samples.
+
+    Walks RIFF sub-chunks (tolerating extras like LIST/fact in any order,
+    with the spec's odd-size pad byte), requires a ``fmt `` chunk with
+    WAVE_FORMAT_PCM and bit depth 8/16/32, and decodes the ``data`` chunk:
+    8-bit as unsigned 0..255, 16/32-bit as signed little-endian.  Raises
+    ValueError on structural corruption and NotImplementedError on
+    compressed/float formats.
+    """
+    b = payload
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    riff_size = struct.unpack_from("<I", b, 4)[0]
+    if riff_size + 8 > len(b):
+        raise ValueError("truncated RIFF payload")
+
+    fmt_fields = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        csize = struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8: pos + 8 + csize]
+        if len(body) < csize:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("fmt chunk too small")
+            fmt_fields = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+
+    if fmt_fields is None:
+        raise ValueError("missing fmt chunk")
+    if data is None:
+        raise ValueError("missing data chunk")
+    audio_format, n_channels, sample_rate, _rate, _align, bits = fmt_fields
+    if audio_format != WAVE_FORMAT_PCM:
+        raise NotImplementedError(
+            f"compressed/float WAV format {audio_format} requires codecs "
+            "not present in this container")
+    if n_channels <= 0 or sample_rate <= 0:
+        raise ValueError("invalid channel count or sample rate")
+    if bits == 8:
+        samples = list(data)
+        width = 1
+    elif bits == 16:
+        width = 2
+        usable = len(data) - len(data) % width
+        samples = list(struct.unpack("<%dh" % (usable // width),
+                                     data[:usable]))
+    elif bits == 32:
+        width = 4
+        usable = len(data) - len(data) % width
+        samples = list(struct.unpack("<%di" % (usable // width),
+                                     data[:usable]))
+    else:
+        raise NotImplementedError(f"unsupported PCM bit depth {bits}")
+    n_frames = len(samples) // n_channels
+    return DecodedWav(n_channels, sample_rate, bits, n_frames, samples)

@@ -192,6 +192,9 @@ def media_decode_stats(web_pages: DataFrame) -> DataFrame:
                 except Exception as exc:  # malformed payload -> routed
                     out["decode_error"][i] = f"malformed: {exc}"
                     continue
+                if not hasattr(dec, "width"):  # real but non-image decode
+                    out["decode_error"][i] = "non-image: use audio stage"
+                    continue
                 out["decoded"][i] = True
                 out["width"][i] = dec.width
                 out["height"][i] = dec.height
@@ -201,6 +204,78 @@ def media_decode_stats(web_pages: DataFrame) -> DataFrame:
 
     pruned = web_pages.select("url", "html")
     return pruned.mapInPandas(process, schema=MEDIA_DECODED)
+
+
+AUDIO_DECODED = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("media_type", T.StringType(), True),
+    T.StructField("decoded", T.BooleanType(), False),
+    T.StructField("n_channels", T.IntegerType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("bit_depth", T.IntegerType(), True),
+    T.StructField("n_frames", T.LongType(), True),
+    T.StructField("abs_sum", T.LongType(), True),
+    T.StructField("peak", T.LongType(), True),
+    T.StructField("decode_error", T.StringType(), True),
+])
+
+
+def audio_decode_stats(web_pages: DataFrame) -> DataFrame:
+    """REAL audio decode over the payload column: per row, the decoded PCM
+    parameters (channels / rate / bit depth / frames) plus integer sample
+    statistics (sum of |sample|, peak magnitude) where a real decoder
+    exists (PCM WAV, via the stdlib RIFF codec `kernels/wav_codec.py`),
+    and a routed error string where it does not — compressed audio
+    (MP3/OGG/FLAC) raises NotImplementedError inside the kernel and lands
+    in ``decode_error``, never an executor crash.  Same mapInPandas shape
+    as the image stage: per-batch decode loop, (url, html) pruned across
+    the Arrow boundary.  This is the audio analogue of
+    `media_decode_stats`; at 100 TB it is the scan-stage filter that drops
+    silent/clipped/truncated audio before any expensive featurization."""
+    from ..kernels.media_stub import decode_media
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "url": pdf["url"],
+                "media_type": [None] * n,
+                "decoded": [False] * n,
+                "n_channels": [None] * n,
+                "sample_rate": [None] * n,
+                "bit_depth": [None] * n,
+                "n_frames": [None] * n,
+                "abs_sum": [None] * n,
+                "peak": [None] * n,
+                "decode_error": [None] * n,
+            }
+            for i, payload in enumerate(pdf["html"]):
+                b = bytes(payload) if payload is not None else b""
+                mtype = sniff_media_type(b)
+                out["media_type"][i] = mtype
+                if not mtype.startswith("audio/"):
+                    out["decode_error"][i] = "not audio"
+                    continue
+                try:
+                    dec = decode_media(b, mtype)
+                except NotImplementedError as exc:
+                    out["decode_error"][i] = f"unsupported: {exc}"
+                    continue
+                except Exception as exc:  # malformed payload -> routed
+                    out["decode_error"][i] = f"malformed: {exc}"
+                    continue
+                out["decoded"][i] = True
+                out["n_channels"][i] = dec.n_channels
+                out["sample_rate"][i] = dec.sample_rate
+                out["bit_depth"][i] = dec.bit_depth
+                out["n_frames"][i] = dec.n_frames
+                out["abs_sum"][i] = sum(abs(s) for s in dec.samples)
+                out["peak"][i] = max(
+                    (abs(s) for s in dec.samples), default=0)
+            yield pd.DataFrame(out)
+
+    pruned = web_pages.select("url", "html")
+    return pruned.mapInPandas(process, schema=AUDIO_DECODED)
 
 
 def media_type_stats(web_pages: DataFrame) -> DataFrame:

@@ -578,6 +578,72 @@ def trigram_fluency_report(docs: DataFrame, text_col: str = "text",
     )
 
 
+def ccnet_bins(docs: DataFrame, text_col: str = "text",
+               scale: int = TRIGRAM_SCALE) -> DataFrame:
+    """CCNet head/middle/tail perplexity binning (Wenzek et al. 2020 §4.3),
+    deterministic analogue: score every document with the corpus trigram
+    LM, derive the two tercile cutoff VALUES, and bin by score comparison
+    — head = most fluent third.  Returns (doc_id, score, bin); docs with
+    no trigram land in bin 'unscored'.
+
+    Scale design: CCNet itself bins by threshold values, not by global
+    rank, and so does this — the per-doc rule is a broadcastable
+    comparison, never a corpus-wide sort/window.  The cutoffs come from
+    the score HISTOGRAM (groupBy(score).count(), map-side combinable):
+    its cardinality is bounded by the integer score domain (<= scale+1
+    rows, in practice a few thousand), so collecting it to the driver is
+    an O(1)-per-corpus aggregate like the other gated collect sites.
+    cut_head = score of the ceil(n/3)-th doc in score-descending order,
+    cut_tail = score of the ceil(2n/3)-th; boundary ties all promote to
+    the higher bin (value-based rule), exactly reproducible in any engine.
+    """
+    # the histogram collect below is an eager action and the returned plan
+    # joins the same scores again — localCheckpoint materializes the
+    # (doc_id, score) relation once so scoring (the expensive trigram
+    # passes) never runs twice
+    scores = trigram_fluency_scores(docs, text_col, scale).localCheckpoint()
+    hist = sorted(
+        ((r["score"], r["c"]) for r in
+         scores.groupBy("score").agg(F.count("*").alias("c")).collect()),
+        key=lambda t: -t[0])
+    n = sum(c for _, c in hist)
+    k1, k2 = (n + 2) // 3, (2 * n + 2) // 3  # ceil(n/3), ceil(2n/3)
+    cut_head = cut_tail = None
+    cum = 0
+    for score, c in hist:
+        cum += c
+        if cut_head is None and cum >= k1:
+            cut_head = score
+        if cut_tail is None and cum >= k2:
+            cut_tail = score
+    joined = docs.select("doc_id").join(scores, "doc_id", "left")
+    if cut_head is None:  # no scored docs at all
+        bin_col = F.when(F.col("score").isNull(), F.lit("unscored")) \
+            .otherwise(F.lit("head"))
+    else:
+        bin_col = (
+            F.when(F.col("score").isNull(), F.lit("unscored"))
+            .when(F.col("score") >= cut_head, F.lit("head"))
+            .when(F.col("score") >= cut_tail, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    return joined.select("doc_id", "score", bin_col.alias("bin"))
+
+
+def ccnet_bin_stats(docs: DataFrame, text_col: str = "text",
+                    scale: int = TRIGRAM_SCALE) -> DataFrame:
+    """Per-bin corpus report for :func:`ccnet_bins`:
+    (bin, n_docs, sum_score, min_score, max_score)."""
+    return ccnet_bins(docs, text_col, scale).groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.coalesce("score", F.lit(0))).alias("sum_score"),
+        # coalesce the extrema so the all-NULL 'unscored' bin reports 0 in
+        # every engine (NULL stringification is comparator-dependent)
+        F.coalesce(F.min("score"), F.lit(0)).alias("min_score"),
+        F.coalesce(F.max("score"), F.lit(0)).alias("max_score"),
+    )
+
+
 # -------------------------------------------------- per-host document caps
 
 def host_cap_sample(pages: DataFrame, k: int, url_col: str = "url",

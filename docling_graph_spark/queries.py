@@ -3242,6 +3242,23 @@ FROM flagged
 # exercised directly by tests/test_entry_oracles.py history + unit tests).
 
 
+def _unpivot_by_key(df: DataFrame, stage: str, key_col: str,
+                    metric_cols: list) -> DataFrame:
+    """K-row × N-col summary → K·N rows of (stage, '<key>:<col>', value)."""
+    kv = F.explode(F.array(*[
+        F.struct(
+            F.concat(F.col(key_col), F.lit(":" + c)).alias("metric"),
+            F.col(c).cast("string").alias("value"),
+        )
+        for c in metric_cols
+    ])).alias("kv")
+    return df.select(kv).select(
+        F.lit(stage).alias("stage"),
+        F.col("kv.metric").alias("metric"),
+        F.col("kv.value").alias("value"),
+    )
+
+
 def _unpivot_single_row(df: DataFrame, stage: str) -> DataFrame:
     """1-row × N-col summary → N rows of (stage, metric, value-as-string)."""
     kv = F.explode(F.array(*[
@@ -3407,8 +3424,64 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kv.metric").alias("metric"),
         F.col("kv.value").alias("value"),
     )
+
+    # stage 'wav_decode': REAL audio decode — deterministic PCM WAVs
+    # (channels 1+d%2, rate 8000+1000*(d%3), frames 40+d%25, sample k =
+    # ((d*31+k*17)%4001)-2000) encoded in an Arrow batch stage, decoded by
+    # the stdlib RIFF codec (kernels/wav_codec.py) through
+    # `multimodal.audio_decode_stats`; d%7==3 rows are truncated (malformed
+    # → routed error), d%7==5 rows are ID3-tagged MP3 (unsupported codec →
+    # routed error).  Sample statistics are compared against the oracle's
+    # closed-form integer math.
+    def build_wavs(batches):
+        from docling_graph_spark.kernels.wav_codec import encode_wav_pcm16
+
+        for pdf in batches:
+            urls, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                urls.append(f"wav:{d}")
+                if d % 7 == 5:
+                    blobs.append(b"ID3\x04\x00" + bytes(32))
+                    continue
+                c, f = 1 + d % 2, 40 + d % 25
+                samples = [((d * 31 + k * 17) % 4001) - 2000
+                           for k in range(f * c)]
+                wav = encode_wav_pcm16(8000 + 1000 * (d % 3), c, samples)
+                blobs.append(wav[:20] if d % 7 == 3 else wav)
+            yield pd.DataFrame({"url": urls, "html": blobs})
+
+    wavs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PNG_DOCS)
+        .select("doc_id")
+        .mapInPandas(build_wavs, "url string, html binary")
+    )
+    adec = op_mm.audio_decode_stats(wavs)
+    wav_agg = adec.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("decoded").cast("long")).alias("n_decoded"),
+        F.sum(F.col("decode_error").startswith("malformed").cast("long"))
+        .alias("n_malformed"),
+        F.sum(F.col("decode_error").startswith("unsupported").cast("long"))
+        .alias("n_unsupported"),
+        F.sum("n_channels").alias("sum_channels"),
+        F.sum("sample_rate").alias("sum_rate"),
+        F.sum("n_frames").alias("sum_frames"),
+        F.sum("abs_sum").alias("sum_abs"),
+        F.max("peak").alias("max_peak"),
+    )
+    wav_rows = _unpivot_single_row(wav_agg, "wav_decode")
     return (media_rows.unionByName(png_rows).unionByName(probe_rows)
-            .orderBy("stage", "metric"))
+            .unionByName(wav_rows).orderBy("stage", "metric"))
+
+
+def _sql_unpivot(cte: str, stage: str, metrics: list) -> str:
+    return "\n  UNION ALL\n".join(
+        f"  SELECT '{stage}' AS stage, '{m}' AS metric, "
+        f"CAST({m} AS VARCHAR) AS value FROM {cte}"
+        for m in metrics
+    )
 
 
 SQL_MEDIA_PIPELINE_STATS = f"""
@@ -3437,6 +3510,35 @@ probe AS (
          CAST(sum(20 + doc_id % 17) AS BIGINT) AS w,
          CAST(sum(10 + doc_id % 13) AS BIGINT) AS h
   FROM documents WHERE doc_id < {_PNG_DOCS} GROUP BY 1
+),
+wav AS (
+  SELECT doc_id AS d, 1 + doc_id % 2 AS c,
+         8000 + 1000 * (doc_id % 3) AS r, 40 + doc_id % 25 AS f
+  FROM documents WHERE doc_id < {_PNG_DOCS} AND doc_id % 7 NOT IN (3, 5)
+),
+wabs AS (
+  SELECT CAST(sum(abs(((wav.d * 31 + k * 17) % 4001) - 2000)) AS BIGINT)
+           AS s,
+         CAST(max(abs(((wav.d * 31 + k * 17) % 4001) - 2000)) AS BIGINT)
+           AS p
+  FROM wav, LATERAL (SELECT unnest(generate_series(0, wav.f * wav.c - 1))
+                     AS k)
+),
+wsum AS (
+  SELECT CAST((SELECT count(*) FROM documents WHERE doc_id < {_PNG_DOCS})
+              AS BIGINT) AS n_rows,
+         CAST((SELECT count(*) FROM wav) AS BIGINT) AS n_decoded,
+         CAST((SELECT count(*) FROM documents
+               WHERE doc_id < {_PNG_DOCS} AND doc_id % 7 = 3) AS BIGINT)
+           AS n_malformed,
+         CAST((SELECT count(*) FROM documents
+               WHERE doc_id < {_PNG_DOCS} AND doc_id % 7 = 5) AS BIGINT)
+           AS n_unsupported,
+         CAST((SELECT sum(c) FROM wav) AS BIGINT) AS sum_channels,
+         CAST((SELECT sum(r) FROM wav) AS BIGINT) AS sum_rate,
+         CAST((SELECT sum(f) FROM wav) AS BIGINT) AS sum_frames,
+         (SELECT s FROM wabs) AS sum_abs,
+         (SELECT p FROM wabs) AS max_peak
 )
 SELECT stage, metric, value FROM (
   SELECT 'media' AS stage, media_type || ':n_docs' AS metric,
@@ -3474,6 +3576,11 @@ SELECT stage, metric, value FROM (
   SELECT 'header_probe', media_type || ':w', CAST(w AS VARCHAR) FROM probe
   UNION ALL
   SELECT 'header_probe', media_type || ':h', CAST(h AS VARCHAR) FROM probe
+  UNION ALL
+{_sql_unpivot('wsum', 'wav_decode',
+              ['n_rows', 'n_decoded', 'n_malformed', 'n_unsupported',
+               'sum_channels', 'sum_rate', 'sum_frames', 'sum_abs',
+               'max_peak'])}
 ) ORDER BY stage, metric
 """
 
@@ -3518,6 +3625,62 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN score < 50000 THEN 1 ELSE 0 END) AS BIGINT)
          AS low_fluency_docs
 FROM j
+"""
+
+
+def q_ccnet_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity binning (Wenzek et al. 2020
+    §4.3): tercile cutoff VALUES from the trigram-LM score histogram,
+    value-comparison binning (operators/textprep.ccnet_bin_stats) — the
+    quality-tier split a CC-derived training corpus ships with."""
+    from .operators import textprep
+
+    docs = _read(spark, sf_dir, "documents")
+    return textprep.ccnet_bin_stats(docs).orderBy("bin")
+
+
+SQL_CCNET_BINS = """
+WITH nrm AS (
+  SELECT doc_id,
+         ' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' '
+           AS n
+  FROM documents),
+inst AS (
+  SELECT doc_id, substr(n, CAST(i AS BIGINT), 3) AS gram
+  FROM nrm, LATERAL (SELECT unnest(generate_series(1, length(n) - 2)) AS i)
+  WHERE length(n) >= 3),
+c3 AS (SELECT gram, count(*) AS c3 FROM inst GROUP BY gram),
+c2 AS (SELECT substr(gram, 1, 2) AS ctx, sum(c3) AS c2 FROM c3 GROUP BY 1),
+model AS (
+  SELECT gram, (1000000 * c3.c3) // c2.c2 AS p_scaled
+  FROM c3 JOIN c2 ON substr(c3.gram, 1, 2) = c2.ctx),
+scores AS (
+  SELECT doc_id, sum(p_scaled) // count(*) AS score
+  FROM inst JOIN model USING (gram) GROUP BY doc_id),
+ranked AS (
+  SELECT score, row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM scores),
+cuts AS (
+  SELECT min(CASE WHEN rn <= (n + 2) // 3 THEN score END) AS cut_head,
+         min(CASE WHEN rn <= (2 * n + 2) // 3 THEN score END) AS cut_tail
+  FROM ranked),
+j AS (
+  SELECT d.doc_id, s.score
+  FROM documents d LEFT JOIN scores s USING (doc_id)),
+binned AS (
+  SELECT CASE WHEN score IS NULL THEN 'unscored'
+              WHEN score >= cut_head THEN 'head'
+              WHEN score >= cut_tail THEN 'middle'
+              ELSE 'tail' END AS bin,
+         score
+  FROM j, cuts)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(coalesce(score, 0)) AS BIGINT) AS sum_score,
+       CAST(coalesce(min(score), 0) AS BIGINT) AS min_score,
+       CAST(coalesce(max(score), 0) AS BIGINT) AS max_score
+FROM binned GROUP BY bin
 """
 
 
@@ -3674,19 +3837,14 @@ def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_bloom_gate(spark, sf_dir), "bloom_gate"))
         .unionByName(_unpivot_single_row(
             q_lm_fluency(spark, sf_dir), "lm_fluency"))
+        .unionByName(_unpivot_by_key(
+            q_ccnet_bins(spark, sf_dir), "ccnet", "bin",
+            ["n_docs", "sum_score", "min_score", "max_score"]))
         .unionByName(q_curation_funnel(spark, sf_dir).select(
             F.lit("funnel").alias("stage"),
             F.col("stage").alias("metric"),
             F.col("n_docs").cast("string").alias("value")))
         .orderBy("stage", "metric")
-    )
-
-
-def _sql_unpivot(cte: str, stage: str, metrics: list) -> str:
-    return "\n  UNION ALL\n".join(
-        f"  SELECT '{stage}' AS stage, '{m}' AS metric, "
-        f"CAST({m} AS VARCHAR) AS value FROM {cte}"
-        for m in metrics
     )
 
 
@@ -3700,6 +3858,7 @@ ds AS ({SQL_DUP_SPANS}),
 de AS ({SQL_DUP_EXCISION}),
 bg AS ({SQL_BLOOM_GATE}),
 lm AS ({SQL_LM_FLUENCY}),
+cb AS ({SQL_CCNET_BINS}),
 fu AS ({SQL_CURATION_FUNNEL})
 SELECT stage, metric, value FROM (
 {_sql_unpivot('pii', 'pii',
@@ -3737,6 +3896,15 @@ SELECT stage, metric, value FROM (
 {_sql_unpivot('lm', 'lm_fluency',
               ['n_docs', 'n_unscored', 'sum_score', 'min_score',
                'max_score', 'low_fluency_docs'])}
+  UNION ALL
+  SELECT 'ccnet' AS stage, bin || ':n_docs' AS metric,
+         CAST(n_docs AS VARCHAR) AS value FROM cb
+  UNION ALL
+  SELECT 'ccnet', bin || ':sum_score', CAST(sum_score AS VARCHAR) FROM cb
+  UNION ALL
+  SELECT 'ccnet', bin || ':min_score', CAST(min_score AS VARCHAR) FROM cb
+  UNION ALL
+  SELECT 'ccnet', bin || ':max_score', CAST(max_score AS VARCHAR) FROM cb
   UNION ALL
   SELECT 'funnel' AS stage, fu.stage AS metric,
          CAST(n_docs AS VARCHAR) AS value FROM fu

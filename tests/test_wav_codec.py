@@ -1,0 +1,111 @@
+"""Stdlib WAV codec: encode→decode roundtrip, chunk-walk robustness
+(extra chunks, pad bytes, 8/32-bit depths), error routing for truncated /
+compressed payloads, and the Spark audio_decode_stats stage end-to-end."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from docling_graph_spark.kernels.media_stub import decode_media, \
+    sniff_media_type
+from docling_graph_spark.kernels.wav_codec import (
+    decode_wav,
+    encode_wav_pcm16,
+)
+
+
+def test_pcm16_roundtrip():
+    samples = [((i * 37) % 4001) - 2000 for i in range(90)]
+    wav = encode_wav_pcm16(16000, 2, samples)
+    assert sniff_media_type(wav) == "audio/wav"
+    dec = decode_wav(wav)
+    assert (dec.n_channels, dec.sample_rate, dec.bit_depth) == (2, 16000, 16)
+    assert dec.n_frames == 45
+    assert dec.samples == samples
+
+
+def test_decode_media_routes_wav():
+    wav = encode_wav_pcm16(8000, 1, [0, 100, -100, 32767, -32768])
+    dec = decode_media(wav, "audio/wav")
+    assert dec.samples == [0, 100, -100, 32767, -32768]
+
+
+def _wav_raw(fmt_body: bytes, data: bytes, extra: bytes = b"") -> bytes:
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            + extra
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _fmt(audio_format=1, channels=1, rate=8000, bits=16) -> bytes:
+    align = channels * bits // 8
+    return struct.pack("<HHIIHH", audio_format, channels, rate,
+                       rate * align, align, bits)
+
+
+def test_extra_chunks_and_odd_pad():
+    # LIST chunk with an odd size (forces the word-align pad byte) before
+    # the data chunk; decoder must skip it and still find data
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    data = struct.pack("<4h", 1, -2, 3, -4)
+    dec = decode_wav(_wav_raw(_fmt(), data, extra=extra))
+    assert dec.samples == [1, -2, 3, -4]
+
+
+def test_8bit_and_32bit_depths():
+    d8 = decode_wav(_wav_raw(_fmt(bits=8), bytes([0, 128, 255])))
+    assert (d8.bit_depth, d8.samples) == (8, [0, 128, 255])
+    d32 = decode_wav(_wav_raw(_fmt(bits=32),
+                              struct.pack("<3i", 1 << 20, -(1 << 30), 7)))
+    assert (d32.bit_depth, d32.samples) == (32, [1 << 20, -(1 << 30), 7])
+
+
+def test_truncated_raises_value_error():
+    wav = encode_wav_pcm16(8000, 1, [5] * 50)
+    with pytest.raises(ValueError):
+        decode_wav(wav[:20])
+
+
+def test_missing_data_chunk_raises():
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + _fmt()
+    with pytest.raises(ValueError, match="missing data"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_compressed_format_not_implemented():
+    # ADPCM (format 2) must raise NotImplementedError, not ValueError —
+    # the operator routes the two differently
+    with pytest.raises(NotImplementedError):
+        decode_wav(_wav_raw(_fmt(audio_format=2), b"\x00\x00"))
+
+
+def test_24bit_depth_not_implemented():
+    with pytest.raises(NotImplementedError):
+        decode_wav(_wav_raw(_fmt(bits=24), b"\x00" * 6))
+
+
+def test_audio_decode_stats_stage(spark):
+    """Spark stage: decoded stats, malformed routing, non-audio routing."""
+    from docling_graph_spark.operators.multimodal import audio_decode_stats
+
+    good = encode_wav_pcm16(8000, 2, [10, -20, 30, -40])
+    rows = [
+        ("u1", good),
+        ("u2", good[:16]),                      # truncated -> malformed
+        ("u3", b"ID3\x04" + bytes(16)),         # mp3 -> unsupported
+        ("u4", b"<html><body>x</body></html>"),  # not audio
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r["url"]: r for r in audio_decode_stats(df).collect()}
+    assert out["u1"]["decoded"] is True
+    assert out["u1"]["n_channels"] == 2
+    assert out["u1"]["n_frames"] == 2
+    assert out["u1"]["abs_sum"] == 100
+    assert out["u1"]["peak"] == 40
+    assert out["u2"]["decoded"] is False
+    assert out["u2"]["decode_error"].startswith("malformed")
+    assert out["u3"]["decode_error"].startswith("unsupported")
+    assert out["u4"]["decode_error"] == "not audio"
