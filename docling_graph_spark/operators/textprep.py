@@ -559,12 +559,18 @@ def trigram_fluency_scores(docs: DataFrame, text_col: str = "text",
 
 def trigram_fluency_report(docs: DataFrame, text_col: str = "text",
                            scale: int = TRIGRAM_SCALE,
-                           low_threshold: int | None = None) -> DataFrame:
+                           low_threshold: int | None = None,
+                           scores: DataFrame | None = None) -> DataFrame:
     """1-row corpus fluency report: scored/unscored doc counts, score
     extrema/sum, and the low-fluency count under ``low_threshold``
-    (default scale/20 — the 'keep the fluent tail' gate)."""
+    (default scale/20 — the 'keep the fluent tail' gate).
+
+    ``scores`` lets a caller that already materialized
+    :func:`trigram_fluency_scores` (e.g. to also bin with
+    :func:`ccnet_bins`) share the one scoring pass."""
     thr = low_threshold if low_threshold is not None else scale // 20
-    scores = trigram_fluency_scores(docs, text_col, scale)
+    if scores is None:
+        scores = trigram_fluency_scores(docs, text_col, scale)
     joined = docs.select("doc_id").join(scores, "doc_id", "left")
     return joined.agg(
         F.count("*").alias("n_docs"),
@@ -579,7 +585,8 @@ def trigram_fluency_report(docs: DataFrame, text_col: str = "text",
 
 
 def ccnet_bins(docs: DataFrame, text_col: str = "text",
-               scale: int = TRIGRAM_SCALE) -> DataFrame:
+               scale: int = TRIGRAM_SCALE,
+               scores: DataFrame | None = None) -> DataFrame:
     """CCNet head/middle/tail perplexity binning (Wenzek et al. 2020 §4.3),
     deterministic analogue: score every document with the corpus trigram
     LM, derive the two tercile cutoff VALUES, and bin by score comparison
@@ -600,8 +607,12 @@ def ccnet_bins(docs: DataFrame, text_col: str = "text",
     # the histogram collect below is an eager action and the returned plan
     # joins the same scores again — localCheckpoint materializes the
     # (doc_id, score) relation once so scoring (the expensive trigram
-    # passes) never runs twice
-    scores = trigram_fluency_scores(docs, text_col, scale).localCheckpoint()
+    # passes) never runs twice.  Callers that also need the scores (the
+    # corpus-prep relation pairs this with trigram_fluency_report) pass a
+    # pre-materialized ``scores`` to share the single pass.
+    if scores is None:
+        scores = trigram_fluency_scores(docs, text_col,
+                                        scale).localCheckpoint()
     hist = sorted(
         ((r["score"], r["c"]) for r in
          scores.groupBy("score").agg(F.count("*").alias("c")).collect()),
@@ -631,10 +642,11 @@ def ccnet_bins(docs: DataFrame, text_col: str = "text",
 
 
 def ccnet_bin_stats(docs: DataFrame, text_col: str = "text",
-                    scale: int = TRIGRAM_SCALE) -> DataFrame:
+                    scale: int = TRIGRAM_SCALE,
+                    scores: DataFrame | None = None) -> DataFrame:
     """Per-bin corpus report for :func:`ccnet_bins`:
     (bin, n_docs, sum_score, min_score, max_score)."""
-    return ccnet_bins(docs, text_col, scale).groupBy("bin").agg(
+    return ccnet_bins(docs, text_col, scale, scores=scores).groupBy("bin").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.coalesce("score", F.lit(0))).alias("sum_score"),
         # coalesce the extrema so the all-NULL 'unscored' bin reports 0 in

@@ -3684,6 +3684,42 @@ FROM binned GROUP BY bin
 """
 
 
+def _shared_trigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One materialized (doc_id, score) relation per (session, corpus) —
+    the lm_fluency and ccnet stages of the corpus-prep relation both
+    consume it, so the expensive trigram-scoring passes run once."""
+    from .operators import textprep
+
+    key = (_session_key(spark), sf_dir,
+           _corpus_fingerprint(sf_dir, "documents"))
+    cached = _TRIGRAM_SCORE_CACHE.get(key)
+    if cached is None:
+        docs = _read(spark, sf_dir, "documents")
+        cached = textprep.trigram_fluency_scores(docs).localCheckpoint()
+        _TRIGRAM_SCORE_CACHE.clear()  # one corpus live at a time
+        _TRIGRAM_SCORE_CACHE[key] = cached
+    return cached
+
+
+_TRIGRAM_SCORE_CACHE: Dict[Tuple[str, str, str], DataFrame] = {}
+
+
+def _lm_fluency_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textprep
+
+    docs = _read(spark, sf_dir, "documents")
+    return textprep.trigram_fluency_report(
+        docs, scores=_shared_trigram_scores(spark, sf_dir))
+
+
+def _ccnet_bins_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textprep
+
+    docs = _read(spark, sf_dir, "documents")
+    return textprep.ccnet_bin_stats(
+        docs, scores=_shared_trigram_scores(spark, sf_dir)).orderBy("bin")
+
+
 # keep in sync with curation.FLUENCY_DEFAULT_THRESHOLD (TRIGRAM_SCALE/20)
 FLUENCY_THRESHOLD_SQL = 50_000
 _HOSTCAP_K = 8
@@ -3836,9 +3872,9 @@ def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_unpivot_single_row(
             q_bloom_gate(spark, sf_dir), "bloom_gate"))
         .unionByName(_unpivot_single_row(
-            q_lm_fluency(spark, sf_dir), "lm_fluency"))
+            _lm_fluency_shared(spark, sf_dir), "lm_fluency"))
         .unionByName(_unpivot_by_key(
-            q_ccnet_bins(spark, sf_dir), "ccnet", "bin",
+            _ccnet_bins_shared(spark, sf_dir), "ccnet", "bin",
             ["n_docs", "sum_score", "min_score", "max_score"]))
         .unionByName(q_curation_funnel(spark, sf_dir).select(
             F.lit("funnel").alias("stage"),
