@@ -69,12 +69,15 @@ def _load_real_tokenizer(name: str) -> Optional[TokenCounter]:
 
 
 def get_token_counter(
-    tokenizer: Union[None, str, TokenCounter] = None,
+    tokenizer: Union[None, str, tuple, TokenCounter] = None,
 ) -> TokenCounter:
     """Resolve a token counter.
 
     * ``None`` → the reference length heuristic (default; byte-stable).
     * a callable → used as-is (tests / custom counters).
+    * ``("bpe", merges)`` → corpus-trained BPE counter (kernels/bpe.py):
+      the merge list is plain picklable data, so this spec travels into
+      Arrow UDF closures; the encoder is constructed once per executor.
     * a string → HuggingFace tokenizer of that name when ``transformers``
       or ``tokenizers`` is importable; otherwise a one-time warning and the
       heuristic fallback (mirrors the reference's tiktoken→HF fallback,
@@ -82,6 +85,11 @@ def get_token_counter(
     """
     if tokenizer is None:
         return heuristic_counter()
+    if (isinstance(tokenizer, (tuple, list)) and len(tokenizer) == 2
+            and tokenizer[0] == "bpe"):
+        from .bpe import encoder_for
+
+        return encoder_for(tokenizer[1]).count
     if callable(tokenizer):
         return tokenizer
     if tokenizer in _COUNTERS:
