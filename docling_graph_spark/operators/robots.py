@@ -1,0 +1,135 @@
+"""Crawl-politeness operators: robots.txt rules as a relation, URL gating.
+
+Scale shape: the rules relation is host-keyed and tiny relative to the
+page corpus (a few rules per host), so the gate is a BROADCAST equi-join
+on host followed by a prefix filter and one aggregate — the page side
+never shuffles.  Rule precedence (RFC 9309 longest-match, Allow wins
+ties) is evaluated relationally with ``max(struct(path_len, is_allow))``
+— a map-side-combinable aggregate, not a window.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RULES_SCHEMA = "host string, agent string, kind string, path string"
+
+
+def robots_rules(robots: DataFrame, host_col: str = "host",
+                 text_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt) -> one row per parsed rule
+    (host, agent, kind, path); Sitemap directives come back as
+    agent='' kind='sitemap' rows so one pass serves both consumers."""
+    from ..kernels.robots import parse_robots
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, agents, kinds, paths = [], [], [], []
+            for host, text in zip(pdf[host_col], pdf[text_col]):
+                parsed = parse_robots(text or "")
+                for r in parsed.rules:
+                    hosts.append(host)
+                    agents.append(r.agent)
+                    kinds.append(r.kind)
+                    paths.append(r.path)
+                for s in parsed.sitemaps:
+                    hosts.append(host)
+                    agents.append("")
+                    kinds.append("sitemap")
+                    paths.append(s)
+            yield pd.DataFrame({"host": hosts, "agent": agents,
+                                "kind": kinds, "path": paths})
+
+    return robots.select(
+        F.col(host_col).alias(host_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(parse, RULES_SCHEMA)
+
+
+def gate_urls(pages: DataFrame, rules: DataFrame,
+              agent: str = "*", url_col: str = "url") -> DataFrame:
+    """(url, host, path, allowed) for every input page.
+
+    The governing group is resolved relationally: exact-agent rules if the
+    host has any, else the ``*`` group (RFC 9309 §2.2.1) — computed as a
+    per-host flag on the (tiny) rules side before the broadcast join.
+    Precedence is ``max(struct(len(path), is_allow))`` over the prefix
+    matches; urls with no matching rule (or hosts with no robots at all)
+    are allowed.
+    """
+    a = agent.lower()
+    ad = rules.filter(F.col("kind").isin("allow", "disallow"))
+    has_exact = (
+        ad.filter(F.col("agent") == a)
+        .select("host").distinct()
+        .withColumn("_exact", F.lit(True))
+    )
+    governing = (
+        ad.filter(F.col("agent").isin(a, "*"))
+        .join(has_exact, "host", "left")
+        .filter(
+            F.when(F.col("_exact").isNotNull(), F.col("agent") == a)
+            .otherwise(F.col("agent") == "*"))
+        .select("host", "kind", "path")
+    )
+    host = F.try_parse_url(F.col(url_col), F.lit("HOST"))
+    path = F.coalesce(F.try_parse_url(F.col(url_col), F.lit("PATH")),
+                      F.lit("/"))
+    keyed = pages.select(F.col(url_col).alias("url"), host.alias("host"),
+                         path.alias("path"))
+    # ONE broadcast left join (non-matching urls survive with null rule)
+    # + ONE partial-aggregated groupBy: the page corpus shuffles once,
+    # carrying one row per url after map-side combine
+    rside = (governing.withColumnRenamed("path", "path_rule")
+             .withColumnRenamed("host", "rhost"))
+    joined = keyed.join(
+        F.broadcast(rside),
+        (F.col("host") == F.col("rhost"))
+        & F.col("path").startswith(F.col("path_rule")),
+        "left")
+    verdict = joined.groupBy("url").agg(
+        F.first("host").alias("host"),
+        F.first("path").alias("path"),
+        F.max(F.when(
+            F.col("path_rule").isNotNull(),
+            F.struct(F.length("path_rule").alias("l"),
+                     (F.col("kind") == "allow").cast("int").alias("a")),
+        )).alias("best"),
+    )
+    return verdict.select(
+        "url", "host", "path",
+        (F.col("best").isNull() | (F.col("best.a") == 1)).alias("allowed"),
+    )
+
+
+def robots_gate_stats(pages: DataFrame, rules: DataFrame,
+                      agent: str = "*",
+                      url_col: str = "url") -> DataFrame:
+    """1-row politeness report: host/rule/sitemap/crawl-delay counts and
+    the blocked-url accounting for ``agent``."""
+    gated = gate_urls(pages, rules, agent, url_col)
+    doc_no = F.regexp_extract("url", r"/doc/(\d+)$", 1)
+    g = gated.agg(
+        F.count("*").alias("n_urls"),
+        F.sum((~F.col("allowed")).cast("long")).alias("n_blocked"),
+        F.sum(F.when(~F.col("allowed"),
+                     doc_no.cast("long")).otherwise(0))
+        .alias("sum_blocked_doc"),
+    )
+    r = rules.agg(
+        F.countDistinct("host").alias("n_hosts"),
+        F.sum((F.col("agent") == "*").cast("long") *
+              F.col("kind").isin("allow", "disallow").cast("long"))
+        .alias("n_rules_star"),
+        F.sum((F.col("kind") == "crawl_delay").cast("long"))
+        .alias("n_crawl_delay"),
+        F.sum((F.col("kind") == "sitemap").cast("long"))
+        .alias("n_sitemaps"),
+    )
+    return g.crossJoin(r).select(
+        "n_urls", "n_blocked", "sum_blocked_doc", "n_hosts",
+        "n_rules_star", "n_crawl_delay", "n_sitemaps",
+    )

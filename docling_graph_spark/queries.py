@@ -3684,6 +3684,70 @@ FROM binned GROUP BY bin
 """
 
 
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness gate end-to-end: per-host robots.txt bodies are
+    synthesized as a JVM column expression (deterministic rules from the
+    host number: a badbot blanket group that must be IGNORED, a '*' group
+    with a Disallow digit-prefix + a longer Allow re-permit — exercising
+    RFC 9309 longest-match + Allow-wins-ties — plus Crawl-delay on h%3==0
+    hosts and Sitemap on h%4==0), parsed by the real robots parser
+    (kernels/robots.py) into a rules relation, and applied to every corpus
+    url via the broadcast gate (operators/robots.gate_urls).  The oracle
+    recomputes the blocked set closed-form from the same host math, so
+    parser + group selection + precedence are all value-checked."""
+    from .operators import robots as op_rb
+    from .sources.web_pages import synthesize_web_pages
+
+    pages = synthesize_web_pages(spark, sf_dir).select("url")
+    hosts = pages.select(
+        F.try_parse_url("url", F.lit("HOST")).alias("host")
+    ).distinct()
+    h = F.regexp_extract("host", r"host(\d+)", 1).cast("int")
+    d1 = (h % 10).cast("string")
+    d2 = (h % 7).cast("string")
+    robots_txt = F.concat(
+        F.lit("# crawl policy\nUser-Agent: badbot\nDisallow: /\n\n"),
+        F.lit("User-agent: *\nDisallow: /doc/"), d1,
+        F.lit("\nAllow: /doc/"), d1, d2, F.lit("\n"),
+        F.when(h % 3 == 0,
+               F.concat(F.lit("Crawl-delay: "),
+                        (1 + h % 5).cast("string"), F.lit("\n")))
+        .otherwise(F.lit("")),
+        F.when(h % 4 == 0,
+               F.concat(F.lit("Sitemap: https://"), F.col("host"),
+                        F.lit("/sitemap.xml\n")))
+        .otherwise(F.lit("")),
+    )
+    robots_df = hosts.select("host", robots_txt.alias("robots_txt"))
+    rules = op_rb.robots_rules(robots_df)
+    return op_rb.robots_gate_stats(pages, rules)
+
+
+SQL_ROBOTS_GATE = """
+WITH hx AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 < 2 THEN doc_id % 7
+              ELSE 7 + doc_id % 211 END AS h
+  FROM documents),
+hosts AS (SELECT DISTINCT h FROM hx),
+blocked AS (
+  SELECT doc_id FROM hx
+  WHERE starts_with(CAST(doc_id AS VARCHAR), CAST(h % 10 AS VARCHAR))
+    AND NOT starts_with(CAST(doc_id AS VARCHAR),
+                        CAST(h % 10 AS VARCHAR) || CAST(h % 7 AS VARCHAR)))
+SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_urls,
+       CAST((SELECT count(*) FROM blocked) AS BIGINT) AS n_blocked,
+       CAST((SELECT coalesce(sum(doc_id), 0) FROM blocked) AS BIGINT)
+         AS sum_blocked_doc,
+       CAST((SELECT count(*) FROM hosts) AS BIGINT) AS n_hosts,
+       CAST((SELECT 2 * count(*) FROM hosts) AS BIGINT) AS n_rules_star,
+       CAST((SELECT count(*) FROM hosts WHERE h % 3 = 0) AS BIGINT)
+         AS n_crawl_delay,
+       CAST((SELECT count(*) FROM hosts WHERE h % 4 = 0) AS BIGINT)
+         AS n_sitemaps
+"""
+
+
 def _shared_trigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One materialized (doc_id, score) relation per (session, corpus) —
     the lm_fluency and ccnet stages of the corpus-prep relation both
@@ -3876,6 +3940,8 @@ def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_unpivot_by_key(
             _ccnet_bins_shared(spark, sf_dir), "ccnet", "bin",
             ["n_docs", "sum_score", "min_score", "max_score"]))
+        .unionByName(_unpivot_single_row(
+            q_robots_gate(spark, sf_dir), "robots"))
         .unionByName(q_curation_funnel(spark, sf_dir).select(
             F.lit("funnel").alias("stage"),
             F.col("stage").alias("metric"),
@@ -3895,6 +3961,7 @@ de AS ({SQL_DUP_EXCISION}),
 bg AS ({SQL_BLOOM_GATE}),
 lm AS ({SQL_LM_FLUENCY}),
 cb AS ({SQL_CCNET_BINS}),
+rb AS ({SQL_ROBOTS_GATE}),
 fu AS ({SQL_CURATION_FUNNEL})
 SELECT stage, metric, value FROM (
 {_sql_unpivot('pii', 'pii',
@@ -3941,6 +4008,10 @@ SELECT stage, metric, value FROM (
   SELECT 'ccnet', bin || ':min_score', CAST(min_score AS VARCHAR) FROM cb
   UNION ALL
   SELECT 'ccnet', bin || ':max_score', CAST(max_score AS VARCHAR) FROM cb
+  UNION ALL
+{_sql_unpivot('rb', 'robots',
+              ['n_urls', 'n_blocked', 'sum_blocked_doc', 'n_hosts',
+               'n_rules_star', 'n_crawl_delay', 'n_sitemaps'])}
   UNION ALL
   SELECT 'funnel' AS stage, fu.stage AS metric,
          CAST(n_docs AS VARCHAR) AS value FROM fu
