@@ -199,7 +199,14 @@ def _scale_level(sf_dir: str, cores: int, repeats: int,
     spark = get_spark(app_name=f"dgspark-scale-{cores}", cores=cores,
                       shuffle_partitions=max(cores, 16))
     spark.sparkContext.setLogLevel("ERROR")
-    _run_pipeline_once(spark, sf_dir)  # warm-up (JVM/Arrow init)
+    # Warm-up at meaningful size, twice: a replicate=1 pass leaves the C2
+    # JIT cold (measured: back-to-back full-size runs go 34s -> 14s -> 9s
+    # in one JVM), and the residual compilation tail then eats a larger
+    # FRACTION of the short large-level run than of the long small-level
+    # run, biasing the efficiency ratio down.  Steady-state is what the
+    # metric means at 100 TB, so measure steady-state.
+    for _ in range(2):
+        _run_pipeline_once(spark, sf_dir, replicate=32)
     best, docs = min(
         (_run_pipeline_once(spark, sf_dir, replicate)
          for _ in range(repeats)),
