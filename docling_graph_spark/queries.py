@@ -3748,6 +3748,77 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_urls,
 """
 
 
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (operators/nbquality.py): multinomial
+    Naive-Bayes likelihood-ratio classifier trained on the corpus's own
+    Gopher-gate weak labels — integer-scaled Laplace-smoothed weights,
+    broadcast scoring join, sign-of-score prediction.  The oracle replays
+    training AND scoring from the same tokenization, so the whole
+    train→score→agree loop is value-checked cross-engine."""
+    from .operators import nbquality
+
+    docs = _read(spark, sf_dir, "documents")
+    return nbquality.nb_quality_report(docs)
+
+
+SQL_NB_QUALITY = """
+WITH l AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '),
+                     x -> len(x) > 0) AS w
+  FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS word FROM l),
+wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word),
+pw AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_word,
+              sum(c * len(word)) AS n_chars_w
+       FROM wc GROUP BY doc_id),
+big AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1])) AS bg
+  FROM l WHERE len(w) >= 2),
+bgc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg),
+pb AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram
+       FROM bgc GROUP BY doc_id),
+lbl AS (
+  SELECT l.doc_id,
+         NOT ((coalesce(pw.n_words, 0) < 50
+                 OR coalesce(pw.n_words, 0) > 100000)
+           OR (3 * coalesce(pw.n_words, 0) > coalesce(pw.n_chars_w, 0)
+                 OR coalesce(pw.n_chars_w, 0)
+                    > 10 * coalesce(pw.n_words, 0))
+           OR (10 * coalesce(pw.top_word, 0) > coalesce(pw.n_words, 0))
+           OR (coalesce(pb.n_bigrams, 0) > 0
+                 AND 20 * coalesce(pb.top_bigram, 0)
+                     > coalesce(pb.n_bigrams, 0))) AS y
+  FROM l LEFT JOIN pw USING (doc_id) LEFT JOIN pb USING (doc_id)),
+cnt AS (
+  SELECT word,
+         sum(CASE WHEN y THEN 1 ELSE 0 END) AS c_pass,
+         sum(CASE WHEN y THEN 0 ELSE 1 END) AS c_fail
+  FROM tok JOIN lbl USING (doc_id) GROUP BY word),
+tot AS (SELECT sum(c_pass) AS tp, sum(c_fail) AS tf, count(*) AS v
+        FROM cnt),
+wgt AS (
+  SELECT word,
+         (1000000 * (c_pass + 1)) // (tp + v)
+           - (1000000 * (c_fail + 1)) // (tf + v) AS wt
+  FROM cnt, tot),
+sc AS (SELECT doc_id, sum(wt) AS score FROM tok JOIN wgt USING (word)
+       GROUP BY doc_id),
+j AS (SELECT lbl.doc_id, y, coalesce(score, 0) AS score
+      FROM lbl LEFT JOIN sc USING (doc_id))
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_label_pass,
+       CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pred_pass,
+       CAST(sum(CASE WHEN (score > 0) = y THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree,
+       CAST((SELECT v FROM tot) AS BIGINT) AS vocab,
+       CAST(sum(score) AS BIGINT) AS sum_score
+FROM j
+"""
+
+
 def _shared_trigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One materialized (doc_id, score) relation per (session, corpus) —
     the lm_fluency and ccnet stages of the corpus-prep relation both
@@ -3942,6 +4013,8 @@ def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["n_docs", "sum_score", "min_score", "max_score"]))
         .unionByName(_unpivot_single_row(
             q_robots_gate(spark, sf_dir), "robots"))
+        .unionByName(_unpivot_single_row(
+            q_nb_quality(spark, sf_dir), "nb_quality"))
         .unionByName(q_curation_funnel(spark, sf_dir).select(
             F.lit("funnel").alias("stage"),
             F.col("stage").alias("metric"),
@@ -3962,6 +4035,7 @@ bg AS ({SQL_BLOOM_GATE}),
 lm AS ({SQL_LM_FLUENCY}),
 cb AS ({SQL_CCNET_BINS}),
 rb AS ({SQL_ROBOTS_GATE}),
+nb AS ({SQL_NB_QUALITY}),
 fu AS ({SQL_CURATION_FUNNEL})
 SELECT stage, metric, value FROM (
 {_sql_unpivot('pii', 'pii',
@@ -4012,6 +4086,10 @@ SELECT stage, metric, value FROM (
 {_sql_unpivot('rb', 'robots',
               ['n_urls', 'n_blocked', 'sum_blocked_doc', 'n_hosts',
                'n_rules_star', 'n_crawl_delay', 'n_sitemaps'])}
+  UNION ALL
+{_sql_unpivot('nb', 'nb_quality',
+              ['n_docs', 'n_label_pass', 'n_pred_pass', 'n_agree',
+               'vocab', 'sum_score'])}
   UNION ALL
   SELECT 'funnel' AS stage, fu.stage AS metric,
          CAST(n_docs AS VARCHAR) AS value FROM fu
