@@ -455,3 +455,8 @@ if __name__ == "__main__":
                                         page_bytes=args.page_bytes)))
     else:
         print(json.dumps(bench(args.sf_dir, CPUS)))
+    # the one JSON line above IS the contract — exit hard so a lingering
+    # non-daemon helper (observed twice after --scaling: the process sat
+    # for 25+ min after printing) can never hold the driver's harness
+    sys.stdout.flush()
+    os._exit(0)
