@@ -140,7 +140,11 @@ def encoder_for(merges: Sequence[Pair]) -> "BpeEncoder":
     enc = _ENCODER_CACHE.get(key)
     if enc is None:
         enc = BpeEncoder(merges)
-        _ENCODER_CACHE.clear()  # one live vocabulary per executor at a time
+        # keep a few live vocabularies (a job may alternate e.g. a chunk
+        # counter and a stats counter) — clearing on every switch would
+        # rebuild the encoder AND discard its word memo each alternation
+        while len(_ENCODER_CACHE) >= 4:
+            _ENCODER_CACHE.pop(next(iter(_ENCODER_CACHE)))
         _ENCODER_CACHE[key] = enc
     return enc
 

@@ -78,10 +78,11 @@ def decode_wav(payload: bytes) -> DecodedWav:
     fmt_fields = None
     data = None
     pos = 12
-    while pos + 8 <= len(b):
+    end = min(len(b), 8 + riff_size)  # trailing bytes after the RIFF
+    while pos + 8 <= end:             # container are not chunks
         cid = b[pos:pos + 4]
         csize = struct.unpack_from("<I", b, pos + 4)[0]
-        body = b[pos + 8: pos + 8 + csize]
+        body = b[pos + 8: min(pos + 8 + csize, end)]
         if len(body) < csize:
             raise ValueError(f"truncated {cid!r} chunk")
         if cid == b"fmt ":

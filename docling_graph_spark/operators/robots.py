@@ -61,14 +61,18 @@ def gate_urls(pages: DataFrame, rules: DataFrame,
     are allowed.
     """
     a = agent.lower()
-    ad = rules.filter(F.col("kind").isin("allow", "disallow"))
+    # group selection considers ANY rule row for the exact agent (incl.
+    # crawl_delay) — a matched group makes the wildcard group inapplicable
+    # even if it contains no allow/disallow rules (RFC 9309 §2.2.1; same
+    # semantics as kernels.robots.rules_for_agent)
     has_exact = (
-        ad.filter(F.col("agent") == a)
+        rules.filter(F.col("agent") == a)
         .select("host").distinct()
         .withColumn("_exact", F.lit(True))
     )
     governing = (
-        ad.filter(F.col("agent").isin(a, "*"))
+        rules.filter(F.col("kind").isin("allow", "disallow"))
+        .filter(F.col("agent").isin(a, "*"))
         .join(has_exact, "host", "left")
         .filter(
             F.when(F.col("_exact").isNotNull(), F.col("agent") == a)
@@ -78,11 +82,15 @@ def gate_urls(pages: DataFrame, rules: DataFrame,
     host = F.try_parse_url(F.col(url_col), F.lit("HOST"))
     path = F.coalesce(F.try_parse_url(F.col(url_col), F.lit("PATH")),
                       F.lit("/"))
-    keyed = pages.select(F.col(url_col).alias("url"), host.alias("host"),
-                         path.alias("path"))
+    # group on a per-row id, not the url: duplicate urls (re-crawl /
+    # multi-snapshot corpora) must each come back with their own verdict
+    keyed = pages.select(
+        F.monotonically_increasing_id().alias("_rid"),
+        F.col(url_col).alias("url"), host.alias("host"),
+        path.alias("path"))
     # ONE broadcast left join (non-matching urls survive with null rule)
     # + ONE partial-aggregated groupBy: the page corpus shuffles once,
-    # carrying one row per url after map-side combine
+    # carrying one row per input page after map-side combine
     rside = (governing.withColumnRenamed("path", "path_rule")
              .withColumnRenamed("host", "rhost"))
     joined = keyed.join(
@@ -90,7 +98,8 @@ def gate_urls(pages: DataFrame, rules: DataFrame,
         (F.col("host") == F.col("rhost"))
         & F.col("path").startswith(F.col("path_rule")),
         "left")
-    verdict = joined.groupBy("url").agg(
+    verdict = joined.groupBy("_rid").agg(
+        F.first("url").alias("url"),
         F.first("host").alias("host"),
         F.first("path").alias("path"),
         F.max(F.when(
@@ -109,27 +118,25 @@ def robots_gate_stats(pages: DataFrame, rules: DataFrame,
                       agent: str = "*",
                       url_col: str = "url") -> DataFrame:
     """1-row politeness report: host/rule/sitemap/crawl-delay counts and
-    the blocked-url accounting for ``agent``."""
+    the blocked-url accounting for ``agent``.  Corpus-specific checksums
+    (e.g. summing an id parsed out of the url) belong to the caller —
+    join or aggregate over :func:`gate_urls` directly."""
     gated = gate_urls(pages, rules, agent, url_col)
-    doc_no = F.regexp_extract("url", r"/doc/(\d+)$", 1)
     g = gated.agg(
         F.count("*").alias("n_urls"),
         F.sum((~F.col("allowed")).cast("long")).alias("n_blocked"),
-        F.sum(F.when(~F.col("allowed"),
-                     doc_no.cast("long")).otherwise(0))
-        .alias("sum_blocked_doc"),
     )
     r = rules.agg(
         F.countDistinct("host").alias("n_hosts"),
-        F.sum((F.col("agent") == "*").cast("long") *
+        F.sum((F.col("agent") == agent.lower()).cast("long") *
               F.col("kind").isin("allow", "disallow").cast("long"))
-        .alias("n_rules_star"),
+        .alias("n_rules_agent"),
         F.sum((F.col("kind") == "crawl_delay").cast("long"))
         .alias("n_crawl_delay"),
         F.sum((F.col("kind") == "sitemap").cast("long"))
         .alias("n_sitemaps"),
     )
     return g.crossJoin(r).select(
-        "n_urls", "n_blocked", "sum_blocked_doc", "n_hosts",
-        "n_rules_star", "n_crawl_delay", "n_sitemaps",
+        "n_urls", "n_blocked", "n_hosts", "n_rules_agent",
+        "n_crawl_delay", "n_sitemaps",
     )

@@ -3336,18 +3336,9 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_frames").alias("total_frames"),
     )
     joined = types.join(tstats, "media_type")
-    kv = F.explode(F.array(*[
-        F.struct(
-            F.concat(F.col("media_type"), F.lit(":" + c)).alias("metric"),
-            F.col(c).cast("string").alias("value"),
-        )
-        for c in ["n_docs", "total_bytes", "thumb_bytes", "total_frames"]
-    ])).alias("kv")
-    media_rows = joined.select(kv).select(
-        F.lit("media").alias("stage"),
-        F.col("kv.metric").alias("metric"),
-        F.col("kv.value").alias("value"),
-    )
+    media_rows = _unpivot_by_key(
+        joined, "media", "media_type",
+        ["n_docs", "total_bytes", "thumb_bytes", "total_frames"])
 
     def build_pngs(batches):
         from docling_graph_spark.kernels.png_codec import encode_png_gray
@@ -3412,18 +3403,8 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("width").cast("long")).alias("w"),
         F.sum(F.col("height").cast("long")).alias("h"),
     )
-    pkv = F.explode(F.array(*[
-        F.struct(
-            F.concat(F.col("media_type"), F.lit(":" + c)).alias("metric"),
-            F.col(c).cast("string").alias("value"),
-        )
-        for c in ["n", "w", "h"]
-    ])).alias("kv")
-    probe_rows = probed.select(pkv).select(
-        F.lit("header_probe").alias("stage"),
-        F.col("kv.metric").alias("metric"),
-        F.col("kv.value").alias("value"),
-    )
+    probe_rows = _unpivot_by_key(probed, "header_probe", "media_type",
+                                 ["n", "w", "h"])
 
     # stage 'wav_decode': REAL audio decode — deterministic PCM WAVs
     # (channels 1+d%2, rate 8000+1000*(d%3), frames 40+d%25, sample k =
@@ -3720,7 +3701,31 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     robots_df = hosts.select("host", robots_txt.alias("robots_txt"))
     rules = op_rb.robots_rules(robots_df)
-    return op_rb.robots_gate_stats(pages, rules)
+    gated = op_rb.gate_urls(pages, rules)
+    # sum of the blocked doc ids — a fixture-specific checksum (the
+    # synthesized urls end /doc/<id>), computed here rather than inside
+    # the generic operator
+    doc_no = F.regexp_extract("url", r"/doc/(\d+)$", 1)
+    g = gated.agg(
+        F.count("*").alias("n_urls"),
+        F.sum((~F.col("allowed")).cast("long")).alias("n_blocked"),
+        F.sum(F.when(~F.col("allowed"), doc_no.cast("long")).otherwise(0))
+        .alias("sum_blocked_doc"),
+    )
+    r = rules.agg(
+        F.countDistinct("host").alias("n_hosts"),
+        F.sum((F.col("agent") == "*").cast("long") *
+              F.col("kind").isin("allow", "disallow").cast("long"))
+        .alias("n_rules_star"),
+        F.sum((F.col("kind") == "crawl_delay").cast("long"))
+        .alias("n_crawl_delay"),
+        F.sum((F.col("kind") == "sitemap").cast("long"))
+        .alias("n_sitemaps"),
+    )
+    return g.crossJoin(r).select(
+        "n_urls", "n_blocked", "sum_blocked_doc", "n_hosts",
+        "n_rules_star", "n_crawl_delay", "n_sitemaps",
+    )
 
 
 SQL_ROBOTS_GATE = """

@@ -83,6 +83,41 @@ def test_spark_gate(spark):
     assert out["https://nohost.com/doc/1"] is True   # no robots at all
 
 
+def test_exact_group_with_only_crawl_delay_governs(spark):
+    """A host whose robots.txt has an exact-agent group containing only
+    Crawl-delay must NOT fall back to the '*' group (RFC 9309 §2.2.1);
+    operator and kernel must agree."""
+    from docling_graph_spark.operators.robots import gate_urls, robots_rules
+
+    body = "User-agent: mybot\nCrawl-delay: 2\n\nUser-agent: *\nDisallow: /\n"
+    robots = spark.createDataFrame([("a.com", body)],
+                                   "host string, robots_txt string")
+    rules = robots_rules(robots)
+    pages = spark.createDataFrame([("https://a.com/anything",)],
+                                  "url string")
+    out = gate_urls(pages, rules, agent="mybot").collect()
+    assert out[0]["allowed"] is True
+    kr = parse_robots(body).rules
+    assert is_allowed(kr, "mybot", "/anything") is True
+    # and '*' itself is still governed by its own group
+    out_star = gate_urls(pages, rules, agent="*").collect()
+    assert out_star[0]["allowed"] is False
+
+
+def test_duplicate_urls_each_get_a_verdict(spark):
+    from docling_graph_spark.operators.robots import gate_urls, robots_rules
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /x\n")],
+        "host string, robots_txt string")
+    pages = spark.createDataFrame(
+        [("https://a.com/x/1",), ("https://a.com/x/1",),
+         ("https://a.com/ok",)], "url string")
+    rows = gate_urls(pages, robots_rules(robots)).collect()
+    assert len(rows) == 3
+    assert sum(1 for r in rows if not r["allowed"]) == 2
+
+
 def test_gate_plan_is_broadcast(spark):
     """The rules side must broadcast — the page corpus never shuffles for
     the gate."""

@@ -63,6 +63,14 @@ def test_8bit_and_32bit_depths():
     assert (d32.bit_depth, d32.samples) == (32, [1 << 20, -(1 << 30), 7])
 
 
+def test_trailing_bytes_after_riff_are_ignored():
+    # real files often carry appended metadata/padding after the RIFF
+    # container — the chunk walk must stop at the container boundary
+    wav = encode_wav_pcm16(8000, 1, [1, 2, 3, 4])
+    dec = decode_wav(wav + b"JUNKJUNKJUNK")
+    assert dec.samples == [1, 2, 3, 4]
+
+
 def test_truncated_raises_value_error():
     wav = encode_wav_pcm16(8000, 1, [5] * 50)
     with pytest.raises(ValueError):
