@@ -153,7 +153,15 @@ mentions AS (
 # exact reconstruction of the synthetic page payload (sources/web_pages.py);
 # the html expression is factored out so link-graph oracles can regexp over
 # the full page string, not just its length
-_HTML_PAGE_SQL = f"""
+
+
+def _html_page_sql(aside_extra: str = "") -> str:
+    """DuckDB twin of web_pages.html_page_expr; ``aside_extra`` is a SQL
+    string expression concatenated inside the sidebar aside (the
+    with_tables corpus variant), '' reproduces the default corpus
+    byte-for-byte."""
+    extra = f" || {aside_extra}" if aside_extra else ""
+    return f"""
   '<!DOCTYPE html><html lang="' || lang || '"><head>'
   || '<title>doc ' || CAST(doc_id AS VARCHAR) || '</title>'
   || '<script>var t=1;</script><style>p{{margin:0}}</style></head><body>'
@@ -161,7 +169,8 @@ _HTML_PAGE_SQL = f"""
   || '</h1><nav><a href="/">Home</a> <a href="/a' || CAST(doc_id % 10 AS VARCHAR)
   || '">Section ' || CAST(doc_id % 10 AS VARCHAR)
   || '</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav></header>'
-  || '<aside class="sidebar"><a href="/x">Trending</a> <a href="/y">Popular</a> <a href="/z">Latest</a></aside>'
+  || '<aside class="sidebar"><a href="/x">Trending</a> <a href="/y">Popular</a> <a href="/z">Latest</a>'{extra}
+  || '</aside>'
   || '<div id="content"><article><p>'
   || replace(replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), chr(10)||chr(10), '</p><p>')
   || '</p></article></div>'
@@ -172,7 +181,32 @@ _HTML_PAGE_SQL = f"""
   || '.example.com/doc/' || CAST((doc_id * 31 + 11) % 997 AS VARCHAR)
   || '">Related</a> <p>© 2024 host'
   || CAST({_HOST_ID} AS VARCHAR) || '.example.com</p></footer></body></html>'
-""".replace("{{", "{").replace("}}", "}")
+"""
+
+
+_HTML_PAGE_SQL = _html_page_sql().replace("{{", "{").replace("}}", "}")
+
+# with_tables corpus variant (sources/web_pages.py:aside_tables_expr twin):
+# layout/nav table every 3rd doc, header+1..4-row data table 6 of 7 docs
+_ASIDE_TABLES_SQL = """(
+  CASE WHEN doc_id % 3 = 0 THEN
+    '<table class="nav"><tr><td><a href="/l1">One</a></td><td><a href="/l2">Two</a></td></tr></table>'
+  ELSE '' END
+  ||
+  CASE WHEN doc_id % 7 <> 6 THEN
+    '<table id="stats"><tr><th>metric</th><th>value</th><th>unit</th></tr>'
+    || array_to_string(list_transform(generate_series(0, CAST(doc_id % 4 AS BIGINT)),
+         i -> '<tr><td>m' || CAST((doc_id + i) % 10 AS VARCHAR)
+           || '</td><td>' || CAST((doc_id * 17 + i * 3) % 1000 AS VARCHAR)
+           || '</td><td>u' || CAST((doc_id + i) % 5 AS VARCHAR)
+           || '</td></tr>'), '')
+    || '</table>'
+  ELSE '' END
+)"""
+
+_HTML_PAGE_TABLES_SQL = (
+    _html_page_sql(_ASIDE_TABLES_SQL).replace("{{", "{").replace("}}", "}")
+)
 
 _PDF_PAYLOAD_SQL = """
   '%PDF-1.4' || chr(10) || '%dgspark synthetic single-stream document'
@@ -192,6 +226,12 @@ END
 _PAGE_STRING_SQL = f"""
 CASE WHEN doc_id % 50 = 49 THEN {_PDF_PAYLOAD_SQL}
 ELSE {_HTML_PAGE_SQL} END
+"""
+
+# same, for the with_tables corpus variant (PDF rows carry no tables)
+_PAGE_STRING_TABLES_SQL = f"""
+CASE WHEN doc_id % 50 = 49 THEN {_PDF_PAYLOAD_SQL}
+ELSE {_HTML_PAGE_TABLES_SQL} END
 """
 
 
@@ -2172,31 +2212,93 @@ SELECT section, k1, k2, v1, v2 FROM (
 
 
 def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crawl page-metadata extraction (operators/metadata.py): per-lang
-    title coverage/volume, html-lang agreement, outlink totals — WET/WAT
-    header fields as one codegen'd regexp pass.  PDF payload rows match
-    nothing and count as zero-metadata pages."""
+    """Crawl page-metadata extraction (operators/metadata.py) UNIONed with
+    web-table mining (operators/webtables.py) over the with_tables corpus
+    variant: per-lang title coverage/volume, html-lang agreement, outlink
+    totals (WET/WAT header fields, one codegen'd regexp pass) joined with
+    the WDC-style table rollup (layout-vs-data classification, header
+    cells, integer-cell value checksum).  PDF payload rows match nothing
+    on either side and count as zero-metadata, zero-table pages."""
     from .operators import metadata as op_md
+    from .operators import webtables as op_wt
     from .sources.web_pages import synthesize_web_pages
 
-    return op_md.metadata_stats(synthesize_web_pages(spark, sf_dir))
+    pages = synthesize_web_pages(spark, sf_dir, with_tables=True)
+    return (
+        op_md.metadata_stats(pages)
+        .join(op_wt.web_table_stats(pages), "lang")
+        .orderBy("lang")
+    )
 
+
+_SQL_TABLES_CTE = f"""
+pg AS (
+  SELECT lang, {_PAGE_STRING_TABLES_SQL} AS s FROM documents),
+tbl AS (
+  SELECT lang, unnest(regexp_extract_all(s, '(?s)<table[^>]*>(.*?)</table>', 1)) AS t
+  FROM pg),
+tstat AS (
+  SELECT lang, t,
+         len(regexp_extract_all(t, '(?s)<tr[^>]*>(.*?)</tr>', 1)) AS n_rows,
+         len(regexp_extract_all(t, '(?s)<t[dh][^>]*>(.*?)</t[dh]>', 1)) AS n_cells,
+         len(regexp_extract_all(
+             regexp_extract_all(t, '(?s)<tr[^>]*>(.*?)</tr>', 1)[1],
+             '(?s)<t[dh][^>]*>(.*?)</t[dh]>', 1)) AS n_cols,
+         len(regexp_extract_all(t, '(?s)<th[^>]*>(.*?)</th>', 1)) AS n_header_cells,
+         len(list_filter(regexp_extract_all(t, '(?s)<t[dh][^>]*>(.*?)</t[dh]>', 1),
+                         c -> contains(c, '<a '))) AS n_link_cells,
+         list_sum(list_transform(regexp_extract_all(t, '(?s)<t[dh][^>]*>(.*?)</t[dh]>', 1),
+                                 c -> coalesce(TRY_CAST(c AS BIGINT), 0))) AS value_sum,
+         list_sum(list_transform(regexp_extract_all(t, '(?s)<t[dh][^>]*>(.*?)</t[dh]>', 1),
+                                 c -> length(c))) AS cell_chars
+  FROM tbl),
+tagg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_tables,
+         CAST(sum(CASE WHEN n_rows >= 2 AND n_cols >= 2 AND n_link_cells = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_data_tables,
+         CAST(sum(CASE WHEN n_link_cells > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_layout_tables,
+         CAST(sum(n_rows) AS BIGINT) AS total_rows,
+         CAST(sum(n_cells) AS BIGINT) AS total_cells,
+         CAST(sum(n_header_cells) AS BIGINT) AS header_cells,
+         CAST(sum(coalesce(value_sum, 0)) AS BIGINT) AS tbl_value_sum,
+         CAST(sum(coalesce(cell_chars, 0)) AS BIGINT) AS tbl_cell_chars
+  FROM tstat GROUP BY lang),
+pagg AS (
+  SELECT lang,
+         CAST(sum(CASE WHEN len(regexp_extract_all(
+                    s, '(?s)<table[^>]*>(.*?)</table>', 1)) > 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_pages_with_tables
+  FROM pg GROUP BY lang)
+"""
 
 SQL_PAGE_METADATA = f"""
-WITH pg AS (
-  SELECT lang, {_PAGE_STRING_SQL} AS s FROM documents)
-SELECT lang, CAST(count(*) AS BIGINT) AS n_pages,
-       CAST(sum(CASE WHEN regexp_extract(s, '<title>([^<]*)</title>', 1)
-                          <> '' THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_with_title,
-       CAST(sum(length(regexp_extract(s, '<title>([^<]*)</title>', 1)))
-            AS BIGINT) AS title_chars,
-       CAST(sum(CASE WHEN regexp_extract(s, '<html lang="([^"]+)"', 1)
-                          = lang THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_lang_match,
-       CAST(sum(len(regexp_extract_all(s, '<a[^>]* href="([^"]+)"', 1)))
-            AS BIGINT) AS total_links
-FROM pg GROUP BY lang ORDER BY lang
+WITH {_SQL_TABLES_CTE},
+meta AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_pages,
+         CAST(sum(CASE WHEN regexp_extract(s, '<title>([^<]*)</title>', 1)
+                            <> '' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_with_title,
+         CAST(sum(length(regexp_extract(s, '<title>([^<]*)</title>', 1)))
+              AS BIGINT) AS title_chars,
+         CAST(sum(CASE WHEN regexp_extract(s, '<html lang="([^"]+)"', 1)
+                            = lang THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lang_match,
+         CAST(sum(len(regexp_extract_all(s, '<a[^>]* href="([^"]+)"', 1)))
+              AS BIGINT) AS total_links
+  FROM pg GROUP BY lang)
+SELECT meta.*, pagg.n_pages_with_tables,
+       coalesce(tagg.n_tables, 0) AS n_tables,
+       coalesce(tagg.n_data_tables, 0) AS n_data_tables,
+       coalesce(tagg.n_layout_tables, 0) AS n_layout_tables,
+       coalesce(tagg.total_rows, 0) AS total_rows,
+       coalesce(tagg.total_cells, 0) AS total_cells,
+       coalesce(tagg.header_cells, 0) AS header_cells,
+       coalesce(tagg.tbl_value_sum, 0) AS tbl_value_sum,
+       coalesce(tagg.tbl_cell_chars, 0) AS tbl_cell_chars
+FROM meta JOIN pagg USING (lang) LEFT JOIN tagg USING (lang)
+ORDER BY lang
 """
 
 

@@ -79,17 +79,69 @@ def _escape_html(col):
     return col
 
 
-def html_page_expr(doc_id, text, lang):
+def aside_tables_expr(doc_id):
+    """Deterministic `<table>` markup for the ``with_tables`` corpus variant
+    (sources/web_pages.py twin: queries._ASIDE_TABLES_SQL).
+
+    Two WDC-style table populations, both INSIDE the boilerplate-classed
+    sidebar so main-content extraction byte-parity is untouched (`td`/`th`
+    are BLOCK_TAGS and `table` a scored container in kernels/html_main.py —
+    a content-positioned data table could outscore a short document's
+    article and break the extracted-text invariant):
+
+    * a layout/navigation table (every 3rd doc): one row, two link cells —
+      the "table used for page layout" class every web-table miner filters;
+    * a relational data table (6 of every 7 docs): `<th>` header row +
+      1..4 data rows of (metric, integer value, unit) cells.
+    """
+    layout = F.when(
+        doc_id % 3 == 0,
+        F.lit('<table class="nav"><tr><td><a href="/l1">One</a></td>'
+              '<td><a href="/l2">Two</a></td></tr></table>'),
+    ).otherwise(F.lit(""))
+    row = (
+        lambda i: F.concat(
+            F.lit("<tr><td>m"), ((doc_id + i) % 10).cast("string"),
+            F.lit("</td><td>"), ((doc_id * 17 + i * 3) % 1000).cast("string"),
+            F.lit("</td><td>u"), ((doc_id + i) % 5).cast("string"),
+            F.lit("</td></tr>"),
+        )
+    )
+    data = F.when(
+        doc_id % 7 != 6,
+        F.concat(
+            F.lit('<table id="stats"><tr><th>metric</th><th>value</th>'
+                  "<th>unit</th></tr>"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0).cast("long"), doc_id % 4), row
+                ),
+                "",
+            ),
+            F.lit("</table>"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(layout, data)
+
+
+def html_page_expr(doc_id, text, lang, with_tables: bool = False):
     """Deterministic page: boilerplate chrome wrapping the escaped text.
 
     Paragraph structure: the generator splits text on blank lines into <p>
     blocks; the extractor joins block texts with blank lines — an exact
     round-trip.  Splitting is done with a single replace of the separator by
     the paragraph-break markup, keeping the whole expression JVM-side.
+
+    ``with_tables`` appends the deterministic web-table markup inside the
+    sidebar aside (see aside_tables_expr) — opt-in so every oracle over the
+    default corpus is byte-identical to round 1.
     """
     body = _escape_html(text)
     body = F.replace(body, F.lit("\n\n"), F.lit("</p><p>"))
     nav_n = (doc_id % 10).cast("string")
+    aside_extra = (
+        aside_tables_expr(doc_id) if with_tables else F.lit("")
+    )
     return F.concat(
         F.lit("<!DOCTYPE html><html lang=\""), lang, F.lit("\"><head>"),
         F.lit("<title>doc "), doc_id.cast("string"), F.lit("</title>"),
@@ -99,7 +151,9 @@ def html_page_expr(doc_id, text, lang):
         F.lit("\">Section "), nav_n, F.lit("</a> <a href=\"/about\">About</a>"
               " <a href=\"/contact\">Contact</a></nav></header>"),
         F.lit("<aside class=\"sidebar\"><a href=\"/x\">Trending</a>"
-              " <a href=\"/y\">Popular</a> <a href=\"/z\">Latest</a></aside>"),
+              " <a href=\"/y\">Popular</a> <a href=\"/z\">Latest</a>"),
+        aside_extra,
+        F.lit("</aside>"),
         F.lit("<div id=\"content\"><article><p>"), body, F.lit("</p></article></div>"),
         F.lit("<footer><a href=\"/terms\">Terms</a> <a href=\"/privacy\">Privacy</a>"
               # two deterministic CROSS-HOST outlinks (absolute URLs) so the
@@ -122,7 +176,8 @@ def html_page_expr(doc_id, text, lang):
 def synthesize_web_pages(spark: SparkSession, sf_dir: str,
                          with_pdf_rows: bool = True,
                          min_partitions: int = 0,
-                         fatten_to_bytes: int = 0) -> DataFrame:
+                         fatten_to_bytes: int = 0,
+                         with_tables: bool = False) -> DataFrame:
     """documents.parquet -> (url, warc_ts, html binary, text, lang).
 
     The source parquet is a single small file (one scan split), while the
@@ -156,7 +211,8 @@ def synthesize_web_pages(spark: SparkSession, sf_dir: str,
             "text", F.array_join(F.array_repeat(F.col("text"), k), "\n\n")
         )
     d = F.col("doc_id")
-    html_str = html_page_expr(d, F.col("text"), F.col("lang"))
+    html_str = html_page_expr(d, F.col("text"), F.col("lang"),
+                              with_tables=with_tables)
     if with_pdf_rows:
         from ..kernels.pdf_stub import make_fake_pdf  # noqa: F401 (docs)
         # fake-PDF payload built with the same byte layout as
