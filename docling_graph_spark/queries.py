@@ -2628,16 +2628,86 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
 """
 
 
+def q_ann_retrieval_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-training mining (operators/retrieval.py) over the crawl
+    link graph: hyperlinks mined from page HTML give (query doc → linked
+    doc) positives for the 8 sample query docs; method='hardneg' rows are
+    the top-5 most-similar NON-linked docs per query (exclusion happens
+    before the ranking window), method='posrank' rows carry the positive's
+    rank in the full similarity ordering (retrieval difficulty)."""
+    from .operators import retrieval as op_ret
+    from .sources.web_pages import synthesize_web_pages
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    links = (
+        op_ret.doc_link_pairs(synthesize_web_pages(spark, sf_dir))
+        .filter(F.col("query_id") < 8)
+        # only targets that exist in the embedding corpus are resolvable
+        .join(emb.select(F.col("vec_id").alias("pos_id")), "pos_id",
+              "left_semi")
+    )
+    hn = op_ret.mine_hard_negatives(emb, links, k=5).withColumn(
+        "method", F.lit("hardneg")
+    )
+    pr = op_ret.positive_ranks(emb, links).select(
+        "query_id", F.col("pos_rank").alias("rank"),
+        F.col("pos_id").alias("neighbor_id"),
+    ).withColumn("method", F.lit("posrank"))
+    return hn.unionByName(pr).select("method", "query_id", "rank",
+                                     "neighbor_id")
+
+
+SQL_ANN_RETRIEVAL = f"""
+WITH links AS (
+  SELECT d.doc_id AS query_id, (d.doc_id * 31 + 11) % 997 AS pos_id
+  FROM documents d
+  WHERE d.doc_id < 8 AND (d.doc_id * 31 + 11) % 997 <> d.doc_id
+    AND EXISTS (SELECT 1 FROM embeddings e2
+                WHERE e2.vec_id = (d.doc_id * 31 + 11) % 997)),
+qs AS (SELECT DISTINCT query_id FROM links),
+pairs AS (
+  SELECT qs.query_id, e.vec_id AS neighbor_id,
+         {_duck_cosine('qe.embedding', 'e.embedding')} AS sim
+  FROM qs JOIN embeddings qe ON qe.vec_id = qs.query_id
+  CROSS JOIN embeddings e
+  WHERE e.vec_id <> qs.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM pairs),
+negs AS (
+  SELECT p.query_id, p.neighbor_id,
+         row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY p.sim DESC, p.neighbor_id ASC) AS rank
+  FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM links l
+                    WHERE l.query_id = p.query_id
+                      AND l.pos_id = p.neighbor_id))
+SELECT 'hardneg' AS method, query_id, CAST(rank AS BIGINT) AS rank,
+       neighbor_id
+FROM negs WHERE rank <= 5
+UNION ALL
+SELECT 'posrank', r.query_id, CAST(r.rank AS BIGINT), r.neighbor_id
+FROM ranked r JOIN links l
+  ON l.query_id = r.query_id AND l.pos_id = r.neighbor_id
+"""
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity-search strategy suite in one relation: brute-force
     exact cosine top-5 (method='exact'), sign-LSH bucketed top-3
-    (method='lsh'), and IVF nprobe=2 top-5 (method='ivf') — the same 8
-    query vectors through all three plans."""
+    (method='lsh'), IVF nprobe=2 top-5 (method='ivf') — the same 8 query
+    vectors through all three plans — plus the retrieval-training miner
+    (method='hardneg'/'posrank', q_ann_retrieval_mining) over the same
+    corpus."""
     a = q_embedding_knn(spark, sf_dir).withColumn("method", F.lit("exact"))
     b = q_ann_lsh_bucketed(spark, sf_dir).withColumn("method", F.lit("lsh"))
     c = q_ann_ivf(spark, sf_dir).withColumn("method", F.lit("ivf"))
+    d = q_ann_retrieval_mining(spark, sf_dir)
     return (a.unionByName(b).unionByName(c)
             .select("method", "query_id", "rank", "neighbor_id")
+            .unionByName(d)
             .orderBy("method", "query_id", "rank"))
 
 
@@ -2648,6 +2718,8 @@ SELECT method, query_id, rank, neighbor_id FROM (
   SELECT 'lsh', * FROM ({SQL_ANN_LSH})
   UNION ALL
   SELECT 'ivf', * FROM ({SQL_ANN_IVF})
+  UNION ALL
+  SELECT * FROM ({SQL_ANN_RETRIEVAL})
 ) ORDER BY method, query_id, rank
 """
 
