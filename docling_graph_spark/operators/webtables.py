@@ -38,6 +38,43 @@ def _page_string(html_col: str) -> Column:
     return F.coalesce(F.col(html_col).cast("string"), F.lit(""))
 
 
+def _table_stats_struct(tbl: Column) -> Column:
+    """Per-`<table>` structure struct over the raw element string —
+    shared by the exploded per-table relation and the single-pass page
+    summary so both compute identical values."""
+    rows = F.regexp_extract_all(tbl, F.lit(TR_RE), 1)
+    cells = F.regexp_extract_all(tbl, F.lit(CELL_RE), 1)
+    first_row_cells = F.regexp_extract_all(
+        F.element_at(rows, 1), F.lit(CELL_RE), 1
+    )
+    header_cells = F.regexp_extract_all(
+        tbl, F.lit("(?s)<th[^>]*>(.*?)</th>"), 1
+    )
+    zero = F.lit(0).cast("long")
+    n_rows = F.size(rows).cast("long")
+    n_cols = F.when(F.size(rows) > 0,
+                    F.size(first_row_cells).cast("long")).otherwise(zero)
+    n_link_cells = F.size(
+        F.filter(cells, lambda c: c.contains("<a "))
+    ).cast("long")
+    return F.struct(
+        n_rows.alias("n_rows"),
+        n_cols.alias("n_cols"),
+        F.size(cells).cast("long").alias("n_cells"),
+        F.size(header_cells).cast("long").alias("n_header_cells"),
+        n_link_cells.alias("n_link_cells"),
+        ((n_rows >= 2) & (n_cols >= 2) & (n_link_cells == 0))
+        .alias("is_data"),
+        F.aggregate(
+            cells, zero,
+            lambda acc, c: acc + F.coalesce(c.try_cast("long"), zero),
+        ).alias("value_sum"),
+        F.aggregate(
+            cells, zero, lambda acc, c: acc + F.length(c).cast("long")
+        ).alias("cell_chars"),
+    )
+
+
 def page_tables(pages: DataFrame, url_col: str = "url",
                 html_col: str = "html",
                 keep_cols: "tuple[str, ...]" = ()) -> DataFrame:
@@ -57,16 +94,6 @@ def page_tables(pages: DataFrame, url_col: str = "url",
     * ``cell_chars`` totals raw cell-string lengths (markup inside cells
       counts — the oracle applies the same rule).
     """
-    tbl = F.col("tbl")
-    rows = F.regexp_extract_all(tbl, F.lit(TR_RE), 1)
-    cells = F.regexp_extract_all(tbl, F.lit(CELL_RE), 1)
-    first_row_cells = F.regexp_extract_all(
-        F.element_at(rows, 1), F.lit(CELL_RE), 1
-    )
-    header_cells = F.regexp_extract_all(
-        tbl, F.lit("(?s)<th[^>]*>(.*?)</th>"), 1
-    )
-    zero = F.lit(0).cast("long")
     exploded = pages.select(
         F.col(url_col).alias("url"),
         *[F.col(c) for c in keep_cols],
@@ -74,31 +101,12 @@ def page_tables(pages: DataFrame, url_col: str = "url",
             F.regexp_extract_all(_page_string(html_col), F.lit(TABLE_RE), 1)
         ).alias("table_idx", "tbl"),
     )
-    n_rows = F.size(rows).cast("long")
-    n_cols = F.when(F.size(rows) > 0, F.size(first_row_cells).cast("long")
-                    ).otherwise(zero)
-    n_link_cells = F.size(
-        F.filter(cells, lambda c: c.contains("<a "))
-    ).cast("long")
     return exploded.select(
         "url",
         *keep_cols,
         F.col("table_idx").cast("long").alias("table_idx"),
-        n_rows.alias("n_rows"),
-        n_cols.alias("n_cols"),
-        F.size(cells).cast("long").alias("n_cells"),
-        F.size(header_cells).cast("long").alias("n_header_cells"),
-        n_link_cells.alias("n_link_cells"),
-        ((n_rows >= 2) & (n_cols >= 2) & (n_link_cells == 0))
-        .alias("is_data"),
-        F.aggregate(
-            cells, zero,
-            lambda acc, c: acc + F.coalesce(c.try_cast("long"), zero),
-        ).alias("value_sum"),
-        F.aggregate(
-            cells, zero, lambda acc, c: acc + F.length(c).cast("long")
-        ).alias("cell_chars"),
-    )
+        _table_stats_struct(F.col("tbl")).alias("_st"),
+    ).select("url", *keep_cols, "table_idx", "_st.*")
 
 
 def web_table_stats(pages: DataFrame, lang_col: str = "lang",
@@ -109,48 +117,52 @@ def web_table_stats(pages: DataFrame, lang_col: str = "lang",
     ``(lang, n_pages_with_tables, n_tables, n_data_tables, n_layout_tables,
     total_rows, total_cells, header_cells, tbl_value_sum, tbl_cell_chars)``
 
-    Two aggregations over the same scan: the per-table explode rolls up
-    table structure; the page-level pass counts pages that carry at least
-    one table (pages with zero tables vanish at the explode, so that count
-    cannot come from the exploded side).  Both are map-side-combinable
-    groupBys on ``lang``; the final join is a tiny per-lang relation.
+    Single-pass: per page, `transform` maps the tables array through the
+    shared structure struct (no explode — zero-table pages keep their row,
+    so the pages-with-tables count needs no second scan or join-back), a
+    fold collapses it to one per-page summary struct, and ONE map-side-
+    combinable groupBy on ``lang`` produces the rollup.  Plan shape: scan →
+    partial agg → single Exchange → final agg.
     """
-    per_table = page_tables(
-        pages.withColumnRenamed(lang_col, "_lang"), url_col, html_col,
-        keep_cols=("_lang",),
-    )
-    tbl_agg = per_table.groupBy(F.col("_lang").alias("lang")).agg(
-        F.count("*").alias("n_tables"),
-        F.sum(F.when(F.col("is_data"), 1).otherwise(0)).alias("n_data_tables"),
-        F.sum(F.when(F.col("n_link_cells") > 0, 1).otherwise(0))
-         .alias("n_layout_tables"),
-        F.sum("n_rows").alias("total_rows"),
-        F.sum("n_cells").alias("total_cells"),
-        F.sum("n_header_cells").alias("header_cells"),
-        F.sum("value_sum").alias("tbl_value_sum"),
-        F.sum("cell_chars").alias("tbl_cell_chars"),
-    )
-    page_agg = (
-        pages.select(
-            F.col(lang_col).alias("lang"),
-            F.size(
-                F.regexp_extract_all(_page_string(html_col),
-                                     F.lit(TABLE_RE), 1)
-            ).alias("_nt"),
-        )
-        .groupBy("lang")
-        .agg(F.sum(F.when(F.col("_nt") > 0, 1).otherwise(0))
-              .alias("n_pages_with_tables"))
-    )
     zero = F.lit(0).cast("long")
+    sts = F.transform(
+        F.regexp_extract_all(_page_string(html_col), F.lit(TABLE_RE), 1),
+        _table_stats_struct,
+    )
+    summary = F.aggregate(
+        sts,
+        F.struct(
+            zero.alias("n_tables"), zero.alias("n_data_tables"),
+            zero.alias("n_layout_tables"), zero.alias("total_rows"),
+            zero.alias("total_cells"), zero.alias("header_cells"),
+            zero.alias("tbl_value_sum"), zero.alias("tbl_cell_chars"),
+        ),
+        lambda acc, st: F.struct(
+            (acc["n_tables"] + 1).alias("n_tables"),
+            (acc["n_data_tables"]
+             + F.when(st["is_data"], 1).otherwise(0)).alias("n_data_tables"),
+            (acc["n_layout_tables"]
+             + F.when(st["n_link_cells"] > 0, 1).otherwise(0))
+            .alias("n_layout_tables"),
+            (acc["total_rows"] + st["n_rows"]).alias("total_rows"),
+            (acc["total_cells"] + st["n_cells"]).alias("total_cells"),
+            (acc["header_cells"] + st["n_header_cells"])
+            .alias("header_cells"),
+            (acc["tbl_value_sum"] + st["value_sum"]).alias("tbl_value_sum"),
+            (acc["tbl_cell_chars"] + st["cell_chars"])
+            .alias("tbl_cell_chars"),
+        ),
+    )
+    per_page = pages.select(
+        F.col(lang_col).alias("lang"), summary.alias("_s")
+    )
     return (
-        page_agg.join(tbl_agg, "lang", "left")
-        .select(
-            "lang",
-            F.col("n_pages_with_tables").cast("long")
-             .alias("n_pages_with_tables"),
+        per_page.groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("_s.n_tables") > 0, 1).otherwise(0))
+             .cast("long").alias("n_pages_with_tables"),
             *[
-                F.coalesce(F.col(c).cast("long"), zero).alias(c)
+                F.sum(F.col(f"_s.{c}")).cast("long").alias(c)
                 for c in (
                     "n_tables", "n_data_tables", "n_layout_tables",
                     "total_rows", "total_cells", "header_cells",

@@ -66,6 +66,19 @@ def test_pure_jvm(spark):
     assert python_eval_nodes(webtables.web_table_stats(df)) == []
 
 
+def test_single_pass_plan(spark):
+    """The rollup is one scan + one partial/final aggregation — no explode
+    self-join, no second pass for the pages-with-tables count."""
+    from docling_graph_spark.plans import formatted_plan
+
+    df = spark.createDataFrame([("u", "en", b"<html></html>")],
+                               "url string, lang string, html binary")
+    plan = formatted_plan(webtables.web_table_stats(df))
+    assert "Join" not in plan and "Generate" not in plan
+    # exactly two Exchanges: the groupBy hash partitioning + orderBy range
+    assert plan.count("+- Exchange") <= 2
+
+
 def test_tables_corpus_keeps_extraction_byte_parity(spark, sf_smoke_dir):
     """The with_tables variant plants all tables inside the boilerplate
     sidebar, so main-content extraction must still reproduce the ground

@@ -91,6 +91,28 @@ def main() -> int:
             synthesize_web_pages(spark, SF).select("url"), k=8)),
     )
 
+    from docling_graph_spark.operators import webtables as op_wt
+
+    sections["web-tables"] = (
+        "web_table_stats — single-pass table mining: transform over the "
+        "tables array (no explode self-join), one partial/final per-lang "
+        "aggregation, no Python row path",
+        formatted_plan(op_wt.web_table_stats(
+            synthesize_web_pages(spark, SF, with_tables=True))),
+    )
+
+    from docling_graph_spark.operators import retrieval as op_ret
+
+    _links = op_ret.doc_link_pairs(synthesize_web_pages(spark, SF)).filter(
+        F.col("query_id") < 8)
+    sections["hard-negatives"] = (
+        "mine_hard_negatives — query/link side broadcast (corpus scan "
+        "never shuffles); linked-pair exclusion is a broadcast left-anti "
+        "BEFORE the ranking window",
+        formatted_plan(op_ret.mine_hard_negatives(
+            emb.select("vec_id", "embedding"), _links)),
+    )
+
     wanted = sys.argv[1:] or list(sections)
     for key in wanted:
         title, plan = sections[key]
