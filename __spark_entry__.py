@@ -40,6 +40,15 @@ Round-2-final additions (still 50 total):
                         binning: tercile cutoff values from the trigram-LM
                         score histogram, value-comparison bin rule)
 
+Round-2 session-4 additions (still 50 total):
+  page_metadata      += web-table mining over the with_tables corpus
+                        variant (operators/webtables.py: layout-vs-data
+                        classification, header cells, value checksum)
+  ann_topk           += retrieval-training mining sections
+                        (method='hardneg' top-5 non-linked similars,
+                        method='posrank' positive difficulty ranks;
+                        operators/retrieval.py over mined doc links)
+
 Round-2 additions (still 50 total):
   corpus_prep_stats  += dup_excision stage (ExactSubstr span REMOVAL,
                         exact-content rebuild checksum both engines
