@@ -2043,6 +2043,77 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_batch,
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot diff + latest-wins compaction summary
+    (operators/snapshots.py): two deterministic crawl snapshots of the
+    corpus (snap2 adds doc_id%10==7, drops %10==3, revises %10==5),
+    classified per url as added/removed/changed/unchanged out of ONE
+    groupBy(url), plus the 48-bit-md5-prefix checksum over the compacted
+    latest-wins content — the Iceberg-maintenance view the resumable
+    re-extraction reads.  The Spark path reduces latest-wins with a
+    max(struct(ts, snap, md5)) algebraic aggregate; the oracle derives the
+    same view independently via coalesce(h2, h1)."""
+    from .operators import snapshots as op_snap
+    from .sources.web_pages import url_expr
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text"))
+    d = F.col("doc_id")
+    rev2 = F.when(d % 10 == 5, F.concat(F.col("text"), F.lit(" rev2"))
+                  ).otherwise(F.col("text"))
+
+    def _snap(df, snap_id, day, content):
+        return df.select(
+            url_expr(d).alias("url"),
+            F.lit(snap_id).alias("snapshot_id"),
+            (F.to_timestamp(F.lit(f"2024-0{day}-01 00:00:00"))
+             + F.make_interval(secs=d.cast("double"))).alias("warc_ts"),
+            F.md5(content.cast("binary")).alias("content_md5"),
+        )
+
+    pages = _snap(docs.filter(d % 10 != 7), 1, 1, F.col("text")).unionByName(
+        _snap(docs.filter(d % 10 != 3), 2, 2, rev2))
+    return op_snap.snapshot_diff_stats(pages)
+
+
+SQL_SNAPSHOT_DIFF = f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS text, {_URL} AS url
+              FROM documents),
+sn AS (
+  SELECT url, 1 AS snap, md5(text) AS h FROM base WHERE doc_id % 10 <> 7
+  UNION ALL
+  SELECT url, 2 AS snap,
+         md5(CASE WHEN doc_id % 10 = 5 THEN text || ' rev2' ELSE text END)
+  FROM base WHERE doc_id % 10 <> 3),
+u AS (SELECT url,
+             min(CASE WHEN snap = 1 THEN h END) AS h1,
+             min(CASE WHEN snap = 2 THEN h END) AS h2,
+             coalesce(min(CASE WHEN snap = 2 THEN h END),
+                      min(CASE WHEN snap = 1 THEN h END)) AS latest
+      FROM sn GROUP BY url)
+SELECT CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(coalesce(sum(CASE WHEN h1 IS NOT NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_snap1,
+       CAST(coalesce(sum(CASE WHEN h2 IS NOT NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_snap2,
+       CAST(coalesce(sum(CASE WHEN h1 IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_added,
+       CAST(coalesce(sum(CASE WHEN h2 IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_removed,
+       CAST(coalesce(sum(CASE WHEN h1 IS NOT NULL AND h2 IS NOT NULL
+                              AND h1 <> h2 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_changed,
+       CAST(coalesce(sum(CASE WHEN h1 IS NOT NULL AND h2 IS NOT NULL
+                              AND h1 = h2 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_unchanged,
+       min(latest) AS compacted_min_md5,
+       max(latest) AS compacted_max_md5,
+       CAST(coalesce(sum(CAST(('0x' || substr(latest, 1, 12)) AS UBIGINT)),
+                     0) AS BIGINT) AS compacted_checksum
+FROM u
+"""
+
+
 # host-level link graph + integer PageRank (operators/linkgraph.py),
 # driver-gated via the merged link_graph_stats relation below; the oracle
 # regexps over the full SQL-reconstructed page string (_HTML_PAGE_SQL) and
@@ -4165,8 +4236,9 @@ def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe), exact duplicated-substring detection (word-8-gram group-join),
     ExactSubstr span *removal* with an exact-content rebuild checksum,
     Bloom-gated incremental url dedup (no-false-negative gate vs the exact
-    set difference), and char-trigram LM fluency scoring (CCNet-analogue
-    quality gate).
+    set difference), crawl-snapshot diff + latest-wins compaction
+    (added/removed/changed accounting + compacted-content checksum), and
+    char-trigram LM fluency scoring (CCNet-analogue quality gate).
     Each stage runs its full operator; the 1-row summaries are unpivoted
     and unioned."""
     return (
@@ -4185,6 +4257,8 @@ def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_dup_excision(spark, sf_dir), "dup_excision"))
         .unionByName(_unpivot_single_row(
             q_bloom_gate(spark, sf_dir), "bloom_gate"))
+        .unionByName(_unpivot_single_row(
+            q_snapshot_diff(spark, sf_dir), "snapshot"))
         .unionByName(_unpivot_single_row(
             _lm_fluency_shared(spark, sf_dir), "lm_fluency"))
         .unionByName(_unpivot_by_key(
@@ -4211,6 +4285,7 @@ dc AS ({SQL_DECONTAMINATION}),
 ds AS ({SQL_DUP_SPANS}),
 de AS ({SQL_DUP_EXCISION}),
 bg AS ({SQL_BLOOM_GATE}),
+sd AS ({SQL_SNAPSHOT_DIFF}),
 lm AS ({SQL_LM_FLUENCY}),
 cb AS ({SQL_CCNET_BINS}),
 rb AS ({SQL_ROBOTS_GATE}),
@@ -4248,6 +4323,11 @@ SELECT stage, metric, value FROM (
 {_sql_unpivot('bg', 'bloom_gate',
               ['n_batch', 'n_history', 'n_new', 'min_new_doc',
                'max_new_doc', 'sum_new_doc'])}
+  UNION ALL
+{_sql_unpivot('sd', 'snapshot',
+              ['n_urls', 'n_snap1', 'n_snap2', 'n_added', 'n_removed',
+               'n_changed', 'n_unchanged', 'compacted_min_md5',
+               'compacted_max_md5', 'compacted_checksum'])}
   UNION ALL
 {_sql_unpivot('lm', 'lm_fluency',
               ['n_docs', 'n_unscored', 'sum_score', 'min_score',

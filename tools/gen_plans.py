@@ -113,6 +113,14 @@ def main() -> int:
             emb.select("vec_id", "embedding"), _links)),
     )
 
+    sections["snapshot-diff"] = (
+        "snapshot_diff_stats — crawl-snapshot diff + latest-wins "
+        "compaction: ONE hash partition on url (partial/final agg split, "
+        "no join/window); SortAggregate is Spark's required choice for "
+        "string/struct min-max buffers",
+        formatted_plan(qmod.q_snapshot_diff(spark, SF)),
+    )
+
     wanted = sys.argv[1:] or list(sections)
     for key in wanted:
         title, plan = sections[key]
