@@ -170,3 +170,85 @@ def anchor_text_pairs(pages: DataFrame, url_col: str = "url",
     return z.select("src_host", dst.alias("dst_host"),
                     F.col("z.href").alias("href"),
                     F.col("z.anchor").alias("anchor"))
+
+
+def resolve_aliases(edges: DataFrame, alias_col: str = "alias",
+                    target_col: str = "target",
+                    max_rounds: int = 16) -> DataFrame:
+    """Resolve url-alias chains to their final root: (alias, root, hops).
+
+    ``edges`` is a function relation — exactly one outgoing (alias →
+    target) row per alias — built from the two aliasing signals every
+    crawl pipeline must fold before dedup/extraction: HTTP redirects
+    (3xx chains recorded at fetch time) and ``<link rel="canonical">``
+    declarations.  Chains are multi-hop (a redirects to b, b declares c
+    canonical); consumers need the FINAL root per alias, or duplicate
+    clusters silently split.
+
+    Algorithm: pointer jumping / path doubling on the alias map itself —
+    each round joins the mapping against its own targets and jumps
+    ``target -> target's target``, halving remaining chain depth, so a
+    depth-D chain resolves in ceil(log2 D) rounds of ONE equi-join each
+    (same doubling idea as `dedup.connected_components`, but on a
+    functional graph, so no min-label semilattice is needed).  The
+    convergence probe (`any row jumped this round?`) is an O(1)-row
+    driver aggregate; the relation itself never collects.  Cycles cannot
+    occur in redirect/canonical data that decreases toward a root, but a
+    malformed cycle is still safe: hops hits the round budget and the
+    loop exits (no infinite recursion, unlike a recursive resolver).
+    Lineage is truncated per round with an eager localCheckpoint — the
+    standard Spark iterative-loop pattern.
+    """
+    carry = [c for c in edges.columns if c not in (alias_col, target_col)]
+    m = edges.select(
+        F.col(alias_col).alias("alias"), F.col(target_col).alias("target"),
+        F.lit(1).cast("long").alias("hops"), *carry,
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nxt = m.select(F.col("alias").alias("t_alias"),
+                       F.col("target").alias("t_target"),
+                       F.col("hops").alias("t_hops"))
+        jumped = (
+            m.join(nxt, m.target == nxt.t_alias, "left")
+            .select(
+                "alias",
+                F.coalesce("t_target", "target").alias("target"),
+                (F.col("hops") + F.coalesce("t_hops", F.lit(0)))
+                .alias("hops"),
+                F.col("t_alias").isNotNull().alias("_jumped"),
+                *carry,
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_jumped = jumped.agg(
+            F.sum(F.col("_jumped").cast("long"))).collect()[0][0] or 0
+        m = jumped.drop("_jumped")
+        if n_jumped == 0:
+            break
+    return m.select("alias", F.col("target").alias("root"), "hops", *carry)
+
+
+def alias_resolution_stats(edges: DataFrame,
+                           kind_col: str = "kind") -> DataFrame:
+    """1-row summary gating the resolved alias map by content: edge/kind
+    counts, root/chain-depth accounting, and the 48-bit md5-prefix
+    checksum over every (alias -> root) pair — order-independent, so no
+    global sort on either engine.  The edge kind rides through the
+    resolution as a carried column, so the whole summary is ONE
+    aggregation over the resolved map — no second pass over the edge
+    relation and no 1-row crossJoin in the plan."""
+    resolved = resolve_aliases(edges)
+    pair_md5 = F.md5(F.concat(F.col("alias"), F.lit("->"), F.col("root"))
+                     .cast("binary"))
+    return resolved.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum((F.col(kind_col) == "redirect").cast("long"))
+        .cast("long").alias("n_redirect"),
+        F.sum((F.col(kind_col) == "canonical").cast("long"))
+        .cast("long").alias("n_canonical"),
+        F.countDistinct("root").cast("long").alias("n_roots"),
+        F.max("hops").cast("long").alias("max_hops"),
+        F.sum("hops").cast("long").alias("sum_hops"),
+        F.sum(F.conv(F.substring(pair_md5, 1, 12), 16, 10).cast("long"))
+        .cast("long").alias("map_checksum"),
+    )

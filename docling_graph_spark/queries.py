@@ -2235,12 +2235,40 @@ FROM pairs GROUP BY anchor ORDER BY anchor
 """
 
 
+def _alias_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic url-alias relation for the resolution stage: redirects
+    (doc_id % 17 in {4,5,6} -> previous doc, giving 3-long runs that chain)
+    and rel=canonical declarations (doc_id % 13 == 6 -> doc_id - 2, which
+    skips INTO redirect runs, so mixed-kind multi-hop chains exist).  Every
+    edge decreases doc_id, so the graph is a DAG by construction.  One
+    outgoing edge per alias: canonical wins when both rules hit (the
+    crawl convention — an explicit canonical declaration overrides the
+    fetch-time redirect record)."""
+    from .sources.web_pages import url_expr
+
+    d = F.col("doc_id")
+    is_canon = ((d % 13) == 6) & (d >= 2)
+    is_redir = (d % 17).isin(4, 5, 6) & (d >= 1)
+    tgt = F.when(is_canon, d - 2).otherwise(d - 1)
+    return (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id").filter(is_redir | is_canon)
+        .select(url_expr(d).alias("alias"), url_expr(tgt).alias("target"),
+                F.when(is_canon, F.lit("canonical"))
+                .otherwise(F.lit("redirect")).alias("kind"))
+    )
+
+
 def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl link-graph suite in one relation (section, k1, k2, v1, v2):
     the weighted host→host edge list (section='edge'), the integer
-    PageRank fixpoint over it (section='rank'), and the anchor-text
-    rollup used as retrieval-training pairs (section='anchor').  Pages
-    are parsed once; the edge relation is reused by the rank section."""
+    PageRank fixpoint over it (section='rank'), the anchor-text
+    rollup used as retrieval-training pairs (section='anchor'), and the
+    redirect/rel-canonical alias-chain resolution summary
+    (section='alias': pointer-jumping path doubling,
+    operators/linkgraph.resolve_aliases, content-gated by the md5-prefix
+    checksum over every alias->root pair).  Pages are parsed once; the
+    edge relation is reused by the rank section."""
     from .operators import linkgraph as op_lg
     from .sources.web_pages import synthesize_web_pages
 
@@ -2265,9 +2293,55 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("anchor").alias("k1"), F.lit("").alias("k2"),
                 "v1", "v2")
     )
+    ar = op_lg.alias_resolution_stats(_alias_edges(spark, sf_dir))
+    alias_rows = ar.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("k1"), F.col(c).cast("long").alias("v1"))
+        for c in ar.columns])).alias("kv")).select(
+        F.lit("alias").alias("section"), F.col("kv.k1").alias("k1"),
+        F.lit("").alias("k2"), F.col("kv.v1").alias("v1"), zero.alias("v2"))
     return (edge_rows.unionByName(rank_rows).unionByName(anchor_rows)
+            .unionByName(alias_rows)
             .orderBy("section", "k1", "k2"))
 
+
+# alias resolution oracle: the recursive CTE expands every chain prefix;
+# max_by(target, hops) per alias is the full resolution (hops strictly
+# increases along a chain, so the argmax is unique and deterministic)
+_URL_TGT = _URL.replace("doc_id", "tgt")
+SQL_ALIAS_RESOLUTION = f"""
+WITH RECURSIVE ae AS (
+  SELECT {_URL} AS alias, {_URL_TGT} AS target, kind FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 6 AND doc_id >= 2
+                THEN doc_id - 2 ELSE doc_id - 1 END AS tgt,
+           CASE WHEN doc_id % 13 = 6 AND doc_id >= 2
+                THEN 'canonical' ELSE 'redirect' END AS kind
+    FROM documents
+    WHERE (doc_id % 17 IN (4, 5, 6) AND doc_id >= 1)
+       OR (doc_id % 13 = 6 AND doc_id >= 2))),
+r AS (
+  SELECT alias, target, 1 AS hops FROM ae
+  UNION ALL
+  SELECT r.alias, ae.target, r.hops + 1
+  FROM r JOIN ae ON r.target = ae.alias),
+res AS (
+  SELECT alias, max_by(target, hops) AS root, max(hops) AS hops
+  FROM r GROUP BY alias)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ae) AS n_edges,
+       (SELECT CAST(coalesce(sum(CASE WHEN kind = 'redirect'
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM ae) AS n_redirect,
+       (SELECT CAST(coalesce(sum(CASE WHEN kind = 'canonical'
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM ae) AS n_canonical,
+       CAST(count(DISTINCT root) AS BIGINT) AS n_roots,
+       CAST(max(hops) AS BIGINT) AS max_hops,
+       CAST(coalesce(sum(hops), 0) AS BIGINT) AS sum_hops,
+       CAST(coalesce(sum(CAST(('0x' || substr(md5(alias || '->' || root),
+                                              1, 12)) AS UBIGINT)), 0)
+            AS BIGINT) AS map_checksum
+FROM res
+"""
 
 SQL_LINK_GRAPH_STATS = f"""
 SELECT section, k1, k2, v1, v2 FROM (
@@ -2278,6 +2352,12 @@ SELECT section, k1, k2, v1, v2 FROM (
   SELECT 'rank', host, '', rank, 0 FROM ({SQL_HOST_PAGERANK})
   UNION ALL
   SELECT 'anchor', anchor, '', n, n_dst_hosts FROM ({SQL_ANCHOR_TEXTS})
+  UNION ALL
+  SELECT 'alias', m.k1, '', m.v1, 0 FROM ({SQL_ALIAS_RESOLUTION}) a,
+  LATERAL (VALUES ('n_edges', a.n_edges), ('n_redirect', a.n_redirect),
+                  ('n_canonical', a.n_canonical), ('n_roots', a.n_roots),
+                  ('max_hops', a.max_hops), ('sum_hops', a.sum_hops),
+                  ('map_checksum', a.map_checksum)) AS m(k1, v1)
 ) ORDER BY section, k1, k2
 """
 

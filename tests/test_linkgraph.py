@@ -156,3 +156,38 @@ def test_data_href_attributes_not_extracted(spark):
     followed = {r["dst_host"] for r in lg.extract_outlinks(
         pages, skip_nofollow=True).collect()}
     assert followed == hosts
+
+
+def test_resolve_aliases_chain(spark):
+    from docling_graph_spark.operators import linkgraph as op_lg
+
+    # a->b->c->d (depth 3) plus a lone e->d
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("e", "d")],
+        "alias string, target string")
+    got = {r["alias"]: (r["root"], r["hops"])
+           for r in op_lg.resolve_aliases(edges).collect()}
+    assert got == {"a": ("d", 3), "b": ("d", 2), "c": ("d", 1),
+                   "e": ("d", 1)}
+
+
+def test_resolve_aliases_cycle_terminates(spark):
+    from docling_graph_spark.operators import linkgraph as op_lg
+
+    # malformed mutual-canonical cycle must not loop forever
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "alias string, target string")
+    rows = op_lg.resolve_aliases(edges, max_rounds=4).collect()
+    assert len(rows) == 2  # still one row per alias, loop exited
+
+
+def test_alias_resolution_stats_counts(spark):
+    from docling_graph_spark.operators import linkgraph as op_lg
+
+    edges = spark.createDataFrame(
+        [("a", "b", "redirect"), ("b", "c", "canonical"),
+         ("e", "c", "redirect")],
+        "alias string, target string, kind string")
+    [s] = op_lg.alias_resolution_stats(edges).collect()
+    assert (s["n_edges"], s["n_redirect"], s["n_canonical"]) == (3, 2, 1)
+    assert (s["n_roots"], s["max_hops"], s["sum_hops"]) == (1, 2, 4)

@@ -113,6 +113,16 @@ def main() -> int:
             emb.select("vec_id", "embedding"), _links)),
     )
 
+    from docling_graph_spark.operators import linkgraph as op_lg
+
+    sections["alias-resolution"] = (
+        "alias_resolution_stats — redirect/rel-canonical chain resolution "
+        "via pointer jumping (log2(depth) equi-join rounds, lineage "
+        "truncated per round); summary is ONE aggregation, no crossJoin",
+        formatted_plan(op_lg.alias_resolution_stats(
+            qmod._alias_edges(spark, SF))),
+    )
+
     sections["snapshot-diff"] = (
         "snapshot_diff_stats — crawl-snapshot diff + latest-wins "
         "compaction: ONE hash partition on url (partial/final agg split, "
