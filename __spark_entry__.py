@@ -40,6 +40,18 @@ Round-2-final additions (still 50 total):
                         binning: tercile cutoff values from the trigram-LM
                         score histogram, value-comparison bin rule)
 
+Round-2 session-5 additions (still 50 total):
+  corpus_prep_stats  += snapshot stage (crawl-snapshot diff + latest-wins
+                        compaction, operators/snapshots.py: one groupBy(url),
+                        compacted-content md5-prefix checksum)
+  link_graph_stats   += alias section (redirect/rel-canonical chain
+                        resolution via pointer jumping,
+                        operators/linkgraph.resolve_aliases; recursive-CTE
+                        oracle)
+  top_terms          += sectioned relation: mentions (unchanged top-50) +
+                        postings (operators/invindex.py doc-range-blocked
+                        inverted-index export with delta+varint accounting)
+
 Round-2 session-4 additions (still 50 total):
   page_metadata      += web-table mining over the with_tables corpus
                         variant (operators/webtables.py: layout-vs-data

@@ -1,0 +1,97 @@
+"""Inverted-index (postings) construction over the extracted corpus.
+
+The search-index export every retrieval-training pipeline needs: BM25
+baselines, negative mining, and corpus analytics all start from
+term -> sorted-doc-id posting lists.  At crawl scale the naive
+``groupBy(term).collect_list(doc_id)`` dies on stopwords — one term can
+carry a posting list the size of the corpus, so a single reducer gets
+10^11 values (the classic MapReduce hot-key failure).
+
+Scale design
+------------
+* **Doc-range blocking**: postings group on ``(term, doc_id // block)``,
+  never bare ``term``.  Group size is bounded by the block width
+  REGARDLESS of term frequency — a stopword with df = N becomes N/block
+  independent groups, each collecting <= block doc ids.  No window, no
+  salting retry loop, no skew knob to tune: the bound is structural.
+  This is also the layout real engines store (block-skippable postings —
+  the Block-Max WAND organization), not a test-only trick.
+* **Delta + varint accounting**: within a block, postings are
+  delta-encoded against the block start (blocks stay independently
+  decodable = skippable) and the varint byte-size of every delta is
+  summed, giving an exact index-size estimate in pure integer arithmetic
+  — deterministic across engines and partitionings.
+* The per-term rollup (df, block count, index bytes, 48-bit-md5-prefix
+  checksum over every encoded block) is a second ordinary aggregation;
+  both shuffles hash well (term x block, then term with bounded rows).
+
+Tokenization matches the tf-idf family: lowercase ``[a-z]{5,}`` runs,
+distinct per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BLOCK_DOCS = 256
+TOKEN_RE = "[a-z]{5,}"
+
+
+def term_postings(docs: DataFrame, block: int = BLOCK_DOCS,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(term, block, df_block, ids, deltas): one row per posting block,
+    ids sorted ascending, deltas encoded against the block start."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.expr(
+            f"regexp_extract_all(lower(coalesce({text_col}, '')), "
+            f"'{TOKEN_RE}', 0)"))).alias("term"),
+    )
+    blocks = (
+        toks.groupBy("term",
+                     F.floor(F.col("doc_id") / block).alias("block"))
+        .agg(F.count("*").cast("long").alias("df_block"),
+             F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    )
+    base = F.col("block") * block
+    deltas = F.expr(
+        f"transform(ids, (x, i) -> x - IF(i = 0, block * {block}L, "
+        f"element_at(ids, i)))")
+    _ = base  # documented: first delta is relative to block * width
+    return blocks.withColumn("deltas", deltas)
+
+
+def _varint_bytes(arr):
+    return F.aggregate(
+        arr, F.lit(0).cast("long"),
+        lambda acc, x: acc + F.when(x < 128, 1).when(x < 16384, 2)
+        .when(x < 2097152, 3).otherwise(5).cast("long"))
+
+
+def postings_stats(docs: DataFrame, block: int = BLOCK_DOCS) -> DataFrame:
+    """Per-term index rollup: (term, df, n_blocks, index_bytes, checksum).
+
+    ``checksum`` sums the 48-bit md5 prefix of every encoded block
+    (keyed by term:block so block contents are position-bound) —
+    order-independent, so the gate proves the exact posting content
+    without a global sort."""
+    blk = term_postings(docs, block=block)
+    dstr = F.array_join(F.transform("deltas",
+                                    lambda x: x.cast("string")), ",")
+    blk_md5 = F.md5(F.concat(
+        F.col("term"), F.lit(":"), F.col("block").cast("string"),
+        F.lit(":"), dstr).cast("binary"))
+    return (
+        blk.select(
+            "term", "df_block",
+            _varint_bytes(F.col("deltas")).alias("vbytes"),
+            F.conv(F.substring(blk_md5, 1, 12), 16, 10).cast("long")
+            .alias("blk_ck"))
+        .groupBy("term")
+        .agg(F.sum("df_block").cast("long").alias("df"),
+             F.count("*").cast("long").alias("n_blocks"),
+             F.sum("vbytes").cast("long").alias("index_bytes"),
+             F.sum("blk_ck").cast("long").alias("checksum"))
+    )

@@ -370,9 +370,19 @@ ORDER BY url, batch_id
 
 
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic mention extraction: top-50 terms by total mentions."""
+    """Term-level corpus index suite (section, term, v1..v4):
+    section='mentions' is the deterministic mention extraction (top-50
+    terms by total mentions; v1=n_docs, v2=total_mentions);
+    section='postings' is the inverted-index export rollup
+    (operators/invindex.py: doc-range-blocked posting lists — group size
+    bounded by block width regardless of term frequency, so stopword-skew
+    cannot OOM a reducer — with delta+varint size accounting;
+    v1=df, v2=n_blocks, v3=index_bytes, v4=48-bit block checksum sum)."""
+    from .operators import invindex as op_ix
+
     res = _pipeline(spark, sf_dir)
-    return (
+    zero = F.lit(0).cast("long")
+    mention_rows = (
         res.doc_mentions.filter(F.col("kind") == "term")
         .groupBy("term")
         .agg(
@@ -381,16 +391,67 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("total_mentions"), "term")
         .limit(50)
+        .select(F.lit("mentions").alias("section"), "term",
+                F.col("n_docs").cast("long").alias("v1"),
+                F.col("total_mentions").cast("long").alias("v2"),
+                zero.alias("v3"), zero.alias("v4"))
     )
+    posting_rows = op_ix.postings_stats(
+        _read(spark, sf_dir, "documents")).select(
+        F.lit("postings").alias("section"), "term",
+        F.col("df").alias("v1"), F.col("n_blocks").alias("v2"),
+        F.col("index_bytes").alias("v3"), F.col("checksum").alias("v4"))
+    return (mention_rows.unionByName(posting_rows)
+            .orderBy("section", "term"))
 
+
+_IX_BLOCK = 256  # invindex.BLOCK_DOCS; literal so the SQL twin is static
+
+SQL_POSTINGS_STATS = f"""
+WITH tx AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                             '[a-z]{{5,}}')) AS term
+    FROM documents)),
+bl AS (
+  SELECT term, doc_id // {_IX_BLOCK} AS block,
+         count(*) AS df_block, list_sort(list(doc_id)) AS ids
+  FROM tx GROUP BY term, doc_id // {_IX_BLOCK}),
+del AS (
+  SELECT term, block, df_block, i,
+         ids[i] - CASE WHEN i = 1 THEN block * {_IX_BLOCK}
+                       ELSE ids[i - 1] END AS delta
+  FROM bl, LATERAL (SELECT unnest(generate_series(1, len(ids))) AS i)),
+blk AS (
+  SELECT term, block, any_value(df_block) AS df_block,
+         string_agg(CAST(delta AS VARCHAR), ',' ORDER BY i) AS dstr,
+         sum(CASE WHEN delta < 128 THEN 1 WHEN delta < 16384 THEN 2
+                  WHEN delta < 2097152 THEN 3 ELSE 5 END) AS vbytes
+  FROM del GROUP BY term, block)
+SELECT term, CAST(sum(df_block) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(vbytes) AS BIGINT) AS index_bytes,
+       CAST(sum(CAST(('0x' || substr(md5(term || ':' ||
+             CAST(block AS VARCHAR) || ':' || dstr), 1, 12)) AS UBIGINT))
+            AS BIGINT) AS checksum
+FROM blk GROUP BY term
+"""
 
 SQL_TOP_TERMS = f"""
-WITH {_MENTIONS_CTE}
-SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-       CAST(count(*) AS BIGINT) AS total_mentions
-FROM mentions GROUP BY term
-ORDER BY total_mentions DESC, term LIMIT 50
+SELECT section, term, v1, v2, v3, v4 FROM (
+  SELECT 'mentions' AS section, term,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS v1,
+         CAST(count(*) AS BIGINT) AS v2,
+         CAST(0 AS BIGINT) AS v3, CAST(0 AS BIGINT) AS v4
+  FROM ({{mentions}}) GROUP BY term
+  ORDER BY v2 DESC, term LIMIT 50
+) UNION ALL
+SELECT 'postings', term, df, n_blocks, index_bytes, checksum
+FROM ({SQL_POSTINGS_STATS})
+ORDER BY section, term
 """
+SQL_TOP_TERMS = SQL_TOP_TERMS.replace(
+    "{mentions}", f"WITH {_MENTIONS_CTE} SELECT doc_id, term FROM mentions")
 
 
 def q_graph_node_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

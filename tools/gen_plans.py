@@ -113,6 +113,15 @@ def main() -> int:
             emb.select("vec_id", "embedding"), _links)),
     )
 
+    from docling_graph_spark.operators import invindex as op_ix
+
+    sections["inverted-index"] = (
+        "postings_stats — doc-range-blocked inverted index: group size "
+        "bounded by block width regardless of term skew (no hot-key "
+        "reducer), delta+varint size accounting in pure integer exprs",
+        formatted_plan(op_ix.postings_stats(docs)),
+    )
+
     from docling_graph_spark.operators import linkgraph as op_lg
 
     sections["alias-resolution"] = (
