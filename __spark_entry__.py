@@ -51,6 +51,10 @@ Round-2 session-5 additions (still 50 total):
   top_terms          += sectioned relation: mentions (unchanged top-50) +
                         postings (operators/invindex.py doc-range-blocked
                         inverted-index export with delta+varint accounting)
+  page_metadata      += head-metadata rollup over the with_head_meta corpus
+                        variant (operators/metadata.head_meta_stats:
+                        published_time coverage + byte checksum, authors,
+                        canonical self/consolidating split)
 
 Round-2 session-4 additions (still 50 total):
   page_metadata      += web-table mining over the with_tables corpus

@@ -75,3 +75,65 @@ def metadata_stats(pages: DataFrame, lang_col: str = "lang",
         )
         .orderBy("lang")
     )
+
+
+# document-metadata head fields (the Trafilatura/Newspaper metadata set:
+# publication date, author, canonical url) — group-1 extraction, empty
+# string when absent, same no-NULL contract as page_metadata
+PUBLISHED_RE = '<meta property="article:published_time" content="([^"]*)"'
+AUTHOR_RE = '<meta name="author" content="([^"]*)"'
+CANONICAL_RE = '<link rel="canonical" href="([^"]*)"'
+
+
+def head_metadata(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html",
+                  keep_cols: "tuple[str, ...]" = ()) -> DataFrame:
+    """(url, html, ...) -> (url, *keep_cols, published, author,
+    canonical): the document-metadata triple real extraction pipelines
+    pull from page heads (publication date for freshness
+    filtering/temporal splits, author for attribution, rel=canonical as
+    the crawl-dedup consolidation signal).  One codegen'd regexp pass in
+    the scan stage, like page_metadata."""
+    s = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    return pages.select(
+        F.col(url_col).alias("url"),
+        *[F.col(c) for c in keep_cols],
+        F.regexp_extract(s, PUBLISHED_RE, 1).alias("published"),
+        F.regexp_extract(s, AUTHOR_RE, 1).alias("author"),
+        F.regexp_extract(s, CANONICAL_RE, 1).alias("canonical"),
+    )
+
+
+def head_meta_stats(pages: DataFrame, lang_col: str = "lang",
+                    url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """Per-lang head-metadata rollup: publication-date coverage and
+    byte-gating checksum (md5-prefix sum over the extracted date strings
+    — proves the extracted BYTES, not just the count), distinct-author
+    count, and canonical-link accounting (self vs consolidating).  Single
+    map-side-combinable aggregation over the scan-stage extraction."""
+    hm = head_metadata(
+        pages.withColumnRenamed(lang_col, "_lang"),
+        url_col, html_col, keep_cols=("_lang",),
+    )
+    pub_md5 = F.md5(F.col("published").cast("binary"))
+    return (
+        hm.groupBy(F.col("_lang").alias("lang"))
+        .agg(
+            F.sum((F.col("published") != "").cast("long"))
+            .cast("long").alias("n_published"),
+            F.sum(F.when(F.col("published") != "",
+                         F.conv(F.substring(pub_md5, 1, 12), 16, 10)
+                         .cast("long")).otherwise(F.lit(0)))
+            .cast("long").alias("published_checksum"),
+            F.countDistinct(F.when(F.col("author") != "",
+                                   F.col("author")))
+            .cast("long").alias("n_authors"),
+            F.sum(((F.col("canonical") != "")
+                   & (F.col("canonical") == F.col("url"))).cast("long"))
+            .cast("long").alias("n_canonical_self"),
+            F.sum(((F.col("canonical") != "")
+                   & (F.col("canonical") != F.col("url"))).cast("long"))
+            .cast("long").alias("n_canonical_other"),
+        )
+    )

@@ -155,15 +155,17 @@ mentions AS (
 # the full page string, not just its length
 
 
-def _html_page_sql(aside_extra: str = "") -> str:
+def _html_page_sql(aside_extra: str = "", head_extra: str = "") -> str:
     """DuckDB twin of web_pages.html_page_expr; ``aside_extra`` is a SQL
     string expression concatenated inside the sidebar aside (the
-    with_tables corpus variant), '' reproduces the default corpus
+    with_tables corpus variant), ``head_extra`` one concatenated after the
+    title (the with_head_meta variant); '' reproduces the default corpus
     byte-for-byte."""
     extra = f" || {aside_extra}" if aside_extra else ""
+    hextra = f" || {head_extra}" if head_extra else ""
     return f"""
   '<!DOCTYPE html><html lang="' || lang || '"><head>'
-  || '<title>doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+  || '<title>doc ' || CAST(doc_id AS VARCHAR) || '</title>'{hextra}
   || '<script>var t=1;</script><style>p{{margin:0}}</style></head><body>'
   || '<header><h1>Site host' || CAST({_HOST_ID} AS VARCHAR)
   || '</h1><nav><a href="/">Home</a> <a href="/a' || CAST(doc_id % 10 AS VARCHAR)
@@ -204,10 +206,6 @@ _ASIDE_TABLES_SQL = """(
   ELSE '' END
 )"""
 
-_HTML_PAGE_TABLES_SQL = (
-    _html_page_sql(_ASIDE_TABLES_SQL).replace("{{", "{").replace("}}", "}")
-)
-
 _PDF_PAYLOAD_SQL = """
   '%PDF-1.4' || chr(10) || '%dgspark synthetic single-stream document'
   || chr(10) || '1 0 obj' || chr(10) || '<< /Type /DGText /Length '
@@ -228,10 +226,35 @@ CASE WHEN doc_id % 50 = 49 THEN {_PDF_PAYLOAD_SQL}
 ELSE {_HTML_PAGE_SQL} END
 """
 
-# same, for the with_tables corpus variant (PDF rows carry no tables)
-_PAGE_STRING_TABLES_SQL = f"""
+# head-metadata markup twin (sources/web_pages.py:head_meta_expr):
+# published_time 6 of 7 docs, author 2 of 3, rel=canonical on every HTML
+# doc (self-referential except doc_id % 11 == 7 -> previous doc)
+_CANON_ID = "(CASE WHEN doc_id % 11 = 7 AND doc_id >= 1 " \
+            "THEN doc_id - 1 ELSE doc_id END)"
+_HEAD_META_SQL = f"""(
+  CASE WHEN doc_id % 7 <> 2 THEN
+    '<meta property="article:published_time" content="'
+    || CAST(doc_id % 5 + 2020 AS VARCHAR) || '-'
+    || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-'
+    || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:00Z">'
+  ELSE '' END
+  ||
+  CASE WHEN doc_id % 3 <> 1 THEN
+    '<meta name="author" content="Author ' || CAST(doc_id % 23 AS VARCHAR)
+    || '">'
+  ELSE '' END
+  || '<link rel="canonical" href="' || {_URL.replace("doc_id", _CANON_ID)}
+  || '">'
+)"""
+
+# rich corpus variant: tables in the aside AND metadata in the head
+_HTML_PAGE_RICH_SQL = (
+    _html_page_sql(_ASIDE_TABLES_SQL, _HEAD_META_SQL)
+    .replace("{{", "{").replace("}}", "}")
+)
+_PAGE_STRING_RICH_SQL = f"""
 CASE WHEN doc_id % 50 = 49 THEN {_PDF_PAYLOAD_SQL}
-ELSE {_HTML_PAGE_TABLES_SQL} END
+ELSE {_HTML_PAGE_RICH_SQL} END
 """
 
 
@@ -2429,23 +2452,30 @@ def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant: per-lang title coverage/volume, html-lang agreement, outlink
     totals (WET/WAT header fields, one codegen'd regexp pass) joined with
     the WDC-style table rollup (layout-vs-data classification, header
-    cells, integer-cell value checksum).  PDF payload rows match nothing
-    on either side and count as zero-metadata, zero-table pages."""
+    cells, integer-cell value checksum) and the head-metadata rollup
+    (operators/metadata.head_meta_stats: publication-date coverage with a
+    byte-gating md5-prefix checksum over the extracted date strings,
+    distinct authors, canonical-link self/consolidating accounting).  PDF
+    payload rows match nothing on either side and count as zero-metadata,
+    zero-table pages."""
     from .operators import metadata as op_md
     from .operators import webtables as op_wt
     from .sources.web_pages import synthesize_web_pages
 
-    pages = synthesize_web_pages(spark, sf_dir, with_tables=True)
+    pages = synthesize_web_pages(spark, sf_dir, with_tables=True,
+                                 with_head_meta=True)
     return (
         op_md.metadata_stats(pages)
         .join(op_wt.web_table_stats(pages), "lang")
+        .join(op_md.head_meta_stats(pages), "lang")
         .orderBy("lang")
     )
 
 
 _SQL_TABLES_CTE = f"""
 pg AS (
-  SELECT lang, {_PAGE_STRING_TABLES_SQL} AS s FROM documents),
+  SELECT lang, {_URL} AS url, {_PAGE_STRING_RICH_SQL} AS s
+  FROM documents),
 tbl AS (
   SELECT lang, unnest(regexp_extract_all(s, '(?s)<table[^>]*>(.*?)</table>', 1)) AS t
   FROM pg),
@@ -2499,7 +2529,26 @@ meta AS (
            AS n_lang_match,
          CAST(sum(len(regexp_extract_all(s, '<a[^>]* href="([^"]+)"', 1)))
               AS BIGINT) AS total_links
-  FROM pg GROUP BY lang)
+  FROM pg GROUP BY lang),
+hagg AS (
+  SELECT lang,
+         CAST(sum(CASE WHEN pub <> '' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_published,
+         CAST(coalesce(sum(CASE WHEN pub <> '' THEN
+             CAST(('0x' || substr(md5(pub), 1, 12)) AS UBIGINT)
+           ELSE 0 END), 0) AS BIGINT) AS published_checksum,
+         CAST(count(DISTINCT CASE WHEN author <> '' THEN author END)
+              AS BIGINT) AS n_authors,
+         CAST(sum(CASE WHEN canon <> '' AND canon = url
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical_self,
+         CAST(sum(CASE WHEN canon <> '' AND canon <> url
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical_other
+  FROM (
+    SELECT lang, url,
+      regexp_extract(s, '<meta property="article:published_time" content="([^"]*)"', 1) AS pub,
+      regexp_extract(s, '<meta name="author" content="([^"]*)"', 1) AS author,
+      regexp_extract(s, '<link rel="canonical" href="([^"]*)"', 1) AS canon
+    FROM pg) GROUP BY lang)
 SELECT meta.*, pagg.n_pages_with_tables,
        coalesce(tagg.n_tables, 0) AS n_tables,
        coalesce(tagg.n_data_tables, 0) AS n_data_tables,
@@ -2508,8 +2557,11 @@ SELECT meta.*, pagg.n_pages_with_tables,
        coalesce(tagg.total_cells, 0) AS total_cells,
        coalesce(tagg.header_cells, 0) AS header_cells,
        coalesce(tagg.tbl_value_sum, 0) AS tbl_value_sum,
-       coalesce(tagg.tbl_cell_chars, 0) AS tbl_cell_chars
+       coalesce(tagg.tbl_cell_chars, 0) AS tbl_cell_chars,
+       hagg.n_published, hagg.published_checksum, hagg.n_authors,
+       hagg.n_canonical_self, hagg.n_canonical_other
 FROM meta JOIN pagg USING (lang) LEFT JOIN tagg USING (lang)
+     JOIN hagg USING (lang)
 ORDER BY lang
 """
 

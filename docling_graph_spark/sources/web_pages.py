@@ -124,7 +124,44 @@ def aside_tables_expr(doc_id):
     return F.concat(layout, data)
 
 
-def html_page_expr(doc_id, text, lang, with_tables: bool = False):
+def head_meta_expr(doc_id):
+    """Deterministic document-metadata head markup for the rich corpus
+    variant (queries._HEAD_META_SQL twin) — the three fields a
+    Trafilatura-style metadata extractor pulls from real pages:
+
+    * ``article:published_time`` (6 of 7 docs): date derived from doc_id
+      (year 2020+id%5, month 1+id%12, day 1+id%28), ISO-8601 Zulu;
+    * ``author`` meta (2 of 3 docs): 23 distinct author names;
+    * ``rel=canonical`` link (every HTML doc): self-referential except
+      doc_id % 11 == 7, which declares the PREVIOUS doc canonical — the
+      duplicate-consolidation signal crawl dedup folds.
+
+    Head-only markup: main-content extraction byte-parity is untouched.
+    """
+    y = (doc_id % 5 + 2020).cast("string")
+    m = F.lpad((doc_id % 12 + 1).cast("string"), 2, "0")
+    dd = F.lpad((doc_id % 28 + 1).cast("string"), 2, "0")
+    pub = F.when(
+        doc_id % 7 != 2,
+        F.concat(F.lit('<meta property="article:published_time" '
+                       'content="'),
+                 y, F.lit("-"), m, F.lit("-"), dd,
+                 F.lit('T00:00:00Z">')),
+    ).otherwise(F.lit(""))
+    auth = F.when(
+        doc_id % 3 != 1,
+        F.concat(F.lit('<meta name="author" content="Author '),
+                 (doc_id % 23).cast("string"), F.lit('">')),
+    ).otherwise(F.lit(""))
+    canon_id = F.when((doc_id % 11 == 7) & (doc_id >= 1), doc_id - 1) \
+        .otherwise(doc_id)
+    canon = F.concat(F.lit('<link rel="canonical" href="'),
+                     url_expr(canon_id), F.lit('">'))
+    return F.concat(pub, auth, canon)
+
+
+def html_page_expr(doc_id, text, lang, with_tables: bool = False,
+                   with_head_meta: bool = False):
     """Deterministic page: boilerplate chrome wrapping the escaped text.
 
     Paragraph structure: the generator splits text on blank lines into <p>
@@ -134,7 +171,10 @@ def html_page_expr(doc_id, text, lang, with_tables: bool = False):
 
     ``with_tables`` appends the deterministic web-table markup inside the
     sidebar aside (see aside_tables_expr) — opt-in so every oracle over the
-    default corpus is byte-identical to round 1.
+    default corpus is byte-identical to round 1.  ``with_head_meta``
+    likewise appends document-metadata markup (published_time/author/
+    canonical, see head_meta_expr) after the title — head-only, so text
+    extraction is unaffected.
     """
     body = _escape_html(text)
     body = F.replace(body, F.lit("\n\n"), F.lit("</p><p>"))
@@ -142,9 +182,11 @@ def html_page_expr(doc_id, text, lang, with_tables: bool = False):
     aside_extra = (
         aside_tables_expr(doc_id) if with_tables else F.lit("")
     )
+    head_extra = head_meta_expr(doc_id) if with_head_meta else F.lit("")
     return F.concat(
         F.lit("<!DOCTYPE html><html lang=\""), lang, F.lit("\"><head>"),
         F.lit("<title>doc "), doc_id.cast("string"), F.lit("</title>"),
+        head_extra,
         F.lit("<script>var t=1;</script><style>p{margin:0}</style></head><body>"),
         F.lit("<header><h1>Site host"), host_id_expr(doc_id).cast("string"),
         F.lit("</h1><nav><a href=\"/\">Home</a> <a href=\"/a"), nav_n,
@@ -177,7 +219,8 @@ def synthesize_web_pages(spark: SparkSession, sf_dir: str,
                          with_pdf_rows: bool = True,
                          min_partitions: int = 0,
                          fatten_to_bytes: int = 0,
-                         with_tables: bool = False) -> DataFrame:
+                         with_tables: bool = False,
+                         with_head_meta: bool = False) -> DataFrame:
     """documents.parquet -> (url, warc_ts, html binary, text, lang).
 
     The source parquet is a single small file (one scan split), while the
@@ -212,7 +255,8 @@ def synthesize_web_pages(spark: SparkSession, sf_dir: str,
         )
     d = F.col("doc_id")
     html_str = html_page_expr(d, F.col("text"), F.col("lang"),
-                              with_tables=with_tables)
+                              with_tables=with_tables,
+                              with_head_meta=with_head_meta)
     if with_pdf_rows:
         from ..kernels.pdf_stub import make_fake_pdf  # noqa: F401 (docs)
         # fake-PDF payload built with the same byte layout as

@@ -83,6 +83,14 @@ def main() -> int:
         formatted_plan(op_md.metadata_stats(synthesize_web_pages(spark, SF))),
     )
 
+    sections["head-meta"] = (
+        "head_meta_stats — Trafilatura-style head metadata "
+        "(published_time/author/canonical): same scan-stage regexp + "
+        "single-Exchange rollup shape as metadata_stats",
+        formatted_plan(op_md.head_meta_stats(
+            synthesize_web_pages(spark, SF, with_head_meta=True))),
+    )
+
     sections["host-cap"] = (
         "host_cap_sample — skew-aware two-stage top-K: (host, salt) "
         "window bounds any partition at k*salts rows before the per-host "
