@@ -55,6 +55,9 @@ Round-2 session-5 additions (still 50 total):
                         variant (operators/metadata.head_meta_stats:
                         published_time coverage + byte checksum, authors,
                         canonical self/consolidating split)
+  link_graph_stats   += domain section (operators/domains.py: eTLD+1
+                        registrable-domain extraction, PSL longest-match
+                        in pure codegen exprs vs closed-form oracle)
 
 Round-2 session-4 additions (still 50 total):
   page_metadata      += web-table mining over the with_tables corpus

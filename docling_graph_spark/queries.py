@@ -2343,6 +2343,30 @@ def _alias_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOMAIN_SUFFIX_POOL = ("com", "co.uk", "org", "com.au", "io", "ac.jp",
+                       "de", "internal")
+_DOMAIN_SUB_POOL = ("", "www.", "cdn.eu.")
+
+
+def _stress_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic host population exercising eTLD+1 extraction: 8
+    suffixes (multi-label ccTLD suffixes AND one unknown TLD for the PSL
+    '*' fallback), 97 site labels, 3 subdomain depths.  The oracle
+    reconstructs host AND registrable in closed form, so the gate checks
+    the general PSL longest-match algorithm against an independent
+    derivation."""
+    d = F.col("doc_id")
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _DOMAIN_SUFFIX_POOL]),
+        (d % 8 + 1).cast("int"))
+    sub = F.element_at(
+        F.array(*[F.lit(s) for s in _DOMAIN_SUB_POOL]),
+        (d % 3 + 1).cast("int"))
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(sub, F.lit("site"), (d % 97).cast("string"),
+                 F.lit("."), suffix).alias("host"))
+
+
 def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl link-graph suite in one relation (section, k1, k2, v1, v2):
     the weighted host→host edge list (section='edge'), the integer
@@ -2383,8 +2407,20 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in ar.columns])).alias("kv")).select(
         F.lit("alias").alias("section"), F.col("kv.k1").alias("k1"),
         F.lit("").alias("k2"), F.col("kv.v1").alias("v1"), zero.alias("v2"))
+    from .operators import domains as op_dom
+
+    ds = op_dom.domain_stats(_stress_hosts(spark, sf_dir))
+    domain_rows = (
+        ds.select(F.lit("domain").alias("section"),
+                  F.col("suffix").alias("k1"), F.lit("counts").alias("k2"),
+                  F.col("n_rows").alias("v1"), F.col("n_hosts").alias("v2"))
+        .unionByName(ds.select(
+            F.lit("domain").alias("section"), F.col("suffix").alias("k1"),
+            F.lit("reg").alias("k2"), F.col("n_registrable").alias("v1"),
+            F.col("reg_checksum").alias("v2")))
+    )
     return (edge_rows.unionByName(rank_rows).unionByName(anchor_rows)
-            .unionByName(alias_rows)
+            .unionByName(alias_rows).unionByName(domain_rows)
             .orderBy("section", "k1", "k2"))
 
 
@@ -2427,6 +2463,28 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM ae) AS n_edges,
 FROM res
 """
 
+# domain rollup oracle: host AND registrable reconstructed in closed form
+# (the Spark side runs the general PSL longest-match algorithm — an
+# independent derivation, including the unknown-TLD fallback row)
+SQL_DOMAIN_STATS = """
+WITH dpool AS (
+  SELECT (['com','co.uk','org','com.au','io','ac.jp','de','internal'])
+           [CAST(doc_id % 8 AS INT) + 1] AS suffix,
+         'site' || CAST(doc_id % 97 AS VARCHAR) AS reg_label,
+         (['','www.','cdn.eu.'])[CAST(doc_id % 3 AS INT) + 1] AS sub
+  FROM documents),
+dh AS (
+  SELECT suffix, sub || reg_label || '.' || suffix AS host,
+         reg_label || '.' || suffix AS registrable
+  FROM dpool)
+SELECT suffix, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(count(DISTINCT registrable) AS BIGINT) AS n_registrable,
+       CAST(coalesce(sum(CAST(('0x' || substr(md5(registrable), 1, 12))
+                          AS UBIGINT)), 0) AS BIGINT) AS reg_checksum
+FROM dh GROUP BY suffix
+"""
+
 SQL_LINK_GRAPH_STATS = f"""
 SELECT section, k1, k2, v1, v2 FROM (
   SELECT 'edge' AS section, src_host AS k1, dst_host AS k2,
@@ -2442,6 +2500,12 @@ SELECT section, k1, k2, v1, v2 FROM (
                   ('n_canonical', a.n_canonical), ('n_roots', a.n_roots),
                   ('max_hops', a.max_hops), ('sum_hops', a.sum_hops),
                   ('map_checksum', a.map_checksum)) AS m(k1, v1)
+  UNION ALL
+  SELECT 'domain', suffix, 'counts', n_rows, n_hosts
+  FROM ({SQL_DOMAIN_STATS})
+  UNION ALL
+  SELECT 'domain', suffix, 'reg', n_registrable, reg_checksum
+  FROM ({SQL_DOMAIN_STATS})
 ) ORDER BY section, k1, k2
 """
 

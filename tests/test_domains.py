@@ -1,0 +1,58 @@
+"""Registrable-domain (eTLD+1) extraction (operators/domains.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_graph_spark.operators import domains as op_dom
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    hosts = [
+        "www.bbc.co.uk",          # multi-label suffix beats bare "uk"
+        "news.bbc.co.uk",         # same registrable as above
+        "a.blogspot.com",         # generic TLD
+        "example.com",            # registrable IS the host
+        "cdn.eu.site5.ac.jp",     # deep subdomain chain
+        "single.internal",        # unknown TLD -> '*' fallback
+        "com",                    # bare suffix -> no registrable
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    rows = df.select(
+        "host",
+        op_dom.public_suffix(F.col("host")).alias("suffix"),
+        op_dom.registrable_domain(F.col("host")).alias("reg"),
+    ).collect()
+    return {r["host"]: (r["suffix"], r["reg"]) for r in rows}
+
+
+def test_multi_label_suffix_wins(extracted):
+    assert extracted["www.bbc.co.uk"] == ("co.uk", "bbc.co.uk")
+    assert extracted["news.bbc.co.uk"] == ("co.uk", "bbc.co.uk")
+
+
+def test_generic_tld(extracted):
+    assert extracted["a.blogspot.com"] == ("com", "blogspot.com")
+    assert extracted["example.com"] == ("com", "example.com")
+
+
+def test_deep_subdomain(extracted):
+    assert extracted["cdn.eu.site5.ac.jp"] == ("ac.jp", "site5.ac.jp")
+
+
+def test_unknown_tld_fallback(extracted):
+    assert extracted["single.internal"] == ("internal",
+                                            "single.internal")
+
+
+def test_bare_suffix_has_no_registrable(extracted):
+    assert extracted["com"] == ("com", None)
+
+
+def test_domain_stats_collapse(spark):
+    df = spark.createDataFrame(
+        [("www.bbc.co.uk",), ("news.bbc.co.uk",), ("bbc.co.uk",)],
+        "host string")
+    [r] = op_dom.domain_stats(df).collect()
+    assert (r["suffix"], r["n_rows"], r["n_hosts"],
+            r["n_registrable"]) == ("co.uk", 3, 3, 1)

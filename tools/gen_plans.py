@@ -140,6 +140,16 @@ def main() -> int:
             qmod._alias_edges(spark, SF))),
     )
 
+    from docling_graph_spark.operators import domains as op_dom
+
+    sections["domain-rollup"] = (
+        "domain_stats — eTLD+1 extraction entirely in whole-stage "
+        "codegen (literal suffix array + array_max longest-match key; "
+        "no join, no UDF), one map-side-combinable rollup",
+        formatted_plan(op_dom.domain_stats(
+            qmod._stress_hosts(spark, SF))),
+    )
+
     sections["snapshot-diff"] = (
         "snapshot_diff_stats — crawl-snapshot diff + latest-wins "
         "compaction: ONE hash partition on url (partial/final agg split, "
