@@ -58,6 +58,9 @@ Round-2 session-5 additions (still 50 total):
   link_graph_stats   += domain section (operators/domains.py: eTLD+1
                         registrable-domain extraction, PSL longest-match
                         in pure codegen exprs vs closed-form oracle)
+  sampling_splits    += pps section (operators/sharding.pps_systematic_
+                        sample: exactly-k PPS systematic sampling in
+                        exact int64 math on the shared prefix-sum pass)
 
 Round-2 session-4 additions (still 50 total):
   page_metadata      += web-table mining over the with_tables corpus

@@ -112,6 +112,29 @@ def pack_shards(docs: DataFrame, budget: int,
     bucket *balance* only affects parallelism, never the assignment —
     offsets are derived from per-bucket totals ordered by bucket minimum.
     """
+    pre, _total = global_prefix_starts(
+        docs, order_col=order_col, tokens_col=tokens_col,
+        num_partitions=num_partitions)
+    return pre.select(
+        order_col,
+        F.col(tokens_col),
+        # int64 `div`, not float division: prefix sums at 10^12-doc
+        # scale exceed double's 53-bit exact-integer range
+        F.expr(f"_start div {int(budget)}").alias("shard_id"),
+    )
+
+
+def global_prefix_starts(docs: DataFrame,
+                         order_col: str = "doc_id",
+                         tokens_col: str = "n_tokens",
+                         num_partitions: int | None = None):
+    """(order_col, tokens_col, ...) -> ((order_col, tokens_col, _start),
+    total): the exclusive global prefix sum in ``order_col`` order, plus
+    the corpus total — the shared substrate of every position-based
+    assignment (shard packing, PPS systematic sampling).  Same
+    two-pass distributed prefix sum as pack_shards historically ran
+    inline: per-bucket window, O(#partitions) driver offsets, broadcast
+    join back.  The total falls out of the offsets pass for free."""
     spark = docs.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     # materialize the windowed narrow relation ONCE: the totals pass and
@@ -140,17 +163,16 @@ def pack_shards(docs: DataFrame, budget: int,
     else:
         off_df = spark.createDataFrame([], "_pid int, _offset long")
 
-    return (
+    pre = (
         local.join(F.broadcast(off_df), "_pid")
         .select(
             order_col,
             F.col("_tok").alias(tokens_col),
-            # int64 `div`, not float division: prefix sums at 10^12-doc
-            # scale exceed double's 53-bit exact-integer range
-            F.expr(f"(_offset + _local_prefix - _tok) div {int(budget)}")
-            .alias("shard_id"),
+            (F.col("_offset") + F.col("_local_prefix") - F.col("_tok"))
+            .alias("_start"),
         )
     )
+    return pre, int(running)
 
 
 def shard_stats(assigned: DataFrame,
@@ -199,4 +221,60 @@ def pack_sequences(docs_with_shards: DataFrame,
                          separator).alias("packed_text"),
             "n_docs", "n_tokens",
         )
+    )
+
+
+def pps_systematic_sample(docs: DataFrame, k: int,
+                          order_col: str = "doc_id",
+                          tokens_col: str = "n_tokens",
+                          num_partitions: int | None = None) -> DataFrame:
+    """Probability-proportional-to-size systematic sampling, exact
+    integer arithmetic: k midpoint grid points g_i = floor((2i+1)*T/(2k))
+    over the token prefix-sum line [0, T); a document is selected once
+    per grid point inside its interval [start, start+w).
+
+    The corpus-mixing sampler: when training mixes need n tokens from a
+    source, PPS-by-token-count picks documents with probability
+    proportional to their token mass, and the SYSTEMATIC (grid) variant
+    is deterministic, exactly-k, and stratified along the corpus order —
+    no random state, no floating point, no rejection loop.  Every
+    quantity is int64 (documented bound: 2*k*T must fit — k*T < 2^62;
+    at T = 10^12 tokens that allows k up to ~4.6M samples per call).
+
+    Built on the same distributed prefix sum as shard packing: one
+    narrow shuffle, O(#partitions) driver offsets.  Returns
+    (order_col, tokens_col, _start, n_grid) with n_grid >= 1 marking
+    selected docs; sum(n_grid) == k exactly (each grid point lands in
+    exactly ONE document interval — empty docs have empty intervals).
+    """
+    pre, total = global_prefix_starts(
+        docs, order_col=order_col, tokens_col=tokens_col,
+        num_partitions=num_partitions)
+    return pps_mark(pre, total, k, tokens_col=tokens_col)
+
+
+def pps_mark(pre: DataFrame, total: int, k: int,
+             tokens_col: str = "n_tokens") -> DataFrame:
+    """Append ``n_grid`` to an already-prefixed relation (from
+    global_prefix_starts) — lets one prefix-sum pass feed both shard
+    packing and PPS marking."""
+    if total <= 0:
+        return pre.withColumn("n_grid", F.lit(0).cast("long"))
+
+    t2 = 2 * int(total)
+
+    def f(col: str) -> str:
+        # number of grid points g_i < col == clamp(ceil((2k*col - T)/2T));
+        # ceil_div via int64 `div` on a positive numerator — floor() over
+        # float division would lose exactness past 2^53
+        p = f"(2 * {int(k)} * {col} - {int(total)})"
+        return (f"LEAST(CAST({int(k)} AS BIGINT), "
+                f"CASE WHEN {p} <= 0 THEN CAST(0 AS BIGINT) "
+                f"ELSE ({p} + {t2 - 1}) div {t2} END)")
+
+    return (
+        pre.withColumn("_end", F.col("_start") + F.col(tokens_col))
+        .withColumn("n_grid",
+                    F.expr(f"CAST({f('_end')} - {f('_start')} AS BIGINT)"))
+        .drop("_end")
     )

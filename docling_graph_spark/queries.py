@@ -4614,6 +4614,7 @@ SELECT stage, metric, value FROM (
 
 
 _SHARD_BUDGET = 4096
+_PPS_K = 37  # deliberately odd / non-dividing: exercises grid rounding
 
 
 def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4704,11 +4705,15 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("split").alias("section"), F.col("split").alias("bucket"),
         F.col("n_docs").alias("n_docs"), F.col("total_chars").alias("measure"),
     )
-    # ONE distributed prefix-sum pass feeds both the shard-stats and
-    # packed-sequence sections (the assignment relation is shared)
+    # ONE distributed prefix-sum pass feeds the shard-stats,
+    # packed-sequence AND PPS-sampling sections (the prefixed narrow
+    # relation is shared; pps_mark/shard_id are pure projections on it)
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     counted = op_sh_mod.token_counts(docs)
-    assigned = op_sh_mod.pack_shards(counted, budget=_SHARD_BUDGET)
+    pre, total = op_sh_mod.global_prefix_starts(counted)
+    assigned = pre.select(
+        "doc_id", "n_tokens",
+        F.expr(f"_start div {_SHARD_BUDGET}").alias("shard_id"))
     c = op_sh_mod.shard_stats(assigned).select(
         F.lit("shard").alias("section"),
         F.col("shard_id").cast("string").alias("bucket"),
@@ -4722,6 +4727,35 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").alias("n_docs"),
         F.length("packed_text").cast("long").alias("measure"),
     )
+    marked = op_sh_mod.pps_mark(pre, total, k=_PPS_K)
+    sel = F.col("n_grid") > 0
+    id_md5 = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    pps_agg = marked.agg(
+        F.sum(sel.cast("long")).cast("long").alias("sel_docs"),
+        F.sum("n_grid").cast("long").alias("k_total"),
+        F.coalesce(F.sum(F.when(sel, F.col("n_tokens"))), F.lit(0))
+        .cast("long").alias("sel_tokens"),
+        F.sum("n_tokens").cast("long").alias("tot_tokens"),
+        F.coalesce(F.sum(F.when(sel, F.col("doc_id"))), F.lit(0))
+        .cast("long").alias("sel_ids"),
+        F.coalesce(F.sum(F.when(
+            sel, F.conv(F.substring(id_md5, 1, 12), 16, 10).cast("long"))),
+            F.lit(0)).cast("long").alias("sel_ck"),
+    )
+    pps = pps_agg.select(F.explode(F.array(
+        F.struct(F.lit("selected").alias("bucket"),
+                 F.col("sel_docs").alias("n_docs"),
+                 F.col("k_total").alias("measure")),
+        F.struct(F.lit("weights").alias("bucket"),
+                 F.col("sel_tokens").alias("n_docs"),
+                 F.col("tot_tokens").alias("measure")),
+        F.struct(F.lit("ids").alias("bucket"),
+                 F.col("sel_ids").alias("n_docs"),
+                 F.col("sel_ck").alias("measure")),
+    )).alias("kv")).select(
+        F.lit("pps").alias("section"), F.col("kv.bucket").alias("bucket"),
+        F.col("kv.n_docs").alias("n_docs"),
+        F.col("kv.measure").alias("measure"))
     hc = q_host_cap(spark, sf_dir)
     d = hc.select(F.explode(F.array(
         F.struct(F.lit("docs").alias("bucket"),
@@ -4738,6 +4772,7 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kv.n_docs").alias("n_docs"), F.col("kv.measure").alias("measure"),
     )
     return (a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+            .unionByName(pps)
             .orderBy("section", "bucket"))
 
 
@@ -4770,6 +4805,42 @@ SELECT section, bucket, n_docs, measure FROM (
     SELECT 'hosts', hosts_at_cap, n_hosts FROM ({SQL_HOST_CAP})
     UNION ALL
     SELECT 'max_host', max_kept_docs, max_host_docs FROM ({SQL_HOST_CAP})
+  )
+  UNION ALL
+  SELECT 'pps', bucket, n_docs, measure FROM (
+    WITH tok AS (
+      SELECT doc_id, (length(text) * 3) // 10 AS w FROM documents),
+    pos AS (
+      SELECT doc_id, w,
+             coalesce(sum(w) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM tok),
+    tot AS (SELECT sum(w) AS t FROM tok),
+    g AS (
+      SELECT doc_id, w,
+             LEAST({_PPS_K}, CASE WHEN 2 * {_PPS_K} * (s + w) <= t THEN 0
+               ELSE (2 * {_PPS_K} * (s + w) - t + 2 * t - 1) // (2 * t)
+               END)
+             - LEAST({_PPS_K}, CASE WHEN 2 * {_PPS_K} * s <= t THEN 0
+               ELSE (2 * {_PPS_K} * s - t + 2 * t - 1) // (2 * t) END)
+               AS n_grid
+      FROM pos, tot)
+    SELECT 'selected' AS bucket,
+           CAST(sum(CASE WHEN n_grid > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs,
+           CAST(sum(n_grid) AS BIGINT) AS measure FROM g
+    UNION ALL
+    SELECT 'weights',
+           CAST(coalesce(sum(CASE WHEN n_grid > 0 THEN w END), 0)
+                AS BIGINT),
+           CAST(sum(w) AS BIGINT) FROM g
+    UNION ALL
+    SELECT 'ids',
+           CAST(coalesce(sum(CASE WHEN n_grid > 0 THEN doc_id END), 0)
+                AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN n_grid > 0 THEN
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS UBIGINT) END), 0) AS BIGINT) FROM g
   )
 ) ORDER BY section, bucket
 """

@@ -125,3 +125,48 @@ def test_pack_sequences_partitioning_invariant(spark, toy):
     b = sorted(map(tuple, sharding.pack_sequences(
         joined.repartition(17)).collect()))
     assert a == b
+
+
+def test_pps_exactly_k_and_partition_invariant(spark):
+    from docling_graph_spark.operators import sharding as op_sh
+
+    docs = op_sh.token_counts(spark.createDataFrame(
+        [(i, "x" * ((i * 37) % 400 + 10)) for i in range(200)],
+        "doc_id long, text string"))
+    for parts in (1, 7):
+        marked = op_sh.pps_systematic_sample(docs.repartition(parts), k=13)
+        rows = {r["doc_id"]: r["n_grid"] for r in marked.collect()}
+        assert sum(rows.values()) == 13
+        if parts == 1:
+            base = rows
+    assert rows == base  # assignment independent of partitioning
+
+
+def test_pps_zero_weight_docs_never_selected(spark):
+    from docling_graph_spark.operators import sharding as op_sh
+
+    docs = op_sh.token_counts(spark.createDataFrame(
+        [(0, ""), (1, "y" * 100), (2, "")], "doc_id long, text string"))
+    got = {r["doc_id"]: r["n_grid"]
+           for r in op_sh.pps_systematic_sample(docs, k=5).collect()}
+    assert got[0] == 0 and got[2] == 0 and got[1] == 5
+
+
+def test_pps_empty_corpus(spark):
+    from docling_graph_spark.operators import sharding as op_sh
+
+    docs = op_sh.token_counts(
+        spark.createDataFrame([], "doc_id long, text string"))
+    assert op_sh.pps_systematic_sample(docs, k=5).count() == 0
+
+
+def test_pps_heavy_doc_gets_multiple_grid_points(spark):
+    from docling_graph_spark.operators import sharding as op_sh
+
+    # one doc holds ~90% of the mass -> it must absorb most grid points
+    docs = op_sh.token_counts(spark.createDataFrame(
+        [(0, "a" * 40), (1, "b" * 4000), (2, "c" * 40)],
+        "doc_id long, text string"))
+    got = {r["doc_id"]: r["n_grid"]
+           for r in op_sh.pps_systematic_sample(docs, k=10).collect()}
+    assert got[1] >= 9 and sum(got.values()) == 10

@@ -140,6 +140,14 @@ def main() -> int:
             qmod._alias_edges(spark, SF))),
     )
 
+    sections["pps-sample"] = (
+        "pps_systematic_sample — exactly-k PPS sampling as a pure "
+        "projection over the distributed prefix sum (one narrow window "
+        "exchange; grid membership in exact int64 closed form)",
+        formatted_plan(op_sh.pps_systematic_sample(
+            op_sh.token_counts(docs.select("doc_id", "text")), k=37)),
+    )
+
     from docling_graph_spark.operators import domains as op_dom
 
     sections["domain-rollup"] = (
