@@ -61,6 +61,9 @@ Round-2 session-5 additions (still 50 total):
   sampling_splits    += pps section (operators/sharding.pps_systematic_
                         sample: exactly-k PPS systematic sampling in
                         exact int64 math on the shared prefix-sum pass)
+  corpus_prep_stats  += robots stage capacity columns (operators/robots.
+                        crawl_capacity: politeness makespan, total crawl
+                        work, fetches within a 600s budget)
 
 Round-2 session-4 additions (still 50 total):
   page_metadata      += web-table mining over the with_tables corpus

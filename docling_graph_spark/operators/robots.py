@@ -140,3 +140,48 @@ def robots_gate_stats(pages: DataFrame, rules: DataFrame,
         "n_urls", "n_blocked", "n_hosts", "n_rules_agent",
         "n_crawl_delay", "n_sitemaps",
     )
+
+
+def crawl_capacity(gated: DataFrame, rules: DataFrame, agent: str = "*",
+                   default_delay: int = 1,
+                   budget_s: int = 600) -> DataFrame:
+    """Politeness-bound crawl capacity planning: given the gated url set
+    and the parsed Crawl-delay rules, the three numbers a crawl scheduler
+    sizes a fleet with —
+
+    * ``makespan_s``: the longest single-host drain time ((n-1) * delay);
+      a host queue is inherently serial under politeness, so this is the
+      floor on wall-clock no matter how many fetchers run;
+    * ``crawl_work_s``: total politeness-serialized work across hosts
+      (the lower bound on fetcher-seconds);
+    * ``fetched_in_budget``: fetches completing within ``budget_s``
+      seconds, min(n, budget div delay + 1) per host.
+
+    One aggregation keyed on host (the frontier's natural partitioning)
+    plus a broadcast of the tiny per-host delay relation — no window, no
+    per-url scheduling rows materialized.
+    """
+    delays = (
+        rules.filter((F.col("kind") == "crawl_delay")
+                     & (F.col("agent") == agent.lower()))
+        .groupBy("host")
+        .agg(F.max(F.col("path").cast("long")).alias("delay"))
+    )
+    per_host = (
+        gated.filter(F.col("allowed")).groupBy("host")
+        .agg(F.count("*").cast("long").alias("n"))
+        .join(F.broadcast(delays), "host", "left")
+        .withColumn("delay",
+                    F.coalesce("delay", F.lit(default_delay)).cast("long"))
+    )
+    drain = (F.col("n") - 1) * F.col("delay")
+    fetched = F.least(F.col("n"),
+                      F.expr(f"{int(budget_s)} div delay") + 1)
+    return per_host.agg(
+        F.coalesce(F.max(drain), F.lit(0)).cast("long")
+        .alias("makespan_s"),
+        F.coalesce(F.sum(drain), F.lit(0)).cast("long")
+        .alias("crawl_work_s"),
+        F.coalesce(F.sum(fetched), F.lit(0)).cast("long")
+        .alias("fetched_in_budget"),
+    )

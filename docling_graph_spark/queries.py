@@ -4224,9 +4224,11 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("kind") == "sitemap").cast("long"))
         .alias("n_sitemaps"),
     )
-    return g.crossJoin(r).select(
+    cap = op_rb.crawl_capacity(gated, rules)
+    return g.crossJoin(r).crossJoin(cap).select(
         "n_urls", "n_blocked", "sum_blocked_doc", "n_hosts",
         "n_rules_star", "n_crawl_delay", "n_sitemaps",
+        "makespan_s", "crawl_work_s", "fetched_in_budget",
     )
 
 
@@ -4251,8 +4253,29 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_urls,
        CAST((SELECT count(*) FROM hosts WHERE h % 3 = 0) AS BIGINT)
          AS n_crawl_delay,
        CAST((SELECT count(*) FROM hosts WHERE h % 4 = 0) AS BIGINT)
-         AS n_sitemaps
+         AS n_sitemaps,
+       CAST((SELECT coalesce(max((n - 1) * delay), 0) FROM cap)
+            AS BIGINT) AS makespan_s,
+       CAST((SELECT coalesce(sum((n - 1) * delay), 0) FROM cap)
+            AS BIGINT) AS crawl_work_s,
+       CAST((SELECT coalesce(sum(LEAST(n, 600 // delay + 1)), 0) FROM cap)
+            AS BIGINT) AS fetched_in_budget
 """
+SQL_ROBOTS_GATE = SQL_ROBOTS_GATE.replace(
+    "blocked AS (", """ph AS (
+  SELECT h, count(*) AS n_total,
+         sum(CASE WHEN starts_with(CAST(doc_id AS VARCHAR),
+                                   CAST(h % 10 AS VARCHAR))
+                   AND NOT starts_with(CAST(doc_id AS VARCHAR),
+                                       CAST(h % 10 AS VARCHAR)
+                                       || CAST(h % 7 AS VARCHAR))
+                  THEN 1 ELSE 0 END) AS n_blk
+  FROM hx GROUP BY h),
+cap AS (
+  SELECT h, n_total - n_blk AS n,
+         CASE WHEN h % 3 = 0 THEN 1 + h % 5 ELSE 1 END AS delay
+  FROM ph WHERE n_total - n_blk > 0),
+blocked AS (""")
 
 
 def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4601,7 +4624,8 @@ SELECT stage, metric, value FROM (
   UNION ALL
 {_sql_unpivot('rb', 'robots',
               ['n_urls', 'n_blocked', 'sum_blocked_doc', 'n_hosts',
-               'n_rules_star', 'n_crawl_delay', 'n_sitemaps'])}
+               'n_rules_star', 'n_crawl_delay', 'n_sitemaps',
+               'makespan_s', 'crawl_work_s', 'fetched_in_budget'])}
   UNION ALL
 {_sql_unpivot('nb', 'nb_quality',
               ['n_docs', 'n_label_pass', 'n_pred_pass', 'n_agree',

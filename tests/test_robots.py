@@ -134,3 +134,33 @@ def test_gate_plan_is_broadcast(spark):
     # one shuffle total: the verdict aggregate; no second Exchange for a
     # re-join of pages
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_crawl_capacity_unit(spark):
+    from pyspark.sql import functions as F
+
+    from docling_graph_spark.operators import robots as op_rb
+
+    # host a: 5 urls, delay 10 -> drain 40; host b: 3 urls, default 1 -> 2
+    gated = spark.createDataFrame(
+        [("a", True)] * 5 + [("b", True)] * 3 + [("b", False)] * 2,
+        "host string, allowed boolean").withColumn("url", F.lit("u"))
+    rules = spark.createDataFrame(
+        [("a", "*", "crawl_delay", "10")],
+        "host string, agent string, kind string, path string")
+    [r] = op_rb.crawl_capacity(gated, rules, budget_s=25).collect()
+    assert r["makespan_s"] == 40
+    assert r["crawl_work_s"] == 42
+    # within 25s: host a completes 25 div 10 + 1 = 3, host b all 3
+    assert r["fetched_in_budget"] == 6
+
+
+def test_crawl_capacity_empty(spark):
+    from docling_graph_spark.operators import robots as op_rb
+
+    gated = spark.createDataFrame([], "host string, allowed boolean")
+    rules = spark.createDataFrame(
+        [], "host string, agent string, kind string, path string")
+    [r] = op_rb.crawl_capacity(gated, rules).collect()
+    assert (r["makespan_s"], r["crawl_work_s"],
+            r["fetched_in_budget"]) == (0, 0, 0)
