@@ -36,11 +36,16 @@ def compact_latest_wins(pages: DataFrame, key: str = "url",
     """One row per ``key`` carrying the columns of its most recent capture.
 
     Single hash aggregation: every non-key column rides inside one struct
-    ordered by (ts, snapshot_id) so ``max`` reduces it associatively —
-    map-side combine applies, ties broken by the later snapshot id.
+    ordered by (ts, snapshot_id, ...) so ``max`` reduces it associatively —
+    map-side combine applies, ties broken by the later snapshot id
+    (``snapshot_id`` is pinned as the second struct field when present;
+    without one, ts ties fall back to payload-column order).
     """
     payload = [c for c in pages.columns if c != key]
-    packed = F.struct(F.col(ts), *[F.col(c) for c in payload if c != ts])
+    rest = [c for c in payload if c != ts]
+    if "snapshot_id" in rest:  # pin the documented tie-break
+        rest = ["snapshot_id"] + [c for c in rest if c != "snapshot_id"]
+    packed = F.struct(F.col(ts), *[F.col(c) for c in rest])
     latest = pages.groupBy(key).agg(F.max(packed).alias("_latest"))
     return latest.select(
         key, *[F.col(f"_latest.{c}").alias(c) for c in payload])
