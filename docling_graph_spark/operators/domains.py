@@ -43,9 +43,13 @@ def _suffix_key(s: Column) -> Column:
 
 def public_suffix(host: Column) -> Column:
     """Longest matching public suffix of ``host``; falls back to the last
-    label for unknown TLDs (PSL '*' rule)."""
+    label for unknown TLDs (PSL '*' rule).  A host that IS a listed
+    suffix (e.g. ``co.uk``) matches itself, so registrable_domain can
+    correctly yield NULL for it."""
     suf = F.array(*[F.lit(s) for s in PUBLIC_SUFFIXES])
-    cand = F.filter(suf, lambda s: host.endswith(F.concat(F.lit("."), s)))
+    cand = F.filter(
+        suf, lambda s: (host == s)
+        | host.endswith(F.concat(F.lit("."), s)))
     keys = F.transform(cand, _suffix_key)
     return F.when(F.size(cand) > 0,
                   F.substring(F.array_max(keys), 6, 256)) \

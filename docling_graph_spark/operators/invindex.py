@@ -55,19 +55,21 @@ def term_postings(docs: DataFrame, block: int = BLOCK_DOCS,
         .agg(F.count("*").cast("long").alias("df_block"),
              F.sort_array(F.collect_list("doc_id")).alias("ids"))
     )
-    base = F.col("block") * block
+    # first delta is relative to the block start (block * width), so
+    # every block decodes independently of its neighbors
     deltas = F.expr(
         f"transform(ids, (x, i) -> x - IF(i = 0, block * {block}L, "
         f"element_at(ids, i)))")
-    _ = base  # documented: first delta is relative to block * width
     return blocks.withColumn("deltas", deltas)
 
 
 def _varint_bytes(arr):
+    # LEB128 tiers: 7 payload bits per byte
     return F.aggregate(
         arr, F.lit(0).cast("long"),
         lambda acc, x: acc + F.when(x < 128, 1).when(x < 16384, 2)
-        .when(x < 2097152, 3).otherwise(5).cast("long"))
+        .when(x < 2097152, 3).when(x < 268435456, 4)
+        .otherwise(5).cast("long"))
 
 
 def postings_stats(docs: DataFrame, block: int = BLOCK_DOCS) -> DataFrame:

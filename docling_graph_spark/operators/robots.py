@@ -160,10 +160,23 @@ def crawl_capacity(gated: DataFrame, rules: DataFrame, agent: str = "*",
     One aggregation keyed on host (the frontier's natural partitioning)
     plus a broadcast of the tiny per-host delay relation — no window, no
     per-url scheduling rows materialized.
+
+    Group selection follows RFC 9309 §2.2.1 like ``gate_urls``: a host
+    with ANY exact-agent rule group uses only that group's Crawl-delay
+    (even if the group has none), otherwise the ``*`` group's.
     """
+    a = agent.lower()
+    has_exact = (
+        rules.filter(F.col("agent") == a)
+        .select("host").distinct().withColumn("_exact", F.lit(True))
+    )
+    governed = (
+        rules.join(has_exact, "host", "left")
+        .filter(F.col("agent") == F.when(F.col("_exact"), F.lit(a))
+                .otherwise(F.lit("*")))
+    )
     delays = (
-        rules.filter((F.col("kind") == "crawl_delay")
-                     & (F.col("agent") == agent.lower()))
+        governed.filter(F.col("kind") == "crawl_delay")
         .groupBy("host")
         .agg(F.max(F.col("path").cast("long")).alias("delay"))
     )

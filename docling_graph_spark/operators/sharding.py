@@ -115,6 +115,16 @@ def pack_shards(docs: DataFrame, budget: int,
     pre, _total = global_prefix_starts(
         docs, order_col=order_col, tokens_col=tokens_col,
         num_partitions=num_partitions)
+    return shard_mark(pre, budget, order_col=order_col,
+                      tokens_col=tokens_col)
+
+
+def shard_mark(pre: DataFrame, budget: int, order_col: str = "doc_id",
+               tokens_col: str = "n_tokens") -> DataFrame:
+    """Project ``shard_id`` from an already-prefixed relation (from
+    global_prefix_starts) — the single source of the assignment rule, so
+    callers sharing one prefix pass across consumers (shard stats, PPS)
+    cannot drift from pack_shards."""
     return pre.select(
         order_col,
         F.col(tokens_col),

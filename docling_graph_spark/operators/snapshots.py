@@ -70,7 +70,7 @@ def snapshot_diff(pages: DataFrame, key: str = "url",
         .when(F.col("_h1") == F.col("_h2"), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
-    return per_url.select(key, status.alias("status"), "_h1", "_h2")
+    return per_url.select(key, status.alias("status"))
 
 
 def snapshot_diff_stats(pages: DataFrame, key: str = "url",

@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 
 from .operators import ann as op_ann
 from .operators import dedup as op_dedup
+from .operators.invindex import BLOCK_DOCS as _IX_BLOCK
 from .operators import entities as op_entities
 from .operators import graph as op_graph
 from .operators import stats as op_stats
@@ -428,7 +429,6 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("section", "term"))
 
 
-_IX_BLOCK = 256  # invindex.BLOCK_DOCS; literal so the SQL twin is static
 
 SQL_POSTINGS_STATS = f"""
 WITH tx AS (
@@ -449,7 +449,8 @@ blk AS (
   SELECT term, block, any_value(df_block) AS df_block,
          string_agg(CAST(delta AS VARCHAR), ',' ORDER BY i) AS dstr,
          sum(CASE WHEN delta < 128 THEN 1 WHEN delta < 16384 THEN 2
-                  WHEN delta < 2097152 THEN 3 ELSE 5 END) AS vbytes
+                  WHEN delta < 2097152 THEN 3
+                  WHEN delta < 268435456 THEN 4 ELSE 5 END) AS vbytes
   FROM del GROUP BY term, block)
 SELECT term, CAST(sum(df_block) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS n_blocks,
@@ -2486,6 +2487,7 @@ FROM dh GROUP BY suffix
 """
 
 SQL_LINK_GRAPH_STATS = f"""
+WITH dstats AS ({SQL_DOMAIN_STATS})
 SELECT section, k1, k2, v1, v2 FROM (
   SELECT 'edge' AS section, src_host AS k1, dst_host AS k2,
          n_links AS v1, CAST(0 AS BIGINT) AS v2
@@ -2501,11 +2503,10 @@ SELECT section, k1, k2, v1, v2 FROM (
                   ('max_hops', a.max_hops), ('sum_hops', a.sum_hops),
                   ('map_checksum', a.map_checksum)) AS m(k1, v1)
   UNION ALL
-  SELECT 'domain', suffix, 'counts', n_rows, n_hosts
-  FROM ({SQL_DOMAIN_STATS})
+  SELECT 'domain', suffix, 'counts', n_rows, n_hosts FROM dstats
   UNION ALL
   SELECT 'domain', suffix, 'reg', n_registrable, reg_checksum
-  FROM ({SQL_DOMAIN_STATS})
+  FROM dstats
 ) ORDER BY section, k1, k2
 """
 
@@ -4735,9 +4736,7 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     counted = op_sh_mod.token_counts(docs)
     pre, total = op_sh_mod.global_prefix_starts(counted)
-    assigned = pre.select(
-        "doc_id", "n_tokens",
-        F.expr(f"_start div {_SHARD_BUDGET}").alias("shard_id"))
+    assigned = op_sh_mod.shard_mark(pre, budget=_SHARD_BUDGET)
     c = op_sh_mod.shard_stats(assigned).select(
         F.lit("shard").alias("section"),
         F.col("shard_id").cast("string").alias("bucket"),

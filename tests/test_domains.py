@@ -56,3 +56,15 @@ def test_domain_stats_collapse(spark):
     [r] = op_dom.domain_stats(df).collect()
     assert (r["suffix"], r["n_rows"], r["n_hosts"],
             r["n_registrable"]) == ("co.uk", 3, 3, 1)
+
+
+def test_multi_label_bare_suffix_has_no_registrable(spark):
+    df = spark.createDataFrame([("co.uk",), ("ac.jp",)], "host string")
+    rows = df.select(
+        "host",
+        op_dom.public_suffix(F.col("host")).alias("suffix"),
+        op_dom.registrable_domain(F.col("host")).alias("reg"),
+    ).collect()
+    got = {r["host"]: (r["suffix"], r["reg"]) for r in rows}
+    assert got["co.uk"] == ("co.uk", None)
+    assert got["ac.jp"] == ("ac.jp", None)

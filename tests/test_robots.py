@@ -164,3 +164,27 @@ def test_crawl_capacity_empty(spark):
     [r] = op_rb.crawl_capacity(gated, rules).collect()
     assert (r["makespan_s"], r["crawl_work_s"],
             r["fetched_in_budget"]) == (0, 0, 0)
+
+
+def test_crawl_capacity_exact_agent_group_beats_wildcard(spark):
+    from pyspark.sql import functions as F
+
+    from docling_graph_spark.operators import robots as op_rb
+
+    gated = spark.createDataFrame(
+        [("a", True)] * 3 + [("b", True)] * 3,
+        "host string, allowed boolean").withColumn("url", F.lit("u"))
+    rules = spark.createDataFrame(
+        [
+            # host a: exact-agent group exists WITHOUT a delay -> the
+            # wildcard delay must NOT apply (RFC 9309 group selection)
+            ("a", "mybot", "disallow", "/x"),
+            ("a", "*", "crawl_delay", "10"),
+            # host b: no exact group -> wildcard delay governs
+            ("b", "*", "crawl_delay", "5"),
+        ],
+        "host string, agent string, kind string, path string")
+    [r] = op_rb.crawl_capacity(gated, rules, agent="mybot").collect()
+    # host a: default delay 1 -> drain 2; host b: delay 5 -> drain 10
+    assert r["makespan_s"] == 10
+    assert r["crawl_work_s"] == 12
