@@ -64,6 +64,9 @@ Round-2 session-5 additions (still 50 total):
   corpus_prep_stats  += robots stage capacity columns (operators/robots.
                         crawl_capacity: politeness makespan, total crawl
                         work, fetches within a 600s budget)
+  token_stats        += sectioned relation: tokens (unchanged per-source
+                        counts) + len_quantile (operators/quantiles.py
+                        exact order statistics, no global sort)
 
 Round-2 session-4 additions (still 50 total):
   page_metadata      += web-table mining over the with_tables corpus

@@ -1042,7 +1042,13 @@ FROM (
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace + BPE-ish regex), per source."""
+    """Token counting (whitespace + BPE-ish regex) per source
+    (section='tokens') UNIONed with exact distributed length quantiles
+    (section='len_quantile': operators/quantiles.exact_quantiles —
+    groupBy(value) + integer-keyed prefix sum, never a global sort;
+    lower-discrete convention, per-mille integer ranks)."""
+    from .operators import quantiles as op_q
+
     docs = _read(spark, sf_dir, "documents")
     ws = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
     bpe = F.size(
@@ -1050,18 +1056,51 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), 0
         )
     )
-    return docs.groupBy("source").agg(
+    zero = F.lit(0).cast("long")
+    tok_rows = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(ws.cast("long")).alias("ws_tokens"),
         F.sum(bpe.cast("long")).alias("bpe_tokens"),
-    ).orderBy("source")
+    ).select(F.lit("tokens").alias("section"),
+             F.col("source").alias("key"),
+             F.col("n_docs").cast("long").alias("v1"),
+             F.col("ws_tokens").alias("v2"),
+             F.col("bpe_tokens").alias("v3"))
+    q_rows = op_q.exact_quantiles(
+        docs.select(F.length("text").alias("len")), "len").select(
+        F.lit("len_quantile").alias("section"),
+        F.concat(F.lit("p"), F.col("pm").cast("string")).alias("key"),
+        F.col("rank").alias("v1"), F.col("value").alias("v2"),
+        zero.alias("v3"))
+    return tok_rows.unionByName(q_rows).orderBy("section", "key")
 
 
 SQL_TOKEN_STATS = r"""
-SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(length(regexp_extract_all(text, '\S+'))) AS BIGINT) AS ws_tokens,
-       CAST(sum(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))) AS BIGINT) AS bpe_tokens
-FROM documents GROUP BY source ORDER BY source
+SELECT section, key, v1, v2, v3 FROM (
+  SELECT 'tokens' AS section, source AS key,
+         CAST(count(*) AS BIGINT) AS v1,
+         CAST(sum(length(regexp_extract_all(text, '\S+'))) AS BIGINT) AS v2,
+         CAST(sum(length(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))) AS BIGINT) AS v3
+  FROM documents GROUP BY source
+  UNION ALL
+  SELECT 'len_quantile', 'p' || CAST(pm AS VARCHAR),
+         CAST(rnk AS BIGINT), CAST(val AS BIGINT), CAST(0 AS BIGINT)
+  FROM (
+    WITH lens AS (
+      SELECT length(text) AS val FROM documents WHERE text IS NOT NULL),
+    t AS (SELECT count(*) AS n FROM lens),
+    r AS (SELECT pm, (pm * n + 999) // 1000 AS rnk
+          FROM (SELECT unnest([100, 250, 500, 750, 900, 990]) AS pm), t),
+    cm AS (
+      SELECT val, c,
+             coalesce(sum(c) OVER (ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start
+      FROM (SELECT val, count(*) AS c FROM lens GROUP BY val))
+    SELECT r.pm, r.rnk, cm.val
+    FROM r JOIN cm ON cm.start < r.rnk AND cm.start + cm.c >= r.rnk)
+) ORDER BY section, key
 """
 
 

@@ -140,6 +140,17 @@ def main() -> int:
             qmod._alias_edges(spark, SF))),
     )
 
+    from docling_graph_spark.operators import quantiles as op_q
+
+    sections["exact-quantiles"] = (
+        "exact_quantiles — order statistics with no global sort: "
+        "groupBy(value) collapses rows to distinct values, the "
+        "integer-keyed distributed prefix sum ranks them, rank probes "
+        "are a literal-array filter (no join)",
+        formatted_plan(op_q.exact_quantiles(
+            docs.select(F.length("text").alias("len")), "len")),
+    )
+
     sections["pps-sample"] = (
         "pps_systematic_sample — exactly-k PPS sampling as a pure "
         "projection over the distributed prefix sum (one narrow window "
