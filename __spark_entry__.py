@@ -68,6 +68,13 @@ Round-2 session-5 additions (still 50 total):
                         counts) + len_quantile (operators/quantiles.py
                         exact order statistics, no global sort)
 
+Round-2 session-6 additions (still 50 total):
+  corpus_prep_stats  += host_boilerplate stage (site-level template
+                        removal: strict-majority per-host line frequency,
+                        operators/textprep.host_boilerplate_removal;
+                        exact rebuilt-content checksum both engines
+                        recompute)
+
 Round-2 session-4 additions (still 50 total):
   page_metadata      += web-table mining over the with_tables corpus
                         variant (operators/webtables.py: layout-vs-data

@@ -136,6 +136,73 @@ def line_dedup_stats(df: DataFrame, lines_col: Column,
     )
 
 
+def host_boilerplate_removal(pages: DataFrame, host_col: str,
+                             lines_col: Column, id_col: str = "doc_id",
+                             min_pages: int = 2) -> DataFrame:
+    """Site-level template removal (the per-site analogue of C4 line dedup;
+    trafilatura ``--deduplicate`` / Dolma site-dedup shape): a line is HOST
+    BOILERPLATE when it appears on a strict majority of its host's pages
+    (``page_freq * 2 > host_docs``) and on at least ``min_pages`` pages.
+    Boilerplate lines are removed from every page of that host; each page's
+    remaining lines are rebuilt in original order.
+
+    Returns one row per input page: ``(doc_id, host, n_lines, n_removed,
+    rebuilt)`` — callers aggregate (see queries.q_host_boilerplate, which
+    gates the rebuilt content with an exact md5-prefix checksum).
+
+    Scale shape (10^12 pages): the only wide operations are keyed on
+    ``(host, line)`` — the per-(host,line) page-frequency aggregate, the
+    per-host page count (a rollup of the same partitioning), and the
+    boilerplate anti-annotation join back onto the exploded lines, which
+    co-partitions with the frequency aggregate so AQE plans it without a
+    second exchange of the big side.  At real scale the shuffle key would
+    be ``(host, xxhash64(line))`` with line text carried only into the
+    rebuild stage (~50x fewer shuffle bytes, same counts); the exact-text
+    key is kept here so the DuckDB oracle is the literal same derivation.
+    The rebuild avoids a global sort: kept lines are collected per page as
+    (pos, line) structs and ``array_sort``ed locally — per-page state only,
+    never a corpus-wide window.
+    """
+    base = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("host"),
+        lines_col.alias("lines"),
+    )
+    exploded = base.select(
+        "doc_id", "host", F.posexplode("lines").alias("pos", "line")
+    )
+    # pages-containing frequency: distinct (host, doc, line) first so a
+    # line repeated WITHIN one page still counts that page once
+    freq = (
+        exploded.select("host", "doc_id", "line").distinct()
+        .groupBy("host", "line").agg(F.count("*").alias("page_freq"))
+    )
+    host_docs = base.groupBy("host").agg(F.count("*").alias("host_docs"))
+    bp = (
+        freq.join(host_docs, "host")
+        .filter((F.col("page_freq") >= min_pages)
+                & (F.col("page_freq") * 2 > F.col("host_docs")))
+        .select("host", "line")
+    )
+    marked = exploded.join(
+        bp.withColumn("is_bp", F.lit(True)), ["host", "line"], "left"
+    ).withColumn("is_bp", F.coalesce(F.col("is_bp"), F.lit(False)))
+    kept_struct = F.when(
+        ~F.col("is_bp"), F.struct(F.col("pos"), F.col("line"))
+    )  # NULL for removed lines; collect_list skips NULLs
+    return marked.groupBy("doc_id", "host").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("is_bp").cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s.line,
+            ),
+            "\n",
+        ).alias("rebuilt"),
+    )
+
+
 def host_blocklist_split(pages: DataFrame,
                          blocked_hosts: Sequence[str],
                          url_col: str = "url") -> DataFrame:

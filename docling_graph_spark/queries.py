@@ -3462,6 +3462,91 @@ SELECT CAST(sum(cnt) AS BIGINT) AS total_lines,
 FROM per_line
 """
 
+def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-level template removal (textprep.host_boilerplate_removal):
+    lines on a strict majority (and >= 2) of a host's pages are removed
+    from every page of that host, pages rebuilt in original line order.
+    The synthesized per-doc line set exercises every branch: a footer line
+    on 100% of the host's pages (removed wherever the host has >= 2 pages,
+    KEPT on single-page hosts — the min_pages floor), an alternating promo
+    line on ~half the pages (strict-majority boundary: removed only when
+    its variant exceeds half, e.g. 2 of 3), a rotating section line
+    (~1/11 per host, kept except on tiny same-section hosts), and a unique
+    line (always kept).  The gate is exact-content: both engines rebuild
+    every page and the checksum sums a 48-bit md5 prefix of each rebuilt
+    doc (order-independent — no global sort)."""
+    from .operators import textprep
+    from .sources.web_pages import host_id_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pages = docs.select(
+        "doc_id", host_id_expr(d).cast("string").alias("host"),
+        F.array(
+            F.concat(F.lit("footer host"), host_id_expr(d).cast("string"),
+                     F.lit(" terms privacy")),
+            F.concat(F.lit("promo week "), (d % 2).cast("string")),
+            F.concat(F.lit("section "), (d % 11).cast("string")),
+            F.concat(F.lit("unique "), d.cast("string")),
+        ).alias("lines"),
+    )
+    reb = textprep.host_boilerplate_removal(
+        pages, "host", F.col("lines"), min_pages=2)
+    reb_md5 = F.md5(F.col("rebuilt").cast("binary"))
+    return reb.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.sum("n_lines").cast("long").alias("total_lines"),
+        F.sum("n_removed").cast("long").alias("lines_removed"),
+        F.sum((F.col("n_removed") > 0).cast("long")).cast("long")
+        .alias("docs_affected"),
+        F.min(reb_md5).alias("rebuilt_min_md5"),
+        F.max(reb_md5).alias("rebuilt_max_md5"),
+        F.sum(F.conv(F.substring(reb_md5, 1, 12), 16, 10).cast("long"))
+        .cast("long").alias("rebuilt_checksum"),
+    )
+
+
+SQL_HOST_BOILERPLATE = f"""
+WITH pages AS (
+  SELECT doc_id, {_HOST_ID} AS host FROM documents),
+plines AS (
+  SELECT doc_id, host,
+         unnest([0, 1, 2, 3]) AS pos,
+         unnest(['footer host' || CAST(host AS VARCHAR) || ' terms privacy',
+                 'promo week ' || CAST(doc_id % 2 AS VARCHAR),
+                 'section ' || CAST(doc_id % 11 AS VARCHAR),
+                 'unique ' || CAST(doc_id AS VARCHAR)]) AS line
+  FROM pages),
+hd AS (SELECT host, count(*) AS host_docs FROM pages GROUP BY host),
+freq AS (SELECT host, line, count(DISTINCT doc_id) AS page_freq
+         FROM plines GROUP BY host, line),
+bp AS (SELECT f.host, f.line FROM freq f JOIN hd USING (host)
+       WHERE f.page_freq >= 2 AND f.page_freq * 2 > hd.host_docs),
+marked AS (SELECT l.doc_id, l.host, l.pos, l.line,
+                  (b.line IS NOT NULL) AS is_bp
+           FROM plines l LEFT JOIN bp b
+             ON l.host = b.host AND l.line = b.line),
+reb AS (SELECT doc_id, host,
+               count(*) AS n_lines,
+               sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS n_removed,
+               coalesce(string_agg(CASE WHEN NOT is_bp THEN line END,
+                                   chr(10) ORDER BY pos), '') AS rebuilt
+        FROM marked GROUP BY doc_id, host)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(sum(n_lines) AS BIGINT) AS total_lines,
+       CAST(sum(n_removed) AS BIGINT) AS lines_removed,
+       CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_affected,
+       min(md5(rebuilt)) AS rebuilt_min_md5,
+       max(md5(rebuilt)) AS rebuilt_max_md5,
+       CAST(sum(CAST(('0x' || substr(md5(rebuilt), 1, 12)) AS UBIGINT))
+            AS BIGINT) AS rebuilt_checksum
+FROM reb
+"""
+
+
 _BLOCKED_HOSTS = ["host1.example.com", "host3.example.com",
                   "host5.example.com", "host42.example.com"]
 
@@ -4568,6 +4653,8 @@ def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_unpivot_single_row(
             q_host_blocklist(spark, sf_dir), "host_blocklist"))
         .unionByName(_unpivot_single_row(
+            q_host_boilerplate(spark, sf_dir), "host_boilerplate"))
+        .unionByName(_unpivot_single_row(
             q_url_canonical_dedup(spark, sf_dir), "url_canonical"))
         .unionByName(_unpivot_single_row(
             q_decontamination(spark, sf_dir), "decontam"))
@@ -4600,6 +4687,7 @@ SQL_CORPUS_PREP_STATS = f"""
 WITH pii AS ({SQL_PII_REDACTION}),
 ld AS ({SQL_LINE_DEDUP}),
 hb AS ({SQL_HOST_BLOCKLIST}),
+hbp AS ({SQL_HOST_BOILERPLATE}),
 uc AS ({SQL_URL_CANONICAL_DEDUP}),
 dc AS ({SQL_DECONTAMINATION}),
 ds AS ({SQL_DUP_SPANS}),
@@ -4622,6 +4710,11 @@ SELECT stage, metric, value FROM (
   UNION ALL
 {_sql_unpivot('hb', 'host_blocklist',
               ['kept_docs', 'kept_hosts', 'dropped_docs', 'dropped_hosts'])}
+  UNION ALL
+{_sql_unpivot('hbp', 'host_boilerplate',
+              ['n_docs', 'n_hosts', 'total_lines', 'lines_removed',
+               'docs_affected', 'rebuilt_min_md5', 'rebuilt_max_md5',
+               'rebuilt_checksum'])}
   UNION ALL
 {_sql_unpivot('uc', 'url_canonical',
               ['total_urls', 'distinct_canonical', 'collapsed',
