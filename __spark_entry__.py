@@ -74,6 +74,11 @@ Round-2 session-6 additions (still 50 total):
                         operators/textprep.host_boilerplate_removal;
                         exact rebuilt-content checksum both engines
                         recompute)
+  page_metadata      += schema.org JSON-LD rollup over the with_ld_json
+                        corpus variant (operators/structdata.py: block
+                        isolation + from_json parse, @type byte checksum,
+                        Article wordCount totals, Product offers.price in
+                        exact integer cents)
 
 Round-2 session-4 additions (still 50 total):
   page_metadata      += web-table mining over the with_tables corpus

@@ -1,0 +1,97 @@
+"""Structured-data (schema.org JSON-LD) mining over crawl HTML — the
+WAT-extraction counterpart to page/head metadata: isolate every
+``<script type="application/ld+json">`` block, parse it as JSON, and
+roll up the typed fields a knowledge pipeline keeps (entity @type
+distribution, Article word counts, Product offer prices).
+
+The reference extracts typed entities from document text via LLM
+templates (`docling_graph/core/converters/graph_converter.py` node
+attributes); THIS operator is the deterministic web-native analogue —
+pages that declare their entities in embedded JSON-LD get them lifted
+without any model call.
+
+Scale shape: block isolation is one `regexp_extract_all` and parsing is
+`from_json`, both JVM-side inside the scan stage's codegen/expression
+pipeline — no Python row path, no shuffle until the final per-lang
+aggregate (map-side combinable).  Malformed JSON parses to NULL struct
+fields and is counted, never thrown.  Non-HTML payloads (PDF bytes)
+match zero blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (?s): a block may span lines in real pages; non-greedy body
+LD_JSON_RE = r'(?s)<script type="application/ld\+json">(.*?)</script>'
+
+# subset schema a training-data miner keeps; unknown keys are ignored by
+# from_json, absent keys parse to NULL
+LD_SCHEMA = ("`@type` STRING, headline STRING, wordCount LONG, "
+             "name STRING, offers STRUCT<price: STRING>")
+
+
+def ld_json_blocks(pages: DataFrame, html_col: str = "html",
+                   keep_cols: "tuple[str, ...]" = ()) -> DataFrame:
+    """(html, ...) -> one row per JSON-LD block: (*keep_cols, block)."""
+    s = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    return pages.select(
+        *[F.col(c) for c in keep_cols],
+        F.explode(F.regexp_extract_all(s, F.lit(LD_JSON_RE), 1))
+        .alias("block"),
+    )
+
+
+def structured_data_stats(pages: DataFrame, lang_col: str = "lang",
+                          html_col: str = "html") -> DataFrame:
+    """Per-lang JSON-LD rollup: block/page coverage, a 48-bit md5-prefix
+    checksum over every extracted ``@type`` string (gates the extracted
+    BYTES without assuming a fixed type taxonomy), distinct type count,
+    Article ``wordCount`` totals, and Product offer prices summed in
+    exact integer cents."""
+    s = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    per_page = pages.select(
+        F.col(lang_col).alias("lang"),
+        F.size(F.regexp_extract_all(s, F.lit(LD_JSON_RE), 1))
+        .alias("n_blocks"),
+    ).groupBy("lang").agg(
+        F.sum("n_blocks").cast("long").alias("n_ld_blocks"),
+        F.sum((F.col("n_blocks") > 0).cast("long")).cast("long")
+        .alias("n_ld_pages"),
+    )
+    parsed = ld_json_blocks(
+        pages.withColumnRenamed(lang_col, "_lang"), html_col,
+        keep_cols=("_lang",),
+    ).select(
+        F.col("_lang").alias("lang"),
+        F.from_json("block", LD_SCHEMA).alias("j"),
+    )
+    typ = F.col("j").getField("@type")
+    type_md5 = F.md5(typ.cast("binary"))
+    price_cents = F.replace(
+        F.col("j.offers.price"), F.lit("."), F.lit("")
+    ).cast("long")
+    per_block = parsed.groupBy("lang").agg(
+        F.countDistinct(typ).cast("long").alias("n_ld_types"),
+        F.sum(F.when(typ.isNotNull(),
+                     F.conv(F.substring(type_md5, 1, 12), 16, 10)
+                     .cast("long")).otherwise(F.lit(0)))
+        .cast("long").alias("ld_type_checksum"),
+        F.sum(F.coalesce(F.col("j.wordCount"), F.lit(0)))
+        .cast("long").alias("ld_wordcount_sum"),
+        F.sum(F.coalesce(price_cents, F.lit(0)))
+        .cast("long").alias("ld_price_cents"),
+    )
+    # left join: a lang whose pages carry no blocks still reports zeros
+    return per_page.join(per_block, "lang", "left").select(
+        "lang", "n_ld_blocks", "n_ld_pages",
+        F.coalesce("n_ld_types", F.lit(0)).cast("long")
+        .alias("n_ld_types"),
+        F.coalesce("ld_type_checksum", F.lit(0)).cast("long")
+        .alias("ld_type_checksum"),
+        F.coalesce("ld_wordcount_sum", F.lit(0)).cast("long")
+        .alias("ld_wordcount_sum"),
+        F.coalesce("ld_price_cents", F.lit(0)).cast("long")
+        .alias("ld_price_cents"),
+    )

@@ -248,11 +248,33 @@ _HEAD_META_SQL = f"""(
   || '">'
 )"""
 
-# rich corpus variant: tables in the aside AND metadata in the head
-_HTML_PAGE_RICH_SQL = (
-    _html_page_sql(_ASIDE_TABLES_SQL, _HEAD_META_SQL)
-    .replace("{{", "{").replace("}}", "}")
-)
+# schema.org JSON-LD block twin (sources/web_pages.py:ld_json_expr):
+# Article %4==0 / NewsArticle %4==2 with headline+wordCount, Product
+# %4==1 with a nested offers.price decimal string, no block for %4==3.
+# Plain string (not an f-string) and NEVER passed through brace
+# replacement — the Product JSON legitimately ends in '}}'.
+_LD_JSON_SQL = """(
+  CASE WHEN doc_id % 4 = 1 THEN
+    '<script type="application/ld+json">{"@context":"https://schema.org","@type":"Product","name":"doc '
+    || CAST(doc_id AS VARCHAR)
+    || '","offers":{"@type":"Offer","price":"'
+    || CAST(doc_id % 500 + 1 AS VARCHAR) || '.'
+    || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+    || '","priceCurrency":"USD"}}</script>'
+  WHEN doc_id % 4 <> 3 THEN
+    '<script type="application/ld+json">{"@context":"https://schema.org","@type":"'
+    || CASE WHEN doc_id % 4 = 0 THEN 'Article' ELSE 'NewsArticle' END
+    || '","headline":"doc ' || CAST(doc_id AS VARCHAR)
+    || '","wordCount":' || CAST(doc_id % 900 + 100 AS VARCHAR)
+    || '}</script>'
+  ELSE '' END)"""
+
+# rich corpus variant: tables in the aside AND metadata + JSON-LD in the
+# head.  The legacy brace replaces were no-ops on the pre-JSON-LD string
+# (every '{{'/'}}' in _html_page_sql is an f-string escape that renders
+# single) and WOULD corrupt the Product JSON-LD's '}}', so they are gone.
+_HTML_PAGE_RICH_SQL = _html_page_sql(
+    _ASIDE_TABLES_SQL, _HEAD_META_SQL + "\n  || " + _LD_JSON_SQL)
 _PAGE_STRING_RICH_SQL = f"""
 CASE WHEN doc_id % 50 = 49 THEN {_PDF_PAYLOAD_SQL}
 ELSE {_HTML_PAGE_RICH_SQL} END
@@ -2559,19 +2581,24 @@ def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells, integer-cell value checksum) and the head-metadata rollup
     (operators/metadata.head_meta_stats: publication-date coverage with a
     byte-gating md5-prefix checksum over the extracted date strings,
-    distinct authors, canonical-link self/consolidating accounting).  PDF
-    payload rows match nothing on either side and count as zero-metadata,
-    zero-table pages."""
+    distinct authors, canonical-link self/consolidating accounting) and
+    the schema.org JSON-LD rollup (operators/structdata.py: block/page
+    coverage, @type byte checksum, Article wordCount totals, Product
+    offer prices in exact integer cents — parsed with from_json from the
+    with_ld_json corpus variant).  PDF payload rows match nothing on any
+    side and count as zero-metadata, zero-table, zero-JSON-LD pages."""
     from .operators import metadata as op_md
+    from .operators import structdata as op_sd
     from .operators import webtables as op_wt
     from .sources.web_pages import synthesize_web_pages
 
     pages = synthesize_web_pages(spark, sf_dir, with_tables=True,
-                                 with_head_meta=True)
+                                 with_head_meta=True, with_ld_json=True)
     return (
         op_md.metadata_stats(pages)
         .join(op_wt.web_table_stats(pages), "lang")
         .join(op_md.head_meta_stats(pages), "lang")
+        .join(op_sd.structured_data_stats(pages), "lang")
         .orderBy("lang")
     )
 
@@ -2652,7 +2679,36 @@ hagg AS (
       regexp_extract(s, '<meta property="article:published_time" content="([^"]*)"', 1) AS pub,
       regexp_extract(s, '<meta name="author" content="([^"]*)"', 1) AS author,
       regexp_extract(s, '<link rel="canonical" href="([^"]*)"', 1) AS canon
-    FROM pg) GROUP BY lang)
+    FROM pg) GROUP BY lang),
+sd AS (
+  SELECT lang,
+         CAST(sum(len(blocks)) AS BIGINT) AS n_ld_blocks,
+         CAST(sum(CASE WHEN len(blocks) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ld_pages
+  FROM (SELECT lang, regexp_extract_all(
+          s, '(?s)<script type="application/ld\\+json">(.*?)</script>', 1)
+          AS blocks FROM pg)
+  GROUP BY lang),
+sdb AS (
+  SELECT lang,
+         CAST(count(DISTINCT t) AS BIGINT) AS n_ld_types,
+         CAST(coalesce(sum(CASE WHEN t IS NOT NULL THEN
+             CAST(('0x' || substr(md5(t), 1, 12)) AS UBIGINT)
+           ELSE 0 END), 0) AS BIGINT) AS ld_type_checksum,
+         CAST(coalesce(sum(coalesce(w, 0)), 0) AS BIGINT)
+           AS ld_wordcount_sum,
+         CAST(coalesce(sum(coalesce(
+             CAST(replace(p, '.', '') AS BIGINT), 0)), 0) AS BIGINT)
+           AS ld_price_cents
+  FROM (
+    SELECT lang,
+           json_extract_string(b, '$."@type"') AS t,
+           CAST(json_extract(b, '$.wordCount') AS BIGINT) AS w,
+           json_extract_string(b, '$.offers.price') AS p
+    FROM (SELECT lang, unnest(regexp_extract_all(
+            s, '(?s)<script type="application/ld\\+json">(.*?)</script>',
+            1)) AS b FROM pg))
+  GROUP BY lang)
 SELECT meta.*, pagg.n_pages_with_tables,
        coalesce(tagg.n_tables, 0) AS n_tables,
        coalesce(tagg.n_data_tables, 0) AS n_data_tables,
@@ -2663,9 +2719,15 @@ SELECT meta.*, pagg.n_pages_with_tables,
        coalesce(tagg.tbl_value_sum, 0) AS tbl_value_sum,
        coalesce(tagg.tbl_cell_chars, 0) AS tbl_cell_chars,
        hagg.n_published, hagg.published_checksum, hagg.n_authors,
-       hagg.n_canonical_self, hagg.n_canonical_other
+       hagg.n_canonical_self, hagg.n_canonical_other,
+       sd.n_ld_blocks, sd.n_ld_pages,
+       coalesce(sdb.n_ld_types, 0) AS n_ld_types,
+       coalesce(sdb.ld_type_checksum, 0) AS ld_type_checksum,
+       coalesce(sdb.ld_wordcount_sum, 0) AS ld_wordcount_sum,
+       coalesce(sdb.ld_price_cents, 0) AS ld_price_cents
 FROM meta JOIN pagg USING (lang) LEFT JOIN tagg USING (lang)
-     JOIN hagg USING (lang)
+     JOIN hagg USING (lang) JOIN sd USING (lang)
+     LEFT JOIN sdb USING (lang)
 ORDER BY lang
 """
 

@@ -160,8 +160,49 @@ def head_meta_expr(doc_id):
     return F.concat(pub, auth, canon)
 
 
+def ld_json_expr(doc_id):
+    """Deterministic schema.org JSON-LD block for the ``with_ld_json``
+    corpus variant (queries._LD_JSON_SQL twin) — the structured-data
+    markup a WAT-style miner extracts from real pages:
+
+    * Article (doc_id % 4 == 0) / NewsArticle (% 4 == 2): headline +
+      integer ``wordCount`` (100 + doc_id % 900);
+    * Product (% 4 == 1): name + NESTED ``offers.price`` decimal string
+      (exercises real JSON path extraction, not just flat regexps);
+    * no block for doc_id % 4 == 3 — the coverage gap every miner must
+      count correctly.
+
+    Head-only markup: main-content extraction byte-parity is untouched.
+    """
+    n = doc_id.cast("string")
+    article = F.concat(
+        F.lit('{"@context":"https://schema.org","@type":"'),
+        F.when(doc_id % 4 == 0, F.lit("Article")).otherwise(
+            F.lit("NewsArticle")),
+        F.lit('","headline":"doc '), n,
+        F.lit('","wordCount":'), (doc_id % 900 + 100).cast("string"),
+        F.lit("}"),
+    )
+    product = F.concat(
+        F.lit('{"@context":"https://schema.org","@type":"Product",'
+              '"name":"doc '), n,
+        F.lit('","offers":{"@type":"Offer","price":"'),
+        (doc_id % 500 + 1).cast("string"),
+        F.lit("."), F.lpad((doc_id % 100).cast("string"), 2, "0"),
+        F.lit('","priceCurrency":"USD"}}'),
+    )
+    body = F.when(doc_id % 4 == 1, product).when(
+        doc_id % 4 != 3, article).otherwise(F.lit(None))
+    return F.when(
+        body.isNotNull(),
+        F.concat(F.lit('<script type="application/ld+json">'), body,
+                 F.lit("</script>")),
+    ).otherwise(F.lit(""))
+
+
 def html_page_expr(doc_id, text, lang, with_tables: bool = False,
-                   with_head_meta: bool = False):
+                   with_head_meta: bool = False,
+                   with_ld_json: bool = False):
     """Deterministic page: boilerplate chrome wrapping the escaped text.
 
     Paragraph structure: the generator splits text on blank lines into <p>
@@ -183,10 +224,12 @@ def html_page_expr(doc_id, text, lang, with_tables: bool = False,
         aside_tables_expr(doc_id) if with_tables else F.lit("")
     )
     head_extra = head_meta_expr(doc_id) if with_head_meta else F.lit("")
+    ld_extra = ld_json_expr(doc_id) if with_ld_json else F.lit("")
     return F.concat(
         F.lit("<!DOCTYPE html><html lang=\""), lang, F.lit("\"><head>"),
         F.lit("<title>doc "), doc_id.cast("string"), F.lit("</title>"),
         head_extra,
+        ld_extra,
         F.lit("<script>var t=1;</script><style>p{margin:0}</style></head><body>"),
         F.lit("<header><h1>Site host"), host_id_expr(doc_id).cast("string"),
         F.lit("</h1><nav><a href=\"/\">Home</a> <a href=\"/a"), nav_n,
@@ -220,7 +263,8 @@ def synthesize_web_pages(spark: SparkSession, sf_dir: str,
                          min_partitions: int = 0,
                          fatten_to_bytes: int = 0,
                          with_tables: bool = False,
-                         with_head_meta: bool = False) -> DataFrame:
+                         with_head_meta: bool = False,
+                         with_ld_json: bool = False) -> DataFrame:
     """documents.parquet -> (url, warc_ts, html binary, text, lang).
 
     The source parquet is a single small file (one scan split), while the
@@ -256,7 +300,8 @@ def synthesize_web_pages(spark: SparkSession, sf_dir: str,
     d = F.col("doc_id")
     html_str = html_page_expr(d, F.col("text"), F.col("lang"),
                               with_tables=with_tables,
-                              with_head_meta=with_head_meta)
+                              with_head_meta=with_head_meta,
+                              with_ld_json=with_ld_json)
     if with_pdf_rows:
         from ..kernels.pdf_stub import make_fake_pdf  # noqa: F401 (docs)
         # fake-PDF payload built with the same byte layout as
