@@ -79,6 +79,10 @@ Round-2 session-6 additions (still 50 total):
                         isolation + from_json parse, @type byte checksum,
                         Article wordCount totals, Product offers.price in
                         exact integer cents)
+  link_graph_stats   += urlpattern section (crawl-frontier URL template
+                        mining: digit runs in outlink paths collapsed to
+                        {n}, linkgraph.url_pattern_stats — per-template
+                        link counts + distinct-URL collapse)
 
 Round-2 session-4 additions (still 50 total):
   page_metadata      += web-table mining over the with_tables corpus

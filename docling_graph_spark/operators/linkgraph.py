@@ -25,7 +25,7 @@ Scale/determinism design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # attrs may precede href; the mandatory SPACE right before `href=` stops
@@ -170,6 +170,42 @@ def anchor_text_pairs(pages: DataFrame, url_col: str = "url",
     return z.select("src_host", dst.alias("dst_host"),
                     F.col("z.href").alias("href"),
                     F.col("z.anchor").alias("anchor"))
+
+
+def url_template(href: Column) -> Column:
+    """Collapse a URL to its path template: scheme+host stripped, query/
+    fragment dropped, every digit run replaced by ``{n}`` — so
+    ``/doc/123`` and ``/doc/9`` both map to ``/doc/{n}``.  The standard
+    crawl-frontier URL-pattern key (template mining: spot calendar/
+    session/pagination traps, cap per-pattern fetch budgets, cluster
+    near-identical CMS pages before content dedup).
+
+    Every step is a portable regexp (Java ∩ RE2 ∩ DuckDB 'g'-flag
+    semantics) so the oracle runs the literal same derivation.  Pure
+    codegen expressions — no parse_url dialect edge cases."""
+    path = F.regexp_replace(href, r"^https?://[^/]*", "")
+    path = F.regexp_replace(path, r"[?#].*$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.regexp_replace(path, "[0-9]+", "{n}")
+
+
+def url_pattern_stats(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """Per-template rollup over every outlink href in the corpus:
+    (template, n_links, n_distinct_urls).  One scan-stage regexp pass +
+    one map-side-combinable groupBy on the (low-cardinality) template —
+    the shuffle moves templates, not URLs, so a 10^12-page crawl reduces
+    to thousands of rows before the exchange."""
+    html_s = F.expr(f"CAST({html_col} AS STRING)")
+    links = pages.select(
+        F.explode(F.regexp_extract_all(html_s, F.lit(HREF_RE), 1))
+        .alias("href"))
+    return (
+        links.select(url_template(F.col("href")).alias("template"), "href")
+        .groupBy("template")
+        .agg(F.count("*").alias("n_links"),
+             F.countDistinct("href").alias("n_distinct_urls"))
+    )
 
 
 def resolve_aliases(edges: DataFrame, alias_col: str = "alias",

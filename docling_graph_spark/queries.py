@@ -2437,8 +2437,11 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     redirect/rel-canonical alias-chain resolution summary
     (section='alias': pointer-jumping path doubling,
     operators/linkgraph.resolve_aliases, content-gated by the md5-prefix
-    checksum over every alias->root pair).  Pages are parsed once; the
-    edge relation is reused by the rank section."""
+    checksum over every alias->root pair), and the crawl-frontier URL
+    template rollup (section='urlpattern': digit runs in outlink paths
+    collapsed to {n}, operators/linkgraph.url_pattern_stats — the
+    pattern-mining key that spots pagination/session traps).  Pages are
+    parsed once; the edge relation is reused by the rank section."""
     from .operators import linkgraph as op_lg
     from .sources.web_pages import synthesize_web_pages
 
@@ -2481,8 +2484,15 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("reg").alias("k2"), F.col("n_registrable").alias("v1"),
             F.col("reg_checksum").alias("v2")))
     )
+    pattern_rows = op_lg.url_pattern_stats(pages).select(
+        F.lit("urlpattern").alias("section"),
+        F.col("template").alias("k1"), F.lit("").alias("k2"),
+        F.col("n_links").alias("v1"),
+        F.col("n_distinct_urls").alias("v2"),
+    )
     return (edge_rows.unionByName(rank_rows).unionByName(anchor_rows)
             .unionByName(alias_rows).unionByName(domain_rows)
+            .unionByName(pattern_rows)
             .orderBy("section", "k1", "k2"))
 
 
@@ -2548,7 +2558,17 @@ FROM dh GROUP BY suffix
 """
 
 SQL_LINK_GRAPH_STATS = f"""
-WITH dstats AS ({SQL_DOMAIN_STATS})
+WITH dstats AS ({SQL_DOMAIN_STATS}),
+upat AS (
+  SELECT regexp_replace(CASE WHEN p = '' THEN '/' ELSE p END,
+                        '[0-9]+', '{{n}}', 'g') AS template, href
+  FROM (
+    SELECT href,
+           regexp_replace(regexp_replace(href, '^https?://[^/]*', ''),
+                          '[?#].*$', '') AS p
+    FROM (SELECT unnest(regexp_extract_all({_HTML_PAGE_SQL},
+                   '<a[^>]* href="([^"]+)"', 1)) AS href
+          FROM documents WHERE doc_id % 50 <> 49)))
 SELECT section, k1, k2, v1, v2 FROM (
   SELECT 'edge' AS section, src_host AS k1, dst_host AS k2,
          n_links AS v1, CAST(0 AS BIGINT) AS v2
@@ -2568,6 +2588,10 @@ SELECT section, k1, k2, v1, v2 FROM (
   UNION ALL
   SELECT 'domain', suffix, 'reg', n_registrable, reg_checksum
   FROM dstats
+  UNION ALL
+  SELECT 'urlpattern', template, '', CAST(count(*) AS BIGINT),
+         CAST(count(DISTINCT href) AS BIGINT)
+  FROM upat GROUP BY template
 ) ORDER BY section, k1, k2
 """
 

@@ -191,3 +191,32 @@ def test_alias_resolution_stats_counts(spark):
     [s] = op_lg.alias_resolution_stats(edges).collect()
     assert (s["n_edges"], s["n_redirect"], s["n_canonical"]) == (3, 2, 1)
     assert (s["n_roots"], s["max_hops"], s["sum_hops"]) == (1, 2, 4)
+
+
+def test_url_template_collapse(spark):
+    from docling_graph_spark.operators import linkgraph as op_lg
+
+    cases = [
+        ("https://h7.example.com/doc/123", "/doc/{n}"),
+        ("https://h.example.com/", "/"),
+        ("https://h.example.com", "/"),          # empty path -> '/'
+        ("/a7", "/a{n}"),
+        ("/p/2024/03/item9?id=5#frag", "/p/{n}/{n}/item{n}"),
+        ("/about", "/about"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "href string")
+    got = [r[0] for r in
+           df.select(op_lg.url_template(F.col("href"))).collect()]
+    assert got == [t for _, t in cases]
+
+
+def test_url_pattern_stats_groups(spark):
+    from docling_graph_spark.operators import linkgraph as op_lg
+
+    html = (b'<body><a href="/doc/1">a</a> <a href="/doc/22">b</a>'
+            b' <a href="/doc/1">c</a> <a href="/about">d</a></body>')
+    pages = spark.createDataFrame(
+        [("https://h/x", html)], "url string, html binary")
+    got = {r["template"]: (r["n_links"], r["n_distinct_urls"])
+           for r in op_lg.url_pattern_stats(pages).collect()}
+    assert got == {"/doc/{n}": (3, 2), "/about": (1, 1)}
