@@ -83,6 +83,10 @@ Round-2 session-6 additions (still 50 total):
                         mining: digit runs in outlink paths collapsed to
                         {n}, linkgraph.url_pattern_stats — per-template
                         link counts + distinct-URL collapse)
+  corpus_prep_stats  += sitemap stage (operators/sitemaps.py: per-host
+                        urlset build -> zipped loc/lastmod parse ->
+                        crawl-coverage reconciliation with ghost and
+                        unlisted counts; lastmod byte checksum)
 
 Round-2 session-4 additions (still 50 total):
   page_metadata      += web-table mining over the with_tables corpus

@@ -3633,6 +3633,90 @@ FROM reb
 """
 
 
+def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap build → parse → crawl-coverage reconciliation
+    (operators/sitemaps.py).  Per host: a spec-shaped urlset is built
+    from the docs the host "lists" (doc_id % 3 != 2, W3C-date lastmod)
+    plus one ghost entry per host that the crawl never captured; the XML
+    is then parsed back with the zipped loc/lastmod regexps and
+    reconciled against the crawl table — listed-and-crawled,
+    listed-never-crawled (ghosts), crawled-but-unlisted.  The lastmod
+    checksum gates the parsed BYTES; the oracle rebuilds and re-parses
+    the same XML independently."""
+    from .operators import sitemaps as op_sm
+    from .sources.web_pages import host_id_expr, url_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    lastmod = F.concat(
+        F.lit("2023-"), F.lpad((d % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-"), F.lpad((d % 28 + 1).cast("string"), 2, "0"))
+    host = F.concat(F.lit("host"), host_id_expr(d).cast("string"),
+                    F.lit(".example.com"))
+    listed = docs.filter(d % 3 != 2).select(
+        host.alias("host"), d.cast("long").alias("ord"),
+        op_sm.sitemap_entry(url_expr(d), lastmod).alias("entry"))
+    ghost = docs.select(host_id_expr(d).alias("h")).distinct().select(
+        F.concat(F.lit("host"), F.col("h").cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.lit(-1).cast("long").alias("ord"),
+        op_sm.sitemap_entry(
+            F.concat(F.lit("https://host"), F.col("h").cast("string"),
+                     F.lit(".example.com/ghost/"),
+                     F.col("h").cast("string")),
+            F.lit("2023-01-01")).alias("entry"))
+    xml = op_sm.build_sitemaps(listed.unionByName(ghost))
+    parsed = op_sm.parse_sitemaps(xml)
+    crawled = docs.select(url_expr(d).alias("url"))
+    return op_sm.sitemap_coverage(parsed, crawled)
+
+
+SQL_SITEMAP_COVERAGE = f"""
+WITH listed AS (
+  SELECT {_HOST_ID} AS h, doc_id AS ord,
+         '<url><loc>' || {_URL} || '</loc><lastmod>2023-'
+         || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-'
+         || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         || '</lastmod></url>' AS entry
+  FROM documents WHERE doc_id % 3 <> 2),
+sghost AS (SELECT DISTINCT {_HOST_ID} AS h FROM documents),
+sentries AS (
+  SELECT h, ord, entry FROM listed
+  UNION ALL
+  SELECT h, -1 AS ord,
+         '<url><loc>https://host' || CAST(h AS VARCHAR)
+         || '.example.com/ghost/' || CAST(h AS VARCHAR)
+         || '</loc><lastmod>2023-01-01</lastmod></url>'
+  FROM sghost),
+sm AS (
+  SELECT h,
+         '<?xml version="1.0" encoding="UTF-8"?><urlset xmlns='
+         || '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+         || string_agg(entry, '' ORDER BY ord) || '</urlset>' AS xml
+  FROM sentries GROUP BY h),
+sparsed AS (
+  SELECT h, lcs[i] AS loc, mds[i] AS lastmod
+  FROM (SELECT h,
+               regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1) AS lcs,
+               regexp_extract_all(xml, '<lastmod>([^<]*)</lastmod>', 1)
+                 AS mds
+        FROM sm),
+       LATERAL (SELECT unnest(generate_series(1, len(lcs))) AS i)),
+scrawled AS (SELECT {_URL} AS url FROM documents)
+SELECT (SELECT CAST(count(DISTINCT h) AS BIGINT) FROM sparsed) AS n_hosts,
+       (SELECT CAST(count(*) AS BIGINT) FROM sparsed) AS n_sitemap_urls,
+       (SELECT CAST(coalesce(sum(CAST(('0x' || substr(md5(lastmod), 1, 12))
+                                  AS UBIGINT)), 0) AS BIGINT)
+        FROM sparsed) AS lastmod_checksum,
+       (SELECT CAST(count(*) AS BIGINT) FROM sparsed
+        WHERE loc IN (SELECT url FROM scrawled)) AS n_listed_crawled,
+       (SELECT CAST(count(*) AS BIGINT) FROM sparsed
+        WHERE loc NOT IN (SELECT url FROM scrawled)) AS n_ghost,
+       (SELECT CAST(count(*) AS BIGINT) FROM scrawled
+        WHERE url NOT IN (SELECT loc FROM sparsed)) AS n_crawled_unlisted
+"""
+
+
 _BLOCKED_HOSTS = ["host1.example.com", "host3.example.com",
                   "host5.example.com", "host42.example.com"]
 
@@ -4728,7 +4812,9 @@ def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ExactSubstr span *removal* with an exact-content rebuild checksum,
     Bloom-gated incremental url dedup (no-false-negative gate vs the exact
     set difference), crawl-snapshot diff + latest-wins compaction
-    (added/removed/changed accounting + compacted-content checksum), and
+    (added/removed/changed accounting + compacted-content checksum),
+    site-level boilerplate removal (strict-majority host-frequency rule),
+    sitemap build/parse/crawl-coverage reconciliation, and
     char-trigram LM fluency scoring (CCNet-analogue quality gate).
     Each stage runs its full operator; the 1-row summaries are unpivoted
     and unioned."""
@@ -4740,6 +4826,8 @@ def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_host_blocklist(spark, sf_dir), "host_blocklist"))
         .unionByName(_unpivot_single_row(
             q_host_boilerplate(spark, sf_dir), "host_boilerplate"))
+        .unionByName(_unpivot_single_row(
+            q_sitemap_coverage(spark, sf_dir), "sitemap"))
         .unionByName(_unpivot_single_row(
             q_url_canonical_dedup(spark, sf_dir), "url_canonical"))
         .unionByName(_unpivot_single_row(
@@ -4774,6 +4862,7 @@ WITH pii AS ({SQL_PII_REDACTION}),
 ld AS ({SQL_LINE_DEDUP}),
 hb AS ({SQL_HOST_BLOCKLIST}),
 hbp AS ({SQL_HOST_BOILERPLATE}),
+smc AS ({SQL_SITEMAP_COVERAGE}),
 uc AS ({SQL_URL_CANONICAL_DEDUP}),
 dc AS ({SQL_DECONTAMINATION}),
 ds AS ({SQL_DUP_SPANS}),
@@ -4801,6 +4890,10 @@ SELECT stage, metric, value FROM (
               ['n_docs', 'n_hosts', 'total_lines', 'lines_removed',
                'docs_affected', 'rebuilt_min_md5', 'rebuilt_max_md5',
                'rebuilt_checksum'])}
+  UNION ALL
+{_sql_unpivot('smc', 'sitemap',
+              ['n_hosts', 'n_sitemap_urls', 'lastmod_checksum',
+               'n_listed_crawled', 'n_ghost', 'n_crawled_unlisted'])}
   UNION ALL
 {_sql_unpivot('uc', 'url_canonical',
               ['total_urls', 'distinct_canonical', 'collapsed',
