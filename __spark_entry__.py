@@ -87,6 +87,10 @@ Round-2 session-6 additions (still 50 total):
                         urlset build -> zipped loc/lastmod parse ->
                         crawl-coverage reconciliation with ghost and
                         unlisted counts; lastmod byte checksum)
+  corpus_prep_stats  += normalize stage (textprep.normalize_text: C0/DEL
+                        strip + NFC via Arrow-batched unicodedata,
+                        byte-compared against DuckDB's independent
+                        utf8proc nfc_normalize)
 
 Round-2 session-4 additions (still 50 total):
   page_metadata      += web-table mining over the with_tables corpus

@@ -136,6 +136,64 @@ def line_dedup_stats(df: DataFrame, lines_col: Column,
     )
 
 
+# C0 controls except \t \n \r, plus DEL — the bytes a crawl cleaner
+# strips before tokenization.  Portable: Java regex and RE2/DuckDB read
+# the same \xNN class.
+CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def nfc_normalize_udf():
+    """Arrow-batched NFC normalizer (pandas UDF).  Unicode normalization
+    has no JVM builtin in Spark, so this is one of the few places Python
+    belongs in the row path — vectorized via Arrow, one
+    ``unicodedata.normalize`` call per value, no per-row Python UDF.
+    The DuckDB oracle runs its native ``nfc_normalize`` (utf8proc); the
+    two libraries agree on canonical composition (checked in
+    tests/test_normalize.py across combining-mark, reordering, and
+    compatibility-exclusion cases — NFC, unlike NFKC, is stable across
+    Unicode versions for assigned codepoints)."""
+    import pandas as pd  # noqa: F401 (signature)
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def nfc(s):
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize("NFC", x))
+
+    return nfc
+
+
+def normalize_text(col: Column) -> Column:
+    """Crawl text cleaning: strip C0/DEL control characters (JVM regexp,
+    scan stage), then NFC-compose (Arrow-batched Python).  The control
+    strip runs FIRST so the normalizer never sees bytes the cleaner
+    would drop — both engines apply the same order."""
+    return nfc_normalize_udf()(F.regexp_replace(col, CONTROL_RE, ""))
+
+
+def normalize_stats(df: DataFrame, text_col: Column) -> DataFrame:
+    """One row of normalization accounting over ``text_col``: docs,
+    docs changed by cleaning+NFC, chars before/after, docs carrying
+    non-ASCII, and the md5-prefix checksum over every normalized doc
+    (gates the normalized BYTES — both engines must compose to the
+    identical code-point sequence)."""
+    norm = normalize_text(text_col)
+    out_md5 = F.md5(norm.cast("binary"))
+    return df.select(
+        text_col.alias("orig"), norm.alias("norm"), out_md5.alias("m"),
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("orig") != F.col("norm")).cast("long"))
+        .cast("long").alias("n_changed"),
+        F.sum(F.length("orig")).cast("long").alias("chars_before"),
+        F.sum(F.length("norm")).cast("long").alias("chars_after"),
+        F.sum(F.col("orig").rlike("[^\\x00-\\x7F]").cast("long"))
+        .cast("long").alias("n_nonascii_docs"),
+        F.sum(F.conv(F.substring(F.col("m"), 1, 12), 16, 10)
+              .cast("long")).cast("long").alias("normalized_checksum"),
+    )
+
+
 def host_boilerplate_removal(pages: DataFrame, host_col: str,
                              lines_col: Column, id_col: str = "doc_id",
                              min_pages: int = 2) -> DataFrame:

@@ -3633,6 +3633,58 @@ FROM reb
 """
 
 
+def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization stage (textprep.normalize_stats): strip
+    C0/DEL controls (JVM regexp), NFC-compose (Arrow-batched
+    unicodedata vs DuckDB's native utf8proc nfc_normalize — two
+    INDEPENDENT normalizer implementations must produce byte-identical
+    output).  The corpus text is deterministically decorated with
+    decomposed combining sequences (cafe+U+0301, A+U+030A /
+    o+U+0308, the s+dot-below+dot-above REORDERING case) and a C0
+    control byte so every branch is exercised; the checksum gates the
+    composed bytes of every document."""
+    from .operators import textprep
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pfx = (
+        F.when(d % 4 == 0, F.lit("café "))
+        .when(d % 4 == 1, F.lit("Ångström "))
+        .when(d % 4 == 2, F.lit("ṩ "))
+        .otherwise(F.lit(""))
+    )
+    ctl = F.when(d % 5 == 0, F.lit("\x01")).otherwise(F.lit(""))
+    return textprep.normalize_stats(
+        docs, F.concat(ctl, pfx, F.col("text")))
+
+
+SQL_NORMALIZE = r"""
+WITH deco AS (
+  SELECT CASE WHEN doc_id % 5 = 0 THEN chr(1) ELSE '' END ||
+         CASE WHEN doc_id % 4 = 0 THEN 'cafe' || chr(769) || ' '
+              WHEN doc_id % 4 = 1
+                THEN 'A' || chr(778) || 'ngstro' || chr(776) || 'm '
+              WHEN doc_id % 4 = 2 THEN 's' || chr(803) || chr(775) || ' '
+              ELSE '' END || text AS orig
+  FROM documents),
+nrm AS (
+  SELECT orig,
+         nfc_normalize(regexp_replace(
+           orig, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')) AS norm
+  FROM deco)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN orig <> norm THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(sum(length(orig)) AS BIGINT) AS chars_before,
+       CAST(sum(length(norm)) AS BIGINT) AS chars_after,
+       CAST(sum(CASE WHEN regexp_matches(orig, '[^\x00-\x7f]')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nonascii_docs,
+       CAST(sum(CAST(('0x' || substr(md5(norm), 1, 12)) AS UBIGINT))
+            AS BIGINT) AS normalized_checksum
+FROM nrm
+"""
+
+
 def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap build → parse → crawl-coverage reconciliation
     (operators/sitemaps.py).  Per host: a spec-shaped urlset is built
@@ -4829,6 +4881,8 @@ def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_unpivot_single_row(
             q_sitemap_coverage(spark, sf_dir), "sitemap"))
         .unionByName(_unpivot_single_row(
+            q_normalize(spark, sf_dir), "normalize"))
+        .unionByName(_unpivot_single_row(
             q_url_canonical_dedup(spark, sf_dir), "url_canonical"))
         .unionByName(_unpivot_single_row(
             q_decontamination(spark, sf_dir), "decontam"))
@@ -4863,6 +4917,7 @@ ld AS ({SQL_LINE_DEDUP}),
 hb AS ({SQL_HOST_BLOCKLIST}),
 hbp AS ({SQL_HOST_BOILERPLATE}),
 smc AS ({SQL_SITEMAP_COVERAGE}),
+nrmz AS ({SQL_NORMALIZE}),
 uc AS ({SQL_URL_CANONICAL_DEDUP}),
 dc AS ({SQL_DECONTAMINATION}),
 ds AS ({SQL_DUP_SPANS}),
@@ -4894,6 +4949,10 @@ SELECT stage, metric, value FROM (
 {_sql_unpivot('smc', 'sitemap',
               ['n_hosts', 'n_sitemap_urls', 'lastmod_checksum',
                'n_listed_crawled', 'n_ghost', 'n_crawled_unlisted'])}
+  UNION ALL
+{_sql_unpivot('nrmz', 'normalize',
+              ['n_docs', 'n_changed', 'chars_before', 'chars_after',
+               'n_nonascii_docs', 'normalized_checksum'])}
   UNION ALL
 {_sql_unpivot('uc', 'url_canonical',
               ['total_urls', 'distinct_canonical', 'collapsed',
