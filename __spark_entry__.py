@@ -91,6 +91,11 @@ Round-2 session-6 additions (still 50 total):
                         strip + NFC via Arrow-batched unicodedata,
                         byte-compared against DuckDB's independent
                         utf8proc nfc_normalize)
+  page_metadata      += markdown writeback rollup (kernels/html_markdown
+                        + operators/markdown.py: full GFM render of every
+                        page — headings, link syntax, pipe tables, list
+                        markers; checksum vs a closed-form oracle
+                        derivation of the expected markdown)
 
 Round-2 session-4 additions (still 50 total):
   page_metadata      += web-table mining over the with_tables corpus

@@ -372,29 +372,26 @@ def _collect_blocks_iter(node: _Node, out: List[Tuple[str, str]]) -> None:
             frames.pop()
 
 
-def extract_main_content(html: bytes | str,
-                         transport: Optional[str] = None) -> ExtractionResult:
-    """Strip boilerplate and return (main text, block spans, bytes_stripped).
+def build_dom(html: bytes | str,
+              transport: Optional[str] = None) -> _Node:
+    """Decode + parse crawl bytes into the module's DOM tree (shared by
+    the main-content extractor and the markdown serializer).
 
-    ``transport`` is an optional HTTP Content-Type header value (a WARC
-    response record carries one): its charset parameter takes precedence
-    over the in-document declaration, per the HTML5 order."""
+    Bytes go through the charset sniff (BOM -> transport -> strict UTF-8
+    -> meta prescan -> cp1252): real crawl payloads are ~10% legacy
+    encodings with a declaration; decoding those as UTF-8-with-replacement
+    destroys every non-ASCII character (kernels/encoding.py).
+
+    Parsing takes the fast path first: a one-shot tokenizer emitting the
+    stdlib parser's exact token stream (kernels/html_fast.py).  Any
+    construct it does not replicate — or any unexpected error — falls
+    back to a from-scratch stdlib parse, so the output is the stdlib
+    output on every input by construction (differentially enforced in
+    tests/test_html_fast.py)."""
     if isinstance(html, bytes):
-        raw_len = len(html)
-        # charset sniff (BOM -> transport -> strict UTF-8 -> meta prescan
-        # -> cp1252): real crawl payloads are ~10% legacy encodings with a
-        # declaration; decoding those as UTF-8-with-replacement destroys
-        # every non-ASCII character (kernels/encoding.py)
         markup, _enc = sniff_decode(html, transport)
     else:
-        raw_len = len(html.encode("utf-8"))
         markup = html
-
-    # Fast path: one-shot tokenizer emitting the stdlib parser's exact token
-    # stream (kernels/html_fast.py). Any construct it does not replicate —
-    # or any unexpected error — falls back to a from-scratch stdlib parse,
-    # so the output is the stdlib output on every input by construction
-    # (differentially enforced in tests/test_html_fast.py).
     builder = _TreeBuilder()
     try:
         fast_feed(markup, builder)
@@ -405,7 +402,19 @@ def extract_main_content(html: bytes | str,
             builder.close()
         except Exception:
             pass  # html.parser is forgiving; keep whatever tree we built
-    root = builder.root
+    return builder.root
+
+
+def extract_main_content(html: bytes | str,
+                         transport: Optional[str] = None) -> ExtractionResult:
+    """Strip boilerplate and return (main text, block spans, bytes_stripped).
+
+    ``transport`` is an optional HTTP Content-Type header value (a WARC
+    response record carries one): its charset parameter takes precedence
+    over the in-document declaration, per the HTML5 order."""
+    raw_len = (len(html) if isinstance(html, bytes)
+               else len(html.encode("utf-8")))
+    root = build_dom(html, transport)
     # recursive analysis is the fast shape for real page depths; crawl
     # nesting bombs retry through the depth-proof iterative twins (pruning
     # only removes children, so re-analyzing a partially-pruned tree gives

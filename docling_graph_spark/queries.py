@@ -2616,6 +2616,8 @@ def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import webtables as op_wt
     from .sources.web_pages import synthesize_web_pages
 
+    from .operators import markdown as op_mdwn
+
     pages = synthesize_web_pages(spark, sf_dir, with_tables=True,
                                  with_head_meta=True, with_ld_json=True)
     return (
@@ -2623,6 +2625,7 @@ def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(op_wt.web_table_stats(pages), "lang")
         .join(op_md.head_meta_stats(pages), "lang")
         .join(op_sd.structured_data_stats(pages), "lang")
+        .join(op_mdwn.markdown_stats(pages), "lang")
         .orderBy("lang")
     )
 
@@ -2732,7 +2735,42 @@ sdb AS (
     FROM (SELECT lang, unnest(regexp_extract_all(
             s, '(?s)<script type="application/ld\\+json">(.*?)</script>',
             1)) AS b FROM pg))
-  GROUP BY lang)
+  GROUP BY lang),
+mdq AS (
+  SELECT lang,
+    '# Site host' || CAST({_HOST_ID} AS VARCHAR)
+    || '{chr(10)}{chr(10)}[Home](/) [Section '
+    || CAST(doc_id % 10 AS VARCHAR) || '](/a'
+    || CAST(doc_id % 10 AS VARCHAR)
+    || ') [About](/about) [Contact](/contact)'
+    || '{chr(10)}{chr(10)}[Trending](/x) [Popular](/y) [Latest](/z)'
+    || CASE WHEN doc_id % 3 = 0 THEN
+         '{chr(10)}{chr(10)}| [One](/l1) | [Two](/l2) |{chr(10)}| --- | --- |'
+       ELSE '' END
+    || CASE WHEN doc_id % 7 <> 6 THEN
+         '{chr(10)}{chr(10)}| metric | value | unit |{chr(10)}| --- | --- | --- |'
+         || array_to_string(list_transform(
+              generate_series(0, CAST(doc_id % 4 AS BIGINT)),
+              i -> '{chr(10)}| m' || CAST((doc_id + i) % 10 AS VARCHAR)
+                || ' | ' || CAST((doc_id * 17 + i * 3) % 1000 AS VARCHAR)
+                || ' | u' || CAST((doc_id + i) % 5 AS VARCHAR) || ' |'),
+              '')
+       ELSE '' END
+    || '{chr(10)}{chr(10)}' || text
+    || '{chr(10)}{chr(10)}[Terms](/terms) [Privacy](/privacy) [Top](https://host'
+    || CAST(doc_id % 7 AS VARCHAR)
+    || '.example.com/) [Related](https://host'
+    || CAST((doc_id * 13 + 5) % 218 AS VARCHAR) || '.example.com/doc/'
+    || CAST((doc_id * 31 + 11) % 997 AS VARCHAR) || ')'
+    || '{chr(10)}{chr(10)}© 2024 host' || CAST({_HOST_ID} AS VARCHAR)
+    || '.example.com' AS md
+  FROM documents WHERE doc_id % 50 <> 49),
+mstat AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_md_docs,
+         CAST(sum(length(md)) AS BIGINT) AS md_chars,
+         CAST(sum(CAST(('0x' || substr(md5(md), 1, 12)) AS UBIGINT))
+              AS BIGINT) AS md_checksum
+  FROM mdq GROUP BY lang)
 SELECT meta.*, pagg.n_pages_with_tables,
        coalesce(tagg.n_tables, 0) AS n_tables,
        coalesce(tagg.n_data_tables, 0) AS n_data_tables,
@@ -2748,10 +2786,11 @@ SELECT meta.*, pagg.n_pages_with_tables,
        coalesce(sdb.n_ld_types, 0) AS n_ld_types,
        coalesce(sdb.ld_type_checksum, 0) AS ld_type_checksum,
        coalesce(sdb.ld_wordcount_sum, 0) AS ld_wordcount_sum,
-       coalesce(sdb.ld_price_cents, 0) AS ld_price_cents
+       coalesce(sdb.ld_price_cents, 0) AS ld_price_cents,
+       mstat.n_md_docs, mstat.md_chars, mstat.md_checksum
 FROM meta JOIN pagg USING (lang) LEFT JOIN tagg USING (lang)
      JOIN hagg USING (lang) JOIN sd USING (lang)
-     LEFT JOIN sdb USING (lang)
+     LEFT JOIN sdb USING (lang) JOIN mstat USING (lang)
 ORDER BY lang
 """
 
