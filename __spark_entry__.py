@@ -91,6 +91,11 @@ Round-2 session-6 additions (still 50 total):
                         strip + NFC via Arrow-batched unicodedata,
                         byte-compared against DuckDB's independent
                         utf8proc nfc_normalize)
+  top_terms          += bm25 section (invindex.bm25_term_stats:
+                        impact-ordered-index precompute — exact-integer
+                        BM25 tf-saturation impacts with k1/b cleared to
+                        int64 rationals, per-term Block-Max bound,
+                        checksum over every term:doc:impact triple)
   page_metadata      += markdown writeback rollup (kernels/html_markdown
                         + operators/markdown.py: full GFM render of every
                         page — headings, link syntax, pipe tables, list

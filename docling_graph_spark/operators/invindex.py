@@ -72,6 +72,83 @@ def _varint_bytes(arr):
         .otherwise(5).cast("long"))
 
 
+BM25_SCALE = 1_000_000
+# k1 = 6/5 (1.2), b = 3/4 (0.75) as exact rationals
+_K1_NUM, _K1_DEN = 6, 5
+_B_NUM, _B_DEN = 3, 4
+
+
+def bm25_impacts(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 scale: int = BM25_SCALE) -> DataFrame:
+    """Per-(term, doc) BM25 tf-saturation impacts in EXACT integer
+    arithmetic: ``impact = scale·tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))``
+    with k1=1.2, b=0.75 cleared to integers (avgdl = T/N substituted, all
+    rationals multiplied out), so both engines floor-divide the same
+    int64s — no IEEE drift, no cross-engine ulp boundaries.  This is the
+    impact-ordered-index precompute (Block-Max WAND stores exactly these
+    per-block tf-part bounds; idf is a query-time multiplier applied from
+    df, which the caller exports alongside).
+
+    Scale note: the cleared numerator is ``scale·(k1n+k1d)·bd·T·tf`` —
+    int64-safe through ~10^9-token corpora; at full crawl scale compute
+    impacts per index shard (each shard's own T/N, the standard
+    sharded-BM25 practice) or widen to DECIMAL(38,0).
+
+    Shuffle shape: dl is a scan-side projection (no join to get document
+    length), tf is one groupBy(doc, term), corpus totals broadcast back;
+    the only wide op after tf is the caller's per-term rollup."""
+    toks_arr = F.expr(
+        f"regexp_extract_all(lower(coalesce({text_col}, '')), "
+        f"'{TOKEN_RE}', 0)")
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks_arr).cast("long").alias("dl"),
+        F.explode(toks_arr).alias("term"),
+    )
+    tf = exploded.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.min("dl").alias("dl"),  # constant per doc
+    )
+    totals = docs.select(toks_arr.alias("ts")).agg(
+        F.count("*").cast("long").alias("n_corpus"),
+        F.sum(F.size("ts")).cast("long").alias("t_corpus"),
+    )
+    a, c = _K1_NUM, _K1_DEN
+    p, q = _B_NUM, _B_DEN
+    num = (F.lit(scale * (a + c) * q).cast("long")
+           * F.col("t_corpus") * F.col("tf"))
+    den = (F.lit(c * q).cast("long") * F.col("t_corpus") * F.col("tf")
+           + F.lit(a * (q - p)).cast("long") * F.col("t_corpus")
+           + F.lit(a * p).cast("long") * F.col("dl") * F.col("n_corpus"))
+    return (
+        tf.crossJoin(F.broadcast(totals))
+        .select("term", "doc_id", "tf", "dl",
+                num.cast("long").alias("_n"), den.cast("long").alias("_d"))
+        .withColumn("impact", F.expr("_n div _d"))
+        .drop("_n", "_d")
+    )
+
+
+def bm25_term_stats(docs: DataFrame, scale: int = BM25_SCALE) -> DataFrame:
+    """Per-term impact rollup: (term, df, sum_impact, max_impact,
+    impact_checksum).  ``max_impact`` is the Block-Max bound an
+    impact-ordered index stores; the checksum sums a 48-bit md5 prefix of
+    every ``term:doc:impact`` triple — gates each per-doc impact value
+    exactly, order-independent."""
+    imp = bm25_impacts(docs, scale=scale)
+    trip_md5 = F.md5(F.concat(
+        F.col("term"), F.lit(":"), F.col("doc_id").cast("string"),
+        F.lit(":"), F.col("impact").cast("string")).cast("binary"))
+    return imp.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("impact").cast("long").alias("sum_impact"),
+        F.max("impact").cast("long").alias("max_impact"),
+        F.sum(F.conv(F.substring(trip_md5, 1, 12), 16, 10).cast("long"))
+        .cast("long").alias("impact_checksum"),
+    )
+
+
 def postings_stats(docs: DataFrame, block: int = BLOCK_DOCS) -> DataFrame:
     """Per-term index rollup: (term, df, n_blocks, index_bytes, checksum).
 

@@ -423,7 +423,12 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/invindex.py: doc-range-blocked posting lists — group size
     bounded by block width regardless of term frequency, so stopword-skew
     cannot OOM a reducer — with delta+varint size accounting;
-    v1=df, v2=n_blocks, v3=index_bytes, v4=48-bit block checksum sum)."""
+    v1=df, v2=n_blocks, v3=index_bytes, v4=48-bit block checksum sum);
+    section='bm25' is the impact-ordered-index precompute
+    (operators/invindex.bm25_term_stats: exact-integer BM25 tf-saturation
+    impacts, k1=1.2 b=0.75 cleared to int64 rationals; v1=df,
+    v2=sum impact, v3=max impact — the Block-Max bound — v4=checksum over
+    every term:doc:impact triple)."""
     from .operators import invindex as op_ix
 
     res = _pipeline(spark, sf_dir)
@@ -447,7 +452,14 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("postings").alias("section"), "term",
         F.col("df").alias("v1"), F.col("n_blocks").alias("v2"),
         F.col("index_bytes").alias("v3"), F.col("checksum").alias("v4"))
+    bm25_rows = op_ix.bm25_term_stats(
+        _read(spark, sf_dir, "documents")).select(
+        F.lit("bm25").alias("section"), "term",
+        F.col("df").alias("v1"), F.col("sum_impact").alias("v2"),
+        F.col("max_impact").alias("v3"),
+        F.col("impact_checksum").alias("v4"))
     return (mention_rows.unionByName(posting_rows)
+            .unionByName(bm25_rows)
             .orderBy("section", "term"))
 
 
@@ -483,6 +495,32 @@ SELECT term, CAST(sum(df_block) AS BIGINT) AS df,
 FROM blk GROUP BY term
 """
 
+SQL_BM25_STATS = f"""
+WITH tk AS (SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')),
+                                      '[a-z]{{5,}}') AS ts
+            FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+               CAST(sum(len(ts)) AS BIGINT) AS t_corpus FROM tk),
+tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+               CAST(any_value(dl) AS BIGINT) AS dl
+        FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM tk)
+        GROUP BY doc_id, term),
+impq AS (SELECT term, doc_id,
+                (44000000 * t_corpus * tf)
+                  // (20 * t_corpus * tf + 6 * t_corpus
+                      + 18 * dl * n_corpus) AS impact
+         FROM tfq, tot)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(impact) AS BIGINT) AS sum_impact,
+       CAST(max(impact) AS BIGINT) AS max_impact,
+       CAST(sum(CAST(('0x' || substr(md5(term || ':'
+             || CAST(doc_id AS VARCHAR) || ':'
+             || CAST(impact AS VARCHAR)), 1, 12)) AS UBIGINT))
+            AS BIGINT) AS impact_checksum
+FROM impq GROUP BY term
+"""
+
 SQL_TOP_TERMS = f"""
 SELECT section, term, v1, v2, v3, v4 FROM (
   SELECT 'mentions' AS section, term,
@@ -494,6 +532,9 @@ SELECT section, term, v1, v2, v3, v4 FROM (
 ) UNION ALL
 SELECT 'postings', term, df, n_blocks, index_bytes, checksum
 FROM ({SQL_POSTINGS_STATS})
+UNION ALL
+SELECT 'bm25', term, df, sum_impact, max_impact, impact_checksum
+FROM ({SQL_BM25_STATS})
 ORDER BY section, term
 """
 SQL_TOP_TERMS = SQL_TOP_TERMS.replace(

@@ -63,3 +63,40 @@ def test_checksum_partitioning_invariant(docs):
     b = {r["term"]: r["checksum"]
          for r in op_ix.postings_stats(docs.repartition(7)).collect()}
     assert a == b
+
+
+def test_bm25_impacts_exact_integer_math(spark):
+    from docling_graph_spark.operators import invindex as op_ix
+
+    # two docs x 4 tokens: T=8, N=2, dl=4 = avgdl, so the saturation
+    # reduces to scale*tf*(k1+1)/(tf+k1) with k1=1.2 exactly
+    docs = spark.createDataFrame(
+        [(0, "apple apple berry cherry"),
+         (1, "apple melon grape lemon")],
+        "doc_id long, text string")
+    rows = {(r["term"], r["doc_id"]): r["impact"]
+            for r in op_ix.bm25_impacts(docs).collect()}
+    # tf=2: 1e6*2*2.2/3.2 = 1_375_000 ; tf=1: 1e6*2.2/2.2 = 1_000_000
+    assert rows[("apple", 0)] == 1_375_000
+    assert rows[("apple", 1)] == 1_000_000
+    assert rows[("berry", 0)] == 1_000_000
+
+    stats = {r["term"]: r for r in
+             op_ix.bm25_term_stats(docs).collect()}
+    a = stats["apple"]
+    assert (a["df"], a["sum_impact"], a["max_impact"]) == (
+        2, 2_375_000, 1_375_000)
+    assert a["impact_checksum"] > 0
+
+
+def test_bm25_length_normalization_direction(spark):
+    from docling_graph_spark.operators import invindex as op_ix
+
+    # same tf, longer doc -> smaller impact (b>0 penalizes long docs)
+    docs = spark.createDataFrame(
+        [(0, "apple berry"),
+         (1, "apple berry cherry grape lemon melon olive peach")],
+        "doc_id long, text string")
+    rows = {(r["term"], r["doc_id"]): r["impact"]
+            for r in op_ix.bm25_impacts(docs).collect()}
+    assert rows[("apple", 0)] > rows[("apple", 1)]
