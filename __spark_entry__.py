@@ -91,6 +91,10 @@ Round-2 session-6 additions (still 50 total):
                         strip + NFC via Arrow-batched unicodedata,
                         byte-compared against DuckDB's independent
                         utf8proc nfc_normalize)
+  signature_stats    += deterministic HyperLogLog distinct-url sketch
+                        (operators/sketches.py: md5-derived 256-register
+                        array, byte-identical across engines and
+                        partitionings; gate checks full register state)
   top_terms          += bm25 section (invindex.bm25_term_stats:
                         impact-ordered-index precompute — exact-integer
                         BM25 tf-saturation impacts with k1/b cleared to

@@ -1,0 +1,103 @@
+"""Deterministic HyperLogLog registers — the mergeable distinct-count
+sketch (Flajolet et al. 2007) built from md5 so the identical register
+array is reproducible on any engine, cluster size, or partitioning.
+
+Spark's own ``approx_count_distinct`` is HLL++ with an
+implementation-defined hash, so its state can't be oracle-checked.
+THIS sketch derives every register from portable primitives (md5 hex →
+60-bit int; bucket = low bits, rho = leading-zero rank of the high bits
+via the binary-string trick ``length(ltrim(bin(w), '0'))`` — available
+verbatim in both Spark and DuckDB), making the full register array
+byte-comparable across engines.
+
+Why registers, not the estimate: the REGISTER ARRAY is the sketch — the
+mergeable state a 1000-executor job combines with a per-bucket max (one
+map-side-combinable groupBy; union-then-sketch == sketch-then-merge,
+unit-proven).  The cardinality estimate is a tiny client-side formula
+over 256 integers; keeping it out of the gate keeps the oracle exact
+(the harmonic-mean step needs floats).
+
+estimate(): the standard bias-corrected HLL formula with
+linear-counting fallback, provided for callers; deterministic given the
+registers.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HLL_P = 8                 # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+_HASH_HEX = 15            # 60-bit hash (15 hex chars: sign-safe in int64)
+_W_BITS = 60 - HLL_P      # bits feeding the leading-zero rank
+
+
+def hll_register_rows(df: DataFrame, value: Column,
+                      *group_cols: str) -> DataFrame:
+    """(group..., bucket, register): per-bucket max rho.  One groupBy —
+    partial max on the map side means each executor sends at most
+    m rows per group regardless of input size (the sketch property)."""
+    h = F.conv(F.substring(F.md5(value.cast("binary")), 1, _HASH_HEX),
+               16, 10).cast("long")
+    bucket = (h % HLL_M).cast("int")
+    # high bits feed the rank: rho = field_width - bitlen(w) + 1, with
+    # bitlen from the binary-string trick (bin(0) = "0" strips to '',
+    # giving rho = field_width + 1 — the all-zeros convention)
+    w = F.floor(h / HLL_M).cast("long")
+    bitlen = F.length(F.regexp_replace(F.bin(w), "^0+", ""))
+    rho_col = (F.lit(_W_BITS + 1) - bitlen).cast("int")
+    return (
+        df.select(*group_cols, bucket.alias("bucket"),
+                  rho_col.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").cast("int").alias("register"))
+    )
+
+
+def hll_stats(df: DataFrame, value: Column,
+              *group_cols: str) -> DataFrame:
+    """Per-group register rollup: (group..., hll_m, hll_nonzero,
+    hll_regsum, hll_checksum) — nonzero register count (drives the
+    linear-counting range), register sum, and a 48-bit md5-prefix
+    checksum over every bucket:register pair (gates the exact sketch
+    state, order-independent)."""
+    regs = hll_register_rows(df, value, *group_cols)
+    pair_md5 = F.md5(F.concat(
+        F.col("bucket").cast("string"), F.lit(":"),
+        F.col("register").cast("string")).cast("binary"))
+    return regs.groupBy(*group_cols).agg(
+        F.lit(HLL_M).cast("long").alias("hll_m"),
+        F.count("*").cast("long").alias("hll_nonzero"),
+        F.sum("register").cast("long").alias("hll_regsum"),
+        F.sum(F.conv(F.substring(pair_md5, 1, 12), 16, 10).cast("long"))
+        .cast("long").alias("hll_checksum"),
+    )
+
+
+def merge_registers(reg_lists: Sequence[dict]) -> dict:
+    """Driver-side register merge (per-bucket max) — the associative
+    combine a multi-shard job applies; used by tests to prove
+    sketch(A ∪ B) == merge(sketch(A), sketch(B))."""
+    out: dict = {}
+    for regs in reg_lists:
+        for b, r in regs.items():
+            if r > out.get(b, 0):
+                out[b] = r
+    return out
+
+
+def estimate(registers: dict, m: int = HLL_M) -> float:
+    """Bias-corrected HLL estimate with the small-range linear-counting
+    fallback.  Client-side convenience over the oracle-gated registers."""
+    import math
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -registers.get(b, 0) for b in range(m))
+    e = alpha * m * m / s
+    zeros = m - sum(1 for r in registers.values() if r > 0)
+    if e <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return e

@@ -2840,18 +2840,51 @@ def q_signature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature-family dedup stats in one per-lang relation: 32-bit
     SimHash distinctness (n_docs > n_distinct_simhash ⇒ hash-identical
     near-duplicates) joined with MOD-16 content-defined fingerprint
-    sampling volume/distinctness."""
+    sampling volume/distinctness and the deterministic HyperLogLog
+    distinct-url sketch (operators/sketches.py: md5-derived 256-register
+    array, byte-identical on any engine/partitioning; the gate checks
+    the full register state via checksum — the registers ARE the
+    mergeable sketch a 1000-executor job combines)."""
+    from .operators import sketches as op_sk
+    from .sources.web_pages import url_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    hll = op_sk.hll_stats(
+        docs.select("lang", url_expr(F.col("doc_id")).alias("url")),
+        F.col("url"), "lang")
     return (
         q_simhash_dedup(spark, sf_dir)
         .join(q_doc_fingerprints(spark, sf_dir), "lang")
+        .join(hll, "lang")
         .orderBy("lang")
     )
 
 
+SQL_HLL_URLS = f"""
+WITH hh AS (
+  SELECT lang,
+         CAST(('0x' || substr(md5({_URL}), 1, 15)) AS UBIGINT) AS hv
+  FROM documents),
+hregs AS (
+  SELECT lang, CAST(hv % 256 AS INT) AS bucket,
+         CAST(max(53 - length(regexp_replace(bin(hv // 256), '^0+', '')))
+              AS INT) AS register
+  FROM hh GROUP BY lang, CAST(hv % 256 AS INT))
+SELECT lang, CAST(256 AS BIGINT) AS hll_m,
+       CAST(count(*) AS BIGINT) AS hll_nonzero,
+       CAST(sum(register) AS BIGINT) AS hll_regsum,
+       CAST(sum(CAST(('0x' || substr(md5(CAST(bucket AS VARCHAR) || ':'
+             || CAST(register AS VARCHAR)), 1, 12)) AS UBIGINT))
+            AS BIGINT) AS hll_checksum
+FROM hregs GROUP BY lang
+"""
+
 SQL_SIGNATURE_STATS = f"""
 SELECT s.lang, s.n_docs, s.n_distinct_simhash,
-       f.docs_with_fp, f.total_fps, f.distinct_fps
+       f.docs_with_fp, f.total_fps, f.distinct_fps,
+       h.hll_m, h.hll_nonzero, h.hll_regsum, h.hll_checksum
 FROM ({SQL_SIMHASH}) s JOIN ({SQL_DOC_FINGERPRINTS}) f USING (lang)
+     JOIN ({SQL_HLL_URLS}) h USING (lang)
 ORDER BY lang
 """
 
