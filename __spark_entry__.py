@@ -91,6 +91,10 @@ Round-2 session-6 additions (still 50 total):
                         strip + NFC via Arrow-batched unicodedata,
                         byte-compared against DuckDB's independent
                         utf8proc nfc_normalize)
+  corpus_prep_stats  += host_quality stage (textprep.host_quality_split:
+                        domain-level filtering — per-host Gopher fail
+                        rates, strict-majority-fail hosts flagged with a
+                        min-docs floor, flagged-set checksum)
   signature_stats    += deterministic HyperLogLog distinct-url sketch
                         (operators/sketches.py: md5-derived 256-register
                         array, byte-identical across engines and

@@ -378,6 +378,49 @@ def gopher_pass(text: Column) -> Column:
     return ~f["wc"] & ~f["len"] & ~f["tw"] & ~f["tb"]
 
 
+def host_quality_split(docs: DataFrame, host_col: str,
+                       text_col: str = "text",
+                       min_docs: int = 3) -> DataFrame:
+    """Domain-level quality filtering (the RefinedWeb/C4 badlist
+    derivation): aggregate per-host Gopher fail rates and FLAG a host
+    when a strict majority of its documents fail any gate
+    (``fails * 2 > docs``) and the host has at least ``min_docs``
+    documents (small hosts get the benefit of the doubt — one bad page
+    on a two-page host is not a content farm).
+
+    Returns one row of totals: hosts seen, flagged hosts, docs on
+    flagged hosts, corpus-wide doc/fail counts, and a 48-bit md5-prefix
+    checksum over the flagged host NAMES (gates the exact flagged set,
+    order-independent).
+
+    Scale shape: per-doc gates are the existing JVM ``gopher_pass``
+    expressions (scan stage), then ONE groupBy(host) with map-side
+    partial aggregation; the final rollup is a 1-row reduce.  No joins,
+    no windows — the same shape at 10^12 docs."""
+    fail = (~gopher_pass(F.col(text_col))).cast("long")
+    per_host = (
+        docs.select(F.col(host_col).alias("host"), fail.alias("fail"))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("docs"),
+             F.sum("fail").cast("long").alias("fails"))
+    )
+    flagged = ((F.col("fails") * 2 > F.col("docs"))
+               & (F.col("docs") >= min_docs))
+    host_md5 = F.md5(F.col("host").cast("binary"))
+    return per_host.agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.sum("docs").cast("long").alias("docs_total"),
+        F.sum("fails").cast("long").alias("docs_failing"),
+        F.sum(flagged.cast("long")).cast("long").alias("n_flagged_hosts"),
+        F.sum(F.when(flagged, F.col("docs")).otherwise(F.lit(0)))
+        .cast("long").alias("docs_on_flagged"),
+        F.sum(F.when(flagged,
+                     F.conv(F.substring(host_md5, 1, 12), 16, 10)
+                     .cast("long")).otherwise(F.lit(0)))
+        .cast("long").alias("flagged_checksum"),
+    )
+
+
 def gopher_quality_stats(df: DataFrame, text_col: str = "text",
                          lang_col: str = "lang") -> DataFrame:
     """Per-language Gopher-gate accounting: total docs, docs failing each

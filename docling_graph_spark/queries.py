@@ -4164,6 +4164,76 @@ FROM gated GROUP BY lang ORDER BY lang
 """
 
 
+def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality filtering (textprep.host_quality_split):
+    per-host Gopher fail rates, strict-majority-fail hosts flagged
+    (min 3 docs), flagged set gated by a host-name checksum.  The oracle
+    re-derives the same per-doc gates, host rollup, and flag rule."""
+    from .operators import textprep
+    from .sources.web_pages import host_id_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    host = F.concat(F.lit("host"),
+                    host_id_expr(F.col("doc_id")).cast("string"),
+                    F.lit(".example.com"))
+    return textprep.host_quality_split(
+        docs.select(host.alias("host"), "text"), "host")
+
+
+SQL_HOST_QUALITY = f"""
+WITH hl AS (
+  SELECT doc_id,
+         concat('host', CAST({_HOST_ID} AS VARCHAR), '.example.com')
+           AS host,
+         list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+  FROM documents),
+hw AS (SELECT doc_id, unnest(w) AS word FROM hl),
+hwc AS (SELECT doc_id, word, count(*) AS c FROM hw GROUP BY doc_id, word),
+hpw AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_word,
+               sum(c * len(word)) AS n_chars_w
+        FROM hwc GROUP BY doc_id),
+hbig AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1])) AS bg
+  FROM hl WHERE len(w) >= 2),
+hbgc AS (SELECT doc_id, bg, count(*) AS c FROM hbig GROUP BY doc_id, bg),
+hpb AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram
+        FROM hbgc GROUP BY doc_id),
+hper AS (
+  SELECT hl.host,
+         coalesce(hpw.n_words, 0) AS n_words,
+         coalesce(hpw.n_chars_w, 0) AS n_chars_w,
+         coalesce(hpw.top_word, 0) AS top_word,
+         coalesce(hpb.n_bigrams, 0) AS n_bigrams,
+         coalesce(hpb.top_bigram, 0) AS top_bigram
+  FROM hl LEFT JOIN hpw USING (doc_id) LEFT JOIN hpb USING (doc_id)),
+hgate AS (
+  SELECT host,
+         CASE WHEN (n_words < 50 OR n_words > 100000)
+                OR (3 * n_words > n_chars_w OR n_chars_w > 10 * n_words)
+                OR (10 * top_word > n_words)
+                OR (n_bigrams > 0 AND 20 * top_bigram > n_bigrams)
+              THEN 1 ELSE 0 END AS fail
+  FROM hper),
+hph AS (SELECT host, count(*) AS docs, sum(fail) AS fails
+        FROM hgate GROUP BY host),
+hfl AS (SELECT host, docs, fails,
+               (fails * 2 > docs AND docs >= 3) AS flagged
+        FROM hph)
+SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+       CAST(sum(docs) AS BIGINT) AS docs_total,
+       CAST(sum(fails) AS BIGINT) AS docs_failing,
+       CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged_hosts,
+       CAST(sum(CASE WHEN flagged THEN docs ELSE 0 END) AS BIGINT)
+         AS docs_on_flagged,
+       CAST(coalesce(sum(CASE WHEN flagged THEN
+           CAST(('0x' || substr(md5(host), 1, 12)) AS UBIGINT)
+         ELSE 0 END), 0) AS BIGINT) AS flagged_checksum
+FROM hfl
+"""
+
+
 def q_host_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host blocklist filter: broadcast left_anti/left_semi split of the
     synthesized web corpus against a blocked-host dimension."""
@@ -4996,6 +5066,8 @@ def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_unpivot_single_row(
             q_normalize(spark, sf_dir), "normalize"))
         .unionByName(_unpivot_single_row(
+            q_host_quality(spark, sf_dir), "host_quality"))
+        .unionByName(_unpivot_single_row(
             q_url_canonical_dedup(spark, sf_dir), "url_canonical"))
         .unionByName(_unpivot_single_row(
             q_decontamination(spark, sf_dir), "decontam"))
@@ -5031,6 +5103,7 @@ hb AS ({SQL_HOST_BLOCKLIST}),
 hbp AS ({SQL_HOST_BOILERPLATE}),
 smc AS ({SQL_SITEMAP_COVERAGE}),
 nrmz AS ({SQL_NORMALIZE}),
+hq AS ({SQL_HOST_QUALITY}),
 uc AS ({SQL_URL_CANONICAL_DEDUP}),
 dc AS ({SQL_DECONTAMINATION}),
 ds AS ({SQL_DUP_SPANS}),
@@ -5066,6 +5139,11 @@ SELECT stage, metric, value FROM (
 {_sql_unpivot('nrmz', 'normalize',
               ['n_docs', 'n_changed', 'chars_before', 'chars_after',
                'n_nonascii_docs', 'normalized_checksum'])}
+  UNION ALL
+{_sql_unpivot('hq', 'host_quality',
+              ['n_hosts', 'docs_total', 'docs_failing',
+               'n_flagged_hosts', 'docs_on_flagged',
+               'flagged_checksum'])}
   UNION ALL
 {_sql_unpivot('uc', 'url_canonical',
               ['total_urls', 'distinct_canonical', 'collapsed',

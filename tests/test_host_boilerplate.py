@@ -66,3 +66,27 @@ def test_rebuild_preserves_order(spark):
         df, "host", F.col("lines"), min_pages=2)
     row = {r["doc_id"]: r for r in out.collect()}
     assert row[0]["rebuilt"] == "z\na\nm"  # original order, not sorted
+
+
+def test_host_quality_split_majority_and_floor(spark):
+    """Domain filtering: strict-majority fail + min_docs floor."""
+    # 60 DISTINCT words (repetition gates need diversity, not just count)
+    good = " ".join(f"word{i:02d}" for i in range(60))
+    bad = "tiny"                            # fails word-count gate
+    rows = (
+        # host A: 2 bad of 3 -> flagged (majority, >= min_docs)
+        [("A", bad), ("A", bad), ("A", good)]
+        # host B: 2 bad of 2 -> majority, but below min_docs: never flagged
+        + [("B", bad), ("B", bad)]
+        # host C: 2 bad of 4 -> exactly half, not a strict majority
+        + [("C", bad), ("C", bad), ("C", good), ("C", good)]
+    )
+    df = spark.createDataFrame(rows, "host string, text string")
+    from docling_graph_spark.operators import textprep
+
+    [r] = textprep.host_quality_split(df, "host", min_docs=3).collect()
+    assert r["n_hosts"] == 3 and r["docs_total"] == 9
+    assert r["docs_failing"] == 6
+    assert r["n_flagged_hosts"] == 1        # only A
+    assert r["docs_on_flagged"] == 3
+    assert r["flagged_checksum"] > 0
