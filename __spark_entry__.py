@@ -91,6 +91,11 @@ Round-2 session-6 additions (still 50 total):
                         strip + NFC via Arrow-batched unicodedata,
                         byte-compared against DuckDB's independent
                         utf8proc nfc_normalize)
+  corpus_prep_stats  += recrawl stage (snapshots.recrawl_schedule: AIMD
+                        revisit intervals folded over per-url capture
+                        history across 3 snapshots — halve on change,
+                        grow 3/2 on no-change, clamped; per-url schedule
+                        checksum, list_reduce oracle replay)
   corpus_prep_stats  += host_quality stage (textprep.host_quality_split:
                         domain-level filtering — per-host Gopher fail
                         rates, strict-majority-fail hosts flagged with a

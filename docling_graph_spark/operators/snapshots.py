@@ -108,3 +108,75 @@ def snapshot_diff_stats(pages: DataFrame, key: str = "url",
         F.sum(F.conv(F.substring("_latest_md5", 1, 12), 16, 10)
               .cast("long")).cast("long").alias("compacted_checksum"),
     )
+
+
+# AIMD recrawl-scheduling constants (seconds): halve on change, grow 1.5x
+# on no-change — the multiplicative-decrease / bounded-increase policy of
+# freshness-driven crawl schedulers (Cho & Garcia-Molina revisit policy,
+# as deployed in AIMD form by production crawlers)
+RECRAWL_BASE = 86_400
+RECRAWL_MIN = 3_600
+RECRAWL_MAX = 604_800
+
+
+def recrawl_schedule(pages: DataFrame, key: str = "url",
+                     snap: str = "snapshot_id",
+                     content_hash: str = "content_md5",
+                     base: int = RECRAWL_BASE, min_s: int = RECRAWL_MIN,
+                     max_s: int = RECRAWL_MAX) -> DataFrame:
+    """Per-url recrawl interval from its capture history: start at
+    ``base``; for each successive capture pair, CHANGED content halves
+    the interval (floored at ``min_s``), UNCHANGED grows it 3/2-fold
+    (capped at ``max_s``).  All integer arithmetic — engine-exact.
+
+    Returns (url, n_obs, n_changes, interval_s).
+
+    Scale shape: ONE groupBy(url) collecting the bounded capture list
+    (a url has at most #snapshots captures — small by construction, like
+    the sitemap per-host group), then the interval fold runs as a pure
+    ``aggregate`` expression over the sorted array.  No window, no join,
+    no iteration over the corpus."""
+    caps = F.array_sort(F.collect_list(
+        F.struct(F.col(snap).alias("s"), F.col(content_hash).alias("h"))))
+    per_url = pages.groupBy(key).agg(caps.alias("caps"))
+    n = F.size("caps")
+    obs = F.when(n >= 2, F.zip_with(
+        F.slice("caps", 1, (n - 1).cast("int")),
+        F.slice(F.col("caps"), 2, (n - 1).cast("int")),
+        lambda a, b: (a["h"] != b["h"]).cast("int"),
+    )).otherwise(F.array().cast("array<int>"))
+    interval = F.aggregate(
+        obs, F.lit(base).cast("long"),
+        lambda acc, y: F.when(
+            y == 1, F.greatest(F.lit(min_s).cast("long"),
+                               F.floor(acc / 2).cast("long")))
+        .otherwise(F.least(F.lit(max_s).cast("long"),
+                           F.floor(acc * 3 / 2).cast("long"))),
+    )
+    return per_url.select(
+        key,
+        F.greatest(n - 1, F.lit(0)).cast("long").alias("n_obs"),
+        F.aggregate(obs, F.lit(0).cast("long"),
+                    lambda a, y: a + y.cast("long")).alias("n_changes"),
+        interval.alias("interval_s"),
+    )
+
+
+def recrawl_stats(pages: DataFrame, **kw) -> DataFrame:
+    """1-row scheduler rollup: url/observation/change totals, interval
+    min/max/sum, and the 48-bit md5-prefix checksum over every
+    url:interval pair (gates each url's folded schedule exactly)."""
+    sched = recrawl_schedule(pages, **kw)
+    pair_md5 = F.md5(F.concat(
+        F.col("url"), F.lit(":"),
+        F.col("interval_s").cast("string")).cast("binary"))
+    return sched.agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum("n_obs").cast("long").alias("n_obs"),
+        F.sum("n_changes").cast("long").alias("n_changes"),
+        F.min("interval_s").cast("long").alias("min_interval"),
+        F.max("interval_s").cast("long").alias("max_interval"),
+        F.sum("interval_s").cast("long").alias("sum_interval"),
+        F.sum(F.conv(F.substring(pair_md5, 1, 12), 16, 10).cast("long"))
+        .cast("long").alias("schedule_checksum"),
+    )

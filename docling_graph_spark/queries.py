@@ -2301,6 +2301,78 @@ FROM u
 """
 
 
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIMD recrawl scheduling (operators/snapshots.recrawl_schedule):
+    three deterministic crawl snapshots (presence gaps AND cumulative
+    content revisions), per-url capture history folded into a revisit
+    interval — halve on change, grow 3/2 on no-change, clamped to
+    [1h, 7d].  All integer; the gate checksums every url:interval pair,
+    so a green row proves the exact folded schedule of every url.  The
+    oracle replays the fold with DuckDB's list_reduce."""
+    from .operators import snapshots as op_snap
+    from .sources.web_pages import url_expr
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text"))
+    d = F.col("doc_id")
+    c1 = F.col("text")
+    c2 = F.concat(c1, F.when(d % 10 == 5, F.lit(" rev2")).otherwise(
+        F.lit("")))
+    c3 = F.concat(c2, F.when(d % 7 == 2, F.lit(" rev3")).otherwise(
+        F.lit("")))
+
+    def _snap(pred, snap_id, content):
+        return docs.filter(pred).select(
+            url_expr(d).alias("url"),
+            F.lit(snap_id).alias("snapshot_id"),
+            F.md5(content.cast("binary")).alias("content_md5"))
+
+    pages = (_snap(d % 10 != 7, 1, c1)
+             .unionByName(_snap(d % 10 != 3, 2, c2))
+             .unionByName(_snap(d % 9 != 4, 3, c3)))
+    return op_snap.recrawl_stats(pages)
+
+
+SQL_RECRAWL = f"""
+WITH rbase AS (SELECT doc_id, coalesce(text, '') AS text, {_URL} AS url
+               FROM documents),
+rcaps AS (
+  SELECT url,
+    CASE WHEN doc_id % 10 <> 7 THEN md5(text) END AS c1,
+    CASE WHEN doc_id % 10 <> 3 THEN md5(text ||
+      CASE WHEN doc_id % 10 = 5 THEN ' rev2' ELSE '' END) END AS c2,
+    CASE WHEN doc_id % 9 <> 4 THEN md5(text ||
+      CASE WHEN doc_id % 10 = 5 THEN ' rev2' ELSE '' END ||
+      CASE WHEN doc_id % 7 = 2 THEN ' rev3' ELSE '' END) END AS c3
+  FROM rbase),
+rl AS (SELECT url, list_filter([c1, c2, c3], x -> x IS NOT NULL) AS l
+       FROM rcaps),
+rs AS (SELECT url, len(l) - 1 AS n_obs,
+              list_transform(generate_series(1, len(l) - 1),
+                i -> CASE WHEN l[i] <> l[i+1] THEN CAST(1 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END) AS obs
+       FROM rl),
+rf AS (SELECT url, n_obs,
+              coalesce(list_sum(obs), 0) AS n_changes,
+              list_reduce(
+                list_prepend(CAST(86400 AS BIGINT), obs),
+                (acc, y) -> CASE WHEN y = 1
+                  THEN greatest(3600, acc // 2)
+                  ELSE least(604800, (acc * 3) // 2) END) AS interval_s
+       FROM rs)
+SELECT CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(n_obs) AS BIGINT) AS n_obs,
+       CAST(sum(n_changes) AS BIGINT) AS n_changes,
+       CAST(min(interval_s) AS BIGINT) AS min_interval,
+       CAST(max(interval_s) AS BIGINT) AS max_interval,
+       CAST(sum(interval_s) AS BIGINT) AS sum_interval,
+       CAST(sum(CAST(('0x' || substr(md5(url || ':' ||
+             CAST(interval_s AS VARCHAR)), 1, 12)) AS UBIGINT))
+            AS BIGINT) AS schedule_checksum
+FROM rf
+"""
+
+
 # host-level link graph + integer PageRank (operators/linkgraph.py),
 # driver-gated via the merged link_graph_stats relation below; the oracle
 # regexps over the full SQL-reconstructed page string (_HTML_PAGE_SQL) and
@@ -5068,6 +5140,8 @@ def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_unpivot_single_row(
             q_host_quality(spark, sf_dir), "host_quality"))
         .unionByName(_unpivot_single_row(
+            q_recrawl_schedule(spark, sf_dir), "recrawl"))
+        .unionByName(_unpivot_single_row(
             q_url_canonical_dedup(spark, sf_dir), "url_canonical"))
         .unionByName(_unpivot_single_row(
             q_decontamination(spark, sf_dir), "decontam"))
@@ -5104,6 +5178,7 @@ hbp AS ({SQL_HOST_BOILERPLATE}),
 smc AS ({SQL_SITEMAP_COVERAGE}),
 nrmz AS ({SQL_NORMALIZE}),
 hq AS ({SQL_HOST_QUALITY}),
+rcw AS ({SQL_RECRAWL}),
 uc AS ({SQL_URL_CANONICAL_DEDUP}),
 dc AS ({SQL_DECONTAMINATION}),
 ds AS ({SQL_DUP_SPANS}),
@@ -5144,6 +5219,10 @@ SELECT stage, metric, value FROM (
               ['n_hosts', 'docs_total', 'docs_failing',
                'n_flagged_hosts', 'docs_on_flagged',
                'flagged_checksum'])}
+  UNION ALL
+{_sql_unpivot('rcw', 'recrawl',
+              ['n_urls', 'n_obs', 'n_changes', 'min_interval',
+               'max_interval', 'sum_interval', 'schedule_checksum'])}
   UNION ALL
 {_sql_unpivot('uc', 'url_canonical',
               ['total_urls', 'distinct_canonical', 'collapsed',
