@@ -149,6 +149,158 @@ def bm25_term_stats(docs: DataFrame, scale: int = BM25_SCALE) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Block-Max WAND: query-time SAFE top-k over the impact index.
+#
+# The round-1 precompute (bm25_impacts / block maxima) is what an
+# impact-ordered index stores; this is the other half — executing top-k
+# queries against it WITHOUT scoring every posting.  The plan is the
+# distributed analogue of Block-Max WAND / MaxScore pruning:
+#
+#   1. broadcast the (tiny) query-term list; ONE pass over the corpus
+#      index keeps only query-term postings (qimp, persisted — every later
+#      step runs on this pruned slice, never the full index again);
+#   2. a seed pass exactly scores the postings of each query's RAREST term
+#      (the smallest posting list) and takes the k-th best score as the
+#      pruning threshold theta — a LOWER bound on the true k-th score,
+#      because seeds are real candidates scored exactly;
+#   3. per-(term, doc-range-block) maxima give every candidate doc an
+#      upper bound ub(d) = sum_t w_t * blockmax(t, block(d)); any doc with
+#      ub(d) < theta cannot enter the top-k (score <= ub < theta <= k-th
+#      seed score), so only survivors are exactly scored.
+#
+# Safety is GATED, not assumed: the DuckDB oracle computes the top-k by
+# exhaustively scoring every candidate (no pruning) and the driver
+# hash-compares the per-query top-k checksums — if the bound ever dropped
+# a true top-k doc the gate would go red.
+#
+# All arithmetic is exact int64 (impacts from bm25_impacts; term weights
+# w = (N * 1000) div df, a reciprocal-df idf surrogate), so both engines
+# agree bit-for-bit.  At 100 TB the shape holds: the broadcast term filter
+# prunes the scan to query-term postings, block maxima are a groupBy on
+# that slice, and exact scoring touches only survivor docs.
+# ---------------------------------------------------------------------------
+
+WAND_K = 5
+WAND_BLOCK = 32
+WAND_NT = 24  # top-N terms by df feeding the query set
+W_SCALE = 1000
+
+
+def wand_query_terms(n_terms: int = WAND_NT) -> list:
+    """Deterministic query construction over the df-ranked term list:
+    query i pairs rank i+1 with rank n_terms-i (1-based), mixing a
+    frequent term with a rarer one — 12 two-term queries for n_terms=24.
+    Returns (query_index, rank) pairs; ranks are resolved against the
+    corpus by the caller."""
+    return [(i, r) for i in range(n_terms // 2)
+            for r in (i + 1, n_terms - i)]
+
+
+def wand_topk(docs: DataFrame, k: int = WAND_K, block: int = WAND_BLOCK,
+              n_terms: int = WAND_NT, id_col: str = "doc_id",
+              text_col: str = "text", persist_fn=None) -> DataFrame:
+    """Safe Block-Max-pruned top-k per query:
+    (query_id, n_candidates, n_survivors, theta, topk_checksum).
+
+    ``topk_checksum`` sums a 48-bit md5 prefix over every
+    ``query:rank:doc:score`` row of the final top-k — the oracle computes
+    the same checksum from an UNPRUNED exhaustive scoring, so a match
+    proves the pruning bound never discarded a true top-k doc."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    imp = bm25_impacts(docs, id_col=id_col, text_col=text_col)
+
+    # df-ranked terms -> the deterministic query set (24 rows collected:
+    # O(1) driver data, same list both engines derive)
+    dfs = imp.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    top = (dfs.orderBy(F.desc("df"), "term").limit(n_terms)
+           .withColumn("rank", F.row_number().over(
+               Window.orderBy(F.desc("df"), "term")))
+           .collect())
+    n_docs = docs.count()
+    by_rank = {r["rank"]: r for r in top}
+    qrows = []
+    for qi, rank in wand_query_terms(n_terms):
+        r = by_rank.get(rank)
+        if r is None:  # corpus smaller than n_terms distinct terms
+            continue
+        qrows.append((f"q{qi:02d}", r["term"],
+                      (n_docs * W_SCALE) // r["df"]))
+    qterms = spark.createDataFrame(qrows, "query_id string, term string, "
+                                   "w long")
+
+    # ONE corpus-index pass, pruned to query terms by broadcast equi-join;
+    # persist the pruned slice (leak-tracked by the caller via persist_fn)
+    # so the seed / blockmax / exact-score passes never rescan the corpus
+    qimp = (imp.join(F.broadcast(qterms), "term")
+            .select("query_id", "term", "w", "doc_id", "impact",
+                    F.floor(F.col("doc_id") / block).alias("blk")))
+    qimp = (persist_fn or (lambda df: df.persist()))(qimp)
+
+    # rarest term per query = smallest posting list = the seed pass
+    rarest = (qimp.groupBy("query_id", "term")
+              .agg(F.count("*").cast("long").alias("df"))
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("query_id").orderBy("df", "term")))
+              .filter(F.col("rn") == 1).select("query_id", "term"))
+    seed_docs = qimp.join(F.broadcast(rarest), ["query_id", "term"]) \
+        .select("query_id", "doc_id")
+    seed_scores = (qimp.join(seed_docs, ["query_id", "doc_id"])
+                   .groupBy("query_id", "doc_id")
+                   .agg(F.sum(F.col("w") * F.col("impact"))
+                        .cast("long").alias("score")))
+    theta = (seed_scores.withColumn("rn", F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")))
+        .filter(F.col("rn") == k)
+        .select("query_id", F.col("score").alias("theta")))
+
+    # per-doc upper bound from the block maxima: every query term whose
+    # posting block covers doc d contributes w * blockmax even if d lacks
+    # the term (a valid over-estimate — the WAND bound)
+    blockmax = (qimp.groupBy("query_id", "term", "w", "blk")
+                .agg(F.max("impact").alias("bmax")))
+    cand = qimp.select(
+        "query_id", "doc_id",
+        F.floor(F.col("doc_id") / block).alias("blk")).distinct()
+    ub = (cand.join(blockmax, ["query_id", "blk"])
+          .groupBy("query_id", "doc_id")
+          .agg(F.sum(F.col("w") * F.col("bmax")).cast("long").alias("ub")))
+    survivors = (ub.join(F.broadcast(theta), "query_id", "left")
+                 .filter(F.col("ub") >= F.coalesce(F.col("theta"),
+                                                   F.lit(0)))
+                 .select("query_id", "doc_id"))
+
+    # exact scoring restricted to survivors, then the final top-k
+    scored = (qimp.join(survivors, ["query_id", "doc_id"])
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum(F.col("w") * F.col("impact"))
+                   .cast("long").alias("score")))
+    topk = (scored.withColumn("rn", F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")))
+        .filter(F.col("rn") <= k))
+    row_md5 = F.md5(F.concat(
+        F.col("query_id"), F.lit(":"), F.col("rn").cast("string"),
+        F.lit(":"), F.col("doc_id").cast("string"), F.lit(":"),
+        F.col("score").cast("string")).cast("binary"))
+    ck = topk.groupBy("query_id").agg(
+        F.sum(F.conv(F.substring(row_md5, 1, 12), 16, 10).cast("long"))
+        .cast("long").alias("topk_checksum"))
+    counts = (cand.groupBy("query_id")
+              .agg(F.count("*").cast("long").alias("n_candidates"))
+              .join(survivors.groupBy("query_id")
+                    .agg(F.count("*").cast("long").alias("n_survivors")),
+                    "query_id"))
+    return (counts
+            .join(F.broadcast(theta), "query_id", "left")
+            .withColumn("theta",
+                        F.coalesce(F.col("theta"), F.lit(0)).cast("long"))
+            .join(ck, "query_id")
+            .select("query_id", "n_candidates", "n_survivors", "theta",
+                    "topk_checksum"))
+
+
 def postings_stats(docs: DataFrame, block: int = BLOCK_DOCS) -> DataFrame:
     """Per-term index rollup: (term, df, n_blocks, index_bytes, checksum).
 

@@ -428,7 +428,14 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/invindex.bm25_term_stats: exact-integer BM25 tf-saturation
     impacts, k1=1.2 b=0.75 cleared to int64 rationals; v1=df,
     v2=sum impact, v3=max impact — the Block-Max bound — v4=checksum over
-    every term:doc:impact triple)."""
+    every term:doc:impact triple);
+    section='wand' is the query-time Block-Max-pruned SAFE top-k
+    (operators/invindex.wand_topk: broadcast query-term slice of the
+    impact index, rarest-term seed pass -> pruning threshold theta,
+    per-block maxima upper bounds, exact scoring only for survivors;
+    term=query_id, v1=n_candidates, v2=n_survivors, v3=theta, v4=top-k
+    checksum — the oracle scores every candidate EXHAUSTIVELY, so the
+    checksum match proves the pruning never dropped a true top-k doc)."""
     from .operators import invindex as op_ix
 
     res = _pipeline(spark, sf_dir)
@@ -458,8 +465,16 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df").alias("v1"), F.col("sum_impact").alias("v2"),
         F.col("max_impact").alias("v3"),
         F.col("impact_checksum").alias("v4"))
+    wand_rows = op_ix.wand_topk(
+        _read(spark, sf_dir, "documents"),
+        persist_fn=lambda df: _tracked_persist(spark, sf_dir, "wand", df),
+    ).select(
+        F.lit("wand").alias("section"), F.col("query_id").alias("term"),
+        F.col("n_candidates").alias("v1"), F.col("n_survivors").alias("v2"),
+        F.col("theta").alias("v3"), F.col("topk_checksum").alias("v4"))
     return (mention_rows.unionByName(posting_rows)
             .unionByName(bm25_rows)
+            .unionByName(wand_rows)
             .orderBy("section", "term"))
 
 
@@ -521,6 +536,96 @@ SELECT term, CAST(count(*) AS BIGINT) AS df,
 FROM impq GROUP BY term
 """
 
+# WAND oracle: the top-k is computed EXHAUSTIVELY (all_scores scores every
+# candidate doc — no pruning), so a checksum match against the Spark side's
+# Block-Max-pruned execution proves the bound is safe.  Candidate/survivor
+# counts and theta replay the same deterministic integer formulas.
+_WAND_K, _WAND_BLOCK, _WAND_NT, _WAND_WSCALE = 5, 32, 24, 1000
+SQL_WAND_STATS = f"""
+WITH tk AS (SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')),
+                                      '[a-z]{{5,}}') AS ts
+            FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+               CAST(sum(len(ts)) AS BIGINT) AS t_corpus FROM tk),
+tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+               CAST(any_value(dl) AS BIGINT) AS dl
+        FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM tk)
+        GROUP BY doc_id, term),
+impq AS (SELECT term, doc_id,
+                (44000000 * t_corpus * tf)
+                  // (20 * t_corpus * tf + 6 * t_corpus
+                      + 18 * dl * n_corpus) AS impact
+         FROM tfq, tot),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM impq
+        GROUP BY term),
+ranked AS (SELECT term, df,
+                  row_number() OVER (ORDER BY df DESC, term) AS rank
+           FROM dfs ORDER BY df DESC, term LIMIT {_WAND_NT}),
+q AS (SELECT 'q' || lpad(CAST(i AS VARCHAR), 2, '0') AS query_id, r.term,
+             ((SELECT n_corpus FROM tot) * {_WAND_WSCALE}) // r.df AS w
+      FROM generate_series(0, {_WAND_NT // 2 - 1}) AS gs(i)
+      JOIN ranked r ON r.rank = i + 1 OR r.rank = {_WAND_NT} - i),
+qimp AS (SELECT q.query_id, q.term, q.w, i.doc_id, i.impact,
+                i.doc_id // {_WAND_BLOCK} AS blk
+         FROM q JOIN impq i USING (term)),
+rarest AS (SELECT query_id, term FROM (
+             SELECT query_id, term,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY count(*), term) AS rn
+             FROM qimp GROUP BY query_id, term) WHERE rn = 1),
+seeds AS (SELECT DISTINCT qi.query_id, qi.doc_id
+          FROM qimp qi JOIN rarest r
+            ON qi.query_id = r.query_id AND qi.term = r.term),
+seed_scores AS (SELECT qi.query_id, qi.doc_id,
+                       CAST(sum(qi.w * qi.impact) AS BIGINT) AS score
+                FROM qimp qi JOIN seeds s
+                  ON qi.query_id = s.query_id AND qi.doc_id = s.doc_id
+                GROUP BY qi.query_id, qi.doc_id),
+theta AS (SELECT query_id, score AS theta FROM (
+            SELECT query_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rn
+            FROM seed_scores) WHERE rn = {_WAND_K}),
+blockmax AS (SELECT query_id, term, w, blk, max(impact) AS bmax
+             FROM qimp GROUP BY query_id, term, w, blk),
+cand AS (SELECT DISTINCT query_id, doc_id, doc_id // {_WAND_BLOCK} AS blk
+         FROM qimp),
+ub AS (SELECT c.query_id, c.doc_id,
+              CAST(sum(b.w * b.bmax) AS BIGINT) AS ub
+       FROM cand c JOIN blockmax b
+         ON c.query_id = b.query_id AND c.blk = b.blk
+       GROUP BY c.query_id, c.doc_id),
+surv AS (SELECT u.query_id, u.doc_id
+         FROM ub u LEFT JOIN theta t USING (query_id)
+         WHERE u.ub >= coalesce(t.theta, 0)),
+all_scores AS (SELECT query_id, doc_id,
+                      CAST(sum(w * impact) AS BIGINT) AS score
+               FROM qimp GROUP BY query_id, doc_id),
+topk AS (SELECT query_id, rn, doc_id, score FROM (
+           SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rn
+           FROM all_scores) WHERE rn <= {_WAND_K})
+SELECT c.query_id,
+       c.n_candidates,
+       s.n_survivors,
+       coalesce(t.theta, 0) AS theta,
+       k.topk_checksum
+FROM (SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+      FROM cand GROUP BY query_id) c
+JOIN (SELECT query_id, CAST(count(*) AS BIGINT) AS n_survivors
+      FROM surv GROUP BY query_id) s USING (query_id)
+LEFT JOIN theta t USING (query_id)
+JOIN (SELECT query_id,
+             CAST(sum(CAST(('0x' || substr(md5(query_id || ':'
+                  || CAST(rn AS VARCHAR) || ':'
+                  || CAST(doc_id AS VARCHAR) || ':'
+                  || CAST(score AS VARCHAR)), 1, 12)) AS UBIGINT))
+                  AS BIGINT) AS topk_checksum
+      FROM topk GROUP BY query_id) k USING (query_id)
+"""
+
 SQL_TOP_TERMS = f"""
 SELECT section, term, v1, v2, v3, v4 FROM (
   SELECT 'mentions' AS section, term,
@@ -535,6 +640,9 @@ FROM ({SQL_POSTINGS_STATS})
 UNION ALL
 SELECT 'bm25', term, df, sum_impact, max_impact, impact_checksum
 FROM ({SQL_BM25_STATS})
+UNION ALL
+SELECT 'wand', query_id, n_candidates, n_survivors, theta, topk_checksum
+FROM ({SQL_WAND_STATS})
 ORDER BY section, term
 """
 SQL_TOP_TERMS = SQL_TOP_TERMS.replace(

@@ -21,6 +21,7 @@ BNLJ_ALLOWED = {
     "ann_topk", "semantic_dedup",          # broadcast-centroid argmax
     "node_dedup_remap", "corpus_prep_stats",  # 1-row summary crossJoin
     "sampling_splits",                        # 1-row host-cap stats join
+    "top_terms",  # bm25 corpus-totals 1-row broadcast crossJoin
 }
 
 

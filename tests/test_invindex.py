@@ -100,3 +100,93 @@ def test_bm25_length_normalization_direction(spark):
     rows = {(r["term"], r["doc_id"]): r["impact"]
             for r in op_ix.bm25_impacts(docs).collect()}
     assert rows[("apple", 0)] > rows[("apple", 1)]
+
+
+# ---------------------------------------------------------------------------
+# Block-Max WAND safe top-k
+
+
+@pytest.fixture(scope="module")
+def wand_corpus(spark):
+    """Synthetic corpus with skewed term frequencies: term t{j} appears in
+    docs where doc_id % (j + 2) == 0, with tf varying by doc — enough
+    distinct terms (30) to fill the 24-rank query set, and block-local
+    impact variation so the Block-Max bound actually prunes."""
+    rows = []
+    for d in range(240):
+        words = []
+        for j in range(30):
+            if d % (j + 2) == 0:
+                t = f"term{chr(97 + j // 26)}{chr(97 + j % 26)}"
+                words += [t] * (1 + (d * 7 + j) % 4)
+        rows.append((d, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _exhaustive_topk(spark, docs, k=op_ix.WAND_K,
+                     n_terms=op_ix.WAND_NT):
+    """Reference top-k: score EVERY candidate doc, no pruning."""
+    from pyspark.sql import Window
+
+    imp = op_ix.bm25_impacts(docs)
+    dfs = imp.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    top = (dfs.orderBy(F.desc("df"), "term").limit(n_terms)
+           .withColumn("rank", F.row_number().over(
+               Window.orderBy(F.desc("df"), "term"))).collect())
+    n_docs = docs.count()
+    by_rank = {r["rank"]: r for r in top}
+    qrows = [(f"q{qi:02d}", by_rank[rank]["term"],
+              (n_docs * op_ix.W_SCALE) // by_rank[rank]["df"])
+             for qi, rank in op_ix.wand_query_terms(n_terms)
+             if rank in by_rank]
+    qterms = spark.createDataFrame(
+        qrows, "query_id string, term string, w long")
+    scored = (imp.join(F.broadcast(qterms), "term")
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum(F.col("w") * F.col("impact"))
+                   .cast("long").alias("score")))
+    return (scored.withColumn("rn", F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "rn", "doc_id", "score"))
+
+
+def test_wand_topk_matches_exhaustive(spark, wand_corpus):
+    """Safety: the pruned execution returns EXACTLY the unpruned top-k."""
+    from pyspark.sql import functions as F
+
+    got = op_ix.wand_topk(wand_corpus).collect()
+    ref = _exhaustive_topk(spark, wand_corpus)
+    row_md5 = F.md5(F.concat(
+        F.col("query_id"), F.lit(":"), F.col("rn").cast("string"),
+        F.lit(":"), F.col("doc_id").cast("string"), F.lit(":"),
+        F.col("score").cast("string")).cast("binary"))
+    ref_ck = {r["query_id"]: r["ck"] for r in ref.groupBy("query_id").agg(
+        F.sum(F.conv(F.substring(row_md5, 1, 12), 16, 10).cast("long"))
+        .cast("long").alias("ck")).collect()}
+    assert len(got) == op_ix.WAND_NT // 2
+    for r in got:
+        assert r["topk_checksum"] == ref_ck[r["query_id"]], r["query_id"]
+
+
+def test_wand_pruning_is_effective(wand_corpus):
+    """The bound must do real work: across the query set, survivors are
+    strictly fewer than candidates (docs skipped without exact scoring)."""
+    rows = op_ix.wand_topk(wand_corpus).collect()
+    n_cand = sum(r["n_candidates"] for r in rows)
+    n_surv = sum(r["n_survivors"] for r in rows)
+    assert n_surv < n_cand, (n_surv, n_cand)
+    # every query keeps at least k survivors (the top-k itself)
+    for r in rows:
+        assert r["n_survivors"] >= op_ix.WAND_K
+
+
+def test_wand_small_corpus_no_theta(spark):
+    """Fewer seed docs than k -> theta stays 0 and nothing is pruned."""
+    docs = spark.createDataFrame(
+        [(0, "aardvark bobcat"), (1, "aardvark"), (2, "bobcat")],
+        "doc_id long, text string")
+    rows = op_ix.wand_topk(docs, k=5).collect()
+    for r in rows:
+        assert r["theta"] == 0
+        assert r["n_survivors"] == r["n_candidates"]
