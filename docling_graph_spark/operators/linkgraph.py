@@ -288,3 +288,67 @@ def alias_resolution_stats(edges: DataFrame,
         F.sum(F.conv(F.substring(pair_md5, 1, 12), 16, 10).cast("long"))
         .cast("long").alias("map_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / clustering coefficient (degree-ordered orientation)
+#
+# The classic skew hazard: counting wedges at a hub host (every site links
+# to cdn.example or a search portal) enumerates deg² pairs — 10^10 wedges
+# for a 10^5-degree hub.  The standard fix (Suri-Vassilvitskii / Cohen)
+# orients every undirected edge from the LOWER (degree, host) endpoint to
+# the higher, then counts wedges only between out-neighbors: out-degree is
+# bounded by O(sqrt(m)), so a hub generates wedges only toward the few
+# hosts even better-connected than itself.  Everything is equi-joins and
+# integer counts — deterministic across engines and partitionings.
+# ---------------------------------------------------------------------------
+
+
+def _oriented_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(u, v) per undirected simple edge, directed low→high (deg, host)."""
+    und = (edges.filter(F.col(src) != F.col(dst))
+           .select(F.least(src, dst).alias("a"),
+                   F.greatest(src, dst).alias("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("h"))
+           .unionAll(und.select(F.col("b").alias("h")))
+           .groupBy("h").agg(F.count("*").cast("long").alias("d")))
+    e = (und.join(deg.select(F.col("h").alias("a"),
+                             F.col("d").alias("da")), "a")
+         .join(deg.select(F.col("h").alias("b"),
+                          F.col("d").alias("db")), "b"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    return e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"))
+
+
+def triangle_stats(edges: DataFrame, src: str = "src_host",
+                   dst: str = "dst_host") -> DataFrame:
+    """Per-host triangle participation: (host, degree, n_triangles).
+
+    Every host with at least one undirected edge gets a row (zero
+    triangles included), so the relation doubles as the degree table the
+    local clustering coefficient 2T/(d(d-1)) reads off exactly — T and d
+    are returned as exact integers rather than an IEEE ratio.
+
+    Triangle identity: each triangle (u,v,w) has exactly one wedge at its
+    (deg, host)-minimal vertex whose closing edge is oriented v→w, so the
+    wedge⋈edge equi-join counts every triangle exactly once."""
+    ori = _oriented_edges(edges, src, dst)
+    deg = (ori.select(F.col("u").alias("h"))
+           .unionAll(ori.select(F.col("v").alias("h")))
+           .groupBy("h").agg(F.count("*").cast("long").alias("degree")))
+    o2 = ori.select(F.col("u").alias("u2"), F.col("v").alias("w"))
+    wedges = ori.join(o2, F.col("u") == F.col("u2")) \
+        .filter(F.col("v") != F.col("w")).select("u", "v", "w")
+    closing = ori.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])
+    tri_counts = (tri.select(F.explode(F.array("u", "v", "w")).alias("h"))
+                  .groupBy("h").agg(F.count("*").cast("long")
+                                    .alias("n_triangles")))
+    return (deg.join(tri_counts, "h", "left")
+            .select(F.col("h").alias("host"), "degree",
+                    F.coalesce(F.col("n_triangles"), F.lit(0))
+                    .cast("long").alias("n_triangles")))

@@ -2661,8 +2661,13 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum over every alias->root pair), and the crawl-frontier URL
     template rollup (section='urlpattern': digit runs in outlink paths
     collapsed to {n}, operators/linkgraph.url_pattern_stats — the
-    pattern-mining key that spots pagination/session traps).  Pages are
-    parsed once; the edge relation is reused by the rank section."""
+    pattern-mining key that spots pagination/session traps), and the
+    degree-ordered triangle count (section='triangle': k1=host,
+    v1=n_triangles, v2=degree — the exact-integer pair the local
+    clustering coefficient 2T/(d(d-1)) reads off;
+    operators/linkgraph.triangle_stats, hub-skew bounded by low→high
+    (deg, host) edge orientation).  Pages are parsed once; the edge
+    relation is reused by the rank and triangle sections."""
     from .operators import linkgraph as op_lg
     from .sources.web_pages import synthesize_web_pages
 
@@ -2711,9 +2716,13 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_links").alias("v1"),
         F.col("n_distinct_urls").alias("v2"),
     )
+    triangle_rows = op_lg.triangle_stats(edges).select(
+        F.lit("triangle").alias("section"), F.col("host").alias("k1"),
+        F.lit("").alias("k2"), F.col("n_triangles").alias("v1"),
+        F.col("degree").alias("v2"))
     return (edge_rows.unionByName(rank_rows).unionByName(anchor_rows)
             .unionByName(alias_rows).unionByName(domain_rows)
-            .unionByName(pattern_rows)
+            .unionByName(pattern_rows).unionByName(triangle_rows)
             .orderBy("section", "k1", "k2"))
 
 
@@ -2780,6 +2789,27 @@ FROM dh GROUP BY suffix
 
 SQL_LINK_GRAPH_STATS = f"""
 WITH dstats AS ({SQL_DOMAIN_STATS}),
+tund AS (
+  SELECT DISTINCT least(src_host, dst_host) AS a,
+         greatest(src_host, dst_host) AS b
+  FROM ({SQL_HOST_LINK_GRAPH}) WHERE src_host <> dst_host),
+tdeg AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS h FROM tund UNION ALL SELECT b FROM tund) GROUP BY h),
+tori AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+              THEN a ELSE b END AS u,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+              THEN b ELSE a END AS v
+  FROM tund JOIN tdeg da ON da.h = a JOIN tdeg db ON db.h = b),
+ttri AS (
+  SELECT o1.u AS u, o1.v AS v, o2.v AS w
+  FROM tori o1 JOIN tori o2 ON o1.u = o2.u AND o1.v <> o2.v
+  JOIN tori oc ON oc.u = o1.v AND oc.v = o2.v),
+tcnt AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS t FROM (
+    SELECT u AS h FROM ttri UNION ALL SELECT v FROM ttri
+    UNION ALL SELECT w FROM ttri) GROUP BY h),
 upat AS (
   SELECT regexp_replace(CASE WHEN p = '' THEN '/' ELSE p END,
                         '[0-9]+', '{{n}}', 'g') AS template, href
@@ -2813,6 +2843,9 @@ SELECT section, k1, k2, v1, v2 FROM (
   SELECT 'urlpattern', template, '', CAST(count(*) AS BIGINT),
          CAST(count(DISTINCT href) AS BIGINT)
   FROM upat GROUP BY template
+  UNION ALL
+  SELECT 'triangle', d.h, '', coalesce(t.t, 0), d.d
+  FROM tdeg d LEFT JOIN tcnt t ON t.h = d.h
 ) ORDER BY section, k1, k2
 """
 

@@ -220,3 +220,44 @@ def test_url_pattern_stats_groups(spark):
     got = {r["template"]: (r["n_links"], r["n_distinct_urls"])
            for r in op_lg.url_pattern_stats(pages).collect()}
     assert got == {"/doc/{n}": (3, 2), "/about": (1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-ordered orientation)
+
+
+def _tri(spark, pairs):
+    from docling_graph_spark.operators.linkgraph import triangle_stats
+    edges = spark.createDataFrame(
+        [(a, b, 1) for a, b in pairs],
+        "src_host string, dst_host string, n_links long")
+    return {r["host"]: (r["n_triangles"], r["degree"])
+            for r in triangle_stats(edges).collect()}
+
+
+def test_triangles_k4(spark):
+    """K4: 4 triangles, every node in 3 of them, degree 3."""
+    nodes = ["a", "b", "c", "d"]
+    pairs = [(u, v) for u in nodes for v in nodes if u < v]
+    got = _tri(spark, pairs)
+    assert got == {n: (3, 3) for n in nodes}
+
+
+def test_triangles_dedupe_direction_and_selfloops(spark):
+    """Reciprocal links, repeated edges, and self-loops collapse to one
+    undirected simple edge each; a single triangle survives."""
+    pairs = [("a", "b"), ("b", "a"), ("a", "b"),
+             ("b", "c"), ("c", "a"), ("a", "a"), ("d", "c")]
+    got = _tri(spark, pairs)
+    assert got["a"] == (1, 2) and got["b"] == (1, 2)
+    assert got["c"] == (1, 3)
+    assert got["d"] == (0, 1)
+
+
+def test_triangles_hub_star_has_none(spark):
+    """A pure hub (star) has zero triangles; the hub's wedges are never
+    enumerated thanks to the low->high orientation (out-degree 0)."""
+    pairs = [("hub", f"leaf{i}") for i in range(10)]
+    got = _tri(spark, pairs)
+    assert got["hub"] == (0, 10)
+    assert all(got[f"leaf{i}"] == (0, 1) for i in range(10))
