@@ -101,3 +101,55 @@ def estimate(registers: dict, m: int = HLL_M) -> float:
     if e <= 2.5 * m and zeros:
         return m * math.log(m / zeros)
     return e
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode-Muthukrishnan 2005) — the mergeable FREQUENCY
+# sketch next to HLL's distinct-count one.  Counters are plain sums, so
+# the register table is commutative/associative: byte-identical on any
+# engine, cluster size, or partitioning (merge = cellwise add, proven in
+# tests).  Hashes are md5-derived like the HLL's, so a DuckDB oracle
+# reproduces the exact state.  The structural guarantee — estimates never
+# UNDER-count — is exercised against exact counts, not assumed.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4    # hash rows
+CMS_W = 64   # counters per row
+
+
+def _cms_col(row: Column, value: Column) -> Column:
+    """Counter column for hash row j: 48-bit md5 prefix of 'j:value'
+    mod W — portable to any engine with md5."""
+    h = F.conv(F.substring(F.md5(F.concat(
+        row.cast("string"), F.lit(":"), value).cast("binary")), 1, 12),
+        16, 10).cast("long")
+    return (h % CMS_W).cast("int")
+
+
+def cms_register_rows(counted: DataFrame, value_col: str, weight_col: str,
+                      *group_cols: str) -> DataFrame:
+    """(group..., j, col, counter) from a pre-aggregated (value, weight)
+    relation — sketching the aggregate is identical to sketching the raw
+    stream (counters are sums) but moves d× row inflation AFTER the
+    map-side combine."""
+    j = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("j")
+    rows = counted.select(*group_cols, F.col(weight_col).alias("w"),
+                          j, F.col(value_col).alias("v"))
+    return (rows.select(*group_cols, "j",
+                        _cms_col(F.col("j"), F.col("v")).alias("col"), "w")
+            .groupBy(*group_cols, "j", "col")
+            .agg(F.sum("w").cast("long").alias("counter")))
+
+
+def cms_estimates(registers: DataFrame, keys: DataFrame, value_col: str,
+                  *group_cols: str) -> DataFrame:
+    """Point queries: (group..., value, estimate) with estimate =
+    min over hash rows of the addressed counter — the CM upper bound."""
+    j = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("j")
+    probes = keys.select(*group_cols, F.col(value_col).alias("v")) \
+        .withColumn("j", j) \
+        .withColumn("col", _cms_col(F.col("j"), F.col("v")))
+    return (probes.join(registers, [*group_cols, "j", "col"])
+            .groupBy(*group_cols, "v")
+            .agg(F.min("counter").cast("long").alias("estimate"))
+            .withColumnRenamed("v", value_col))

@@ -3057,7 +3057,14 @@ def q_signature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-url sketch (operators/sketches.py: md5-derived 256-register
     array, byte-identical on any engine/partitioning; the gate checks
     the full register state via checksum — the registers ARE the
-    mergeable sketch a 1000-executor job combines)."""
+    mergeable sketch a 1000-executor job combines) and the Count-Min
+    frequency sketch over per-lang term counts (cms_*: register-state
+    checksum plus the point-query upper-bound check — estimates for the
+    top-5 terms vs their exact counts, cms_overest_ok = 1 iff no
+    estimate ever under-counts, the CM structural guarantee exercised
+    end-to-end)."""
+    from pyspark.sql import Window
+
     from .operators import sketches as op_sk
     from .sources.web_pages import url_expr
 
@@ -3065,10 +3072,38 @@ def q_signature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll = op_sk.hll_stats(
         docs.select("lang", url_expr(F.col("doc_id")).alias("url")),
         F.col("url"), "lang")
+    tf = (docs.select(
+        "lang",
+        F.explode(F.expr("regexp_extract_all(lower(coalesce(text, '')), "
+                         "'[a-z]{5,}', 0)")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").cast("long").alias("cnt")))
+    regs = op_sk.cms_register_rows(tf, "term", "cnt", "lang")
+    cell_md5 = F.md5(F.concat(
+        F.col("j").cast("string"), F.lit(":"), F.col("col").cast("string"),
+        F.lit(":"), F.col("counter").cast("string")).cast("binary"))
+    cms_state = regs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("cms_nonzero"),
+        F.sum(F.conv(F.substring(cell_md5, 1, 12), 16, 10).cast("long"))
+        .cast("long").alias("cms_checksum"))
+    top5 = (tf.withColumn("rn", F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("cnt"), "term")))
+        .filter(F.col("rn") <= 5).drop("rn"))
+    est = op_sk.cms_estimates(regs, top5.select("lang", "term"),
+                              "term", "lang")
+    cms_probe = (top5.join(est, ["lang", "term"])
+                 .groupBy("lang")
+                 .agg(F.sum("estimate").cast("long").alias("cms_est_sum"),
+                      F.sum("cnt").cast("long").alias("cms_exact_sum"),
+                      F.min((F.col("estimate") >= F.col("cnt"))
+                            .cast("long")).cast("long")
+                      .alias("cms_overest_ok")))
     return (
         q_simhash_dedup(spark, sf_dir)
         .join(q_doc_fingerprints(spark, sf_dir), "lang")
         .join(hll, "lang")
+        .join(cms_state, "lang")
+        .join(cms_probe, "lang")
         .orderBy("lang")
     )
 
@@ -3092,12 +3127,61 @@ SELECT lang, CAST(256 AS BIGINT) AS hll_m,
 FROM hregs GROUP BY lang
 """
 
+SQL_CMS_STATS = """
+WITH tf AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT lang, unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '[a-z]{5,}')) AS term
+    FROM documents) GROUP BY lang, term),
+regs AS (
+  SELECT lang, j,
+         CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term),
+                    1, 12)) AS UBIGINT) % 64 AS INT) AS col,
+         CAST(sum(cnt) AS BIGINT) AS counter
+  FROM tf, generate_series(0, 3) AS gs(j)
+  GROUP BY lang, j, col),
+state AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS cms_nonzero,
+         CAST(sum(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+               || CAST(col AS VARCHAR) || ':'
+               || CAST(counter AS VARCHAR)), 1, 12)) AS UBIGINT))
+              AS BIGINT) AS cms_checksum
+  FROM regs GROUP BY lang),
+top5 AS (
+  SELECT lang, term, cnt FROM (
+    SELECT lang, term, cnt,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY cnt DESC, term) AS rn
+    FROM tf) WHERE rn <= 5),
+est AS (
+  SELECT t.lang, t.term, t.cnt,
+         CAST(min(r.counter) AS BIGINT) AS estimate
+  FROM top5 t, generate_series(0, 3) AS gs(j)
+  JOIN regs r
+    ON r.lang = t.lang AND r.j = gs.j
+   AND r.col = CAST(CAST(('0x' || substr(md5(CAST(gs.j AS VARCHAR) || ':'
+                    || t.term), 1, 12)) AS UBIGINT) % 64 AS INT)
+  GROUP BY t.lang, t.term, t.cnt),
+probe AS (
+  SELECT lang, CAST(sum(estimate) AS BIGINT) AS cms_est_sum,
+         CAST(sum(cnt) AS BIGINT) AS cms_exact_sum,
+         CAST(min(CASE WHEN estimate >= cnt THEN 1 ELSE 0 END) AS BIGINT)
+           AS cms_overest_ok
+  FROM est GROUP BY lang)
+SELECT lang, cms_nonzero, cms_checksum, cms_est_sum, cms_exact_sum,
+       cms_overest_ok
+FROM state JOIN probe USING (lang)
+"""
+
 SQL_SIGNATURE_STATS = f"""
 SELECT s.lang, s.n_docs, s.n_distinct_simhash,
        f.docs_with_fp, f.total_fps, f.distinct_fps,
-       h.hll_m, h.hll_nonzero, h.hll_regsum, h.hll_checksum
+       h.hll_m, h.hll_nonzero, h.hll_regsum, h.hll_checksum,
+       c.cms_nonzero, c.cms_checksum, c.cms_est_sum, c.cms_exact_sum,
+       c.cms_overest_ok
 FROM ({SQL_SIMHASH}) s JOIN ({SQL_DOC_FINGERPRINTS}) f USING (lang)
      JOIN ({SQL_HLL_URLS}) h USING (lang)
+     JOIN ({SQL_CMS_STATS}) c USING (lang)
 ORDER BY lang
 """
 

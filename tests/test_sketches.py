@@ -51,3 +51,56 @@ def test_hll_stats_contract(spark, urls):
     assert r["hll_m"] == 256
     assert 0 < r["hll_nonzero"] <= 256
     assert r["hll_regsum"] > 0 and r["hll_checksum"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def terms(spark):
+    # zipf-ish frequency table: term_i appears (3000 // (i+1)) times
+    rows = [(f"term{i:03d}", 3000 // (i + 1)) for i in range(200)]
+    return spark.createDataFrame(rows, "v string, w long")
+
+
+def _cms(df):
+    return {(r["j"], r["col"]): r["counter"]
+            for r in op_sk.cms_register_rows(df, "v", "w").collect()}
+
+
+def test_cms_partitioning_invariant(spark, terms):
+    assert _cms(terms.repartition(17)) == _cms(terms.coalesce(1))
+
+
+def test_cms_merge_is_cellwise_add(spark, terms):
+    """sketch(A + B) == cellwise-add(sketch(A), sketch(B)) — counters are
+    sums, so the register relation is mergeable across executors."""
+    a = terms.filter(F.col("w") % 2 == 0)
+    b = terms.filter(F.col("w") % 2 == 1)
+    ra, rb, rall = _cms(a), _cms(b), _cms(terms)
+    merged = dict(ra)
+    for k, c in rb.items():
+        merged[k] = merged.get(k, 0) + c
+    assert merged == rall
+
+
+def test_cms_never_undercounts(spark, terms):
+    """The CM structural guarantee: estimate >= true count for EVERY key."""
+    regs = op_sk.cms_register_rows(terms, "v", "w")
+    est = op_sk.cms_estimates(regs, terms.select("v"), "v")
+    joined = {r["v"]: r["estimate"] for r in est.collect()}
+    truth = {r["v"]: r["w"] for r in terms.collect()}
+    assert set(joined) == set(truth)
+    assert all(joined[v] >= truth[v] for v in truth)
+
+
+def test_cms_heavy_hitter_is_tight(spark, terms):
+    """The dominant key's estimate is exact or near-exact (collisions add
+    at most the tail mass of its bucket)."""
+    regs = op_sk.cms_register_rows(terms, "v", "w")
+    est = op_sk.cms_estimates(
+        regs, spark.createDataFrame([("term000",)], "v string"), "v")
+    [r] = est.collect()
+    assert 3000 <= r["estimate"] <= 3000 + 600
