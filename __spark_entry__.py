@@ -104,6 +104,12 @@ Round-2 session-6 additions (still 50 total):
                         (operators/sketches.py: md5-derived 256-register
                         array, byte-identical across engines and
                         partitionings; gate checks full register state)
+  sampling_splits    += shuffle section (sharding.shuffle_positions:
+                        deterministic dense global shuffle in md5-key
+                        order with NO single-partition sort — md5
+                        uniformity makes the key prefix the range
+                        bucket; exact-permutation checksum, balanced
+                        shuffle-shard gate, dispersion sum)
   top_terms          += bm25 section (invindex.bm25_term_stats:
                         impact-ordered-index precompute — exact-integer
                         BM25 tf-saturation impacts with k1/b cleared to

@@ -288,3 +288,66 @@ def pps_mark(pre: DataFrame, total: int, k: int,
                     F.expr(f"CAST({f('_end')} - {f('_start')} AS BIGINT)"))
         .drop("_end")
     )
+
+
+def shuffle_positions(docs: DataFrame, order_col: str = "doc_id",
+                      prefix_chars: int = 2) -> DataFrame:
+    """Deterministic global training-data shuffle: assign every document
+    a dense position 0..N-1 in md5-key order — a pseudorandom permutation
+    of the corpus that any engine reproduces exactly (the key is
+    md5(order_col), ties broken by order_col).
+
+    Trainers need the corpus in a shuffled order that is stable across
+    reruns and engines (resume mid-epoch, verify a data card).  The naive
+    Spark plan — ``row_number() over (order by md5(id))`` — is a sort
+    into ONE partition.  This uses the distributed-rank pattern with a
+    twist that removes even the range-discovery pass: md5 keys are
+    uniform on [0,16^32), so ordered disjoint buckets are simply the
+    first ``prefix_chars`` hex digits of the key — no repartitionByRange,
+    no sampling; the per-bucket window's hash exchange of the narrow
+    (id, key) relation is the only shuffle.  Driver traffic is one row
+    per bucket (256 for prefix_chars=2).
+
+    Returns (order_col, _pos) with _pos a dense permutation of 0..N-1.
+    Balanced shards follow as ``_pos div ceil(N/S)`` — exactly even by
+    construction, unlike hash-mod assignment.  The reference
+    (SylvainWT/docling-graph) is single-document and has no corpus
+    ordering notion; this is the corpus-level shuffle a training
+    pipeline needs."""
+    key = F.md5(F.col(order_col).cast("string").cast("binary"))
+    narrow = docs.select(order_col, key.alias("_key")).withColumn(
+        "_b", F.conv(F.substring("_key", 1, prefix_chars), 16, 10)
+        .cast("int"))
+    w = Window.partitionBy("_b").orderBy("_key", order_col)
+    local = narrow.withColumn(
+        "_r", F.row_number().over(w)).localCheckpoint(eager=False)
+
+    totals = local.groupBy("_b").agg(F.count("*").alias("_n")).collect()
+    offsets, running = [], 0
+    # bucket id == key prefix, so ascending bucket id IS ascending key
+    # order — offsets need no per-bucket min-key lookup
+    for row in sorted(totals, key=lambda r: r["_b"]):
+        offsets.append((int(row["_b"]), running))
+        running += int(row["_n"])
+    spark = docs.sparkSession
+    off_df = spark.createDataFrame(offsets or [], "_b int, _offset long")
+    return (
+        local.join(F.broadcast(off_df), "_b")
+        .select(order_col,
+                (F.col("_offset") + F.col("_r") - 1).alias("_pos"))
+    )
+
+
+def shuffle_shards(positions: DataFrame, n_total: int,
+                   num_shards: int) -> DataFrame:
+    """(order, _pos) -> + ``shuffle_shard``: exactly-balanced shard id
+    from the dense shuffled position (sizes differ by at most 1).
+
+    Proportional rule ``pos * S div N`` — NOT ``pos div ceil(N/S)``,
+    which dumps the full remainder into the last shard (500 docs over 7
+    shards: six of 72 and one of 68).  Int64-exact while
+    ``N * S < 2^63``."""
+    n = max(1, int(n_total))
+    return positions.withColumn(
+        "shuffle_shard",
+        F.expr(f"(_pos * {int(num_shards)}) div {n}").cast("int"))

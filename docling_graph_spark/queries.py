@@ -5505,6 +5505,7 @@ SELECT stage, metric, value FROM (
 
 _SHARD_BUDGET = 4096
 _PPS_K = 37  # deliberately odd / non-dividing: exercises grid rounding
+_SHUFFLE_SHARDS = 7  # non-dividing: exercises the ceil shard-size path
 
 
 def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5581,8 +5582,13 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang (section='sample'), md5-range train/val/test assignment
     (section='split'), token-budget shard packing (section='shard',
     bucket=shard_id), packed trainer sequences (section='packed',
-    bucket=md5 of the packed bytes — an exact-content gate), and the
-    per-host document cap (section='hostcap')."""
+    bucket=md5 of the packed bytes — an exact-content gate), the
+    per-host document cap (section='hostcap'), and the deterministic
+    global shuffle (section='shuffle': sharding.shuffle_positions —
+    dense md5-order positions with NO single-partition sort; 'perm' is
+    the exact-permutation checksum over md5(doc_id:pos), 'balance' the
+    max/min shuffle-shard sizes (exactly even by construction), 'gap'
+    the consecutive-doc position-dispersion sum both engines replay)."""
     from .operators import sharding as op_sh_mod
 
     strat = q_stratified_sample(spark, sf_dir)
@@ -5659,8 +5665,34 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("hostcap").alias("section"), F.col("kv.bucket").alias("bucket"),
         F.col("kv.n_docs").alias("n_docs"), F.col("kv.measure").alias("measure"),
     )
+    pos = op_sh_mod.shuffle_positions(docs.select("doc_id"))
+    n_total = pos.count()
+    sharded = op_sh_mod.shuffle_shards(pos, n_total, _SHUFFLE_SHARDS)
+    perm_ck = F.conv(F.substring(F.md5(F.concat(
+        F.col("doc_id").cast("string"), F.lit(":"),
+        F.col("_pos").cast("string")).cast("binary")), 1, 12),
+        16, 10).cast("long")
+    sh_perm = sharded.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(perm_ck).cast("long").alias("measure"),
+    ).select(F.lit("shuffle").alias("section"),
+             F.lit("perm").alias("bucket"), "n_docs", "measure")
+    sh_bal = (sharded.groupBy("shuffle_shard").count().agg(
+        F.max("count").cast("long").alias("n_docs"),
+        F.min("count").cast("long").alias("measure"))
+        .select(F.lit("shuffle").alias("section"),
+                F.lit("balance").alias("bucket"), "n_docs", "measure"))
+    nxt = sharded.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("_pos").alias("_pos2"))
+    sh_gap = (sharded.join(nxt, "doc_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.abs(F.col("_pos2") - F.col("_pos"))).cast("long")
+        .alias("measure"))
+        .select(F.lit("shuffle").alias("section"),
+                F.lit("gap").alias("bucket"), "n_docs", "measure"))
     return (a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
-            .unionByName(pps)
+            .unionByName(pps).unionByName(sh_perm).unionByName(sh_bal)
+            .unionByName(sh_gap)
             .orderBy("section", "bucket"))
 
 
@@ -5729,6 +5761,29 @@ SELECT section, bucket, n_docs, measure FROM (
            CAST(coalesce(sum(CASE WHEN n_grid > 0 THEN
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
                   AS UBIGINT) END), 0) AS BIGINT) FROM g
+  )
+  UNION ALL
+  SELECT 'shuffle', bucket, n_docs, measure FROM (
+    WITH pos AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS p
+      FROM documents),
+    n AS (SELECT count(*) AS n FROM pos),
+    sh AS (SELECT doc_id, p, (p * {_SHUFFLE_SHARDS}) // n AS s
+           FROM pos, n)
+    SELECT 'perm' AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+             || ':' || CAST(p AS VARCHAR)), 1, 12)) AS UBIGINT))
+             AS BIGINT) AS measure
+    FROM sh
+    UNION ALL
+    SELECT 'balance', CAST(max(c) AS BIGINT), CAST(min(c) AS BIGINT)
+    FROM (SELECT s, count(*) AS c FROM sh GROUP BY s)
+    UNION ALL
+    SELECT 'gap', CAST(count(*) AS BIGINT),
+           CAST(sum(abs(b.p - a.p)) AS BIGINT)
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
   )
 ) ORDER BY section, bucket
 """

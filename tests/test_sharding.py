@@ -170,3 +170,64 @@ def test_pps_heavy_doc_gets_multiple_grid_points(spark):
     got = {r["doc_id"]: r["n_grid"]
            for r in op_sh.pps_systematic_sample(docs, k=10).collect()}
     assert got[1] >= 9 and sum(got.values()) == 10
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle (shuffle_positions)
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_is_dense_permutation(spark):
+    docs = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    pos = sorted(r["_pos"] for r in
+                 sharding.shuffle_positions(docs).collect())
+    assert pos == list(range(500))
+
+
+def test_shuffle_partitioning_invariant(spark):
+    docs = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    a = {(r["doc_id"], r["_pos"])
+         for r in sharding.shuffle_positions(docs.repartition(11)).collect()}
+    b = {(r["doc_id"], r["_pos"])
+         for r in sharding.shuffle_positions(docs.coalesce(1)).collect()}
+    assert a == b
+
+
+def test_shuffle_matches_sequential_rank(spark):
+    """Position == rank in (md5(id), id) order — the sequential def."""
+    import hashlib
+
+    ids = list(range(97))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    expect = {
+        i: r for r, (_, i) in enumerate(sorted(
+            (hashlib.md5(str(i).encode()).hexdigest(), i) for i in ids))
+    }
+    got = {r["doc_id"]: r["_pos"]
+           for r in sharding.shuffle_positions(docs).collect()}
+    assert got == expect
+
+
+def test_shuffle_shards_exactly_balanced(spark):
+    # 500 % 7 != 0 — the ceil-block rule would leave the last shard 4
+    # short; the proportional rule keeps every size within 1
+    for n in (500, 1000):
+        docs = spark.createDataFrame(
+            [(i,) for i in range(n)], "doc_id long")
+        pos = sharding.shuffle_positions(docs)
+        sh = sharding.shuffle_shards(pos, n, 7)
+        counts = sorted(r["count"] for r in
+                        sh.groupBy("shuffle_shard").count().collect())
+        assert max(counts) - min(counts) <= 1
+        assert sum(counts) == n
+        assert sh.select("shuffle_shard").distinct().count() == 7
+
+
+def test_shuffle_no_global_sort_in_plan(spark):
+    """The plan must not contain a single-partition Exchange (the naive
+    row_number-over-global-order shape); the only Exchange is the
+    per-bucket window's hash partitioning."""
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    plan = sharding.shuffle_positions(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
