@@ -104,6 +104,11 @@ Round-2 session-6 additions (still 50 total):
                         (operators/sketches.py: md5-derived 256-register
                         array, byte-identical across engines and
                         partitionings; gate checks full register state)
+  link_graph_stats   += hits section (operators/linkgraph.hits: integer
+                        HITS hubs/authorities, Kleinberg mutual
+                        reinforcement with exact max-normalization on
+                        decimal-widened products; unrolled MATERIALIZED-
+                        CTE oracle replays the full trajectory)
   sampling_splits    += shuffle section (sharding.shuffle_positions:
                         deterministic dense global shuffle in md5-key
                         order with NO single-partition sort — md5

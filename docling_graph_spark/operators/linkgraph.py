@@ -352,3 +352,78 @@ def triangle_stats(edges: DataFrame, src: str = "src_host",
             .select(F.col("h").alias("host"), "degree",
                     F.coalesce(F.col("n_triangles"), F.lit(0))
                     .cast("long").alias("n_triangles")))
+
+
+HITS_ITERATIONS = 4
+HITS_SCALE = 1_000_000
+
+
+def hits(edges: DataFrame, src: str = "src_host", dst: str = "dst_host",
+         weight: str = "n_links", iterations: int = HITS_ITERATIONS,
+         scale: int = HITS_SCALE) -> DataFrame:
+    """Integer HITS hubs/authorities over a weighted host edge list:
+    (host, hub, auth).
+
+    Kleinberg's mutual-reinforcement recurrence with the L2 normalization
+    replaced by exact max-normalization so the trajectory is
+    engine/partitioning-independent integer math:
+
+        a_t(v) = sum over in-edges (u,v): w(u,v) * h_{t-1}(u),
+                 then rescaled to (a * scale) div max(a);
+        h_t(u) = sum over out-edges (u,v): w(u,v) * a_t(v),
+                 then rescaled the same way.
+
+    Scores live in [0, scale]; the raw half-step sums are widened to
+    decimal(38,0) before the `* scale div max` rescale, so no realistic
+    corpus overflows (raw <= total-link-weight * scale ~ 10^18, and the
+    widened product 10^24 stays inside 38 digits).
+
+    Shuffle accounting per half-step: one join of the edge list against
+    the score relation (host-level — broadcastable even for the full web)
+    plus one groupBy with map-side partial sums; the max is a scalar
+    aggregate collected to the driver (O(1) rows).  Same shape as
+    :func:`pagerank`, which the reference (single-document, no corpus
+    graph) has no analogue of."""
+    nodes = (
+        edges.select(F.col(src).alias("host"))
+        .unionByName(edges.select(F.col(dst).alias("host")))
+        .distinct()
+    ).localCheckpoint(eager=False)
+    ew = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
+                      F.col(weight).cast("long").alias("e_w"))
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        # pin the raw half-step: the max() scalar job and the rescale
+        # join would otherwise each re-run the whole iteration chain
+        # (quadratic recompute across 2*iterations half-steps)
+        raw = raw.localCheckpoint(eager=False)
+        mx = raw.agg(F.max("_raw")).collect()[0][0] or 0
+        if mx <= 0:
+            return nodes.select(
+                "host", F.lit(0).cast("long").alias(col))
+        return (
+            nodes.join(raw, "host", "left")
+            .select("host", F.expr(
+                f"CAST(coalesce(_raw, 0) AS DECIMAL(38,0)) "
+                f"* {int(scale)} div {int(mx)}")
+                .cast("long").alias(col))
+        )
+
+    hub = nodes.select("host", F.lit(scale).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            ew.join(hub, ew.e_src == hub.host)
+            .select(F.col("e_dst").alias("host"),
+                    (F.col("e_w") * F.col("hub")).alias("_c"))
+            .groupBy("host").agg(F.sum("_c").alias("_raw"))
+        )
+        auth = _normalize(a_raw, "auth")
+        h_raw = (
+            ew.join(auth, ew.e_dst == auth.host)
+            .select(F.col("e_src").alias("host"),
+                    (F.col("e_w") * F.col("auth")).alias("_c"))
+            .groupBy("host").agg(F.sum("_c").alias("_raw"))
+        )
+        hub = _normalize(h_raw, "hub")
+    return hub.join(auth, "host")

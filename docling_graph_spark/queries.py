@@ -2564,6 +2564,44 @@ r{i} AS (
 SQL_HOST_PAGERANK = _pagerank_unrolled_sql(5, 1_000_000)
 
 
+def _hits_unrolled_sql(iterations: int, scale: int) -> str:
+    """DuckDB oracle for operators/linkgraph.hits: each half-step is an
+    explicit CTE replaying the same widen-multiply-div max-normalized
+    integer recurrence (HUGEINT stands in for Spark's decimal(38,0)).
+
+    CTEs are MATERIALIZED: each normalization references its raw CTE 3
+    times (two max() scalar subqueries + the join), so inlining would
+    expand the 8-half-step chain into 3^8 scans of the base table."""
+    ctes = f""",
+hn AS MATERIALIZED (SELECT DISTINCT host FROM (
+  SELECT src_host AS host FROM hg UNION SELECT dst_host FROM hg)),
+h0 AS (SELECT host, CAST({scale} AS BIGINT) AS hub FROM hn)"""
+
+    def norm(raw_cte: str, col: str) -> str:
+        mx = f"(SELECT max(raw) FROM {raw_cte})"
+        return (f"SELECT n.host, CAST(CASE WHEN coalesce({mx}, 0) <= 0 "
+                f"THEN 0 ELSE CAST(coalesce(r.raw, 0) AS HUGEINT) "
+                f"* {scale} // {mx} END AS BIGINT) AS {col} "
+                f"FROM hn n LEFT JOIN {raw_cte} r ON r.host = n.host")
+
+    for i in range(1, iterations + 1):
+        ctes += f""",
+ar{i} AS MATERIALIZED (
+  SELECT hg.dst_host AS host, sum(hg.n_links * h{i - 1}.hub) AS raw
+  FROM hg JOIN h{i - 1} ON h{i - 1}.host = hg.src_host GROUP BY 1),
+a{i} AS MATERIALIZED ({norm(f'ar{i}', 'auth')}),
+hr{i} AS MATERIALIZED (
+  SELECT hg.src_host AS host, sum(hg.n_links * a{i}.auth) AS raw
+  FROM hg JOIN a{i} ON a{i}.host = hg.dst_host GROUP BY 1),
+h{i} AS MATERIALIZED ({norm(f'hr{i}', 'hub')})"""
+    return (f"WITH {_LINKS_CTE}{ctes}\n"
+            f"SELECT h.host, h.hub, a.auth FROM h{iterations} h "
+            f"JOIN a{iterations} a USING (host)")
+
+
+SQL_HOST_HITS = _hits_unrolled_sql(4, 1_000_000)
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text corpus rollup: per link text, occurrence count and
     distinct target hosts — the (anchor, target) pair relation used as
@@ -2666,8 +2704,12 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1=n_triangles, v2=degree — the exact-integer pair the local
     clustering coefficient 2T/(d(d-1)) reads off;
     operators/linkgraph.triangle_stats, hub-skew bounded by low→high
-    (deg, host) edge orientation).  Pages are parsed once; the edge
-    relation is reused by the rank and triangle sections."""
+    (deg, host) edge orientation), and integer HITS hubs/authorities
+    (section='hits': k1=host, v1=hub, v2=auth — Kleinberg mutual
+    reinforcement with exact max-normalization, operators/linkgraph.hits,
+    bit-identical across engines/partitionings).  Pages are parsed once;
+    the edge relation is reused by the rank, triangle and hits
+    sections."""
     from .operators import linkgraph as op_lg
     from .sources.web_pages import synthesize_web_pages
 
@@ -2720,9 +2762,14 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("triangle").alias("section"), F.col("host").alias("k1"),
         F.lit("").alias("k2"), F.col("n_triangles").alias("v1"),
         F.col("degree").alias("v2"))
+    hits_rows = op_lg.hits(edges).select(
+        F.lit("hits").alias("section"), F.col("host").alias("k1"),
+        F.lit("").alias("k2"), F.col("hub").alias("v1"),
+        F.col("auth").alias("v2"))
     return (edge_rows.unionByName(rank_rows).unionByName(anchor_rows)
             .unionByName(alias_rows).unionByName(domain_rows)
             .unionByName(pattern_rows).unionByName(triangle_rows)
+            .unionByName(hits_rows)
             .orderBy("section", "k1", "k2"))
 
 
@@ -2846,6 +2893,8 @@ SELECT section, k1, k2, v1, v2 FROM (
   UNION ALL
   SELECT 'triangle', d.h, '', coalesce(t.t, 0), d.d
   FROM tdeg d LEFT JOIN tcnt t ON t.h = d.h
+  UNION ALL
+  SELECT 'hits', host, '', hub, auth FROM ({SQL_HOST_HITS})
 ) ORDER BY section, k1, k2
 """
 

@@ -261,3 +261,65 @@ def test_triangles_hub_star_has_none(spark):
     got = _tri(spark, pairs)
     assert got["hub"] == (0, 10)
     assert all(got[f"leaf{i}"] == (0, 1) for i in range(10))
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities
+# ---------------------------------------------------------------------------
+
+
+def _hits_replay(edges, iterations=4, scale=1_000_000):
+    """Sequential replay of the exact integer recurrence."""
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    hub = {n: scale for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(iterations):
+        raw = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            raw[d] += w * hub[s]
+        mx = max(raw.values())
+        auth = {n: (raw[n] * scale // mx if mx > 0 else 0) for n in nodes}
+        raw = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            raw[s] += w * auth[d]
+        mx = max(raw.values())
+        hub = {n: (raw[n] * scale // mx if mx > 0 else 0) for n in nodes}
+    return hub, auth
+
+
+def test_hits_matches_sequential_replay(spark):
+    e = [("h1", "a1", 3), ("h1", "a2", 1), ("h2", "a1", 2),
+         ("h2", "a3", 1), ("h3", "a2", 5)]
+    edges = spark.createDataFrame(
+        e, "src_host string, dst_host string, n_links long")
+    got = {r["host"]: (r["hub"], r["auth"])
+           for r in op_lg.hits(edges).collect()}
+    hub, auth = _hits_replay(e)
+    assert got == {n: (hub[n], auth[n]) for n in hub}
+
+
+def test_hits_partitioning_invariant(spark):
+    e = [(f"s{i % 7}", f"d{i % 11}", 1 + i % 3) for i in range(60)]
+    edges = spark.createDataFrame(
+        e, "src_host string, dst_host string, n_links long")
+    a = {r["host"]: (r["hub"], r["auth"])
+         for r in op_lg.hits(edges.repartition(13)).collect()}
+    b = {r["host"]: (r["hub"], r["auth"])
+         for r in op_lg.hits(edges.coalesce(1)).collect()}
+    assert a == b
+
+
+def test_hits_roles_separate_on_bipartite_graph(spark):
+    """On a pure hub->authority bipartite graph, hubs get auth=0 and
+    authorities get hub=0; the best hub/authority hit the scale cap."""
+    e = [("h1", "a1", 1), ("h1", "a2", 1), ("h2", "a1", 1)]
+    edges = spark.createDataFrame(
+        e, "src_host string, dst_host string, n_links long")
+    got = {r["host"]: (r["hub"], r["auth"])
+           for r in op_lg.hits(edges).collect()}
+    assert got["h1"][1] == 0 and got["h2"][1] == 0
+    assert got["a1"][0] == 0 and got["a2"][0] == 0
+    assert got["h1"][0] == 1_000_000          # links to both authorities
+    assert got["a1"][1] == 1_000_000          # linked by both hubs
+    assert 0 < got["h2"][0] < 1_000_000
+    assert 0 < got["a2"][1] < 1_000_000
