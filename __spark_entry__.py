@@ -104,6 +104,11 @@ Round-2 session-6 additions (still 50 total):
                         (operators/sketches.py: md5-derived 256-register
                         array, byte-identical across engines and
                         partitionings; gate checks full register state)
+  stream_aggregates  += session section (streaming/windowed.
+                        session_event_rollup: native F.session_window
+                        30-min-gap sessions drained availableNow; exact
+                        epoch-micros start/duration, lag-islands oracle;
+                        touch-boundary merge semantics unit-pinned)
   link_graph_stats   += hits section (operators/linkgraph.hits: integer
                         HITS hubs/authorities, Kleinberg mutual
                         reinforcement with exact max-normalization on

@@ -5840,9 +5840,15 @@ SELECT section, bucket, n_docs, measure FROM (
 
 def q_stream_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming coverage in one relation: the watermarked
-    tumbling-window rollup (section='window') and the
-    applyInPandasWithState per-user running totals (section='user'), both
-    drained with availableNow into deterministic batch relations."""
+    tumbling-window rollup (section='window'), the
+    applyInPandasWithState per-user running totals (section='user'), and
+    native session windows (section='session': F.session_window 30-min
+    gap, k1=user, k2=start_us:duration_us in exact epoch micros — the
+    merged-session relation a lag-islands DuckDB oracle independently
+    rebuilds), all drained with availableNow into deterministic batch
+    relations."""
+    from .streaming import windowed as _w
+
     wc = q_stream_window_counts(spark, sf_dir)
     ut = q_stream_user_totals(spark, sf_dir)
     a = wc.select(
@@ -5854,7 +5860,19 @@ def q_stream_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("k1"),
         F.lit("").alias("k2"), "n_events", "value_cents",
     )
-    return a.unionByName(b).orderBy("section", "k1", "k2")
+    staging = _staged_stream_dir(spark, sf_dir, "sess")
+    stream = _w.stream_from_staged(spark, staging)
+    _w.drain_to_memory(_w.session_event_rollup(stream),
+                       "stream_sessions", "complete")
+    c = spark.table("stream_sessions").select(
+        F.lit("session").alias("section"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.concat(F.col("start_us").cast("string"), F.lit(":"),
+                 F.col("duration_us").cast("string")).alias("k2"),
+        "n_events", "value_cents",
+    )
+    return (a.unionByName(b).unionByName(c)
+            .orderBy("section", "k1", "k2"))
 
 
 SQL_STREAM_AGGREGATES = f"""
@@ -5864,6 +5882,32 @@ SELECT section, k1, k2, n_events, value_cents FROM (
   UNION ALL
   SELECT 'user', CAST(user_id AS VARCHAR), '', n_events, value_cents
   FROM ({SQL_STREAM_USER_TOTALS})
+  UNION ALL
+  SELECT 'session', CAST(user_id AS VARCHAR),
+         CAST(start_us AS VARCHAR) || ':' || CAST(duration_us AS VARCHAR),
+         n_events, value_cents
+  FROM (
+    WITH e AS (
+      SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    m AS (
+      SELECT user_id, ts, c,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM e),
+    s AS (
+      SELECT user_id, ts, c,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+    SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+             AS duration_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(c) AS BIGINT) AS value_cents
+    FROM s GROUP BY user_id, sid)
 ) ORDER BY section, k1, k2
 """
 

@@ -143,3 +143,43 @@ def run_user_totals(spark: SparkSession, events_path: str,
     drain_to_memory(user_totals_stateful(stream), "stream_user_totals",
                     "update")
     return spark.table("stream_user_totals").orderBy("user_id")
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def session_event_rollup(events: DataFrame, gap: str = "30 minutes",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Native session windows: per-user event sessions split at >gap idle.
+
+    ``F.session_window`` merges overlapping per-event windows engine-side —
+    the streaming sessionization primitive (state is bounded by the
+    watermark on a real unbounded stream).  Output is engine-stable exact
+    integers: (user_id, start_us, duration_us, n_events, value_cents) with
+    start = first event time in epoch micros and duration = last - first
+    (the engine's window end is last + gap; the gap is subtracted back so
+    the value does not depend on the gap rendering).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(_cents()).alias("value_cents"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            (F.unix_micros(F.col("w.end")) - F.lit(SESSION_GAP_US)
+             - F.unix_micros(F.col("w.start"))).alias("duration_us"),
+            "n_events", "value_cents",
+        )
+    )
+
+
+def run_session_rollup(spark: SparkSession, events_path: str,
+                       staging_dir: str) -> DataFrame:
+    """Drained per-user session relation (complete mode: every merged
+    session emitted on the final trigger)."""
+    stream = _events_stream_from_parquet(spark, events_path, staging_dir)
+    drain_to_memory(session_event_rollup(stream), "stream_sessions",
+                    "complete")
+    return spark.table("stream_sessions").orderBy("user_id", "start_us")

@@ -262,3 +262,39 @@ def test_link_edges_exactly_once_despite_failed_extraction(spark,
     got = {(r["src_host"], r["dst_host"]): r["n_links"]
            for r in edges.collect()}
     assert got == {("src.example.com", "t.example.com"): 1}
+
+
+def test_session_windows_merge_and_split(spark, tmp_path):
+    """Native session_window: events <= 30 min apart merge (including the
+    exact-boundary touch), a > 30 min gap splits, and totals are exact."""
+    import datetime as dt
+
+    from docling_graph_spark.streaming import windowed as w
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, user, minutes, value):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, "click",
+                float(value), "{}")
+
+    rows = [
+        # user 1: three events 10 min apart -> ONE session of 3
+        ev(0, 1, 0, 1.0), ev(1, 1, 10, 2.0), ev(2, 1, 20, 3.0),
+        # user 1: 31 min later -> new session
+        ev(3, 1, 51, 4.0),
+        # user 2: exactly 30 min apart -> windows touch -> merge
+        ev(4, 2, 0, 5.0), ev(5, 2, 30, 6.0),
+    ]
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame(rows, w.EVENTS_DDL).coalesce(1) \
+        .write.parquet(src)
+    stream = w.stream_from_staged(spark, src)
+    w.drain_to_memory(w.session_event_rollup(stream),
+                      "sess_unit", "complete")
+    got = {(r["user_id"], r["n_events"], r["duration_us"], r["value_cents"])
+           for r in spark.table("sess_unit").collect()}
+    assert got == {
+        (1, 3, 20 * 60 * 1_000_000, 600),
+        (1, 1, 0, 400),
+        (2, 2, 30 * 60 * 1_000_000, 1100),
+    }
