@@ -104,6 +104,11 @@ Round-2 session-6 additions (still 50 total):
                         (operators/sketches.py: md5-derived 256-register
                         array, byte-identical across engines and
                         partitionings; gate checks full register state)
+  corpus_prep_stats  += dsir stage (operators/dsir.py: DSIR-style data
+                        selection — hashed-bigram target/raw models,
+                        integer likelihood-difference scores, exactly-k
+                        PPS systematic resample; oracle replays train +
+                        score + resample, selected-set checksum)
   stream_aggregates  += session section (streaming/windowed.
                         session_event_rollup: native F.session_window
                         30-min-gap sessions drained availableNow; exact

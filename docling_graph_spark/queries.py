@@ -5385,6 +5385,87 @@ SELECT stage, n_docs FROM (
 """
 
 
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (operators/dsir.py): hashed-bigram
+    target/raw models, integer likelihood-difference scores, exactly-k
+    PPS systematic resample over min-shifted scores.  The oracle replays
+    train, score AND resample, so the full select loop is value-checked
+    cross-engine (sel_checksum covers every selected (doc, score))."""
+    from .operators import dsir
+
+    docs = _read(spark, sf_dir, "documents")
+    return dsir.dsir_report(docs)
+
+
+_DSIR_K = 100
+
+SQL_DSIR = f"""
+WITH l AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(coalesce(text, ''), ' '),
+                     x -> len(x) > 0) AS w
+  FROM documents),
+occ AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST(CAST(('0x' || substr(md5(bg), 1, 12)) AS UBIGINT)
+              % 4096 AS INT) AS bucket
+  FROM (SELECT doc_id, lang,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1])) AS bg
+        FROM l WHERE len(w) >= 2)),
+cnt AS (
+  SELECT bucket,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t,
+         count(*) AS r
+  FROM occ GROUP BY bucket),
+tot AS (SELECT sum(t) AS tt, sum(r) AS rr FROM cnt),
+wt AS (SELECT bucket, (1000000 * (t + 1)) // (tt + 4096)
+               - (1000000 * (r + 1)) // (rr + 4096) AS weight
+       FROM cnt, tot),
+sc AS MATERIALIZED (
+  SELECT d.doc_id, d.lang, CAST(coalesce(s.score, 0) AS BIGINT) AS score
+  FROM documents d LEFT JOIN (
+    SELECT occ.doc_id, sum(wt.weight) AS score
+    FROM occ JOIN wt USING (bucket) GROUP BY occ.doc_id) s
+    ON s.doc_id = d.doc_id),
+shift AS MATERIALIZED (
+  SELECT doc_id, lang, score,
+         score - (SELECT min(score) FROM sc) + 1 AS w
+  FROM sc),
+pos AS (
+  SELECT doc_id, lang, score, w,
+         coalesce(sum(w) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM shift),
+t2 AS (SELECT sum(w) AS t FROM shift),
+g AS (
+  SELECT doc_id, lang, score, w,
+         LEAST({_DSIR_K}, CASE WHEN 2 * {_DSIR_K} * (s + w) <= t THEN 0
+           ELSE (2 * {_DSIR_K} * (s + w) - t + 2 * t - 1) // (2 * t)
+           END)
+         - LEAST({_DSIR_K}, CASE WHEN 2 * {_DSIR_K} * s <= t THEN 0
+           ELSE (2 * {_DSIR_K} * s - t + 2 * t - 1) // (2 * t) END)
+           AS n_grid
+  FROM pos, t2)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_target,
+       CAST(sum(score) AS BIGINT) AS sum_score,
+       CAST(min(score) AS BIGINT) AS min_score,
+       CAST(max(score) AS BIGINT) AS max_score,
+       CAST(sum(CASE WHEN n_grid > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS sel_docs,
+       CAST(sum(n_grid) AS BIGINT) AS k_total,
+       CAST(sum(CASE WHEN n_grid > 0 AND lang = 'en' THEN 1 ELSE 0 END)
+            AS BIGINT) AS sel_target,
+       CAST(coalesce(sum(CASE WHEN n_grid > 0 THEN
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+               || CAST(score AS VARCHAR)), 1, 12)) AS UBIGINT) END), 0)
+            AS BIGINT) AS sel_checksum
+FROM g
+"""
+
+
 def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-prep suite in one relation (stage, metric, value): PII
     redaction, C4-style line dedup, broadcast host blocklist, URL
@@ -5436,6 +5517,7 @@ def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_robots_gate(spark, sf_dir), "robots"))
         .unionByName(_unpivot_single_row(
             q_nb_quality(spark, sf_dir), "nb_quality"))
+        .unionByName(_unpivot_single_row(q_dsir(spark, sf_dir), "dsir"))
         .unionByName(q_curation_funnel(spark, sf_dir).select(
             F.lit("funnel").alias("stage"),
             F.col("stage").alias("metric"),
@@ -5463,6 +5545,7 @@ lm AS ({SQL_LM_FLUENCY}),
 cb AS ({SQL_CCNET_BINS}),
 rb AS ({SQL_ROBOTS_GATE}),
 nb AS ({SQL_NB_QUALITY}),
+dsr AS ({SQL_DSIR}),
 fu AS ({SQL_CURATION_FUNNEL})
 SELECT stage, metric, value FROM (
 {_sql_unpivot('pii', 'pii',
@@ -5545,6 +5628,10 @@ SELECT stage, metric, value FROM (
 {_sql_unpivot('nb', 'nb_quality',
               ['n_docs', 'n_label_pass', 'n_pred_pass', 'n_agree',
                'vocab', 'sum_score'])}
+  UNION ALL
+{_sql_unpivot('dsr', 'dsir',
+              ['n_docs', 'n_target', 'sum_score', 'min_score', 'max_score',
+               'sel_docs', 'k_total', 'sel_target', 'sel_checksum'])}
   UNION ALL
   SELECT 'funnel' AS stage, fu.stage AS metric,
          CAST(n_docs AS VARCHAR) AS value FROM fu
