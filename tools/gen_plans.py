@@ -177,6 +177,30 @@ def main() -> int:
         formatted_plan(qmod.q_snapshot_diff(spark, SF)),
     )
 
+    from docling_graph_spark.operators import sharding as op_sh
+
+    sections["global-shuffle"] = (
+        "shuffle_positions — deterministic global training shuffle: "
+        "dense md5-order positions with NO SinglePartition exchange "
+        "(md5 uniformity makes the key prefix the range bucket; the "
+        "per-bucket window's hash exchange is the only shuffle, offsets "
+        "broadcast back)",
+        formatted_plan(op_sh.shuffle_positions(
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id"))),
+    )
+
+    from docling_graph_spark.operators import dsir as op_dsir
+
+    sections["dsir"] = (
+        "dsir importance scores — hashed-bigram occurrences feed ONE "
+        "groupBy(bucket) train pass (<=4096 result rows) and a "
+        "BroadcastHashJoin scoring pass; the corpus relation never "
+        "shuffles on the feature key",
+        formatted_plan(op_dsir.importance_scores(
+            spark.read.parquet(f"{SF}/documents.parquet"))),
+    )
+
     wanted = sys.argv[1:] or list(sections)
     for key in wanted:
         title, plan = sections[key]
