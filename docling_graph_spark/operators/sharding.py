@@ -290,6 +290,21 @@ def pps_mark(pre: DataFrame, total: int, k: int,
     )
 
 
+def bucketed_shuffle_ranks(docs: DataFrame, order_col: str = "doc_id",
+                           prefix_chars: int = 2) -> DataFrame:
+    """(order_col, _key, _b, _r): md5 sort key, its prefix bucket, and the
+    per-bucket rank — the pre-offset half of :func:`shuffle_positions`,
+    exposed so tests can assert the plan (the window's hash exchange on
+    ``_b``, never a SinglePartition sort) before the localCheckpoint
+    truncates lineage."""
+    key = F.md5(F.col(order_col).cast("string").cast("binary"))
+    narrow = docs.select(order_col, key.alias("_key")).withColumn(
+        "_b", F.conv(F.substring("_key", 1, prefix_chars), 16, 10)
+        .cast("int"))
+    w = Window.partitionBy("_b").orderBy("_key", order_col)
+    return narrow.withColumn("_r", F.row_number().over(w))
+
+
 def shuffle_positions(docs: DataFrame, order_col: str = "doc_id",
                       prefix_chars: int = 2) -> DataFrame:
     """Deterministic global training-data shuffle: assign every document
@@ -314,13 +329,8 @@ def shuffle_positions(docs: DataFrame, order_col: str = "doc_id",
     (SylvainWT/docling-graph) is single-document and has no corpus
     ordering notion; this is the corpus-level shuffle a training
     pipeline needs."""
-    key = F.md5(F.col(order_col).cast("string").cast("binary"))
-    narrow = docs.select(order_col, key.alias("_key")).withColumn(
-        "_b", F.conv(F.substring("_key", 1, prefix_chars), 16, 10)
-        .cast("int"))
-    w = Window.partitionBy("_b").orderBy("_key", order_col)
-    local = narrow.withColumn(
-        "_r", F.row_number().over(w)).localCheckpoint(eager=False)
+    local = bucketed_shuffle_ranks(
+        docs, order_col, prefix_chars).localCheckpoint(eager=False)
 
     totals = local.groupBy("_b").agg(F.count("*").alias("_n")).collect()
     offsets, running = [], 0

@@ -224,10 +224,15 @@ def test_shuffle_shards_exactly_balanced(spark):
 
 
 def test_shuffle_no_global_sort_in_plan(spark):
-    """The plan must not contain a single-partition Exchange (the naive
-    row_number-over-global-order shape); the only Exchange is the
-    per-bucket window's hash partitioning."""
+    """The windowed rank relation (asserted BEFORE the localCheckpoint
+    truncates lineage) must hash-partition on the bucket, never sort into
+    a single partition (the naive row_number-over-global-order shape);
+    and the assembled result must stay SinglePartition-free too."""
     docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
-    plan = sharding.shuffle_positions(docs)._jdf.queryExecution() \
+    ranks_plan = sharding.bucketed_shuffle_ranks(docs)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in ranks_plan, ranks_plan
+    assert "hashpartitioning(_b" in ranks_plan, ranks_plan
+    full_plan = sharding.shuffle_positions(docs)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "SinglePartition" not in plan, plan
+    assert "SinglePartition" not in full_plan, full_plan
