@@ -21,6 +21,8 @@ from typing import Iterator, Tuple
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor, StatefulProcessorHandle)
 
 EVENTS_DDL = ("event_id long, ts timestamp, user_id long, "
               "event_type string, value double, props string")
@@ -183,3 +185,68 @@ def run_session_rollup(spark: SparkSession, events_path: str,
     drain_to_memory(session_event_rollup(stream), "stream_sessions",
                     "complete")
     return spark.table("stream_sessions").orderBy("user_id", "start_us")
+
+
+class UserTelemetryProcessor(StatefulProcessor):
+    """transformWithStateInPandas processor — the Spark 4 typed-state API
+    (the successor of applyInPandasWithState's single opaque tuple):
+    a ValueState holds per-user running (n, cents, max_cents) and a
+    MapState holds per-event-type counts, each independently evolvable
+    and TTL-capable on a real unbounded stream.
+
+    Emits one row per (user, batch): the running totals, the max single
+    event, and the distinct-event-type count from the map state.  All
+    accumulators are order-independent integer math, so the drained
+    result is deterministic and a plain batch groupBy reproduces it.
+
+    CONTAINER LIMITATION: executing a transformWithState query requires
+    ``google.protobuf`` (the state-server wire protocol,
+    ``pyspark/sql/streaming/proto/StateMessage_pb2.py``), which is not
+    installed in this sandbox and may not be added.  Plan construction
+    and the processor logic are testable (tests/test_streaming.py
+    builds the query and unit-drives handleInputRows directly with a
+    fake handle); the end-to-end drain runs wherever protobuf exists —
+    the applyInPandasWithState path (user_totals_stateful) remains the
+    fully-driven stateful operator in this environment."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._totals = handle.getValueState(
+            "totals", "n long, cents long, mx long")
+        self._types = handle.getMapState("types", "t string", "c long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n, cents, mx = (self._totals.get() if self._totals.exists()
+                        else (0, 0, 0))
+        for pdf in rows:
+            c = pdf["value"].mul(100).round().astype("int64")
+            n += len(pdf)
+            cents += int(c.sum())
+            if len(c):
+                mx = max(mx, int(c.max()))
+            for t, k in pdf.groupby("event_type").size().items():
+                prev = (self._types.getValue((t,))
+                        if self._types.containsKey((t,)) else (0,))
+                self._types.updateValue((t,), (int(prev[0]) + int(k),))
+        self._totals.update((n, cents, mx))
+        n_types = sum(1 for _ in self._types.keys())
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_events": [n], "value_cents": [cents],
+            "max_cents": [mx], "n_event_types": [n_types],
+        })
+
+    def close(self) -> None:
+        pass
+
+
+def user_telemetry_tws(events: DataFrame) -> DataFrame:
+    """Per-user telemetry via ``transformWithStateInPandas`` (typed
+    ValueState + MapState, update mode, processing-time)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        UserTelemetryProcessor(),
+        outputStructType=("user_id long, n_events long, value_cents long, "
+                          "max_cents long, n_event_types long"),
+        outputMode="Update",
+        timeMode="None",
+    )

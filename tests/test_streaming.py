@@ -298,3 +298,84 @@ def test_session_windows_merge_and_split(spark, tmp_path):
         (1, 1, 0, 400),
         (2, 2, 30 * 60 * 1_000_000, 1100),
     }
+
+
+def test_transform_with_state_surface_and_logic(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: the query plan constructs
+    against a real stream, and the processor's state logic is driven
+    directly with fake typed-state handles (executing the query needs
+    google.protobuf — absent in this container, so the drain is gated;
+    applyInPandasWithState remains the fully-driven stateful path)."""
+    import pandas as pd
+
+    from docling_graph_spark.streaming import windowed as w
+
+    # 1. plan construction against a genuine streaming relation
+    src = str(tmp_path / "tws_src")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .limit(10).coalesce(1).write.parquet(src)
+    stream = w.stream_from_staged(spark, src)
+    out = w.user_telemetry_tws(stream)
+    assert out.isStreaming
+    assert out.columns == ["user_id", "n_events", "value_cents",
+                           "max_cents", "n_event_types"]
+
+    # 2. processor logic with fake handles (same call surface)
+    class FakeValue:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class FakeMap:
+        def __init__(self):
+            self.m = {}
+
+        def containsKey(self, k):
+            return k in self.m
+
+        def getValue(self, k):
+            return self.m[k]
+
+        def updateValue(self, k, v):
+            self.m[k] = v
+
+        def keys(self):
+            return iter(self.m)
+
+    class FakeHandle:
+        def getValueState(self, name, schema):
+            return FakeValue()
+
+        def getMapState(self, name, ks, vs):
+            return FakeMap()
+
+    proc = w.UserTelemetryProcessor()
+    proc.init(FakeHandle())
+    batch1 = pd.DataFrame({"event_type": ["click", "click", "buy"],
+                           "value": [1.0, 2.0, 3.0]})
+    [out1] = proc.handleInputRows((7,), iter([batch1]), None)
+    assert out1.iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 3, "value_cents": 600,
+        "max_cents": 300, "n_event_types": 2}
+    batch2 = pd.DataFrame({"event_type": ["view"], "value": [0.5]})
+    [out2] = proc.handleInputRows((7,), iter([batch2]), None)
+    assert out2.iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 4, "value_cents": 650,
+        "max_cents": 300, "n_event_types": 3}
+
+    # 3. the gated drain: run e2e iff the wire-protocol dep exists
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        return  # documented container limitation
+    w.drain_to_memory(out, "tws_e2e", "update")
+    got = {r["user_id"]: r for r in spark.table("tws_e2e").collect()}
+    assert all(r["n_events"] > 0 for r in got.values())
