@@ -379,3 +379,47 @@ def test_transform_with_state_surface_and_logic(spark, tmp_path):
     w.drain_to_memory(out, "tws_e2e", "update")
     got = {r["user_id"]: r for r in spark.table("tws_e2e").collect()}
     assert all(r["n_events"] > 0 for r in got.values())
+
+
+def test_rocksdb_state_store_matches_default_backend(spark, tmp_path):
+    """The production state backend: the same stateful query drained under
+    RocksDBStateStoreProvider (+ changelog checkpointing) across SEVERAL
+    micro-batches produces exactly the final state of the default
+    HDFS-backed run — backend choice never changes results, which is what
+    lets a 100 TB job pick RocksDB for state larger than executor heap."""
+    from docling_graph_spark.streaming import windowed as w
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    stage = str(tmp_path / "stage")
+    ev.repartition(4).write.parquet(stage)  # 4 files -> 4 triggers
+
+    def drain(name):
+        stream = w.stream_from_staged(spark, stage, max_files_per_trigger=1)
+        w.drain_to_memory(w.user_totals_stateful(stream), name, "update")
+        # update mode appends one row per (user, trigger): final state =
+        # the row with the max n_events per user
+        import pyspark.sql.functions as F
+        t = spark.table(name)
+        return {
+            r["user_id"]: (r["n_events"], r["value_cents"])
+            for r in t.groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "value_cents")).alias("s"))
+            .select("user_id", "s.n_events", "s.value_cents").collect()
+        }
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    default_provider = spark.conf.get(provider_key)
+    baseline = drain("ssback_default")
+    try:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled", "true")
+        rocks = drain("ssback_rocks")
+    finally:
+        spark.conf.set(provider_key, default_provider)
+    assert rocks == baseline
+    assert len(rocks) == 15 and all(n > 0 for n, _ in rocks.values())
