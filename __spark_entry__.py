@@ -104,6 +104,10 @@ Round-2 session-6 additions (still 50 total):
                         (operators/sketches.py: md5-derived 256-register
                         array, byte-identical across engines and
                         partitionings; gate checks full register state)
+  link_graph_stats   += core section (operators/linkgraph.coreness:
+                        exact k-core decomposition via synchronous
+                        h-index rounds, would_change convergence gate,
+                        unrolled MATERIALIZED-CTE oracle)
   corpus_prep_stats  += dsir stage (operators/dsir.py: DSIR-style data
                         selection — hashed-bigram target/raw models,
                         integer likelihood-difference scores, exactly-k

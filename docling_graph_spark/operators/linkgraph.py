@@ -25,7 +25,7 @@ Scale/determinism design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # attrs may precede href; the mandatory SPACE right before `href=` stops
@@ -427,3 +427,65 @@ def hits(edges: DataFrame, src: str = "src_host", dst: str = "dst_host",
         )
         hub = _normalize(h_raw, "hub")
     return hub.join(auth, "host")
+
+
+CORENESS_ROUNDS = 8
+
+
+def coreness(edges: DataFrame, src: str = "src_host",
+             dst: str = "dst_host",
+             rounds: int = CORENESS_ROUNDS) -> DataFrame:
+    """k-core decomposition of the undirected simple host graph:
+    (host, degree, coreness, would_change) after ``rounds`` synchronous
+    h-index iterations (Montresor et al. 2011, "Distributed k-core
+    decomposition").
+
+    c_0(v) = deg(v);  c_{t+1}(v) = min(c_t(v), H_t(v)) with H_t(v) the
+    h-index of the neighbor estimates {c_t(u)} — the largest h such that
+    at least h neighbors have estimate >= h.  The sequence decreases
+    monotonically to the exact coreness; synchronous rounds make every
+    intermediate state engine- and partitioning-independent, so a fixed
+    round count is exactly replayable by the SQL oracle.  ``would_change``
+    (1 iff one more round would lower the estimate) is emitted per node:
+    its sum is the convergence gate both engines must agree on — 0 means
+    the returned values ARE the coreness.
+
+    The h-index needs no per-node list: with neighbor estimates ranked
+    descending per node, H = max(min(rank, estimate)).  Per-round cost is
+    one join of the (u,v)+(v,u) adjacency against the estimates plus one
+    per-node window bounded by degree (a web-scale hub makes a heavy but
+    partition-local group; the adjacency itself is never materialized per
+    round beyond the narrow (node, neighbor) projection).  Lineage is cut
+    per round with localCheckpoint, as :func:`pagerank` does."""
+    und = (edges.filter(F.col(src) != F.col(dst))
+           .select(F.least(src, dst).alias("a"),
+                   F.greatest(src, dst).alias("b"))
+           .distinct())
+    adj = (und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+           .unionAll(und.select(F.col("b").alias("node"),
+                                F.col("a").alias("nbr")))
+           ).localCheckpoint(eager=False)
+    deg = adj.groupBy("node").agg(F.count("*").cast("long").alias("degree"))
+    est = deg.select("node", F.col("degree").alias("c"))
+
+    def h_round(cur: DataFrame) -> DataFrame:
+        nb = (adj.join(cur.withColumnRenamed("node", "nbr")
+                       .withColumnRenamed("c", "nc"), "nbr")
+              .select("node", "nc"))
+        w = Window.partitionBy("node").orderBy(F.desc("nc"), "nc")
+        h = (nb.withColumn("rn", F.row_number().over(w))
+             .groupBy("node")
+             .agg(F.max(F.least(F.col("rn").cast("long"), F.col("nc")))
+                  .alias("h")))
+        return (cur.join(h, "node")
+                .select("node", F.least("c", "h").alias("c")))
+
+    for _ in range(rounds):
+        est = h_round(est).localCheckpoint(eager=False)
+    nxt = h_round(est)
+    return (deg.join(est, "node")
+            .join(nxt.withColumnRenamed("c", "c_next"), "node")
+            .select(F.col("node").alias("host"), "degree",
+                    F.col("c").alias("coreness"),
+                    (F.col("c_next") < F.col("c")).cast("long")
+                    .alias("would_change")))

@@ -2602,6 +2602,45 @@ h{i} AS MATERIALIZED ({norm(f'hr{i}', 'hub')})"""
 SQL_HOST_HITS = _hits_unrolled_sql(4, 1_000_000)
 
 
+def _coreness_unrolled_sql(rounds: int) -> str:
+    """DuckDB oracle for operators/linkgraph.coreness: each synchronous
+    h-index round is an explicit MATERIALIZED CTE; the extra round
+    ``ce{rounds+1}`` feeds the would_change convergence column."""
+    ctes = """,
+cund AS MATERIALIZED (
+  SELECT DISTINCT least(src_host, dst_host) AS a,
+         greatest(src_host, dst_host) AS b
+  FROM hg WHERE src_host <> dst_host),
+cadj AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM cund
+  UNION ALL SELECT b, a FROM cund),
+cdeg AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM cadj GROUP BY node),
+ce0 AS (SELECT node, degree AS c FROM cdeg)"""
+    for i in range(1, rounds + 2):
+        ctes += f""",
+ch{i} AS MATERIALIZED (
+  SELECT node, CAST(max(least(rn, nc)) AS BIGINT) AS h FROM (
+    SELECT cadj.node, e.c AS nc,
+           row_number() OVER (PARTITION BY cadj.node
+                              ORDER BY e.c DESC) AS rn
+    FROM cadj JOIN ce{i - 1} e ON e.node = cadj.nbr)
+  GROUP BY node),
+ce{i} AS MATERIALIZED (
+  SELECT e.node, least(e.c, h.h) AS c
+  FROM ce{i - 1} e JOIN ch{i} h USING (node))"""
+    return (f"WITH {_LINKS_CTE}{ctes}\n"
+            f"SELECT d.node AS host, d.degree, e.c AS coreness,\n"
+            f"       CAST(CASE WHEN n.c < e.c THEN 1 ELSE 0 END AS BIGINT)"
+            f" AS would_change\n"
+            f"FROM cdeg d JOIN ce{rounds} e USING (node)\n"
+            f"JOIN ce{rounds + 1} n USING (node)")
+
+
+SQL_HOST_CORENESS = _coreness_unrolled_sql(8)
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text corpus rollup: per link text, occurrence count and
     distinct target hosts — the (anchor, target) pair relation used as
@@ -2707,9 +2746,12 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deg, host) edge orientation), and integer HITS hubs/authorities
     (section='hits': k1=host, v1=hub, v2=auth — Kleinberg mutual
     reinforcement with exact max-normalization, operators/linkgraph.hits,
-    bit-identical across engines/partitionings).  Pages are parsed once;
-    the edge relation is reused by the rank, triangle and hits
-    sections."""
+    bit-identical across engines/partitionings), and the k-core
+    decomposition (section='core': k1=host, v1=coreness, v2=degree via
+    synchronous h-index iterations, operators/linkgraph.coreness; the
+    k2='converged' row gates sum(would_change)==0, i.e. the values ARE
+    the exact coreness).  Pages are parsed once; the edge relation is
+    reused by the rank, triangle, hits and core sections."""
     from .operators import linkgraph as op_lg
     from .sources.web_pages import synthesize_web_pages
 
@@ -2766,10 +2808,21 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("hits").alias("section"), F.col("host").alias("k1"),
         F.lit("").alias("k2"), F.col("hub").alias("v1"),
         F.col("auth").alias("v2"))
+    core = op_lg.coreness(edges)
+    core_rows = core.select(
+        F.lit("core").alias("section"), F.col("host").alias("k1"),
+        F.lit("").alias("k2"), F.col("coreness").alias("v1"),
+        F.col("degree").alias("v2"))
+    core_conv = core.agg(
+        F.sum("would_change").cast("long").alias("v1"),
+        F.count("*").cast("long").alias("v2"),
+    ).select(F.lit("core").alias("section"), F.lit("").alias("k1"),
+             F.lit("converged").alias("k2"), "v1", "v2")
     return (edge_rows.unionByName(rank_rows).unionByName(anchor_rows)
             .unionByName(alias_rows).unionByName(domain_rows)
             .unionByName(pattern_rows).unionByName(triangle_rows)
-            .unionByName(hits_rows)
+            .unionByName(hits_rows).unionByName(core_rows)
+            .unionByName(core_conv)
             .orderBy("section", "k1", "k2"))
 
 
@@ -2895,6 +2948,12 @@ SELECT section, k1, k2, v1, v2 FROM (
   FROM tdeg d LEFT JOIN tcnt t ON t.h = d.h
   UNION ALL
   SELECT 'hits', host, '', hub, auth FROM ({SQL_HOST_HITS})
+  UNION ALL
+  SELECT 'core', host, '', coreness, degree FROM ({SQL_HOST_CORENESS})
+  UNION ALL
+  SELECT 'core', '', 'converged',
+         CAST(sum(would_change) AS BIGINT), CAST(count(*) AS BIGINT)
+  FROM ({SQL_HOST_CORENESS})
 ) ORDER BY section, k1, k2
 """
 

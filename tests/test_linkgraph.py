@@ -323,3 +323,48 @@ def test_hits_roles_separate_on_bipartite_graph(spark):
     assert got["a1"][1] == 1_000_000          # linked by both hubs
     assert 0 < got["h2"][0] < 1_000_000
     assert 0 < got["a2"][1] < 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (coreness)
+# ---------------------------------------------------------------------------
+
+
+def _core_edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, 1) for a, b in pairs],
+        "src_host string, dst_host string, n_links long")
+
+
+def test_coreness_k4_plus_path(spark):
+    edges = _core_edges(spark, [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"), ("d", "e"), ("e", "f")])
+    rows = {r["host"]: (r["degree"], r["coreness"], r["would_change"])
+            for r in op_lg.coreness(edges).collect()}
+    assert rows == {"a": (3, 3, 0), "b": (3, 3, 0), "c": (3, 3, 0),
+                    "d": (4, 3, 0), "e": (2, 1, 0), "f": (1, 1, 0)}
+
+
+def test_coreness_star_and_cycle(spark):
+    """A hub star is 1-core everywhere despite the hub's high degree; a
+    cycle is 2-core — the two shapes that separate coreness from degree."""
+    star = _core_edges(spark, [("hub", f"s{i}") for i in range(6)])
+    got = {r["host"]: r["coreness"] for r in op_lg.coreness(star).collect()}
+    assert set(got.values()) == {1}
+    cyc = _core_edges(
+        spark, [(f"c{i}", f"c{(i + 1) % 5}") for i in range(5)])
+    got = {r["host"]: r["coreness"] for r in op_lg.coreness(cyc).collect()}
+    assert set(got.values()) == {2}
+
+
+def test_coreness_partitioning_invariant_and_converged(spark):
+    import itertools
+
+    pairs = [(f"h{i}", f"h{j}") for i, j in
+             itertools.combinations(range(6), 2) if (i + j) % 3 != 0]
+    edges = _core_edges(spark, pairs)
+    a = {tuple(r) for r in op_lg.coreness(edges.repartition(7)).collect()}
+    b = {tuple(r) for r in op_lg.coreness(edges.coalesce(1)).collect()}
+    assert a == b
+    assert all(r[-1] == 0 for r in a)  # converged on this graph
