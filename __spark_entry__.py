@@ -113,7 +113,11 @@ Round-2 session-6 additions (still 50 total):
                         integer likelihood-difference scores, exactly-k
                         PPS systematic resample; oracle replays train +
                         score + resample, selected-set checksum)
-  stream_aggregates  += session section (streaming/windowed.
+  stream_aggregates  += attrib section (streaming/windowed.
+                        purchase_attribution_join: stream-stream
+                        interval join, dual watermarks, state bounded
+                        by the attribution window; batch interval-join
+                        oracle) and session section (
                         session_event_rollup: native F.session_window
                         30-min-gap sessions drained availableNow; exact
                         epoch-micros start/duration, lag-islands oracle;

@@ -5991,8 +5991,11 @@ def q_stream_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     native session windows (section='session': F.session_window 30-min
     gap, k1=user, k2=start_us:duration_us in exact epoch micros — the
     merged-session relation a lag-islands DuckDB oracle independently
-    rebuilds), all drained with availableNow into deterministic batch
-    relations."""
+    rebuilds), and the stream-stream interval join (section='attrib':
+    purchase←click attribution pairs within 60 min, both sides
+    watermarked — the state-bounded two-unbounded-sides join, replayed
+    by a batch interval join in the oracle), all drained with
+    availableNow into deterministic batch relations."""
     from .streaming import windowed as _w
 
     wc = q_stream_window_counts(spark, sf_dir)
@@ -6017,7 +6020,20 @@ def q_stream_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("duration_us").cast("string")).alias("k2"),
         "n_events", "value_cents",
     )
-    return (a.unionByName(b).unionByName(c)
+    stream2 = _w.stream_from_staged(
+        spark, _staged_stream_dir(spark, sf_dir, "attr"))
+    _w.drain_to_memory(_w.purchase_attribution_join(stream2),
+                       "stream_attribution", "append")
+    d = spark.table("stream_attribution").select(
+        F.lit("attrib").alias("section"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.concat(F.col("purchase_us").cast("string"), F.lit(":"),
+                 F.col("click_us").cast("string"), F.lit(":"),
+                 F.col("lag_us").cast("string")).alias("k2"),
+        F.col("c_cents").alias("n_events"),
+        F.col("p_cents").alias("value_cents"),
+    )
+    return (a.unionByName(b).unionByName(c).unionByName(d)
             .orderBy("section", "k1", "k2"))
 
 
@@ -6028,6 +6044,17 @@ SELECT section, k1, k2, n_events, value_cents FROM (
   UNION ALL
   SELECT 'user', CAST(user_id AS VARCHAR), '', n_events, value_cents
   FROM ({SQL_STREAM_USER_TOTALS})
+  UNION ALL
+  SELECT 'attrib', CAST(p.user_id AS VARCHAR),
+         CAST(epoch_us(p.ts) AS VARCHAR) || ':'
+           || CAST(epoch_us(c.ts) AS VARCHAR) || ':'
+           || CAST(epoch_us(p.ts) - epoch_us(c.ts) AS VARCHAR),
+         CAST(round(c.value * 100) AS BIGINT),
+         CAST(round(p.value * 100) AS BIGINT)
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON c.user_id = p.user_id AND c.ts < p.ts
+   AND c.ts >= p.ts - INTERVAL 60 MINUTE
   UNION ALL
   SELECT 'session', CAST(user_id AS VARCHAR),
          CAST(start_us AS VARCHAR) || ':' || CAST(duration_us AS VARCHAR),

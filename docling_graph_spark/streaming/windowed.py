@@ -250,3 +250,58 @@ def user_telemetry_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def purchase_attribution_join(events: DataFrame,
+                              watermark: str = "2 hours",
+                              attribution_window_minutes: int = 60
+                              ) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the same
+    user's click events in the preceding ``attribution_window_minutes``.
+
+    The canonical two-unbounded-sides join: both inputs are the SAME
+    events stream filtered two ways (clicks / purchases), each
+    watermarked, with an event-time interval predicate — exactly the
+    state-bounded shape Structured Streaming requires (the watermark +
+    time bound let the engine discard click state older than the
+    attribution window, so state is O(window), not O(stream)).
+
+    Output (engine-stable exact integers): one row per (purchase, click)
+    pair — user_id, purchase/click epoch micros, lag_us, click and
+    purchase cents."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"), _cents().alias("c_cents"))
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"), _cents().alias("p_cents"))
+        .withWatermark("p_ts", watermark)
+    )
+    m = attribution_window_minutes
+    joined = purchases.join(
+        clicks,
+        F.expr(f"p_user = c_user AND c_ts < p_ts "
+               f"AND c_ts >= p_ts - INTERVAL {m} MINUTES"),
+    )
+    return joined.select(
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("p_ts").alias("purchase_us"),
+        F.unix_micros("c_ts").alias("click_us"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+        "c_cents", "p_cents",
+    )
+
+
+def run_attribution_join(spark: SparkSession, events_path: str,
+                         staging_dir: str) -> DataFrame:
+    """Drained purchase←click attribution pairs as a batch relation
+    (append mode — the only mode stream-stream joins support)."""
+    stream = _events_stream_from_parquet(spark, events_path, staging_dir)
+    drain_to_memory(purchase_attribution_join(stream),
+                    "stream_attribution", "append")
+    return spark.table("stream_attribution").orderBy(
+        "user_id", "purchase_us", "click_us")

@@ -423,3 +423,38 @@ def test_rocksdb_state_store_matches_default_backend(spark, tmp_path):
         spark.conf.set(provider_key, default_provider)
     assert rocks == baseline
     assert len(rocks) == 15 and all(n > 0 for n, _ in rocks.values())
+
+
+def test_stream_stream_interval_join_semantics(spark, tmp_path):
+    """Stream-stream attribution join: clicks strictly before the purchase
+    and within the window attribute; later or out-of-window clicks don't;
+    other users' clicks never do."""
+    import datetime as dt
+
+    from docling_graph_spark.streaming import windowed as w
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def ev(i, user, minutes, etype, value=1.0):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, etype,
+                float(value), "{}")
+
+    rows = [
+        ev(0, 1, 0, "click", 2.0),       # in window (59 min before)
+        ev(1, 1, 30, "click", 3.0),      # in window
+        ev(2, 1, 59, "purchase", 10.0),
+        ev(3, 1, 61, "click", 4.0),      # AFTER purchase -> excluded
+        ev(4, 1, -5, "click", 5.0),      # 64 min before -> out of window
+        ev(5, 2, 58, "click", 6.0),      # other user -> excluded
+    ]
+    src = str(tmp_path / "attr_src")
+    spark.createDataFrame(rows, w.EVENTS_DDL).coalesce(1).write.parquet(src)
+    stream = w.stream_from_staged(spark, src)
+    w.drain_to_memory(w.purchase_attribution_join(stream),
+                      "attr_unit", "append")
+    got = {(r["user_id"], r["c_cents"], r["p_cents"], r["lag_us"])
+           for r in spark.table("attr_unit").collect()}
+    assert got == {
+        (1, 200, 1000, 59 * 60 * 1_000_000),
+        (1, 300, 1000, 29 * 60 * 1_000_000),
+    }
