@@ -104,6 +104,10 @@ Round-2 session-6 additions (still 50 total):
                         (operators/sketches.py: md5-derived 256-register
                         array, byte-identical across engines and
                         partitionings; gate checks full register state)
+  event_sessions     += as-of attribution columns (operators/asof.py:
+                        union+window linear as-of join, strict boundary;
+                        oracle uses DuckDB's NATIVE ASOF JOIN — two
+                        independent implementations value-checked)
   link_graph_stats   += core section (operators/linkgraph.coreness:
                         exact k-core decomposition via synchronous
                         h-index rounds, would_change convergence gate,

@@ -1182,7 +1182,16 @@ SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, o_orderkey FROM (
 
 
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization via lag window (30-min inactivity gap)."""
+    """Sessionization via lag window (30-min inactivity gap), joined with
+    per-user as-of attribution stats: every purchase matched to the
+    user's latest strictly-preceding click via operators/asof.asof_join
+    (the union+window linear-cost as-of — no range-join pair blowup);
+    the oracle replays it with DuckDB's NATIVE ASOF JOIN, so two
+    independent implementations of the temporal-join semantics are
+    checked value-for-value (asof_checksum covers every matched pair's
+    exact timestamps)."""
+    from .operators import asof as op_asof
+
     ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.unix_timestamp(F.col("ts"))
@@ -1191,20 +1200,68 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("new_session") + 1).alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
-    return sessions.orderBy("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts")
+    # parquet reads yield TIMESTAMP_NTZ; unix_micros needs TIMESTAMP and
+    # the session tz is UTC, so the cast is wall-clock-identical
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", us("ts").alias("c_us"))
+    matched = op_asof.asof_join(
+        purchases, clicks, "user_id", "ts", "ts", "c_us", strict=True)
+    pair_ck = F.conv(F.substring(F.md5(F.concat(
+        us("ts").cast("string"), F.lit(":"),
+        F.col("asof_val").cast("string")).cast("binary")), 1, 12),
+        16, 10).cast("long")
+    asof_agg = matched.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.sum(F.col("asof_val").isNotNull().cast("long")).cast("long")
+        .alias("n_attributed"),
+        F.coalesce(F.sum(F.when(F.col("asof_val").isNotNull(), pair_ck)),
+                   F.lit(0)).cast("long").alias("asof_checksum"),
+    )
+    return (sessions.join(asof_agg, "user_id", "left")
+            .select("user_id", "n_sessions", "n_events",
+                    F.coalesce("n_purchases", F.lit(0)).cast("long")
+                    .alias("n_purchases"),
+                    F.coalesce("n_attributed", F.lit(0)).cast("long")
+                    .alias("n_attributed"),
+                    F.coalesce("asof_checksum", F.lit(0)).cast("long")
+                    .alias("asof_checksum"))
+            .orderBy("user_id"))
 
 
 SQL_EVENT_SESSIONS = """
-SELECT user_id,
-       CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
-       CAST(count(*) AS BIGINT) AS n_events
-FROM (
+WITH sess AS (
   SELECT user_id,
-         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
-              (PARTITION BY user_id ORDER BY ts, event_id) > 1800
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-) GROUP BY user_id ORDER BY user_id
+         CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM (
+    SELECT user_id,
+           CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+  ) GROUP BY user_id),
+att AS (
+  SELECT p.user_id,
+         CAST(count(*) AS BIGINT) AS n_purchases,
+         CAST(sum(CASE WHEN c.ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_attributed,
+         CAST(coalesce(sum(CASE WHEN c.ts IS NOT NULL THEN
+           CAST(('0x' || substr(md5(CAST(epoch_us(p.ts) AS VARCHAR) || ':'
+                 || CAST(epoch_us(c.ts) AS VARCHAR)), 1, 12)) AS UBIGINT)
+           END), 0) AS BIGINT) AS asof_checksum
+  FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ASOF LEFT JOIN
+       (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND c.ts < p.ts
+  GROUP BY p.user_id)
+SELECT s.user_id, s.n_sessions, s.n_events,
+       CAST(coalesce(a.n_purchases, 0) AS BIGINT) AS n_purchases,
+       CAST(coalesce(a.n_attributed, 0) AS BIGINT) AS n_attributed,
+       CAST(coalesce(a.asof_checksum, 0) AS BIGINT) AS asof_checksum
+FROM sess s LEFT JOIN att a USING (user_id) ORDER BY s.user_id
 """
 
 
