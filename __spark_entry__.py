@@ -104,6 +104,9 @@ Round-2 session-6 additions (still 50 total):
                         (operators/sketches.py: md5-derived 256-register
                         array, byte-identical across engines and
                         partitionings; gate checks full register state)
+  event_sessions     += cross-user session-overlap columns (operators/
+                        intervals.py: bucketed grid-cell interval join,
+                        no cross product, range-join oracle)
   event_sessions     += as-of attribution columns (operators/asof.py:
                         union+window linear as-of join, strict boundary;
                         oracle uses DuckDB's NATIVE ASOF JOIN — two

@@ -1189,8 +1189,12 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays it with DuckDB's NATIVE ASOF JOIN, so two
     independent implementations of the temporal-join semantics are
     checked value-for-value (asof_checksum covers every matched pair's
-    exact timestamps)."""
+    exact timestamps); plus cross-user session-overlap counts via the
+    bucketed interval join (operators/intervals.self_overlap_pairs —
+    grid-cell equi-join, no cross product; the oracle uses a plain
+    range-predicate join, again two independent implementations)."""
     from .operators import asof as op_asof
+    from .operators import intervals as op_iv
 
     ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1220,14 +1224,34 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(F.col("asof_val").isNotNull(), pair_ck)),
                    F.lit(0)).cast("long").alias("asof_checksum"),
     )
+    sid = F.sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    iv = (ev.withColumn("new_session", gap).withColumn("_sid", sid)
+          .groupBy("user_id", "_sid")
+          .agg(F.min(us("ts")).alias("start"), F.max(us("ts")).alias("end"))
+          .select((F.col("user_id") * 1_000_000 + F.col("_sid"))
+                  .alias("id"), "user_id", "start", "end"))
+    pairs = op_iv.self_overlap_pairs(
+        iv, "id", bucket_width=3_600_000_000, group_col="user_id")
+    touched = (pairs.select(F.col("l_id").alias("sid2"))
+               .unionAll(pairs.select(F.col("r_id").alias("sid2"))))
+    ov = (touched.groupBy(F.expr("sid2 div 1000000").alias("user_id"))
+          .agg(F.countDistinct("sid2").cast("long")
+               .alias("n_overlap_sessions"),
+               F.count("*").cast("long").alias("n_overlap_pairs")))
     return (sessions.join(asof_agg, "user_id", "left")
+            .join(ov, "user_id", "left")
             .select("user_id", "n_sessions", "n_events",
                     F.coalesce("n_purchases", F.lit(0)).cast("long")
                     .alias("n_purchases"),
                     F.coalesce("n_attributed", F.lit(0)).cast("long")
                     .alias("n_attributed"),
                     F.coalesce("asof_checksum", F.lit(0)).cast("long")
-                    .alias("asof_checksum"))
+                    .alias("asof_checksum"),
+                    F.coalesce("n_overlap_sessions", F.lit(0)).cast("long")
+                    .alias("n_overlap_sessions"),
+                    F.coalesce("n_overlap_pairs", F.lit(0)).cast("long")
+                    .alias("n_overlap_pairs"))
             .orderBy("user_id"))
 
 
@@ -1256,12 +1280,43 @@ att AS (
   ASOF LEFT JOIN
        (SELECT user_id, ts FROM events WHERE event_type = 'click') c
     ON p.user_id = c.user_id AND c.ts < p.ts
-  GROUP BY p.user_id)
+  GROUP BY p.user_id),
+marks AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+iv AS (
+  SELECT user_id * 1000000 + sid AS id, user_id,
+         CAST(epoch_us(min(ts)) AS BIGINT) AS s,
+         CAST(epoch_us(max(ts)) AS BIGINT) AS e
+  FROM (SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marks)
+  GROUP BY user_id, sid),
+op AS (
+  SELECT a.id AS l_id, a.user_id AS l_u, b.id AS r_id, b.user_id AS r_u
+  FROM iv a JOIN iv b
+    ON a.id < b.id AND a.user_id <> b.user_id
+   AND a.s <= b.e AND b.s <= a.e),
+ovl AS (
+  SELECT u AS user_id, CAST(count(DISTINCT sid2) AS BIGINT)
+           AS n_overlap_sessions,
+         CAST(count(*) AS BIGINT) AS n_overlap_pairs
+  FROM (SELECT l_u AS u, l_id AS sid2 FROM op
+        UNION ALL SELECT r_u, r_id FROM op)
+  GROUP BY u)
 SELECT s.user_id, s.n_sessions, s.n_events,
        CAST(coalesce(a.n_purchases, 0) AS BIGINT) AS n_purchases,
        CAST(coalesce(a.n_attributed, 0) AS BIGINT) AS n_attributed,
-       CAST(coalesce(a.asof_checksum, 0) AS BIGINT) AS asof_checksum
-FROM sess s LEFT JOIN att a USING (user_id) ORDER BY s.user_id
+       CAST(coalesce(a.asof_checksum, 0) AS BIGINT) AS asof_checksum,
+       CAST(coalesce(o.n_overlap_sessions, 0) AS BIGINT)
+         AS n_overlap_sessions,
+       CAST(coalesce(o.n_overlap_pairs, 0) AS BIGINT) AS n_overlap_pairs
+FROM sess s LEFT JOIN att a USING (user_id)
+LEFT JOIN ovl o USING (user_id) ORDER BY s.user_id
 """
 
 
