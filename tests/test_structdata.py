@@ -75,3 +75,26 @@ def test_coverage_gap(spark, sf_smoke_dir):
         F.sum("n_ld_pages").alias("p"), F.sum("n_ld_blocks").alias("b"),
     ).collect()
     assert r["p"] == r["b"] == n_expect < n_docs
+
+
+def test_variant_path_equals_from_json_path(spark, sf_smoke_dir):
+    """Spark 4 VARIANT (try_parse_json + try_variant_get) computes the
+    identical rollup to the schema-imposing from_json path — one parse
+    serving every projection is the open-content-model scale win."""
+    pages = synthesize_web_pages(spark, sf_smoke_dir, with_ld_json=True)
+    a = {tuple(r) for r in op_sd.structured_data_stats(pages).collect()}
+    b = {tuple(r) for r in
+         op_sd.structured_data_stats_variant(pages).collect()}
+    assert a == b and len(a) >= 3
+
+
+def test_variant_path_handles_malformed_blocks(spark):
+    html = (b'<html><script type="application/ld+json">{not json'
+            b'</script><script type="application/ld+json">'
+            b'{"@type":"Article","wordCount":7}</script></html>')
+    pages = spark.createDataFrame(
+        [("en", html)], "lang string, html binary")
+    [r] = op_sd.structured_data_stats_variant(pages).collect()
+    assert r["n_ld_blocks"] == 2          # both blocks isolated
+    assert r["n_ld_types"] == 1           # malformed one parses to NULL
+    assert r["ld_wordcount_sum"] == 7
