@@ -201,6 +201,38 @@ def main() -> int:
             spark.read.parquet(f"{SF}/documents.parquet"))),
     )
 
+    from docling_graph_spark.operators import asof as op_asof
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", "ts"))
+    c = (ev.filter(F.col("event_type") == "click")
+         .select("user_id", "ts",
+                 F.unix_micros(F.col("ts").cast("timestamp"))
+                 .alias("c_us")))
+    sections["asof-join"] = (
+        "asof_join — union trick: one hash exchange of the tagged narrow "
+        "union + a partition-local sort window; no range/nested-loop "
+        "join anywhere",
+        formatted_plan(op_asof.asof_join(
+            p, c, "user_id", "ts", "ts", "c_us")),
+    )
+
+    from docling_graph_spark.operators import intervals as op_iv
+
+    iv_df = p.select(
+        F.col("user_id").alias("id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("start"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + 60_000_000)
+        .alias("end"))
+    sections["interval-join"] = (
+        "interval_overlap_join — grid-cell explode + hash equi-join on "
+        "the cell, true-overlap filter, pair dedup; no CartesianProduct "
+        "or BroadcastNestedLoopJoin",
+        formatted_plan(op_iv.interval_overlap_join(
+            iv_df, iv_df, "id", "id", 3_600_000_000)),
+    )
+
     wanted = sys.argv[1:] or list(sections)
     for key in wanted:
         title, plan = sections[key]
