@@ -76,6 +76,11 @@ class PipelineResult:
     nodes: DataFrame
     edges: DataFrame
     metrics: DataFrame
+    # free-rider global counters: an Observation attached to the extraction
+    # relation — populated by whichever output action runs first, costing
+    # ZERO extra jobs (the per-host breakdown stays in `metrics`, which
+    # needs its own groupBy)
+    observation: "object" = None
     # pre-filter extraction output (error rows included) — metrics derive
     # from it; persist THIS to make every downstream action share one parse
     extracted_all: Optional[DataFrame] = None
@@ -83,6 +88,14 @@ class PipelineResult:
     # and chunks are cheap projections of this one Python pass — persisting
     # it replaces persisting them separately
     combined: Optional[DataFrame] = None
+
+    @property
+    def run_counters(self) -> Optional[Dict]:
+        """Global (docs_parsed, bytes_stripped, errors) observed on the
+        first output action; blocks until one has run."""
+        if self.observation is None:
+            return None
+        return dict(self.observation.get)
 
     def _persist_roots(self):
         if self.combined is not None:
@@ -151,9 +164,26 @@ def run_pipeline(web_pages: DataFrame,
     max_tokens = (chunking.schema_adjusted_max_tokens(cfg.max_tokens,
                                                       cfg.schema_size)
                   if cfg.schema_size > 0 else cfg.max_tokens)
+    from pyspark.sql import Observation
+
+    obs = Observation("run_counters")
+
+    def _observe(df: DataFrame) -> DataFrame:
+        # counters ride the first real action over the extraction relation
+        # (df.observe is an identity node with aggregate side-channels) —
+        # the run-level docs/bytes/errors totals arrive without a job
+        return df.observe(
+            obs,
+            F.count(F.lit(1)).alias("docs_parsed"),
+            F.sum(F.coalesce(F.col("bytes_stripped"), F.lit(0)))
+            .alias("bytes_stripped"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+            .alias("errors"),
+        )
+
     combined = None
     if cfg.chunker == "hybrid":
-        extracted_all = op_extract.extract_main_text(web_pages)
+        extracted_all = _observe(op_extract.extract_main_text(web_pages))
         extracted = op_extract.filter_extractable(extracted_all)
         chunks = op_chunk.hybrid_chunk_documents(
             extracted, max_tokens, tokenizer_name=cfg.tokenizer_name
@@ -165,7 +195,7 @@ def run_pipeline(web_pages: DataFrame,
             web_pages, max_tokens, cfg.context_limit, cfg.merge_threshold,
             tokenizer_name=cfg.tokenizer_name,
         )
-        extracted_all = combined.drop("chunks")
+        extracted_all = _observe(combined.drop("chunks"))
         extracted = op_extract.filter_extractable(extracted_all)
         chunks = op_chunk.chunks_from_combined(combined)
     mentions = op_entities.extract_mentions(chunks)
@@ -187,7 +217,8 @@ def run_pipeline(web_pages: DataFrame,
                                         referential_integrity=True)
     metrics = op_stats.partition_metrics(extracted_all, cfg.run_id)
     result = PipelineResult(extracted, chunks, doc_mentions, nodes, edges,
-                            metrics, extracted_all, combined)
+                            metrics, observation=obs,
+                            extracted_all=extracted_all, combined=combined)
     if cfg.materialize:
         result.persist()
     return result

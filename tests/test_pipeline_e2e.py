@@ -286,3 +286,22 @@ def test_malformed_payloads_never_crash(spark):
     # determinism: identical input -> identical node-id set
     res2 = run_pipeline(pages, cfg)
     assert {n["id"] for n in res2.nodes.collect()} == ids
+
+
+def test_observation_counters_ride_first_action(spark, sf_smoke_dir):
+    """df.observe side-channel: run-level docs/bytes/errors totals arrive
+    with the FIRST output action — no extra job — and agree exactly with
+    the per-host metrics relation's sums."""
+    import pyspark.sql.functions as F
+
+    from docling_graph_spark.pipeline import PipelineConfig, run_on_testdata
+
+    res = run_on_testdata(spark, sf_smoke_dir, PipelineConfig(max_tokens=25))
+    res.nodes.count()  # any action populates the observation
+    got = res.run_counters
+    m = res.metrics.agg(
+        F.sum("docs_parsed"), F.sum("bytes_stripped"), F.sum("errors")
+    ).collect()[0]
+    assert (got["docs_parsed"], got["bytes_stripped"], got["errors"]) \
+        == tuple(m)
+    assert got["docs_parsed"] > 0
