@@ -88,3 +88,29 @@ def test_plan_has_no_cartesian_or_range_join(spark, tables):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(_k" in plan  # the single narrow exchange
+
+
+def test_asof_property_fuzz_vs_bruteforce(spark):
+    """Randomized (seeded, deterministic) parity: the union+window as-of
+    equals the brute-force 'latest right before left' per row."""
+    import random
+
+    rng = random.Random(20240820)
+    for trial in range(3):
+        lrows = [(rng.randrange(5), _t(rng.randrange(500)), f"p{i}")
+                 for i in range(80)]
+        rrows = [(rng.randrange(5), _t(rng.randrange(500)),
+                  rng.randrange(1000)) for i in range(120)]
+        left = spark.createDataFrame(
+            lrows, "u long, ts timestamp, pid string")
+        right = spark.createDataFrame(
+            rrows, "u long, ts timestamp, v long")
+        got = {r["pid"]: r["asof_val"] for r in op_asof.asof_join(
+            left, right, "u", "ts", "ts", "v", strict=True).collect()}
+        for u, ts, pid in lrows:
+            cands = [(rt, rv) for (ru, rt, rv) in rrows
+                     if ru == u and rt < ts]
+            # tie on max ts resolves to max value (documented)
+            expect = (max(cands, key=lambda x: (x[0], x[1]))[1]
+                      if cands else None)
+            assert got[pid] == expect, (trial, pid)

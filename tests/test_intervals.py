@@ -73,3 +73,23 @@ def test_self_overlap_respects_group_filter(spark):
     got = {(r["l_id"], r["r_id"]) for r in op_iv.self_overlap_pairs(
         iv, "id", W, group_col="user").collect()}
     assert got == {(1, 3), (2, 3)}
+
+
+def test_interval_property_fuzz_vs_bruteforce(spark):
+    """Randomized (seeded) parity across bucket widths — including widths
+    far off the typical interval length, where cell logic is most likely
+    to be wrong."""
+    import random
+
+    rng = random.Random(20240820)
+    rows_l = [(i, s := rng.randrange(1000), s + rng.randrange(300))
+              for i in range(70)]
+    rows_r = [(i, s := rng.randrange(1000), s + rng.randrange(300))
+              for i in range(70)]
+    left, right = _mk(spark, rows_l), _mk(spark, rows_r)
+    expect = {(a, b) for a, s1, e1 in rows_l for b, s2, e2 in rows_r
+              if s1 <= e2 and s2 <= e1}
+    for width in (7, 100, 4096):
+        got = {(r["l_id"], r["r_id"]) for r in op_iv.interval_overlap_join(
+            left, right, "id", "id", width).collect()}
+        assert got == expect, width
