@@ -104,6 +104,10 @@ Round-2 session-6 additions (still 50 total):
                         (operators/sketches.py: md5-derived 256-register
                         array, byte-identical across engines and
                         partitionings; gate checks full register state)
+  lineitem_pricing   -> cube() + grouping_id() subtotal rows (GROUPING
+                        SETS family; GROUP BY CUBE oracle)
+  orders_per_nation  += static-value-list PIVOT columns by priority
+                        (CASE-WHEN oracle)
   event_sessions     += cross-user session-overlap columns (operators/
                         intervals.py: bucketed grid-cell interval join,
                         no cross product, range-join oracle)

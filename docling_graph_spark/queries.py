@@ -1083,11 +1083,15 @@ FROM documents GROUP BY 1 ORDER BY 1
 
 
 def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A-class aggregation (TPC-H Q1 shape), integer-cents sums."""
+    """A-class aggregation (TPC-H Q1 shape), integer-cents sums — computed
+    with ``cube()`` so the relation also carries the per-flag, per-status
+    and grand-total subtotal rows (the GROUPING SETS operator family);
+    ``grouping_id`` disambiguates subtotal rows from data rows, NULL keys
+    rendered as '*' so both engines agree on the key bytes."""
     li = _read(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .cube("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
@@ -1097,45 +1101,75 @@ def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
             ).alias("sum_disc_cents"),
             F.count("*").alias("count_order"),
+            F.grouping_id().cast("long").alias("gid"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .select(
+            F.coalesce("l_returnflag", F.lit("*")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("*")).alias("l_linestatus"),
+            "sum_qty", "sum_base_cents", "sum_disc_cents", "count_order",
+            "gid",
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
     )
 
 
 SQL_LINEITEM_PRICING = """
-SELECT l_returnflag, l_linestatus,
+SELECT coalesce(l_returnflag, '*') AS l_returnflag,
+       coalesce(l_linestatus, '*') AS l_linestatus,
        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
-       CAST(count(*) AS BIGINT) AS count_order
+       CAST(count(*) AS BIGINT) AS count_order,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS gid
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
-ORDER BY l_returnflag, l_linestatus
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
 """
 
 
+_ORDER_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM",
+                     "4-NOT SPECIFIED", "5-LOW")
+
+
 def q_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast equi-joins customer⋈nation (dims) with orders (fact)."""
+    """Broadcast equi-joins customer⋈nation (dims) with orders (fact),
+    with per-priority order counts via the PIVOT operator (explicit value
+    list so the output schema is static — the scale-safe pivot form: no
+    distinct-value discovery pass over the fact table)."""
     orders = _read(spark, sf_dir, "orders")
     cust = _read(spark, sf_dir, "customer")
     nation = _read(spark, sf_dir, "nation")
-    return (
+    joined = (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .alias("total_cents"),
-        )
-        .orderBy("n_name")
     )
+    base = joined.groupBy("n_name").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("total_cents"),
+    )
+    piv = (
+        joined.groupBy("n_name")
+        .pivot("o_orderpriority", list(_ORDER_PRIORITIES))
+        .count()
+    )
+    cols = [F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long")
+            .alias(f"prio_{p[0]}_orders") for p in _ORDER_PRIORITIES]
+    return (base.join(piv, "n_name")
+            .select("n_name", "n_orders", "total_cents", *cols)
+            .orderBy("n_name"))
 
 
-SQL_ORDERS_PER_NATION = """
+_PRIO_CASES = ",\n       ".join(
+    f"CAST(sum(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) "
+    f"AS BIGINT) AS prio_{p[0]}_orders" for p in _ORDER_PRIORITIES)
+
+SQL_ORDERS_PER_NATION = f"""
 SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       {_PRIO_CASES}
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
