@@ -242,6 +242,77 @@ WARC_SCHEMA_DDL = (
 )
 
 
+def _make_warc_writer(options, overwrite: bool):
+    """DataSourceWriter for the warc format (the V2 write path).
+
+    Each task serializes its rows into ONE dot-temp ``.warc.gz`` file
+    (per-record gzip members, byte-deterministic) and returns the temp
+    name as its commit message; ``commit`` renames every temp into place
+    (publish-on-commit — a reader never sees a half-written final name),
+    ``abort`` deletes the temps.  Rows use the warc read schema (url,
+    warc_ts, record_type, content_type, html); NULL record/content types
+    default to response/text-html."""
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    class _Commit(WriterCommitMessage):
+        def __init__(self, tmp: str, final: str) -> None:
+            self.tmp = tmp
+            self.final = final
+
+    class _WarcWriter(DataSourceWriter):
+        def __init__(self) -> None:
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("warc sink requires a path")
+            self.overwrite = overwrite
+
+        def write(self, iterator):
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            os.makedirs(self.path, exist_ok=True)
+            final = os.path.join(self.path, f"part-{pid:05d}.warc.gz")
+            tmp = os.path.join(self.path, f".part-{pid:05d}.warc.gz.tmp")
+            wrote = False
+            with open(tmp, "wb") as fh:
+                for row in iterator:
+                    ts = row["warc_ts"]
+                    rec = warc_record_bytes(
+                        row["url"],
+                        bytes(row["html"] or b""),
+                        warc_type=row["record_type"] or "response",
+                        content_type=row["content_type"] or "text/html",
+                        warc_date=(ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                                   if ts is not None
+                                   else "2024-01-01T00:00:00Z"),
+                    )
+                    fh.write(_gzip_member(rec))
+                    wrote = True
+            if not wrote:
+                os.remove(tmp)  # empty partitions publish nothing
+                return _Commit("", "")
+            return _Commit(tmp, final)
+
+        def commit(self, messages):
+            if self.overwrite:
+                for f in _list_warc_files(self.path):
+                    os.remove(f)
+            for m in messages:
+                if m is not None and m.tmp:
+                    os.replace(m.tmp, m.final)
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and m.tmp:
+                    try:
+                        os.remove(m.tmp)
+                    except OSError:
+                        pass
+
+    return _WarcWriter()
+
+
 def _list_warc_files(path: str) -> List[str]:
     if os.path.isfile(path):
         return [path]
@@ -421,6 +492,15 @@ def register_warc_source(spark) -> None:
 
         def reader(self, schema) -> DataSourceReader:
             return _WarcReader(self.options)
+
+        def writer(self, schema, overwrite: bool):
+            # V2 sink symmetry: df.write.format("warc").save(dir) —
+            # per-task WARC files with a commit/abort protocol (see
+            # _make_warc_writer): tasks write dot-temp files and return
+            # commit messages; commit() publishes them atomically,
+            # abort() removes the litter.  Same gzip-member layout as the
+            # read path, so a write→read roundtrip is lossless.
+            return _make_warc_writer(self.options, overwrite)
 
         def streamReader(self, schema):
             # continuous crawl ingestion: spark.readStream.format("warc")
