@@ -489,3 +489,64 @@ def coreness(edges: DataFrame, src: str = "src_host",
                     F.col("c").alias("coreness"),
                     (F.col("c_next") < F.col("c")).cast("long")
                     .alias("would_change")))
+
+
+WALKS_PER_NODE = 2
+WALK_LENGTH = 6
+
+
+def random_walks(edges: DataFrame, src: str = "src_host",
+                 dst: str = "dst_host",
+                 walks_per_node: int = WALKS_PER_NODE,
+                 length: int = WALK_LENGTH) -> DataFrame:
+    """DeepWalk-style walk corpus over the directed host graph:
+    (start, walker, hops, path) — the training sentences for
+    node-embedding models (Perozzi et al. 2014), made DETERMINISTIC:
+    step t of walker w at node v moves to
+    ``nbrs(v)[ md5(v:w:t) mod deg(v) ]`` with the neighbor list
+    array_sort'ed, so any engine, partitioning or restart reproduces the
+    identical corpus (replayable by a SQL oracle; the paper's uniform
+    sampling is replaced by a fixed hash draw — the same corpus coverage
+    properties, none of the nondeterminism).
+
+    Plan shape per step: one equi-join of the frontier against the
+    adjacency-array relation (host-level — broadcastable for the full
+    web) + pure projections; dead ends simply stop extending.  Lineage is
+    cut per step with localCheckpoint."""
+    adj = (edges.groupBy(src)
+           .agg(F.array_sort(F.collect_set(F.col(dst))).alias("_nbrs"))
+           .withColumnRenamed(src, "_adj_src")
+           ).localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col(src).alias("host"))
+        .unionByName(edges.select(F.col(dst).alias("host")))
+        .distinct()
+    )
+    walkers = F.explode(F.array(
+        *[F.lit(i) for i in range(walks_per_node)])).alias("walker")
+    frontier = nodes.select(
+        F.col("host").alias("start"), walkers,
+        F.col("host").alias("_cur"), F.col("host").alias("path"),
+        F.lit(0).cast("long").alias("hops"),
+    )
+    for step in range(length):
+        h = F.conv(F.substring(F.md5(F.concat(
+            F.col("_cur"), F.lit(":"), F.col("walker").cast("string"),
+            F.lit(":"), F.lit(step).cast("string")).cast("binary")),
+            1, 12), 16, 10).cast("long")
+        nxt = F.when(
+            F.size("_nbrs") > 0,
+            F.element_at("_nbrs", (h % F.size("_nbrs") + 1).cast("int")))
+        frontier = (
+            frontier.join(adj, frontier._cur == adj._adj_src, "left")
+            .select(
+                "start", "walker",
+                F.coalesce(nxt, F.col("_cur")).alias("_cur"),
+                F.when(nxt.isNotNull(),
+                       F.concat(F.col("path"), F.lit(">"), nxt))
+                .otherwise(F.col("path")).alias("path"),
+                (F.col("hops")
+                 + nxt.isNotNull().cast("long")).alias("hops"),
+            )
+        ).localCheckpoint(eager=False)
+    return frontier.select("start", "walker", "hops", "path")

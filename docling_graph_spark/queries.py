@@ -2787,6 +2787,38 @@ ce{i} AS MATERIALIZED (
 SQL_HOST_CORENESS = _coreness_unrolled_sql(8)
 
 
+def _walks_unrolled_sql(walks_per_node: int, length: int) -> str:
+    """DuckDB oracle for operators/linkgraph.random_walks: each hash-draw
+    step is an explicit CTE over the sorted adjacency-array relation."""
+    ctes = f""",
+wadj AS MATERIALIZED (
+  SELECT src_host AS s, list_sort(list(DISTINCT dst_host)) AS nbrs
+  FROM hg GROUP BY 1),
+wnodes AS (SELECT DISTINCT host FROM (
+  SELECT src_host AS host FROM hg UNION SELECT dst_host FROM hg)),
+w0 AS (
+  SELECT host AS start, gs.w AS walker, host AS cur, host AS path,
+         CAST(0 AS BIGINT) AS hops
+  FROM wnodes, generate_series(0, {walks_per_node - 1}) gs(w))"""
+    for t in range(length):
+        pick = (f"a.nbrs[CAST(CAST(('0x' || substr(md5(cur || ':' "
+                f"|| CAST(walker AS VARCHAR) || ':{t}'), 1, 12)) "
+                f"AS UBIGINT) % len(a.nbrs) AS BIGINT) + 1]")
+        ctes += f""",
+w{t + 1} AS MATERIALIZED (
+  SELECT start, walker,
+         CASE WHEN a.nbrs IS NOT NULL THEN {pick} ELSE cur END AS cur,
+         CASE WHEN a.nbrs IS NOT NULL THEN path || '>' || {pick}
+              ELSE path END AS path,
+         hops + CASE WHEN a.nbrs IS NOT NULL THEN 1 ELSE 0 END AS hops
+  FROM w{t} LEFT JOIN wadj a ON a.s = w{t}.cur)"""
+    return (f"WITH {_LINKS_CTE}{ctes}\n"
+            f"SELECT start, walker, hops, path FROM w{length}")
+
+
+SQL_HOST_WALKS = _walks_unrolled_sql(2, 6)
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text corpus rollup: per link text, occurrence count and
     distinct target hosts — the (anchor, target) pair relation used as
@@ -2954,6 +2986,13 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("hits").alias("section"), F.col("host").alias("k1"),
         F.lit("").alias("k2"), F.col("hub").alias("v1"),
         F.col("auth").alias("v2"))
+    walks = op_lg.random_walks(edges)
+    walk_rows = walks.select(
+        F.lit("walk").alias("section"), F.col("start").alias("k1"),
+        F.col("walker").cast("string").alias("k2"),
+        F.col("hops").alias("v1"),
+        F.conv(F.substring(F.md5(F.col("path").cast("binary")), 1, 12),
+               16, 10).cast("long").alias("v2"))
     core = op_lg.coreness(edges)
     core_rows = core.select(
         F.lit("core").alias("section"), F.col("host").alias("k1"),
@@ -2968,7 +3007,7 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(alias_rows).unionByName(domain_rows)
             .unionByName(pattern_rows).unionByName(triangle_rows)
             .unionByName(hits_rows).unionByName(core_rows)
-            .unionByName(core_conv)
+            .unionByName(core_conv).unionByName(walk_rows)
             .orderBy("section", "k1", "k2"))
 
 
@@ -3100,6 +3139,11 @@ SELECT section, k1, k2, v1, v2 FROM (
   SELECT 'core', '', 'converged',
          CAST(sum(would_change) AS BIGINT), CAST(count(*) AS BIGINT)
   FROM ({SQL_HOST_CORENESS})
+  UNION ALL
+  SELECT 'walk', start, CAST(walker AS VARCHAR), hops,
+         CAST(CAST(('0x' || substr(md5(path), 1, 12)) AS UBIGINT)
+              AS BIGINT)
+  FROM ({SQL_HOST_WALKS})
 ) ORDER BY section, k1, k2
 """
 

@@ -368,3 +368,60 @@ def test_coreness_partitioning_invariant_and_converged(spark):
     b = {tuple(r) for r in op_lg.coreness(edges.coalesce(1)).collect()}
     assert a == b
     assert all(r[-1] == 0 for r in a)  # converged on this graph
+
+
+# ---------------------------------------------------------------------------
+# deterministic random walks
+# ---------------------------------------------------------------------------
+
+
+def _walk_replay(edges, walks_per_node=2, length=6):
+    import hashlib
+
+    adj = {}
+    for s, d, _ in edges:
+        adj.setdefault(s, set()).add(d)
+    adj = {s: sorted(v) for s, v in adj.items()}
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    out = {}
+    for start in nodes:
+        for w in range(walks_per_node):
+            cur, path, hops = start, start, 0
+            for t in range(length):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    continue
+                h = int(hashlib.md5(
+                    f"{cur}:{w}:{t}".encode()).hexdigest()[:12], 16)
+                cur = nbrs[h % len(nbrs)]
+                path += ">" + cur
+                hops += 1
+            out[(start, w)] = (hops, path)
+    return out
+
+
+def test_random_walks_match_hash_replay(spark):
+    e = [("a", "b", 1), ("b", "c", 1), ("b", "a", 1), ("c", "a", 1),
+         ("c", "d", 1)]  # d is a dead end
+    edges = spark.createDataFrame(
+        e, "src_host string, dst_host string, n_links long")
+    got = {(r["start"], r["walker"]): (r["hops"], r["path"])
+           for r in op_lg.random_walks(edges).collect()}
+    assert got == _walk_replay(e)
+    # the dead-end node emits a zero-hop walk, never an error
+    assert got[("d", 0)] == (0, "d")
+
+
+def test_random_walks_deterministic_across_partitionings(spark):
+    e = [(f"h{i % 9}", f"h{(i * 3 + 1) % 9}", 1) for i in range(40)] \
+        + [(f"h{i % 9}", f"h{(i * 5 + 2) % 9}", 1) for i in range(40)]
+    edges = spark.createDataFrame(
+        e, "src_host string, dst_host string, n_links long")
+    a = {tuple(r) for r in op_lg.random_walks(edges.repartition(7)).collect()}
+    b = {tuple(r) for r in op_lg.random_walks(edges.coalesce(1)).collect()}
+    assert a == b
+    # walkers actually diverge: at least one start has differing paths
+    paths = {}
+    for start, walker, hops, path in a:
+        paths.setdefault(start, set()).add(path)
+    assert any(len(v) > 1 for v in paths.values())
