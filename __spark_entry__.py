@@ -104,6 +104,10 @@ Round-2 session-6 additions (still 50 total):
                         (operators/sketches.py: md5-derived 256-register
                         array, byte-identical across engines and
                         partitionings; gate checks full register state)
+  link_graph_stats   += depth section (linkgraph.crawl_depth:
+                        multi-source BFS hop distance from the 3
+                        smallest hosts, -1 unreachable, convergence
+                        gate, unrolled-CTE oracle)
   link_graph_stats   += walk section (linkgraph.random_walks:
                         deterministic DeepWalk corpus — hash-drawn next
                         hops over sorted adjacency, path checksums,

@@ -550,3 +550,56 @@ def random_walks(edges: DataFrame, src: str = "src_host",
             )
         ).localCheckpoint(eager=False)
     return frontier.select("start", "walker", "hops", "path")
+
+
+BFS_ROUNDS = 8
+
+
+def crawl_depth(edges: DataFrame, seeds: DataFrame,
+                src: str = "src_host", dst: str = "dst_host",
+                rounds: int = BFS_ROUNDS) -> DataFrame:
+    """Multi-source BFS over the directed host graph: (host, depth,
+    would_change) after ``rounds`` synchronous min-propagation steps —
+    the crawl-frontier distance from a seed list (how many link hops a
+    crawler starting at the seeds needs to discover each host).
+
+    d_0 = 0 on seeds; d_{t+1}(v) = min(d_t(v), 1 + min over in-edges
+    (u,v) of d_t(u)).  Depth is exact once converged (BFS layers only
+    shrink monotonically); unreached hosts report -1.  ``would_change``
+    per node gates convergence exactly as :func:`coreness` does.  Plan
+    per round: one equi-join of the edge list against the depth relation
+    + a min groupBy (map-side combinable); lineage cut per round.  At
+    web scale a frontier-delta formulation sends only newly-reached
+    nodes through the join; the synchronous full-relation form here is
+    the oracle-exact reference shape."""
+    nodes = (
+        edges.select(F.col(src).alias("host"))
+        .unionByName(edges.select(F.col(dst).alias("host")))
+        .distinct()
+    )
+    inf = (1 << 62)
+    seed_rel = seeds.select(F.col(seeds.columns[0]).alias("host")) \
+        .withColumn("_d", F.lit(0).cast("long"))
+    dist = (nodes.join(seed_rel, "host", "left")
+            .select("host", F.coalesce("_d", F.lit(inf)).alias("d"))
+            ).localCheckpoint(eager=False)
+    ew = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+
+    def step(cur: DataFrame) -> DataFrame:
+        prop = (ew.join(cur.withColumnRenamed("host", "e_src")
+                        .withColumnRenamed("d", "sd"), "e_src")
+                .groupBy(F.col("e_dst").alias("host"))
+                .agg(F.min(F.col("sd") + 1).alias("pd")))
+        return (cur.join(prop, "host", "left")
+                .select("host", F.least(
+                    "d", F.coalesce("pd", F.lit(inf))).alias("d")))
+
+    for _ in range(rounds):
+        dist = step(dist).localCheckpoint(eager=False)
+    nxt = step(dist)
+    return (dist.join(nxt.withColumnRenamed("d", "dn"), "host")
+            .select("host",
+                    F.when(F.col("d") >= inf, F.lit(-1))
+                    .otherwise(F.col("d")).cast("long").alias("depth"),
+                    (F.col("dn") < F.col("d")).cast("long")
+                    .alias("would_change")))

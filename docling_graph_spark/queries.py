@@ -2819,6 +2819,40 @@ w{t + 1} AS MATERIALIZED (
 SQL_HOST_WALKS = _walks_unrolled_sql(2, 6)
 
 
+def _bfs_unrolled_sql(rounds: int) -> str:
+    """DuckDB oracle for operators/linkgraph.crawl_depth: seeds are the 3
+    lexicographically-smallest hosts; each synchronous min-propagation
+    round is an explicit CTE; the extra round feeds would_change."""
+    inf = 1 << 62
+    ctes = f""",
+bn AS MATERIALIZED (SELECT DISTINCT host FROM (
+  SELECT src_host AS host FROM hg UNION SELECT dst_host FROM hg)),
+bseed AS (SELECT host FROM bn ORDER BY host LIMIT 3),
+b0 AS (
+  SELECT bn.host,
+         CASE WHEN bseed.host IS NOT NULL THEN CAST(0 AS BIGINT)
+              ELSE CAST({inf} AS BIGINT) END AS d
+  FROM bn LEFT JOIN bseed ON bseed.host = bn.host)"""
+    for i in range(1, rounds + 2):
+        ctes += f""",
+b{i} AS MATERIALIZED (
+  SELECT c.host, least(c.d, coalesce(p.pd, {inf})) AS d
+  FROM b{i - 1} c LEFT JOIN (
+    SELECT hg.dst_host AS host, min(b{i - 1}.d + 1) AS pd
+    FROM hg JOIN b{i - 1} ON b{i - 1}.host = hg.src_host
+    GROUP BY 1) p ON p.host = c.host)"""
+    return (f"WITH {_LINKS_CTE}{ctes}\n"
+            f"SELECT c.host,\n"
+            f"       CAST(CASE WHEN c.d >= {inf} THEN -1 ELSE c.d END "
+            f"AS BIGINT) AS depth,\n"
+            f"       CAST(CASE WHEN n.d < c.d THEN 1 ELSE 0 END AS BIGINT)"
+            f" AS would_change\n"
+            f"FROM b{rounds} c JOIN b{rounds + 1} n USING (host)")
+
+
+SQL_HOST_DEPTH = _bfs_unrolled_sql(8)
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text corpus rollup: per link text, occurrence count and
     distinct target hosts — the (anchor, target) pair relation used as
@@ -2986,6 +3020,19 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("hits").alias("section"), F.col("host").alias("k1"),
         F.lit("").alias("k2"), F.col("hub").alias("v1"),
         F.col("auth").alias("v2"))
+    seeds = (edges.select(F.col("src_host").alias("host"))
+             .unionByName(edges.select(F.col("dst_host").alias("host")))
+             .distinct().orderBy("host").limit(3))
+    depth = op_lg.crawl_depth(edges, seeds)
+    depth_rows = depth.select(
+        F.lit("depth").alias("section"), F.col("host").alias("k1"),
+        F.lit("").alias("k2"), F.col("depth").alias("v1"),
+        F.lit(0).cast("long").alias("v2"))
+    depth_conv = depth.agg(
+        F.sum("would_change").cast("long").alias("v1"),
+        F.count("*").cast("long").alias("v2"),
+    ).select(F.lit("depth").alias("section"), F.lit("").alias("k1"),
+             F.lit("converged").alias("k2"), "v1", "v2")
     walks = op_lg.random_walks(edges)
     walk_rows = walks.select(
         F.lit("walk").alias("section"), F.col("start").alias("k1"),
@@ -3008,6 +3055,7 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(pattern_rows).unionByName(triangle_rows)
             .unionByName(hits_rows).unionByName(core_rows)
             .unionByName(core_conv).unionByName(walk_rows)
+            .unionByName(depth_rows).unionByName(depth_conv)
             .orderBy("section", "k1", "k2"))
 
 
@@ -3144,6 +3192,12 @@ SELECT section, k1, k2, v1, v2 FROM (
          CAST(CAST(('0x' || substr(md5(path), 1, 12)) AS UBIGINT)
               AS BIGINT)
   FROM ({SQL_HOST_WALKS})
+  UNION ALL
+  SELECT 'depth', host, '', depth, 0 FROM ({SQL_HOST_DEPTH})
+  UNION ALL
+  SELECT 'depth', '', 'converged',
+         CAST(sum(would_change) AS BIGINT), CAST(count(*) AS BIGINT)
+  FROM ({SQL_HOST_DEPTH})
 ) ORDER BY section, k1, k2
 """
 

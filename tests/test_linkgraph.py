@@ -425,3 +425,35 @@ def test_random_walks_deterministic_across_partitionings(spark):
     for start, walker, hops, path in a:
         paths.setdefault(start, set()).add(path)
     assert any(len(v) > 1 for v in paths.values())
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS crawl depth
+# ---------------------------------------------------------------------------
+
+
+def test_crawl_depth_layers_and_unreachable(spark):
+    e = [("s", "a", 1), ("a", "b", 1), ("b", "c", 1),
+         ("x", "y", 1)]  # x,y disconnected from the seed
+    edges = spark.createDataFrame(
+        e, "src_host string, dst_host string, n_links long")
+    seeds = spark.createDataFrame([("s",)], "host string")
+    got = {r["host"]: (r["depth"], r["would_change"])
+           for r in op_lg.crawl_depth(edges, seeds).collect()}
+    assert got == {"s": (0, 0), "a": (1, 0), "b": (2, 0), "c": (3, 0),
+                   "x": (-1, 0), "y": (-1, 0)}
+
+
+def test_crawl_depth_multi_seed_min_and_invariance(spark):
+    e = [("s1", "m", 1), ("s2", "n", 1), ("n", "m", 1), ("m", "far", 1)]
+    edges = spark.createDataFrame(
+        e, "src_host string, dst_host string, n_links long")
+    seeds = spark.createDataFrame([("s1",), ("s2",)], "host string")
+    got = {r["host"]: r["depth"]
+           for r in op_lg.crawl_depth(edges, seeds).collect()}
+    assert got == {"s1": 0, "s2": 0, "m": 1, "n": 1, "far": 2}
+    a = {tuple(r) for r in
+         op_lg.crawl_depth(edges.repartition(5), seeds).collect()}
+    b = {tuple(r) for r in
+         op_lg.crawl_depth(edges.coalesce(1), seeds).collect()}
+    assert a == b
