@@ -2968,7 +2968,10 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.web_pages import synthesize_web_pages
 
     pages = synthesize_web_pages(spark, sf_dir)
-    edges = op_lg.host_link_graph(pages)
+    # nine sections consume the host edge list (several iteratively);
+    # pin it once so the page parse + groupBy run a single time instead
+    # of per section
+    edges = op_lg.host_link_graph(pages).localCheckpoint(eager=False)
     zero = F.lit(0).cast("long")
     edge_rows = edges.select(
         F.lit("edge").alias("section"), F.col("src_host").alias("k1"),
