@@ -59,6 +59,10 @@ class PipelineConfig:
     # otherwise serializes the whole parse on one task); int = exact target;
     # False = leave the scan partitioning untouched
     repartition_input: object = True
+    # attach the zero-job Observation counters (docs/bytes/errors) to the
+    # extraction relation; off only for micro-benchmarks that want the
+    # absolute minimal plan
+    observe_metrics: bool = True
     # persist the expensive intermediates (extraction / chunk / mention UDF
     # outputs) as part of building the result, so a caller that runs several
     # output actions (nodes AND edges AND metrics) parses each document once
@@ -166,12 +170,14 @@ def run_pipeline(web_pages: DataFrame,
                   if cfg.schema_size > 0 else cfg.max_tokens)
     from pyspark.sql import Observation
 
-    obs = Observation("run_counters")
+    obs = Observation("run_counters") if cfg.observe_metrics else None
 
     def _observe(df: DataFrame) -> DataFrame:
         # counters ride the first real action over the extraction relation
         # (df.observe is an identity node with aggregate side-channels) —
         # the run-level docs/bytes/errors totals arrive without a job
+        if obs is None:
+            return df
         return df.observe(
             obs,
             F.count(F.lit(1)).alias("docs_parsed"),

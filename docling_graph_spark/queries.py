@@ -4073,7 +4073,7 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked 1-day tumbling windows over the events stream."""
     from .streaming import windowed as _w
 
-    staging = _staged_stream_dir(spark, sf_dir, "wc")
+    staging = _staged_stream_dir(spark, sf_dir, "ev")
     stream = _w.stream_from_staged(spark, staging)
     _w.drain_to_memory(_w.windowed_event_counts(stream),
                        "stream_window_counts", "complete")
@@ -4092,7 +4092,7 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState per-user running totals, drained to final state."""
     from .streaming import windowed as _w
 
-    staging = _staged_stream_dir(spark, sf_dir, "ut")
+    staging = _staged_stream_dir(spark, sf_dir, "ev")
     stream = _w.stream_from_staged(spark, staging)
     _w.drain_to_memory(_w.user_totals_stateful(stream),
                        "stream_user_totals", "update")
@@ -6256,7 +6256,7 @@ def q_stream_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("k1"),
         F.lit("").alias("k2"), "n_events", "value_cents",
     )
-    staging = _staged_stream_dir(spark, sf_dir, "sess")
+    staging = _staged_stream_dir(spark, sf_dir, "ev")
     stream = _w.stream_from_staged(spark, staging)
     _w.drain_to_memory(_w.session_event_rollup(stream),
                        "stream_sessions", "complete")
@@ -6268,7 +6268,7 @@ def q_stream_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events", "value_cents",
     )
     stream2 = _w.stream_from_staged(
-        spark, _staged_stream_dir(spark, sf_dir, "attr"))
+        spark, _staged_stream_dir(spark, sf_dir, "ev"))
     _w.drain_to_memory(_w.purchase_attribution_join(stream2),
                        "stream_attribution", "append")
     d = spark.table("stream_attribution").select(
