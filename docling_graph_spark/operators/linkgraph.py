@@ -603,3 +603,76 @@ def crawl_depth(edges: DataFrame, seeds: DataFrame,
                     .otherwise(F.col("d")).cast("long").alias("depth"),
                     (F.col("dn") < F.col("d")).cast("long")
                     .alias("would_change")))
+
+
+LPA_ROUNDS = 4
+
+
+def label_propagation(edges: DataFrame, src: str = "src_host",
+                      dst: str = "dst_host", weight: str = "n_links",
+                      rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Deterministic weighted label propagation (Raghavan et al. 2007)
+    over the undirected host graph: (host, label, community_size,
+    would_change) after ``rounds`` synchronous update steps — the
+    community/site-cluster signal a crawl pipeline uses for mirror-farm
+    detection and community-stratified sampling.
+
+    l_0(v) = v; l_{t+1}(v) = the neighbor label with the largest total
+    incident edge weight, ties broken by the lexicographically GREATEST
+    label — the argmax is then exactly ``max(struct(weight, label))``,
+    a single algebraic aggregate both engines order identically, so the
+    full label trajectory is engine- and partitioning-independent and a
+    fixed round count is replayable by an unrolled SQL oracle (classic
+    asynchronous LPA is order-dependent and unreproducible by design;
+    the synchronous variant trades convergence speed for determinism).
+    Labels are host strings, so no label-id dictionary is needed.
+
+    Per-round plan: one equi-join of the symmetrized weighted adjacency
+    against the label relation, a map-side-combinable (node, label)
+    weight sum, and one max(struct) groupBy — no windows, no per-node
+    lists; a web-scale hub costs one heavy but combinable group.
+    Lineage is cut per round with localCheckpoint as :func:`pagerank`
+    does.  Synchronous LPA can 2-cycle on bipartite structures, so a
+    fixed round budget (not a convergence loop) is the contract;
+    ``would_change`` reports per-node stability of the returned
+    labelling and both engines must agree on it exactly."""
+    und = (edges.filter(F.col(src) != F.col(dst))
+           .select(F.least(src, dst).alias("a"),
+                   F.greatest(src, dst).alias("b"),
+                   F.col(weight).cast("long").alias("w"))
+           .groupBy("a", "b").agg(F.sum("w").alias("w")))
+    adj = (und.select(F.col("a").alias("node"), F.col("b").alias("nbr"),
+                      "w")
+           .unionAll(und.select(F.col("b").alias("node"),
+                                F.col("a").alias("nbr"), "w"))
+           ).localCheckpoint(eager=False)
+    nodes = (edges.select(F.col(src).alias("node"))
+             .unionByName(edges.select(F.col(dst).alias("node")))
+             .distinct())
+    labels = nodes.select("node", F.col("node").alias("label"))
+
+    def one_round(cur: DataFrame) -> DataFrame:
+        votes = (adj.join(cur.withColumnRenamed("node", "nbr")
+                          .withColumnRenamed("label", "nlbl"), "nbr")
+                 .groupBy("node", "nlbl")
+                 .agg(F.sum("w").alias("s"))
+                 .groupBy("node")
+                 .agg(F.max(F.struct(F.col("s"), F.col("nlbl")))
+                      .alias("m"))
+                 .select("node", F.col("m.nlbl").alias("new_label")))
+        return (cur.join(votes, "node", "left")
+                .select("node",
+                        F.coalesce("new_label", "label").alias("label")))
+
+    for _ in range(rounds):
+        labels = one_round(labels).localCheckpoint(eager=False)
+    nxt = one_round(labels)
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("community_size"))
+    return (labels.join(nxt.withColumnRenamed("label", "next_label"),
+                        "node")
+            .join(sizes, "label")
+            .select(F.col("node").alias("host"), "label",
+                    "community_size",
+                    (F.col("next_label") != F.col("label")).cast("long")
+                    .alias("would_change")))

@@ -2853,6 +2853,49 @@ b{i} AS MATERIALIZED (
 SQL_HOST_DEPTH = _bfs_unrolled_sql(8)
 
 
+def _lpa_unrolled_sql(rounds: int) -> str:
+    """DuckDB oracle for operators/linkgraph.label_propagation: each
+    synchronous vote round is an explicit MATERIALIZED CTE; the argmax
+    over (total weight, label) is ``max(struct_pack(...)).l`` — the same
+    lexicographic struct ordering Spark's ``max(struct)`` uses, so the
+    full label trajectory is replayed exactly.  The extra round
+    ``pl{rounds+1}`` feeds would_change."""
+    ctes = """,
+lund AS MATERIALIZED (
+  SELECT least(src_host, dst_host) AS a,
+         greatest(src_host, dst_host) AS b,
+         CAST(sum(n_links) AS BIGINT) AS w
+  FROM hg WHERE src_host <> dst_host GROUP BY 1, 2),
+ladj AS MATERIALIZED (
+  SELECT a AS node, b AS nbr, w FROM lund
+  UNION ALL SELECT b, a, w FROM lund),
+lnd AS MATERIALIZED (SELECT DISTINCT host AS node FROM (
+  SELECT src_host AS host FROM hg UNION SELECT dst_host FROM hg)),
+pl0 AS (SELECT node, node AS label FROM lnd)"""
+    for i in range(1, rounds + 2):
+        ctes += f""",
+pl{i} AS MATERIALIZED (
+  SELECT c.node, coalesce(v.nl, c.label) AS label
+  FROM pl{i - 1} c LEFT JOIN (
+    SELECT node, max(struct_pack(s := s, l := nlbl)).l AS nl FROM (
+      SELECT a.node, p.label AS nlbl, CAST(sum(a.w) AS BIGINT) AS s
+      FROM ladj a JOIN pl{i - 1} p ON p.node = a.nbr
+      GROUP BY a.node, p.label)
+    GROUP BY node) v ON v.node = c.node)"""
+    return (f"WITH {_LINKS_CTE}{ctes},\n"
+            f"lsz AS (SELECT label, CAST(count(*) AS BIGINT) AS sz\n"
+            f"        FROM pl{rounds} GROUP BY label)\n"
+            f"SELECT c.node AS host, c.label,\n"
+            f"       lsz.sz AS community_size,\n"
+            f"       CAST(CASE WHEN n.label <> c.label THEN 1 ELSE 0 END"
+            f" AS BIGINT) AS would_change\n"
+            f"FROM pl{rounds} c JOIN pl{rounds + 1} n USING (node)\n"
+            f"JOIN lsz ON lsz.label = c.label")
+
+
+SQL_HOST_LPA = _lpa_unrolled_sql(4)
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text corpus rollup: per link text, occurrence count and
     distinct target hosts — the (anchor, target) pair relation used as
@@ -2962,8 +3005,13 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     decomposition (section='core': k1=host, v1=coreness, v2=degree via
     synchronous h-index iterations, operators/linkgraph.coreness; the
     k2='converged' row gates sum(would_change)==0, i.e. the values ARE
-    the exact coreness).  Pages are parsed once; the edge relation is
-    reused by the rank, triangle, hits and core sections."""
+    the exact coreness), and deterministic weighted label-propagation
+    communities (section='community': k1=host, k2=community label,
+    v1=community size, v2=per-node would_change —
+    operators/linkgraph.label_propagation, synchronous max(struct)
+    argmax votes, 4 rounds, unrolled-CTE oracle).  Pages are parsed
+    once; the edge relation is reused by the rank, triangle, hits,
+    core and community sections."""
     from .operators import linkgraph as op_lg
     from .sources.web_pages import synthesize_web_pages
 
@@ -3043,6 +3091,11 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hops").alias("v1"),
         F.conv(F.substring(F.md5(F.col("path").cast("binary")), 1, 12),
                16, 10).cast("long").alias("v2"))
+    lpa = op_lg.label_propagation(edges)
+    community_rows = lpa.select(
+        F.lit("community").alias("section"), F.col("host").alias("k1"),
+        F.col("label").alias("k2"), F.col("community_size").alias("v1"),
+        F.col("would_change").alias("v2"))
     core = op_lg.coreness(edges)
     core_rows = core.select(
         F.lit("core").alias("section"), F.col("host").alias("k1"),
@@ -3059,6 +3112,7 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(hits_rows).unionByName(core_rows)
             .unionByName(core_conv).unionByName(walk_rows)
             .unionByName(depth_rows).unionByName(depth_conv)
+            .unionByName(community_rows)
             .orderBy("section", "k1", "k2"))
 
 
@@ -3201,6 +3255,9 @@ SELECT section, k1, k2, v1, v2 FROM (
   SELECT 'depth', '', 'converged',
          CAST(sum(would_change) AS BIGINT), CAST(count(*) AS BIGINT)
   FROM ({SQL_HOST_DEPTH})
+  UNION ALL
+  SELECT 'community', host, label, community_size, would_change
+  FROM ({SQL_HOST_LPA})
 ) ORDER BY section, k1, k2
 """
 

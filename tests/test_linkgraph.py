@@ -457,3 +457,64 @@ def test_crawl_depth_multi_seed_min_and_invariance(spark):
     b = {tuple(r) for r in
          op_lg.crawl_depth(edges.coalesce(1), seeds).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities
+# ---------------------------------------------------------------------------
+
+
+def _w_edges(spark, triples):
+    return spark.createDataFrame(
+        [(a, b, w) for a, b, w in triples],
+        "src_host string, dst_host string, n_links long")
+
+
+def test_lpa_two_triangles_weak_bridge(spark):
+    """Two dense triangles joined by one weak edge settle into two
+    communities whose labels are each triangle's max host."""
+    edges = _w_edges(spark, [
+        ("a1", "a2", 3), ("a2", "a3", 3), ("a1", "a3", 3),
+        ("b1", "b2", 3), ("b2", "b3", 3), ("b1", "b3", 3),
+        ("a3", "b1", 1)])
+    rows = {r["host"]: (r["label"], r["community_size"])
+            for r in op_lg.label_propagation(edges, rounds=6).collect()}
+    labels = {h: l for h, (l, _) in rows.items()}
+    assert len({labels["a1"], labels["a2"], labels["a3"]}) == 1
+    assert len({labels["b1"], labels["b2"], labels["b3"]}) == 1
+    assert labels["a1"] != labels["b1"]
+    assert all(sz == 3 for _, sz in rows.values())
+
+
+def test_lpa_weight_beats_count_and_tie_is_max_label(spark):
+    """One heavy edge outvotes two light ones; equal weights pick the
+    lexicographically greatest neighbor label (max(struct) tie rule)."""
+    # x's neighbors: h (w=5) vs l1,l2 (w=1 each) -> round 1 label = h
+    edges = _w_edges(spark, [
+        ("x", "h", 5), ("x", "l1", 1), ("x", "l2", 1)])
+    one = {r["host"]: r["label"]
+           for r in op_lg.label_propagation(edges, rounds=1).collect()}
+    assert one["x"] == "h"
+    # tie: equal weight to "m" and "z" -> greatest label wins
+    tie = _w_edges(spark, [("x", "m", 2), ("x", "z", 2)])
+    one = {r["host"]: r["label"]
+           for r in op_lg.label_propagation(tie, rounds=1).collect()}
+    assert one["x"] == "z"
+
+
+def test_lpa_partitioning_invariant_and_directed_weights_merge(spark):
+    """Same labelling on any input partitioning; a->b and b->a weights
+    sum into one undirected edge (3+4=7 beats the w=5 competitor)."""
+    edges = _w_edges(spark, [
+        ("a", "b", 3), ("b", "a", 4), ("a", "c", 5),
+        ("d", "a", 1), ("c", "d", 2)])
+    r1 = {tuple(r) for r in
+          op_lg.label_propagation(edges.repartition(7), rounds=3).collect()}
+    r2 = {tuple(r) for r in
+          op_lg.label_propagation(edges.coalesce(1), rounds=3).collect()}
+    assert r1 == r2
+    one = {r["host"]: r["label"]
+           for r in op_lg.label_propagation(edges, rounds=1).collect()}
+    # a's neighbor votes: b has 3+4=7 (directions merged), c has 5, d has 1
+    # -> b wins; unmerged directed weights (max 4) would have picked c
+    assert one["a"] == "b"
