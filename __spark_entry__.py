@@ -172,6 +172,19 @@ Round-2 session-4 additions (still 50 total):
                         method='posrank' positive difficulty ranks;
                         operators/retrieval.py over mined doc links)
 
+Round-2 session-8 additions (still 50 total):
+  link_graph_stats   += community section (linkgraph.label_propagation:
+                        deterministic weighted LPA — synchronous
+                        max(struct(weight,label)) argmax votes, 4
+                        rounds; per-host community label + size +
+                        would_change, unrolled max(struct_pack) oracle)
+  signature_stats    += kmv columns (sketches.kmv_set_stats: KMV/Theta
+                        bottom-k distinct sketch over two overlapping
+                        per-lang url sets — union AND intersection
+                        estimates in exact int64 arithmetic from sketch
+                        state alone, union-sketch checksum gate, exact
+                        cardinalities alongside)
+
 Round-2 additions (still 50 total):
   corpus_prep_stats  += dup_excision stage (ExactSubstr span REMOVAL,
                         exact-content rebuild checksum both engines

@@ -153,3 +153,127 @@ def cms_estimates(registers: DataFrame, keys: DataFrame, value_col: str,
             .groupBy(*group_cols, "v")
             .agg(F.min("counter").cast("long").alias("estimate"))
             .withColumnRenamed("v", value_col))
+
+
+# ---------------------------------------------------------------------------
+# KMV / Theta bottom-k distinct sketch with set operations
+# ---------------------------------------------------------------------------
+
+KMV_K = 32
+_KMV_HEX = 12             # 48-bit hash values (12 hex chars)
+KMV_SPACE = 1 << 48
+
+
+def _kmv_hash(value: Column) -> Column:
+    return F.conv(F.substring(F.md5(value.cast("binary")), 1, _KMV_HEX),
+                  16, 10).cast("long")
+
+
+def kmv_sketch(df: DataFrame, value: Column, group_col: str,
+               k: int = KMV_K) -> DataFrame:
+    """Bottom-k / k-minimum-values distinct sketch (Bar-Yossef et al.
+    2002; the Theta-sketch state, Dasgupta et al. 2016): per group, the
+    ``k`` smallest DISTINCT 48-bit md5 hash values of the column, as
+    rows (group, rank, hv).
+
+    Unlike HLL this sketch supports INTERSECTION estimates (and any set
+    expression) because it keeps a uniform hash sample below a
+    threshold, not lossy registers.  Hashes are md5-derived like the
+    HLL/CMS sketches, so the identical value set is reproducible on any
+    engine/partitioning and the oracle can compare full sketch state.
+
+    Plan: one distinct (map-side combinable) then a per-group bottom-k
+    window over DISTINCT HASHES.  At 100 TB the windowed set is bounded
+    the same way shuffle_positions bounds its sort: hash uniformity
+    means a static prefix filter ``hv < t`` (t sized from a cardinality
+    floor, t >> k * SPACE / N) keeps the window input tiny without
+    affecting the bottom-k; the unfiltered form here is the
+    small-SF/oracle-exact shape."""
+    from pyspark.sql import Window
+
+    dist = (df.select(F.col(group_col), _kmv_hash(value).alias("hv"))
+            .distinct())
+    w = Window.partitionBy(group_col).orderBy("hv")
+    return (dist.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(group_col, F.col("rank").cast("long").alias("rank"),
+                    "hv"))
+
+
+def kmv_set_stats(df_a: DataFrame, df_b: DataFrame, value_col: str,
+                  group_col: str, k: int = KMV_K) -> DataFrame:
+    """Per-group KMV sketches of two sets A and B plus set-operation
+    estimates — the crawl-snapshot overlap question ("how many urls do
+    two crawls share?") answered from two k-row sketches instead of a
+    full distinct join.
+
+    Returns one row per group:
+      kmv_k, kmv_union_n (union-sketch fill), kmv_common (sketch values
+      in both sets), kmv_theta (union-sketch max hash), kmv_a_est,
+      kmv_b_est, kmv_union_est, kmv_inter_est, kmv_checksum (48-bit
+      md5 rollup of the union-sketch state — the mergeable state the
+      gate compares).
+
+    Estimator (exact int64 arithmetic, engine-identical): with hashes
+    uniform in [0, 2^48), a full sketch's k-th minimum theta gives
+    est = (k-1) * 2^48 div theta; an unfilled sketch IS the distinct
+    value set, so est = n exactly.  The union sketch is the bottom-k of
+    the two sketches' value union (all of A∪B's bottom-k hashes lie
+    below both thetas); intersection membership is testable against the
+    per-set SKETCHES alone (v <= theta_union <= theta_a), giving
+    est_inter = common * est_union div k — the standard Theta-sketch
+    a-not-b/intersect scheme.  Every post-sketch relation is k rows per
+    group: the joins below are broadcast-sized no matter the corpus."""
+    from pyspark.sql import Window
+
+    sa = kmv_sketch(df_a, F.col(value_col), group_col, k)
+    sb = kmv_sketch(df_b, F.col(value_col), group_col, k)
+
+    def agg_sketch(s: DataFrame, name: str) -> DataFrame:
+        return s.groupBy(group_col).agg(
+            F.count("*").cast("long").alias(f"{name}_n"),
+            F.max("hv").alias(f"{name}_theta"))
+
+    merged = (sa.select(group_col, "hv")
+              .unionByName(sb.select(group_col, "hv")).distinct())
+    w = Window.partitionBy(group_col).orderBy("hv")
+    su = (merged.withColumn("rank", F.row_number().over(w))
+          .filter(F.col("rank") <= k))
+    flagged = (su
+               .join(sa.select(group_col, "hv",
+                               F.lit(1).alias("in_a")),
+                     [group_col, "hv"], "left")
+               .join(sb.select(group_col, "hv",
+                               F.lit(1).alias("in_b")),
+                     [group_col, "hv"], "left"))
+    cell_md5 = F.md5(F.concat(F.col("rank").cast("string"), F.lit(":"),
+                              F.col("hv").cast("string")).cast("binary"))
+    u_agg = flagged.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("u_n"),
+        F.max("hv").alias("u_theta"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long"))
+        .cast("long").alias("n_common"),
+        F.sum(F.conv(F.substring(cell_md5, 1, 12), 16, 10).cast("long"))
+        .cast("long").alias("kmv_checksum"))
+
+    num = (k - 1) * KMV_SPACE
+
+    def est(n: str, theta: str) -> Column:
+        return F.when(F.col(n) < k, F.col(n)).otherwise(
+            F.expr(f"{num}L div {theta}")).cast("long")
+
+    joined = (u_agg.join(agg_sketch(sa, "a"), group_col)
+              .join(agg_sketch(sb, "b"), group_col)
+              .withColumn("union_est", est("u_n", "u_theta")))
+    inter = F.when(F.col("u_n") < k, F.col("n_common")).otherwise(
+        F.expr(f"(n_common * union_est) div {k}")).cast("long")
+    return joined.select(
+        group_col, F.lit(k).cast("long").alias("kmv_k"),
+        F.col("u_n").alias("kmv_union_n"),
+        F.col("n_common").alias("kmv_common"),
+        F.col("u_theta").alias("kmv_theta"),
+        est("a_n", "a_theta").alias("kmv_a_est"),
+        est("b_n", "b_theta").alias("kmv_b_est"),
+        F.col("union_est").alias("kmv_union_est"),
+        inter.alias("kmv_inter_est"),
+        "kmv_checksum")

@@ -3474,7 +3474,12 @@ def q_signature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum plus the point-query upper-bound check — estimates for the
     top-5 terms vs their exact counts, cms_overest_ok = 1 iff no
     estimate ever under-counts, the CM structural guarantee exercised
-    end-to-end)."""
+    end-to-end) and the KMV/Theta bottom-k distinct sketch with SET
+    OPERATIONS (kmv_*: two overlapping per-lang url sets sketched at
+    k=32 — operators/sketches.kmv_set_stats; union and intersection
+    estimates in exact int64 arithmetic from sketch state alone, full
+    union-sketch state gated by checksum, exact cardinalities alongside
+    so the estimator error is visible)."""
     from pyspark.sql import Window
 
     from .operators import sketches as op_sk
@@ -3510,12 +3515,35 @@ def q_signature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.min((F.col("estimate") >= F.col("cnt"))
                             .cast("long")).cast("long")
                       .alias("cms_overest_ok")))
+    # KMV / Theta bottom-k sketch set ops: two overlapping per-lang url
+    # sets (A = even docs, B = docs not divisible by 3 — the two-crawl
+    # overlap shape) sketched at k=32; union/intersection ESTIMATES from
+    # sketch state alone, exact counts alongside so the error is visible
+    # (the exact columns are the small-SF verification extravagance — at
+    # 100 TB only the k-row sketches would be computed)
+    urls = docs.select("lang", "doc_id",
+                       url_expr(F.col("doc_id")).alias("url"))
+    in_a, in_b = F.col("doc_id") % 2 == 0, F.col("doc_id") % 3 != 0
+    kmv = op_sk.kmv_set_stats(
+        urls.filter(in_a).select("lang", "url"),
+        urls.filter(in_b).select("lang", "url"), "url", "lang")
+    kmv_exact = urls.groupBy("lang").agg(
+        F.countDistinct(F.when(in_a, F.col("url"))).cast("long")
+        .alias("kmv_a_exact"),
+        F.countDistinct(F.when(in_b, F.col("url"))).cast("long")
+        .alias("kmv_b_exact"),
+        F.countDistinct(F.when(in_a | in_b, F.col("url"))).cast("long")
+        .alias("kmv_union_exact"),
+        F.countDistinct(F.when(in_a & in_b, F.col("url"))).cast("long")
+        .alias("kmv_inter_exact"))
     return (
         q_simhash_dedup(spark, sf_dir)
         .join(q_doc_fingerprints(spark, sf_dir), "lang")
         .join(hll, "lang")
         .join(cms_state, "lang")
         .join(cms_probe, "lang")
+        .join(kmv, "lang")
+        .join(kmv_exact, "lang")
         .orderBy("lang")
     )
 
@@ -3585,15 +3613,99 @@ SELECT lang, cms_nonzero, cms_checksum, cms_est_sum, cms_exact_sum,
 FROM state JOIN probe USING (lang)
 """
 
+_KMV_K = 32
+_KMV_NUM = (_KMV_K - 1) * (1 << 48)
+
+SQL_KMV_STATS = f"""
+WITH ku AS (
+  SELECT lang, doc_id, {_URL} AS url FROM documents),
+kha AS (
+  SELECT DISTINCT lang,
+         CAST(CAST(('0x' || substr(md5(url), 1, 12)) AS UBIGINT)
+              AS BIGINT) AS hv
+  FROM ku WHERE doc_id % 2 = 0),
+khb AS (
+  SELECT DISTINCT lang,
+         CAST(CAST(('0x' || substr(md5(url), 1, 12)) AS UBIGINT)
+              AS BIGINT) AS hv
+  FROM ku WHERE doc_id % 3 <> 0),
+sa AS (SELECT lang, hv FROM (
+  SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv)
+         AS rank FROM kha) WHERE rank <= {_KMV_K}),
+sb AS (SELECT lang, hv FROM (
+  SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv)
+         AS rank FROM khb) WHERE rank <= {_KMV_K}),
+su AS (SELECT lang, rank, hv FROM (
+  SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv)
+         AS rank
+  FROM (SELECT DISTINCT lang, hv FROM (
+    SELECT lang, hv FROM sa UNION ALL SELECT lang, hv FROM sb)))
+  WHERE rank <= {_KMV_K}),
+flag AS (
+  SELECT su.lang, su.rank, su.hv,
+         CASE WHEN sa.hv IS NOT NULL THEN 1 ELSE 0 END AS ina,
+         CASE WHEN sb.hv IS NOT NULL THEN 1 ELSE 0 END AS inb
+  FROM su LEFT JOIN sa ON sa.lang = su.lang AND sa.hv = su.hv
+          LEFT JOIN sb ON sb.lang = su.lang AND sb.hv = su.hv),
+uagg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS u_n, max(hv) AS u_theta,
+         CAST(sum(ina * inb) AS BIGINT) AS n_common,
+         CAST(sum(CAST(('0x' || substr(md5(CAST(rank AS VARCHAR) || ':'
+               || CAST(hv AS VARCHAR)), 1, 12)) AS UBIGINT))
+              AS BIGINT) AS kmv_checksum
+  FROM flag GROUP BY lang),
+aagg AS (SELECT lang, CAST(count(*) AS BIGINT) AS a_n,
+                max(hv) AS a_theta FROM sa GROUP BY lang),
+bagg AS (SELECT lang, CAST(count(*) AS BIGINT) AS b_n,
+                max(hv) AS b_theta FROM sb GROUP BY lang),
+kex AS (
+  SELECT lang,
+    CAST(count(DISTINCT CASE WHEN doc_id % 2 = 0 THEN url END)
+         AS BIGINT) AS kmv_a_exact,
+    CAST(count(DISTINCT CASE WHEN doc_id % 3 <> 0 THEN url END)
+         AS BIGINT) AS kmv_b_exact,
+    CAST(count(DISTINCT CASE WHEN doc_id % 2 = 0 OR doc_id % 3 <> 0
+                             THEN url END) AS BIGINT) AS kmv_union_exact,
+    CAST(count(DISTINCT CASE WHEN doc_id % 2 = 0 AND doc_id % 3 <> 0
+                             THEN url END) AS BIGINT) AS kmv_inter_exact
+  FROM ku GROUP BY lang),
+kest AS (
+  SELECT lang, CAST({_KMV_K} AS BIGINT) AS kmv_k,
+         u_n AS kmv_union_n, n_common AS kmv_common,
+         u_theta AS kmv_theta,
+         CASE WHEN a_n < {_KMV_K} THEN a_n
+              ELSE CAST({_KMV_NUM} AS BIGINT) // a_theta END AS kmv_a_est,
+         CASE WHEN b_n < {_KMV_K} THEN b_n
+              ELSE CAST({_KMV_NUM} AS BIGINT) // b_theta END AS kmv_b_est,
+         CASE WHEN u_n < {_KMV_K} THEN u_n
+              ELSE CAST({_KMV_NUM} AS BIGINT) // u_theta END
+           AS kmv_union_est,
+         kmv_checksum
+  FROM uagg JOIN aagg USING (lang) JOIN bagg USING (lang))
+SELECT lang, kmv_k, kmv_union_n, kmv_common, kmv_theta,
+       kmv_a_est, kmv_b_est, kmv_union_est,
+       CASE WHEN kmv_union_n < {_KMV_K} THEN kmv_common
+            ELSE (kmv_common * kmv_union_est) // {_KMV_K} END
+         AS kmv_inter_est,
+       kmv_checksum,
+       kmv_a_exact, kmv_b_exact, kmv_union_exact, kmv_inter_exact
+FROM kest JOIN kex USING (lang)
+"""
+
 SQL_SIGNATURE_STATS = f"""
 SELECT s.lang, s.n_docs, s.n_distinct_simhash,
        f.docs_with_fp, f.total_fps, f.distinct_fps,
        h.hll_m, h.hll_nonzero, h.hll_regsum, h.hll_checksum,
        c.cms_nonzero, c.cms_checksum, c.cms_est_sum, c.cms_exact_sum,
-       c.cms_overest_ok
+       c.cms_overest_ok,
+       k.kmv_k, k.kmv_union_n, k.kmv_common, k.kmv_theta,
+       k.kmv_a_est, k.kmv_b_est, k.kmv_union_est, k.kmv_inter_est,
+       k.kmv_checksum,
+       k.kmv_a_exact, k.kmv_b_exact, k.kmv_union_exact, k.kmv_inter_exact
 FROM ({SQL_SIMHASH}) s JOIN ({SQL_DOC_FINGERPRINTS}) f USING (lang)
      JOIN ({SQL_HLL_URLS}) h USING (lang)
      JOIN ({SQL_CMS_STATS}) c USING (lang)
+     JOIN ({SQL_KMV_STATS}) k USING (lang)
 ORDER BY lang
 """
 

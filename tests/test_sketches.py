@@ -145,3 +145,83 @@ def test_estimate_tracks_builtin_datasketches_hll(spark, urls):
     ours = op_sk.estimate(_regs(urls))
     assert abs(row["ds"] - 3000) / 3000 < 0.15
     assert abs(ours - row["ds"]) / 3000 < 0.25
+
+
+# ---------------------------------------------------------------------------
+# KMV / Theta bottom-k sketch
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def kmv_sets(spark):
+    """Two overlapping url sets in one group: |A|=600, |B|=700,
+    |A∩B|=300 (ids 0-299 shared), |A∪B|=1000."""
+    a = spark.createDataFrame(
+        [("g", f"https://x.example.com/a/{i}") for i in range(600)],
+        "grp string, url string")
+    b = spark.createDataFrame(
+        [("g", f"https://x.example.com/a/{i}") for i in range(300)]
+        + [("g", f"https://x.example.com/b/{i}") for i in range(400)],
+        "grp string, url string")
+    return a, b
+
+
+def test_kmv_sketch_is_bottom_k_of_distinct(spark):
+    df = spark.createDataFrame(
+        [("g", f"v{i % 50}") for i in range(500)], "grp string, v string")
+    rows = op_sk.kmv_sketch(df, F.col("v"), "grp", k=16).collect()
+    assert len(rows) == 16
+    hvs = [r["hv"] for r in rows]
+    assert hvs == sorted(hvs) and len(set(hvs)) == 16
+    # duplicates must not move the sketch: distinct input, same state
+    rows2 = op_sk.kmv_sketch(df.distinct(), F.col("v"), "grp",
+                             k=16).collect()
+    assert {(r["rank"], r["hv"]) for r in rows} == \
+        {(r["rank"], r["hv"]) for r in rows2}
+
+
+def test_kmv_unfilled_sketch_is_exact(spark):
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(10)], "grp string, v string")
+    row = op_sk.kmv_set_stats(df, df, "v", "grp", k=32).collect()[0]
+    assert row["kmv_union_n"] == 10
+    assert row["kmv_a_est"] == 10 and row["kmv_b_est"] == 10
+    assert row["kmv_union_est"] == 10 and row["kmv_inter_est"] == 10
+
+
+def test_kmv_set_estimates_within_error(spark, kmv_sets):
+    """k=64 bottom-k: relative error ~1/sqrt(k-2) ≈ 13%; assert a lax
+    2.5-sigma band so the test is deterministic-but-meaningful."""
+    a, b = kmv_sets
+    row = op_sk.kmv_set_stats(a, b, "url", "grp", k=64).collect()[0]
+    assert abs(row["kmv_a_est"] - 600) <= 200
+    assert abs(row["kmv_b_est"] - 700) <= 230
+    assert abs(row["kmv_union_est"] - 1000) <= 330
+    assert abs(row["kmv_inter_est"] - 300) <= 160
+    assert row["kmv_union_n"] == 64 and row["kmv_theta"] > 0
+
+
+def test_kmv_partitioning_invariant(spark, kmv_sets):
+    a, b = kmv_sets
+    r1 = {tuple(r) for r in op_sk.kmv_set_stats(
+        a.repartition(11), b.coalesce(1), "url", "grp", k=32).collect()}
+    r2 = {tuple(r) for r in op_sk.kmv_set_stats(
+        a.coalesce(1), b.repartition(7), "url", "grp", k=32).collect()}
+    assert r1 == r2
+
+
+def test_kmv_union_sketch_equals_direct_union_sketch(spark, kmv_sets):
+    """Merging the two k-row sketches gives EXACTLY the sketch of A∪B
+    built from the raw union — the mergeability contract."""
+    a, b = kmv_sets
+    sa = op_sk.kmv_sketch(a, F.col("url"), "grp", k=32)
+    sb = op_sk.kmv_sketch(b, F.col("url"), "grp", k=32)
+    from pyspark.sql import Window
+    merged = (sa.select("grp", "hv").unionByName(sb.select("grp", "hv"))
+              .distinct()
+              .withColumn("rank", F.row_number().over(
+                  Window.partitionBy("grp").orderBy("hv")))
+              .filter(F.col("rank") <= 32))
+    direct = op_sk.kmv_sketch(a.unionByName(b), F.col("url"), "grp", k=32)
+    assert {(r["rank"], r["hv"]) for r in merged.collect()} == \
+        {(r["rank"], r["hv"]) for r in direct.collect()}
