@@ -189,6 +189,11 @@ Round-2 session-8 additions (still 50 total):
                         codes 4x smaller, int64 weighted-centered-code
                         dot scoring; 0.97 recall@10 vs exact,
                         unit-gated; ranks hash-exact vs the oracle)
+  corpus_prep_stats  += dq stage (operators/dataquality.py: Deequ-style
+                        constraint suite — completeness/uniqueness/
+                        pattern/domain/range/cross-column checks in ONE
+                        aggregation pass, plan-asserted join/window-free,
+                        + referential orphan counts via left_anti joins)
 
 Round-2 additions (still 50 total):
   corpus_prep_stats  += dup_excision stage (ExactSubstr span REMOVAL,

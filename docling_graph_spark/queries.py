@@ -5997,6 +5997,77 @@ FROM g
 """
 
 
+def q_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality suite (operators/dataquality.py): every
+    row-level constraint over the corpus — completeness, key
+    uniqueness, url pattern, lang domain, n_chars range, n_chars↔text
+    cross-column consistency — folded into ONE aggregation pass, plus
+    two referential-integrity orphan counts (events.user_id ⊆
+    customer.c_custkey, customer.c_nationkey ⊆ nation.n_nationkey) as
+    left_anti joins.  Violation counts, not booleans: integers are
+    hash-stable and thresholds stay with the caller."""
+    from .operators import dataquality as dq
+    from .sources.web_pages import url_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    row = dq.run_checks(
+        docs.withColumn("url", url_expr(F.col("doc_id"))),
+        dq.completeness("text"),
+        dq.uniqueness("doc_id"),
+        dq.pattern("url",
+                   r"^https://host[0-9]+\.example\.com/doc/[0-9]+$",
+                   "url_pattern_viol"),
+        dq.membership("lang", ["de", "en", "es", "fr", "zh"]),
+        dq.in_range("n_chars", 0, 100000),
+        dq.consistency(
+            "n_chars_mismatch",
+            F.col("n_chars")
+            != F.length(F.coalesce(F.col("text"), F.lit("")))))
+    ev = dq.referential_orphans(
+        _read(spark, sf_dir, "events"), "user_id",
+        _read(spark, sf_dir, "customer"), "c_custkey",
+        "event_user_orphans")
+    cn = dq.referential_orphans(
+        _read(spark, sf_dir, "customer"), "c_nationkey",
+        _read(spark, sf_dir, "nation"), "n_nationkey",
+        "cust_nation_orphans")
+    return row.crossJoin(ev).crossJoin(cn)
+
+
+_DQ_METRICS = ["n_rows", "text_missing", "doc_id_dupes",
+               "url_pattern_viol", "lang_domain_viol",
+               "n_chars_range_viol", "n_chars_mismatch",
+               "event_user_orphans", "cust_nation_orphans"]
+
+SQL_DQ = f"""
+SELECT * FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(coalesce(sum(CASE WHEN text IS NULL OR trim(text) = ''
+                           THEN 1 ELSE 0 END), 0) AS BIGINT)
+      AS text_missing,
+    CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT)
+      AS doc_id_dupes,
+    CAST(coalesce(sum(CASE WHEN url IS NULL OR NOT regexp_matches(url,
+           '^https://host[0-9]+\\.example\\.com/doc/[0-9]+$')
+           THEN 1 ELSE 0 END), 0) AS BIGINT) AS url_pattern_viol,
+    CAST(coalesce(sum(CASE WHEN lang IS NULL OR lang NOT IN
+           ('de', 'en', 'es', 'fr', 'zh') THEN 1 ELSE 0 END), 0)
+      AS BIGINT) AS lang_domain_viol,
+    CAST(coalesce(sum(CASE WHEN n_chars IS NULL OR n_chars < 0
+           OR n_chars > 100000 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      AS n_chars_range_viol,
+    CAST(coalesce(sum(CASE WHEN n_chars <> length(coalesce(text, ''))
+           THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_chars_mismatch
+  FROM (SELECT *, {_URL} AS url FROM documents)),
+(SELECT CAST(count(*) AS BIGINT) AS event_user_orphans FROM events
+ WHERE user_id IS NULL OR user_id NOT IN
+   (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)),
+(SELECT CAST(count(*) AS BIGINT) AS cust_nation_orphans FROM customer
+ WHERE c_nationkey IS NULL OR c_nationkey NOT IN
+   (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL))
+"""
+
+
 def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-prep suite in one relation (stage, metric, value): PII
     redaction, C4-style line dedup, broadcast host blocklist, URL
@@ -6007,8 +6078,12 @@ def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     set difference), crawl-snapshot diff + latest-wins compaction
     (added/removed/changed accounting + compacted-content checksum),
     site-level boilerplate removal (strict-majority host-frequency rule),
-    sitemap build/parse/crawl-coverage reconciliation, and
-    char-trigram LM fluency scoring (CCNet-analogue quality gate).
+    sitemap build/parse/crawl-coverage reconciliation,
+    char-trigram LM fluency scoring (CCNet-analogue quality gate), and
+    the Deequ-style data-quality constraint suite (stage 'dq':
+    operators/dataquality.py — completeness/uniqueness/pattern/domain/
+    range/cross-column checks in ONE aggregation pass + two
+    referential-integrity orphan counts via left_anti joins).
     Each stage runs its full operator; the 1-row summaries are unpivoted
     and unioned."""
     return (
@@ -6049,6 +6124,7 @@ def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_unpivot_single_row(
             q_nb_quality(spark, sf_dir), "nb_quality"))
         .unionByName(_unpivot_single_row(q_dsir(spark, sf_dir), "dsir"))
+        .unionByName(_unpivot_single_row(q_dq(spark, sf_dir), "dq"))
         .unionByName(q_curation_funnel(spark, sf_dir).select(
             F.lit("funnel").alias("stage"),
             F.col("stage").alias("metric"),
@@ -6077,6 +6153,7 @@ cb AS ({SQL_CCNET_BINS}),
 rb AS ({SQL_ROBOTS_GATE}),
 nb AS ({SQL_NB_QUALITY}),
 dsr AS ({SQL_DSIR}),
+dqc AS ({SQL_DQ}),
 fu AS ({SQL_CURATION_FUNNEL})
 SELECT stage, metric, value FROM (
 {_sql_unpivot('pii', 'pii',
@@ -6163,6 +6240,8 @@ SELECT stage, metric, value FROM (
 {_sql_unpivot('dsr', 'dsir',
               ['n_docs', 'n_target', 'sum_score', 'min_score', 'max_score',
                'sel_docs', 'k_total', 'sel_target', 'sel_checksum'])}
+  UNION ALL
+{_sql_unpivot('dqc', 'dq', _DQ_METRICS)}
   UNION ALL
   SELECT 'funnel' AS stage, fu.stage AS metric,
          CAST(n_docs AS VARCHAR) AS value FROM fu
