@@ -194,6 +194,11 @@ Round-2 session-8 additions (still 50 total):
                         pattern/domain/range/cross-column checks in ONE
                         aggregation pass, plan-asserted join/window-free,
                         + referential orphan counts via left_anti joins)
+  link_graph_stats   += scc section (linkgraph.strongly_connected:
+                        synchronous Orzan coloring SCC — the Broder
+                        bowtie CORE; forward max-color + backward
+                        membership rounds, shrinking active subgraph,
+                        unassigned counted; unrolled-CTE oracle)
 
 Round-2 additions (still 50 total):
   corpus_prep_stats  += dup_excision stage (ExactSubstr span REMOVAL,

@@ -676,3 +676,98 @@ def label_propagation(edges: DataFrame, src: str = "src_host",
                     "community_size",
                     (F.col("next_label") != F.col("label")).cast("long")
                     .alias("would_change")))
+
+
+SCC_OUTER = 2
+SCC_PROP = 6
+
+
+def strongly_connected(edges: DataFrame, src: str = "src_host",
+                       dst: str = "dst_host", outer: int = SCC_OUTER,
+                       rounds: int = SCC_PROP) -> DataFrame:
+    """Strongly connected components of the directed host graph:
+    (host, scc, scc_size, assigned) — the decomposition behind the
+    classic web "bowtie" analysis (Broder et al. 2000): the giant CORE
+    is the largest SCC of the crawl graph, and mutually-unreachable
+    host clusters never belong to one component.
+
+    Orzan's coloring algorithm, made synchronous and deterministic:
+    each outer iteration (over still-unassigned nodes)
+      1. forward-propagates the MAX node id along edges for ``rounds``
+         synchronous steps — color(v) = greatest active node that
+         reaches v; a node whose color is itself is a root;
+      2. backward-propagates SCC membership from every root
+         simultaneously: an edge (u, v) admits u into root r's
+         component iff scc(v) = r AND color(u) = r (u reaches r
+         through v, and r reaches u by the color certificate) — so
+         members are exactly {v : color(v) = r and v reaches r}, the
+         textbook invariant.
+    All updates are min/max/coalesce folds over equi-joins — no
+    windows, no per-node sets — and every intermediate state is a pure
+    function of the round number, so a fixed (outer x rounds) budget is
+    replayed exactly by the unrolled SQL oracle.  Nodes still
+    unassigned after the budget are reported with scc='' (counted, not
+    hidden); per-round localCheckpoint cuts lineage as the other
+    iterative operators do.
+
+    Plan per step: one equi-join of the active edge list against the
+    label relation + one map-side-combinable max groupBy.  At web scale
+    the active subgraph SHRINKS each outer round (the giant core and
+    every singleton root resolve in round one), which is what makes the
+    FB/coloring family the standard distributed SCC approach."""
+    nodes = (edges.select(F.col(src).alias("node"))
+             .unionByName(edges.select(F.col(dst).alias("node")))
+             .distinct())
+    de = (edges.filter(F.col(src) != F.col(dst))
+          .select(F.col(src).alias("u"), F.col(dst).alias("v"))
+          .distinct()).localCheckpoint(eager=False)
+    state = nodes.select("node", F.lit(None).cast("string").alias("scc"))
+
+    for _ in range(outer):
+        active = state.filter(F.col("scc").isNull()).select("node")
+        ae = (de.join(active.withColumnRenamed("node", "u"), "u",
+                      "left_semi")
+              .join(active.withColumnRenamed("node", "v"), "v",
+                    "left_semi")).localCheckpoint(eager=False)
+        color = active.select("node", F.col("node").alias("color"))
+        for _ in range(rounds):
+            prop = (ae.join(color.withColumnRenamed("node", "u")
+                            .withColumnRenamed("color", "uc"), "u")
+                    .groupBy(F.col("v").alias("node"))
+                    .agg(F.max("uc").alias("pc")))
+            color = (color.join(prop, "node", "left")
+                     .select("node",
+                             F.greatest("color",
+                                        F.coalesce("pc", "color"))
+                             .alias("color"))
+                     ).localCheckpoint(eager=False)
+        mem = color.select(
+            "node", F.when(F.col("color") == F.col("node"),
+                           F.col("node")).alias("scc2"))
+        for _ in range(rounds):
+            prop = (ae.join(mem.filter(F.col("scc2").isNotNull())
+                            .select(F.col("node").alias("v"), "scc2"),
+                            "v")
+                    .join(color.select(F.col("node").alias("u"),
+                                       F.col("color").alias("uc")), "u")
+                    .filter(F.col("scc2") == F.col("uc"))
+                    .groupBy(F.col("u").alias("node"))
+                    .agg(F.max("scc2").alias("pscc")))
+            mem = (mem.join(prop, "node", "left")
+                   .select("node", F.coalesce("scc2", "pscc")
+                           .alias("scc2"))
+                   ).localCheckpoint(eager=False)
+        state = (state.join(mem.select("node", "scc2"), "node", "left")
+                 .select("node", F.coalesce("scc", "scc2").alias("scc"))
+                 ).localCheckpoint(eager=False)
+
+    sizes = (state.filter(F.col("scc").isNotNull())
+             .groupBy("scc")
+             .agg(F.count("*").cast("long").alias("scc_size")))
+    return (state.join(sizes, "scc", "left")
+            .select(F.col("node").alias("host"),
+                    F.coalesce("scc", F.lit("")).alias("scc"),
+                    F.coalesce("scc_size", F.lit(0)).cast("long")
+                    .alias("scc_size"),
+                    F.col("scc").isNotNull().cast("long")
+                    .alias("assigned")))

@@ -2896,6 +2896,64 @@ pl{i} AS MATERIALIZED (
 SQL_HOST_LPA = _lpa_unrolled_sql(4)
 
 
+def _scc_unrolled_sql(outer: int, rounds: int) -> str:
+    """DuckDB oracle for operators/linkgraph.strongly_connected: every
+    forward-color and backward-membership round of every outer
+    iteration is an explicit MATERIALIZED CTE replaying the identical
+    max/coalesce recurrences on the identical active subgraph."""
+    ctes = """,
+sn AS MATERIALIZED (SELECT DISTINCT host AS node FROM (
+  SELECT src_host AS host FROM hg UNION SELECT dst_host FROM hg)),
+sde AS MATERIALIZED (
+  SELECT DISTINCT src_host AS u, dst_host AS v
+  FROM hg WHERE src_host <> dst_host),
+ss0 AS (SELECT node, CAST(NULL AS VARCHAR) AS scc FROM sn)"""
+    for i in range(outer):
+        ctes += f""",
+sa{i} AS MATERIALIZED (SELECT node FROM ss{i} WHERE scc IS NULL),
+se{i} AS MATERIALIZED (
+  SELECT u, v FROM sde
+  WHERE u IN (SELECT node FROM sa{i})
+    AND v IN (SELECT node FROM sa{i})),
+sc{i}_0 AS (SELECT node, node AS color FROM sa{i})"""
+        for t in range(1, rounds + 1):
+            ctes += f""",
+sc{i}_{t} AS MATERIALIZED (
+  SELECT c.node, greatest(c.color, coalesce(p.pc, c.color)) AS color
+  FROM sc{i}_{t - 1} c LEFT JOIN (
+    SELECT e.v AS node, max(cu.color) AS pc
+    FROM se{i} e JOIN sc{i}_{t - 1} cu ON cu.node = e.u
+    GROUP BY e.v) p USING (node))"""
+        ctes += f""",
+sm{i}_0 AS (SELECT node, CASE WHEN color = node THEN node END AS scc2
+            FROM sc{i}_{rounds})"""
+        for t in range(1, rounds + 1):
+            ctes += f""",
+sm{i}_{t} AS MATERIALIZED (
+  SELECT m.node, coalesce(m.scc2, p.pscc) AS scc2
+  FROM sm{i}_{t - 1} m LEFT JOIN (
+    SELECT e.u AS node, max(mv.scc2) AS pscc
+    FROM se{i} e
+    JOIN sm{i}_{t - 1} mv ON mv.node = e.v AND mv.scc2 IS NOT NULL
+    JOIN sc{i}_{rounds} cu ON cu.node = e.u AND cu.color = mv.scc2
+    GROUP BY e.u) p USING (node))"""
+        ctes += f""",
+ss{i + 1} AS MATERIALIZED (
+  SELECT s.node, coalesce(s.scc, m.scc2) AS scc
+  FROM ss{i} s LEFT JOIN sm{i}_{rounds} m USING (node))"""
+    return (f"WITH {_LINKS_CTE}{ctes},\n"
+            f"ssz AS (SELECT scc, CAST(count(*) AS BIGINT) AS scc_size\n"
+            f"        FROM ss{outer} WHERE scc IS NOT NULL GROUP BY scc)\n"
+            f"SELECT s.node AS host, coalesce(s.scc, '') AS scc,\n"
+            f"       coalesce(z.scc_size, 0) AS scc_size,\n"
+            f"       CAST(CASE WHEN s.scc IS NOT NULL THEN 1 ELSE 0 END"
+            f" AS BIGINT) AS assigned\n"
+            f"FROM ss{outer} s LEFT JOIN ssz z ON z.scc = s.scc")
+
+
+SQL_HOST_SCC = _scc_unrolled_sql(2, 6)
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text corpus rollup: per link text, occurrence count and
     distinct target hosts — the (anchor, target) pair relation used as
@@ -3009,14 +3067,19 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     communities (section='community': k1=host, k2=community label,
     v1=community size, v2=per-node would_change —
     operators/linkgraph.label_propagation, synchronous max(struct)
-    argmax votes, 4 rounds, unrolled-CTE oracle).  Pages are parsed
+    argmax votes, 4 rounds, unrolled-CTE oracle), and strongly
+    connected components (section='scc': k1=host, k2=SCC root, v1=SCC
+    size, v2=assigned flag — operators/linkgraph.strongly_connected,
+    synchronous Orzan coloring: forward max-color + backward
+    membership, the Broder bowtie CORE decomposition; unassigned
+    remainder reported, unrolled-CTE oracle).  Pages are parsed
     once; the edge relation is reused by the rank, triangle, hits,
-    core and community sections."""
+    core, community and scc sections."""
     from .operators import linkgraph as op_lg
     from .sources.web_pages import synthesize_web_pages
 
     pages = synthesize_web_pages(spark, sf_dir)
-    # nine sections consume the host edge list (several iteratively);
+    # eleven sections consume the host edge list (several iteratively);
     # pin it once so the page parse + groupBy run a single time instead
     # of per section
     edges = op_lg.host_link_graph(pages).localCheckpoint(eager=False)
@@ -3096,6 +3159,11 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("community").alias("section"), F.col("host").alias("k1"),
         F.col("label").alias("k2"), F.col("community_size").alias("v1"),
         F.col("would_change").alias("v2"))
+    scc = op_lg.strongly_connected(edges)
+    scc_rows = scc.select(
+        F.lit("scc").alias("section"), F.col("host").alias("k1"),
+        F.col("scc").alias("k2"), F.col("scc_size").alias("v1"),
+        F.col("assigned").alias("v2"))
     core = op_lg.coreness(edges)
     core_rows = core.select(
         F.lit("core").alias("section"), F.col("host").alias("k1"),
@@ -3112,7 +3180,7 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(hits_rows).unionByName(core_rows)
             .unionByName(core_conv).unionByName(walk_rows)
             .unionByName(depth_rows).unionByName(depth_conv)
-            .unionByName(community_rows)
+            .unionByName(community_rows).unionByName(scc_rows)
             .orderBy("section", "k1", "k2"))
 
 
@@ -3258,6 +3326,8 @@ SELECT section, k1, k2, v1, v2 FROM (
   UNION ALL
   SELECT 'community', host, label, community_size, would_change
   FROM ({SQL_HOST_LPA})
+  UNION ALL
+  SELECT 'scc', host, scc, scc_size, assigned FROM ({SQL_HOST_SCC})
 ) ORDER BY section, k1, k2
 """
 

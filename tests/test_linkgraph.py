@@ -518,3 +518,49 @@ def test_lpa_partitioning_invariant_and_directed_weights_merge(spark):
     # a's neighbor votes: b has 3+4=7 (directions merged), c has 5, d has 1
     # -> b wins; unmerged directed weights (max 4) would have picked c
     assert one["a"] == "b"
+
+
+# ---------------------------------------------------------------------------
+# strongly connected components (Orzan coloring)
+# ---------------------------------------------------------------------------
+
+
+def test_scc_two_cycles_one_bridge(spark):
+    """c<->d and a<->b with a one-way bridge d->a: two SCCs, and the
+    {a,b} component needs the SECOND outer iteration (its round-1 color
+    root d is not in its SCC) — the peel-and-repeat mechanics."""
+    edges = _core_edges(spark, [
+        ("a", "b"), ("b", "a"), ("c", "d"), ("d", "c"), ("d", "a")])
+    rows = {r["host"]: (r["scc"], r["scc_size"], r["assigned"])
+            for r in op_lg.strongly_connected(edges).collect()}
+    assert rows["c"] == ("d", 2, 1) and rows["d"] == ("d", 2, 1)
+    assert rows["a"] == ("b", 2, 1) and rows["b"] == ("b", 2, 1)
+    one = {r["host"]: r["assigned"]
+           for r in op_lg.strongly_connected(edges, outer=1).collect()}
+    assert one["c"] == 1 and one["d"] == 1
+    assert one["a"] == 0 and one["b"] == 0      # needs outer round 2
+
+
+def test_scc_dag_is_all_singletons(spark):
+    edges = _core_edges(spark, [
+        ("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    rows = {r["host"]: (r["scc"], r["scc_size"])
+            for r in op_lg.strongly_connected(edges).collect()}
+    assert all(scc == h and sz == 1 for h, (scc, sz) in rows.items())
+
+
+def test_scc_cycle_with_tail_and_partitioning_invariance(spark):
+    """3-cycle plus in/out tails: the cycle is one SCC labelled by its
+    max member; tails are singletons.  Identical on any partitioning."""
+    edges = _core_edges(spark, [
+        ("p", "x"), ("x", "y"), ("y", "z"), ("z", "x"), ("y", "q")])
+    rows = {r["host"]: (r["scc"], r["scc_size"])
+            for r in op_lg.strongly_connected(edges).collect()}
+    assert rows["x"] == ("z", 3) and rows["y"] == ("z", 3) \
+        and rows["z"] == ("z", 3)
+    assert rows["p"] == ("p", 1) and rows["q"] == ("q", 1)
+    a = {tuple(r) for r in
+         op_lg.strongly_connected(edges.repartition(7)).collect()}
+    b = {tuple(r) for r in
+         op_lg.strongly_connected(edges.coalesce(1)).collect()}
+    assert a == b
