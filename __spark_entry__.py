@@ -195,10 +195,13 @@ Round-2 session-8 additions (still 50 total):
                         aggregation pass, plan-asserted join/window-free,
                         + referential orphan counts via left_anti joins)
   link_graph_stats   += scc section (linkgraph.strongly_connected:
-                        synchronous Orzan coloring SCC — the Broder
-                        bowtie CORE; forward max-color + backward
-                        membership rounds, shrinking active subgraph,
-                        unassigned counted; unrolled-CTE oracle)
+                        FB-trim + synchronous Orzan coloring SCC —
+                        trim drains zero-in/zero-out singletons, then
+                        forward max-color + backward membership rounds;
+                        unassigned counted; unrolled-CTE oracle) and
+                        bowtie section (linkgraph.bowtie_classes:
+                        Broder CORE/IN/OUT/other with exact hop depths
+                        via crawl_depth reuse from the core seed set)
 
 Round-2 additions (still 50 total):
   corpus_prep_stats  += dup_excision stage (ExactSubstr span REMOVAL,

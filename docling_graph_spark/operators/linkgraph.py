@@ -680,19 +680,30 @@ def label_propagation(edges: DataFrame, src: str = "src_host",
 
 SCC_OUTER = 2
 SCC_PROP = 6
+SCC_TRIM = 6
 
 
 def strongly_connected(edges: DataFrame, src: str = "src_host",
                        dst: str = "dst_host", outer: int = SCC_OUTER,
-                       rounds: int = SCC_PROP) -> DataFrame:
+                       rounds: int = SCC_PROP,
+                       trim_rounds: int = SCC_TRIM) -> DataFrame:
     """Strongly connected components of the directed host graph:
     (host, scc, scc_size, assigned) — the decomposition behind the
     classic web "bowtie" analysis (Broder et al. 2000): the giant CORE
     is the largest SCC of the crawl graph, and mutually-unreachable
     host clusters never belong to one component.
 
-    Orzan's coloring algorithm, made synchronous and deterministic:
-    each outer iteration (over still-unassigned nodes)
+    The FB-trim / coloring family (Orzan; McLendon et al.), made
+    synchronous and deterministic.  Each outer iteration (over
+    still-unassigned nodes):
+      0. TRIM: ``trim_rounds`` synchronous rounds remove every node
+         with zero in-degree or zero out-degree in the active subgraph
+         — each is its own singleton SCC.  Without this phase a
+         tendril CHAIN peels one node per outer round (coloring's
+         known worst case); with it, chains drain at one layer per
+         trim round and the expensive coloring runs only on the
+         cycle-rich remainder — exactly why production FB-style SCC
+         codes always trim first;
       1. forward-propagates the MAX node id along edges for ``rounds``
          synchronous steps — color(v) = greatest active node that
          reaches v; a node whose color is itself is a root;
@@ -725,6 +736,19 @@ def strongly_connected(edges: DataFrame, src: str = "src_host",
 
     for _ in range(outer):
         active = state.filter(F.col("scc").isNull()).select("node")
+        start = active
+        for _ in range(trim_rounds):
+            ae = (de.join(active.withColumnRenamed("node", "u"), "u",
+                          "left_semi")
+                  .join(active.withColumnRenamed("node", "v"), "v",
+                        "left_semi"))
+            has_out = ae.select(F.col("u").alias("node")).distinct()
+            has_in = ae.select(F.col("v").alias("node")).distinct()
+            active = (active.join(has_out, "node", "left_semi")
+                      .join(has_in, "node", "left_semi")
+                      ).localCheckpoint(eager=False)
+        trimmed = start.join(active, "node", "left_anti") \
+            .select("node", F.col("node").alias("scc2"))
         ae = (de.join(active.withColumnRenamed("node", "u"), "u",
                       "left_semi")
               .join(active.withColumnRenamed("node", "v"), "v",
@@ -757,7 +781,10 @@ def strongly_connected(edges: DataFrame, src: str = "src_host",
                    .select("node", F.coalesce("scc2", "pscc")
                            .alias("scc2"))
                    ).localCheckpoint(eager=False)
-        state = (state.join(mem.select("node", "scc2"), "node", "left")
+        assigned_new = (mem.filter(F.col("scc2").isNotNull())
+                        .select("node", "scc2")
+                        .unionByName(trimmed))
+        state = (state.join(assigned_new, "node", "left")
                  .select("node", F.coalesce("scc", "scc2").alias("scc"))
                  ).localCheckpoint(eager=False)
 
@@ -771,3 +798,45 @@ def strongly_connected(edges: DataFrame, src: str = "src_host",
                     .alias("scc_size"),
                     F.col("scc").isNotNull().cast("long")
                     .alias("assigned")))
+
+
+def bowtie_classes(edges: DataFrame, scc: DataFrame,
+                   src: str = "src_host", dst: str = "dst_host",
+                   rounds: int = BFS_ROUNDS) -> DataFrame:
+    """Broder bowtie taxonomy of the crawl graph (host, cls, out_depth,
+    in_depth): CORE = the largest SCC, OUT = reachable FROM the core,
+    IN = reaches INTO the core, other = tendrils/tubes/disconnected —
+    the Broder et al. 2000 "Graph structure in the Web" decomposition
+    that drives crawl-frontier budgeting (OUT pages can't lead back;
+    IN pages are entry points).
+
+    The core is picked deterministically from the ``scc`` relation
+    (largest scc_size, ties to the greatest label — one max(struct)
+    aggregate); both reachability sides REUSE :func:`crawl_depth`'s
+    synchronous min-propagation with the core as the seed set, forward
+    on the edge list for OUT and on the reversed edge list for IN, so
+    depths are exact within the round budget and every value is
+    engine-replayable.  A node marked both in and out but not core can
+    only arise from a truncated SCC budget and is labelled 'inout'
+    honestly rather than folded into a side."""
+    best = (scc.filter(F.col("assigned") == 1)
+            .select("scc", "scc_size").distinct()
+            .agg(F.max(F.struct(F.col("scc_size"), F.col("scc")))
+                 .alias("m"))
+            .select(F.col("m.scc").alias("core_label")))
+    tagged = scc.crossJoin(F.broadcast(best))
+    seeds = tagged.filter(F.col("scc") == F.col("core_label")) \
+        .select("host")
+    out_d = crawl_depth(edges, seeds, src=src, dst=dst, rounds=rounds) \
+        .select("host", F.col("depth").alias("out_depth"))
+    rev = edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
+    in_d = crawl_depth(rev, seeds, src=src, dst=dst, rounds=rounds) \
+        .select("host", F.col("depth").alias("in_depth"))
+    cls = (F.when(F.col("scc") == F.col("core_label"), "core")
+           .when((F.col("out_depth") >= 0) & (F.col("in_depth") >= 0),
+                 "inout")
+           .when(F.col("in_depth") >= 0, "in")
+           .when(F.col("out_depth") >= 0, "out")
+           .otherwise("other"))
+    return (tagged.join(out_d, "host").join(in_d, "host")
+            .select("host", cls.alias("cls"), "out_depth", "in_depth"))

@@ -2896,11 +2896,11 @@ pl{i} AS MATERIALIZED (
 SQL_HOST_LPA = _lpa_unrolled_sql(4)
 
 
-def _scc_unrolled_sql(outer: int, rounds: int) -> str:
+def _scc_unrolled_sql(outer: int, rounds: int, trim_rounds: int) -> str:
     """DuckDB oracle for operators/linkgraph.strongly_connected: every
-    forward-color and backward-membership round of every outer
+    trim, forward-color and backward-membership round of every outer
     iteration is an explicit MATERIALIZED CTE replaying the identical
-    max/coalesce recurrences on the identical active subgraph."""
+    recurrences on the identical active subgraph."""
     ctes = """,
 sn AS MATERIALIZED (SELECT DISTINCT host AS node FROM (
   SELECT src_host AS host FROM hg UNION SELECT dst_host FROM hg)),
@@ -2910,7 +2910,21 @@ sde AS MATERIALIZED (
 ss0 AS (SELECT node, CAST(NULL AS VARCHAR) AS scc FROM sn)"""
     for i in range(outer):
         ctes += f""",
-sa{i} AS MATERIALIZED (SELECT node FROM ss{i} WHERE scc IS NULL),
+ta{i}_0 AS MATERIALIZED (SELECT node FROM ss{i} WHERE scc IS NULL)"""
+        for r in range(1, trim_rounds + 1):
+            ctes += f""",
+tae{i}_{r} AS MATERIALIZED (
+  SELECT u, v FROM sde
+  WHERE u IN (SELECT node FROM ta{i}_{r - 1})
+    AND v IN (SELECT node FROM ta{i}_{r - 1})),
+ta{i}_{r} AS MATERIALIZED (
+  SELECT node FROM ta{i}_{r - 1}
+  WHERE node IN (SELECT u FROM tae{i}_{r})
+    AND node IN (SELECT v FROM tae{i}_{r}))"""
+        ctes += f""",
+sa{i} AS MATERIALIZED (SELECT node FROM ta{i}_{trim_rounds}),
+strm{i} AS MATERIALIZED (
+  SELECT node FROM ta{i}_0 EXCEPT SELECT node FROM ta{i}_{trim_rounds}),
 se{i} AS MATERIALIZED (
   SELECT u, v FROM sde
   WHERE u IN (SELECT node FROM sa{i})
@@ -2939,8 +2953,9 @@ sm{i}_{t} AS MATERIALIZED (
     GROUP BY e.u) p USING (node))"""
         ctes += f""",
 ss{i + 1} AS MATERIALIZED (
-  SELECT s.node, coalesce(s.scc, m.scc2) AS scc
-  FROM ss{i} s LEFT JOIN sm{i}_{rounds} m USING (node))"""
+  SELECT s.node, coalesce(s.scc, m.scc2, t.node) AS scc
+  FROM ss{i} s LEFT JOIN sm{i}_{rounds} m USING (node)
+  LEFT JOIN strm{i} t USING (node))"""
     return (f"WITH {_LINKS_CTE}{ctes},\n"
             f"ssz AS (SELECT scc, CAST(count(*) AS BIGINT) AS scc_size\n"
             f"        FROM ss{outer} WHERE scc IS NOT NULL GROUP BY scc)\n"
@@ -2951,7 +2966,58 @@ ss{i + 1} AS MATERIALIZED (
             f"FROM ss{outer} s LEFT JOIN ssz z ON z.scc = s.scc")
 
 
-SQL_HOST_SCC = _scc_unrolled_sql(2, 6)
+SQL_HOST_SCC = _scc_unrolled_sql(2, 6, 6)
+
+
+def _bowtie_unrolled_sql(rounds: int) -> str:
+    """DuckDB oracle for operators/linkgraph.bowtie_classes: the SCC
+    relation (nested SQL_HOST_SCC) picks the core via the same
+    max(struct) rule, then each forward/backward reachability round is
+    an explicit CTE replaying crawl_depth's min-propagation from the
+    core seed set."""
+    inf = 1 << 62
+    ctes = f""",
+bts AS MATERIALIZED (SELECT * FROM ({SQL_HOST_SCC})),
+bbest AS (SELECT max(struct_pack(sz := scc_size, l := scc)).l AS cl
+          FROM (SELECT DISTINCT scc, scc_size FROM bts
+                WHERE assigned = 1)),
+bseeds AS MATERIALIZED (
+  SELECT host FROM bts, bbest WHERE scc = cl),
+bf0 AS (
+  SELECT b.host, CASE WHEN s.host IS NOT NULL THEN CAST(0 AS BIGINT)
+                      ELSE CAST({inf} AS BIGINT) END AS d
+  FROM bts b LEFT JOIN bseeds s USING (host)),
+bb0 AS (SELECT host, d FROM bf0)"""
+    for i in range(1, rounds + 1):
+        ctes += f""",
+bf{i} AS MATERIALIZED (
+  SELECT c.host, least(c.d, coalesce(p.pd, {inf})) AS d
+  FROM bf{i - 1} c LEFT JOIN (
+    SELECT hg.dst_host AS host, min(bf{i - 1}.d + 1) AS pd
+    FROM hg JOIN bf{i - 1} ON bf{i - 1}.host = hg.src_host
+    GROUP BY 1) p ON p.host = c.host),
+bb{i} AS MATERIALIZED (
+  SELECT c.host, least(c.d, coalesce(p.pd, {inf})) AS d
+  FROM bb{i - 1} c LEFT JOIN (
+    SELECT hg.src_host AS host, min(bb{i - 1}.d + 1) AS pd
+    FROM hg JOIN bb{i - 1} ON bb{i - 1}.host = hg.dst_host
+    GROUP BY 1) p ON p.host = c.host)"""
+    return (f"WITH {_LINKS_CTE}{ctes}\n"
+            f"SELECT t.host,\n"
+            f"  CASE WHEN t.scc = (SELECT cl FROM bbest) THEN 'core'\n"
+            f"       WHEN f.d < {inf} AND b.d < {inf} THEN 'inout'\n"
+            f"       WHEN b.d < {inf} THEN 'in'\n"
+            f"       WHEN f.d < {inf} THEN 'out'\n"
+            f"       ELSE 'other' END AS cls,\n"
+            f"  CAST(CASE WHEN f.d >= {inf} THEN -1 ELSE f.d END"
+            f" AS BIGINT) AS out_depth,\n"
+            f"  CAST(CASE WHEN b.d >= {inf} THEN -1 ELSE b.d END"
+            f" AS BIGINT) AS in_depth\n"
+            f"FROM bts t JOIN bf{rounds} f USING (host)\n"
+            f"JOIN bb{rounds} b USING (host)")
+
+
+SQL_HOST_BOWTIE = _bowtie_unrolled_sql(8)
 
 
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3164,6 +3230,10 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("scc").alias("section"), F.col("host").alias("k1"),
         F.col("scc").alias("k2"), F.col("scc_size").alias("v1"),
         F.col("assigned").alias("v2"))
+    bowtie_rows = op_lg.bowtie_classes(edges, scc).select(
+        F.lit("bowtie").alias("section"), F.col("host").alias("k1"),
+        F.col("cls").alias("k2"), F.col("out_depth").alias("v1"),
+        F.col("in_depth").alias("v2"))
     core = op_lg.coreness(edges)
     core_rows = core.select(
         F.lit("core").alias("section"), F.col("host").alias("k1"),
@@ -3181,6 +3251,7 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(core_conv).unionByName(walk_rows)
             .unionByName(depth_rows).unionByName(depth_conv)
             .unionByName(community_rows).unionByName(scc_rows)
+            .unionByName(bowtie_rows)
             .orderBy("section", "k1", "k2"))
 
 
@@ -3328,6 +3399,9 @@ SELECT section, k1, k2, v1, v2 FROM (
   FROM ({SQL_HOST_LPA})
   UNION ALL
   SELECT 'scc', host, scc, scc_size, assigned FROM ({SQL_HOST_SCC})
+  UNION ALL
+  SELECT 'bowtie', host, cls, out_depth, in_depth
+  FROM ({SQL_HOST_BOWTIE})
 ) ORDER BY section, k1, k2
 """
 

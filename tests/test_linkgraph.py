@@ -564,3 +564,22 @@ def test_scc_cycle_with_tail_and_partitioning_invariance(spark):
     b = {tuple(r) for r in
          op_lg.strongly_connected(edges.coalesce(1)).collect()}
     assert a == b
+
+
+def test_bowtie_classification(spark):
+    """Hand bowtie: core 3-cycle {c1,c2,c3}, IN node i -> core, core ->
+    OUT node o, tendril t -> i (reaches core through i => 'in'),
+    disconnected x<->y (smaller SCC, neither reaches nor is reached =>
+    'other')."""
+    edges = _core_edges(spark, [
+        ("c1", "c2"), ("c2", "c3"), ("c3", "c1"), ("i", "c1"),
+        ("c2", "o"), ("t", "i"), ("x", "y"), ("y", "x")])
+    scc = op_lg.strongly_connected(edges)
+    rows = {r["host"]: (r["cls"], r["out_depth"], r["in_depth"])
+            for r in op_lg.bowtie_classes(edges, scc).collect()}
+    assert rows["c1"] == ("core", 0, 0) and rows["c2"] == ("core", 0, 0)
+    assert rows["c3"] == ("core", 0, 0)
+    assert rows["i"] == ("in", -1, 1)
+    assert rows["t"] == ("in", -1, 2)
+    assert rows["o"] == ("out", 1, -1)
+    assert rows["x"][0] == "other" and rows["y"][0] == "other"
