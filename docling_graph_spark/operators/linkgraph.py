@@ -680,7 +680,7 @@ def label_propagation(edges: DataFrame, src: str = "src_host",
 
 SCC_OUTER = 2
 SCC_PROP = 6
-SCC_TRIM = 6
+SCC_TRIM = 2
 
 
 def strongly_connected(edges: DataFrame, src: str = "src_host",
@@ -737,22 +737,31 @@ def strongly_connected(edges: DataFrame, src: str = "src_host",
     for _ in range(outer):
         active = state.filter(F.col("scc").isNull()).select("node")
         start = active
-        for _ in range(trim_rounds):
-            ae = (de.join(active.withColumnRenamed("node", "u"), "u",
-                          "left_semi")
-                  .join(active.withColumnRenamed("node", "v"), "v",
-                        "left_semi"))
-            has_out = ae.select(F.col("u").alias("node")).distinct()
-            has_in = ae.select(F.col("v").alias("node")).distinct()
-            active = (active.join(has_out, "node", "left_semi")
-                      .join(has_in, "node", "left_semi")
-                      ).localCheckpoint(eager=False)
-        trimmed = start.join(active, "node", "left_anti") \
-            .select("node", F.col("node").alias("scc2"))
         ae = (de.join(active.withColumnRenamed("node", "u"), "u",
                       "left_semi")
               .join(active.withColumnRenamed("node", "v"), "v",
                     "left_semi")).localCheckpoint(eager=False)
+        for _ in range(trim_rounds):
+            # nodes with BOTH an out- and an in-edge in the active
+            # subgraph, in one flag groupBy; the survivor set IS the
+            # next active relation (isolated actives have no flags,
+            # so they trim without a separate degree pass)
+            flags = (ae.select(F.col("u").alias("node"),
+                               F.lit(1).alias("o"), F.lit(0).alias("i"))
+                     .unionAll(ae.select(F.col("v").alias("node"),
+                                         F.lit(0).alias("o"),
+                                         F.lit(1).alias("i")))
+                     .groupBy("node")
+                     .agg(F.max("o").alias("o"), F.max("i").alias("i")))
+            active = (flags.filter((F.col("o") == 1)
+                                   & (F.col("i") == 1)).select("node")
+                      ).localCheckpoint(eager=False)
+            ae = (ae.join(active.withColumnRenamed("node", "u"), "u",
+                          "left_semi")
+                  .join(active.withColumnRenamed("node", "v"), "v",
+                        "left_semi")).localCheckpoint(eager=False)
+        trimmed = start.join(active, "node", "left_anti") \
+            .select("node", F.col("node").alias("scc2"))
         color = active.select("node", F.col("node").alias("color"))
         for _ in range(rounds):
             prop = (ae.join(color.withColumnRenamed("node", "u")
@@ -768,12 +777,15 @@ def strongly_connected(edges: DataFrame, src: str = "src_host",
         mem = color.select(
             "node", F.when(F.col("color") == F.col("node"),
                            F.col("node")).alias("scc2"))
+        # annotate each active edge with its source's final color ONCE
+        # — every membership round then needs just one join + groupBy
+        aec = (ae.join(color.select(F.col("node").alias("u"),
+                                    F.col("color").alias("uc")), "u")
+               ).localCheckpoint(eager=False)
         for _ in range(rounds):
-            prop = (ae.join(mem.filter(F.col("scc2").isNotNull())
-                            .select(F.col("node").alias("v"), "scc2"),
-                            "v")
-                    .join(color.select(F.col("node").alias("u"),
-                                       F.col("color").alias("uc")), "u")
+            prop = (aec.join(mem.filter(F.col("scc2").isNotNull())
+                             .select(F.col("node").alias("v"), "scc2"),
+                             "v")
                     .filter(F.col("scc2") == F.col("uc"))
                     .groupBy(F.col("u").alias("node"))
                     .agg(F.max("scc2").alias("pscc")))

@@ -2966,7 +2966,7 @@ ss{i + 1} AS MATERIALIZED (
             f"FROM ss{outer} s LEFT JOIN ssz z ON z.scc = s.scc")
 
 
-SQL_HOST_SCC = _scc_unrolled_sql(2, 6, 6)
+SQL_HOST_SCC = _scc_unrolled_sql(2, 6, 2)
 
 
 def _bowtie_unrolled_sql(rounds: int) -> str:
@@ -3017,7 +3017,7 @@ bb{i} AS MATERIALIZED (
             f"JOIN bb{rounds} b USING (host)")
 
 
-SQL_HOST_BOWTIE = _bowtie_unrolled_sql(8)
+SQL_HOST_BOWTIE = _bowtie_unrolled_sql(6)
 
 
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3230,7 +3230,7 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("scc").alias("section"), F.col("host").alias("k1"),
         F.col("scc").alias("k2"), F.col("scc_size").alias("v1"),
         F.col("assigned").alias("v2"))
-    bowtie_rows = op_lg.bowtie_classes(edges, scc).select(
+    bowtie_rows = op_lg.bowtie_classes(edges, scc, rounds=6).select(
         F.lit("bowtie").alias("section"), F.col("host").alias("k1"),
         F.col("cls").alias("k2"), F.col("out_depth").alias("v1"),
         F.col("in_depth").alias("v2"))
