@@ -202,6 +202,11 @@ Round-2 session-8 additions (still 50 total):
                         bowtie section (linkgraph.bowtie_classes:
                         Broder CORE/IN/OUT/other with exact hop depths
                         via crawl_depth reuse from the core seed set)
+  stream_aggregates  += dedup section (windowed.dedup_events_within_
+                        watermark: dropDuplicatesWithinWatermark over a
+                        doubled-staging stream — at-least-once ingest
+                        dedup with bounded state; horizon semantics
+                        unit-pinned, batch-totals oracle)
 
 Round-2 additions (still 50 total):
   corpus_prep_stats  += dup_excision stage (ExactSubstr span REMOVAL,

@@ -4438,6 +4438,20 @@ def _staged_stream_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
     return _staged_artifact(f"stream_{tag}", key, build)
 
 
+def _staged_stream_dir_dup(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events parquet TWICE into one stream directory — the
+    at-least-once redelivery fixture (every row arrives exactly two
+    times) the streaming-dedup section consumes."""
+    key = _corpus_fingerprint(sf_dir, "events")
+
+    def build(tmp: str) -> None:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet").coalesce(1)
+        df.write.mode("overwrite").parquet(tmp)
+        df.write.mode("append").parquet(tmp)
+
+    return _staged_artifact("stream_evdup", key, build)
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked 1-day tumbling windows over the events stream."""
     from .streaming import windowed as _w
@@ -6689,8 +6703,13 @@ def q_stream_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilds), and the stream-stream interval join (section='attrib':
     purchase←click attribution pairs within 60 min, both sides
     watermarked — the state-bounded two-unbounded-sides join, replayed
-    by a batch interval join in the oracle), all drained with
-    availableNow into deterministic batch relations."""
+    by a batch interval join in the oracle), and streaming-ingest exact
+    dedup (section='dedup': dropDuplicatesWithinWatermark over a
+    stream where EVERY event is staged twice — at-least-once
+    redelivery; with the horizon beyond the corpus span the drained
+    per-type rollup must equal the batch totals, which is the oracle),
+    all drained with availableNow into deterministic batch
+    relations."""
     from .streaming import windowed as _w
 
     wc = q_stream_window_counts(spark, sf_dir)
@@ -6719,6 +6738,22 @@ def q_stream_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _staged_stream_dir(spark, sf_dir, "ev"))
     _w.drain_to_memory(_w.purchase_attribution_join(stream2),
                        "stream_attribution", "append")
+    # streaming-ingest dedup: every event staged TWICE (at-least-once
+    # redelivery fixture); dropDuplicatesWithinWatermark with a horizon
+    # beyond the corpus span must recover exactly one copy per event_id,
+    # so the drained rollup equals the batch per-type totals
+    dup_stream = _w.stream_from_staged(
+        spark, _staged_stream_dir_dup(spark, sf_dir))
+    _w.drain_to_memory(_w.dedup_events_within_watermark(dup_stream),
+                       "stream_deduped", "append")
+    e = (spark.table("stream_deduped")
+         .groupBy("event_type")
+         .agg(F.count("*").cast("long").alias("n_events"),
+              F.sum(F.round(F.col("value") * 100).cast("long"))
+              .cast("long").alias("value_cents"))
+         .select(F.lit("dedup").alias("section"),
+                 F.col("event_type").alias("k1"), F.lit("").alias("k2"),
+                 "n_events", "value_cents"))
     d = spark.table("stream_attribution").select(
         F.lit("attrib").alias("section"),
         F.col("user_id").cast("string").alias("k1"),
@@ -6729,6 +6764,7 @@ def q_stream_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_cents").alias("value_cents"),
     )
     return (a.unionByName(b).unionByName(c).unionByName(d)
+            .unionByName(e)
             .orderBy("section", "k1", "k2"))
 
 
@@ -6750,6 +6786,10 @@ SELECT section, k1, k2, n_events, value_cents FROM (
   JOIN (SELECT * FROM events WHERE event_type = 'click') c
     ON c.user_id = p.user_id AND c.ts < p.ts
    AND c.ts >= p.ts - INTERVAL 60 MINUTE
+  UNION ALL
+  SELECT 'dedup', event_type, '', CAST(count(*) AS BIGINT),
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+  FROM events GROUP BY event_type
   UNION ALL
   SELECT 'session', CAST(user_id AS VARCHAR),
          CAST(start_us AS VARCHAR) || ':' || CAST(duration_us AS VARCHAR),

@@ -458,3 +458,77 @@ def test_stream_stream_interval_join_semantics(spark, tmp_path):
         (1, 200, 1000, 59 * 60 * 1_000_000),
         (1, 300, 1000, 29 * 60 * 1_000_000),
     }
+
+
+def test_dedup_within_watermark_drops_and_horizon_expires(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics pinned end-to-end: a
+    duplicate arriving within the horizon is dropped; an old-timestamp
+    replay after the watermark passed is discarded as LATE data (so it
+    cannot resurface either way); and a redelivery carrying a FRESH
+    event time after the key's state was evicted SURVIVES — the
+    bounded-state trade vs plain dropDuplicates."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from docling_graph_spark.streaming import windowed as w
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, minutes, value):
+        return (i, t0 + dt.timedelta(minutes=minutes), 1, "click",
+                float(value), "{}")
+
+    src = str(tmp_path / "dedup_src")
+
+    def stage(name, rows):
+        part = str(tmp_path / f"part_{name}")
+        spark.createDataFrame(rows, w.EVENTS_DDL).coalesce(1) \
+            .write.mode("overwrite").parquet(part)
+        for i, f in enumerate(sorted(glob.glob(f"{part}/part-*"))):
+            shutil.copy(f, f"{src}/{name}_{i}.parquet")
+
+    import os
+    os.makedirs(src, exist_ok=True)
+    # file 1: events 0 and 1, plus an in-batch duplicate of 0
+    stage("f1", [ev(0, 0, 1.0), ev(0, 0, 1.0), ev(1, 10, 2.0)])
+    # file 2: late-ish duplicate of 1 (within horizon) + advancing event
+    stage("f2", [ev(1, 12, 2.0), ev(2, 60, 3.0)])
+    # file 3: watermark is now 55 min (60 - 5); event 0's state (ts 0
+    # + 5 min delay) is long evicted.  An old-timestamp replay (ts 0 <
+    # wm) is dropped as late data; a fresh-timestamp redelivery (ts 61
+    # >= wm, same event_id) has no state to match and SURVIVES.
+    stage("f3", [ev(0, 0, 1.0), ev(0, 61, 9.0)])
+
+    stream = w.stream_from_staged(spark, src, max_files_per_trigger=1)
+    w.drain_to_memory(
+        w.dedup_events_within_watermark(stream, delay="5 minutes"),
+        "dedup_unit", "append")
+    got = sorted((r["event_id"], r["value"])
+                 for r in spark.table("dedup_unit").collect())
+    # 0 kept once (in-batch dup dropped), 1 kept once (cross-file dup
+    # within horizon dropped), 2 kept, 0's late replay dropped, 0's
+    # fresh-time redelivery kept after eviction
+    assert got == [(0, 1.0), (0, 9.0), (1, 2.0), (2, 3.0)]
+
+
+def test_dedup_within_watermark_long_horizon_equals_distinct(spark,
+                                                             sf_smoke_dir,
+                                                             tmp_path):
+    """With a horizon beyond the corpus span, draining the doubled
+    stream recovers the batch relation exactly."""
+    from pyspark.sql import functions as F
+
+    from docling_graph_spark.streaming import windowed as w
+
+    src = str(tmp_path / "dup_stage")
+    batch = spark.read.parquet(f"{sf_smoke_dir}/events.parquet").coalesce(1)
+    batch.write.mode("overwrite").parquet(src)
+    batch.write.mode("append").parquet(src)
+    stream = w.stream_from_staged(spark, src)
+    w.drain_to_memory(w.dedup_events_within_watermark(stream),
+                      "dedup_full", "append")
+    got = spark.table("dedup_full")
+    assert got.count() == batch.count()
+    assert got.select(F.sum("event_id")).first()[0] == \
+        batch.select(F.sum("event_id")).first()[0]
