@@ -251,7 +251,8 @@ def kmv_set_stats(df_a: DataFrame, df_b: DataFrame, value_col: str,
     u_agg = flagged.groupBy(group_col).agg(
         F.count("*").cast("long").alias("u_n"),
         F.max("hv").alias("u_theta"),
-        F.sum((F.col("in_a") * F.col("in_b")).cast("long"))
+        F.sum((F.coalesce(F.col("in_a"), F.lit(0))
+               * F.coalesce(F.col("in_b"), F.lit(0))).cast("long"))
         .cast("long").alias("n_common"),
         F.sum(F.conv(F.substring(cell_md5, 1, 12), 16, 10).cast("long"))
         .cast("long").alias("kmv_checksum"))
@@ -262,8 +263,12 @@ def kmv_set_stats(df_a: DataFrame, df_b: DataFrame, value_col: str,
         return F.when(F.col(n) < k, F.col(n)).otherwise(
             F.expr(f"{num}L div {theta}")).cast("long")
 
-    joined = (u_agg.join(agg_sketch(sa, "a"), group_col)
-              .join(agg_sketch(sb, "b"), group_col)
+    # left joins + empty-side coalesce: a group present in only one set
+    # still gets a row (its absent side estimates 0; n=0 < k takes the
+    # exact branch, so the theta column is never read there)
+    joined = (u_agg.join(agg_sketch(sa, "a"), group_col, "left")
+              .join(agg_sketch(sb, "b"), group_col, "left")
+              .na.fill({"a_n": 0, "b_n": 0, "a_theta": 0, "b_theta": 0})
               .withColumn("union_est", est("u_n", "u_theta")))
     inter = F.when(F.col("u_n") < k, F.col("n_common")).otherwise(
         F.expr(f"(n_common * union_est) div {k}")).cast("long")

@@ -225,3 +225,19 @@ def test_kmv_union_sketch_equals_direct_union_sketch(spark, kmv_sets):
     direct = op_sk.kmv_sketch(a.unionByName(b), F.col("url"), "grp", k=32)
     assert {(r["rank"], r["hv"]) for r in merged.collect()} == \
         {(r["rank"], r["hv"]) for r in direct.collect()}
+
+
+def test_kmv_group_in_one_side_only(spark):
+    """A group with rows only in set A must still produce a stats row:
+    B-side estimate 0, intersection 0."""
+    a = spark.createDataFrame(
+        [("only_a", f"u{i}") for i in range(5)]
+        + [("both", f"u{i}") for i in range(5)], "grp string, v string")
+    b = spark.createDataFrame(
+        [("both", f"u{i}") for i in range(3)], "grp string, v string")
+    rows = {r["grp"]: r for r in
+            op_sk.kmv_set_stats(a, b, "v", "grp", k=8).collect()}
+    assert rows["only_a"]["kmv_a_est"] == 5
+    assert rows["only_a"]["kmv_b_est"] == 0
+    assert rows["only_a"]["kmv_inter_est"] == 0
+    assert rows["both"]["kmv_inter_est"] == 3
