@@ -207,6 +207,10 @@ Round-2 session-8 additions (still 50 total):
                         doubled-staging stream — at-least-once ingest
                         dedup with bounded state; horizon semantics
                         unit-pinned, batch-totals oracle)
+  corpus_prep_stats  += cdx stage (domains.surt_key / cdx_stats: SURT
+                        reversed-host index keys + CDX prefix manifest
+                        — the CC-index layout; key-set checksum gate,
+                        independent DuckDB list-function oracle)
 
 Round-2 additions (still 50 total):
   corpus_prep_stats  += dup_excision stage (ExactSubstr span REMOVAL,

@@ -6226,6 +6226,76 @@ SELECT * FROM (
 """
 
 
+def q_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX / SURT index rollup (operators/domains.surt_key, cdx_stats)
+    over the stress-host url population (www. and cdn.eu. subdomains,
+    multi-label ccTLD suffixes): the Common-Crawl-index key transform —
+    reversed host labels make domain queries prefix ranges — gated on
+    the full key-set checksum plus the per-2-segment-prefix capture
+    manifest.  The oracle re-implements the transform independently
+    with DuckDB's list functions."""
+    from .operators import domains as op_dom
+
+    d = F.col("doc_id")
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _DOMAIN_SUFFIX_POOL]),
+        (d % 8 + 1).cast("int"))
+    sub = F.element_at(
+        F.array(*[F.lit(s) for s in _DOMAIN_SUB_POOL]),
+        (d % 3 + 1).cast("int"))
+    urls = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://"), sub, F.lit("site"),
+                 (d % 97).cast("string"), F.lit("."), suffix,
+                 F.lit("/p/"), d.cast("string")).alias("url"))
+    return op_dom.cdx_stats(urls)
+
+
+_CDX_METRICS = ["n_urls", "n_keys", "key_checksum", "n_www_dropped",
+                "n_prefix2", "prefix_checksum"]
+
+SQL_CDX = """
+WITH du AS (
+  SELECT 'https://' || (['','www.','cdn.eu.'])[CAST(doc_id % 3 AS INT) + 1]
+         || 'site' || CAST(doc_id % 97 AS VARCHAR) || '.'
+         || (['com','co.uk','org','com.au','io','ac.jp','de','internal'])
+              [CAST(doc_id % 8 AS INT) + 1]
+         || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+cparts AS (
+  SELECT url,
+         lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS host,
+         regexp_replace(url, '^https?://[^/]*', '') AS path
+  FROM du),
+clab AS (
+  SELECT url, host, path,
+         list_reverse(CASE WHEN starts_with(host, 'www.')
+                           THEN string_split(host, '.')[2:]
+                           ELSE string_split(host, '.') END) AS rev
+  FROM cparts),
+ckeyed AS (
+  SELECT array_to_string(rev, ',') || ')' ||
+           CASE WHEN path = '' THEN '/' ELSE path END AS k,
+         CASE WHEN starts_with(host, 'www.') THEN 1 ELSE 0 END AS www,
+         array_to_string(rev[1:2], ',') AS p2
+  FROM clab),
+cpp AS (SELECT p2, CAST(count(*) AS BIGINT) AS n FROM ckeyed
+        GROUP BY p2),
+cpc AS (SELECT CAST(count(*) AS BIGINT) AS n_prefix2,
+               CAST(sum(CAST(('0x' || substr(md5(p2 || ':'
+                 || CAST(n AS VARCHAR)), 1, 12)) AS UBIGINT)) AS BIGINT)
+                 AS prefix_checksum
+        FROM cpp)
+SELECT CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+       CAST(sum(CAST(('0x' || substr(md5(k), 1, 12)) AS UBIGINT))
+            AS BIGINT) AS key_checksum,
+       CAST(sum(www) AS BIGINT) AS n_www_dropped,
+       cpc.n_prefix2, cpc.prefix_checksum
+FROM ckeyed, cpc
+GROUP BY cpc.n_prefix2, cpc.prefix_checksum
+"""
+
+
 def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-prep suite in one relation (stage, metric, value): PII
     redaction, C4-style line dedup, broadcast host blocklist, URL
@@ -6283,6 +6353,7 @@ def q_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_nb_quality(spark, sf_dir), "nb_quality"))
         .unionByName(_unpivot_single_row(q_dsir(spark, sf_dir), "dsir"))
         .unionByName(_unpivot_single_row(q_dq(spark, sf_dir), "dq"))
+        .unionByName(_unpivot_single_row(q_cdx(spark, sf_dir), "cdx"))
         .unionByName(q_curation_funnel(spark, sf_dir).select(
             F.lit("funnel").alias("stage"),
             F.col("stage").alias("metric"),
@@ -6312,6 +6383,7 @@ rb AS ({SQL_ROBOTS_GATE}),
 nb AS ({SQL_NB_QUALITY}),
 dsr AS ({SQL_DSIR}),
 dqc AS ({SQL_DQ}),
+cdxs AS ({SQL_CDX}),
 fu AS ({SQL_CURATION_FUNNEL})
 SELECT stage, metric, value FROM (
 {_sql_unpivot('pii', 'pii',
@@ -6400,6 +6472,8 @@ SELECT stage, metric, value FROM (
                'sel_docs', 'k_total', 'sel_target', 'sel_checksum'])}
   UNION ALL
 {_sql_unpivot('dqc', 'dq', _DQ_METRICS)}
+  UNION ALL
+{_sql_unpivot('cdxs', 'cdx', _CDX_METRICS)}
   UNION ALL
   SELECT 'funnel' AS stage, fu.stage AS metric,
          CAST(n_docs AS VARCHAR) AS value FROM fu

@@ -68,3 +68,41 @@ def test_multi_label_bare_suffix_has_no_registrable(spark):
     got = {r["host"]: (r["suffix"], r["reg"]) for r in rows}
     assert got["co.uk"] == ("co.uk", None)
     assert got["ac.jp"] == ("ac.jp", None)
+
+
+# ---------------------------------------------------------------------------
+# SURT keys / CDX rollup
+# ---------------------------------------------------------------------------
+
+
+def test_surt_key_transform(spark):
+    from docling_graph_spark.operators import domains as dom
+
+    df = spark.createDataFrame([
+        ("https://www.News.Example.com/a/b",),
+        ("https://cdn.eu.site5.co.uk/p/7",),
+        ("http://example.com",),
+        ("https://site0.internal/x",),
+    ], "url string")
+    got = [r["k"] for r in
+           df.select(dom.surt_key(F.col("url")).alias("k")).collect()]
+    assert got == [
+        "com,example,news)/a/b",      # www dropped, lowercased, reversed
+        "uk,co,site5,eu,cdn)/p/7",    # deep subdomain fully reversed
+        "com,example)/",              # bare host -> '/' path
+        "internal,site0)/x",
+    ]
+
+
+def test_cdx_stats_counts(spark):
+    from docling_graph_spark.operators import domains as dom
+
+    df = spark.createDataFrame([
+        ("https://www.a.com/x",), ("https://a.com/x",),   # same SURT key
+        ("https://b.com/y",), ("https://sub.b.com/z",),   # same 2-prefix
+    ], "url string")
+    [r] = dom.cdx_stats(df).collect()
+    assert r["n_urls"] == 4
+    assert r["n_keys"] == 3            # www.a.com/x collapses onto a.com/x
+    assert r["n_www_dropped"] == 1
+    assert r["n_prefix2"] == 2         # com,a and com,b
