@@ -22,6 +22,7 @@ BNLJ_ALLOWED = {
     "node_dedup_remap", "corpus_prep_stats",  # 1-row summary crossJoin
     "sampling_splits",                        # 1-row host-cap stats join
     "top_terms",  # bm25 corpus-totals 1-row broadcast crossJoin
+    "link_graph_stats",  # bowtie core-label: 1-row broadcast crossJoin
 }
 
 
