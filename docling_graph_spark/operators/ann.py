@@ -439,7 +439,13 @@ def sq_train_stats(emb: DataFrame, vec_col: str = "embedding",
             .agg(F.min(F.col("e").cast("double")).alias("mn"),
                  F.max(F.col("e").cast("double")).alias("mx"))
             .collect())
+    if not rows:
+        raise ValueError("sq_train_stats: empty embedding relation")
     by_pos = {r["pos"]: (r["mn"], r["mx"]) for r in rows}
+    if any(i not in by_pos for i in range(dim)):
+        raise ValueError(
+            f"sq_train_stats: requested dim={dim} but the embedding "
+            f"column only has {max(by_pos) + 1} positions")
     mins = [by_pos[i][0] for i in range(dim)]
     maxs = [by_pos[i][1] for i in range(dim)]
     return mins, maxs

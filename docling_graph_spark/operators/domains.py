@@ -93,12 +93,26 @@ def domain_stats(hosts: DataFrame, host_col: str = "host") -> DataFrame:
     )
 
 
+def _surt_host_labels(url: Column) -> Column:
+    host = F.lower(F.regexp_extract(url, r"^https?://([^/]+)", 1))
+    return F.split(host, r"\.")
+
+
+def surt_www_dropped(url: Column) -> Column:
+    """True iff SURT canonicalization drops this url's leading host
+    label: it is ``www`` AND other labels remain (a bare ``www`` host
+    keeps its only label — dropping it would leave an empty key).  The
+    ONE condition the key transform and the cdx_stats counter share, so
+    the two can't drift."""
+    labels = _surt_host_labels(url)
+    return (F.element_at(labels, 1) == "www") & (F.size(labels) > 1)
+
+
 def _surt_rev_labels(url: Column) -> Column:
     """Reversed, lowercased host labels with a leading ``www`` dropped —
     the array the SURT key and its prefix hierarchy are built from."""
-    host = F.lower(F.regexp_extract(url, r"^https?://([^/]+)", 1))
-    labels = F.split(host, r"\.")
-    labels = F.when(F.element_at(labels, 1) == "www",
+    labels = _surt_host_labels(url)
+    labels = F.when(surt_www_dropped(url),
                     F.slice(labels, 2, F.size(labels) - 1)) \
         .otherwise(labels)
     return F.reverse(labels)
@@ -134,8 +148,6 @@ def cdx_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
     layout serves domain queries from.  One scan, two map-side
     combinable aggregates."""
     key = surt_key(F.col(url_col))
-    host = F.lower(F.regexp_extract(F.col(url_col),
-                                    r"^https?://([^/]+)", 1))
     # prefix from the reversed LABEL ARRAY, not the key string (a
     # 2-label host's second comma segment would otherwise carry the
     # ")/path" tail)
@@ -143,7 +155,7 @@ def cdx_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
                       ",")
     keyed = df.select(
         key.alias("k"),
-        host.startswith("www.").cast("long").alias("www"),
+        surt_www_dropped(F.col(url_col)).cast("long").alias("www"),
         p2.alias("p2"))
     per_prefix = (keyed.groupBy("p2")
                   .agg(F.count("*").cast("long").alias("n")))

@@ -706,7 +706,13 @@ def strongly_connected(edges: DataFrame, src: str = "src_host",
          codes always trim first;
       1. forward-propagates the MAX node id along edges for ``rounds``
          synchronous steps — color(v) = greatest active node that
-         reaches v; a node whose color is itself is a root;
+         reaches v; a node whose color is itself is a root.  Root
+         declaration is only sound on a CONVERGED coloring, so it is
+         gated on global color stability (one extra round; colors are
+         monotone, so pointwise stability everywhere == fixpoint): an
+         unconverged iteration assigns nothing and its nodes stay
+         honestly unassigned instead of surfacing as bogus singleton
+         components;
       2. backward-propagates SCC membership from every root
          simultaneously: an edge (u, v) admits u into root r's
          component iff scc(v) = r AND color(u) = r (u reaches r
@@ -763,20 +769,40 @@ def strongly_connected(edges: DataFrame, src: str = "src_host",
         trimmed = start.join(active, "node", "left_anti") \
             .select("node", F.col("node").alias("scc2"))
         color = active.select("node", F.col("node").alias("color"))
-        for _ in range(rounds):
-            prop = (ae.join(color.withColumnRenamed("node", "u")
+
+        def color_round(cur: DataFrame) -> DataFrame:
+            prop = (ae.join(cur.withColumnRenamed("node", "u")
                             .withColumnRenamed("color", "uc"), "u")
                     .groupBy(F.col("v").alias("node"))
                     .agg(F.max("uc").alias("pc")))
-            color = (color.join(prop, "node", "left")
-                     .select("node",
-                             F.greatest("color",
-                                        F.coalesce("pc", "color"))
-                             .alias("color"))
-                     ).localCheckpoint(eager=False)
-        mem = color.select(
-            "node", F.when(F.col("color") == F.col("node"),
-                           F.col("node")).alias("scc2"))
+            return (cur.join(prop, "node", "left")
+                    .select("node",
+                            F.greatest("color",
+                                       F.coalesce("pc", "color"))
+                            .alias("color")))
+
+        for _ in range(rounds):
+            color = color_round(color).localCheckpoint(eager=False)
+        # SOUNDNESS GATE: a root declared from a truncated coloring is
+        # wrong (a 12-cycle under a 6-round budget would yield 12
+        # "assigned" singletons).  The color certificates themselves
+        # are one-sided-sound (color(v)=r proves r reaches v; the
+        # backward pass proves v reaches r), so the only unsound step
+        # is root declaration — gate it on GLOBAL color stability: one
+        # extra round, and if ANY color still grows (colors are
+        # monotone), assign nothing this outer iteration and leave the
+        # remainder honestly unassigned.
+        nxt_color = color_round(color)
+        conv = (color.join(nxt_color.withColumnRenamed("color", "c2"),
+                           "node")
+                .agg(F.coalesce(
+                    F.max((F.col("c2") > F.col("color")).cast("long")),
+                    F.lit(0)).alias("unstable")))
+        mem = (color.crossJoin(F.broadcast(conv))
+               .select("node",
+                       F.when((F.col("unstable") == 0)
+                              & (F.col("color") == F.col("node")),
+                              F.col("node")).alias("scc2")))
         # annotate each active edge with its source's final color ONCE
         # — every membership round then needs just one join + groupBy
         aec = (ae.join(color.select(F.col("node").alias("u"),

@@ -169,6 +169,17 @@ def _kmv_hash(value: Column) -> Column:
                   16, 10).cast("long")
 
 
+def _bottom_k(hashed: DataFrame, group_col: str, k: int) -> DataFrame:
+    """k smallest DISTINCT hv per group, ranked — the one bottom-k
+    window both the per-set sketches and the union merge share."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("hv")
+    return (hashed.select(group_col, "hv").distinct()
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def kmv_sketch(df: DataFrame, value: Column, group_col: str,
                k: int = KMV_K) -> DataFrame:
     """Bottom-k / k-minimum-values distinct sketch (Bar-Yossef et al.
@@ -189,13 +200,8 @@ def kmv_sketch(df: DataFrame, value: Column, group_col: str,
     floor, t >> k * SPACE / N) keeps the window input tiny without
     affecting the bottom-k; the unfiltered form here is the
     small-SF/oracle-exact shape."""
-    from pyspark.sql import Window
-
-    dist = (df.select(F.col(group_col), _kmv_hash(value).alias("hv"))
-            .distinct())
-    w = Window.partitionBy(group_col).orderBy("hv")
-    return (dist.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+    hashed = df.select(F.col(group_col), _kmv_hash(value).alias("hv"))
+    return (_bottom_k(hashed, group_col, k)
             .select(group_col, F.col("rank").cast("long").alias("rank"),
                     "hv"))
 
@@ -224,8 +230,6 @@ def kmv_set_stats(df_a: DataFrame, df_b: DataFrame, value_col: str,
     est_inter = common * est_union div k — the standard Theta-sketch
     a-not-b/intersect scheme.  Every post-sketch relation is k rows per
     group: the joins below are broadcast-sized no matter the corpus."""
-    from pyspark.sql import Window
-
     sa = kmv_sketch(df_a, F.col(value_col), group_col, k)
     sb = kmv_sketch(df_b, F.col(value_col), group_col, k)
 
@@ -235,10 +239,8 @@ def kmv_set_stats(df_a: DataFrame, df_b: DataFrame, value_col: str,
             F.max("hv").alias(f"{name}_theta"))
 
     merged = (sa.select(group_col, "hv")
-              .unionByName(sb.select(group_col, "hv")).distinct())
-    w = Window.partitionBy(group_col).orderBy("hv")
-    su = (merged.withColumn("rank", F.row_number().over(w))
-          .filter(F.col("rank") <= k))
+              .unionByName(sb.select(group_col, "hv")))
+    su = _bottom_k(merged, group_col, k)
     flagged = (su
                .join(sa.select(group_col, "hv",
                                F.lit(1).alias("in_a")),

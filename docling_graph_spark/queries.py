@@ -2938,8 +2938,22 @@ sc{i}_{t} AS MATERIALIZED (
     SELECT e.v AS node, max(cu.color) AS pc
     FROM se{i} e JOIN sc{i}_{t - 1} cu ON cu.node = e.u
     GROUP BY e.v) p USING (node))"""
+        # extra color round feeds the root-soundness gate: roots are
+        # declared only when NO color would still grow (fixpoint)
+        i_extra = rounds + 1
         ctes += f""",
-sm{i}_0 AS (SELECT node, CASE WHEN color = node THEN node END AS scc2
+sc{i}_{i_extra} AS MATERIALIZED (
+  SELECT c.node, greatest(c.color, coalesce(p.pc, c.color)) AS color
+  FROM sc{i}_{rounds} c LEFT JOIN (
+    SELECT e.v AS node, max(cu.color) AS pc
+    FROM se{i} e JOIN sc{i}_{rounds} cu ON cu.node = e.u
+    GROUP BY e.v) p USING (node)),
+sconv{i} AS (
+  SELECT coalesce(max(CASE WHEN n.color > c.color THEN 1 ELSE 0 END),
+                  0) AS unstable
+  FROM sc{i}_{rounds} c JOIN sc{i}_{i_extra} n USING (node)),
+sm{i}_0 AS (SELECT node, CASE WHEN (SELECT unstable FROM sconv{i}) = 0
+                               AND color = node THEN node END AS scc2
             FROM sc{i}_{rounds})"""
         for t in range(1, rounds + 1):
             ctes += f""",
@@ -3814,18 +3828,21 @@ kex AS (
                              THEN url END) AS BIGINT) AS kmv_inter_exact
   FROM ku GROUP BY lang),
 kest AS (
+  -- LEFT joins + zero fills mirror the operator: a lang present in
+  -- only one set still gets a row, its absent side estimating 0 (the
+  -- n=0 < k branch never reads the filled theta)
   SELECT lang, CAST({_KMV_K} AS BIGINT) AS kmv_k,
          u_n AS kmv_union_n, n_common AS kmv_common,
          u_theta AS kmv_theta,
-         CASE WHEN a_n < {_KMV_K} THEN a_n
+         CASE WHEN coalesce(a_n, 0) < {_KMV_K} THEN coalesce(a_n, 0)
               ELSE CAST({_KMV_NUM} AS BIGINT) // a_theta END AS kmv_a_est,
-         CASE WHEN b_n < {_KMV_K} THEN b_n
+         CASE WHEN coalesce(b_n, 0) < {_KMV_K} THEN coalesce(b_n, 0)
               ELSE CAST({_KMV_NUM} AS BIGINT) // b_theta END AS kmv_b_est,
          CASE WHEN u_n < {_KMV_K} THEN u_n
               ELSE CAST({_KMV_NUM} AS BIGINT) // u_theta END
            AS kmv_union_est,
          kmv_checksum
-  FROM uagg JOIN aagg USING (lang) JOIN bagg USING (lang))
+  FROM uagg LEFT JOIN aagg USING (lang) LEFT JOIN bagg USING (lang))
 SELECT lang, kmv_k, kmv_union_n, kmv_common, kmv_theta,
        kmv_a_est, kmv_b_est, kmv_union_est,
        CASE WHEN kmv_union_n < {_KMV_K} THEN kmv_common
@@ -6268,14 +6285,18 @@ cparts AS (
   FROM du),
 clab AS (
   SELECT url, host, path,
-         list_reverse(CASE WHEN starts_with(host, 'www.')
+         CASE WHEN string_split(host, '.')[1] = 'www'
+                   AND len(string_split(host, '.')) > 1
+              THEN 1 ELSE 0 END AS www,
+         list_reverse(CASE WHEN string_split(host, '.')[1] = 'www'
+                                AND len(string_split(host, '.')) > 1
                            THEN string_split(host, '.')[2:]
                            ELSE string_split(host, '.') END) AS rev
   FROM cparts),
 ckeyed AS (
   SELECT array_to_string(rev, ',') || ')' ||
            CASE WHEN path = '' THEN '/' ELSE path END AS k,
-         CASE WHEN starts_with(host, 'www.') THEN 1 ELSE 0 END AS www,
+         www,
          array_to_string(rev[1:2], ',') AS p2
   FROM clab),
 cpp AS (SELECT p2, CAST(count(*) AS BIGINT) AS n FROM ckeyed

@@ -101,3 +101,15 @@ def test_sq8_codes_range_and_degenerate_dim(spark):
     ).first().c
     assert first[0] == 0 and last[0] == 255
     assert first[2] == 0 and last[2] == 255
+
+
+def test_sq_train_stats_rejects_wrong_dim_and_empty(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(0, [1.0, 2.0, 3.0])],
+                               "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="only has 3 positions"):
+        ann.sq_train_stats(df, dim=64)
+    empty = df.filter("vec_id < 0")
+    with _pytest.raises(ValueError, match="empty embedding"):
+        ann.sq_train_stats(empty, dim=3)

@@ -106,3 +106,18 @@ def test_cdx_stats_counts(spark):
     assert r["n_keys"] == 3            # www.a.com/x collapses onto a.com/x
     assert r["n_www_dropped"] == 1
     assert r["n_prefix2"] == 2         # com,a and com,b
+
+
+def test_surt_bare_www_host_keeps_label(spark):
+    """A host that IS just 'www' keeps its only label (dropping it would
+    leave an empty key), and the www counter matches the transform's
+    actual drop condition."""
+    from docling_graph_spark.operators import domains as dom
+
+    df = spark.createDataFrame(
+        [("https://www/x",), ("https://www.a.com/y",)], "url string")
+    keys = [r["k"] for r in
+            df.select(dom.surt_key(F.col("url")).alias("k")).collect()]
+    assert keys == ["www)/x", "com,a)/y"]
+    [r] = dom.cdx_stats(df).collect()
+    assert r["n_www_dropped"] == 1      # only www.a.com actually dropped

@@ -583,3 +583,20 @@ def test_bowtie_classification(spark):
     assert rows["t"] == ("in", -1, 2)
     assert rows["o"] == ("out", 1, -1)
     assert rows["x"][0] == "other" and rows["y"][0] == "other"
+
+
+def test_scc_long_cycle_beyond_budget_stays_unassigned(spark):
+    """A 12-cycle under the default 6-round color budget must NOT come
+    back as 12 'assigned' singletons: the root-soundness gate (global
+    color stability) leaves every node honestly unassigned; a
+    sufficient budget resolves the one true SCC labelled by its max
+    member."""
+    cyc = [(f"h{i:02d}", f"h{(i + 1) % 12:02d}") for i in range(12)]
+    edges = _core_edges(spark, cyc)
+    short = {r["host"]: (r["scc"], r["assigned"])
+             for r in op_lg.strongly_connected(edges).collect()}
+    assert all(v == ("", 0) for v in short.values()), short
+    full = {r["host"]: (r["scc"], r["scc_size"], r["assigned"])
+            for r in op_lg.strongly_connected(edges,
+                                              rounds=12).collect()}
+    assert all(v == ("h11", 12, 1) for v in full.values()), full
