@@ -211,6 +211,10 @@ Round-2 session-8 additions (still 50 total):
                         reversed-host index keys + CDX prefix manifest
                         — the CC-index layout; key-set checksum gate,
                         independent DuckDB list-function oracle)
+  link_graph_stats   += ppr section (linkgraph.personalized_pagerank:
+                        TrustRank-style seed-teleport integer PageRank
+                        from the 3 smallest hosts; no-trust-path hosts
+                        score exactly 0; unrolled-CTE oracle)
 
 Round-2 additions (still 50 total):
   corpus_prep_stats  += dup_excision stage (ExactSubstr span REMOVAL,

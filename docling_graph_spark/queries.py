@@ -2710,6 +2710,45 @@ r{i} AS (
 SQL_HOST_PAGERANK = _pagerank_unrolled_sql(5, 1_000_000)
 
 
+def _ppr_unrolled_sql(iterations: int, scale: int) -> str:
+    """DuckDB oracle for operators/linkgraph.personalized_pagerank with
+    the 3 lexicographically-smallest hosts as the seed set: the same
+    integer recurrence as the PageRank oracle, with the base/teleport
+    term restricted to seeds and rank starting at 0 off-seed."""
+    base = (15 * scale) // 100
+    ctes = f""",
+pnodes AS (SELECT DISTINCT host FROM (
+  SELECT src_host AS host FROM hg UNION SELECT dst_host FROM hg)),
+pseed AS (SELECT host FROM pnodes ORDER BY host LIMIT 3),
+pnb AS MATERIALIZED (
+  SELECT n.host,
+         CASE WHEN s.host IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+  FROM pnodes n LEFT JOIN pseed s USING (host)),
+poutw AS (SELECT src_host, sum(n_links) AS out_w FROM hg GROUP BY 1),
+pr0 AS (SELECT host, CAST(is_seed * {scale} AS BIGINT) AS rank
+        FROM pnb)"""
+    for i in range(1, iterations + 1):
+        ctes += f""",
+pr{i} AS (
+  SELECT n.host,
+         CAST(n.is_seed * {base} + coalesce(c.s, 0) AS BIGINT) AS rank
+  FROM pnb n LEFT JOIN (
+    SELECT hg.dst_host AS host,
+           sum((85 * pr{i - 1}.rank * hg.n_links)
+               // (100 * poutw.out_w)) AS s
+    FROM hg
+    JOIN pr{i - 1} ON pr{i - 1}.host = hg.src_host
+    JOIN poutw ON poutw.src_host = hg.src_host
+    GROUP BY 1) c ON c.host = n.host)"""
+    return (f"WITH {_LINKS_CTE}{ctes}\n"
+            f"SELECT n.host, r.rank, CAST(n.is_seed AS BIGINT)"
+            f" AS is_seed\n"
+            f"FROM pr{iterations} r JOIN pnb n USING (host)")
+
+
+SQL_HOST_PPR = _ppr_unrolled_sql(5, 1_000_000)
+
+
 def _hits_unrolled_sql(iterations: int, scale: int) -> str:
     """DuckDB oracle for operators/linkgraph.hits: each half-step is an
     explicit CTE replaying the same widen-multiply-div max-normalized
@@ -3152,9 +3191,13 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, v2=assigned flag — operators/linkgraph.strongly_connected,
     synchronous Orzan coloring: forward max-color + backward
     membership, the Broder bowtie CORE decomposition; unassigned
-    remainder reported, unrolled-CTE oracle).  Pages are parsed
+    remainder reported, unrolled-CTE oracle), and personalized
+    PageRank from the 3 smallest hosts (section='ppr': k1=host,
+    v1=integer trust rank, v2=is_seed —
+    operators/linkgraph.personalized_pagerank, the TrustRank family;
+    hosts with no trust path score exactly 0).  Pages are parsed
     once; the edge relation is reused by the rank, triangle, hits,
-    core, community and scc sections."""
+    core, community, scc, bowtie and ppr sections."""
     from .operators import linkgraph as op_lg
     from .sources.web_pages import synthesize_web_pages
 
@@ -3217,6 +3260,10 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = (edges.select(F.col("src_host").alias("host"))
              .unionByName(edges.select(F.col("dst_host").alias("host")))
              .distinct().orderBy("host").limit(3))
+    ppr_rows = op_lg.personalized_pagerank(edges, seeds).select(
+        F.lit("ppr").alias("section"), F.col("host").alias("k1"),
+        F.lit("").alias("k2"), F.col("rank").alias("v1"),
+        F.col("is_seed").alias("v2"))
     depth = op_lg.crawl_depth(edges, seeds)
     depth_rows = depth.select(
         F.lit("depth").alias("section"), F.col("host").alias("k1"),
@@ -3265,7 +3312,7 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(core_conv).unionByName(walk_rows)
             .unionByName(depth_rows).unionByName(depth_conv)
             .unionByName(community_rows).unionByName(scc_rows)
-            .unionByName(bowtie_rows)
+            .unionByName(bowtie_rows).unionByName(ppr_rows)
             .orderBy("section", "k1", "k2"))
 
 
@@ -3416,6 +3463,8 @@ SELECT section, k1, k2, v1, v2 FROM (
   UNION ALL
   SELECT 'bowtie', host, cls, out_depth, in_depth
   FROM ({SQL_HOST_BOWTIE})
+  UNION ALL
+  SELECT 'ppr', host, '', rank, is_seed FROM ({SQL_HOST_PPR})
 ) ORDER BY section, k1, k2
 """
 

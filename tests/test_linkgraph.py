@@ -600,3 +600,38 @@ def test_scc_long_cycle_beyond_budget_stays_unassigned(spark):
             for r in op_lg.strongly_connected(edges,
                                               rounds=12).collect()}
     assert all(v == ("h11", 12, 1) for v in full.values()), full
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank (TrustRank family)
+# ---------------------------------------------------------------------------
+
+
+def test_ppr_mass_stays_near_seeds(spark):
+    """Teleport mass restarts only at the seed: a host unreachable from
+    it scores exactly 0; trust decays with distance; the seed outranks
+    everything (single-outlink chain)."""
+    edges = _w_edges(spark, [
+        ("s", "a", 1), ("a", "b", 1), ("x", "y", 1)])
+    seeds = spark.createDataFrame([("s",)], "host string")
+    got = {r["host"]: (r["rank"], r["is_seed"])
+           for r in op_lg.personalized_pagerank(edges, seeds).collect()}
+    assert got["s"][1] == 1 and got["a"][1] == 0
+    assert got["s"][0] > got["a"][0] > got["b"][0] > 0
+    assert got["x"][0] == 0 and got["y"][0] == 0   # no trust path
+
+
+def test_ppr_hand_computed_and_invariant(spark):
+    """One iteration, one seed s -> a (w=1): rank(s)=base=150,
+    rank(a) = (85 * 1000 * 1) div (100 * 1) = 850; identical on any
+    partitioning."""
+    edges = _w_edges(spark, [("s", "a", 1)])
+    seeds = spark.createDataFrame([("s",)], "host string")
+    got = {r["host"]: r["rank"] for r in op_lg.personalized_pagerank(
+        edges, seeds, iterations=1, scale=1000).collect()}
+    assert got == {"s": 150, "a": 850}
+    r1 = {tuple(r) for r in op_lg.personalized_pagerank(
+        edges.repartition(5), seeds).collect()}
+    r2 = {tuple(r) for r in op_lg.personalized_pagerank(
+        edges.coalesce(1), seeds).collect()}
+    assert r1 == r2
