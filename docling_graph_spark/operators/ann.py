@@ -446,8 +446,28 @@ def sq_train_stats(emb: DataFrame, vec_col: str = "embedding",
         raise ValueError(
             f"sq_train_stats: requested dim={dim} but the embedding "
             f"column only has {max(by_pos) + 1} positions")
+    if max(by_pos) + 1 > dim:
+        # silently accepting longer vectors would leave element_at past
+        # the codebook NULL in sq_codes, degrading ranks with no error
+        raise ValueError(
+            f"sq_train_stats: requested dim={dim} but the embedding "
+            f"column has {max(by_pos) + 1} positions; slice the vector "
+            f"to dim first or train with the full dimensionality")
     mins = [by_pos[i][0] for i in range(dim)]
     maxs = [by_pos[i][1] for i in range(dim)]
+    # int64-overflow guard for sq8_knn's integer scoring: per-term
+    # magnitude is W^2 * |cq-Z| * |cv-Z| <= W^2 * 255^2 with
+    # W = floor((mx-mn)/255 * 2^20).  Requiring (mx-mn) <= 256 bounds
+    # W <= 2^20 * 256/255 < 2^20.01, so per-term < 2^40.1 * 2^16 = 2^56.1
+    # and a 64-dim sum stays < 2^62.2 < int64 max.  Without this the
+    # bound is data-dependent and a large value range would wrap int64
+    # in Spark while DuckDB's hugeint sum would not.
+    bad = [i for i in range(dim) if maxs[i] - mins[i] > 256.0]
+    if bad:
+        raise ValueError(
+            f"sq_train_stats: per-dimension value range exceeds 256 at "
+            f"positions {bad[:8]} — the int64 scoring bound in sq8_knn "
+            f"assumes (mx - mn) <= 256; rescale the embeddings first")
     return mins, maxs
 
 
@@ -514,7 +534,8 @@ def sq8_knn(emb: DataFrame, queries: DataFrame, k: int = 5,
     — 4x smaller stored vectors (the uint8 codes; weights/zero-points
     are O(d) index metadata), integer-SIMD-able arithmetic, and
     (unlike float scoring) hash-exact ranks the oracle can replay.
-    Per-term magnitude stays under 2^44, so the 64-dim sum is
+    Per-term magnitude stays under 2^57 (enforced by the (mx-mn) <= 256
+    codebook guard in :func:`sq_train_stats`), so the 64-dim sum is
     overflow-free in int64.  Approximation quality vs the exact float
     path is pinned by a recall gate in the unit tests (0.97 recall@10
     on the test corpus).

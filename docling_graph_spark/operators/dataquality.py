@@ -37,7 +37,10 @@ Check = Sequence[tuple]
 
 
 def _viol(name: str, cond: Column) -> Check:
-    return [(name, F.sum(cond.cast("long")).cast("long"))]
+    # coalesce so an EMPTY relation reports 0 violations (sum over zero
+    # rows is NULL), matching the SQL oracle's coalesce(sum(...), 0)
+    return [(name,
+             F.coalesce(F.sum(cond.cast("long")), F.lit(0)).cast("long"))]
 
 
 def completeness(col: str, name: str | None = None) -> Check:

@@ -272,8 +272,12 @@ def kmv_set_stats(df_a: DataFrame, df_b: DataFrame, value_col: str,
               .join(agg_sketch(sb, "b"), group_col, "left")
               .na.fill({"a_n": 0, "b_n": 0, "a_theta": 0, "b_theta": 0})
               .withColumn("union_est", est("u_n", "u_theta")))
+    # standard Theta-sketch combination: n_common * est_union / (k - 1)
+    # — the same (k - 1) the union estimator uses, so the two estimates
+    # are internally consistent (dividing by k instead biases the
+    # intersection low by (k-1)/k, ~3% at k=32)
     inter = F.when(F.col("u_n") < k, F.col("n_common")).otherwise(
-        F.expr(f"(n_common * union_est) div {k}")).cast("long")
+        F.expr(f"(n_common * union_est) div {k - 1}")).cast("long")
     return joined.select(
         group_col, F.lit(k).cast("long").alias("kmv_k"),
         F.col("u_n").alias("kmv_union_n"),

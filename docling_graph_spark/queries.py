@@ -3895,7 +3895,7 @@ kest AS (
 SELECT lang, kmv_k, kmv_union_n, kmv_common, kmv_theta,
        kmv_a_est, kmv_b_est, kmv_union_est,
        CASE WHEN kmv_union_n < {_KMV_K} THEN kmv_common
-            ELSE (kmv_common * kmv_union_est) // {_KMV_K} END
+            ELSE (kmv_common * kmv_union_est) // ({_KMV_K} - 1) END
          AS kmv_inter_est,
        kmv_checksum,
        kmv_a_exact, kmv_b_exact, kmv_union_exact, kmv_inter_exact
