@@ -1,0 +1,335 @@
+"""Exact per-component fixpoint solvers for the link-graph operators.
+
+Every iterative link-graph recurrence in ``operators/linkgraph.py``
+(integer PageRank, personalized PageRank, multi-source BFS, k-core
+h-index, synchronous LPA, FB-trim/coloring SCC) reads only a node's
+in/out-neighbors, so the global synchronous trajectory decomposes
+EXACTLY over weakly-connected components: round ``t`` of node ``v``
+depends only on ``v``'s component.  That makes "solve each component to
+its true fixpoint inside one Arrow batch" produce bit-identical values
+to the global synchronous rounds — while replacing O(rounds) shuffle
+stages with ONE ``applyInPandas`` shuffle.  Components too large for a
+task fall back to the synchronous DataFrame loops in
+``operators/linkgraph.py`` (the 100-TB giant-component path).
+
+Each solver mirrors its DataFrame recurrence EXACTLY (same integer
+floor division, same max/min/lexicographic tie-breaks), runs either a
+caller-fixed round count (the unrolled-oracle replay contract) or
+adaptively until the state is pointwise stable, capped.  Pointwise
+stability of a deterministic synchronous iteration implies idempotence,
+so a DuckDB oracle unrolled to the CAP reproduces the converged values
+exactly — that is the bridge that lets a data-dependent realized round
+count still be hash-gated by a static SQL oracle.
+
+All integer math uses Python ints (arbitrary precision) or int64 numpy;
+the values produced stay inside int64 by the same bounds the DataFrame
+operators document, so both engines agree bit-for-bit.
+
+Solvers return, per node, the final value(s) plus:
+
+* ``would_change`` — 1 iff one more synchronous round would change the
+  node (0 everywhere iff the returned state IS the fixpoint);
+* ``last_chg``     — the last 1-based round in which the node changed
+  (0 if it never moved).  ``max(last_chg)`` over all nodes is the
+  realized round count, which the unrolled oracle recomputes from its
+  round CTEs — both engines must agree on it exactly.
+"""
+
+from __future__ import annotations
+
+INF = 1 << 62
+
+
+def _nodes_of(edges) -> list:
+    s = set()
+    for u, v, *_ in edges:
+        s.add(u)
+        s.add(v)
+    return sorted(s)
+
+
+def pagerank_component(edges, scale: int, fixed_rounds=None,
+                       max_rounds: int = 96, seeds=None):
+    """Integer (personalized) PageRank on one component's edge list
+    ``[(src, dst, w), ...]``: the exact recurrence of
+    ``operators/linkgraph.pagerank`` —
+
+        r_0(v) = scale[*is_seed];
+        r_{t+1}(v) = floor(15*scale/100)[*is_seed]
+                     + sum over in-edges (u,v):
+                         (85 * r_t(u) * w) div (100 * W(u)).
+
+    ``seeds=None`` is plain PageRank (every node seeds); a seed set
+    restricts both the initial mass and the teleport base term
+    (``operators/linkgraph.personalized_pagerank``).
+
+    Returns {node: (rank, would_change, last_chg)}."""
+    nodes = _nodes_of(edges)
+    base = (15 * scale) // 100
+    outw: dict = {}
+    for u, v, w in edges:
+        outw[u] = outw.get(u, 0) + w
+    is_seed = (dict.fromkeys(nodes, 1) if seeds is None
+               else {n: (1 if n in seeds else 0) for n in nodes})
+    rank = {n: is_seed[n] * scale for n in nodes}
+    last_chg = dict.fromkeys(nodes, 0)
+
+    def step(cur):
+        acc = dict.fromkeys(nodes, 0)
+        for u, v, w in edges:
+            acc[v] += (85 * cur[u] * w) // (100 * outw[u])
+        return {n: is_seed[n] * base + acc[n] for n in nodes}
+
+    rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+    for t in range(1, rounds + 1):
+        nxt = step(rank)
+        changed = False
+        for n in nodes:
+            if nxt[n] != rank[n]:
+                last_chg[n] = t
+                changed = True
+        rank = nxt
+        if fixed_rounds is None and not changed:
+            break
+    probe = step(rank)
+    return {n: (rank[n], int(probe[n] != rank[n]), last_chg[n])
+            for n in nodes}
+
+
+def bfs_component(edges, seeds, fixed_rounds=None, max_rounds: int = 32):
+    """Multi-source BFS min-propagation on one component — the exact
+    recurrence of ``operators/linkgraph.crawl_depth``:
+    d_0 = 0 on seeds else INF; d_{t+1}(v) = min(d_t(v),
+    1 + min over in-edges (u,v) of d_t(u)).
+
+    Returns {node: (depth_or_-1, would_change, last_chg)}."""
+    nodes = _nodes_of(edges)
+    d = {n: (0 if n in seeds else INF) for n in nodes}
+    last_chg = dict.fromkeys(nodes, 0)
+
+    def step(cur):
+        nxt = dict(cur)
+        for u, v, *_ in edges:
+            if cur[u] + 1 < nxt[v]:
+                nxt[v] = cur[u] + 1
+        return nxt
+
+    rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+    for t in range(1, rounds + 1):
+        nxt = step(d)
+        changed = False
+        for n in nodes:
+            if nxt[n] != d[n]:
+                last_chg[n] = t
+                changed = True
+        d = nxt
+        if fixed_rounds is None and not changed:
+            break
+    probe = step(d)
+    return {n: ((-1 if d[n] >= INF else d[n]),
+                int(probe[n] < d[n]), last_chg[n]) for n in nodes}
+
+
+def coreness_component(edges, fixed_rounds=None, max_rounds: int = 32):
+    """k-core h-index iteration on one component — the exact recurrence
+    of ``operators/linkgraph.coreness`` over the undirected simple
+    graph: c_0 = deg; c_{t+1}(v) = min(c_t(v), h-index of neighbor
+    estimates).
+
+    Returns {node: (degree, coreness, would_change, last_chg)}."""
+    und = set()
+    for u, v, *_ in edges:
+        if u != v:
+            und.add((min(u, v), max(u, v)))
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    nodes = sorted(adj)
+    deg = {n: len(adj[n]) for n in nodes}
+    c = dict(deg)
+    last_chg = dict.fromkeys(nodes, 0)
+
+    def step(cur):
+        nxt = {}
+        for v in nodes:
+            vals = sorted((cur[u] for u in adj[v]), reverse=True)
+            h = 0
+            for rk, val in enumerate(vals, start=1):
+                m = rk if rk < val else val
+                if m > h:
+                    h = m
+            nxt[v] = cur[v] if cur[v] < h else h
+        return nxt
+
+    rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+    for t in range(1, rounds + 1):
+        nxt = step(c)
+        changed = False
+        for n in nodes:
+            if nxt[n] != c[n]:
+                last_chg[n] = t
+                changed = True
+        c = nxt
+        if fixed_rounds is None and not changed:
+            break
+    probe = step(c)
+    return {n: (deg[n], c[n], int(probe[n] < c[n]), last_chg[n])
+            for n in nodes}
+
+
+def lpa_component(edges, fixed_rounds=None, max_rounds: int = 24):
+    """Synchronous weighted label propagation on one component — the
+    exact recurrence of ``operators/linkgraph.label_propagation``:
+    l_0(v) = v; l_{t+1}(v) = argmax over neighbor labels of total
+    incident weight, ties to the lexicographically GREATEST label
+    (``max(struct(weight, label))``).  Directed weights merge into one
+    undirected edge first; self-loops drop.
+
+    Synchronous LPA can 2-cycle on bipartite structures, so the
+    adaptive mode may exhaust ``max_rounds`` without stabilizing —
+    surfaced honestly through ``would_change``.
+
+    Returns {node: (label, would_change, last_chg)}."""
+    wund: dict = {}
+    for u, v, w in edges:
+        if u != v:
+            k = (min(u, v), max(u, v))
+            wund[k] = wund.get(k, 0) + w
+    adj: dict = {}
+    for (a, b), w in wund.items():
+        adj.setdefault(a, {})[b] = adj.setdefault(a, {}).get(b, 0) + w
+        adj.setdefault(b, {})[a] = adj.setdefault(b, {}).get(a, 0) + w
+    nodes = _nodes_of(edges)
+    lab = {n: n for n in nodes}
+    last_chg = dict.fromkeys(nodes, 0)
+
+    def step(cur):
+        nxt = {}
+        for v in nodes:
+            nbrs = adj.get(v)
+            if not nbrs:
+                nxt[v] = cur[v]
+                continue
+            votes: dict = {}
+            for u, w in nbrs.items():
+                lu = cur[u]
+                votes[lu] = votes.get(lu, 0) + w
+            nxt[v] = max(votes.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        return nxt
+
+    rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+    for t in range(1, rounds + 1):
+        nxt = step(lab)
+        changed = False
+        for n in nodes:
+            if nxt[n] != lab[n]:
+                last_chg[n] = t
+                changed = True
+        lab = nxt
+        if fixed_rounds is None and not changed:
+            break
+    probe = step(lab)
+    return {n: (lab[n], int(probe[n] != lab[n]), last_chg[n])
+            for n in nodes}
+
+
+def scc_component(edges, outer: int = 3, color_rounds=None,
+                  max_color_rounds: int = 24, member_rounds=None,
+                  max_member_rounds: int = 24, trim_rounds=None,
+                  max_trim_rounds: int = 6):
+    """FB-trim + Orzan-coloring SCC on one component — the exact
+    phase-by-phase recurrence of
+    ``operators/linkgraph.strongly_connected``:
+
+    per outer round over still-unassigned nodes: (0) trim nodes lacking
+    an in- or out-edge in the active subgraph (each its own singleton),
+    (1) forward-propagate the MAX node id; roots (color == self) are
+    declared only on a STABLE coloring (the soundness gate — with the
+    adaptive default the coloring always converges, max-propagation
+    being monotone on a finite set, so the gate never truncates), (2)
+    backward-propagate membership from each root r along edges (u, v)
+    with scc(v) = r and color(u) = r.
+
+    ``color_rounds``/``member_rounds``/``trim_rounds`` fix the phase
+    budgets exactly (the oracle-replay contract; the gate then applies
+    per component — components are independent sub-problems, cf. the
+    global gate of the synchronous fallback which cannot see component
+    boundaries); ``None`` runs each phase adaptively to stability,
+    capped at the ``max_*`` values the unrolled oracle replays.
+
+    Returns {node: (scc_label_or_empty, assigned)}."""
+    nodes = set(_nodes_of(edges))
+    de = {(u, v) for u, v, *_ in edges if u != v}
+    scc: dict = {}
+
+    for _ in range(outer):
+        active = {n for n in nodes if n not in scc}
+        if not active:
+            break
+        start = set(active)
+        ae = {(u, v) for (u, v) in de if u in active and v in active}
+        t_rounds = (trim_rounds if trim_rounds is not None
+                    else max_trim_rounds)
+        for _t in range(t_rounds):
+            has_o = {u for u, v in ae}
+            has_i = {v for u, v in ae}
+            nactive = {n for n in active if n in has_o and n in has_i}
+            ae = {(u, v) for (u, v) in ae
+                  if u in nactive and v in nactive}
+            stable = nactive == active
+            active = nactive
+            if trim_rounds is None and stable:
+                break
+        trimmed = start - active
+
+        color = {n: n for n in active}
+
+        def color_step(cur):
+            prop: dict = {}
+            for u, v in ae:
+                cu = cur[u]
+                if v not in prop or cu > prop[v]:
+                    prop[v] = cu
+            return {n: (prop[n] if n in prop and prop[n] > cur[n]
+                        else cur[n]) for n in active}
+
+        c_rounds = (color_rounds if color_rounds is not None
+                    else max_color_rounds)
+        for _t in range(c_rounds):
+            nxt = color_step(color)
+            stable = nxt == color
+            color = nxt
+            if color_rounds is None and stable:
+                break
+        unstable = color_step(color) != color
+
+        mem = {n: (n if (not unstable and color[n] == n) else None)
+               for n in active}
+
+        def member_step(cur):
+            prop: dict = {}
+            for u, v in ae:
+                sv = cur.get(v)
+                if sv is not None and color[u] == sv:
+                    if u not in prop or sv > prop[u]:
+                        prop[u] = sv
+            return {n: (cur[n] if cur[n] is not None else prop.get(n))
+                    for n in active}
+
+        m_rounds = (member_rounds if member_rounds is not None
+                    else max_member_rounds)
+        for _t in range(m_rounds):
+            nxt = member_step(mem)
+            stable = nxt == mem
+            mem = nxt
+            if member_rounds is None and stable:
+                break
+
+        for n in active:
+            if mem[n] is not None:
+                scc[n] = mem[n]
+        for n in trimmed:
+            scc[n] = n
+
+    return {n: ((scc[n], 1) if n in scc else ("", 0)) for n in nodes}

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..lineage import cut
+
 # attrs may precede href; the mandatory SPACE right before `href=` stops
 # the greedy prefix from latching onto attribute names that merely END in
 # href (data-href, ng-href) — '<a href' itself matches with empty prefix
@@ -35,8 +37,38 @@ HREF_RE = r'<a[^>]* href="([^"]+)"'
 HOST_RE = r"^https?://([^/]+)"
 
 PAGERANK_SCALE = 1_000_000
-PAGERANK_ITERATIONS = 5
 DAMPING_NUM, DAMPING_DEN = 85, 100  # d = 0.85 as an exact rational
+
+# Round CAPS for the convergence-adaptive iterative operators.  Each op
+# runs until its state is pointwise stable (the exact fixpoint — stability
+# of a deterministic synchronous iteration implies idempotence) or until
+# the cap; the unrolled SQL oracles in queries.py are generated AT the cap,
+# which replays the converged values exactly because post-convergence
+# rounds are no-ops.  Caps are sized ~25% above the realized round counts
+# measured on the test corpora (integer PageRank reaches its exact
+# stationary point in 76 rounds at sf0.01 / 43 at sf0.1; coreness 11;
+# BFS 5; LPA 11; SCC coloring 6).
+PAGERANK_MAX_ROUNDS = 96
+BFS_MAX_ROUNDS = 32
+CORENESS_MAX_ROUNDS = 32
+LPA_MAX_ROUNDS = 24
+SCC_OUTER = 3
+SCC_COLOR_CAP = 24
+SCC_MEMBER_CAP = 24
+SCC_TRIM_CAP = 6
+
+# Components whose edge count fits this gate solve to their exact fixpoint
+# inside ONE applyInPandas task (kernels/graph_fixpoint.py); larger
+# components run the synchronous DataFrame rounds.  The per-task cost is
+# O(rounds x component edges) of integer kernel work — 200k edges x 96
+# rounds is the ~10s/task ceiling that keeps a straggler bounded.
+DEFAULT_MAX_GROUP_EDGES = 200_000
+# Synchronous fallback: micro-rounds chained per lineage cut + convergence
+# probe.  Amortizes the fixed per-stage scheduling cost over several
+# rounds; probing only at block boundaries can overshoot the realized
+# round count by at most the block size, which is value-invisible
+# (post-stability rounds are no-ops).
+SYNC_ROUNDS_PER_STAGE = 4
 
 
 # whole <a ...> open tag carrying rel=nofollow (SEO-standard link-juice
@@ -86,11 +118,147 @@ def host_link_graph(pages: DataFrame, url_col: str = "url",
     )
 
 
+def weakly_connected(edges: DataFrame, src: str = "src_host",
+                     dst: str = "dst_host") -> DataFrame:
+    """(host, comp) — weakly-connected component label (min member host)
+    per node of the directed edge list.
+
+    Every iterative link-graph recurrence here reads only a node's
+    in/out-neighbors, so its global synchronous trajectory decomposes
+    EXACTLY over these components — the partitioning key that lets the
+    hybrid operators solve each component to its true fixpoint inside
+    one Arrow task (kernels/graph_fixpoint.py) instead of paying one
+    shuffle stage per round.  Reuses dedup.connected_components:
+    driver union-find under its size gate, distributed min-label
+    pointer jumping (adaptive, O(log diameter) rounds) above it."""
+    from .dedup import connected_components
+
+    if edges.isEmpty():
+        return edges.sparkSession.createDataFrame(
+            [], "host string, comp string")
+    return (connected_components(edges, key_a=src, key_b=dst)
+            .select(F.col("id").alias("host"),
+                    F.col("component").alias("comp")))
+
+
+def _annotated(edges: DataFrame, src: str, dst: str, weight,
+               wcc: DataFrame | None) -> DataFrame:
+    """(comp, u, v, w, _ce): edge list tagged with its component label
+    and the component's edge count (the group-size routing signal)."""
+    w = (F.col(weight).cast("long") if weight is not None
+         else F.lit(1).cast("long"))
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                     w.alias("w"))
+    if wcc is None:
+        wcc = weakly_connected(edges, src, dst)
+    lab = wcc.select(F.col("host").alias("u"), "comp")
+    ann = e.join(lab, "u")
+    sizes = ann.groupBy("comp").agg(F.count("*").alias("_ce"))
+    return ann.join(sizes, "comp")
+
+
+def _until_stable(state: DataFrame, round_fn, fixed, cap: int,
+                  rounds_per_stage: int = SYNC_ROUNDS_PER_STAGE
+                  ) -> DataFrame:
+    """Drive a synchronous iteration whose round_fn(state, round_idx)
+    emits a ``_chg`` column (1 iff the node changed that round).
+
+    ``fixed`` rounds replay exactly (the unrolled-oracle contract);
+    otherwise rounds run until a block boundary where no node changed,
+    capped.  Pointwise stability of a deterministic synchronous
+    iteration implies idempotence, so stopping early is value-identical
+    to running the full cap — which is why a static SQL oracle unrolled
+    AT the cap hash-matches the adaptive run."""
+    r = 0
+    total = fixed if fixed is not None else cap
+    while r < total:
+        block = min(rounds_per_stage, total - r)
+        for _ in range(block):
+            r += 1
+            state = round_fn(state, r)
+        state = cut(state)
+        if fixed is None and not (
+                state.agg(F.sum("_chg")).collect()[0][0] or 0):
+            break
+    return state
+
+
+def _pagerank_sync(e: DataFrame, scale: int, seeds: DataFrame | None,
+                   fixed, cap: int) -> DataFrame:
+    """Synchronous frontier-delta (personalized) PageRank over an
+    (u, v, w) edge list — the giant-component fallback path.
+
+    Instead of recomputing every node's in-sum each round, the state
+    carries the accumulated contribution sum and each round sends only
+    the per-edge contribution DELTAS of nodes whose rank changed last
+    round: d(u,v) = floor85(r_t(u)) - floor85(r_{t-1}(u)).  Since
+    floor-per-edge sums are exact integers, csum stays bit-identical to
+    the dense recomputation while the join frontier SHRINKS as ranks
+    stabilize — on a web graph the tail rounds touch a tiny fraction of
+    nodes.  Per round: one equi-join of the edge list against the
+    (shrinking) frontier + one map-side-combinable sum groupBy + one
+    left join back into the state; lineage cut per block via
+    lineage.cut (reliable-checkpoint aware)."""
+    base = (15 * scale) // DAMPING_DEN
+    outw = e.groupBy("u").agg(F.sum("w").alias("out_w"))
+    ew = cut(e.join(outw, "u")
+             .select(F.col("u").alias("e_src"), F.col("v").alias("e_dst"),
+                     F.col("w").alias("e_w"), "out_w"))
+    nodes = (e.select(F.col("u").alias("host"))
+             .unionByName(e.select(F.col("v").alias("host"))).distinct())
+    if seeds is None:
+        nb = nodes.select("host", F.lit(1).cast("long").alias("is_seed"))
+    else:
+        seed_rel = seeds.select(F.col(seeds.columns[0]).alias("host")) \
+            .withColumn("_s", F.lit(1))
+        nb = (nodes.join(seed_rel, "host", "left")
+              .select("host", F.coalesce("_s", F.lit(0)).cast("long")
+                      .alias("is_seed")))
+    st = cut(nb.select(
+        "host", "is_seed",
+        F.lit(0).cast("long").alias("prank"),
+        (F.col("is_seed") * scale).cast("long").alias("rank"),
+        F.lit(0).cast("long").alias("csum"),
+        (F.col("is_seed") != 0).cast("long").alias("_chg"),
+        F.lit(0).cast("long").alias("last_chg")))
+
+    def rnd(cur: DataFrame, i: int) -> DataFrame:
+        ch = cur.filter(F.col("_chg") == 1).select(
+            F.col("host").alias("e_src"), "prank", "rank")
+        d_new = F.expr(f"({DAMPING_NUM} * rank * e_w) div "
+                       f"({DAMPING_DEN} * out_w)")
+        d_old = F.expr(f"({DAMPING_NUM} * prank * e_w) div "
+                       f"({DAMPING_DEN} * out_w)")
+        delta = (ew.join(ch, "e_src")
+                 .select(F.col("e_dst").alias("host"),
+                         (d_new - d_old).alias("d"))
+                 .groupBy("host").agg(F.sum("d").alias("d")))
+        ncsum = F.col("csum") + F.coalesce(F.col("d"), F.lit(0))
+        nrank = F.col("is_seed") * F.lit(base) + ncsum
+        moved = nrank != F.col("rank")
+        return (cur.join(delta, "host", "left")
+                .select("host", "is_seed", F.col("rank").alias("prank"),
+                        nrank.alias("rank"), ncsum.alias("csum"),
+                        moved.cast("long").alias("_chg"),
+                        F.when(moved, F.lit(i)).otherwise(F.col("last_chg"))
+                        .alias("last_chg")))
+
+    st = _until_stable(st, rnd, fixed, cap)
+    nxt = rnd(st, 0)
+    return (st.select("host", "rank", "is_seed", "last_chg")
+            .join(nxt.select("host", F.col("_chg").alias("would_change")),
+                  "host"))
+
+
 def pagerank(edges: DataFrame, src: str = "src_host",
              dst: str = "dst_host", weight: str = "n_links",
-             iterations: int = PAGERANK_ITERATIONS,
-             scale: int = PAGERANK_SCALE) -> DataFrame:
-    """Integer weighted PageRank over a host edge list: (host, rank).
+             iterations: int | None = None,
+             scale: int = PAGERANK_SCALE,
+             max_rounds: int = PAGERANK_MAX_ROUNDS,
+             wcc: DataFrame | None = None,
+             max_group_edges: int = DEFAULT_MAX_GROUP_EDGES) -> DataFrame:
+    """Integer weighted PageRank over a host edge list:
+    (host, rank, would_change, last_chg).
 
     r_0(v) = scale;
     r_{t+1}(v) = floor(15*scale/100)
@@ -101,45 +269,77 @@ def pagerank(edges: DataFrame, src: str = "src_host",
     realistic host count), so the fixpoint trajectory is engine- and
     partitioning-independent.
 
-    Shuffle accounting per iteration: one join of the edge list against the
-    rank relation on src (sort-merge or broadcast if the rank side is small
-    — at host granularity even the full web is ~10^8 rows, broadcastable
-    per-executor at ~1 GB, and Spark's AQE picks that up) plus one groupBy
-    dst with map-side partial sums.  For iteration counts beyond ~10, break
-    lineage every few rounds with localCheckpoint, as
-    operators/dedup.connected_components does."""
-    base = (15 * scale) // DAMPING_DEN
-    nodes = (
-        edges.select(F.col(src).alias("host"))
-        .unionByName(edges.select(F.col(dst).alias("host")))
-        .distinct()
-    )
-    outw = edges.groupBy(src).agg(F.sum(weight).alias("out_w"))
-    ew = (
-        edges.join(outw, src)
-        .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
-                F.col(weight).alias("e_w"), "out_w")
-    )
-    ranks = nodes.select("host", F.lit(scale).cast("long").alias("rank"))
-    for _ in range(iterations):
-        contrib = (
-            ew.join(ranks, ew.e_src == ranks.host)
-            .select(
-                F.col("e_dst").alias("host"),
-                F.expr(f"({DAMPING_NUM} * rank * e_w) div "
-                       f"({DAMPING_DEN} * out_w)").alias("c"),
-            )
-            .groupBy("host")
-            .agg(F.sum("c").alias("c"))
-        )
-        ranks = (
-            nodes.join(contrib, "host", "left")
-            .select(
-                "host",
-                (F.lit(base) + F.coalesce("c", F.lit(0))).alias("rank"),
-            )
-        )
-    return ranks
+    With ``iterations=None`` (default) the recurrence runs to its EXACT
+    stationary point, capped at ``max_rounds`` — ``would_change`` is 0
+    everywhere iff the returned ranks ARE the fixpoint, and
+    ``max(last_chg)`` is the realized round count both engines agree
+    on.  An explicit ``iterations`` replays exactly that many rounds.
+
+    Hybrid execution: the recurrence decomposes exactly over
+    weakly-connected components (a node's update reads only in-edges),
+    so components under ``max_group_edges`` solve to their fixpoint in
+    ONE applyInPandas pass (kernels/graph_fixpoint.pagerank_component)
+    while larger components run the synchronous frontier-delta rounds
+    of :func:`_pagerank_sync` — the path a 100-TB crawl graph's giant
+    component takes."""
+    return _hybrid_rank(edges, src, dst, weight, None, iterations, scale,
+                        max_rounds, wcc, max_group_edges).drop("is_seed")
+
+
+_RANK_SCHEMA = ("host string, rank long, is_seed long, "
+                "would_change long, last_chg long")
+
+
+def _hybrid_rank(edges, src, dst, weight, seeds, fixed, scale, cap,
+                 wcc, max_group_edges) -> DataFrame:
+    """Shared hybrid driver for pagerank (seeds=None) and personalized
+    pagerank: component-size split, local kernel below the gate,
+    synchronous frontier-delta fallback above it."""
+    if wcc is None:
+        wcc = weakly_connected(edges, src, dst)
+    ann = _annotated(edges, src, dst, weight, wcc)
+    small = ann.filter(F.col("_ce") <= max_group_edges).drop("_ce")
+    big = ann.filter(F.col("_ce") > max_group_edges)
+
+    def solve(epdf, spdf):
+        import pandas as pd
+
+        from ..kernels import graph_fixpoint as gfx
+
+        if epdf.empty:
+            return pd.DataFrame(
+                columns=["host", "rank", "is_seed",
+                         "would_change", "last_chg"])
+        el = [(u, v, int(w))
+              for u, v, w in zip(epdf["u"], epdf["v"], epdf["w"])]
+        seed_set = None if spdf is None else set(spdf["host"])
+        res = gfx.pagerank_component(el, scale, fixed, cap, seed_set)
+        flag = ((lambda n: 1) if seed_set is None
+                else (lambda n: int(n in seed_set)))
+        return pd.DataFrame(
+            [(n, r, flag(n), wc, lc)
+             for n, (r, wc, lc) in res.items()],
+            columns=["host", "rank", "is_seed", "would_change",
+                     "last_chg"])
+
+    if seeds is None:
+        out_small = small.groupBy("comp").applyInPandas(
+            lambda pdf: solve(pdf, None), _RANK_SCHEMA)
+    else:
+        # the seed side derives comp from the SAME wcc relation as the
+        # edge side — rename its grouping column so the cogroup is not
+        # an ambiguous self-join (keys align by position, not name)
+        seed_ann = (seeds.select(F.col(seeds.columns[0]).alias("host"))
+                    .join(wcc, "host")
+                    .select(F.col("comp").alias("scomp"), "host"))
+        out_small = small.groupBy("comp").cogroup(
+            seed_ann.groupBy("scomp")).applyInPandas(solve, _RANK_SCHEMA)
+    if big.limit(1).isEmpty():
+        return out_small
+    big_e = big.select("u", "v", "w")
+    out_big = _pagerank_sync(big_e, scale, seeds, fixed, cap) \
+        .select("host", "rank", "is_seed", "would_change", "last_chg")
+    return out_small.unionByName(out_big)
 
 
 ANCHOR_RE = r'<a[^>]* href="([^"]+)"[^>]*>([^<]*)</a>'
@@ -232,14 +432,16 @@ def resolve_aliases(edges: DataFrame, alias_col: str = "alias",
     occur in redirect/canonical data that decreases toward a root, but a
     malformed cycle is still safe: hops hits the round budget and the
     loop exits (no infinite recursion, unlike a recursive resolver).
-    Lineage is truncated per round with an eager localCheckpoint — the
+    Lineage is truncated per round via lineage.cut (eager
+    localCheckpoint, or reliable checkpoint() when configured) — the
     standard Spark iterative-loop pattern.
     """
     carry = [c for c in edges.columns if c not in (alias_col, target_col)]
     m = edges.select(
         F.col(alias_col).alias("alias"), F.col(target_col).alias("target"),
         F.lit(1).cast("long").alias("hops"), *carry,
-    ).localCheckpoint(eager=True)
+    )
+    m = cut(m, eager=True)
     for _ in range(max_rounds):
         nxt = m.select(F.col("alias").alias("t_alias"),
                        F.col("target").alias("t_target"),
@@ -254,8 +456,8 @@ def resolve_aliases(edges: DataFrame, alias_col: str = "alias",
                 F.col("t_alias").isNotNull().alias("_jumped"),
                 *carry,
             )
-            .localCheckpoint(eager=True)
         )
+        jumped = cut(jumped, eager=True)
         n_jumped = jumped.agg(
             F.sum(F.col("_jumped").cast("long"))).collect()[0][0] or 0
         m = jumped.drop("_jumped")
@@ -388,7 +590,8 @@ def hits(edges: DataFrame, src: str = "src_host", dst: str = "dst_host",
         edges.select(F.col(src).alias("host"))
         .unionByName(edges.select(F.col(dst).alias("host")))
         .distinct()
-    ).localCheckpoint(eager=False)
+    )
+    nodes = cut(nodes)
     ew = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
                       F.col(weight).cast("long").alias("e_w"))
 
@@ -396,7 +599,7 @@ def hits(edges: DataFrame, src: str = "src_host", dst: str = "dst_host",
         # pin the raw half-step: the max() scalar job and the rescale
         # join would otherwise each re-run the whole iteration chain
         # (quadratic recompute across 2*iterations half-steps)
-        raw = raw.localCheckpoint(eager=False)
+        raw = cut(raw)
         mx = raw.agg(F.max("_raw")).collect()[0][0] or 0
         if mx <= 0:
             return nodes.select(
@@ -429,66 +632,102 @@ def hits(edges: DataFrame, src: str = "src_host", dst: str = "dst_host",
     return hub.join(auth, "host")
 
 
-CORENESS_ROUNDS = 8
+_CORE_SCHEMA = ("host string, degree long, coreness long, "
+                "would_change long, last_chg long")
 
 
-def coreness(edges: DataFrame, src: str = "src_host",
-             dst: str = "dst_host",
-             rounds: int = CORENESS_ROUNDS) -> DataFrame:
-    """k-core decomposition of the undirected simple host graph:
-    (host, degree, coreness, would_change) after ``rounds`` synchronous
-    h-index iterations (Montresor et al. 2011, "Distributed k-core
-    decomposition").
-
-    c_0(v) = deg(v);  c_{t+1}(v) = min(c_t(v), H_t(v)) with H_t(v) the
-    h-index of the neighbor estimates {c_t(u)} — the largest h such that
-    at least h neighbors have estimate >= h.  The sequence decreases
-    monotonically to the exact coreness; synchronous rounds make every
-    intermediate state engine- and partitioning-independent, so a fixed
-    round count is exactly replayable by the SQL oracle.  ``would_change``
-    (1 iff one more round would lower the estimate) is emitted per node:
-    its sum is the convergence gate both engines must agree on — 0 means
-    the returned values ARE the coreness.
-
-    The h-index needs no per-node list: with neighbor estimates ranked
-    descending per node, H = max(min(rank, estimate)).  Per-round cost is
-    one join of the (u,v)+(v,u) adjacency against the estimates plus one
-    per-node window bounded by degree (a web-scale hub makes a heavy but
-    partition-local group; the adjacency itself is never materialized per
-    round beyond the narrow (node, neighbor) projection).  Lineage is cut
-    per round with localCheckpoint, as :func:`pagerank` does."""
-    und = (edges.filter(F.col(src) != F.col(dst))
-           .select(F.least(src, dst).alias("a"),
-                   F.greatest(src, dst).alias("b"))
+def _coreness_sync(e: DataFrame, fixed, cap: int) -> DataFrame:
+    """Synchronous h-index rounds over an (u, v, w) edge list — the
+    giant-component fallback.  Per-round cost is one join of the
+    (u,v)+(v,u) adjacency against the estimates plus one per-node
+    window bounded by degree (a web-scale hub makes a heavy but
+    partition-local group); lineage cut per block."""
+    und = (e.filter(F.col("u") != F.col("v"))
+           .select(F.least("u", "v").alias("a"),
+                   F.greatest("u", "v").alias("b"))
            .distinct())
-    adj = (und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
-           .unionAll(und.select(F.col("b").alias("node"),
-                                F.col("a").alias("nbr")))
-           ).localCheckpoint(eager=False)
-    deg = adj.groupBy("node").agg(F.count("*").cast("long").alias("degree"))
-    est = deg.select("node", F.col("degree").alias("c"))
+    adj = cut(und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+              .unionAll(und.select(F.col("b").alias("node"),
+                                   F.col("a").alias("nbr"))))
+    deg = adj.groupBy("node").agg(
+        F.count("*").cast("long").alias("degree"))
+    st = cut(deg.select("node", F.col("degree").alias("c"),
+                        F.lit(1).cast("long").alias("_chg"),
+                        F.lit(0).cast("long").alias("last_chg")))
 
-    def h_round(cur: DataFrame) -> DataFrame:
-        nb = (adj.join(cur.withColumnRenamed("node", "nbr")
-                       .withColumnRenamed("c", "nc"), "nbr")
+    def rnd(cur: DataFrame, i: int) -> DataFrame:
+        nb = (adj.join(cur.select(F.col("node").alias("nbr"),
+                                  F.col("c").alias("nc")), "nbr")
               .select("node", "nc"))
         w = Window.partitionBy("node").orderBy(F.desc("nc"), "nc")
         h = (nb.withColumn("rn", F.row_number().over(w))
              .groupBy("node")
              .agg(F.max(F.least(F.col("rn").cast("long"), F.col("nc")))
                   .alias("h")))
+        nc = F.least("c", "h")
+        moved = nc < F.col("c")
         return (cur.join(h, "node")
-                .select("node", F.least("c", "h").alias("c")))
+                .select("node", nc.alias("c"),
+                        moved.cast("long").alias("_chg"),
+                        F.when(moved, F.lit(i)).otherwise(F.col("last_chg"))
+                        .alias("last_chg")))
 
-    for _ in range(rounds):
-        est = h_round(est).localCheckpoint(eager=False)
-    nxt = h_round(est)
-    return (deg.join(est, "node")
-            .join(nxt.withColumnRenamed("c", "c_next"), "node")
+    st = _until_stable(st, rnd, fixed, cap)
+    nxt = rnd(st, 0)
+    return (deg.join(st.select("node", "c", "last_chg"), "node")
+            .join(nxt.select("node", F.col("_chg").alias("would_change")),
+                  "node")
             .select(F.col("node").alias("host"), "degree",
-                    F.col("c").alias("coreness"),
-                    (F.col("c_next") < F.col("c")).cast("long")
-                    .alias("would_change")))
+                    F.col("c").alias("coreness"), "would_change",
+                    "last_chg"))
+
+
+def coreness(edges: DataFrame, src: str = "src_host",
+             dst: str = "dst_host", rounds: int | None = None,
+             max_rounds: int = CORENESS_MAX_ROUNDS,
+             wcc: DataFrame | None = None,
+             max_group_edges: int = DEFAULT_MAX_GROUP_EDGES) -> DataFrame:
+    """k-core decomposition of the undirected simple host graph:
+    (host, degree, coreness, would_change, last_chg) via synchronous
+    h-index iterations (Montresor et al. 2011, "Distributed k-core
+    decomposition").
+
+    c_0(v) = deg(v);  c_{t+1}(v) = min(c_t(v), H_t(v)) with H_t(v) the
+    h-index of the neighbor estimates {c_t(u)} — the largest h such that
+    at least h neighbors have estimate >= h.  The sequence decreases
+    monotonically to the exact coreness.  With ``rounds=None`` the
+    iteration runs to its fixpoint (capped at ``max_rounds``) —
+    ``would_change`` is 0 everywhere iff the values ARE the coreness,
+    and ``max(last_chg)`` is the realized round count; an explicit
+    ``rounds`` replays exactly.  Hybrid execution as :func:`pagerank`:
+    per-component local solve under the gate, synchronous rounds above
+    it."""
+    if wcc is None:
+        wcc = weakly_connected(edges, src, dst)
+    ann = _annotated(edges, src, dst, None, wcc)
+    small = ann.filter(F.col("_ce") <= max_group_edges).drop("_ce")
+    big = ann.filter(F.col("_ce") > max_group_edges)
+
+    def solve(pdf):
+        import pandas as pd
+
+        from ..kernels import graph_fixpoint as gfx
+
+        if pdf.empty:
+            return pd.DataFrame(columns=["host", "degree", "coreness",
+                                         "would_change", "last_chg"])
+        el = list(zip(pdf["u"], pdf["v"]))
+        res = gfx.coreness_component(el, rounds, max_rounds)
+        return pd.DataFrame(
+            [(n, d, c, wc, lc) for n, (d, c, wc, lc) in res.items()],
+            columns=["host", "degree", "coreness", "would_change",
+                     "last_chg"])
+
+    out_small = small.groupBy("comp").applyInPandas(solve, _CORE_SCHEMA)
+    if big.limit(1).isEmpty():
+        return out_small
+    return out_small.unionByName(
+        _coreness_sync(big.select("u", "v", "w"), rounds, max_rounds))
 
 
 WALKS_PER_NODE = 2
@@ -512,11 +751,12 @@ def random_walks(edges: DataFrame, src: str = "src_host",
     Plan shape per step: one equi-join of the frontier against the
     adjacency-array relation (host-level — broadcastable for the full
     web) + pure projections; dead ends simply stop extending.  Lineage is
-    cut per step with localCheckpoint."""
+    cut per step via lineage.cut."""
     adj = (edges.groupBy(src)
            .agg(F.array_sort(F.collect_set(F.col(dst))).alias("_nbrs"))
            .withColumnRenamed(src, "_adj_src")
-           ).localCheckpoint(eager=False)
+           )
+    adj = cut(adj)
     nodes = (
         edges.select(F.col(src).alias("host"))
         .unionByName(edges.select(F.col(dst).alias("host")))
@@ -548,69 +788,172 @@ def random_walks(edges: DataFrame, src: str = "src_host",
                 (F.col("hops")
                  + nxt.isNotNull().cast("long")).alias("hops"),
             )
-        ).localCheckpoint(eager=False)
+        )
+        frontier = cut(frontier)
     return frontier.select("start", "walker", "hops", "path")
 
 
-BFS_ROUNDS = 8
+_BFS_INF = 1 << 62
+_BFS_SCHEMA = ("host string, depth long, would_change long, "
+               "last_chg long")
+
+
+def _bfs_sync(e: DataFrame, seeds: DataFrame, fixed, cap: int
+              ) -> DataFrame:
+    """Synchronous frontier-delta multi-source BFS over an (u, v, w)
+    edge list — the giant-component fallback.  Only nodes whose depth
+    improved last round feed the propagation join (min-propagation is
+    monotone, so skipping stable nodes is value-invisible); the
+    frontier is one BFS layer, not the whole relation."""
+    nodes = (e.select(F.col("u").alias("host"))
+             .unionByName(e.select(F.col("v").alias("host"))).distinct())
+    seed_rel = seeds.select(F.col(seeds.columns[0]).alias("host")) \
+        .withColumn("_d", F.lit(0).cast("long"))
+    st = cut(nodes.join(seed_rel, "host", "left")
+             .select("host",
+                     F.coalesce("_d", F.lit(_BFS_INF)).alias("d"),
+                     F.col("_d").isNotNull().cast("long").alias("_chg"),
+                     F.lit(0).cast("long").alias("last_chg")))
+    ew = e.select(F.col("u").alias("e_src"), F.col("v").alias("e_dst"))
+
+    def rnd(cur: DataFrame, i: int) -> DataFrame:
+        fr = cur.filter(F.col("_chg") == 1).select(
+            F.col("host").alias("e_src"), F.col("d").alias("sd"))
+        prop = (ew.join(fr, "e_src")
+                .groupBy(F.col("e_dst").alias("host"))
+                .agg(F.min(F.col("sd") + 1).alias("pd")))
+        nd = F.least("d", F.coalesce("pd", F.lit(_BFS_INF)))
+        moved = nd < F.col("d")
+        return (cur.join(prop, "host", "left")
+                .select("host", nd.alias("d"),
+                        moved.cast("long").alias("_chg"),
+                        F.when(moved, F.lit(i)).otherwise(F.col("last_chg"))
+                        .alias("last_chg")))
+
+    st = _until_stable(st, rnd, fixed, cap)
+    nxt = rnd(st, 0)
+    return (st.select("host",
+                      F.when(F.col("d") >= _BFS_INF, F.lit(-1))
+                      .otherwise(F.col("d")).cast("long").alias("depth"),
+                      "last_chg")
+            .join(nxt.select("host", F.col("_chg").alias("would_change")),
+                  "host")
+            .select("host", "depth", "would_change", "last_chg"))
 
 
 def crawl_depth(edges: DataFrame, seeds: DataFrame,
                 src: str = "src_host", dst: str = "dst_host",
-                rounds: int = BFS_ROUNDS) -> DataFrame:
+                rounds: int | None = None,
+                max_rounds: int = BFS_MAX_ROUNDS,
+                wcc: DataFrame | None = None,
+                max_group_edges: int = DEFAULT_MAX_GROUP_EDGES
+                ) -> DataFrame:
     """Multi-source BFS over the directed host graph: (host, depth,
-    would_change) after ``rounds`` synchronous min-propagation steps —
-    the crawl-frontier distance from a seed list (how many link hops a
-    crawler starting at the seeds needs to discover each host).
+    would_change, last_chg) — the crawl-frontier distance from a seed
+    list (how many link hops a crawler starting at the seeds needs to
+    discover each host).
 
     d_0 = 0 on seeds; d_{t+1}(v) = min(d_t(v), 1 + min over in-edges
     (u,v) of d_t(u)).  Depth is exact once converged (BFS layers only
-    shrink monotonically); unreached hosts report -1.  ``would_change``
-    per node gates convergence exactly as :func:`coreness` does.  Plan
-    per round: one equi-join of the edge list against the depth relation
-    + a min groupBy (map-side combinable); lineage cut per round.  At
-    web scale a frontier-delta formulation sends only newly-reached
-    nodes through the join; the synchronous full-relation form here is
-    the oracle-exact reference shape."""
-    nodes = (
-        edges.select(F.col(src).alias("host"))
-        .unionByName(edges.select(F.col(dst).alias("host")))
-        .distinct()
-    )
-    inf = (1 << 62)
-    seed_rel = seeds.select(F.col(seeds.columns[0]).alias("host")) \
-        .withColumn("_d", F.lit(0).cast("long"))
-    dist = (nodes.join(seed_rel, "host", "left")
-            .select("host", F.coalesce("_d", F.lit(inf)).alias("d"))
-            ).localCheckpoint(eager=False)
-    ew = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    shrink monotonically); unreached hosts report -1.  With
+    ``rounds=None`` the propagation runs to its fixpoint capped at
+    ``max_rounds``; an explicit ``rounds`` replays exactly.  Hybrid
+    execution as :func:`pagerank`; the synchronous fallback is
+    frontier-delta (one BFS layer per join, not the full relation)."""
+    if wcc is None:
+        wcc = weakly_connected(edges, src, dst)
+    ann = _annotated(edges, src, dst, None, wcc)
+    small = ann.filter(F.col("_ce") <= max_group_edges).drop("_ce")
+    big = ann.filter(F.col("_ce") > max_group_edges)
+    # rename the seed side's grouping column: both sides derive comp
+    # from the same wcc relation (cogroup keys align by position)
+    seed_ann = (seeds.select(F.col(seeds.columns[0]).alias("host"))
+                .join(wcc, "host")
+                .select(F.col("comp").alias("scomp"), "host"))
 
-    def step(cur: DataFrame) -> DataFrame:
-        prop = (ew.join(cur.withColumnRenamed("host", "e_src")
-                        .withColumnRenamed("d", "sd"), "e_src")
-                .groupBy(F.col("e_dst").alias("host"))
-                .agg(F.min(F.col("sd") + 1).alias("pd")))
-        return (cur.join(prop, "host", "left")
-                .select("host", F.least(
-                    "d", F.coalesce("pd", F.lit(inf))).alias("d")))
+    def solve(epdf, spdf):
+        import pandas as pd
 
-    for _ in range(rounds):
-        dist = step(dist).localCheckpoint(eager=False)
-    nxt = step(dist)
-    return (dist.join(nxt.withColumnRenamed("d", "dn"), "host")
-            .select("host",
-                    F.when(F.col("d") >= inf, F.lit(-1))
-                    .otherwise(F.col("d")).cast("long").alias("depth"),
-                    (F.col("dn") < F.col("d")).cast("long")
-                    .alias("would_change")))
+        from ..kernels import graph_fixpoint as gfx
+
+        if epdf.empty:
+            return pd.DataFrame(columns=["host", "depth", "would_change",
+                                         "last_chg"])
+        el = list(zip(epdf["u"], epdf["v"]))
+        res = gfx.bfs_component(el, set(spdf["host"]), rounds, max_rounds)
+        return pd.DataFrame(
+            [(n, d, wc, lc) for n, (d, wc, lc) in res.items()],
+            columns=["host", "depth", "would_change", "last_chg"])
+
+    out_small = small.groupBy("comp").cogroup(
+        seed_ann.groupBy("scomp")).applyInPandas(solve, _BFS_SCHEMA)
+    if big.limit(1).isEmpty():
+        return out_small
+    return out_small.unionByName(
+        _bfs_sync(big.select("u", "v", "w"), seeds, rounds, max_rounds))
 
 
-LPA_ROUNDS = 4
+_LPA_SCHEMA = ("host string, label string, community_size long, "
+               "would_change long, last_chg long")
+
+
+def _lpa_sync(e: DataFrame, fixed, cap: int) -> DataFrame:
+    """Synchronous weighted LPA over an (u, v, w) edge list — the
+    giant-component fallback.  Per-round plan: one equi-join of the
+    symmetrized weighted adjacency against the label relation, a
+    map-side-combinable (node, label) weight sum, and one max(struct)
+    groupBy — no windows, no per-node lists."""
+    und = (e.filter(F.col("u") != F.col("v"))
+           .select(F.least("u", "v").alias("a"),
+                   F.greatest("u", "v").alias("b"),
+                   F.col("w").cast("long").alias("w"))
+           .groupBy("a", "b").agg(F.sum("w").alias("w")))
+    adj = cut(und.select(F.col("a").alias("node"),
+                         F.col("b").alias("nbr"), "w")
+              .unionAll(und.select(F.col("b").alias("node"),
+                                   F.col("a").alias("nbr"), "w")))
+    nodes = (e.select(F.col("u").alias("node"))
+             .unionByName(e.select(F.col("v").alias("node"))).distinct())
+    st = cut(nodes.select("node", F.col("node").alias("label"),
+                          F.lit(1).cast("long").alias("_chg"),
+                          F.lit(0).cast("long").alias("last_chg")))
+
+    def rnd(cur: DataFrame, i: int) -> DataFrame:
+        votes = (adj.join(cur.select(F.col("node").alias("nbr"),
+                                     F.col("label").alias("nlbl")), "nbr")
+                 .groupBy("node", "nlbl")
+                 .agg(F.sum("w").alias("s"))
+                 .groupBy("node")
+                 .agg(F.max(F.struct(F.col("s"), F.col("nlbl")))
+                      .alias("m"))
+                 .select("node", F.col("m.nlbl").alias("new_label")))
+        nl = F.coalesce("new_label", "label")
+        moved = nl != F.col("label")
+        return (cur.join(votes, "node", "left")
+                .select("node", nl.alias("label"),
+                        moved.cast("long").alias("_chg"),
+                        F.when(moved, F.lit(i)).otherwise(F.col("last_chg"))
+                        .alias("last_chg")))
+
+    st = _until_stable(st, rnd, fixed, cap)
+    nxt = rnd(st, 0)
+    sizes = st.groupBy("label").agg(
+        F.count("*").cast("long").alias("community_size"))
+    return (st.select("node", "label", "last_chg")
+            .join(nxt.select("node", F.col("_chg").alias("would_change")),
+                  "node")
+            .join(sizes, "label")
+            .select(F.col("node").alias("host"), "label",
+                    "community_size", "would_change", "last_chg"))
 
 
 def label_propagation(edges: DataFrame, src: str = "src_host",
                       dst: str = "dst_host", weight: str = "n_links",
-                      rounds: int = LPA_ROUNDS) -> DataFrame:
+                      rounds: int | None = None,
+                      max_rounds: int = LPA_MAX_ROUNDS,
+                      wcc: DataFrame | None = None,
+                      max_group_edges: int = DEFAULT_MAX_GROUP_EDGES
+                      ) -> DataFrame:
     """Deterministic weighted label propagation (Raghavan et al. 2007)
     over the undirected host graph: (host, label, community_size,
     would_change) after ``rounds`` synchronous update steps — the
@@ -627,71 +970,76 @@ def label_propagation(edges: DataFrame, src: str = "src_host",
     the synchronous variant trades convergence speed for determinism).
     Labels are host strings, so no label-id dictionary is needed.
 
-    Per-round plan: one equi-join of the symmetrized weighted adjacency
-    against the label relation, a map-side-combinable (node, label)
-    weight sum, and one max(struct) groupBy — no windows, no per-node
-    lists; a web-scale hub costs one heavy but combinable group.
-    Lineage is cut per round with localCheckpoint as :func:`pagerank`
-    does.  Synchronous LPA can 2-cycle on bipartite structures, so a
-    fixed round budget (not a convergence loop) is the contract;
-    ``would_change`` reports per-node stability of the returned
-    labelling and both engines must agree on it exactly."""
-    und = (edges.filter(F.col(src) != F.col(dst))
-           .select(F.least(src, dst).alias("a"),
-                   F.greatest(src, dst).alias("b"),
-                   F.col(weight).cast("long").alias("w"))
-           .groupBy("a", "b").agg(F.sum("w").alias("w")))
-    adj = (und.select(F.col("a").alias("node"), F.col("b").alias("nbr"),
-                      "w")
-           .unionAll(und.select(F.col("b").alias("node"),
-                                F.col("a").alias("nbr"), "w"))
-           ).localCheckpoint(eager=False)
-    nodes = (edges.select(F.col(src).alias("node"))
-             .unionByName(edges.select(F.col(dst).alias("node")))
-             .distinct())
-    labels = nodes.select("node", F.col("node").alias("label"))
+    With ``rounds=None`` the labelling runs until stable, capped at
+    ``max_rounds`` — synchronous LPA can 2-cycle on bipartite
+    structures, so the cap may be exhausted without stabilizing, which
+    ``would_change`` surfaces honestly; an explicit ``rounds`` replays
+    exactly.  Community sizes count the final label per node; labels
+    never cross weakly-connected components, so the per-component local
+    solve computes them in-group.  Hybrid execution as
+    :func:`pagerank`; the synchronous fallback plan is documented on
+    :func:`_lpa_sync`."""
+    if wcc is None:
+        wcc = weakly_connected(edges, src, dst)
+    ann = _annotated(edges, src, dst, weight, wcc)
+    small = ann.filter(F.col("_ce") <= max_group_edges).drop("_ce")
+    big = ann.filter(F.col("_ce") > max_group_edges)
 
-    def one_round(cur: DataFrame) -> DataFrame:
-        votes = (adj.join(cur.withColumnRenamed("node", "nbr")
-                          .withColumnRenamed("label", "nlbl"), "nbr")
-                 .groupBy("node", "nlbl")
-                 .agg(F.sum("w").alias("s"))
-                 .groupBy("node")
-                 .agg(F.max(F.struct(F.col("s"), F.col("nlbl")))
-                      .alias("m"))
-                 .select("node", F.col("m.nlbl").alias("new_label")))
-        return (cur.join(votes, "node", "left")
-                .select("node",
-                        F.coalesce("new_label", "label").alias("label")))
+    def solve(pdf):
+        import pandas as pd
 
-    for _ in range(rounds):
-        labels = one_round(labels).localCheckpoint(eager=False)
-    nxt = one_round(labels)
-    sizes = labels.groupBy("label").agg(
-        F.count("*").cast("long").alias("community_size"))
-    return (labels.join(nxt.withColumnRenamed("label", "next_label"),
-                        "node")
-            .join(sizes, "label")
-            .select(F.col("node").alias("host"), "label",
-                    "community_size",
-                    (F.col("next_label") != F.col("label")).cast("long")
-                    .alias("would_change")))
+        from ..kernels import graph_fixpoint as gfx
 
+        if pdf.empty:
+            return pd.DataFrame(columns=["host", "label",
+                                         "community_size",
+                                         "would_change", "last_chg"])
+        el = [(u, v, int(w))
+              for u, v, w in zip(pdf["u"], pdf["v"], pdf["w"])]
+        res = gfx.lpa_component(el, rounds, max_rounds)
+        sizes: dict = {}
+        for lab, _wc, _lc in res.values():
+            sizes[lab] = sizes.get(lab, 0) + 1
+        return pd.DataFrame(
+            [(n, lab, sizes[lab], wc, lc)
+             for n, (lab, wc, lc) in res.items()],
+            columns=["host", "label", "community_size", "would_change",
+                     "last_chg"])
 
-SCC_OUTER = 2
-SCC_PROP = 6
-SCC_TRIM = 2
+    out_small = small.groupBy("comp").applyInPandas(solve, _LPA_SCHEMA)
+    if big.limit(1).isEmpty():
+        return out_small
+    return out_small.unionByName(
+        _lpa_sync(big.select("u", "v", "w"), rounds, max_rounds))
 
 
 def strongly_connected(edges: DataFrame, src: str = "src_host",
                        dst: str = "dst_host", outer: int = SCC_OUTER,
-                       rounds: int = SCC_PROP,
-                       trim_rounds: int = SCC_TRIM) -> DataFrame:
+                       rounds: int | None = None,
+                       trim_rounds: int | None = None,
+                       color_cap: int = SCC_COLOR_CAP,
+                       member_cap: int = SCC_MEMBER_CAP,
+                       trim_cap: int = SCC_TRIM_CAP,
+                       wcc: DataFrame | None = None,
+                       max_group_edges: int = DEFAULT_MAX_GROUP_EDGES
+                       ) -> DataFrame:
     """Strongly connected components of the directed host graph:
     (host, scc, scc_size, assigned) — the decomposition behind the
     classic web "bowtie" analysis (Broder et al. 2000): the giant CORE
     is the largest SCC of the crawl graph, and mutually-unreachable
     host clusters never belong to one component.
+
+    With ``rounds=None`` (default) every phase runs adaptively to
+    stability, capped at ``color_cap``/``member_cap``/``trim_cap`` —
+    max-propagation coloring is monotone on a finite set, so within the
+    cap it reaches its true fixpoint and the root-soundness gate never
+    truncates; an explicit ``rounds``/``trim_rounds`` replays those
+    fixed phase budgets exactly (the unrolled-oracle contract).  Hybrid
+    execution as :func:`pagerank`: components under ``max_group_edges``
+    solve in one Arrow task (kernels/graph_fixpoint.scc_component —
+    there the soundness gate applies per component, which is exact
+    because components are independent sub-problems), larger ones run
+    the synchronous phases below.
 
     The FB-trim / coloring family (Orzan; McLendon et al.), made
     synchronous and deterministic.  Each outer iteration (over
@@ -724,7 +1072,7 @@ def strongly_connected(edges: DataFrame, src: str = "src_host",
     function of the round number, so a fixed (outer x rounds) budget is
     replayed exactly by the unrolled SQL oracle.  Nodes still
     unassigned after the budget are reported with scc='' (counted, not
-    hidden); per-round localCheckpoint cuts lineage as the other
+    hidden); per-round lineage.cut truncation as the other
     iterative operators do.
 
     Plan per step: one equi-join of the active edge list against the
@@ -732,22 +1080,71 @@ def strongly_connected(edges: DataFrame, src: str = "src_host",
     the active subgraph SHRINKS each outer round (the giant core and
     every singleton root resolve in round one), which is what makes the
     FB/coloring family the standard distributed SCC approach."""
-    nodes = (edges.select(F.col(src).alias("node"))
-             .unionByName(edges.select(F.col(dst).alias("node")))
+    if wcc is None:
+        wcc = weakly_connected(edges, src, dst)
+    ann = _annotated(edges, src, dst, None, wcc)
+    small = ann.filter(F.col("_ce") <= max_group_edges).drop("_ce")
+    big = ann.filter(F.col("_ce") > max_group_edges)
+
+    def solve(pdf):
+        import pandas as pd
+
+        from ..kernels import graph_fixpoint as gfx
+
+        if pdf.empty:
+            return pd.DataFrame(columns=["host", "scc", "scc_size",
+                                         "assigned"])
+        el = list(zip(pdf["u"], pdf["v"]))
+        res = gfx.scc_component(el, outer, rounds, color_cap, rounds,
+                                member_cap, trim_rounds, trim_cap)
+        sizes: dict = {}
+        for lab, asg in res.values():
+            if asg:
+                sizes[lab] = sizes.get(lab, 0) + 1
+        return pd.DataFrame(
+            [(n, lab, sizes.get(lab, 0), asg)
+             for n, (lab, asg) in res.items()],
+            columns=["host", "scc", "scc_size", "assigned"])
+
+    out_small = small.groupBy("comp").applyInPandas(
+        solve, "host string, scc string, scc_size long, assigned long")
+    if big.limit(1).isEmpty():
+        return out_small
+    out_big = _scc_sync(big.select("u", "v", "w"), outer, rounds,
+                        trim_rounds, color_cap, member_cap, trim_cap)
+    return out_small.unionByName(out_big)
+
+
+def _scc_sync(e: DataFrame, outer: int, rounds, trim_rounds,
+              color_cap: int, member_cap: int, trim_cap: int
+              ) -> DataFrame:
+    """Synchronous FB-trim/coloring SCC over an (u, v, w) edge list —
+    the giant-component fallback.  Phase recurrences are identical to
+    kernels/graph_fixpoint.scc_component; the root-soundness gate here
+    is GLOBAL over the processed subgraph (the fallback cannot see
+    component boundaries), which only differs from the per-component
+    gate when a coloring fails to converge within ``color_cap`` — a
+    state the adaptive defaults never reach within cap at test scales
+    and surface honestly as unassigned otherwise."""
+    nodes = (e.select(F.col("u").alias("node"))
+             .unionByName(e.select(F.col("v").alias("node")))
              .distinct())
-    de = (edges.filter(F.col(src) != F.col(dst))
-          .select(F.col(src).alias("u"), F.col(dst).alias("v"))
-          .distinct()).localCheckpoint(eager=False)
+    de = cut(e.filter(F.col("u") != F.col("v"))
+             .select("u", "v").distinct())
     state = nodes.select("node", F.lit(None).cast("string").alias("scc"))
+
+    c_rounds = rounds if rounds is not None else color_cap
+    m_rounds = rounds if rounds is not None else member_cap
+    t_rounds = trim_rounds if trim_rounds is not None else trim_cap
 
     for _ in range(outer):
         active = state.filter(F.col("scc").isNull()).select("node")
         start = active
-        ae = (de.join(active.withColumnRenamed("node", "u"), "u",
-                      "left_semi")
-              .join(active.withColumnRenamed("node", "v"), "v",
-                    "left_semi")).localCheckpoint(eager=False)
-        for _ in range(trim_rounds):
+        ae = cut(de.join(active.withColumnRenamed("node", "u"), "u",
+                         "left_semi")
+                 .join(active.withColumnRenamed("node", "v"), "v",
+                       "left_semi"))
+        for _t in range(t_rounds):
             # nodes with BOTH an out- and an in-edge in the active
             # subgraph, in one flag groupBy; the survivor set IS the
             # next active relation (isolated actives have no flags,
@@ -759,72 +1156,96 @@ def strongly_connected(edges: DataFrame, src: str = "src_host",
                                          F.lit(1).alias("i")))
                      .groupBy("node")
                      .agg(F.max("o").alias("o"), F.max("i").alias("i")))
-            active = (flags.filter((F.col("o") == 1)
-                                   & (F.col("i") == 1)).select("node")
-                      ).localCheckpoint(eager=False)
-            ae = (ae.join(active.withColumnRenamed("node", "u"), "u",
-                          "left_semi")
-                  .join(active.withColumnRenamed("node", "v"), "v",
-                        "left_semi")).localCheckpoint(eager=False)
+            nactive = cut(flags.filter((F.col("o") == 1)
+                                       & (F.col("i") == 1))
+                          .select("node"))
+            if trim_rounds is None:
+                # monotone shrink: equal counts == equal sets, so one
+                # O(1)-row probe detects trim stability
+                before = active.count()
+                after = nactive.count()
+                active = nactive
+                ae = cut(ae.join(active.withColumnRenamed("node", "u"),
+                                 "u", "left_semi")
+                         .join(active.withColumnRenamed("node", "v"),
+                               "v", "left_semi"))
+                if after == before:
+                    break
+            else:
+                active = nactive
+                ae = cut(ae.join(active.withColumnRenamed("node", "u"),
+                                 "u", "left_semi")
+                         .join(active.withColumnRenamed("node", "v"),
+                               "v", "left_semi"))
         trimmed = start.join(active, "node", "left_anti") \
             .select("node", F.col("node").alias("scc2"))
-        color = active.select("node", F.col("node").alias("color"))
+        color = active.select("node", F.col("node").alias("color"),
+                              F.lit(1).cast("long").alias("_chg"),
+                              F.lit(0).cast("long").alias("last_chg"))
 
-        def color_round(cur: DataFrame) -> DataFrame:
-            prop = (ae.join(cur.withColumnRenamed("node", "u")
-                            .withColumnRenamed("color", "uc"), "u")
+        def color_round(cur: DataFrame, i: int) -> DataFrame:
+            prop = (ae.join(cur.select(F.col("node").alias("u"),
+                                       F.col("color").alias("uc")), "u")
                     .groupBy(F.col("v").alias("node"))
                     .agg(F.max("uc").alias("pc")))
+            ncol = F.greatest("color", F.coalesce("pc", "color"))
+            moved = ncol > F.col("color")
             return (cur.join(prop, "node", "left")
-                    .select("node",
-                            F.greatest("color",
-                                       F.coalesce("pc", "color"))
-                            .alias("color")))
+                    .select("node", ncol.alias("color"),
+                            moved.cast("long").alias("_chg"),
+                            F.when(moved, F.lit(i))
+                            .otherwise(F.col("last_chg"))
+                            .alias("last_chg")))
 
-        for _ in range(rounds):
-            color = color_round(color).localCheckpoint(eager=False)
+        color = _until_stable(color, color_round, rounds, c_rounds)
         # SOUNDNESS GATE: a root declared from a truncated coloring is
         # wrong (a 12-cycle under a 6-round budget would yield 12
         # "assigned" singletons).  The color certificates themselves
         # are one-sided-sound (color(v)=r proves r reaches v; the
         # backward pass proves v reaches r), so the only unsound step
-        # is root declaration — gate it on GLOBAL color stability: one
-        # extra round, and if ANY color still grows (colors are
-        # monotone), assign nothing this outer iteration and leave the
-        # remainder honestly unassigned.
-        nxt_color = color_round(color)
-        conv = (color.join(nxt_color.withColumnRenamed("color", "c2"),
-                           "node")
-                .agg(F.coalesce(
-                    F.max((F.col("c2") > F.col("color")).cast("long")),
-                    F.lit(0)).alias("unstable")))
+        # is root declaration — gate it on color stability: one extra
+        # round, and if ANY color still grows (colors are monotone),
+        # assign nothing this outer iteration and leave the remainder
+        # honestly unassigned.
+        nxt_color = color_round(color, 0)
+        conv = (nxt_color
+                .agg(F.coalesce(F.max("_chg"), F.lit(0))
+                     .alias("unstable")))
         mem = (color.crossJoin(F.broadcast(conv))
                .select("node",
                        F.when((F.col("unstable") == 0)
                               & (F.col("color") == F.col("node")),
-                              F.col("node")).alias("scc2")))
+                              F.col("node")).alias("scc2"),
+                       F.lit(1).cast("long").alias("_chg"),
+                       F.lit(0).cast("long").alias("last_chg")))
         # annotate each active edge with its source's final color ONCE
         # — every membership round then needs just one join + groupBy
-        aec = (ae.join(color.select(F.col("node").alias("u"),
-                                    F.col("color").alias("uc")), "u")
-               ).localCheckpoint(eager=False)
-        for _ in range(rounds):
-            prop = (aec.join(mem.filter(F.col("scc2").isNotNull())
+        aec = cut(ae.join(color.select(F.col("node").alias("u"),
+                                       F.col("color").alias("uc")), "u"))
+
+        def member_round(cur: DataFrame, i: int) -> DataFrame:
+            prop = (aec.join(cur.filter(F.col("scc2").isNotNull())
                              .select(F.col("node").alias("v"), "scc2"),
                              "v")
                     .filter(F.col("scc2") == F.col("uc"))
                     .groupBy(F.col("u").alias("node"))
                     .agg(F.max("scc2").alias("pscc")))
-            mem = (mem.join(prop, "node", "left")
-                   .select("node", F.coalesce("scc2", "pscc")
-                           .alias("scc2"))
-                   ).localCheckpoint(eager=False)
+            nscc = F.coalesce("scc2", "pscc")
+            moved = F.col("scc2").isNull() & nscc.isNotNull()
+            return (cur.join(prop, "node", "left")
+                    .select("node", nscc.alias("scc2"),
+                            moved.cast("long").alias("_chg"),
+                            F.when(moved, F.lit(i))
+                            .otherwise(F.col("last_chg"))
+                            .alias("last_chg")))
+
+        mem = _until_stable(mem, member_round, rounds, m_rounds)
         assigned_new = (mem.filter(F.col("scc2").isNotNull())
                         .select("node", "scc2")
                         .unionByName(trimmed))
-        state = (state.join(assigned_new, "node", "left")
-                 .select("node", F.coalesce("scc", "scc2").alias("scc"))
-                 ).localCheckpoint(eager=False)
+        state = cut(state.join(assigned_new, "node", "left")
+                    .select("node",
+                            F.coalesce("scc", "scc2").alias("scc")))
 
     sizes = (state.filter(F.col("scc").isNotNull())
              .groupBy("scc")
@@ -840,7 +1261,9 @@ def strongly_connected(edges: DataFrame, src: str = "src_host",
 
 def bowtie_classes(edges: DataFrame, scc: DataFrame,
                    src: str = "src_host", dst: str = "dst_host",
-                   rounds: int = BFS_ROUNDS) -> DataFrame:
+                   rounds: int | None = None,
+                   max_rounds: int = BFS_MAX_ROUNDS,
+                   wcc: DataFrame | None = None) -> DataFrame:
     """Broder bowtie taxonomy of the crawl graph (host, cls, out_depth,
     in_depth): CORE = the largest SCC, OUT = reachable FROM the core,
     IN = reaches INTO the core, other = tendrils/tubes/disconnected —
@@ -865,10 +1288,12 @@ def bowtie_classes(edges: DataFrame, scc: DataFrame,
     tagged = scc.crossJoin(F.broadcast(best))
     seeds = tagged.filter(F.col("scc") == F.col("core_label")) \
         .select("host")
-    out_d = crawl_depth(edges, seeds, src=src, dst=dst, rounds=rounds) \
+    out_d = crawl_depth(edges, seeds, src=src, dst=dst, rounds=rounds,
+                        max_rounds=max_rounds, wcc=wcc) \
         .select("host", F.col("depth").alias("out_depth"))
     rev = edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
-    in_d = crawl_depth(rev, seeds, src=src, dst=dst, rounds=rounds) \
+    in_d = crawl_depth(rev, seeds, src=src, dst=dst, rounds=rounds,
+                       max_rounds=max_rounds, wcc=wcc) \
         .select("host", F.col("depth").alias("in_depth"))
     cls = (F.when(F.col("scc") == F.col("core_label"), "core")
            .when((F.col("out_depth") >= 0) & (F.col("in_depth") >= 0),
@@ -883,48 +1308,29 @@ def bowtie_classes(edges: DataFrame, scc: DataFrame,
 def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
                           src: str = "src_host", dst: str = "dst_host",
                           weight: str = "n_links",
-                          iterations: int = PAGERANK_ITERATIONS,
-                          scale: int = PAGERANK_SCALE) -> DataFrame:
-    """Integer personalized PageRank: (host, rank, is_seed) — teleport
-    mass restarts ONLY at the seed set, so rank measures proximity to
-    the seeds through the link graph.  This is the TrustRank family
-    (Gyongyi et al. 2004): seeded at vetted hosts it demotes spam
-    (spam farms get link mass but no trust mass); seeded at a topic
-    hub it prioritizes a focused crawl frontier.
+                          iterations: int | None = None,
+                          scale: int = PAGERANK_SCALE,
+                          max_rounds: int = PAGERANK_MAX_ROUNDS,
+                          wcc: DataFrame | None = None,
+                          max_group_edges: int = DEFAULT_MAX_GROUP_EDGES
+                          ) -> DataFrame:
+    """Integer personalized PageRank: (host, rank, is_seed,
+    would_change, last_chg) — teleport mass restarts ONLY at the seed
+    set, so rank measures proximity to the seeds through the link
+    graph.  This is the TrustRank family (Gyongyi et al. 2004): seeded
+    at vetted hosts it demotes spam (spam farms get link mass but no
+    trust mass); seeded at a topic hub it prioritizes a focused crawl
+    frontier.
 
     Same exact-int64 recurrence as :func:`pagerank` with the base term
     restricted to seeds: r_0(v) = scale·[v ∈ seeds];
     r_{t+1}(v) = floor(15·scale/100)·[v ∈ seeds]
                  + Σ_{(u,v)} (85 · r_t(u) · w(u,v)) div (100 · W(u)).
     Hosts unreachable from the seeds stay at exactly 0 — the honest
-    "no trust path" signal.  Identical shuffle accounting to pagerank:
-    one join + one map-side-combinable groupBy per iteration; the seed
-    flag rides the node relation, no extra shuffle."""
-    base = (15 * scale) // DAMPING_DEN
-    nodes = (edges.select(F.col(src).alias("host"))
-             .unionByName(edges.select(F.col(dst).alias("host")))
-             .distinct())
-    seed_rel = seeds.select(F.col(seeds.columns[0]).alias("host")) \
-        .withColumn("_s", F.lit(1))
-    nb = (nodes.join(seed_rel, "host", "left")
-          .select("host", F.coalesce("_s", F.lit(0)).cast("long")
-                  .alias("is_seed"))).localCheckpoint(eager=False)
-    outw = edges.groupBy(src).agg(F.sum(weight).alias("out_w"))
-    ew = (edges.join(outw, src)
-          .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
-                  F.col(weight).alias("e_w"), "out_w"))
-    ranks = nb.select(
-        "host", (F.col("is_seed") * scale).cast("long").alias("rank"))
-    for _ in range(iterations):
-        contrib = (
-            ew.join(ranks, ew.e_src == ranks.host)
-            .select(F.col("e_dst").alias("host"),
-                    F.expr(f"({DAMPING_NUM} * rank * e_w) div "
-                           f"({DAMPING_DEN} * out_w)").alias("c"))
-            .groupBy("host").agg(F.sum("c").alias("c")))
-        ranks = (nb.join(contrib, "host", "left")
-                 .select("host",
-                         (F.col("is_seed") * base
-                          + F.coalesce("c", F.lit(0))).cast("long")
-                         .alias("rank")))
-    return ranks.join(nb, "host").select("host", "rank", "is_seed")
+    "no trust path" signal.  Convergence-adaptive and hybrid exactly as
+    :func:`pagerank` (``iterations=None`` runs to the capped fixpoint;
+    explicit values replay); the synchronous fallback shares
+    :func:`_pagerank_sync`'s frontier-delta plan, where the seed flag
+    rides the node relation with no extra shuffle."""
+    return _hybrid_rank(edges, src, dst, weight, seeds, iterations,
+                        scale, max_rounds, wcc, max_group_edges)

@@ -2645,7 +2645,7 @@ def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LINKS_CTE = f"""
-links AS (
+links AS MATERIALIZED (
   SELECT doc_id,
          concat('host', CAST({_HOST_ID} AS VARCHAR), '.example.com')
            AS src_host,
@@ -2653,7 +2653,7 @@ links AS (
            AS href
   FROM documents WHERE doc_id % 50 <> 49
 ),
-hg AS (
+hg AS MATERIALIZED (
   SELECT src_host,
          CASE WHEN href LIKE 'http%'
               THEN regexp_extract(href, '^https?://([^/]+)', 1)
@@ -2681,18 +2681,27 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("rank"), "host"))
 
 
-def _pagerank_unrolled_sql(iterations: int, scale: int) -> str:
-    """DuckDB oracle for operators/linkgraph.pagerank: each iteration is an
-    explicit CTE (r0..rN) computing the same integer recurrence."""
+def _pagerank_unrolled_sql(cap: int, scale: int) -> str:
+    """DuckDB oracle for operators/linkgraph.pagerank: each round is an
+    explicit MATERIALIZED CTE (r0..r{cap}) computing the same integer
+    recurrence.  The operator itself runs ADAPTIVELY (until the rank
+    vector is pointwise stable, capped at the same ``cap``); stability
+    of a deterministic synchronous iteration implies idempotence, so
+    the cap-unrolled oracle reproduces the converged values exactly.
+    ``would_change`` compares r{cap} against one probe round r{cap+1};
+    ``last_chg`` is each host's last round with a rank change — its max
+    is the realized round count both engines must agree on."""
     base = (15 * scale) // 100
     ctes = f""",
-nodes AS (SELECT DISTINCT host FROM (
+nodes AS MATERIALIZED (SELECT DISTINCT host FROM (
   SELECT src_host AS host FROM hg UNION SELECT dst_host FROM hg)),
-outw AS (SELECT src_host, sum(n_links) AS out_w FROM hg GROUP BY 1),
-r0 AS (SELECT host, CAST({scale} AS BIGINT) AS rank FROM nodes)"""
-    for i in range(1, iterations + 1):
+outw AS MATERIALIZED (
+  SELECT src_host, sum(n_links) AS out_w FROM hg GROUP BY 1),
+r0 AS MATERIALIZED (
+  SELECT host, CAST({scale} AS BIGINT) AS rank FROM nodes)"""
+    for i in range(1, cap + 2):
         ctes += f""",
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT n.host, CAST({base} + coalesce(c.s, 0) AS BIGINT) AS rank
   FROM nodes n LEFT JOIN (
     SELECT hg.dst_host AS host,
@@ -2702,34 +2711,51 @@ r{i} AS (
     JOIN outw ON outw.src_host = hg.src_host
     GROUP BY 1) c ON c.host = n.host
 )"""
+    chg = "\nUNION ALL ".join(
+        f"SELECT a.host, {i} AS rnd FROM r{i} a JOIN r{i - 1} b "
+        f"USING (host) WHERE a.rank <> b.rank"
+        for i in range(1, cap + 1))
+    ctes += f""",
+rchg AS MATERIALIZED ({chg}),
+rlast AS MATERIALIZED (
+  SELECT host, CAST(max(rnd) AS BIGINT) AS last_chg
+  FROM rchg GROUP BY host)"""
     return (f"WITH {_LINKS_CTE}{ctes}\n"
-            f"SELECT host, rank FROM r{iterations} "
-            f"ORDER BY rank DESC, host")
+            f"SELECT c.host, c.rank,\n"
+            f"       CAST(CASE WHEN p.rank <> c.rank THEN 1 ELSE 0 END"
+            f" AS BIGINT) AS would_change,\n"
+            f"       coalesce(l.last_chg, 0) AS last_chg\n"
+            f"FROM r{cap} c JOIN r{cap + 1} p USING (host)\n"
+            f"LEFT JOIN rlast l USING (host)\n"
+            f"ORDER BY c.rank DESC, c.host")
 
 
-SQL_HOST_PAGERANK = _pagerank_unrolled_sql(5, 1_000_000)
+PAGERANK_ORACLE_CAP = 96
+SQL_HOST_PAGERANK = _pagerank_unrolled_sql(PAGERANK_ORACLE_CAP, 1_000_000)
 
 
-def _ppr_unrolled_sql(iterations: int, scale: int) -> str:
+def _ppr_unrolled_sql(cap: int, scale: int) -> str:
     """DuckDB oracle for operators/linkgraph.personalized_pagerank with
     the 3 lexicographically-smallest hosts as the seed set: the same
-    integer recurrence as the PageRank oracle, with the base/teleport
-    term restricted to seeds and rank starting at 0 off-seed."""
+    cap-unrolled adaptive-replay scheme as ``_pagerank_unrolled_sql``,
+    with the base/teleport term restricted to seeds and rank starting
+    at 0 off-seed."""
     base = (15 * scale) // 100
     ctes = f""",
-pnodes AS (SELECT DISTINCT host FROM (
+pnodes AS MATERIALIZED (SELECT DISTINCT host FROM (
   SELECT src_host AS host FROM hg UNION SELECT dst_host FROM hg)),
 pseed AS (SELECT host FROM pnodes ORDER BY host LIMIT 3),
 pnb AS MATERIALIZED (
   SELECT n.host,
          CASE WHEN s.host IS NOT NULL THEN 1 ELSE 0 END AS is_seed
   FROM pnodes n LEFT JOIN pseed s USING (host)),
-poutw AS (SELECT src_host, sum(n_links) AS out_w FROM hg GROUP BY 1),
-pr0 AS (SELECT host, CAST(is_seed * {scale} AS BIGINT) AS rank
-        FROM pnb)"""
-    for i in range(1, iterations + 1):
+poutw AS MATERIALIZED (
+  SELECT src_host, sum(n_links) AS out_w FROM hg GROUP BY 1),
+pr0 AS MATERIALIZED (
+  SELECT host, CAST(is_seed * {scale} AS BIGINT) AS rank FROM pnb)"""
+    for i in range(1, cap + 2):
         ctes += f""",
-pr{i} AS (
+pr{i} AS MATERIALIZED (
   SELECT n.host,
          CAST(n.is_seed * {base} + coalesce(c.s, 0) AS BIGINT) AS rank
   FROM pnb n LEFT JOIN (
@@ -2740,13 +2766,27 @@ pr{i} AS (
     JOIN pr{i - 1} ON pr{i - 1}.host = hg.src_host
     JOIN poutw ON poutw.src_host = hg.src_host
     GROUP BY 1) c ON c.host = n.host)"""
+    chg = "\nUNION ALL ".join(
+        f"SELECT a.host, {i} AS rnd FROM pr{i} a JOIN pr{i - 1} b "
+        f"USING (host) WHERE a.rank <> b.rank"
+        for i in range(1, cap + 1))
+    ctes += f""",
+pchg AS MATERIALIZED ({chg}),
+plast AS MATERIALIZED (
+  SELECT host, CAST(max(rnd) AS BIGINT) AS last_chg
+  FROM pchg GROUP BY host)"""
     return (f"WITH {_LINKS_CTE}{ctes}\n"
             f"SELECT n.host, r.rank, CAST(n.is_seed AS BIGINT)"
-            f" AS is_seed\n"
-            f"FROM pr{iterations} r JOIN pnb n USING (host)")
+            f" AS is_seed,\n"
+            f"       CAST(CASE WHEN p.rank <> r.rank THEN 1 ELSE 0 END"
+            f" AS BIGINT) AS would_change,\n"
+            f"       coalesce(l.last_chg, 0) AS last_chg\n"
+            f"FROM pr{cap} r JOIN pr{cap + 1} p USING (host)\n"
+            f"JOIN pnb n USING (host)\n"
+            f"LEFT JOIN plast l USING (host)")
 
 
-SQL_HOST_PPR = _ppr_unrolled_sql(5, 1_000_000)
+SQL_HOST_PPR = _ppr_unrolled_sql(PAGERANK_ORACLE_CAP, 1_000_000)
 
 
 def _hits_unrolled_sql(iterations: int, scale: int) -> str:
@@ -2790,7 +2830,9 @@ SQL_HOST_HITS = _hits_unrolled_sql(4, 1_000_000)
 def _coreness_unrolled_sql(rounds: int) -> str:
     """DuckDB oracle for operators/linkgraph.coreness: each synchronous
     h-index round is an explicit MATERIALIZED CTE; the extra round
-    ``ce{rounds+1}`` feeds the would_change convergence column."""
+    ``ce{rounds+1}`` feeds the would_change convergence column, and
+    per-host ``last_chg`` (last round with an estimate change) replays
+    the adaptive operator's realized round count."""
     ctes = """,
 cund AS MATERIALIZED (
   SELECT DISTINCT least(src_host, dst_host) AS a,
@@ -2815,15 +2857,27 @@ ch{i} AS MATERIALIZED (
 ce{i} AS MATERIALIZED (
   SELECT e.node, least(e.c, h.h) AS c
   FROM ce{i - 1} e JOIN ch{i} h USING (node))"""
+    chg = "\nUNION ALL ".join(
+        f"SELECT a.node, {i} AS rnd FROM ce{i} a JOIN ce{i - 1} b "
+        f"USING (node) WHERE a.c <> b.c"
+        for i in range(1, rounds + 1))
+    ctes += f""",
+cchg AS MATERIALIZED ({chg}),
+clast AS MATERIALIZED (
+  SELECT node, CAST(max(rnd) AS BIGINT) AS last_chg
+  FROM cchg GROUP BY node)"""
     return (f"WITH {_LINKS_CTE}{ctes}\n"
             f"SELECT d.node AS host, d.degree, e.c AS coreness,\n"
             f"       CAST(CASE WHEN n.c < e.c THEN 1 ELSE 0 END AS BIGINT)"
-            f" AS would_change\n"
+            f" AS would_change,\n"
+            f"       coalesce(l.last_chg, 0) AS last_chg\n"
             f"FROM cdeg d JOIN ce{rounds} e USING (node)\n"
-            f"JOIN ce{rounds + 1} n USING (node)")
+            f"JOIN ce{rounds + 1} n USING (node)\n"
+            f"LEFT JOIN clast l USING (node)")
 
 
-SQL_HOST_CORENESS = _coreness_unrolled_sql(8)
+CORENESS_ORACLE_CAP = 32
+SQL_HOST_CORENESS = _coreness_unrolled_sql(CORENESS_ORACLE_CAP)
 
 
 def _walks_unrolled_sql(walks_per_node: int, length: int) -> str:
@@ -2880,16 +2934,28 @@ b{i} AS MATERIALIZED (
     SELECT hg.dst_host AS host, min(b{i - 1}.d + 1) AS pd
     FROM hg JOIN b{i - 1} ON b{i - 1}.host = hg.src_host
     GROUP BY 1) p ON p.host = c.host)"""
+    chg = "\nUNION ALL ".join(
+        f"SELECT a.host, {i} AS rnd FROM b{i} a JOIN b{i - 1} x "
+        f"USING (host) WHERE a.d <> x.d"
+        for i in range(1, rounds + 1))
+    ctes += f""",
+bchg AS MATERIALIZED ({chg}),
+blast AS MATERIALIZED (
+  SELECT host, CAST(max(rnd) AS BIGINT) AS last_chg
+  FROM bchg GROUP BY host)"""
     return (f"WITH {_LINKS_CTE}{ctes}\n"
             f"SELECT c.host,\n"
             f"       CAST(CASE WHEN c.d >= {inf} THEN -1 ELSE c.d END "
             f"AS BIGINT) AS depth,\n"
             f"       CAST(CASE WHEN n.d < c.d THEN 1 ELSE 0 END AS BIGINT)"
-            f" AS would_change\n"
-            f"FROM b{rounds} c JOIN b{rounds + 1} n USING (host)")
+            f" AS would_change,\n"
+            f"       coalesce(l.last_chg, 0) AS last_chg\n"
+            f"FROM b{rounds} c JOIN b{rounds + 1} n USING (host)\n"
+            f"LEFT JOIN blast l USING (host)")
 
 
-SQL_HOST_DEPTH = _bfs_unrolled_sql(8)
+BFS_ORACLE_CAP = 32
+SQL_HOST_DEPTH = _bfs_unrolled_sql(BFS_ORACLE_CAP)
 
 
 def _lpa_unrolled_sql(rounds: int) -> str:
@@ -2921,25 +2987,38 @@ pl{i} AS MATERIALIZED (
       FROM ladj a JOIN pl{i - 1} p ON p.node = a.nbr
       GROUP BY a.node, p.label)
     GROUP BY node) v ON v.node = c.node)"""
+    chg = "\nUNION ALL ".join(
+        f"SELECT a.node, {i} AS rnd FROM pl{i} a JOIN pl{i - 1} b "
+        f"USING (node) WHERE a.label <> b.label"
+        for i in range(1, rounds + 1))
+    ctes += f""",
+lchg AS MATERIALIZED ({chg}),
+llast AS MATERIALIZED (
+  SELECT node, CAST(max(rnd) AS BIGINT) AS last_chg
+  FROM lchg GROUP BY node)"""
     return (f"WITH {_LINKS_CTE}{ctes},\n"
             f"lsz AS (SELECT label, CAST(count(*) AS BIGINT) AS sz\n"
             f"        FROM pl{rounds} GROUP BY label)\n"
             f"SELECT c.node AS host, c.label,\n"
             f"       lsz.sz AS community_size,\n"
             f"       CAST(CASE WHEN n.label <> c.label THEN 1 ELSE 0 END"
-            f" AS BIGINT) AS would_change\n"
+            f" AS BIGINT) AS would_change,\n"
+            f"       coalesce(l.last_chg, 0) AS last_chg\n"
             f"FROM pl{rounds} c JOIN pl{rounds + 1} n USING (node)\n"
-            f"JOIN lsz ON lsz.label = c.label")
+            f"JOIN lsz ON lsz.label = c.label\n"
+            f"LEFT JOIN llast l USING (node)")
 
 
-SQL_HOST_LPA = _lpa_unrolled_sql(4)
+LPA_ORACLE_CAP = 24
+SQL_HOST_LPA = _lpa_unrolled_sql(LPA_ORACLE_CAP)
 
 
-def _scc_unrolled_sql(outer: int, rounds: int, trim_rounds: int) -> str:
-    """DuckDB oracle for operators/linkgraph.strongly_connected: every
-    trim, forward-color and backward-membership round of every outer
-    iteration is an explicit MATERIALIZED CTE replaying the identical
-    recurrences on the identical active subgraph."""
+def _scc_cte_chain(outer: int, rounds: int, trim_rounds: int) -> str:
+    """The CTE chain shared by the SCC and bowtie oracles: every trim,
+    forward-color and backward-membership round of every outer
+    iteration as an explicit MATERIALIZED CTE replaying the identical
+    recurrences on the identical active subgraph (final relation:
+    ``ss{outer}``)."""
     ctes = """,
 sn AS MATERIALIZED (SELECT DISTINCT host AS node FROM (
   SELECT src_host AS host FROM hg UNION SELECT dst_host FROM hg)),
@@ -3009,6 +3088,13 @@ ss{i + 1} AS MATERIALIZED (
   SELECT s.node, coalesce(s.scc, m.scc2, t.node) AS scc
   FROM ss{i} s LEFT JOIN sm{i}_{rounds} m USING (node)
   LEFT JOIN strm{i} t USING (node))"""
+    return ctes
+
+
+def _scc_unrolled_sql(outer: int, rounds: int, trim_rounds: int) -> str:
+    """DuckDB oracle for operators/linkgraph.strongly_connected — the
+    shared :func:`_scc_cte_chain` plus the size/assignment rollup."""
+    ctes = _scc_cte_chain(outer, rounds, trim_rounds)
     return (f"WITH {_LINKS_CTE}{ctes},\n"
             f"ssz AS (SELECT scc, CAST(count(*) AS BIGINT) AS scc_size\n"
             f"        FROM ss{outer} WHERE scc IS NOT NULL GROUP BY scc)\n"
@@ -3019,18 +3105,29 @@ ss{i + 1} AS MATERIALIZED (
             f"FROM ss{outer} s LEFT JOIN ssz z ON z.scc = s.scc")
 
 
-SQL_HOST_SCC = _scc_unrolled_sql(2, 6, 2)
+SQL_HOST_SCC = _scc_unrolled_sql(3, 24, 6)
 
 
-def _bowtie_unrolled_sql(rounds: int) -> str:
+def _bowtie_unrolled_sql(rounds: int, outer: int = 3,
+                         scc_rounds: int = 24,
+                         trim_rounds: int = 6) -> str:
     """DuckDB oracle for operators/linkgraph.bowtie_classes: the SCC
-    relation (nested SQL_HOST_SCC) picks the core via the same
-    max(struct) rule, then each forward/backward reachability round is
-    an explicit CTE replaying crawl_depth's min-propagation from the
-    core seed set."""
+    relation (the shared :func:`_scc_cte_chain`, inlined rather than
+    nested so the materialized ``links`` CTE is defined once) picks the
+    core via the same max(struct) rule, then each forward/backward
+    reachability round is an explicit CTE replaying crawl_depth's
+    min-propagation from the core seed set."""
     inf = 1 << 62
-    ctes = f""",
-bts AS MATERIALIZED (SELECT * FROM ({SQL_HOST_SCC})),
+    ctes = _scc_cte_chain(outer, scc_rounds, trim_rounds)
+    ctes += f""",
+btsz AS (SELECT scc, CAST(count(*) AS BIGINT) AS scc_size
+         FROM ss{outer} WHERE scc IS NOT NULL GROUP BY scc),
+bts AS MATERIALIZED (
+  SELECT s.node AS host, coalesce(s.scc, '') AS scc,
+         coalesce(z.scc_size, 0) AS scc_size,
+         CAST(CASE WHEN s.scc IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS assigned
+  FROM ss{outer} s LEFT JOIN btsz z ON z.scc = s.scc),
 bbest AS (SELECT max(struct_pack(sz := scc_size, l := scc)).l AS cl
           FROM (SELECT DISTINCT scc, scc_size FROM bts
                 WHERE assigned = 1)),
@@ -3070,7 +3167,7 @@ bb{i} AS MATERIALIZED (
             f"JOIN bb{rounds} b USING (host)")
 
 
-SQL_HOST_BOWTIE = _bowtie_unrolled_sql(6)
+SQL_HOST_BOWTIE = _bowtie_unrolled_sql(32)
 
 
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3205,17 +3302,38 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eleven sections consume the host edge list (several iteratively);
     # pin it once so the page parse + groupBy run a single time instead
     # of per section
-    edges = op_lg.host_link_graph(pages).localCheckpoint(eager=False)
+    edges = op_lg.host_link_graph(pages).localCheckpoint(eager=True)
+    # ... and the weakly-connected component labelling is shared by
+    # every hybrid iterative section (rank, ppr, depth, core,
+    # community, scc, bowtie): computed ONCE here
+    wcc = op_lg.weakly_connected(edges)
     zero = F.lit(0).cast("long")
+
+    def conv_row(df, section, v1, v2):
+        """1-row convergence/realized-rounds gate for an adaptive
+        iterative section: both engines must agree that the values are
+        the fixpoint (v1 = residual would_change count) AND on the
+        realized round count (v2 = max last-changed round)."""
+        return df.agg(
+            F.coalesce(v1, F.lit(0)).cast("long").alias("v1"),
+            F.coalesce(v2, F.lit(0)).cast("long").alias("v2"),
+        ).select(F.lit(section).alias("section"), F.lit("").alias("k1"),
+                 F.lit("converged").alias("k2"), "v1", "v2")
+
     edge_rows = edges.select(
         F.lit("edge").alias("section"), F.col("src_host").alias("k1"),
         F.col("dst_host").alias("k2"), F.col("n_links").alias("v1"),
         zero.alias("v2"),
     )
-    rank_rows = op_lg.pagerank(edges).select(
+    # every hybrid op below feeds TWO branches (per-host rows +
+    # the converged/realized gate row): pin each result so the
+    # component solve runs once, not once per branch
+    pr = op_lg.pagerank(edges, wcc=wcc).localCheckpoint(eager=False)
+    rank_rows = pr.select(
         F.lit("rank").alias("section"), F.col("host").alias("k1"),
         F.lit("").alias("k2"), F.col("rank").alias("v1"), zero.alias("v2"),
-    )
+    ).unionByName(conv_row(pr, "rank", F.sum("would_change"),
+                           F.max("last_chg")))
     anchor_rows = (
         op_lg.anchor_text_pairs(pages)
         .groupBy("anchor")
@@ -3260,20 +3378,22 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = (edges.select(F.col("src_host").alias("host"))
              .unionByName(edges.select(F.col("dst_host").alias("host")))
              .distinct().orderBy("host").limit(3))
-    ppr_rows = op_lg.personalized_pagerank(edges, seeds).select(
+    ppr = op_lg.personalized_pagerank(edges, seeds, wcc=wcc)\
+        .localCheckpoint(eager=False)
+    ppr_rows = ppr.select(
         F.lit("ppr").alias("section"), F.col("host").alias("k1"),
         F.lit("").alias("k2"), F.col("rank").alias("v1"),
-        F.col("is_seed").alias("v2"))
-    depth = op_lg.crawl_depth(edges, seeds)
+        F.col("is_seed").alias("v2")
+    ).unionByName(conv_row(ppr, "ppr", F.sum("would_change"),
+                           F.max("last_chg")))
+    depth = op_lg.crawl_depth(edges, seeds, wcc=wcc)\
+        .localCheckpoint(eager=False)
     depth_rows = depth.select(
         F.lit("depth").alias("section"), F.col("host").alias("k1"),
         F.lit("").alias("k2"), F.col("depth").alias("v1"),
         F.lit(0).cast("long").alias("v2"))
-    depth_conv = depth.agg(
-        F.sum("would_change").cast("long").alias("v1"),
-        F.count("*").cast("long").alias("v2"),
-    ).select(F.lit("depth").alias("section"), F.lit("").alias("k1"),
-             F.lit("converged").alias("k2"), "v1", "v2")
+    depth_conv = conv_row(depth, "depth", F.sum("would_change"),
+                          F.max("last_chg"))
     walks = op_lg.random_walks(edges)
     walk_rows = walks.select(
         F.lit("walk").alias("section"), F.col("start").alias("k1"),
@@ -3281,30 +3401,35 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hops").alias("v1"),
         F.conv(F.substring(F.md5(F.col("path").cast("binary")), 1, 12),
                16, 10).cast("long").alias("v2"))
-    lpa = op_lg.label_propagation(edges)
+    lpa = op_lg.label_propagation(edges, wcc=wcc)\
+        .localCheckpoint(eager=False)
     community_rows = lpa.select(
         F.lit("community").alias("section"), F.col("host").alias("k1"),
         F.col("label").alias("k2"), F.col("community_size").alias("v1"),
-        F.col("would_change").alias("v2"))
-    scc = op_lg.strongly_connected(edges)
+        F.col("would_change").alias("v2")
+    ).unionByName(conv_row(lpa, "community", F.sum("would_change"),
+                           F.max("last_chg")))
+    scc = op_lg.strongly_connected(edges, wcc=wcc)\
+        .localCheckpoint(eager=False)
     scc_rows = scc.select(
         F.lit("scc").alias("section"), F.col("host").alias("k1"),
         F.col("scc").alias("k2"), F.col("scc_size").alias("v1"),
-        F.col("assigned").alias("v2"))
-    bowtie_rows = op_lg.bowtie_classes(edges, scc, rounds=6).select(
+        F.col("assigned").alias("v2")
+    ).unionByName(conv_row(scc, "scc",
+                           F.sum(F.lit(1) - F.col("assigned")),
+                           F.count("*")))
+    bowtie_rows = op_lg.bowtie_classes(edges, scc, wcc=wcc).select(
         F.lit("bowtie").alias("section"), F.col("host").alias("k1"),
         F.col("cls").alias("k2"), F.col("out_depth").alias("v1"),
         F.col("in_depth").alias("v2"))
-    core = op_lg.coreness(edges)
+    core = op_lg.coreness(edges, wcc=wcc)\
+        .localCheckpoint(eager=False)
     core_rows = core.select(
         F.lit("core").alias("section"), F.col("host").alias("k1"),
         F.lit("").alias("k2"), F.col("coreness").alias("v1"),
         F.col("degree").alias("v2"))
-    core_conv = core.agg(
-        F.sum("would_change").cast("long").alias("v1"),
-        F.count("*").cast("long").alias("v2"),
-    ).select(F.lit("core").alias("section"), F.lit("").alias("k1"),
-             F.lit("converged").alias("k2"), "v1", "v2")
+    core_conv = conv_row(core, "core", F.sum("would_change"),
+                         F.max("last_chg"))
     return (edge_rows.unionByName(rank_rows).unionByName(anchor_rows)
             .unionByName(alias_rows).unionByName(domain_rows)
             .unionByName(pattern_rows).unionByName(triangle_rows)
@@ -3379,6 +3504,12 @@ FROM dh GROUP BY suffix
 
 SQL_LINK_GRAPH_STATS = f"""
 WITH dstats AS ({SQL_DOMAIN_STATS}),
+prk AS MATERIALIZED (SELECT * FROM ({SQL_HOST_PAGERANK})),
+pprk AS MATERIALIZED (SELECT * FROM ({SQL_HOST_PPR})),
+crk AS MATERIALIZED (SELECT * FROM ({SQL_HOST_CORENESS})),
+dpk AS MATERIALIZED (SELECT * FROM ({SQL_HOST_DEPTH})),
+lpk AS MATERIALIZED (SELECT * FROM ({SQL_HOST_LPA})),
+sck AS MATERIALIZED (SELECT * FROM ({SQL_HOST_SCC})),
 tund AS (
   SELECT DISTINCT least(src_host, dst_host) AS a,
          greatest(src_host, dst_host) AS b
@@ -3415,7 +3546,12 @@ SELECT section, k1, k2, v1, v2 FROM (
          n_links AS v1, CAST(0 AS BIGINT) AS v2
   FROM ({SQL_HOST_LINK_GRAPH})
   UNION ALL
-  SELECT 'rank', host, '', rank, 0 FROM ({SQL_HOST_PAGERANK})
+  SELECT 'rank', host, '', rank, 0 FROM prk
+  UNION ALL
+  SELECT 'rank', '', 'converged',
+         CAST(coalesce(sum(would_change), 0) AS BIGINT),
+         CAST(coalesce(max(last_chg), 0) AS BIGINT)
+  FROM prk
   UNION ALL
   SELECT 'anchor', anchor, '', n, n_dst_hosts FROM ({SQL_ANCHOR_TEXTS})
   UNION ALL
@@ -3439,32 +3575,49 @@ SELECT section, k1, k2, v1, v2 FROM (
   UNION ALL
   SELECT 'hits', host, '', hub, auth FROM ({SQL_HOST_HITS})
   UNION ALL
-  SELECT 'core', host, '', coreness, degree FROM ({SQL_HOST_CORENESS})
+  SELECT 'core', host, '', coreness, degree FROM crk
   UNION ALL
   SELECT 'core', '', 'converged',
-         CAST(sum(would_change) AS BIGINT), CAST(count(*) AS BIGINT)
-  FROM ({SQL_HOST_CORENESS})
+         CAST(coalesce(sum(would_change), 0) AS BIGINT),
+         CAST(coalesce(max(last_chg), 0) AS BIGINT)
+  FROM crk
   UNION ALL
   SELECT 'walk', start, CAST(walker AS VARCHAR), hops,
          CAST(CAST(('0x' || substr(md5(path), 1, 12)) AS UBIGINT)
               AS BIGINT)
   FROM ({SQL_HOST_WALKS})
   UNION ALL
-  SELECT 'depth', host, '', depth, 0 FROM ({SQL_HOST_DEPTH})
+  SELECT 'depth', host, '', depth, 0 FROM dpk
   UNION ALL
   SELECT 'depth', '', 'converged',
-         CAST(sum(would_change) AS BIGINT), CAST(count(*) AS BIGINT)
-  FROM ({SQL_HOST_DEPTH})
+         CAST(coalesce(sum(would_change), 0) AS BIGINT),
+         CAST(coalesce(max(last_chg), 0) AS BIGINT)
+  FROM dpk
   UNION ALL
   SELECT 'community', host, label, community_size, would_change
-  FROM ({SQL_HOST_LPA})
+  FROM lpk
   UNION ALL
-  SELECT 'scc', host, scc, scc_size, assigned FROM ({SQL_HOST_SCC})
+  SELECT 'community', '', 'converged',
+         CAST(coalesce(sum(would_change), 0) AS BIGINT),
+         CAST(coalesce(max(last_chg), 0) AS BIGINT)
+  FROM lpk
+  UNION ALL
+  SELECT 'scc', host, scc, scc_size, assigned FROM sck
+  UNION ALL
+  SELECT 'scc', '', 'converged',
+         CAST(coalesce(sum(1 - assigned), 0) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM sck
   UNION ALL
   SELECT 'bowtie', host, cls, out_depth, in_depth
   FROM ({SQL_HOST_BOWTIE})
   UNION ALL
-  SELECT 'ppr', host, '', rank, is_seed FROM ({SQL_HOST_PPR})
+  SELECT 'ppr', host, '', rank, is_seed FROM pprk
+  UNION ALL
+  SELECT 'ppr', '', 'converged',
+         CAST(coalesce(sum(would_change), 0) AS BIGINT),
+         CAST(coalesce(max(last_chg), 0) AS BIGINT)
+  FROM pprk
 ) ORDER BY section, k1, k2
 """
 

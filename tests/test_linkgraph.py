@@ -367,7 +367,8 @@ def test_coreness_partitioning_invariant_and_converged(spark):
     a = {tuple(r) for r in op_lg.coreness(edges.repartition(7)).collect()}
     b = {tuple(r) for r in op_lg.coreness(edges.coalesce(1)).collect()}
     assert a == b
-    assert all(r[-1] == 0 for r in a)  # converged on this graph
+    rows = op_lg.coreness(edges).collect()
+    assert all(r["would_change"] == 0 for r in rows)  # converged
 
 
 # ---------------------------------------------------------------------------
@@ -586,19 +587,19 @@ def test_bowtie_classification(spark):
 
 
 def test_scc_long_cycle_beyond_budget_stays_unassigned(spark):
-    """A 12-cycle under the default 6-round color budget must NOT come
-    back as 12 'assigned' singletons: the root-soundness gate (global
-    color stability) leaves every node honestly unassigned; a
-    sufficient budget resolves the one true SCC labelled by its max
-    member."""
+    """A 12-cycle under an EXPLICIT 6-round color budget must NOT come
+    back as 12 'assigned' singletons: the root-soundness gate (color
+    stability) leaves every node honestly unassigned.  The default
+    adaptive mode runs the coloring to its fixpoint and resolves the
+    one true SCC labelled by its max member."""
     cyc = [(f"h{i:02d}", f"h{(i + 1) % 12:02d}") for i in range(12)]
     edges = _core_edges(spark, cyc)
     short = {r["host"]: (r["scc"], r["assigned"])
-             for r in op_lg.strongly_connected(edges).collect()}
+             for r in op_lg.strongly_connected(edges,
+                                               rounds=6).collect()}
     assert all(v == ("", 0) for v in short.values()), short
     full = {r["host"]: (r["scc"], r["scc_size"], r["assigned"])
-            for r in op_lg.strongly_connected(edges,
-                                              rounds=12).collect()}
+            for r in op_lg.strongly_connected(edges).collect()}
     assert all(v == ("h11", 12, 1) for v in full.values()), full
 
 
