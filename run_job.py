@@ -144,6 +144,14 @@ def main() -> int:
     ap.add_argument("--max-tokens", type=int, default=None)
     ap.add_argument("--cores", type=int, default=None,
                     help="local[N] cores when no master is configured")
+    ap.add_argument("--reliable-checkpoints", default=None,
+                    metavar="DIR",
+                    help="truncate iterative-operator lineage with "
+                         "reliable checkpoint() blocks under DIR "
+                         "(HDFS/S3 on a cluster) instead of "
+                         "executor-local localCheckpoint — required to "
+                         "survive executor preemption on a real "
+                         "cluster; output-identical to the default")
     ap.add_argument("--report", action="store_true",
                     help="also write report.md + graph.html (bounded driver-"
                          "side render of the assembled graph) to --output")
@@ -221,6 +229,12 @@ def main() -> int:
         from docling_graph_spark.session import get_spark
         spark = get_spark(app_name="docling-graph-spark-job", cores=args.cores)
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.reliable_checkpoints:
+        from docling_graph_spark import lineage
+        lineage.configure(reliable=True,
+                          checkpoint_dir=args.reliable_checkpoints,
+                          spark=spark)
 
     from docling_graph_spark.pipeline import PipelineConfig
 
