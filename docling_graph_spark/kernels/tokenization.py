@@ -78,6 +78,10 @@ def get_token_counter(
     * ``("bpe", merges)`` → corpus-trained BPE counter (kernels/bpe.py):
       the merge list is plain picklable data, so this spec travels into
       Arrow UDF closures; the encoder is constructed once per executor.
+    * ``("vocab", lines)`` → vendored-vocab WordPiece counter
+      (kernels/wordpiece.py, the BERT algorithm with no ``transformers``
+      dependency): ``lines`` is the vocab.txt content as a tuple of
+      strings — picklable, cached per process.
     * a string → HuggingFace tokenizer of that name when ``transformers``
       or ``tokenizers`` is importable; otherwise a one-time warning and the
       heuristic fallback (mirrors the reference's tiktoken→HF fallback,
@@ -90,6 +94,11 @@ def get_token_counter(
         from .bpe import encoder_for
 
         return encoder_for(tokenizer[1]).count
+    if (isinstance(tokenizer, (tuple, list)) and len(tokenizer) == 2
+            and tokenizer[0] == "vocab"):
+        from .wordpiece import counter_for
+
+        return counter_for(tuple(tokenizer[1]))
     if callable(tokenizer):
         return tokenizer
     if tokenizer in _COUNTERS:

@@ -1,0 +1,180 @@
+"""Vendored-vocab WordPiece tokenizer — no ``transformers`` dependency.
+
+The reference chunker is token-bounded by a real HuggingFace tokenizer
+(default ``sentence-transformers/all-MiniLM-L6-v2``, a BERT WordPiece
+model — `/root/reference/docling_graph/core/extractors/
+document_chunker.py:58-95`).  This container has no tokenizer libraries,
+so this kernel implements the published BERT tokenization algorithm
+(Devlin et al. 2019; the ``BasicTokenizer`` + ``WordpieceTokenizer``
+pipeline of the original BERT release) against a plain vocab file:
+
+* basic tokenization — NFD accent stripping, lowercasing (uncased
+  models), CJK characters isolated as single tokens, punctuation split
+  into standalone tokens, whitespace split;
+* WordPiece — greedy longest-prefix match against the vocab, with
+  ``##`` continuation pieces; a word with any unmatchable position (or
+  longer than ``MAX_INPUT_CHARS_PER_WORD``) becomes one ``[UNK]``.
+
+Both stages follow the reference implementations line-for-line in
+behavior, so when ``transformers`` IS importable the import-gated parity
+test (tests/test_wordpiece.py) can check equality against
+``BertTokenizer`` over the same vocab file.
+
+The vocab travels as a tuple of lines (picklable), so a counter built
+from it serializes into Arrow UDF closures without executor file access;
+construction is cached per process like the other counters in
+kernels/tokenization.py.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+UNK = "[UNK]"
+MAX_INPUT_CHARS_PER_WORD = 100
+
+
+def load_vocab(lines: Iterable[str]) -> Dict[str, int]:
+    """token -> id, one token per line (the HF vocab.txt layout)."""
+    vocab: Dict[str, int] = {}
+    for line in lines:
+        tok = line.rstrip("\n")
+        if tok and tok not in vocab:
+            vocab[tok] = len(vocab)
+    return vocab
+
+
+def _is_punctuation(ch: str) -> bool:
+    # the BERT definition: ASCII non-alphanumeric non-space characters
+    # count as punctuation even when Unicode classes them otherwise
+    cp = ord(ch)
+    if (33 <= cp <= 47 or 58 <= cp <= 64 or 91 <= cp <= 96
+            or 123 <= cp <= 126):
+        return True
+    return unicodedata.category(ch).startswith("P")
+
+
+def _is_cjk(cp: int) -> bool:
+    return (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+            or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+            or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
+            or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F)
+
+
+def basic_tokenize(text: str, lowercase: bool = True) -> List[str]:
+    """BERT BasicTokenizer: clean, isolate CJK, lowercase + strip
+    accents, split punctuation, split whitespace."""
+    out_chars: List[str] = []
+    for ch in text:
+        cp = ord(ch)
+        if cp == 0 or cp == 0xFFFD or unicodedata.category(ch) in ("Cc",
+                                                                   "Cf"):
+            if ch in ("\t", "\n", "\r"):
+                out_chars.append(" ")
+            continue
+        if _is_cjk(cp):
+            out_chars.append(f" {ch} ")
+        elif ch.isspace():
+            out_chars.append(" ")
+        else:
+            out_chars.append(ch)
+    tokens: List[str] = []
+    for word in "".join(out_chars).split():
+        if lowercase:
+            word = word.lower()
+            word = "".join(c for c in unicodedata.normalize("NFD", word)
+                           if unicodedata.category(c) != "Mn")
+        cur: List[str] = []
+        for ch in word:
+            if _is_punctuation(ch):
+                if cur:
+                    tokens.append("".join(cur))
+                    cur = []
+                tokens.append(ch)
+            else:
+                cur.append(ch)
+        if cur:
+            tokens.append("".join(cur))
+    return tokens
+
+
+def wordpiece_word(word: str, vocab: Dict[str, int]) -> List[str]:
+    """Greedy longest-prefix WordPiece of one basic token."""
+    if len(word) > MAX_INPUT_CHARS_PER_WORD:
+        return [UNK]
+    pieces: List[str] = []
+    pos = 0
+    while pos < len(word):
+        end = len(word)
+        cur = None
+        while pos < end:
+            sub = word[pos:end]
+            if pos > 0:
+                sub = "##" + sub
+            if sub in vocab:
+                cur = sub
+                break
+            end -= 1
+        if cur is None:
+            return [UNK]
+        pieces.append(cur)
+        pos = end
+    return pieces
+
+
+def encode(text: str, vocab: Dict[str, int],
+           lowercase: bool = True) -> List[str]:
+    """Full pipeline: basic tokenize then WordPiece each token."""
+    out: List[str] = []
+    for word in basic_tokenize(text, lowercase):
+        out.extend(wordpiece_word(word, vocab))
+    return out
+
+
+# per-process constructed-counter cache keyed by the vocab tuple id
+_CACHE: Dict[Tuple[str, ...], Dict[str, int]] = {}
+
+
+def counter_for(vocab_lines: Sequence[str], lowercase: bool = True):
+    """A ``str -> int`` token counter over a vendored vocab — the
+    drop-in for kernels/tokenization.get_token_counter's registry."""
+    key = tuple(vocab_lines)
+    vocab = _CACHE.get(key)
+    if vocab is None:
+        vocab = load_vocab(key)
+        _CACHE[key] = vocab
+
+    def count(text: str) -> int:
+        return len(encode(text, vocab, lowercase))
+
+    return count
+
+
+# ---------------------------------------------------------------------------
+# Frozen mini-vocab fixture.  Coverage: specials, every ASCII letter and
+# digit as both word-initial and continuation pieces (so any short
+# alphanumeric word tokenizes without [UNK]), common punctuation, and a
+# deliberate mix of whole-word and multi-piece entries for the testdata
+# lexicon so piece counts VARY per word (1-3 pieces) — the property the
+# chunk-budget oracle exercises.
+# ---------------------------------------------------------------------------
+
+MINI_VOCAB: Tuple[str, ...] = tuple(
+    ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    + list("abcdefghijklmnopqrstuvwxyz")
+    + ["##" + c for c in "abcdefghijklmnopqrstuvwxyz"]
+    + list("0123456789")
+    + ["##" + c for c in "0123456789"]
+    + [".", ",", "!", "?", "-", "'", '"', "(", ")", ":", ";", "/"]
+    + [
+        # whole words (1 piece)
+        "the", "a", "table", "value", "data", "row", "key", "fast",
+        "spark", "join", "sort", "scan", "big", "line", "part", "hash",
+        # stem + continuation (2 pieces)
+        "quer", "##y", "##ies", "wind", "##ow", "ord", "##er", "col",
+        "##umn", "cust", "##omer", "str", "##eam", "batc", "##h",
+        "merg", "##e", "fil", "##ter", "grou", "##p", "slo", "##w",
+        "smal", "##l", "agg", "vect", "##or",
+    ]
+)

@@ -908,10 +908,14 @@ def q_hybrid_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     `document_chunker.py:97-220` / kernels.hybrid_chunker) over deterministic
     sectioned documents: each doc's text is cut into 120-char paragraphs,
     grouped 3 per section under an h2 heading, then hybrid-chunked with
-    max_tokens=100 and merge_peers.  Output: histogram of per-doc chunk
-    counts.  The oracle reproduces the greedy merge in closed form (ratio 3,
-    est(n)=int(n*0.4): two 120-char paragraphs merge at 96<=100, a third
-    merges only when the tail paragraph is <= 8 chars)."""
+    max_tokens=100 and merge_peers.  Output: per-counter histogram of
+    per-doc chunk counts.  Two sections: counter='heuristic' (the
+    reference length heuristic; closed-form oracle) and counter='vocab'
+    (the vendored-vocab WordPiece counter of kernels/wordpiece.py over
+    word-aligned 10-word paragraphs at max_tokens=30 — the
+    token-bounded chunking the reference gets from a real HF tokenizer,
+    `document_chunker.py:58-95` — replayed in SQL by an unrolled greedy
+    longest-prefix WordPiece over the frozen MINI_VOCAB)."""
     from .operators import chunk as op_chunk
 
     schema = T.StructType([
@@ -943,22 +947,101 @@ def q_hybrid_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_s.append(blocks)
         return pd.DataFrame({"text": out_t, "spans": out_s})
 
+    @pandas_udf(schema)
+    def sectionize_words(texts: pd.Series) -> pd.DataFrame:
+        # WORD-ALIGNED sectioning for the vocab-counter section: 10-word
+        # paragraphs (so WordPiece never sees a mid-word cut and counts
+        # stay additive over the blank-line merges), 3 per h2 section
+        out_t, out_s = [], []
+        for text in texts:
+            words = text.split(" ")
+            paras = [" ".join(words[i:i + 10])
+                     for i in range(0, len(words), 10)]
+            parts, blocks, pos = [], [], 0
+            for s in range(0, len(paras), 3):
+                for tag, t in [("h2", f"Section {s // 3}")] + [
+                    ("p", p) for p in paras[s:s + 3]
+                ]:
+                    if parts:
+                        pos += 2
+                    blocks.append({"start": pos, "end": pos + len(t),
+                                   "tag": tag})
+                    parts.append(t)
+                    pos += len(t)
+            out_t.append("\n\n".join(parts))
+            out_s.append(blocks)
+        return pd.DataFrame({"text": out_t, "spans": out_s})
+
     docs = _read(spark, sf_dir, "documents")
-    sectioned = docs.withColumn("x", sectionize(F.col("text"))).select(
-        F.col("doc_id").cast("string").alias("url"),
-        F.col("lang"),
-        F.col("x.text").alias("text"),
-        F.col("x.spans").alias("spans"),
-    )
-    chunks = op_chunk.hybrid_chunk_documents(sectioned, max_tokens=100,
-                                             merge_peers=True)
-    per_doc = chunks.groupBy("url").agg(F.count("*").alias("n_chunks"))
-    return per_doc.groupBy("n_chunks").agg(
-        F.count("*").alias("n_docs")
-    ).orderBy("n_chunks")
+
+    def hist(sectionize_fn, max_tokens, tokenizer, label):
+        sectioned = docs.withColumn("x", sectionize_fn(F.col("text"))) \
+            .select(F.col("doc_id").cast("string").alias("url"),
+                    F.col("lang"),
+                    F.col("x.text").alias("text"),
+                    F.col("x.spans").alias("spans"))
+        chunks = op_chunk.hybrid_chunk_documents(
+            sectioned, max_tokens=max_tokens, merge_peers=True,
+            tokenizer_name=tokenizer)
+        return (chunks.groupBy("url").agg(F.count("*").alias("n_chunks"))
+                .groupBy("n_chunks").agg(F.count("*").alias("n_docs"))
+                .select(F.lit(label).alias("counter"), "n_chunks",
+                        "n_docs"))
+
+    from .kernels.wordpiece import MINI_VOCAB
+
+    return (hist(sectionize, 100, None, "heuristic")
+            .unionByName(hist(sectionize_words, 30,
+                              ("vocab", MINI_VOCAB), "vocab"))
+            .orderBy("counter", "n_chunks"))
 
 
-SQL_HYBRID_CHUNK_STATS = """
+def _hybrid_chunk_stats_sql(max_steps: int = 12,
+                            vocab_max_tokens: int = 30) -> str:
+    """Oracle for q_hybrid_chunk_stats, two sections:
+
+    * counter='heuristic' — the original closed form (ratio 3,
+      est(n)=int(n*0.4): two 120-char paragraphs merge at 96<=100, a
+      third only when the tail paragraph is <= 8 chars);
+    * counter='vocab' — a REAL WordPiece replay in SQL: greedy
+      longest-prefix matching against the frozen MINI_VOCAB as
+      ``max_steps`` unrolled one-piece-per-step CTEs over the distinct
+      corpus words (corpus words are <= 8 chars, so <= 8 pieces; the
+      12-step unroll has slack), per-10-word-paragraph piece sums, and
+      the <=3-paragraph-per-section greedy merge as a closed-form CASE.
+      Piece counts are additive over the blank-line merge separator
+      (the basic tokenizer splits on any whitespace), which is what
+      makes per-word sums exactly the merged-text counts.
+    """
+    import re as _re
+
+    from .kernels.wordpiece import MINI_VOCAB
+
+    pieces = sorted({p for p in MINI_VOCAB
+                     if _re.fullmatch(r"(##)?[a-z]+", p)})
+    vals = ", ".join(
+        "('{m}', {c})".format(m=p[2:] if p.startswith("##") else p,
+                              c="true" if p.startswith("##") else "false")
+        for p in pieces)
+    steps = ""
+    for i in range(1, max_steps + 1):
+        steps += f""",
+wp{i} AS MATERIALIZED (
+  SELECT word,
+         CASE WHEN pos > length(word) THEN pos
+              WHEN best IS NULL THEN length(word) + 1
+              ELSE pos + best END AS pos,
+         CASE WHEN pos > length(word) THEN cnt
+              WHEN best IS NULL THEN 1
+              ELSE cnt + 1 END AS cnt
+  FROM (
+    SELECT word, pos, cnt,
+           (SELECT max(length(v.m)) FROM wpv v
+             WHERE v.cont = (p.pos > 1)
+               AND substr(p.word, p.pos, length(v.m)) = v.m) AS best
+    FROM wp{i - 1} p))"""
+    m = vocab_max_tokens
+    return f"""
 WITH d AS (
   SELECT doc_id, length(text) AS len,
          CAST(ceil(length(text)/120.0) AS BIGINT) AS n
@@ -977,10 +1060,59 @@ per AS (
                         WHEN tail <= 8 THEN 1
                         ELSE 2 END AS n_chunks
   FROM c
+),
+wpv AS MATERIALIZED (
+  SELECT * FROM (VALUES {vals}) AS t(m, cont)
+),
+wlist AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS idx
+  FROM documents
+),
+dw AS MATERIALIZED (SELECT DISTINCT word FROM wlist WHERE word <> ''),
+wp0 AS (SELECT word, 1 AS pos, 0 AS cnt FROM dw){steps},
+wcnt AS MATERIALIZED (
+  SELECT word, CAST(cnt AS BIGINT) AS pieces FROM wp{max_steps}),
+wpar AS (
+  SELECT doc_id, CAST(floor((idx - 1)/10.0) AS BIGINT) AS para,
+         sum(pieces) AS s
+  FROM wlist JOIN wcnt USING (word) GROUP BY 1, 2
+),
+wsec AS (
+  SELECT doc_id, CAST(floor(para/3.0) AS BIGINT) AS sec,
+         max(CASE WHEN para % 3 = 0 THEN s END) AS s1,
+         max(CASE WHEN para % 3 = 1 THEN s END) AS s2,
+         max(CASE WHEN para % 3 = 2 THEN s END) AS s3
+  FROM wpar GROUP BY 1, 2
+),
+wchunks AS (
+  SELECT doc_id, sec,
+         CASE
+           WHEN s2 IS NULL THEN 1
+           WHEN s3 IS NULL THEN
+             CASE WHEN s1 + s2 <= {m} THEN 1 ELSE 2 END
+           WHEN s1 + s2 <= {m} THEN
+             CASE WHEN s1 + s2 + s3 <= {m} THEN 1 ELSE 2 END
+           ELSE CASE WHEN s2 + s3 <= {m} THEN 2 ELSE 3 END
+         END AS nc
+  FROM wsec
+),
+wper AS (
+  SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n_chunks
+  FROM wchunks GROUP BY doc_id
 )
-SELECT n_chunks, CAST(count(*) AS BIGINT) AS n_docs
-FROM per GROUP BY n_chunks ORDER BY n_chunks
+SELECT counter, n_chunks, n_docs FROM (
+  SELECT 'heuristic' AS counter, n_chunks,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM per GROUP BY n_chunks
+  UNION ALL
+  SELECT 'vocab', n_chunks, CAST(count(*) AS BIGINT)
+  FROM wper GROUP BY n_chunks
+) ORDER BY counter, n_chunks
 """
+
+
+SQL_HYBRID_CHUNK_STATS = _hybrid_chunk_stats_sql()
 
 
 def q_pdf_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
