@@ -201,7 +201,10 @@ def wand_topk(docs: DataFrame, k: int = WAND_K, block: int = WAND_BLOCK,
               n_terms: int = WAND_NT, id_col: str = "doc_id",
               text_col: str = "text", persist_fn=None) -> DataFrame:
     """Safe Block-Max-pruned top-k per query:
-    (query_id, n_candidates, n_survivors, theta, topk_checksum).
+    (query_id, n_candidates, n_survivors, theta, topk_checksum,
+    n_blocks, n_blocks_live).  ``n_blocks - n_blocks_live`` posting
+    blocks are skipped whole (document-at-a-time block pruning);
+    ``n_candidates`` counts docs enumerated from the LIVE blocks only.
 
     ``topk_checksum`` sums a 48-bit md5 prefix over every
     ``query:rank:doc:score`` row of the final top-k — the oracle computes
@@ -261,9 +264,28 @@ def wand_topk(docs: DataFrame, k: int = WAND_K, block: int = WAND_BLOCK,
     # the term (a valid over-estimate — the WAND bound)
     blockmax = (qimp.groupBy("query_id", "term", "w", "blk")
                 .agg(F.max("impact").alias("bmax")))
-    cand = qimp.select(
-        "query_id", "doc_id",
-        F.floor(F.col("doc_id") / block).alias("blk")).distinct()
+    # BLOCK-level skip (the document-at-a-time posting-block pruning of
+    # Block-Max WAND): a whole doc-range block whose summed term bound
+    # already falls below theta is skipped BEFORE any of its docs are
+    # enumerated — safe because every doc d in block b has
+    # ub(d) = sum_t w*bmax(t, b) = blk_ub(b) < theta.  At index scale
+    # this is the pruning that matters: dead blocks never leave the
+    # scan, the per-doc bound only refines the live remainder.
+    blk_ub = (blockmax.groupBy("query_id", "blk")
+              .agg(F.sum(F.col("w") * F.col("bmax")).cast("long")
+                   .alias("blk_ub")))
+    live_blocks = (blk_ub.join(F.broadcast(theta), "query_id", "left")
+                   .filter(F.col("blk_ub")
+                           >= F.coalesce(F.col("theta"), F.lit(0)))
+                   .select("query_id", "blk"))
+    blk_counts = (blk_ub.groupBy("query_id")
+                  .agg(F.count("*").cast("long").alias("n_blocks"))
+                  .join(live_blocks.groupBy("query_id")
+                        .agg(F.count("*").cast("long")
+                             .alias("n_blocks_live")), "query_id"))
+    cand = (qimp.select("query_id", "doc_id", "blk")
+            .join(live_blocks, ["query_id", "blk"], "left_semi")
+            .select("query_id", "doc_id", "blk").distinct())
     ub = (cand.join(blockmax, ["query_id", "blk"])
           .groupBy("query_id", "doc_id")
           .agg(F.sum(F.col("w") * F.col("bmax")).cast("long").alias("ub")))
@@ -297,8 +319,9 @@ def wand_topk(docs: DataFrame, k: int = WAND_K, block: int = WAND_BLOCK,
             .withColumn("theta",
                         F.coalesce(F.col("theta"), F.lit(0)).cast("long"))
             .join(ck, "query_id")
+            .join(blk_counts, "query_id")
             .select("query_id", "n_candidates", "n_survivors", "theta",
-                    "topk_checksum"))
+                    "topk_checksum", "n_blocks", "n_blocks_live"))
 
 
 def postings_stats(docs: DataFrame, block: int = BLOCK_DOCS) -> DataFrame:

