@@ -69,7 +69,10 @@ def decode_media(payload: bytes, media_type: str):
 
     ``image/png`` decodes for real — stdlib-only codec
     (`kernels/png_codec.py`: chunk walk, IDAT inflate, full filter-0..4
-    defilter).  ``audio/wav`` PCM decodes for real too
+    defilter).  ``image/jpeg`` decodes for real — baseline T.81 process
+    (`kernels/jpeg_codec.py`: marker walk, Huffman entropy decode,
+    dequant + IDCT, 4:2:0 upsample, YCbCr->RGB; progressive raises).
+    ``audio/wav`` PCM decodes for real too
     (`kernels/wav_codec.py`: RIFF chunk walk, fmt parse, 8/16/32-bit
     integer sample decode).  Every other media type still requires
     libraries this container doesn't ship (PIL/ffmpeg/torchaudio) and
@@ -81,6 +84,10 @@ def decode_media(payload: bytes, media_type: str):
         from .png_codec import decode_png
 
         return decode_png(payload)
+    if media_type == "image/jpeg":
+        from .jpeg_codec import decode_jpeg
+
+        return decode_jpeg(payload)
     if media_type == "audio/wav":
         from .wav_codec import decode_wav
 

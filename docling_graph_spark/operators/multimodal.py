@@ -179,18 +179,21 @@ def media_decode_stats(web_pages: DataFrame) -> DataFrame:
                 out["media_type"][i] = mtype
                 try:
                     dec = decode_media(b, mtype)
-                except NotImplementedError as exc:
+                except Exception as exc:
+                    # any failed decode (unsupported process OR corrupt /
+                    # scanless payload) falls back to the container
+                    # header probe: geometry is often still readable —
+                    # the metadata path a 100 TB image-filter stage runs
                     hdr = probe_dimensions(b)
                     if hdr is not None:
                         out["width"][i] = hdr.width
                         out["height"][i] = hdr.height
                         out["channels"][i] = hdr.channels
                         out["decode_error"][i] = "header-only"
-                    else:
+                    elif isinstance(exc, NotImplementedError):
                         out["decode_error"][i] = f"unsupported: {exc}"
-                    continue
-                except Exception as exc:  # malformed payload -> routed
-                    out["decode_error"][i] = f"malformed: {exc}"
+                    else:  # malformed payload -> routed, never a crash
+                        out["decode_error"][i] = f"malformed: {exc}"
                     continue
                 if not hasattr(dec, "width"):  # real but non-image decode
                     out["decode_error"][i] = "non-image: use audio stage"

@@ -5904,8 +5904,48 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("peak").alias("max_peak"),
     )
     wav_rows = _unpivot_single_row(wav_agg, "wav_decode")
+
+    # stage 'jpeg_decode': REAL baseline-JPEG pixel decode — solid-gray
+    # JPEGs (w = 8+d%9, h = 8+d%6, gray v = 128 + (d*13)%100) encoded by
+    # the fixture encoder (kernels/jpeg_codec.py: exact-integer DC
+    # quantization), decoded through the full marker/Huffman/IDCT path
+    # of decode_jpeg via media_decode_stats.  Solid blocks have DC-only
+    # spectra, so the decoded gray is the exact closed form
+    # p = 128 + 2*ceil(x/2) with x = v-128 (Q00=16: q = (x+1)//2,
+    # p = 128 + q*16/8), which the oracle replays per doc.
+    def build_jpegs(batches):
+        from docling_graph_spark.kernels.jpeg_codec import encode_jpeg_gray
+
+        for pdf in batches:
+            urls, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 8 + d % 9, 8 + d % 6
+                v = 128 + (d * 13) % 100
+                urls.append(f"jpg:{d}")
+                blobs.append(encode_jpeg_gray(w, h, bytes([v] * (w * h))))
+            yield pd.DataFrame({"url": urls, "html": blobs})
+
+    jpgs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PNG_DOCS)
+        .select("doc_id")
+        .mapInPandas(build_jpegs, "url string, html binary")
+    )
+    jdec = op_mm.media_decode_stats(jpgs)
+    jpg_agg = jdec.agg(
+        F.count("*").alias("n_jpegs"),
+        F.sum(F.col("decoded").cast("long")).alias("n_decoded"),
+        F.sum(F.col("width").cast("long") * F.col("height"))
+        .alias("sum_pixels"),
+        F.sum("pixel_sum").alias("sum_pixel_values"),
+        F.sum(F.col("width").cast("long")).alias("sum_width"),
+        F.sum(F.col("height").cast("long")).alias("sum_height"),
+    )
+    jpg_rows = _unpivot_single_row(jpg_agg, "jpeg_decode")
     return (media_rows.unionByName(png_rows).unionByName(probe_rows)
-            .unionByName(wav_rows).orderBy("stage", "metric"))
+            .unionByName(wav_rows).unionByName(jpg_rows)
+            .orderBy("stage", "metric"))
 
 
 def _sql_unpivot(cte: str, stage: str, metrics: list) -> str:
@@ -5955,6 +5995,22 @@ wabs AS (
            AS p
   FROM wav, LATERAL (SELECT unnest(generate_series(0, wav.f * wav.c - 1))
                      AS k)
+),
+jpg AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 6 AS h,
+         -- decoded solid gray, closed form: x = (d*13)%100,
+         -- q = round_half_up(64x*8 / (8*64*16)) = (x+1)//2, p = 128+2q
+         128 + 2 * (((doc_id * 13) % 100 + 1) // 2) AS p
+  FROM documents WHERE doc_id < {_PNG_DOCS}
+),
+jsum AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_jpegs,
+         CAST(count(*) AS BIGINT) AS n_decoded,
+         CAST(sum(w * h) AS BIGINT) AS sum_pixels,
+         CAST(sum(p * w * h) AS BIGINT) AS sum_pixel_values,
+         CAST(sum(w) AS BIGINT) AS sum_width,
+         CAST(sum(h) AS BIGINT) AS sum_height
+  FROM jpg
 ),
 wsum AS (
   SELECT CAST((SELECT count(*) FROM documents WHERE doc_id < {_PNG_DOCS})
@@ -6013,6 +6069,10 @@ SELECT stage, metric, value FROM (
               ['n_rows', 'n_decoded', 'n_malformed', 'n_unsupported',
                'sum_channels', 'sum_rate', 'sum_frames', 'sum_abs',
                'max_peak'])}
+  UNION ALL
+{_sql_unpivot('jsum', 'jpeg_decode',
+              ['n_jpegs', 'n_decoded', 'sum_pixels', 'sum_pixel_values',
+               'sum_width', 'sum_height'])}
 ) ORDER BY stage, metric
 """
 

@@ -35,8 +35,9 @@ def test_sniff_media_type():
 
 
 def test_decode_media_is_stubbed():
+    # formats with no real decoder stay stubbed behind the same seam
     with pytest.raises(NotImplementedError):
-        media_stub.decode_media(b"\xff\xd8\xff", "image/jpeg")
+        media_stub.decode_media(b"OggS....", "audio/ogg")
 
 
 def test_fake_features_deterministic():

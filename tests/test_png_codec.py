@@ -97,8 +97,12 @@ def test_decode_media_routes_png_and_stubs_rest():
     png = encode_png_gray(3, 2, bytes(range(6)))
     dec = decode_media(png, "image/png")
     assert (dec.width, dec.height) == (3, 2)
-    with pytest.raises(NotImplementedError):
+    # JPEG now has a REAL baseline decoder: corrupt bytes raise a decode
+    # error (not NotImplementedError); video stays stubbed
+    with pytest.raises(Exception):
         decode_media(b"\xff\xd8\xff-jpeg-ish", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x1a\x45\xdf\xa3webm", "video/webm")
 
 
 def test_media_decode_stats_routes_errors(spark):
@@ -113,4 +117,6 @@ def test_media_decode_stats_routes_errors(spark):
     assert got["ok"].pixel_sum == sum(range(12))
     assert not got["trunc"].decoded
     assert not got["jpeg"].decoded
-    assert got["jpeg"].decode_error.startswith("unsupported")
+    # garbage after the JPEG magic: the real baseline decoder raises and
+    # the header probe finds no SOF either -> routed as malformed
+    assert got["jpeg"].decode_error.startswith("malformed")
