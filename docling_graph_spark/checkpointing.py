@@ -121,7 +121,10 @@ class CheckpointedRun:
             return None
         if "run_id" not in runs.columns:
             return None  # legacy manifest without run stamping
-        runs = runs.where(F.col("status") == "committed")
+        # an EXPIRED snapshot (expire_snapshots) keeps its data in the
+        # current table state — Iceberg expiry only retires the ability
+        # to time-travel to it, never currently-referenced data
+        runs = runs.where(F.col("status").isin("committed", "expired"))
         if as_of is not None:
             if "seq" not in runs.columns:
                 raise ValueError(
@@ -133,6 +136,14 @@ class CheckpointedRun:
                 if not pin:
                     raise ValueError(f"run {as_of!r} never committed")
                 as_of = max(pin)
+            expired = [r.seq for r in
+                       runs.where((F.col("status") == "expired")
+                                  & (F.col("seq") >= int(as_of)))
+                       .select("seq").collect()]
+            if expired:
+                raise ValueError(
+                    f"snapshot {as_of} has been expired "
+                    "(expire_snapshots); time travel to it is gone")
             runs = runs.where(F.col("seq") <= int(as_of))
         return runs.select(F.col("run_id").alias(RUN_ID_COL)).distinct()
 
@@ -341,6 +352,69 @@ class CheckpointedRun:
                 writer = writer.partitionBy("bucket")
             _atomic_rewrite(path, writer)
         return reclaimed
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Retire time travel to all but the newest ``keep_last``
+        snapshots — the Iceberg ``expire_snapshots(retain_last=N)``
+        analogue, with the same two invariants the parity tests pin:
+
+        * the CURRENT table state is untouched: data appended by expired
+          runs stays visible in plain reads (Iceberg never deletes data
+          still referenced by a retained snapshot — expiry removes
+          metadata and only files no retained snapshot references);
+        * ``as_of`` an expired snapshot raises loudly instead of
+          silently un-pinning to some other state.
+
+        Orphan rows from crashed (never-committed) runs are the parquet
+        analogue of files referenced by NO retained snapshot, so they
+        are reclaimed here via :meth:`compact` — together the two halves
+        are the full expire pass.
+
+        Returns ``{"expired": n_snapshots, "reclaimed_rows": total}``."""
+        snaps = self.snapshots()
+        if snaps is None:
+            return {"expired": 0, "reclaimed_rows": 0}
+        seqs = [r.seq for r in snaps.select("seq").collect()]
+        cutoff = sorted(seqs)[-keep_last] if keep_last <= len(seqs) else 0
+        runs = self.spark.read.json(self._path("runs"))
+        expired_n = runs.where(
+            (F.col("status") == "committed")
+            & (F.col("seq") < cutoff)).count()
+        if expired_n:
+            import shutil
+
+            updated = runs.withColumn(
+                "status",
+                F.when((F.col("status") == "committed")
+                       & (F.col("seq") < cutoff), F.lit("expired"))
+                .otherwise(F.col("status")))
+            # same swap discipline as _atomic_rewrite, json-formatted
+            # (write the new manifest beside the old, then rename)
+            path = self._path("runs")
+            tmp, old = f"{path}.expiring", f"{path}.old"
+            updated.coalesce(1).write.mode("overwrite").json(tmp)
+            shutil.move(path, old)
+            shutil.move(tmp, path)
+            shutil.rmtree(old)
+        reclaimed = sum(self.compact().values())
+        return {"expired": expired_n, "reclaimed_rows": reclaimed}
+
+    def added_between(self, stage: str, since: int,
+                      until=None) -> DataFrame:
+        """Incremental read: rows appended by snapshots with
+        ``since < seq <= until`` (until=None -> latest) — the Iceberg
+        incremental-scan (``start-snapshot-id``/``end-snapshot-id``)
+        analogue; a downstream consumer processes exactly the delta
+        between two checkpoints instead of rescanning the table."""
+        runs = self.spark.read.json(self._path("runs")) \
+            .where(F.col("status").isin("committed", "expired")) \
+            .where(F.col("seq") > int(since))
+        if until is not None:
+            runs = runs.where(F.col("seq") <= int(until))
+        rids = runs.select(F.col("run_id").alias(RUN_ID_COL)).distinct()
+        df = self.spark.read.parquet(self._path(stage))
+        return df.join(F.broadcast(rids), RUN_ID_COL, "left_semi") \
+            .drop(RUN_ID_COL)
 
     def _manifest(self, run_id: str, processed: int,
                   wall_seconds: float) -> None:
