@@ -99,6 +99,12 @@ def get_token_counter(
         from .wordpiece import counter_for
 
         return counter_for(tuple(tokenizer[1]))
+    if tokenizer == "vocab:mini":
+        # yaml-friendly spelling of the vendored mini-vocab WordPiece
+        # counter (the config wizard emits this)
+        from .wordpiece import MINI_VOCAB, counter_for
+
+        return counter_for(MINI_VOCAB)
     if callable(tokenizer):
         return tokenizer
     if tokenizer in _COUNTERS:

@@ -95,6 +95,11 @@ def main() -> int:
                          "inspect (render report.md + graph.html from an "
                          "existing job output dir — the reference's "
                          "`docling-graph inspect`)")
+    ap.add_argument("--interactive", action="store_true",
+                    help="with `init`: build the config through the "
+                         "interactive wizard (the reference "
+                         "config_builder prompt flow) instead of "
+                         "writing the commented scaffold")
     ap.add_argument("--config", default=None,
                     help="YAML config file (CLI flags override its values)")
     ap.add_argument("--input", help="web_pages table path (parquet/Iceberg)")
@@ -161,9 +166,19 @@ def main() -> int:
         target = args.config or "config.yaml"
         if os.path.exists(target):
             ap.error(f"refusing to overwrite existing {target}")
+        if args.interactive:
+            # the reference's `docling-graph init` wizard
+            # (cli/config_builder.py): prompt flow -> yaml
+            from docling_graph_spark.config_builder import (
+                build_config_interactive, to_yaml)
+
+            content = to_yaml(build_config_interactive())
+        else:
+            content = CONFIG_SCAFFOLD
         with open(target, "w", encoding="utf-8") as f:
-            f.write(CONFIG_SCAFFOLD)
-        print(json.dumps({"wrote": target}))
+            f.write(content)
+        print(json.dumps({"wrote": target,
+                          "interactive": bool(args.interactive)}))
         return 0
 
     if args.command == "inspect":

@@ -144,3 +144,62 @@ def test_shards_mode_packed_sequences(spark, sf_smoke_dir, tmp_path,
     # every shard's packed text joins its docs with the separator
     assert all(r["packed_text"].count("\n\n") >= r["n_docs"] - 1 >= 0
                for r in rows)
+
+
+def test_interactive_wizard_builds_runnable_config(spark, sf_smoke_dir,
+                                                   tmp_path, capsys,
+                                                   monkeypatch):
+    """`init --interactive` drives the reference config_builder prompt
+    flow (scripted stdin): the produced yaml is valid and `--config`
+    then runs the full job from it."""
+    import io as _io
+
+    out_dir = str(tmp_path / "wizard_out")
+    answers = [
+        "hybrid",        # chunker
+        "vocab",         # token counter -> vendored WordPiece
+        "60",            # max tokens
+        "bogus-choice",  # invalid id mode -> re-prompt
+        "xxhash64",      # id mode
+        "n",             # reverse edges
+        "",              # content dedup -> default (no)
+        "testdata",      # input kind
+        sf_smoke_dir,    # sf dir
+        out_dir,         # output directory
+        "oneshot",       # run mode
+        "n",             # report
+    ]
+    monkeypatch.setattr("sys.stdin", _io.StringIO("\n".join(answers) + "\n"))
+    target = str(tmp_path / "wizard.yaml")
+    rc, out = _run(["init", "--interactive", "--config", target], capsys)
+    assert rc == 0 and out["wrote"] == target and out["interactive"]
+    data = yaml.safe_load(open(target))
+    assert data["defaults"]["chunker"] == "hybrid"
+    assert data["defaults"]["tokenizer_name"] == "vocab:mini"
+    assert data["defaults"]["max_tokens"] == 60
+    assert data["defaults"]["id_mode"] == "xxhash64"
+    assert data["sf_dir"] == sf_smoke_dir and data["output"] == out_dir
+    assert "add_reverse_edges" not in data["defaults"]
+    # the wizard's config actually runs end-to-end
+    rc, out = _run(["--config", target], capsys)
+    assert rc == 0 and out["mode"] == "oneshot"
+    assert out["processed_docs"] > 0
+
+
+def test_wizard_invalid_then_default_inputs(monkeypatch):
+    """Choice validation re-prompts; empty input takes the default at
+    every prompt kind (option / confirm / int / text)."""
+    import io as _io
+
+    from docling_graph_spark.config_builder import build_config_interactive
+
+    answers = ["", "", "not-a-number", "", "", "maybe", "y", "n",
+               "", "", "", "", ""]
+    monkeypatch.setattr("sys.stdin", _io.StringIO("\n".join(answers) + "\n"))
+    cfg = build_config_interactive()
+    assert cfg["defaults"]["chunker"] == "hybrid"      # default
+    assert cfg["defaults"]["max_tokens"] == 512        # after bad int
+    assert cfg["defaults"]["add_reverse_edges"] is True
+    assert "content_dedup" not in cfg["defaults"]
+    assert cfg["input"] == "/data/web_pages"
+    assert cfg["mode"] == "oneshot" and cfg["report"] is False
