@@ -234,6 +234,38 @@ def lpa_component(edges, fixed_rounds=None, max_rounds: int = 24):
             for n in nodes}
 
 
+def walks_component(edges, walks_per_node: int = 2, length: int = 6):
+    """Deterministic DeepWalk corpus on one component — the exact draw
+    sequence of ``operators/linkgraph.random_walks``: step ``t`` of
+    walker ``w`` at node ``v`` moves to
+    ``sorted(out_nbrs(v))[md5(v:w:t) mod deg]``; dead ends stop
+    extending but the walk keeps its remaining draw slots (a later
+    revisit of a branching node draws with the original step index).
+
+    Returns {(start, walker): (hops, path)}."""
+    import hashlib
+
+    adj: dict = {}
+    for u, v, *_ in edges:
+        adj.setdefault(u, set()).add(v)
+    adj = {u: sorted(vs) for u, vs in adj.items()}
+    out = {}
+    for start in _nodes_of(edges):
+        for w in range(walks_per_node):
+            cur, path, hops = start, start, 0
+            for t in range(length):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    continue
+                h = int(hashlib.md5(
+                    f"{cur}:{w}:{t}".encode()).hexdigest()[:12], 16)
+                cur = nbrs[h % len(nbrs)]
+                path += ">" + cur
+                hops += 1
+            out[(start, w)] = (hops, path)
+    return out
+
+
 def scc_component(edges, outer: int = 3, color_rounds=None,
                   max_color_rounds: int = 24, member_rounds=None,
                   max_member_rounds: int = 24, trim_rounds=None,

@@ -737,8 +737,16 @@ WALK_LENGTH = 6
 def random_walks(edges: DataFrame, src: str = "src_host",
                  dst: str = "dst_host",
                  walks_per_node: int = WALKS_PER_NODE,
-                 length: int = WALK_LENGTH) -> DataFrame:
-    """DeepWalk-style walk corpus over the directed host graph:
+                 length: int = WALK_LENGTH,
+                 wcc: DataFrame | None = None,
+                 max_group_edges: int = DEFAULT_MAX_GROUP_EDGES
+                 ) -> DataFrame:
+    """DeepWalk-style walk corpus over the directed host graph
+    (hybrid: a walk never leaves its start's weakly-connected
+    component, so components under the gate emit their whole corpus in
+    one Arrow task — kernels/graph_fixpoint.walks_component — and only
+    oversized components pay the per-step synchronous joins of
+    :func:`_walks_sync`):
     (start, walker, hops, path) — the training sentences for
     node-embedding models (Perozzi et al. 2014), made DETERMINISTIC:
     step t of walker w at node v moves to
@@ -748,10 +756,45 @@ def random_walks(edges: DataFrame, src: str = "src_host",
     sampling is replaced by a fixed hash draw — the same corpus coverage
     properties, none of the nondeterminism).
 
-    Plan shape per step: one equi-join of the frontier against the
-    adjacency-array relation (host-level — broadcastable for the full
-    web) + pure projections; dead ends simply stop extending.  Lineage is
-    cut per step via lineage.cut."""
+    Plan shape of the sync fallback, per step: one equi-join of the
+    frontier against the adjacency-array relation (host-level —
+    broadcastable for the full web) + pure projections; dead ends simply
+    stop extending.  Lineage is cut per step via lineage.cut."""
+    if wcc is None:
+        wcc = weakly_connected(edges, src, dst)
+    ann = _annotated(edges, src, dst, None, wcc)
+    small = ann.filter(F.col("_ce") <= max_group_edges).drop("_ce")
+    big = ann.filter(F.col("_ce") > max_group_edges)
+
+    def solve(pdf):
+        import pandas as pd
+
+        from ..kernels import graph_fixpoint as gfx
+
+        if pdf.empty:
+            return pd.DataFrame(columns=["start", "walker", "hops",
+                                         "path"])
+        res = gfx.walks_component(list(zip(pdf["u"], pdf["v"])),
+                                  walks_per_node, length)
+        return pd.DataFrame(
+            [(s, wk, hops, path)
+             for (s, wk), (hops, path) in res.items()],
+            columns=["start", "walker", "hops", "path"])
+
+    out_small = small.groupBy("comp").applyInPandas(
+        solve, "start string, walker int, hops long, path string")
+    if big.limit(1).isEmpty():
+        return out_small
+    return out_small.unionByName(
+        _walks_sync(big.select("u", "v"), walks_per_node, length))
+
+
+def _walks_sync(e: DataFrame, walks_per_node: int, length: int
+                ) -> DataFrame:
+    """Synchronous per-step walk extension over an (u, v) edge list —
+    the giant-component fallback for :func:`random_walks`."""
+    src, dst = "u", "v"
+    edges = e
     adj = (edges.groupBy(src)
            .agg(F.array_sort(F.collect_set(F.col(dst))).alias("_nbrs"))
            .withColumnRenamed(src, "_adj_src")

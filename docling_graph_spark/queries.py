@@ -3559,7 +3559,7 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("v2"))
     depth_conv = conv_row(depth, "depth", F.sum("would_change"),
                           F.max("last_chg"))
-    walks = op_lg.random_walks(edges)
+    walks = op_lg.random_walks(edges, wcc=wcc)
     walk_rows = walks.select(
         F.lit("walk").alias("section"), F.col("start").alias("k1"),
         F.col("walker").cast("string").alias("k2"),

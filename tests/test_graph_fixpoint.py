@@ -48,7 +48,7 @@ def _rows(df, key="host"):
 
 
 @pytest.mark.parametrize("op", ["pagerank", "ppr", "bfs", "coreness",
-                                "lpa", "scc"])
+                                "lpa", "scc", "walks"])
 def test_local_and_sync_paths_identical(spark, op):
     edges = _edges(spark, GRAPH)
     seeds = spark.createDataFrame([("a",), ("p",)], "host string")
@@ -65,6 +65,8 @@ def test_local_and_sync_paths_identical(spark, op):
             return lg.coreness(edges, max_group_edges=gate)
         if op == "lpa":
             return lg.label_propagation(edges, max_group_edges=gate)
+        if op == "walks":
+            return lg.random_walks(edges, max_group_edges=gate)
         return lg.strongly_connected(edges, max_group_edges=gate)
 
     local = _rows(run(10_000))     # everything under the gate
