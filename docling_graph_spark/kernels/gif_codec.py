@@ -1,0 +1,225 @@
+"""GIF decoder — stdlib-only LZW, first frame, 87a/89a.
+
+GIF is lossless (palette indices under variable-width LZW), so a real
+decoder needs no DSP — just the GIF89a block grammar and the LZW
+variant with clear/end codes and width growth at table size 2^n.
+
+Supported: global and local color tables, interlaced images (the
+four-pass row shuffle), extension blocks skipped, FIRST image decoded
+(animation frame sampling is the media_transform stage's job).  The
+frame is composed onto the logical screen at its (left, top) offset;
+pixels outside the frame take the background color.  Transparency is
+ignored (output channels = 3, the shared image-codec contract).
+
+The encoder half generates fixtures: one full-screen non-interlaced
+frame from palette indices, real LZW compression (table reset on
+overflow at code 4095) — byte-lossless roundtrip, closed-form oracles.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, NamedTuple
+
+
+class DecodedGif(NamedTuple):
+    width: int
+    height: int
+    channels: int
+    pixels: bytes  # interleaved RGB
+
+
+def _lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    table: List[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+
+    width = min_code_size + 1
+    reset()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_expected:
+                return bytes(out[:n_expected])
+    return bytes(out)
+
+
+_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> DecodedGif:
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = [data[pos + 3 * i: pos + 3 * i + 3] for i in range(n)]
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            left, top, w, h, iflags = struct.unpack_from("<HHHHB",
+                                                         data, pos + 1)
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                ct = [data[pos + 3 * i: pos + 3 * i + 3]
+                      for i in range(n)]
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image with no color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                lzw += data[pos + 1: pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(min_code, bytes(lzw), w * h)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF image data")
+            if iflags & 0x40:  # deinterlace
+                rows = [b""] * h
+                src = 0
+                for start, step in _INTERLACE:
+                    for y in range(start, h, step):
+                        rows[y] = idx[src * w:(src + 1) * w]
+                        src += 1
+                idx = b"".join(rows)
+            # compose onto the logical screen
+            out = bytearray(sw * sh * 3)
+            bg_rgb = (gct[bg] if gct and bg < len(gct) else b"\x00\x00\x00")
+            for y in range(sh):
+                for x in range(sw):
+                    fx, fy = x - left, y - top
+                    if 0 <= fx < w and 0 <= fy < h:
+                        c = ct[idx[fy * w + fx]]
+                    else:
+                        c = bg_rgb
+                    di = (y * sw + x) * 3
+                    out[di:di + 3] = c
+            return DecodedGif(sw, sh, 3, bytes(out))
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02X}")
+    raise ValueError("GIF contains no image")
+
+
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    cur = b""
+    for byte in indices:
+        probe = cur + bytes([byte])
+        if probe in table:
+            cur = probe
+            continue
+        emit(table[cur], width)
+        table[probe] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code > 4095:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int, palette: List[bytes],
+               indices: bytes, interlace: bool = False) -> bytes:
+    """Single full-screen frame GIF89a from palette + row-major indices."""
+    n = len(palette)
+    bits = max(1, (n - 1).bit_length())
+    size = 1 << bits
+    flags = 0x80 | (bits - 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, flags, 0, 0)
+    for i in range(size):
+        out += palette[i] if i < n else b"\x00\x00\x00"
+    iflags = 0x40 if interlace else 0
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, iflags)
+    if interlace:
+        shuffled = bytearray()
+        for start, step in _INTERLACE:
+            for y in range(start, height, step):
+                shuffled += indices[y * width:(y + 1) * width]
+        indices = bytes(shuffled)
+    min_code = max(2, bits)
+    out.append(min_code)
+    lzw = _lzw_encode(min_code, indices)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

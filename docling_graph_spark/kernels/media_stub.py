@@ -72,7 +72,11 @@ def decode_media(payload: bytes, media_type: str):
     defilter).  ``image/jpeg`` decodes for real — baseline T.81 process
     (`kernels/jpeg_codec.py`: marker walk, Huffman entropy decode,
     dequant + IDCT, 4:2:0 upsample, YCbCr->RGB; progressive raises).
-    ``audio/wav`` PCM decodes for real too
+    ``image/gif`` decodes for real — LZW with width growth and table
+    reset, interlace, first frame composed onto the logical screen
+    (`kernels/gif_codec.py`).  ``image/bmp`` decodes for real —
+    uncompressed BI_RGB 8/24/32-bit, bottom-up or top-down
+    (`kernels/bmp_codec.py`).  ``audio/wav`` PCM decodes for real too
     (`kernels/wav_codec.py`: RIFF chunk walk, fmt parse, 8/16/32-bit
     integer sample decode).  Every other media type still requires
     libraries this container doesn't ship (PIL/ffmpeg/torchaudio) and
@@ -88,6 +92,14 @@ def decode_media(payload: bytes, media_type: str):
         from .jpeg_codec import decode_jpeg
 
         return decode_jpeg(payload)
+    if media_type == "image/gif":
+        from .gif_codec import decode_gif
+
+        return decode_gif(payload)
+    if media_type == "image/bmp":
+        from .bmp_codec import decode_bmp
+
+        return decode_bmp(payload)
     if media_type == "audio/wav":
         from .wav_codec import decode_wav
 

@@ -5943,8 +5943,55 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("height").cast("long")).alias("sum_height"),
     )
     jpg_rows = _unpivot_single_row(jpg_agg, "jpeg_decode")
+
+    # stage 'lossless_decode': REAL byte-lossless decode — BMP (even d:
+    # 24-bit BI_RGB, pixel byte k = (d*11+k)%256) and GIF (odd d: 8-color
+    # palette [i*37, i*59, i*83]%256, index k = (d+k)%8, real LZW) built
+    # by the fixture encoders and decoded through decode_media; both
+    # formats are lossless so the oracle predicts every byte exactly.
+    def build_lossless(batches):
+        from docling_graph_spark.kernels.bmp_codec import encode_bmp_rgb
+        from docling_graph_spark.kernels.gif_codec import encode_gif
+
+        pal = [bytes(((i * 37) % 256, (i * 59) % 256, (i * 83) % 256))
+               for i in range(8)]
+        for pdf in batches:
+            urls, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                if d % 2 == 0:
+                    w, h = 5 + d % 6, 4 + d % 5
+                    rgb = bytes((d * 11 + k) % 256
+                                for k in range(w * h * 3))
+                    blobs.append(encode_bmp_rgb(w, h, rgb))
+                    urls.append(f"bmp:{d}")
+                else:
+                    w, h = 6 + d % 5, 3 + d % 4
+                    idx = bytes((d + k) % 8 for k in range(w * h))
+                    blobs.append(encode_gif(w, h, pal, idx))
+                    urls.append(f"gif:{d}")
+            yield pd.DataFrame({"url": urls, "html": blobs})
+
+    ll = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PNG_DOCS)
+        .select("doc_id")
+        .mapInPandas(build_lossless, "url string, html binary")
+    )
+    lldec = op_mm.media_decode_stats(ll)
+    ll_agg = lldec.agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("decoded").cast("long")).alias("n_decoded"),
+        F.sum(F.col("width").cast("long") * F.col("height"))
+        .alias("sum_pixels"),
+        F.sum("pixel_sum").alias("sum_pixel_values"),
+        F.sum(F.col("width").cast("long")).alias("sum_width"),
+        F.sum(F.col("height").cast("long")).alias("sum_height"),
+    )
+    ll_rows = _unpivot_single_row(ll_agg, "lossless_decode")
     return (media_rows.unionByName(png_rows).unionByName(probe_rows)
             .unionByName(wav_rows).unionByName(jpg_rows)
+            .unionByName(ll_rows)
             .orderBy("stage", "metric"))
 
 
@@ -5995,6 +6042,41 @@ wabs AS (
            AS p
   FROM wav, LATERAL (SELECT unnest(generate_series(0, wav.f * wav.c - 1))
                      AS k)
+),
+llb AS (
+  SELECT doc_id, 5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h
+  FROM documents WHERE doc_id < {_PNG_DOCS} AND doc_id % 2 = 0
+),
+llbsum AS (
+  SELECT CAST(sum((llb.doc_id * 11 + k) % 256) AS BIGINT) AS s
+  FROM llb, LATERAL (SELECT unnest(generate_series(0, llb.w*llb.h*3 - 1))
+                     AS k)
+),
+llg AS (
+  SELECT doc_id, 6 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents WHERE doc_id < {_PNG_DOCS} AND doc_id % 2 = 1
+),
+llgsum AS (
+  -- palette channel-sum of color i: (i*37)%256 + (i*59)%256 + (i*83)%256
+  SELECT CAST(sum(((llg.doc_id + k) % 8 * 37) % 256
+                  + ((llg.doc_id + k) % 8 * 59) % 256
+                  + ((llg.doc_id + k) % 8 * 83) % 256) AS BIGINT) AS s
+  FROM llg, LATERAL (SELECT unnest(generate_series(0, llg.w*llg.h - 1))
+                     AS k)
+),
+llsum AS (
+  SELECT CAST((SELECT count(*) FROM llb) + (SELECT count(*) FROM llg)
+              AS BIGINT) AS n_images,
+         CAST((SELECT count(*) FROM llb) + (SELECT count(*) FROM llg)
+              AS BIGINT) AS n_decoded,
+         CAST((SELECT sum(w*h) FROM llb) + (SELECT sum(w*h) FROM llg)
+              AS BIGINT) AS sum_pixels,
+         CAST((SELECT s FROM llbsum) + (SELECT s FROM llgsum)
+              AS BIGINT) AS sum_pixel_values,
+         CAST((SELECT sum(w) FROM llb) + (SELECT sum(w) FROM llg)
+              AS BIGINT) AS sum_width,
+         CAST((SELECT sum(h) FROM llb) + (SELECT sum(h) FROM llg)
+              AS BIGINT) AS sum_height
 ),
 jpg AS (
   SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 6 AS h,
@@ -6072,6 +6154,10 @@ SELECT stage, metric, value FROM (
   UNION ALL
 {_sql_unpivot('jsum', 'jpeg_decode',
               ['n_jpegs', 'n_decoded', 'sum_pixels', 'sum_pixel_values',
+               'sum_width', 'sum_height'])}
+  UNION ALL
+{_sql_unpivot('llsum', 'lossless_decode',
+              ['n_images', 'n_decoded', 'sum_pixels', 'sum_pixel_values',
                'sum_width', 'sum_height'])}
 ) ORDER BY stage, metric
 """

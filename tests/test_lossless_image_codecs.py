@@ -1,0 +1,100 @@
+"""BMP + GIF codecs (kernels/bmp_codec.py, kernels/gif_codec.py):
+byte-lossless roundtrips through real container encodings (BMP row
+padding + BGR + bottom-up; GIF variable-width LZW with table growth,
+reset at 4095, interlace), plus routed-error behavior through the
+media decode seam."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from docling_graph_spark.kernels import bmp_codec as B
+from docling_graph_spark.kernels import gif_codec as G
+from docling_graph_spark.kernels.media_stub import (decode_media,
+                                                    sniff_media_type)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (7, 3), (33, 17), (4, 20)])
+def test_bmp_roundtrip_lossless(w, h):
+    rng = random.Random(w * 100 + h)
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    data = B.encode_bmp_rgb(w, h, rgb)
+    assert sniff_media_type(data) == "image/bmp"
+    dec = decode_media(data, "image/bmp")
+    assert (dec.width, dec.height, dec.channels) == (w, h, 3)
+    assert dec.pixels == rgb
+
+
+def test_bmp_topdown_and_paletted():
+    # top-down: negative height in the DIB header
+    rgb = bytes(range(36))
+    data = bytearray(B.encode_bmp_rgb(4, 3, rgb))
+    # flip to top-down: height -3, and reorder rows to match
+    import struct
+
+    struct.pack_into("<i", data, 22, -3)
+    dec = B.decode_bmp(bytes(data))
+    rows = [rgb[y * 12:(y + 1) * 12] for y in range(3)]
+    assert dec.pixels == b"".join(reversed(rows))
+
+
+def test_bmp_unsupported_routes():
+    data = bytearray(B.encode_bmp_rgb(4, 3, bytes(36)))
+    import struct
+
+    struct.pack_into("<I", data, 30, 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError, match="compression"):
+        B.decode_bmp(bytes(data))
+    with pytest.raises(ValueError):
+        B.decode_bmp(b"BMgarbage")
+
+
+@pytest.mark.parametrize("ncol,inter", [(4, False), (16, False),
+                                        (256, False), (8, True)])
+def test_gif_roundtrip_lossless(ncol, inter):
+    rng = random.Random(ncol)
+    w, h = 37, 23
+    pal = [bytes((i % 256, (i * 7) % 256, (i * 13) % 256))
+           for i in range(ncol)]
+    idx = bytes(rng.randrange(ncol) for _ in range(w * h))
+    data = G.encode_gif(w, h, pal, idx, interlace=inter)
+    assert sniff_media_type(data) == "image/gif"
+    dec = decode_media(data, "image/gif")
+    assert (dec.width, dec.height, dec.channels) == (w, h, 3)
+    assert dec.pixels == b"".join(pal[i] for i in idx)
+
+
+def test_gif_lzw_table_reset_path():
+    """High-entropy 120x120 stream crosses the 4095-entry table reset."""
+    w = h = 120
+    pal = [bytes((i * 31 % 256, i * 17 % 256, i)) for i in range(8)]
+    rng = random.Random(1)
+    idx = bytes(rng.randrange(8) for _ in range(w * h))
+    dec = G.decode_gif(G.encode_gif(w, h, pal, idx))
+    assert dec.pixels == b"".join(pal[i] for i in idx)
+
+
+def test_gif_malformed_routes():
+    with pytest.raises(ValueError):
+        G.decode_gif(b"GIF89a\x00")
+    good = G.encode_gif(8, 8, [b"\x00\x00\x00", b"\xff\xff\xff"],
+                        bytes(64))
+    with pytest.raises(Exception):
+        G.decode_gif(good[: len(good) // 2])
+
+
+def test_media_decode_stats_lossless_integration(spark):
+    from docling_graph_spark.operators.multimodal import media_decode_stats
+
+    pal = [bytes((i, i, i)) for i in range(4)]
+    rows = [
+        ("bmp", B.encode_bmp_rgb(3, 2, bytes(range(18)))),
+        ("gif", G.encode_gif(4, 2, pal, bytes([0, 1, 2, 3] * 2))),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r.url: r for r in media_decode_stats(df).collect()}
+    assert got["bmp"].decoded and got["bmp"].pixel_sum == sum(range(18))
+    assert got["gif"].decoded
+    assert got["gif"].pixel_sum == sum(3 * i for i in [0, 1, 2, 3] * 2)
