@@ -7,7 +7,8 @@ so this module provides a real decode path: RIFF header walk, ``fmt ``
 parse, ``data`` chunk extraction, and integer sample decode for the three
 uncompressed PCM layouts (8-bit unsigned, 16-bit and 32-bit signed
 little-endian, WAVE_FORMAT_PCM = 1 per RIFF/Multimedia Programming
-Interface spec).  Compressed formats (ADPCM, float, MP3-in-RIFF) raise —
+Interface spec) plus IEEE-float (format 3, 32/64-bit, quantized to the
+16-bit integer lattice).  Compressed formats (ADPCM, MP3-in-RIFF) raise —
 the caller routes that to a ``decode_error`` column, never a crash.
 
 The encoder half exists for fixtures and oracles: a fixed header layout
@@ -26,6 +27,32 @@ import struct
 from typing import NamedTuple
 
 WAVE_FORMAT_PCM = 1
+WAVE_FORMAT_IEEE_FLOAT = 3
+
+
+def _quant16(f: float) -> int:
+    """Round-half-away-from-zero quantization of a float sample to the
+    16-bit lattice — deterministic across platforms (IEEE-754 doubles),
+    keeping downstream integer statistics exact."""
+    import math
+
+    scaled = f * 32768.0
+    return (int(math.floor(scaled + 0.5)) if scaled >= 0
+            else -int(math.floor(-scaled + 0.5)))
+
+
+def encode_wav_float32(sample_rate: int, n_channels: int,
+                       samples) -> bytes:
+    """IEEE-float WAV fixture encoder (format code 3, 32-bit floats)."""
+    import struct as _s
+
+    data = _s.pack("<%df" % len(samples), *samples)
+    byte_rate = sample_rate * n_channels * 4
+    fmt = _s.pack("<HHIIHH", WAVE_FORMAT_IEEE_FLOAT, n_channels,
+                  sample_rate, byte_rate, n_channels * 4, 32)
+    body = (b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", len(data)) + data)
+    return b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
 class DecodedWav(NamedTuple):
@@ -66,7 +93,7 @@ def decode_wav(payload: bytes) -> DecodedWav:
     WAVE_FORMAT_PCM and bit depth 8/16/32, and decodes the ``data`` chunk:
     8-bit as unsigned 0..255, 16/32-bit as signed little-endian.  Raises
     ValueError on structural corruption and NotImplementedError on
-    compressed/float formats.
+    compressed formats.
     """
     b = payload
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -98,9 +125,28 @@ def decode_wav(payload: bytes) -> DecodedWav:
     if data is None:
         raise ValueError("missing data chunk")
     audio_format, n_channels, sample_rate, _rate, _align, bits = fmt_fields
+    if audio_format == WAVE_FORMAT_IEEE_FLOAT:
+        if n_channels <= 0 or sample_rate <= 0:
+            raise ValueError("invalid channel count or sample rate")
+        if bits == 32:
+            fw, fn = "<%df", 4
+        elif bits == 64:
+            fw, fn = "<%dd", 8
+        else:
+            raise NotImplementedError(
+                f"IEEE-float WAV with {bits}-bit samples")
+        usable = len(data) - len(data) % fn
+        floats = struct.unpack(fw % (usable // fn), data[:usable])
+        # deterministic integer quantization to the 16-bit lattice
+        # (round half away from zero), so the abs-sum/peak statistics
+        # stay exact-integer like the PCM path
+        samples = [_quant16(f) for f in floats]
+        n_frames = len(samples) // n_channels
+        return DecodedWav(n_channels, sample_rate, bits, n_frames,
+                          samples)
     if audio_format != WAVE_FORMAT_PCM:
         raise NotImplementedError(
-            f"compressed/float WAV format {audio_format} requires codecs "
+            f"compressed WAV format {audio_format} requires codecs "
             "not present in this container")
     if n_channels <= 0 or sample_rate <= 0:
         raise ValueError("invalid channel count or sample rate")

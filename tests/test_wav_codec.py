@@ -117,3 +117,24 @@ def test_audio_decode_stats_stage(spark):
     assert out["u2"]["decode_error"].startswith("malformed")
     assert out["u3"]["decode_error"].startswith("unsupported")
     assert out["u4"]["decode_error"] == "not audio"
+
+
+def test_ieee_float_wav_decodes_quantized():
+    """Format-3 float WAVs decode for real: samples quantized to the
+    16-bit lattice with round-half-away-from-zero — deterministic
+    integer statistics like the PCM path."""
+    from docling_graph_spark.kernels.wav_codec import (decode_wav,
+                                                       encode_wav_float32)
+
+    floats = [0.0, 0.5, -0.5, 0.999, -1.0, 1.0 / 65536.0, 0.25]
+    data = encode_wav_float32(16000, 1, floats)
+    dec = decode_wav(data)
+    assert (dec.n_channels, dec.sample_rate, dec.bit_depth) == (1, 16000,
+                                                                32)
+    assert dec.n_frames == len(floats)
+    # round-half-away-from-zero at the 32768 scale: float32 storage of
+    # 0.5 is exact, 0.999 stores as the nearest float32
+    assert dec.samples[0] == 0
+    assert dec.samples[1] == 16384 and dec.samples[2] == -16384
+    assert dec.samples[4] == -32768
+    assert dec.samples[5] == 1  # subnormal-ish tiny value rounds to 1?
