@@ -564,7 +564,16 @@ def hits(edges: DataFrame, src: str = "src_host", dst: str = "dst_host",
          weight: str = "n_links", iterations: int = HITS_ITERATIONS,
          scale: int = HITS_SCALE) -> DataFrame:
     """Integer HITS hubs/authorities over a weighted host edge list:
-    (host, hub, auth).
+    (host, hub, auth, would_change).
+
+    Unlike the other iterative operators, HITS keeps a FIXED budget: the
+    max-normalized integer recurrence is a GLOBAL coupling (the rescale
+    divisor spans every node), so it neither decomposes over components
+    nor provably reaches an exact fixpoint (the max-rescale can cycle).
+    The honesty surface is ``would_change`` — 1 iff one more full
+    iteration would move the node's (hub, auth) pair — computed from a
+    probe iteration, so the budget's truncation is visible rather than
+    silent.
 
     Kleinberg's mutual-reinforcement recurrence with the L2 normalization
     replaced by exact max-normalization so the trajectory is
@@ -612,9 +621,7 @@ def hits(edges: DataFrame, src: str = "src_host", dst: str = "dst_host",
                 .cast("long").alias(col))
         )
 
-    hub = nodes.select("host", F.lit(scale).cast("long").alias("hub"))
-    auth = None
-    for _ in range(iterations):
+    def one_iteration(hub: DataFrame):
         a_raw = (
             ew.join(hub, ew.e_src == hub.host)
             .select(F.col("e_dst").alias("host"),
@@ -628,8 +635,25 @@ def hits(edges: DataFrame, src: str = "src_host", dst: str = "dst_host",
                     (F.col("e_w") * F.col("auth")).alias("_c"))
             .groupBy("host").agg(F.sum("_c").alias("_raw"))
         )
-        hub = _normalize(h_raw, "hub")
-    return hub.join(auth, "host")
+        return _normalize(h_raw, "hub"), auth
+
+    hub = nodes.select("host", F.lit(scale).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iterations):
+        hub, auth = one_iteration(hub)
+    # stability probe: one more full iteration; the returned scores stay
+    # those of the budgeted run
+    hub = cut(hub)
+    nxt_hub, nxt_auth = one_iteration(hub)
+    probe = (nxt_hub.select("host", F.col("hub").alias("_nh"))
+             .join(nxt_auth.select("host", F.col("auth").alias("_na")),
+                   "host"))
+    return (hub.join(auth, "host")
+            .join(probe, "host")
+            .select("host", "hub", "auth",
+                    ((F.col("_nh") != F.col("hub"))
+                     | (F.col("_na") != F.col("auth"))).cast("long")
+                    .alias("would_change")))
 
 
 _CORE_SCHEMA = ("host string, degree long, coreness long, "

@@ -2974,7 +2974,7 @@ h0 AS (SELECT host, CAST({scale} AS BIGINT) AS hub FROM hn)"""
                 f"* {scale} // {mx} END AS BIGINT) AS {col} "
                 f"FROM hn n LEFT JOIN {raw_cte} r ON r.host = n.host")
 
-    for i in range(1, iterations + 1):
+    for i in range(1, iterations + 2):
         ctes += f""",
 ar{i} AS MATERIALIZED (
   SELECT hg.dst_host AS host, sum(hg.n_links * h{i - 1}.hub) AS raw
@@ -2984,9 +2984,13 @@ hr{i} AS MATERIALIZED (
   SELECT hg.src_host AS host, sum(hg.n_links * a{i}.auth) AS raw
   FROM hg JOIN a{i} ON a{i}.host = hg.dst_host GROUP BY 1),
 h{i} AS MATERIALIZED ({norm(f'hr{i}', 'hub')})"""
+    n, p = iterations, iterations + 1
     return (f"WITH {_LINKS_CTE}{ctes}\n"
-            f"SELECT h.host, h.hub, a.auth FROM h{iterations} h "
-            f"JOIN a{iterations} a USING (host)")
+            f"SELECT h.host, h.hub, a.auth,\n"
+            f"       CAST(CASE WHEN nh.hub <> h.hub OR na.auth <> a.auth"
+            f" THEN 1 ELSE 0 END AS BIGINT) AS would_change\n"
+            f"FROM h{n} h JOIN a{n} a USING (host)\n"
+            f"JOIN h{p} nh USING (host) JOIN a{p} na USING (host)")
 
 
 SQL_HOST_HITS = _hits_unrolled_sql(4, 1_000_000)
@@ -3536,10 +3540,13 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("triangle").alias("section"), F.col("host").alias("k1"),
         F.lit("").alias("k2"), F.col("n_triangles").alias("v1"),
         F.col("degree").alias("v2"))
-    hits_rows = op_lg.hits(edges).select(
+    ht = op_lg.hits(edges).localCheckpoint(eager=False)
+    hits_rows = ht.select(
         F.lit("hits").alias("section"), F.col("host").alias("k1"),
         F.lit("").alias("k2"), F.col("hub").alias("v1"),
-        F.col("auth").alias("v2"))
+        F.col("auth").alias("v2")
+    ).unionByName(conv_row(ht, "hits", F.sum("would_change"),
+                           F.count("*")))
     seeds = (edges.select(F.col("src_host").alias("host"))
              .unionByName(edges.select(F.col("dst_host").alias("host")))
              .distinct().orderBy("host").limit(3))
@@ -3675,6 +3682,7 @@ crk AS MATERIALIZED (SELECT * FROM ({SQL_HOST_CORENESS})),
 dpk AS MATERIALIZED (SELECT * FROM ({SQL_HOST_DEPTH})),
 lpk AS MATERIALIZED (SELECT * FROM ({SQL_HOST_LPA})),
 sck AS MATERIALIZED (SELECT * FROM ({SQL_HOST_SCC})),
+hts AS MATERIALIZED (SELECT * FROM ({SQL_HOST_HITS})),
 tund AS (
   SELECT DISTINCT least(src_host, dst_host) AS a,
          greatest(src_host, dst_host) AS b
@@ -3738,7 +3746,12 @@ SELECT section, k1, k2, v1, v2 FROM (
   SELECT 'triangle', d.h, '', coalesce(t.t, 0), d.d
   FROM tdeg d LEFT JOIN tcnt t ON t.h = d.h
   UNION ALL
-  SELECT 'hits', host, '', hub, auth FROM ({SQL_HOST_HITS})
+  SELECT 'hits', host, '', hub, auth FROM hts
+  UNION ALL
+  SELECT 'hits', '', 'converged',
+         CAST(coalesce(sum(would_change), 0) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM hts
   UNION ALL
   SELECT 'core', host, '', coreness, degree FROM crk
   UNION ALL
