@@ -135,6 +135,18 @@ def encode(text: str, vocab: Dict[str, int],
 # per-process constructed-counter cache keyed by the vocab tuple id
 _CACHE: Dict[Tuple[str, ...], Dict[str, int]] = {}
 
+# counting hot path: chunk-budget checks re-count overlapping slices of
+# the same document many times (every merge probe re-counts the merged
+# text), so the counter (a) takes a zero-normalization fast path for
+# text that is already plain lowercase words — no per-character basic
+# tokenizer — and (b) memoizes per-WORD piece counts (web corpora have
+# heavy word repetition).  Both are exact: the fast-path precondition
+# guarantees basic_tokenize(text) == text.split(), and WordPiece is a
+# pure per-word function.
+import re as _re
+
+_PLAIN = _re.compile(r"[a-z0-9 \n]*\Z")
+
 
 def counter_for(vocab_lines: Sequence[str], lowercase: bool = True):
     """A ``str -> int`` token counter over a vendored vocab — the
@@ -144,9 +156,20 @@ def counter_for(vocab_lines: Sequence[str], lowercase: bool = True):
     if vocab is None:
         vocab = load_vocab(key)
         _CACHE[key] = vocab
+    word_counts: Dict[str, int] = {}
+
+    def word_count(w: str) -> int:
+        c = word_counts.get(w)
+        if c is None:
+            c = len(wordpiece_word(w, vocab))
+            word_counts[w] = c
+        return c
 
     def count(text: str) -> int:
-        return len(encode(text, vocab, lowercase))
+        if lowercase and _PLAIN.match(text):
+            return sum(word_count(w) for w in text.split())
+        return sum(word_count(w)
+                   for w in basic_tokenize(text, lowercase))
 
     return count
 

@@ -166,3 +166,19 @@ def test_hybrid_chunk_boundaries_under_vocab_counter():
     assert len(chunks) == replay
     # and the merge is NOT degenerate: some merge happened, some didn't
     assert 1 < len(chunks) < len(blocks)
+
+
+@pytest.mark.parametrize("text", ADVERSARIAL)
+def test_counter_fast_path_equals_full_pipeline(text):
+    """counter_for's plain-text fast path and per-word memoization must
+    be invisible: count == len(encode) on every adversarial input AND
+    on plain lowercase corpus text."""
+    c = wp.counter_for(wp.MINI_VOCAB)
+    assert c(text) == len(wp.encode(text, VOCAB))
+
+
+def test_counter_fast_path_on_corpus_shape():
+    c = wp.counter_for(wp.MINI_VOCAB)
+    t = "stream customer window order the a table value dup"
+    assert c(t) == len(wp.encode(t, VOCAB))
+    assert c(t + "\n\n" + t) == 2 * c(t)
