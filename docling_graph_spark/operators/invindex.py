@@ -274,15 +274,19 @@ def wand_topk(docs: DataFrame, k: int = WAND_K, block: int = WAND_BLOCK,
     blk_ub = (blockmax.groupBy("query_id", "blk")
               .agg(F.sum(F.col("w") * F.col("bmax")).cast("long")
                    .alias("blk_ub")))
-    live_blocks = (blk_ub.join(F.broadcast(theta), "query_id", "left")
-                   .filter(F.col("blk_ub")
-                           >= F.coalesce(F.col("theta"), F.lit(0)))
-                   .select("query_id", "blk"))
-    blk_counts = (blk_ub.groupBy("query_id")
-                  .agg(F.count("*").cast("long").alias("n_blocks"))
-                  .join(live_blocks.groupBy("query_id")
-                        .agg(F.count("*").cast("long")
-                             .alias("n_blocks_live")), "query_id"))
+    # one flagged relation feeds both the live-block filter and the
+    # skip accounting — no second aggregate over the block bounds
+    blk_flag = (blk_ub.join(F.broadcast(theta), "query_id", "left")
+                .select("query_id", "blk",
+                        (F.col("blk_ub")
+                         >= F.coalesce(F.col("theta"), F.lit(0)))
+                        .cast("long").alias("_live")))
+    live_blocks = blk_flag.filter(F.col("_live") == 1) \
+        .select("query_id", "blk")
+    blk_counts = (blk_flag.groupBy("query_id")
+                  .agg(F.count("*").cast("long").alias("n_blocks"),
+                       F.sum("_live").cast("long")
+                       .alias("n_blocks_live")))
     cand = (qimp.select("query_id", "doc_id", "blk")
             .join(live_blocks, ["query_id", "blk"], "left_semi")
             .select("query_id", "doc_id", "blk").distinct())
