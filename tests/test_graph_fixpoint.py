@@ -164,3 +164,43 @@ def test_weakly_connected_labels_are_min_member(spark):
     assert comp["p"] == comp["q"] == comp["r"] == "p"
     assert comp["x"] == comp["y"] == "x"
     assert comp["s"] == "s"
+
+
+def test_hybrid_ops_on_empty_edges(spark):
+    """Empty edge relations flow through the hybrid dispatch without
+    errors: empty wcc, empty groups, empty output with the right
+    schema."""
+    empty = spark.createDataFrame(
+        [], "src_host string, dst_host string, n_links long")
+    assert lg.pagerank(empty).count() == 0
+    assert lg.coreness(empty).count() == 0
+    assert lg.strongly_connected(empty).count() == 0
+    seeds = spark.createDataFrame([("x",)], "host string")
+    assert lg.crawl_depth(empty, seeds).count() == 0
+    assert lg.weakly_connected(empty).count() == 0
+
+
+def test_local_vs_sync_on_random_graph(spark):
+    """Moderate random digraph (several hundred edges, multiple
+    components, cycles + dags): the component-local and synchronous
+    paths agree value-for-value for the two heaviest ops."""
+    import random
+
+    rng = random.Random(42)
+    triples = []
+    for comp in range(4):
+        n = 20 + comp * 10
+        for _ in range(n * 4):
+            a, b = rng.randrange(n), rng.randrange(n)
+            triples.append((f"c{comp}n{a:02d}", f"c{comp}n{b:02d}",
+                            1 + rng.randrange(3)))
+    edges = _edges(spark, triples)
+    pr_local = _rows(lg.pagerank(edges, max_group_edges=10_000))
+    pr_sync = _rows(lg.pagerank(edges, max_group_edges=0))
+    assert pr_local == pr_sync
+    scc_local = _rows(lg.strongly_connected(edges,
+                                            max_group_edges=10_000))
+    scc_sync = _rows(lg.strongly_connected(edges, max_group_edges=0))
+    assert scc_local == scc_sync
+    # and the local path really converged
+    assert all(r[2] == 0 for r in pr_local)  # would_change column
