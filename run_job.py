@@ -224,6 +224,23 @@ def main() -> int:
     args.sf_dir = args.sf_dir or file_cfg.get("sf_dir")
     args.output = args.output or file_cfg.get("output")
     args.mode = args.mode or file_cfg.get("mode") or "resume"
+    # config-file values bypass argparse's choices= validation, so the
+    # merged settings get the reference's enum validation pass
+    # (cli/validators.py:26-45 validate_option analogue): fail loud
+    # with the valid set instead of silently misrouting the job
+    _VALID = {
+        "mode": {"oneshot", "resume", "stream", "compact", "graph",
+                 "shards", "curate"},
+        "id_mode": {"blake2b", "xxhash64"},
+        "chunker": {"fallback", "hybrid"},
+    }
+    def _validate(name, value):
+        if value is not None and value not in _VALID[name]:
+            ap.error(f"invalid {name} {value!r}; must be one of "
+                     f"{', '.join(sorted(_VALID[name]))}")
+    _validate("mode", args.mode)
+    _validate("id_mode", args.id_mode or file_defaults.get("id_mode"))
+    _validate("chunker", file_defaults.get("chunker"))
     args.stream_checkpoint = (args.stream_checkpoint
                               or file_cfg.get("stream_checkpoint"))
     args.cores = args.cores if args.cores is not None else file_cfg.get("cores")

@@ -203,3 +203,18 @@ def test_wizard_invalid_then_default_inputs(monkeypatch):
     assert "content_dedup" not in cfg["defaults"]
     assert cfg["input"] == "/data/web_pages"
     assert cfg["mode"] == "oneshot" and cfg["report"] is False
+
+
+def test_config_file_enum_validation(tmp_path, capsys):
+    """yaml values bypass argparse choices — the merged-config enum
+    validation (reference cli/validators.py analogue) must fail loud
+    with the valid set, not silently misroute the job."""
+    for key, bad in [("mode", "bogus"),
+                     ("defaults", {"id_mode": "sha1"}),
+                     ("defaults", {"chunker": "magic"})]:
+        cfg = {"sf_dir": "/root/testdata/sf0.001",
+               "output": str(tmp_path / "o"), key: bad}
+        p = tmp_path / "bad.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        with pytest.raises(SystemExit):
+            _run(["--config", str(p)], capsys)
