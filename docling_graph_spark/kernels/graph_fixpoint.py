@@ -63,25 +63,97 @@ def pagerank_component(edges, scale: int, fixed_rounds=None,
     restricts both the initial mass and the teleport base term
     (``operators/linkgraph.personalized_pagerank``).
 
+    The round loop is numpy-vectorized (per-edge floor division + an
+    ``np.add.at`` scatter), which is what makes the gate-limit
+    component (hundreds of thousands of edges x ~100 rounds) a
+    sub-second task instead of minutes of Python loops.  int64 safety
+    is GUARDED, not assumed: total rank mass is bounded by
+    n*scale + rounds*n*base only loosely, so each round checks the
+    worst per-edge product 85 * max_rank * max_w against 2^62 and
+    falls back to exact Python integers for the remainder if it could
+    overflow — both paths compute the identical recurrence.
+
     Returns {node: (rank, would_change, last_chg)}."""
     nodes = _nodes_of(edges)
     base = (15 * scale) // 100
-    outw: dict = {}
-    for u, v, w in edges:
-        outw[u] = outw.get(u, 0) + w
     is_seed = (dict.fromkeys(nodes, 1) if seeds is None
                else {n: (1 if n in seeds else 0) for n in nodes})
-    rank = {n: is_seed[n] * scale for n in nodes}
-    last_chg = dict.fromkeys(nodes, 0)
+
+    idx = {n: i for i, n in enumerate(nodes)}
+    n_nodes = len(nodes)
+    try:
+        import numpy as np
+    except Exception:  # pragma: no cover - numpy ships in this env
+        np = None
+
+    rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+
+    if np is not None and edges:
+        src = np.fromiter((idx[u] for u, v, w in edges), dtype=np.int64)
+        dst = np.fromiter((idx[v] for u, v, w in edges), dtype=np.int64)
+        wts = np.fromiter((int(w) for u, v, w in edges), dtype=np.int64)
+        outw = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(outw, src, wts)
+        denom = 100 * outw[src]
+        seed_v = np.fromiter((is_seed[n] for n in nodes), dtype=np.int64)
+        rank = seed_v * scale
+        last = np.zeros(n_nodes, dtype=np.int64)
+        max_w = int(wts.max())
+
+        def np_step(cur):
+            # two overflow guards: the per-edge product 85*rank*w and
+            # the per-node sum (bounded by 0.85 * total mass) must both
+            # stay inside int64, else bail to exact Python integers
+            if (int(cur.max()) > ((1 << 62) // (85 * max(max_w, 1)))
+                    or int(cur.sum()) >= (1 << 62)):
+                return None
+            contrib = (85 * cur[src] * wts) // denom
+            acc = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(acc, dst, contrib)
+            return seed_v * base + acc
+
+        t = 0
+        overflow = False
+        while t < rounds:
+            nxt = np_step(rank)
+            if nxt is None:
+                overflow = True
+                break
+            t += 1
+            moved = nxt != rank
+            last[moved] = t
+            rank = nxt
+            if fixed_rounds is None and not moved.any():
+                break
+        if not overflow:
+            probe = np_step(rank)
+            if probe is not None:
+                return {n: (int(rank[i]), int(probe[i] != rank[i]),
+                            int(last[i]))
+                        for n, i in idx.items()}
+        # fall through to the exact-int path, resuming from the
+        # current state (identical values so far, by construction)
+        rank_d = {n: int(rank[i]) for n, i in idx.items()}
+        last_d = {n: int(last[i]) for n, i in idx.items()}
+        start_t = t
+    else:
+        rank_d = {n: is_seed[n] * scale for n in nodes}
+        last_d = dict.fromkeys(nodes, 0)
+        start_t = 0
+
+    outw_d: dict = {}
+    for u, v, w in edges:
+        outw_d[u] = outw_d.get(u, 0) + w
 
     def step(cur):
         acc = dict.fromkeys(nodes, 0)
         for u, v, w in edges:
-            acc[v] += (85 * cur[u] * w) // (100 * outw[u])
+            acc[v] += (85 * cur[u] * w) // (100 * outw_d[u])
         return {n: is_seed[n] * base + acc[n] for n in nodes}
 
-    rounds = fixed_rounds if fixed_rounds is not None else max_rounds
-    for t in range(1, rounds + 1):
+    rank = rank_d
+    last_chg = last_d
+    for t in range(start_t + 1, rounds + 1):
         nxt = step(rank)
         changed = False
         for n in nodes:
