@@ -204,3 +204,25 @@ def test_local_vs_sync_on_random_graph(spark):
     assert scc_local == scc_sync
     # and the local path really converged
     assert all(r[2] == 0 for r in pr_local)  # would_change column
+
+
+def test_pagerank_kernel_overflow_guard_falls_back_exactly():
+    """Weights big enough that 85*rank*w would exceed int64 must trip
+    the numpy guard and continue on exact Python integers — same
+    recurrence, no wrap.  Verified against a direct dict replay."""
+    W = 10**14
+    edges = [("a", "b", W), ("b", "a", W), ("b", "c", 1)]
+    scale = 10**6
+    got = gfx.pagerank_component(edges, scale, fixed_rounds=2,
+                                 max_rounds=96)
+    # direct replay with arbitrary-precision ints
+    nodes = ["a", "b", "c"]
+    outw = {"a": W, "b": W + 1}
+    base = (15 * scale) // 100
+    rank = {n: scale for n in nodes}
+    for _ in range(2):
+        acc = {n: 0 for n in nodes}
+        for u, v, w in edges:
+            acc[v] += (85 * rank[u] * w) // (100 * outw[u])
+        rank = {n: base + acc[n] for n in nodes}
+    assert {n: v[0] for n, v in got.items()} == rank
