@@ -228,6 +228,28 @@ Round-2 additions (still 50 total):
   page_metadata       = title/html-lang/h1/outlink extraction
   link_graph_stats / signature_stats as above
 
+Round-3 additions (still 50 total):
+  link_graph_stats   += converged/realized gate rows for the now
+                        convergence-adaptive iterative sections (rank,
+                        ppr, depth, core, community: v1 = residual
+                        would_change, v2 = realized round count both
+                        engines recompute; scc: unassigned count; hits:
+                        stability-probe residual) — the operators run to
+                        their exact fixpoint via per-component local
+                        solve (kernels/graph_fixpoint.py), cap-unrolled
+                        MATERIALIZED-CTE oracles replay them
+  hybrid_chunk_stats += counter='vocab' section (vendored WordPiece
+                        mini-vocab chunk budgets; the oracle replays
+                        WordPiece itself in SQL — unrolled greedy
+                        longest-prefix CTEs + closed-form merge CASE)
+  media_pipeline_stats += jpeg_decode stage (REAL baseline T.81 decode,
+                        closed-form solid-gray oracle) and
+                        lossless_decode stage (REAL GIF LZW + BMP
+                        decode, every byte predicted in closed form)
+  top_terms          += wand :blocks accounting rows (document-at-a-time
+                        posting-block skipping: whole blocks below the
+                        theta bound pruned before doc enumeration)
+
 Every merged section still runs its full operator; the single-purpose
 query functions remain in docling_graph_spark.queries as building blocks.
 
