@@ -59,24 +59,35 @@ def decode_bmp(data: bytes) -> DecodedBmp:
             for i in range(n_colors)
         ]
 
+    # vectorized row decode: strided view over the padded rows, channel
+    # reorder / palette LUT in numpy — no per-pixel Python
+    import numpy as np
+
     row_bytes = (w * bpp // 8 + 3) & ~3
-    out = bytearray(w * h * 3)
-    for y in range(h):
-        src_row = y if top_down else h - 1 - y
-        base = pixel_off + src_row * row_bytes
-        if base + w * bpp // 8 > len(data):
-            raise ValueError("truncated BMP pixel data")
-        for x in range(w):
-            if bpp == 8:
-                b, g, r = palette[data[base + x]]
-            else:
-                o = base + x * (bpp // 8)
-                b, g, r = data[o], data[o + 1], data[o + 2]
-            di = (y * w + x) * 3
-            out[di] = r
-            out[di + 1] = g
-            out[di + 2] = b
-    return DecodedBmp(w, h, 3, bytes(out))
+    # the final row may legally omit its pad bytes; everything else
+    # must be present
+    if pixel_off + (h - 1) * row_bytes + w * bpp // 8 > len(data):
+        raise ValueError("truncated BMP pixel data")
+    avail = len(data) - pixel_off
+    raw = np.frombuffer(data, dtype=np.uint8,
+                        count=min(h * row_bytes, avail),
+                        offset=pixel_off)
+    if raw.size < h * row_bytes:
+        raw = np.concatenate(
+            [raw, np.zeros(h * row_bytes - raw.size, dtype=np.uint8)])
+    rows = raw.reshape(h, row_bytes)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        pal = np.zeros((256, 3), dtype=np.uint8)
+        for i, c in enumerate(palette):
+            pal[i] = (c[2], c[1], c[0])  # stored BGR -> RGB
+        out = pal[rows[:, :w]]
+    else:
+        nb = bpp // 8
+        px = rows[:, : w * nb].reshape(h, w, nb)
+        out = px[:, :, [2, 1, 0]]  # BGR(A) -> RGB, alpha dropped
+    return DecodedBmp(w, h, 3, np.ascontiguousarray(out).tobytes())
 
 
 def encode_bmp_rgb(width: int, height: int, rgb: bytes) -> bytes:

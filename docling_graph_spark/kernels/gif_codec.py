@@ -130,19 +130,25 @@ def decode_gif(data: bytes) -> DecodedGif:
                         rows[y] = idx[src * w:(src + 1) * w]
                         src += 1
                 idx = b"".join(rows)
-            # compose onto the logical screen
-            out = bytearray(sw * sh * 3)
-            bg_rgb = (gct[bg] if gct and bg < len(gct) else b"\x00\x00\x00")
-            for y in range(sh):
-                for x in range(sw):
-                    fx, fy = x - left, y - top
-                    if 0 <= fx < w and 0 <= fy < h:
-                        c = ct[idx[fy * w + fx]]
-                    else:
-                        c = bg_rgb
-                    di = (y * sw + x) * 3
-                    out[di:di + 3] = c
-            return DecodedGif(sw, sh, 3, bytes(out))
+            # compose onto the logical screen — vectorized: palette as
+            # a LUT array, frame placed by slice (no per-pixel Python)
+            import numpy as np
+
+            pal = np.zeros((max(len(ct), 256), 3), dtype=np.uint8)
+            for i, c in enumerate(ct):
+                pal[i] = tuple(c)
+            bg_rgb = (tuple(gct[bg]) if gct and bg < len(gct)
+                      else (0, 0, 0))
+            out = np.empty((sh, sw, 3), dtype=np.uint8)
+            out[:, :] = bg_rgb
+            frame = pal[np.frombuffer(idx[:w * h], dtype=np.uint8)
+                        .reshape(h, w)]
+            y0, x0 = max(top, 0), max(left, 0)
+            y1, x1 = min(top + h, sh), min(left + w, sw)
+            if y1 > y0 and x1 > x0:
+                out[y0:y1, x0:x1] = frame[y0 - top:y1 - top,
+                                          x0 - left:x1 - left]
+            return DecodedGif(sw, sh, 3, out.tobytes())
         elif b == 0x3B:  # trailer
             break
         else:
