@@ -226,10 +226,20 @@ def _pagerank_sync(e: DataFrame, scale: int, seeds: DataFrame | None,
     def rnd(cur: DataFrame, i: int) -> DataFrame:
         ch = cur.filter(F.col("_chg") == 1).select(
             F.col("host").alias("e_src"), "prank", "rank")
-        d_new = F.expr(f"({DAMPING_NUM} * rank * e_w) div "
-                       f"({DAMPING_DEN} * out_w)")
-        d_old = F.expr(f"({DAMPING_NUM} * prank * e_w) div "
-                       f"({DAMPING_DEN} * out_w)")
+        # the per-edge product is widened to decimal(38,0) before the
+        # integral divide (the same discipline as hits()): plain long
+        # arithmetic would WRAP silently on 85 * rank * w once ranks
+        # concentrate at web scale; the quotient is <= rank, so the
+        # cast back to long is always safe.  The component-local kernel
+        # guards the same hazard with arbitrary-precision fallback.
+        d_new = F.expr(
+            f"CAST((CAST({DAMPING_NUM} AS DECIMAL(38,0)) * rank * e_w)"
+            f" div (CAST({DAMPING_DEN} AS DECIMAL(38,0)) * out_w)"
+            f" AS LONG)")
+        d_old = F.expr(
+            f"CAST((CAST({DAMPING_NUM} AS DECIMAL(38,0)) * prank * e_w)"
+            f" div (CAST({DAMPING_DEN} AS DECIMAL(38,0)) * out_w)"
+            f" AS LONG)")
         delta = (ew.join(ch, "e_src")
                  .select(F.col("e_dst").alias("host"),
                          (d_new - d_old).alias("d"))

@@ -226,3 +226,18 @@ def test_pagerank_kernel_overflow_guard_falls_back_exactly():
             acc[v] += (85 * rank[u] * w) // (100 * outw[u])
         rank = {n: base + acc[n] for n in nodes}
     assert {n: v[0] for n, v in got.items()} == rank
+
+
+def test_sync_pagerank_huge_weights_no_int64_wrap(spark):
+    """The synchronous fallback widens 85*rank*w to decimal(38,0):
+    weights big enough to wrap plain long arithmetic must still match
+    the arbitrary-precision kernel exactly."""
+    W = 10**14
+    edges = _edges(spark, [("a", "b", W), ("b", "a", W), ("b", "c", 1)])
+    sync = {r["host"]: r["rank"]
+            for r in lg.pagerank(edges, iterations=2,
+                                 max_group_edges=0).collect()}
+    ref = gfx.pagerank_component([("a", "b", W), ("b", "a", W),
+                                  ("b", "c", 1)], 1_000_000,
+                                 fixed_rounds=2)
+    assert sync == {n: v[0] for n, v in ref.items()}
