@@ -437,3 +437,136 @@ def scc_component(edges, outer: int = 3, color_rounds=None,
             scc[n] = n
 
     return {n: ((scc[n], 1) if n in scc else ("", 0)) for n in nodes}
+
+
+def hits_graph(edges, scale: int, fixed_iterations=None,
+               max_iterations: int = 32):
+    """Integer max-normalized HITS on a WHOLE edge list
+    ``[(src, dst, w), ...]`` — the exact recurrence of
+    ``operators/linkgraph.hits``:
+
+        a_t(v) = sum over in-edges (u,v): w * h_{t-1}(u),
+                 rescaled to (a * scale) div max(a)   (0 if max <= 0);
+        h_t(u) = sum over out-edges (u,v): w * a_t(v), rescaled the same.
+
+    Unlike the component solvers above, HITS does NOT decompose over
+    weakly-connected components: the max-rescale divisor spans every
+    node, so the only sound local solve is the whole graph in one task
+    — which is exactly what ``operators/linkgraph.hits`` routes here
+    when the total edge count fits the group gate.
+
+    ``h_0 = a_0 = scale`` for every node (``a_0`` feeds only the
+    round-1 change detection, never the recurrence).  With
+    ``fixed_iterations=None`` the loop stops at the first iteration
+    where no node's (hub, auth) pair moved — pointwise stability of the
+    deterministic synchronous iteration implies idempotence, so the
+    early stop is value-identical to running the full cap (the bridge
+    that lets a static cap-unrolled SQL oracle hash-match the adaptive
+    run).  The integer max-rescale can 2-cycle on adversarial graphs;
+    the cap bounds that case and ``would_change`` keeps the truncation
+    visible.
+
+    numpy-vectorized with overflow GUARDS, not assumptions: half-step
+    sums are bounded by total_w * scale and the rescale product by
+    max_raw * scale; either bound past 2^62 falls back to exact Python
+    integers for that half-step (identical values — Python ints are the
+    reference arithmetic).
+
+    Returns {node: (hub, auth, would_change, last_chg)}."""
+    nodes = _nodes_of(edges)
+    if not nodes:
+        return {}
+    idx = {n: i for i, n in enumerate(nodes)}
+    n_nodes = len(nodes)
+    try:
+        import numpy as np
+    except Exception:  # pragma: no cover - numpy ships in this env
+        np = None
+
+    iterations = (fixed_iterations if fixed_iterations is not None
+                  else max_iterations)
+
+    if np is None or not edges:
+        hub = dict.fromkeys(nodes, scale)
+        auth = dict.fromkeys(nodes, scale)
+        last = dict.fromkeys(nodes, 0)
+
+        def py_iter(h):
+            raw = dict.fromkeys(nodes, 0)
+            for u, v, w in edges:
+                raw[v] += w * h[u]
+            mx = max(raw.values()) if raw else 0
+            a = {n: (raw[n] * scale // mx if mx > 0 else 0)
+                 for n in nodes}
+            raw = dict.fromkeys(nodes, 0)
+            for u, v, w in edges:
+                raw[u] += w * a[v]
+            mx = max(raw.values()) if raw else 0
+            h2 = {n: (raw[n] * scale // mx if mx > 0 else 0)
+                  for n in nodes}
+            return h2, a
+
+        for t in range(1, iterations + 1):
+            nh, na = py_iter(hub)
+            changed = False
+            for n in nodes:
+                if nh[n] != hub[n] or na[n] != auth[n]:
+                    last[n] = t
+                    changed = True
+            hub, auth = nh, na
+            if fixed_iterations is None and not changed:
+                break
+        ph, pa = py_iter(hub)
+        return {n: (hub[n], auth[n],
+                    int(ph[n] != hub[n] or pa[n] != auth[n]), last[n])
+                for n in nodes}
+
+    src = np.fromiter((idx[u] for u, v, w in edges), dtype=np.int64)
+    dst = np.fromiter((idx[v] for u, v, w in edges), dtype=np.int64)
+    wts = np.fromiter((int(w) for u, v, w in edges), dtype=np.int64)
+    total_w = int(wts.sum())
+    hub = np.full(n_nodes, scale, dtype=np.int64)
+    auth = np.full(n_nodes, scale, dtype=np.int64)
+    last = np.zeros(n_nodes, dtype=np.int64)
+
+    def half_step(cur, take, give):
+        """One half-step: raw[give] = sum(w * cur[take]) then rescale."""
+        if total_w * int(cur.max(initial=0)) < (1 << 62):
+            prod = wts * cur[take]
+            raw = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(raw, give, prod)
+            mx = int(raw.max(initial=0))
+            if mx <= 0:
+                return np.zeros(n_nodes, dtype=np.int64)
+            if mx * scale < (1 << 62):
+                return raw * scale // mx
+            return np.fromiter(
+                ((int(r) * scale) // mx for r in raw),
+                dtype=np.int64, count=n_nodes)
+        # exact-integer fallback (same recurrence, unbounded ints)
+        raw_d = [0] * n_nodes
+        cl = cur.tolist()
+        for e in range(len(wts)):
+            raw_d[give[e]] += int(wts[e]) * cl[take[e]]
+        mx = max(raw_d) if raw_d else 0
+        if mx <= 0:
+            return np.zeros(n_nodes, dtype=np.int64)
+        return np.fromiter(((r * scale) // mx for r in raw_d),
+                           dtype=np.int64, count=n_nodes)
+
+    def one_iteration(h):
+        a = half_step(h, src, dst)
+        h2 = half_step(a, dst, src)
+        return h2, a
+
+    for t in range(1, iterations + 1):
+        nh, na = one_iteration(hub)
+        moved = (nh != hub) | (na != auth)
+        last[moved] = t
+        hub, auth = nh, na
+        if fixed_iterations is None and not moved.any():
+            break
+    ph, pa = one_iteration(hub)
+    wc = (ph != hub) | (pa != auth)
+    return {n: (int(hub[i]), int(auth[i]), int(wc[i]), int(last[i]))
+            for n, i in idx.items()}

@@ -569,56 +569,99 @@ def triangle_stats(edges: DataFrame, src: str = "src_host",
 
 HITS_ITERATIONS = 4
 HITS_SCALE = 1_000_000
+HITS_MAX_ITERATIONS = 32
+
+_HITS_SCHEMA = ("host string, hub long, auth long, "
+                "would_change long, last_chg long")
 
 
 def hits(edges: DataFrame, src: str = "src_host", dst: str = "dst_host",
-         weight: str = "n_links", iterations: int = HITS_ITERATIONS,
-         scale: int = HITS_SCALE) -> DataFrame:
+         weight: str = "n_links", iterations: int | None = None,
+         scale: int = HITS_SCALE,
+         max_iterations: int = HITS_MAX_ITERATIONS,
+         max_group_edges: int = DEFAULT_MAX_GROUP_EDGES) -> DataFrame:
     """Integer HITS hubs/authorities over a weighted host edge list:
-    (host, hub, auth, would_change).
+    (host, hub, auth, would_change, last_chg).
 
-    Unlike the other iterative operators, HITS keeps a FIXED budget: the
-    max-normalized integer recurrence is a GLOBAL coupling (the rescale
-    divisor spans every node), so it neither decomposes over components
-    nor provably reaches an exact fixpoint (the max-rescale can cycle).
-    The honesty surface is ``would_change`` — 1 iff one more full
-    iteration would move the node's (hub, auth) pair — computed from a
-    probe iteration, so the budget's truncation is visible rather than
-    silent.
-
-    Kleinberg's mutual-reinforcement recurrence with the L2 normalization
-    replaced by exact max-normalization so the trajectory is
-    engine/partitioning-independent integer math:
+    Kleinberg's mutual-reinforcement recurrence with the L2
+    normalization replaced by exact max-normalization so the trajectory
+    is engine/partitioning-independent integer math:
 
         a_t(v) = sum over in-edges (u,v): w(u,v) * h_{t-1}(u),
                  then rescaled to (a * scale) div max(a);
         h_t(u) = sum over out-edges (u,v): w(u,v) * a_t(v),
-                 then rescaled the same way.
+                 then rescaled the same way,
 
-    Scores live in [0, scale]; the raw half-step sums are widened to
-    decimal(38,0) before the `* scale div max` rescale, so no realistic
-    corpus overflows (raw <= total-link-weight * scale ~ 10^18, and the
-    widened product 10^24 stays inside 38 digits).
+    with h_0 = a_0 = scale (a_0 feeds only round-1 change detection).
 
-    Shuffle accounting per half-step: one join of the edge list against
-    the score relation (host-level — broadcastable even for the full web)
-    plus one groupBy with map-side partial sums; the max is a scalar
-    aggregate collected to the driver (O(1) rows).  Same shape as
-    :func:`pagerank`, which the reference (single-document, no corpus
-    graph) has no analogue of."""
-    nodes = (
-        edges.select(F.col(src).alias("host"))
-        .unionByName(edges.select(F.col(dst).alias("host")))
+    With ``iterations=None`` (default) the recurrence runs to its EXACT
+    pointwise-stable state, capped at ``max_iterations``: stability of
+    a deterministic synchronous iteration implies idempotence, so the
+    early stop is value-identical to running the full cap — the bridge
+    that lets the cap-unrolled SQL oracle hash-match the adaptive run.
+    ``would_change`` is 1 iff one more full iteration would move the
+    node's (hub, auth) pair (0 everywhere iff the returned scores ARE
+    the fixpoint — the integer max-rescale can in principle 2-cycle, in
+    which case the cap truncates and would_change keeps that visible),
+    and ``max(last_chg)`` is the realized iteration count both engines
+    agree on.  An explicit ``iterations`` replays exactly that budget.
+
+    Hybrid execution — but NOT the per-component split of
+    :func:`pagerank`: the max-rescale divisor spans every node, so the
+    recurrence does not decompose over components.  The sound local
+    solve is the WHOLE graph in one Arrow task
+    (kernels/graph_fixpoint.hits_graph, numpy-vectorized), taken when
+    the total edge count fits ``max_group_edges``; above the gate the
+    adaptive synchronous rounds of :func:`_hits_sync` run — one
+    host-level join + one map-side-combinable sum per half-step, the
+    max a scalar aggregate, per-block lineage cuts.  Scores live in
+    [0, scale]; raw half-step sums widen to decimal(38,0) before the
+    `* scale div max` rescale, so no realistic corpus overflows.  The
+    reference (single-document, no corpus graph) has no analogue."""
+    ew = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                      F.col(weight).cast("long").alias("w"))
+    if ew.limit(max_group_edges + 1).count() <= max_group_edges:
+        def solve(pdf):
+            import pandas as pd
+
+            from ..kernels import graph_fixpoint as gfx
+
+            if pdf.empty:
+                return pd.DataFrame(
+                    columns=["host", "hub", "auth", "would_change",
+                             "last_chg"])
+            el = [(u, v, int(w))
+                  for u, v, w in zip(pdf["u"], pdf["v"], pdf["w"])]
+            res = gfx.hits_graph(el, scale, iterations, max_iterations)
+            return pd.DataFrame(
+                [(n, h, a, wc, lc)
+                 for n, (h, a, wc, lc) in res.items()],
+                columns=["host", "hub", "auth", "would_change",
+                         "last_chg"])
+
+        return (ew.withColumn("_g", F.lit(0)).groupBy("_g")
+                .applyInPandas(solve, _HITS_SCHEMA))
+    return _hits_sync(ew, scale, iterations, max_iterations)
+
+
+def _hits_sync(ew: DataFrame, scale: int, fixed, cap: int) -> DataFrame:
+    """Adaptive synchronous HITS over an (u, v, w) edge list — the
+    above-gate fallback.  State carries (hub, auth, _chg, last_chg);
+    each round is two half-steps (edge join + partial-sum groupBy +
+    scalar max + rescale join) plus one host-level change join against
+    the previous state; `_until_stable` drives block-boundary stability
+    checks with per-block lineage cuts."""
+    nodes = cut(
+        ew.select(F.col("u").alias("host"))
+        .unionByName(ew.select(F.col("v").alias("host")))
         .distinct()
     )
-    nodes = cut(nodes)
-    ew = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
-                      F.col(weight).cast("long").alias("e_w"))
+    e = ew.select(F.col("u").alias("e_src"), F.col("v").alias("e_dst"),
+                  F.col("w").alias("e_w"))
 
     def _normalize(raw: DataFrame, col: str) -> DataFrame:
         # pin the raw half-step: the max() scalar job and the rescale
         # join would otherwise each re-run the whole iteration chain
-        # (quadratic recompute across 2*iterations half-steps)
         raw = cut(raw)
         mx = raw.agg(F.max("_raw")).collect()[0][0] or 0
         if mx <= 0:
@@ -634,37 +677,44 @@ def hits(edges: DataFrame, src: str = "src_host", dst: str = "dst_host",
 
     def one_iteration(hub: DataFrame):
         a_raw = (
-            ew.join(hub, ew.e_src == hub.host)
+            e.join(hub, e.e_src == hub.host)
             .select(F.col("e_dst").alias("host"),
                     (F.col("e_w") * F.col("hub")).alias("_c"))
             .groupBy("host").agg(F.sum("_c").alias("_raw"))
         )
         auth = _normalize(a_raw, "auth")
         h_raw = (
-            ew.join(auth, ew.e_dst == auth.host)
+            e.join(auth, e.e_dst == auth.host)
             .select(F.col("e_src").alias("host"),
                     (F.col("e_w") * F.col("auth")).alias("_c"))
             .groupBy("host").agg(F.sum("_c").alias("_raw"))
         )
         return _normalize(h_raw, "hub"), auth
 
-    hub = nodes.select("host", F.lit(scale).cast("long").alias("hub"))
-    auth = None
-    for _ in range(iterations):
-        hub, auth = one_iteration(hub)
-    # stability probe: one more full iteration; the returned scores stay
-    # those of the budgeted run
-    hub = cut(hub)
-    nxt_hub, nxt_auth = one_iteration(hub)
-    probe = (nxt_hub.select("host", F.col("hub").alias("_nh"))
-             .join(nxt_auth.select("host", F.col("auth").alias("_na")),
-                   "host"))
-    return (hub.join(auth, "host")
-            .join(probe, "host")
-            .select("host", "hub", "auth",
-                    ((F.col("_nh") != F.col("hub"))
-                     | (F.col("_na") != F.col("auth"))).cast("long")
-                    .alias("would_change")))
+    st = nodes.select(
+        "host", F.lit(scale).cast("long").alias("hub"),
+        F.lit(scale).cast("long").alias("auth"),
+        F.lit(1).cast("long").alias("_chg"),
+        F.lit(0).cast("long").alias("last_chg"))
+
+    def rnd(cur: DataFrame, i: int) -> DataFrame:
+        nh, na = one_iteration(cur.select("host", "hub"))
+        nxt = nh.join(na, "host")
+        moved = ((F.col("nxt.hub") != F.col("cur.hub"))
+                 | (F.col("nxt.auth") != F.col("cur.auth")))
+        return (cur.alias("cur").join(nxt.alias("nxt"), "host")
+                .select("host", F.col("nxt.hub").alias("hub"),
+                        F.col("nxt.auth").alias("auth"),
+                        moved.cast("long").alias("_chg"),
+                        F.when(moved, F.lit(i))
+                        .otherwise(F.col("cur.last_chg"))
+                        .alias("last_chg")))
+
+    st = _until_stable(st, rnd, fixed, cap)
+    nxt = rnd(st, 0)
+    return (st.join(nxt.select("host", F.col("_chg")
+                               .alias("would_change")), "host")
+            .select("host", "hub", "auth", "would_change", "last_chg"))
 
 
 _CORE_SCHEMA = ("host string, degree long, coreness long, "

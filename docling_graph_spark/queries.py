@@ -2954,18 +2954,30 @@ plast AS MATERIALIZED (
 SQL_HOST_PPR = _ppr_unrolled_sql(PAGERANK_ORACLE_CAP, 1_000_000)
 
 
-def _hits_unrolled_sql(iterations: int, scale: int) -> str:
+HITS_ORACLE_CAP = 32  # == operators/linkgraph.HITS_MAX_ITERATIONS
+
+
+def _hits_unrolled_sql(cap: int, scale: int) -> str:
     """DuckDB oracle for operators/linkgraph.hits: each half-step is an
     explicit CTE replaying the same widen-multiply-div max-normalized
-    integer recurrence (HUGEINT stands in for Spark's decimal(38,0)).
+    integer recurrence (HUGEINT stands in for Spark's decimal(38,0)),
+    unrolled to the adaptive operator's CAP — pointwise stability of
+    the deterministic iteration implies idempotence, so the static
+    cap-unroll hash-matches the data-dependent early-stopped run.
+    ``hchg`` collects (host, iteration) change events against the
+    h_0 = a_0 = scale initial state; per-host max(rnd) is ``last_chg``
+    and its global max the realized iteration count of the converged
+    gate row.
 
     CTEs are MATERIALIZED: each normalization references its raw CTE 3
     times (two max() scalar subqueries + the join), so inlining would
-    expand the 8-half-step chain into 3^8 scans of the base table."""
+    expand the half-step chain into 3^(2*cap) scans of the base
+    table."""
     ctes = f""",
 hn AS MATERIALIZED (SELECT DISTINCT host FROM (
   SELECT src_host AS host FROM hg UNION SELECT dst_host FROM hg)),
-h0 AS (SELECT host, CAST({scale} AS BIGINT) AS hub FROM hn)"""
+h0 AS (SELECT host, CAST({scale} AS BIGINT) AS hub FROM hn),
+a0 AS (SELECT host, CAST({scale} AS BIGINT) AS auth FROM hn)"""
 
     def norm(raw_cte: str, col: str) -> str:
         mx = f"(SELECT max(raw) FROM {raw_cte})"
@@ -2974,7 +2986,7 @@ h0 AS (SELECT host, CAST({scale} AS BIGINT) AS hub FROM hn)"""
                 f"* {scale} // {mx} END AS BIGINT) AS {col} "
                 f"FROM hn n LEFT JOIN {raw_cte} r ON r.host = n.host")
 
-    for i in range(1, iterations + 2):
+    for i in range(1, cap + 2):
         ctes += f""",
 ar{i} AS MATERIALIZED (
   SELECT hg.dst_host AS host, sum(hg.n_links * h{i - 1}.hub) AS raw
@@ -2984,16 +2996,31 @@ hr{i} AS MATERIALIZED (
   SELECT hg.src_host AS host, sum(hg.n_links * a{i}.auth) AS raw
   FROM hg JOIN a{i} ON a{i}.host = hg.dst_host GROUP BY 1),
 h{i} AS MATERIALIZED ({norm(f'hr{i}', 'hub')})"""
-    n, p = iterations, iterations + 1
+    chg = "\n  UNION ALL\n".join(
+        f"  SELECT x.host, {i} AS rnd"
+        f" FROM h{i} x JOIN h{i - 1} px ON px.host = x.host"
+        f" JOIN a{i} y ON y.host = x.host"
+        f" JOIN a{i - 1} py ON py.host = x.host"
+        f" WHERE x.hub <> px.hub OR y.auth <> py.auth"
+        for i in range(1, cap + 1))
+    ctes += f""",
+hchg AS MATERIALIZED (
+{chg}),
+hlast AS MATERIALIZED (
+  SELECT host, CAST(max(rnd) AS BIGINT) AS last_chg
+  FROM hchg GROUP BY host)"""
+    n, p = cap, cap + 1
     return (f"WITH {_LINKS_CTE}{ctes}\n"
             f"SELECT h.host, h.hub, a.auth,\n"
             f"       CAST(CASE WHEN nh.hub <> h.hub OR na.auth <> a.auth"
-            f" THEN 1 ELSE 0 END AS BIGINT) AS would_change\n"
+            f" THEN 1 ELSE 0 END AS BIGINT) AS would_change,\n"
+            f"       coalesce(l.last_chg, 0) AS last_chg\n"
             f"FROM h{n} h JOIN a{n} a USING (host)\n"
-            f"JOIN h{p} nh USING (host) JOIN a{p} na USING (host)")
+            f"JOIN h{p} nh USING (host) JOIN a{p} na USING (host)\n"
+            f"LEFT JOIN hlast l USING (host)")
 
 
-SQL_HOST_HITS = _hits_unrolled_sql(4, 1_000_000)
+SQL_HOST_HITS = _hits_unrolled_sql(HITS_ORACLE_CAP, 1_000_000)
 
 
 def _coreness_unrolled_sql(rounds: int) -> str:
@@ -3443,8 +3470,11 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/linkgraph.triangle_stats, hub-skew bounded by low→high
     (deg, host) edge orientation), and integer HITS hubs/authorities
     (section='hits': k1=host, v1=hub, v2=auth — Kleinberg mutual
-    reinforcement with exact max-normalization, operators/linkgraph.hits,
-    bit-identical across engines/partitionings), and the k-core
+    reinforcement with exact max-normalization run adaptively to its
+    pointwise-stable state, capped; operators/linkgraph.hits,
+    bit-identical across engines/partitionings, with a k2='converged'
+    gate row carrying sum(would_change) and the realized iteration
+    count max(last_chg)), and the k-core
     decomposition (section='core': k1=host, v1=coreness, v2=degree via
     synchronous h-index iterations, operators/linkgraph.coreness; the
     k2='converged' row gates sum(would_change)==0, i.e. the values ARE
@@ -3546,7 +3576,7 @@ def q_link_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("k2"), F.col("hub").alias("v1"),
         F.col("auth").alias("v2")
     ).unionByName(conv_row(ht, "hits", F.sum("would_change"),
-                           F.count("*")))
+                           F.max("last_chg")))
     seeds = (edges.select(F.col("src_host").alias("host"))
              .unionByName(edges.select(F.col("dst_host").alias("host")))
              .distinct().orderBy("host").limit(3))
@@ -3750,7 +3780,7 @@ SELECT section, k1, k2, v1, v2 FROM (
   UNION ALL
   SELECT 'hits', '', 'converged',
          CAST(coalesce(sum(would_change), 0) AS BIGINT),
-         CAST(count(*) AS BIGINT)
+         CAST(coalesce(max(last_chg), 0) AS BIGINT)
   FROM hts
   UNION ALL
   SELECT 'core', host, '', coreness, degree FROM crk

@@ -175,6 +175,7 @@ def test_hybrid_ops_on_empty_edges(spark):
     assert lg.pagerank(empty).count() == 0
     assert lg.coreness(empty).count() == 0
     assert lg.strongly_connected(empty).count() == 0
+    assert lg.hits(empty).count() == 0
     seeds = spark.createDataFrame([("x",)], "host string")
     assert lg.crawl_depth(empty, seeds).count() == 0
     assert lg.weakly_connected(empty).count() == 0
@@ -241,3 +242,60 @@ def test_sync_pagerank_huge_weights_no_int64_wrap(spark):
                                   ("b", "c", 1)], 1_000_000,
                                  fixed_rounds=2)
     assert sync == {n: v[0] for n, v in ref.items()}
+
+
+def test_oracle_caps_match_operator_caps():
+    """The cap the DuckDB oracles unroll to must equal the adaptive
+    operators' max-round budgets — the stability=>idempotence bridge
+    only holds when both engines share the same cap."""
+    from docling_graph_spark import queries as q
+
+    assert q.PAGERANK_ORACLE_CAP == lg.PAGERANK_MAX_ROUNDS
+    assert q.CORENESS_ORACLE_CAP == lg.CORENESS_MAX_ROUNDS
+    assert q.BFS_ORACLE_CAP == lg.BFS_MAX_ROUNDS
+    assert q.LPA_ORACLE_CAP == lg.LPA_MAX_ROUNDS
+    assert q.HITS_ORACLE_CAP == lg.HITS_MAX_ITERATIONS
+
+
+def test_hits_kernel_overflow_guard_falls_back_exactly():
+    """Huge weights push the rescale product past int64: the kernel's
+    exact-integer fallback must produce the same values the pure-Python
+    recurrence does (no silent wraparound)."""
+    from docling_graph_spark.kernels import graph_fixpoint as gfx
+
+    big = 1 << 45
+    e = [("u", "v", big), ("v", "w", big - 7), ("w", "u", 3)]
+    got = gfx.hits_graph(e, 1_000_000)
+    # pure-Python replay (arbitrary precision, the reference arithmetic)
+    nodes = sorted({x[0] for x in e} | {x[1] for x in e})
+    hub = dict.fromkeys(nodes, 1_000_000)
+    auth = dict.fromkeys(nodes, 1_000_000)
+    last = dict.fromkeys(nodes, 0)
+    def it(h):
+        raw = dict.fromkeys(nodes, 0)
+        for u, v, w in e:
+            raw[v] += w * h[u]
+        mx = max(raw.values())
+        a = {n: (raw[n] * 1_000_000 // mx if mx > 0 else 0)
+             for n in nodes}
+        raw = dict.fromkeys(nodes, 0)
+        for u, v, w in e:
+            raw[u] += w * a[v]
+        mx = max(raw.values())
+        return ({n: (raw[n] * 1_000_000 // mx if mx > 0 else 0)
+                 for n in nodes}, a)
+    for t in range(1, 33):
+        nh, na = it(hub)
+        ch = False
+        for n in nodes:
+            if nh[n] != hub[n] or na[n] != auth[n]:
+                last[n] = t
+                ch = True
+        hub, auth = nh, na
+        if not ch:
+            break
+    ph, pa = it(hub)
+    want = {n: (hub[n], auth[n],
+                int(ph[n] != hub[n] or pa[n] != auth[n]), last[n])
+            for n in nodes}
+    assert got == want

@@ -287,15 +287,61 @@ def _hits_replay(edges, iterations=4, scale=1_000_000):
     return hub, auth
 
 
-def test_hits_matches_sequential_replay(spark):
+def test_hits_fixed_budget_matches_sequential_replay(spark):
+    """An explicit ``iterations=`` budget replays exactly (the
+    unrolled-oracle contract)."""
     e = [("h1", "a1", 3), ("h1", "a2", 1), ("h2", "a1", 2),
          ("h2", "a3", 1), ("h3", "a2", 5)]
     edges = spark.createDataFrame(
         e, "src_host string, dst_host string, n_links long")
     got = {r["host"]: (r["hub"], r["auth"])
-           for r in op_lg.hits(edges).collect()}
+           for r in op_lg.hits(edges, iterations=4).collect()}
     hub, auth = _hits_replay(e)
     assert got == {n: (hub[n], auth[n]) for n in hub}
+
+
+def test_hits_adaptive_reaches_fixpoint(spark):
+    """Default (adaptive) HITS runs to pointwise stability: one more
+    iteration moves nothing (would_change == 0 everywhere) and
+    max(last_chg) is the realized iteration count — more iterations
+    than the old fixed budget of 4 on this graph."""
+    e = [("h1", "a1", 3), ("h1", "a2", 1), ("h2", "a1", 2),
+         ("h2", "a3", 1), ("h3", "a2", 5)]
+    edges = spark.createDataFrame(
+        e, "src_host string, dst_host string, n_links long")
+    rows = op_lg.hits(edges).collect()
+    assert all(r["would_change"] == 0 for r in rows)
+    realized = max(r["last_chg"] for r in rows)
+    assert realized == 19  # > the old fixed budget of 4
+    # idempotence: replaying the realized count as a fixed budget
+    # reproduces the adaptive values exactly
+    fixed = {r["host"]: (r["hub"], r["auth"])
+             for r in op_lg.hits(edges, iterations=realized).collect()}
+    assert fixed == {r["host"]: (r["hub"], r["auth"]) for r in rows}
+
+
+def test_hits_local_vs_sync_paths_identical(spark):
+    """The whole-graph Arrow kernel and the synchronous DataFrame
+    fallback agree value-for-value — adaptive on a fast-converging
+    star, fixed-budget on the reference graph (the sync path pays
+    real driver rounds, so keep its budgets small)."""
+    star = [("hub", f"a{i}", 1) for i in range(4)]
+    edges = spark.createDataFrame(
+        star, "src_host string, dst_host string, n_links long")
+    loc = {r["host"]: tuple(r) for r in op_lg.hits(edges).collect()}
+    syn = {r["host"]: tuple(r)
+           for r in op_lg.hits(edges, max_group_edges=1).collect()}
+    assert loc == syn
+    e = [("h1", "a1", 3), ("h1", "a2", 1), ("h2", "a1", 2),
+         ("h2", "a3", 1), ("h3", "a2", 5)]
+    edges = spark.createDataFrame(
+        e, "src_host string, dst_host string, n_links long")
+    loc = {r["host"]: tuple(r)
+           for r in op_lg.hits(edges, iterations=3).collect()}
+    syn = {r["host"]: tuple(r)
+           for r in op_lg.hits(edges, iterations=3,
+                               max_group_edges=1).collect()}
+    assert loc == syn
 
 
 def test_hits_partitioning_invariant(spark):
@@ -311,7 +357,10 @@ def test_hits_partitioning_invariant(spark):
 
 def test_hits_roles_separate_on_bipartite_graph(spark):
     """On a pure hub->authority bipartite graph, hubs get auth=0 and
-    authorities get hub=0; the best hub/authority hit the scale cap."""
+    authorities get hub=0; the best hub/authority hit the scale cap.
+    At the adaptive fixpoint the secondary scores land on the
+    golden-ratio point of the mutual-reinforcement recurrence
+    (1/phi ~ 0.618 * scale)."""
     e = [("h1", "a1", 1), ("h1", "a2", 1), ("h2", "a1", 1)]
     edges = spark.createDataFrame(
         e, "src_host string, dst_host string, n_links long")
@@ -321,8 +370,8 @@ def test_hits_roles_separate_on_bipartite_graph(spark):
     assert got["a1"][0] == 0 and got["a2"][0] == 0
     assert got["h1"][0] == 1_000_000          # links to both authorities
     assert got["a1"][1] == 1_000_000          # linked by both hubs
-    assert 0 < got["h2"][0] < 1_000_000
-    assert 0 < got["a2"][1] < 1_000_000
+    assert got["h2"][0] == 618_034            # integer 1/phi fixpoint
+    assert got["a2"][1] == 618_033
 
 
 # ---------------------------------------------------------------------------
