@@ -1,16 +1,22 @@
-"""Baseline JPEG codec — pure Python + numpy, no imaging libraries.
+"""Baseline + progressive JPEG codec — pure Python + numpy, no imaging
+libraries.
 
 JPEG is the dominant web image format, so the multimodal column's decode
 seam (`media_stub.decode_media`) needs a real pixel path for it, not
 just the SOF geometry probe.  This module implements the baseline
 sequential DCT process of ITU-T T.81 (the only process required of
-every JPEG decoder):
+every JPEG decoder) plus the Huffman progressive process of Annex G —
+roughly half of real web JPEGs:
 
-* marker segment walk (APPn/COM skipped, DQT/DHT/DRI/SOF0/SOF1/SOS);
+* marker segment walk (APPn/COM skipped, DQT/DHT/DRI/SOF0/1/2/SOS);
 * canonical Huffman decode of the entropy-coded segment with 0xFF00
   byte-stuffing and RSTn restart handling;
 * DC prediction, run/size AC coefficients (ZRL/EOB), dequantization,
   zigzag reorder, float64 2-D orthonormal IDCT, +128 level shift;
+* progressive (SOF2) multi-scan accumulation: spectral selection,
+  DC/AC successive approximation with EOB-run skipping and the
+  correction-bit refinement model of G.1.2.3, interleaved DC scans in
+  MCU order and single-component scans over the A.2.2 block grid;
 * chroma upsampling by SAMPLE REPLICATION (nearest neighbor) for
   subsampled components, and JFIF YCbCr -> RGB conversion.
 
@@ -18,16 +24,16 @@ Rounding is pinned everywhere to ``floor(x + 0.5)`` then clamp [0,255]
 so results are bit-deterministic across platforms — the contract the
 closed-form DuckDB oracle of the ``jpeg_decode`` driver stage replays.
 
-Progressive (SOF2), arithmetic coding, 12-bit precision and hierarchical
+Lossless (SOF3), arithmetic coding, 12-bit precision and hierarchical
 processes raise NotImplementedError with the process named — a routed
 error column upstream, never an executor crash.
 
 The encoder half exists to make the decoder testable without imaging
 libraries: grayscale or YCbCr 4:2:0 baseline JPEGs from raw samples
-using the T.81 Annex K example tables (K.1-K.6).  It is a fixture
-generator with the exact inverse math of the decoder, which is what
-lets unit tests compare decoded pixels against an independent
-IDCT-of-quantized-coefficients replay on arbitrary content.
+using the T.81 Annex K example tables (K.1-K.6), plus progressive
+variants carrying the SAME quantized coefficients (so progressive and
+baseline encodings of one image must decode to identical pixels — the
+invariant the tests and the driver oracle check).
 """
 
 from __future__ import annotations
@@ -247,6 +253,9 @@ def decode_jpeg(data: bytes) -> DecodedJpeg:
     width = height = 0
     restart_interval = 0
     scan_map: List[Tuple[int, int, int]] = []  # comp idx, dc table, ac
+    progressive = False
+    coefs: List[np.ndarray] = []   # per-comp (by, bx, 64) zigzag store
+    preds: List[int] = []
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -285,23 +294,37 @@ def decode_jpeg(data: bytes) -> DecodedJpeg:
                 dec = _HuffDecoder(bits, values)
                 (huff_dc if tc == 0 else huff_ac)[th] = dec
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline / ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             if seg[0] != 8:
                 raise NotImplementedError("only 8-bit precision supported")
+            progressive = marker == 0xC2
             height = int.from_bytes(seg[1:3], "big")
             width = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append(_Component(cid, hv >> 4, hv & 0xF, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if progressive:
+                hmax = max(c.h for c in comps)
+                vmax = max(c.v for c in comps)
+                mcux = -(-width // (8 * hmax))
+                mcuy = -(-height // (8 * vmax))
+                coefs = [np.zeros((mcuy * c.v, mcux * c.h, 64),
+                                  dtype=np.int64) for c in comps]
+                preds = [0] * len(comps)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG process 0xFF{marker:02X} (progressive/arithmetic/"
-                "hierarchical) not supported; baseline only")
+                f"JPEG process 0xFF{marker:02X} (lossless/arithmetic/"
+                "hierarchical) not supported")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[:2], "big")
         elif marker == 0xDA:  # SOS
+            if progressive:
+                pos = _decode_progressive_scan(
+                    data, pos + seglen, seg, comps, coefs, preds,
+                    width, height, huff_dc, huff_ac, restart_interval)
+                continue
             ns = seg[0]
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
@@ -312,6 +335,8 @@ def decode_jpeg(data: bytes) -> DecodedJpeg:
                                 qtables, huff_dc, huff_ac,
                                 restart_interval)
         pos += seglen
+    if progressive and coefs:
+        return _finish_progressive(comps, coefs, qtables, width, height)
     raise ValueError("no SOS marker found")
 
 
@@ -370,7 +395,13 @@ def _decode_scan(data, pos, width, height, comps, scan_map, qtables,
                         x0 = (mx * c.h + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px
 
-    # upsample by sample replication to full MCU-padded resolution, crop
+    return _assemble(comps, planes, width, height, hmax, vmax)
+
+
+def _assemble(comps, planes, width, height, hmax, vmax) -> DecodedJpeg:
+    """Upsample by sample replication to full MCU-padded resolution,
+    crop, and (for 3 components) JFIF YCbCr -> RGB convert — shared by
+    the baseline and progressive paths."""
     full = []
     for c, p in zip(comps, planes):
         fy, fx = vmax // c.v, hmax // c.h
@@ -388,6 +419,211 @@ def _decode_scan(data, pos, width, height, comps, scan_map, qtables,
     rgb = np.stack([r_, g_, b_], axis=-1)
     rgb = np.clip(_round_half_up(rgb), 0, 255).astype(np.uint8)
     return DecodedJpeg(width, height, 3, rgb.tobytes())
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoding (T.81 Annex G, Huffman successive approximation)
+# ---------------------------------------------------------------------------
+
+
+def _comp_block_grid(c, width, height, hmax, vmax) -> Tuple[int, int]:
+    """Non-interleaved block grid of one component (T.81 A.2.2): the
+    ceil-8 grid of the component's OWN dimensions — NOT the MCU-padded
+    grid interleaved scans cover."""
+    cw = -(-width * c.h // hmax)
+    ch = -(-height * c.v // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _decode_progressive_scan(data, pos, seg, comps, coefs, preds,
+                             width, height, huff_dc, huff_ac,
+                             restart_interval) -> int:
+    """Decode one progressive SOS into the per-component zigzag
+    coefficient stores; returns the byte offset of the next marker.
+
+    DC scans (Ss=0) may interleave several components in MCU order
+    (non-interleaved block order when the scan holds one component);
+    first scans (Ah=0) Huffman-decode the point-transformed DC diffs,
+    refinement scans append one bit per block.  AC scans hold exactly
+    one component and walk its own block grid with EOB-run skipping
+    (first scans) or the correction-bit algorithm of G.1.2.3
+    (refinement scans).  RSTn markers reset DC predictors and the EOB
+    run."""
+    ns = seg[0]
+    scomps = []
+    for i in range(ns):
+        cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+        ci = next(j for j, c in enumerate(comps) if c.cid == cs)
+        scomps.append((ci, tables >> 4, tables & 0xF))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    a = seg[3 + 2 * ns]
+    ah, al = a >> 4, a & 0xF
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    r = _BitReader(data, pos)
+    for i in range(len(preds)):
+        preds[i] = 0  # DC prediction restarts per scan
+    state = {"eobrun": 0}
+
+    def dc_unit(ci: int, tdc: int, by: int, bx: int):
+        blk = coefs[ci][by, bx]
+        if ah == 0:
+            t = r.decode_huff(huff_dc[tdc])
+            preds[ci] += _extend(r.read_bits(t), t)
+            blk[0] = preds[ci] << al
+        else:
+            if r.read_bit():
+                blk[0] |= 1 << al
+
+    def restart(unit_idx: int, total_units: int):
+        if (restart_interval and unit_idx
+                and unit_idx % restart_interval == 0
+                and unit_idx < total_units):
+            m = r.align_to_marker()
+            if not 0xD0 <= m <= 0xD7:
+                raise ValueError("expected RST marker")
+            for i in range(len(preds)):
+                preds[i] = 0
+            state["eobrun"] = 0
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        if ns > 1:  # interleaved MCU order
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            n_mcu = mcux * mcuy
+            for m_i in range(n_mcu):
+                restart(m_i, n_mcu)
+                my, mx = divmod(m_i, mcux)
+                for ci, tdc, _tac in scomps:
+                    c = comps[ci]
+                    for by in range(c.v):
+                        for bx in range(c.h):
+                            dc_unit(ci, tdc,
+                                    my * c.v + by, mx * c.h + bx)
+        else:  # single component: non-interleaved over its own grid
+            ci, tdc, _tac = scomps[0]
+            c = comps[ci]
+            bw, bh = _comp_block_grid(c, width, height, hmax, vmax)
+            for u in range(bh * bw):
+                restart(u, bh * bw)
+                by, bx = divmod(u, bw)
+                dc_unit(ci, tdc, by, bx)
+    else:
+        if ns != 1:
+            raise ValueError("interleaved AC scan")
+        ci, _tdc, tac = scomps[0]
+        c = comps[ci]
+        dec = huff_ac[tac]
+        bw, bh = _comp_block_grid(c, width, height, hmax, vmax)
+        for u in range(bh * bw):
+            restart(u, bh * bw)
+            by, bx = divmod(u, bw)
+            blk = coefs[ci][by, bx]
+            if ah == 0:
+                state["eobrun"] = _ac_first_block(
+                    r, blk, ss, se, al, dec, state["eobrun"])
+            else:
+                state["eobrun"] = _ac_refine_block(
+                    r, blk, ss, se, al, dec, state["eobrun"])
+    # locate the next marker after the entropy-coded segment
+    p = r.pos
+    if r.bit:
+        p += 2 if data[p] == 0xFF else 1
+    while p + 1 < len(data) and (data[p] != 0xFF
+                                 or data[p + 1] == 0x00):
+        p += 1
+    while p + 1 < len(data) and data[p + 1] == 0xFF:
+        p += 1  # 0xFF fill bytes before the marker
+    return p
+
+
+def _ac_first_block(r, blk, ss, se, al, dec, eobrun) -> int:
+    """First AC scan for one block (G.1.2.2): run/size pairs with the
+    point transform, EOBn codes skipping 2^rl-1+bits further blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = r.decode_huff(dec)
+        rl, sz = rs >> 4, rs & 0xF
+        if sz == 0:
+            if rl == 15:
+                k += 16
+                continue
+            eobrun = (1 << rl) - 1
+            if rl:
+                eobrun += r.read_bits(rl)
+            return eobrun
+        k += rl
+        if k > se:
+            raise ValueError("AC run overflow")
+        blk[k] = _extend(r.read_bits(sz), sz) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(r, blk, ss, se, al, dec, eobrun) -> int:
+    """AC refinement scan for one block (G.1.2.3): newly-nonzero
+    coefficients arrive as +-1 at bit ``al``; every already-nonzero
+    coefficient in the band consumes one correction bit as it is
+    passed (also inside EOB runs and ZRL skips)."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = r.decode_huff(dec)
+            rl, sz = rs >> 4, rs & 0xF
+            val = 0
+            if sz == 0:
+                if rl != 15:
+                    eobrun = 1 << rl
+                    if rl:
+                        eobrun += r.read_bits(rl)
+                    break
+            else:
+                if sz != 1:
+                    raise ValueError("bad AC refinement size")
+                val = p1 if r.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if r.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if rl == 0:
+                        break
+                    rl -= 1
+                k += 1
+            if k <= se and val:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if r.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finish_progressive(comps, coefs, qtables, width, height
+                        ) -> DecodedJpeg:
+    """Dequantize + IDCT the accumulated coefficient stores (vectorized
+    over the whole block grid) and assemble exactly as baseline."""
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    planes = []
+    for c, cf in zip(comps, coefs):
+        bh, bw = cf.shape[0], cf.shape[1]
+        blk = np.zeros((bh, bw, 64), dtype=np.int64)
+        blk[:, :, ZIGZAG] = cf
+        dq = blk.reshape(bh, bw, 8, 8) * qtables[c.tq]
+        px = _A.T @ dq.astype(float) @ _A + 128.0
+        px = np.clip(_round_half_up(px), 0, 255)
+        planes.append(px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return _assemble(comps, planes, width, height, hmax, vmax)
 
 
 # ---------------------------------------------------------------------------
@@ -566,3 +802,316 @@ def encode_jpeg_ycbcr420(width: int, height: int, y: bytes, cb: bytes,
             + _dht_segment(0, 0, DC_LUM) + _dht_segment(1, 0, AC_LUM)
             + _dht_segment(0, 1, DC_CHROM) + _dht_segment(1, 1, AC_CHROM)
             + sof + sos + bytes(w.out) + b"\xff\xd9")
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (fixture generator for the Annex-G decoder)
+# ---------------------------------------------------------------------------
+
+# Flat 8-bit AC table holding every (run<<4 | size) symbol for sizes
+# 0..10 — canonical, 176 codes of length 8 (Kraft 176/256 < 1; the
+# all-ones code stays unused), so EOBn (n = run, size 0) and ZRL are
+# all encodable.  The K.5 tables lack EOBn for n >= 1, which progressive
+# EOB-run coding needs.
+PROG_AC = ([0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+           [(rl << 4) | sz for rl in range(16) for sz in range(11)])
+
+
+class _ProgScanWriter:
+    """Per-scan encoder state (G.1.2.3): the bit writer, the pending
+    EOB run, and TWO correction-bit buffers — ``be`` holds bits owed to
+    the pending EOB run (emitted right after its EOBn code) and ``br``
+    the current block's bits (emitted right after the current block's
+    next symbol).  The split matters: the decoder reads a block's
+    pre-symbol history bits during that block's first symbol span, not
+    as part of the earlier EOB run."""
+
+    def __init__(self, w: _BitWriter, ac_codes):
+        self.w = w
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.be: List[int] = []   # bits riding behind the pending EOBn
+        self.br: List[int] = []   # bits of the current block
+
+    def flush_eob(self):
+        """Emit the pending EOBn code + its buffered correction bits.
+        Must run before any symbol of an uncovered block, and at scan
+        end / restart boundaries."""
+        if self.eobrun:
+            rl = self.eobrun.bit_length() - 1
+            if rl > 14:
+                raise ValueError("EOB run too long for one code")
+            code, ln = self.ac[rl << 4]
+            self.w.write(code, ln)
+            if rl:
+                self.w.write(self.eobrun - (1 << rl), rl)
+            self.eobrun = 0
+            for b in self.be:
+                self.w.write(b, 1)
+            self.be = []
+
+    def emit_br(self):
+        for b in self.br:
+            self.w.write(b, 1)
+        self.br = []
+
+    def end_block_covered(self):
+        """The rest of this block (or all of it) is EOB-covered: its
+        buffered bits transfer to the EOB-run buffer."""
+        self.eobrun += 1
+        self.be.extend(self.br)
+        self.br = []
+        if self.eobrun == 0x7FFF:
+            self.flush_eob()
+
+    def symbol(self, sym: int):
+        code, ln = self.ac[sym]
+        self.w.write(code, ln)
+
+
+def _enc_ac_first(pw: _ProgScanWriter, coef, ss, se, al):
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(coef[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        pw.flush_eob()
+        while r > 15:
+            pw.symbol(0xF0)  # ZRL
+            r -= 16
+        sz = t.bit_length()
+        pw.symbol((r << 4) | sz)
+        sv = t if v >= 0 else -t
+        pw.w.write(sv if sv >= 0 else sv + (1 << sz) - 1, sz)
+        r = 0
+    if r > 0:
+        pw.end_block_covered()
+
+
+def _enc_ac_refine(pw: _ProgScanWriter, coef, ss, se, al):
+    p1 = 1 << al
+    # index of the last NEWLY visible coefficient (|coef|>>al == 1);
+    # runs beyond it are EOB-covered, never ZRL-coded
+    eob_at = ss - 1
+    for k in range(ss, se + 1):
+        if abs(int(coef[k])) >> al == 1:
+            eob_at = k
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(coef[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob_at:
+            pw.flush_eob()
+            pw.symbol(0xF0)
+            r -= 16
+            pw.emit_br()
+        if t > 1:
+            # history coefficient: correction bit rides behind this
+            # block's next symbol (or its EOB run)
+            pw.br.append(t & 1)
+            continue
+        # newly visible +-1
+        pw.flush_eob()
+        pw.symbol((r << 4) | 1)
+        pw.w.write(1 if v >= 0 else 0, 1)
+        pw.emit_br()
+        r = 0
+    if r > 0 or pw.br:
+        pw.end_block_covered()
+    del p1
+
+
+def _enc_dc_first(w: _BitWriter, coef, pred: int, al: int,
+                  dc_codes) -> int:
+    tv = int(coef[0]) >> al  # arithmetic shift: the DC point transform
+    diff = tv - pred
+    t = _category(diff)
+    code, ln = dc_codes[t]
+    w.write(code, ln)
+    if t:
+        w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    return tv
+
+
+def _sof2(width, height, comp_specs) -> bytes:
+    body = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    body += bytes([len(comp_specs)])
+    for cid, hv, tq in comp_specs:
+        body += bytes([cid, hv, tq])
+    return b"\xff\xc2" + (2 + len(body)).to_bytes(2, "big") + body
+
+
+def _sos_prog(comp_tables, ss, se, ah, al) -> bytes:
+    body = bytes([len(comp_tables)])
+    for cs, tdc, tac in comp_tables:
+        body += bytes([cs, (tdc << 4) | tac])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + (2 + len(body)).to_bytes(2, "big") + body
+
+
+def encode_jpeg_gray_progressive(width: int, height: int,
+                                 samples: bytes,
+                                 restart_interval: int = 0) -> bytes:
+    """Progressive grayscale JPEG carrying the SAME quantized
+    coefficients as :func:`encode_jpeg_gray` — decoding either must
+    yield identical pixels, which is what the tests and the driver
+    oracle exploit.  The scan script exercises every Annex-G decode
+    path: DC successive approximation (first Al=1 + refinement), AC
+    spectral-selection first scans at Al=2 with EOB runs and ZRL, two
+    AC refinement passes, then the final full-band refinement to
+    Al=0.  ``restart_interval`` > 0 additionally emits DRI/RSTn with
+    per-interval predictor and EOB-run resets."""
+    plane = np.frombuffer(samples, dtype=np.uint8).reshape(height, width)
+    bh8, bw8 = -(-height // 8) * 8, -(-width // 8) * 8
+    padded = _pad_edge(plane, bh8, bw8)
+    blocks = []
+    for y0 in range(0, bh8, 8):
+        for x0 in range(0, bw8, 8):
+            blocks.append(_fdct_quant(padded[y0:y0 + 8, x0:x0 + 8],
+                                      QUANT_LUM))
+    dc_codes = _canonical_codes(*DC_LUM)
+    ac_codes = _canonical_codes(*PROG_AC)
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_segment(0, QUANT_LUM)
+    out += _dht_segment(0, 0, DC_LUM)
+    out += _dht_segment(1, 0, PROG_AC)
+    if restart_interval:
+        out += (b"\xff\xdd" + (4).to_bytes(2, "big")
+                + restart_interval.to_bytes(2, "big"))
+    out += _sof2(width, height, [(1, 0x11, 0)])
+
+    rst = [0]  # rolling RSTn modulant
+
+    def scan(ss, se, ah, al):
+        out.extend(_sos_prog([(1, 0, 0)], ss, se, ah, al))
+        w = _BitWriter()
+        pw = _ProgScanWriter(w, ac_codes)
+        pred = 0
+        for i, coef in enumerate(blocks):
+            if (restart_interval and i
+                    and i % restart_interval == 0):
+                pw.flush_eob()
+                w.flush()
+                out.extend(bytes(w.out))
+                out.extend(bytes([0xFF, 0xD0 + rst[0]]))
+                rst[0] = (rst[0] + 1) % 8
+                w.out.clear()
+                pred = 0
+            if ss == 0:
+                if ah == 0:
+                    pred = _enc_dc_first(w, coef, pred, al, dc_codes)
+                else:
+                    w.write((int(coef[0]) >> al) & 1, 1)
+            elif ah == 0:
+                _enc_ac_first(pw, coef, ss, se, al)
+            else:
+                _enc_ac_refine(pw, coef, ss, se, al)
+        pw.flush_eob()
+        w.flush()
+        out.extend(bytes(w.out))
+
+    scan(0, 0, 0, 1)      # DC first, Al=1
+    scan(1, 5, 0, 2)      # AC 1-5 first, Al=2
+    scan(6, 63, 0, 2)     # AC 6-63 first, Al=2
+    scan(0, 0, 1, 0)      # DC refinement
+    scan(1, 5, 2, 1)      # AC 1-5 refine 2->1
+    scan(6, 63, 2, 1)     # AC 6-63 refine 2->1
+    scan(1, 63, 1, 0)     # full-band refine 1->0
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_ycbcr420_progressive(width: int, height: int, y: bytes,
+                                     cb: bytes, cr: bytes) -> bytes:
+    """Progressive 4:2:0 color JPEG with the same quantized
+    coefficients as :func:`encode_jpeg_ycbcr420`: an interleaved
+    3-component DC first scan (MCU order, Al=1), full-band AC first
+    scans per component in non-interleaved block order (the A.2.2
+    grids the subsampled chroma components make non-trivial), and an
+    interleaved DC refinement scan."""
+    cw, ch = -(-width // 2), -(-height // 2)
+    yp = np.frombuffer(y, dtype=np.uint8).reshape(height, width)
+    cbp = np.frombuffer(cb, dtype=np.uint8).reshape(ch, cw)
+    crp = np.frombuffer(cr, dtype=np.uint8).reshape(ch, cw)
+    mcux, mcuy = -(-width // 16), -(-height // 16)
+    ypad = _pad_edge(yp, mcuy * 16, mcux * 16)
+    cbpad = _pad_edge(cbp, mcuy * 8, mcux * 8)
+    crpad = _pad_edge(crp, mcuy * 8, mcux * 8)
+    # quantized coefficient grids (padded MCU coverage for Y; chroma
+    # grids are their MCU grids too at 4:2:0)
+    ycf = {}
+    for by in range(mcuy * 2):
+        for bx in range(mcux * 2):
+            ycf[by, bx] = _fdct_quant(
+                ypad[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8], QUANT_LUM)
+    ccf = {}
+    for idx, plane in ((1, cbpad), (2, crpad)):
+        for by in range(mcuy):
+            for bx in range(mcux):
+                ccf[idx, by, bx] = _fdct_quant(
+                    plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8],
+                    QUANT_CHROM)
+    dcl = _canonical_codes(*DC_LUM)
+    dcc = _canonical_codes(*DC_CHROM)
+    ac_codes = _canonical_codes(*PROG_AC)
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_segment(0, QUANT_LUM) + _dqt_segment(1, QUANT_CHROM)
+    out += _dht_segment(0, 0, DC_LUM) + _dht_segment(0, 1, DC_CHROM)
+    out += _dht_segment(1, 0, PROG_AC)
+    out += _sof2(width, height, [(1, 0x22, 0), (2, 0x11, 1),
+                                 (3, 0x11, 1)])
+
+    # scan 1: interleaved DC first, Al=1
+    out += _sos_prog([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1)
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(2):
+                for bx in range(2):
+                    preds[0] = _enc_dc_first(
+                        w, ycf[my * 2 + by, mx * 2 + bx], preds[0], 1,
+                        dcl)
+            preds[1] = _enc_dc_first(w, ccf[1, my, mx], preds[1], 1, dcc)
+            preds[2] = _enc_dc_first(w, ccf[2, my, mx], preds[2], 1, dcc)
+    w.flush()
+    out += bytes(w.out)
+
+    # scans 2-4: per-component full-band AC first scans, Al=0, walking
+    # each component's OWN non-interleaved grid
+    comp_geom = {
+        1: (-(-width // 8), -(-height // 8), lambda by, bx: ycf[by, bx]),
+        2: (-(-cw // 8), -(-ch // 8), lambda by, bx: ccf[1, by, bx]),
+        3: (-(-cw // 8), -(-ch // 8), lambda by, bx: ccf[2, by, bx]),
+    }
+    for cid in (1, 2, 3):
+        bw_, bh_, get = comp_geom[cid]
+        out += _sos_prog([(cid, 0, 0)], 1, 63, 0, 0)
+        w = _BitWriter()
+        pw = _ProgScanWriter(w, ac_codes)
+        for u in range(bh_ * bw_):
+            by, bx = divmod(u, bw_)
+            _enc_ac_first(pw, get(by, bx), 1, 63, 0)
+        pw.flush_eob()
+        w.flush()
+        out += bytes(w.out)
+
+    # scan 5: interleaved DC refinement (Ah=1, Al=0)
+    out += _sos_prog([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0)
+    w = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(2):
+                for bx in range(2):
+                    w.write(int(ycf[my * 2 + by, mx * 2 + bx][0]) & 1, 1)
+            w.write(int(ccf[1, my, mx][0]) & 1, 1)
+            w.write(int(ccf[2, my, mx][0]) & 1, 1)
+    w.flush()
+    out += bytes(w.out)
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -70,8 +70,10 @@ def decode_media(payload: bytes, media_type: str):
     ``image/png`` decodes for real — stdlib-only codec
     (`kernels/png_codec.py`: chunk walk, IDAT inflate, full filter-0..4
     defilter).  ``image/jpeg`` decodes for real — baseline T.81 process
-    (`kernels/jpeg_codec.py`: marker walk, Huffman entropy decode,
-    dequant + IDCT, 4:2:0 upsample, YCbCr->RGB; progressive raises).
+    AND Huffman progressive (Annex G) (`kernels/jpeg_codec.py`: marker
+    walk, Huffman entropy decode, multi-scan successive-approximation
+    accumulation, dequant + IDCT, 4:2:0 upsample, YCbCr->RGB;
+    arithmetic/lossless/hierarchical raise).
     ``image/gif`` decodes for real — LZW with width growth and table
     reset, interlace, first frame composed onto the logical screen
     (`kernels/gif_codec.py`).  ``image/bmp`` decodes for real —

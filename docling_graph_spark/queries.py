@@ -5948,16 +5948,19 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wav_rows = _unpivot_single_row(wav_agg, "wav_decode")
 
-    # stage 'jpeg_decode': REAL baseline-JPEG pixel decode — solid-gray
-    # JPEGs (w = 8+d%9, h = 8+d%6, gray v = 128 + (d*13)%100) encoded by
-    # the fixture encoder (kernels/jpeg_codec.py: exact-integer DC
-    # quantization), decoded through the full marker/Huffman/IDCT path
-    # of decode_jpeg via media_decode_stats.  Solid blocks have DC-only
-    # spectra, so the decoded gray is the exact closed form
-    # p = 128 + 2*ceil(x/2) with x = v-128 (Q00=16: q = (x+1)//2,
-    # p = 128 + q*16/8), which the oracle replays per doc.
+    # stage 'jpeg_decode': REAL JPEG pixel decode — solid-gray JPEGs
+    # (w = 8+d%9, h = 8+d%6, gray v = 128 + (d*13)%100); EVEN doc_ids
+    # encode baseline, ODD doc_ids encode PROGRESSIVE (SOF2, Annex-G
+    # scan script: DC successive approximation + banded AC first scans
+    # with EOB runs + refinements — kernels/jpeg_codec.py round 4).
+    # Both carry identical quantized coefficients, so the decoded gray
+    # is the same exact closed form p = 128 + 2*ceil(x/2) with
+    # x = v-128 (Q00=16: q = (x+1)//2, p = 128 + q*16/8), which the
+    # oracle replays per doc; n_progressive gates that the SOF2 path
+    # really decoded (url prefix jpgp:, decoded=true).
     def build_jpegs(batches):
-        from docling_graph_spark.kernels.jpeg_codec import encode_jpeg_gray
+        from docling_graph_spark.kernels.jpeg_codec import (
+            encode_jpeg_gray, encode_jpeg_gray_progressive)
 
         for pdf in batches:
             urls, blobs = [], []
@@ -5965,8 +5968,13 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(did)
                 w, h = 8 + d % 9, 8 + d % 6
                 v = 128 + (d * 13) % 100
-                urls.append(f"jpg:{d}")
-                blobs.append(encode_jpeg_gray(w, h, bytes([v] * (w * h))))
+                raw = bytes([v] * (w * h))
+                if d % 2:
+                    urls.append(f"jpgp:{d}")
+                    blobs.append(encode_jpeg_gray_progressive(w, h, raw))
+                else:
+                    urls.append(f"jpg:{d}")
+                    blobs.append(encode_jpeg_gray(w, h, raw))
             yield pd.DataFrame({"url": urls, "html": blobs})
 
     jpgs = (
@@ -5984,6 +5992,8 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pixel_sum").alias("sum_pixel_values"),
         F.sum(F.col("width").cast("long")).alias("sum_width"),
         F.sum(F.col("height").cast("long")).alias("sum_height"),
+        F.sum((F.col("url").startswith("jpgp:")
+               & F.col("decoded")).cast("long")).alias("n_progressive"),
     )
     jpg_rows = _unpivot_single_row(jpg_agg, "jpeg_decode")
 
@@ -6134,7 +6144,9 @@ jsum AS (
          CAST(sum(w * h) AS BIGINT) AS sum_pixels,
          CAST(sum(p * w * h) AS BIGINT) AS sum_pixel_values,
          CAST(sum(w) AS BIGINT) AS sum_width,
-         CAST(sum(h) AS BIGINT) AS sum_height
+         CAST(sum(h) AS BIGINT) AS sum_height,
+         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_progressive
   FROM jpg
 ),
 wsum AS (
@@ -6197,7 +6209,7 @@ SELECT stage, metric, value FROM (
   UNION ALL
 {_sql_unpivot('jsum', 'jpeg_decode',
               ['n_jpegs', 'n_decoded', 'sum_pixels', 'sum_pixel_values',
-               'sum_width', 'sum_height'])}
+               'sum_width', 'sum_height', 'n_progressive'])}
   UNION ALL
 {_sql_unpivot('llsum', 'lossless_decode',
               ['n_images', 'n_decoded', 'sum_pixels', 'sum_pixel_values',

@@ -104,10 +104,15 @@ def test_malformed_and_unsupported_route_cleanly():
         J.decode_jpeg(good[:len(good) // 2])      # truncated entropy
     with pytest.raises(ValueError):
         J.decode_jpeg(b"nope")                     # no SOI
-    # progressive SOF2 -> explicit NotImplementedError, process named
-    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="baseline"):
-        J.decode_jpeg(prog)
+    # lossless SOF3 -> explicit NotImplementedError, process named
+    lossless = good.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    with pytest.raises(NotImplementedError, match="0xFFC3"):
+        J.decode_jpeg(lossless)
+    # a SOF2 header on a baseline single-scan stream is malformed
+    # progressive (full-band "DC" scan) and must error, not crash
+    bad_prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bad_prog)
 
 
 def test_decode_media_jpeg_integration():
@@ -119,3 +124,88 @@ def test_decode_media_jpeg_integration():
     dec = decode_media(data, "image/jpeg")
     assert (dec.width, dec.height, dec.channels) == (6, 4, 1)
     assert len(dec.pixels) == 24
+
+
+# ---------------------------------------------------------------------------
+# Progressive (Annex G) decoding
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("w,h,seed", [(16, 16, 0), (37, 23, 1),
+                                      (8, 8, 2), (57, 41, 3), (5, 9, 4)])
+def test_progressive_gray_equals_baseline(w, h, seed):
+    """The progressive encoder carries the same quantized coefficients
+    as the baseline encoder, so both encodings of one image must decode
+    to identical pixels — this drives every Annex-G path: DC successive
+    approximation, AC spectral selection with EOB runs/ZRL, and two
+    levels of AC refinement with correction bits."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8).tobytes()
+    base = J.decode_jpeg(J.encode_jpeg_gray(w, h, img))
+    prog = J.decode_jpeg(J.encode_jpeg_gray_progressive(w, h, img))
+    assert (prog.width, prog.height, prog.channels) == (w, h, 1)
+    assert prog.pixels == base.pixels
+
+
+def test_progressive_gray_smooth_content_long_eob_runs():
+    """Blocky smooth content leaves most AC bands empty, producing
+    multi-block EOB runs (EOBn, n >= 1) that the decoder must skip
+    while still consuming refinement correction bits."""
+    w, h = 88, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = ((xx // 19) * 31 + (yy // 17) * 23 + 90).astype(np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg_gray(w, h, img.tobytes()))
+    prog = J.decode_jpeg(J.encode_jpeg_gray_progressive(w, h,
+                                                        img.tobytes()))
+    assert prog.pixels == base.pixels
+
+
+@pytest.mark.parametrize("ri", [1, 3, 7])
+def test_progressive_restart_markers(ri):
+    """DRI/RSTn inside progressive scans reset the DC predictors and
+    the EOB run at every interval."""
+    rng = np.random.default_rng(ri)
+    w, h = 41, 33
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8).tobytes()
+    base = J.decode_jpeg(J.encode_jpeg_gray(w, h, img))
+    prog = J.decode_jpeg(
+        J.encode_jpeg_gray_progressive(w, h, img, restart_interval=ri))
+    assert prog.pixels == base.pixels
+
+
+@pytest.mark.parametrize("w,h,seed", [(16, 16, 0), (34, 22, 1),
+                                      (9, 13, 2), (48, 31, 3)])
+def test_progressive_color_420_equals_baseline(w, h, seed):
+    """Interleaved DC scans (MCU order over 2x2 luma + subsampled
+    chroma) plus non-interleaved per-component AC scans over the A.2.2
+    block grids must reproduce the baseline pixels exactly."""
+    rng = np.random.default_rng(seed)
+    cw, ch = -(-w // 2), -(-h // 2)
+    y = rng.integers(0, 256, size=h * w, dtype=np.uint8).tobytes()
+    cb = rng.integers(0, 256, size=ch * cw, dtype=np.uint8).tobytes()
+    cr = rng.integers(0, 256, size=ch * cw, dtype=np.uint8).tobytes()
+    base = J.decode_jpeg(J.encode_jpeg_ycbcr420(w, h, y, cb, cr))
+    prog = J.decode_jpeg(
+        J.encode_jpeg_ycbcr420_progressive(w, h, y, cb, cr))
+    assert (prog.width, prog.height, prog.channels) == (w, h, 3)
+    assert prog.pixels == base.pixels
+
+
+def test_progressive_truncation_errors_cleanly():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(24, 24), dtype=np.uint8).tobytes()
+    data = J.encode_jpeg_gray_progressive(24, 24, img)
+    with pytest.raises(Exception):
+        J.decode_jpeg(data[:len(data) * 2 // 3])
+
+
+def test_progressive_through_decode_media():
+    from docling_graph_spark.kernels.media_stub import (decode_media,
+                                                        sniff_media_type)
+
+    img = bytes([200]) * (16 * 8)
+    data = J.encode_jpeg_gray_progressive(16, 8, img)
+    assert sniff_media_type(data) == "image/jpeg"
+    dec = decode_media(data, "image/jpeg")
+    base = decode_media(J.encode_jpeg_gray(16, 8, img), "image/jpeg")
+    assert dec.pixels == base.pixels
