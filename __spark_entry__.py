@@ -250,6 +250,22 @@ Round-3 additions (still 50 total):
                         posting-block skipping: whole blocks below the
                         theta bound pruned before doc enumeration)
 
+Round-4 merge map (same driver-cap discipline):
+  media_pipeline_stats += jpeg_decode n_progressive metric (odd doc_ids
+                        now encode PROGRESSIVE SOF2 — T.81 Annex G
+                        multi-scan successive approximation — decoded
+                        through the same pixel path, same closed-form
+                        oracle) and image_phash stage (perceptual image
+                        dedup: exact-integer 63-bit DCT pHash over real
+                        BMP decodes + 9-band LSH near-dup join; the
+                        oracle recomputes every hash closed-form in SQL
+                        from the embedded fixed-point DCT table)
+  link_graph_stats   += hits section now ADAPTIVE to its pointwise-
+                        stable state (whole-graph Arrow kernel under
+                        the edge gate) with a converged/realized gate
+                        row (sum would_change, max last_chg) replayed
+                        by the cap-unrolled oracle
+
 Every merged section still runs its full operator; the single-purpose
 query functions remain in docling_graph_spark.queries as building blocks.
 

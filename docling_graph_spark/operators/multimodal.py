@@ -298,3 +298,126 @@ def exact_binary_dedup(web_pages: DataFrame) -> DataFrame:
         F.min("url").alias("canonical_url"),
         F.count("*").alias("n_copies"),
     )
+
+
+IMAGE_HASHES = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("media_type", T.StringType(), True),
+    T.StructField("decoded", T.BooleanType(), False),
+    T.StructField("phash", T.LongType(), True),
+    T.StructField("dhash", T.LongType(), True),
+    T.StructField("decode_error", T.StringType(), True),
+])
+
+
+def image_hashes(web_pages: DataFrame) -> DataFrame:
+    """Perceptual fingerprints over REAL decoded pixels: (url,
+    media_type, decoded, phash, dhash, decode_error).
+
+    Decodes each payload through the real codecs
+    (kernels/{jpeg,png,gif,bmp}_codec via media_stub.decode_media) and
+    computes the exact-integer DCT perceptual hash (63-bit, always a
+    non-negative long) and gradient hash (64-bit, stored as the signed
+    two's-complement long) of kernels/phash.py.  Decode failures route
+    to ``decode_error`` — never an executor crash.
+
+    Same 100-TB shape as `media_decode_stats`: one Arrow-batched
+    mapInPandas pass, (url, html) pruned across the boundary, no
+    shuffle — the hash column then feeds the banded near-dup join of
+    :func:`image_near_dup`.  The reference (single-document pipeline)
+    has no image-dedup analogue; this is the multimodal leg of the
+    training-data dedup family (text: MinHash/SimHash in
+    operators/dedup.py)."""
+    from ..kernels.media_stub import decode_media
+    from ..kernels.phash import dhash64, phash63
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "url": pdf["url"],
+                "media_type": [None] * n,
+                "decoded": [False] * n,
+                "phash": [None] * n,
+                "dhash": [None] * n,
+                "decode_error": [None] * n,
+            }
+            for i, payload in enumerate(pdf["html"]):
+                b = bytes(payload) if payload is not None else b""
+                mtype = sniff_media_type(b)
+                out["media_type"][i] = mtype
+                if not mtype.startswith("image/"):
+                    out["decode_error"][i] = "not an image"
+                    continue
+                try:
+                    dec = decode_media(b, mtype)
+                except Exception as exc:
+                    out["decode_error"][i] = f"undecodable: {exc}"
+                    continue
+                out["decoded"][i] = True
+                out["phash"][i] = phash63(dec.pixels, dec.width,
+                                          dec.height, dec.channels)
+                dh = dhash64(dec.pixels, dec.width, dec.height,
+                             dec.channels)
+                out["dhash"][i] = dh - (1 << 64) if dh >= (1 << 63) else dh
+            yield pd.DataFrame(out)
+
+    return web_pages.select("url", "html").mapInPandas(
+        process, schema=IMAGE_HASHES)
+
+
+PHASH_BANDS = 9
+PHASH_BAND_BITS = 7
+
+
+def image_near_dup(web_pages: DataFrame,
+                   max_hamming: int = 8) -> DataFrame:
+    """Perceptual near-duplicate image pairs: (url_a, url_b, phash_a,
+    phash_b, hamming), url_a < url_b, hamming <= ``max_hamming``.
+
+    LSH banding over the 63-bit pHash: 9 bands x 7 bits — two hashes
+    within Hamming distance d touch at most d bands, so for any
+    d <= 8 < 9 at least one band is IDENTICAL (pigeonhole) and the
+    band-bucket equi-join is provably COMPLETE for the default
+    threshold, never all-pairs.  Shuffle accounting: one explode (9x
+    row inflation on the hash relation only — ~17 bytes/row), one
+    equi-join on (band, value), one distinct on the (a, b) pair after
+    the exact bit_count verify.  At web scale a hot bucket means many
+    genuinely near-identical images — exactly the rows the job exists
+    to emit.  ``max_hamming`` > 8 falls back to more bands being
+    needed; the guard raises rather than silently missing pairs."""
+    if max_hamming >= PHASH_BANDS:
+        raise ValueError(
+            f"banding with {PHASH_BANDS} bands is only complete for "
+            f"hamming <= {PHASH_BANDS - 1}; got {max_hamming}")
+    hashes = (image_hashes(web_pages)
+              .filter(F.col("decoded"))
+              .select("url", "phash"))
+    bands = hashes.select(
+        "url", "phash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("phash"), PHASH_BAND_BITS * i)
+                .bitwiseAND(F.lit((1 << PHASH_BAND_BITS) - 1))
+                .alias("val"))
+            for i in range(PHASH_BANDS)
+        ])).alias("bv"),
+    ).select("url", "phash", F.col("bv.band").alias("band"),
+             F.col("bv.val").alias("val"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.url") < F.col("b.url")))
+        .select(F.col("a.url").alias("url_a"),
+                F.col("b.url").alias("url_b"),
+                F.col("a.phash").alias("phash_a"),
+                F.col("b.phash").alias("phash_b"))
+        .distinct()
+        .withColumn("hamming", F.bit_count(
+            F.col("phash_a").bitwiseXOR(F.col("phash_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

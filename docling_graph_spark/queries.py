@@ -6042,9 +6042,87 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("height").cast("long")).alias("sum_height"),
     )
     ll_rows = _unpivot_single_row(ll_agg, "lossless_decode")
+
+    # stage 'image_phash' (round 4): perceptual image dedup over REAL
+    # decoded pixels — 20 32x32 grayscale BMPs synthesized as DENSE
+    # low-band cosine fields from the SAME fixed-point DCT table the
+    # hash uses: every non-DC coefficient (u,v) of the 8x8 band gets a
+    # signed magnitude mag = 60//(1+u+v) + (h*7+u*3+v)%5 (h = d//2),
+    # sign from ((h+3)*(u*8+v+7)*31//8)%2, pixel = clamp(128 +
+    # (sum c*T[u][x]*T[v][y] >> 22)).  A dense spectrum keeps every
+    # hash bit decisively away from the median (pure noise or sparse
+    # gradients leave coefficients median-tied and the bits fragile).
+    # Odd d is a PLANTED NEAR-DUP of pattern d-1: a mild contrast drop
+    # mag -= mag//5 — planted pairs land at Hamming 2-6, unrelated
+    # images at >= 20.  operators/multimodal.image_hashes decodes
+    # through the real BMP codec and computes the exact-integer 63-bit
+    # DCT pHash (kernels/phash.py); image_near_dup's 9-band x 7-bit
+    # LSH join (complete for Hamming <= 8 by pigeonhole) must find
+    # exactly the pairs brute force finds.  The oracle recomputes every
+    # hash closed-form in SQL — same DCT table embedded — and replays
+    # per-image hashes, the found-pair count and the distance sum.
+    # (All shared integer ops keep operands non-negative or use >>,
+    # because DuckDB's // and % truncate toward zero while Python
+    # floors.)
+    def build_phash_bmps(batches):
+        from docling_graph_spark.kernels.bmp_codec import encode_bmp_rgb
+        from docling_graph_spark.kernels.phash import DCT_TABLE as T
+
+        for pdf in batches:
+            urls, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h = (d - d % 2) // 2
+                comps = []
+                for u in range(8):
+                    for v in range(8):
+                        if u == 0 and v == 0:
+                            continue
+                        mag = 60 // (1 + u + v) + (h * 7 + u * 3 + v) % 5
+                        if d % 2:
+                            mag -= mag // 5
+                        sign = (1 if ((h + 3) * (u * 8 + v + 7) * 31
+                                      // 8) % 2 else -1)
+                        comps.append((u, v, sign * mag))
+                px = bytearray()
+                for y in range(32):
+                    for x in range(32):
+                        s = sum(c * T[u][x] * T[v][y]
+                                for u, v, c in comps)
+                        val = max(0, min(255, 128 + (s >> 22)))
+                        px += bytes((val, val, val))
+                urls.append(f"ph:{d:02d}")
+                blobs.append(encode_bmp_rgb(32, 32, bytes(px)))
+            yield pd.DataFrame({"url": urls, "html": blobs})
+
+    ph_pages = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id")
+        .mapInPandas(build_phash_bmps, "url string, html binary")
+    )
+    ph = op_mm.image_hashes(ph_pages)
+    ph_agg = ph.agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.sum(F.col("decoded").cast("long")).alias("n_hashed"),
+    )
+    ph_hash_rows = ph.select(
+        F.lit("image_phash").alias("stage"),
+        F.col("url").alias("metric"),
+        F.col("phash").cast("string").alias("value"))
+    ph_pairs = op_mm.image_near_dup(ph_pages, max_hamming=8)
+    ph_pair_agg = ph_pairs.agg(
+        F.count("*").cast("long").alias("pairs_within_8"),
+        F.coalesce(F.sum("hamming"), F.lit(0)).cast("long")
+        .alias("sum_dist_within_8"),
+    )
+    ph_rows = (_unpivot_single_row(ph_agg, "image_phash")
+               .unionByName(ph_hash_rows)
+               .unionByName(_unpivot_single_row(ph_pair_agg,
+                                                "image_phash")))
     return (media_rows.unionByName(png_rows).unionByName(probe_rows)
             .unionByName(wav_rows).unionByName(jpg_rows)
-            .unionByName(ll_rows)
+            .unionByName(ll_rows).unionByName(ph_rows)
             .orderBy("stage", "metric"))
 
 
@@ -6054,6 +6132,89 @@ def _sql_unpivot(cte: str, stage: str, metrics: list) -> str:
         f"CAST({m} AS VARCHAR) AS value FROM {cte}"
         for m in metrics
     )
+
+
+def _phash_oracle_ctes() -> str:
+    """CTE chain replaying kernels/phash.phash63 closed-form for the
+    image_phash stage's 20 BMP fixtures: byte -> integer luma ->
+    (identity 32x32 downsample) -> exact-int two-stage DCT against the
+    embedded fixed-point cosine table -> rank-32 median -> 63-bit hash
+    -> brute-force pair Hamming distances.  The constants come from the
+    SAME DCT_TABLE the kernel uses, so both engines share them by
+    construction."""
+    from .kernels.phash import DCT_TABLE
+
+    tab = ",".join(f"({u},{y},{DCT_TABLE[u][y]})"
+                   for u in range(8) for y in range(32))
+
+
+    return f""",
+pimg AS (SELECT DISTINCT doc_id AS d FROM documents WHERE doc_id < 20),
+ptab(u, y, v) AS (VALUES {tab}),
+pcmp AS MATERIALIZED (
+  SELECT i.d, uu.u AS cu, vv.u AS cv,
+         (CASE WHEN ((((i.d - i.d % 2) // 2 + 3)
+                      * (uu.u * 8 + vv.u + 7) * 31) // 8) % 2 = 1
+               THEN 1 ELSE -1 END)
+         * (60 // (1 + uu.u + vv.u)
+            + (((i.d - i.d % 2) // 2) * 7 + uu.u * 3 + vv.u) % 5
+            - CASE WHEN i.d % 2 = 1
+                   THEN (60 // (1 + uu.u + vv.u)
+                         + (((i.d - i.d % 2) // 2) * 7
+                            + uu.u * 3 + vv.u) % 5) // 5
+                   ELSE 0 END) AS c
+  FROM pimg i, (SELECT DISTINCT u FROM ptab) uu,
+       (SELECT DISTINCT u FROM ptab) vv
+  WHERE NOT (uu.u = 0 AND vv.u = 0)),
+pluma AS MATERIALIZED (
+  SELECT m.d, pp.y, pp.x,
+         greatest(0, least(255, 128 + (sum(m.c * tx.v * ty.v) >> 22)))
+           AS g
+  FROM pcmp m
+  JOIN (SELECT a.y AS x, b.y AS y FROM (SELECT DISTINCT y FROM ptab) a,
+        (SELECT DISTINCT y FROM ptab) b) pp ON TRUE
+  JOIN ptab tx ON tx.u = m.cu AND tx.y = pp.x
+  JOIN ptab ty ON ty.u = m.cv AND ty.y = pp.y
+  GROUP BY m.d, pp.y, pp.x),
+prow AS MATERIALIZED (
+  SELECT l.d, t.u, l.x, sum(t.v * l.g) AS r
+  FROM pluma l JOIN ptab t ON t.y = l.y GROUP BY 1, 2, 3),
+pcoef AS MATERIALIZED (
+  SELECT r.d, r.u, t.u AS vv, sum(t.v * r.r) AS c
+  FROM prow r JOIN ptab t ON t.y = r.x GROUP BY 1, 2, 3),
+pmed AS (
+  SELECT d, c AS med FROM (
+    SELECT d, c, row_number() OVER (PARTITION BY d ORDER BY c) AS rn
+    FROM pcoef WHERE NOT (u = 0 AND vv = 0)) WHERE rn = 32),
+phsh AS MATERIALIZED (
+  SELECT c.d, CAST(sum(CASE WHEN c.c > m.med
+      THEN (CAST(1 AS BIGINT) << (63 - c.u * 8 - c.vv))
+      ELSE 0 END) AS BIGINT) AS hash
+  FROM pcoef c JOIN pmed m ON m.d = c.d
+  WHERE NOT (c.u = 0 AND c.vv = 0) GROUP BY c.d),
+ppair AS (
+  SELECT a.d AS da, b.d AS db, bit_count(xor(a.hash, b.hash)) AS dist
+  FROM phsh a JOIN phsh b ON a.d < b.d)"""
+
+
+_PHASH_ORACLE_ROWS = """
+  UNION ALL
+  SELECT 'image_phash', 'n_images',
+         CAST(count(*) AS VARCHAR) FROM phsh
+  UNION ALL
+  SELECT 'image_phash', 'n_hashed',
+         CAST(count(*) AS VARCHAR) FROM phsh
+  UNION ALL
+  SELECT 'image_phash', 'ph:' || lpad(CAST(d AS VARCHAR), 2, '0'),
+         CAST(hash AS VARCHAR) FROM phsh
+  UNION ALL
+  SELECT 'image_phash', 'pairs_within_8',
+         CAST(coalesce(sum(CASE WHEN dist <= 8 THEN 1 ELSE 0 END), 0)
+              AS VARCHAR) FROM ppair
+  UNION ALL
+  SELECT 'image_phash', 'sum_dist_within_8',
+         CAST(coalesce(sum(CASE WHEN dist <= 8 THEN dist ELSE 0 END), 0)
+              AS VARCHAR) FROM ppair"""
 
 
 SQL_MEDIA_PIPELINE_STATS = f"""
@@ -6164,7 +6325,7 @@ wsum AS (
          CAST((SELECT sum(f) FROM wav) AS BIGINT) AS sum_frames,
          (SELECT s FROM wabs) AS sum_abs,
          (SELECT p FROM wabs) AS max_peak
-)
+){_phash_oracle_ctes()}
 SELECT stage, metric, value FROM (
   SELECT 'media' AS stage, media_type || ':n_docs' AS metric,
          CAST(n_docs AS VARCHAR) AS value FROM m
@@ -6213,7 +6374,7 @@ SELECT stage, metric, value FROM (
   UNION ALL
 {_sql_unpivot('llsum', 'lossless_decode',
               ['n_images', 'n_decoded', 'sum_pixels', 'sum_pixel_values',
-               'sum_width', 'sum_height'])}
+               'sum_width', 'sum_height'])}{_PHASH_ORACLE_ROWS}
 ) ORDER BY stage, metric
 """
 
