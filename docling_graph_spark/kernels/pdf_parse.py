@@ -7,7 +7,11 @@ stub, this kernel implements a genuine — deliberately small — PDF content
 parser for the common "simple" shape of machine-generated PDFs:
 
 * object scan (``N G obj ... endobj``) without relying on the xref table
-  (robust to linearized / appended files);
+  (robust to linearized / appended files — and, round 4, to
+  COMPRESSED-XREF files: ``/Type /ObjStm`` object streams are inflated
+  and their member objects added to the object table, which is what
+  PDF 1.5+ cross-reference-stream files need; the ``/Type /XRef``
+  stream itself carries only object locations and is ignored);
 * stream decoding: raw or ``/Filter /FlateDecode`` via stdlib ``zlib``;
 * page discovery via ``/Type /Page`` objects and their ``/Contents``
   references (single ref or array), pages ordered by object number;
@@ -16,7 +20,15 @@ parser for the common "simple" shape of machine-generated PDFs:
   strings, arrays; text shown by ``Tj``, ``'``, ``"`` and ``TJ`` inside
   ``BT``/``ET`` blocks; newlines emitted for ``Td``/``TD``/``T*``/``'``;
 * string decoding: UTF-16BE when BOM-prefixed, else Latin-1 (the identity
-  superset of PDFDocEncoding for the printable range).
+  superset of PDFDocEncoding for the printable range);
+* CID/composite fonts (round 4): per-page ``/Resources /Font`` fonts
+  (inherited through ``/Parent`` when absent) with a ``/ToUnicode``
+  CMap get their show strings decoded as fixed-width character codes
+  through the CMap (``begincodespacerange`` sets the code width;
+  ``bfchar`` + ``bfrange``, including array destinations and the
+  increment-last-unit range form, destinations UTF-16BE) — the path
+  real-crawl Type0/Identity-H PDFs need; fonts without ToUnicode keep
+  the Latin-1 byte path.
 
 Everything is a pure function of the payload bytes — no clocks, no I/O —
 so extracted text is byte-stable across runs and cluster sizes, which is
@@ -112,12 +124,68 @@ def _parse_hex_string(data: bytes, i: int) -> Tuple[bytes, int]:
     return bytes.fromhex(hex_digits.decode("ascii")), end + 1
 
 
-def extract_content_stream_text(data: bytes) -> str:
+def _parse_tounicode(data: bytes) -> dict:
+    """Parse a ToUnicode CMap stream into {"nbytes": code width,
+    "map": {int code -> str}}.  Handles ``begincodespacerange`` (code
+    width from the first range's hex length), ``bfchar`` pairs, and
+    ``bfrange`` in both forms — single destination (successive codes
+    increment the destination value) and array destination.  All
+    destinations are UTF-16BE hex."""
+    nbytes = 2
+    cs = re.search(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", data)
+    if cs:
+        nbytes = max(1, len(cs.group(1)) // 2)
+
+    def dst_text(hexs: bytes) -> str:
+        return bytes.fromhex(hexs.decode("ascii")).decode(
+            "utf-16-be", "replace")
+
+    mp: dict = {}
+    for sec in re.finditer(rb"beginbfchar(.*?)endbfchar", data,
+                           re.DOTALL):
+        for pm in re.finditer(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", sec.group(1)):
+            mp[int(pm.group(1), 16)] = dst_text(pm.group(2))
+    for sec in re.finditer(rb"beginbfrange(.*?)endbfrange", data,
+                           re.DOTALL):
+        for rm in re.finditer(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+                rb"(<[0-9A-Fa-f]+>|\[[^\]]*\])", sec.group(1)):
+            lo, hi = int(rm.group(1), 16), int(rm.group(2), 16)
+            dst = rm.group(3)
+            if dst.startswith(b"["):
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", dst)
+                for i, dh in enumerate(dsts):
+                    if lo + i <= hi:
+                        mp[lo + i] = dst_text(dh)
+            else:
+                dh = dst[1:-1]
+                width = len(dh) // 2
+                base = int(dh, 16)
+                for i in range(hi - lo + 1):
+                    raw = (base + i).to_bytes(max(width, 2), "big")
+                    mp[lo + i] = raw.decode("utf-16-be", "replace")
+    return {"nbytes": nbytes, "map": mp}
+
+
+def _decode_with_cmap(raw: bytes, cmap: dict) -> str:
+    nb = cmap["nbytes"]
+    mp = cmap["map"]
+    return "".join(
+        mp.get(int.from_bytes(raw[k:k + nb], "big"), "�")
+        for k in range(0, len(raw) - nb + 1, nb))
+
+
+def extract_content_stream_text(data: bytes,
+                                fontmaps: Optional[dict] = None) -> str:
     """Extract shown text from one decoded content stream.
 
     Tokenizes the stream; inside BT/ET, ``Tj``/``'``/``\"`` show the last
     string, ``TJ`` shows every string element of the last array, and
-    ``Td``/``TD``/``T*``/``'`` start a new output line.
+    ``Td``/``TD``/``T*``/``'`` start a new output line.  ``fontmaps``
+    maps resource font names (e.g. ``F1``) to parsed ToUnicode CMaps;
+    after ``/F1 12 Tf`` selects such a font, show strings decode as
+    fixed-width character codes through its CMap instead of bytes.
     """
     out: List[str] = []
     line_open = False  # emitted text since last newline
@@ -126,6 +194,8 @@ def extract_content_stream_text(data: bytes) -> str:
     last_str: Optional[bytes] = None
     arr_stack: List[List[bytes]] = []
     last_arr: Optional[List[bytes]] = None
+    last_name: Optional[str] = None
+    cur_cmap: Optional[dict] = None
     i = 0
     n = len(data)
 
@@ -138,7 +208,9 @@ def extract_content_stream_text(data: bytes) -> str:
     def show(raw: Optional[bytes]) -> None:
         nonlocal line_open
         if raw:
-            text = _decode_pdf_string(raw)
+            text = (_decode_with_cmap(raw, cur_cmap)
+                    if cur_cmap is not None
+                    else _decode_pdf_string(raw))
             if text:
                 out.append(text)
                 line_open = True
@@ -185,6 +257,7 @@ def extract_content_stream_text(data: bytes) -> str:
             while j < n and data[j : j + 1] not in _WHITESPACE \
                     and data[j : j + 1] not in _DELIMS:
                 j += 1
+            last_name = data[i + 1:j].decode("latin-1")
             i = j
         else:  # number or operator token
             j = i
@@ -198,6 +271,9 @@ def extract_content_stream_text(data: bytes) -> str:
             elif tok == b"ET":
                 in_text = False
                 newline()
+            elif tok == b"Tf":
+                cur_cmap = (fontmaps.get(last_name)
+                            if fontmaps and last_name else None)
             elif not in_text:
                 continue
             elif tok == b"Tj":
@@ -258,6 +334,82 @@ def _decode_stream(obj_body: bytes) -> Optional[bytes]:
     return raw
 
 
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_N_RE = re.compile(rb"/N\s+(\d+)\b")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)\b")
+
+
+def _expand_object_streams(objects: dict) -> None:
+    """Inflate every ``/Type /ObjStm`` and add its member objects (the
+    PDF 1.5 compressed-object form that cross-reference-stream files
+    use).  The stream begins with N (objnum, offset) integer pairs;
+    member bodies start at /First + offset.  Direct objects win on
+    number collision (setdefault), matching incremental-update
+    semantics where the newest (uncompressed) definition is live."""
+    for body in [b for b in objects.values() if _OBJSTM_RE.search(b)]:
+        data = _decode_stream(body)
+        nm, fm = _N_RE.search(body), _FIRST_RE.search(body)
+        if data is None or not (nm and fm):
+            continue
+        n_objs, first = int(nm.group(1)), int(fm.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * n_objs:
+            continue
+        for k in range(n_objs):
+            try:
+                onum = int(header[2 * k])
+                off = int(header[2 * k + 1])
+                end = (int(header[2 * k + 3]) if k + 1 < n_objs
+                       else len(data) - first)
+            except ValueError:
+                break
+            objects.setdefault(onum, data[first + off:first + end])
+
+
+_RES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
+_FONT_REF_RE = re.compile(rb"/Font\s+(\d+)\s+\d+\s+R")
+_FONT_INLINE_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_FONT_ENTRY_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_PARENT_RE = re.compile(rb"/Parent\s+(\d+)\s+\d+\s+R")
+
+
+def _page_font_cmaps(body: bytes, objects: dict) -> Optional[dict]:
+    """Resolve a page's /Resources /Font entries (inheriting through
+    /Parent when the page has none) to {font_name: parsed ToUnicode
+    CMap} for fonts that carry one; None when no mapped font exists
+    (the cheap common path)."""
+    hops = 0
+    node = body
+    while node is not None and hops < 8:
+        if b"/Resources" in node:
+            break
+        pm = _PARENT_RE.search(node)
+        node = objects.get(int(pm.group(1))) if pm else None
+        hops += 1
+    if node is None or b"/Resources" not in node:
+        return None
+    rm = _RES_REF_RE.search(node)
+    res = objects.get(int(rm.group(1)), b"") if rm else node
+    fi = _FONT_INLINE_RE.search(res)
+    if fi:
+        region = fi.group(1)
+    else:
+        fr = _FONT_REF_RE.search(res)
+        region = objects.get(int(fr.group(1)), b"") if fr else b""
+    cmaps = {}
+    for m in _FONT_ENTRY_RE.finditer(region):
+        fbody = objects.get(int(m.group(2)), b"")
+        tm = _TOUNICODE_RE.search(fbody)
+        if not tm:
+            continue
+        cm_data = _decode_stream(objects.get(int(tm.group(1)), b""))
+        if cm_data is not None:
+            cmaps[m.group(1).decode("latin-1")] = _parse_tounicode(
+                cm_data)
+    return cmaps or None
+
+
 def extract_real_pdf_text(payload: bytes) -> Tuple[str, Optional[str]]:
     """Extract text from a real (simple) PDF; returns (text, error).
 
@@ -270,6 +422,7 @@ def extract_real_pdf_text(payload: bytes) -> Tuple[str, Optional[str]]:
         objects.setdefault(int(m.group(1)), m.group(2))
     if not objects:
         return "", "unsupported PDF structure (no objects found)"
+    _expand_object_streams(objects)
 
     page_texts: List[str] = []
     page_objs = [
@@ -285,11 +438,12 @@ def extract_real_pdf_text(payload: bytes) -> Tuple[str, Optional[str]]:
             ref = _CONTENTS_REF_RE.search(body)
             if ref:
                 content_ids = [int(ref.group(1))]
+        fontmaps = _page_font_cmaps(body, objects)
         parts = []
         for cid in content_ids:
             stream = _decode_stream(objects.get(cid, b""))
             if stream is not None:
-                t = extract_content_stream_text(stream)
+                t = extract_content_stream_text(stream, fontmaps)
                 if t:
                     parts.append(t)
         page_texts.append("\n".join(parts))
@@ -307,3 +461,118 @@ def extract_real_pdf_text(payload: bytes) -> Tuple[str, Optional[str]]:
     if not text:
         return "", "no extractable text (scanned or unsupported encoding)"
     return text, None
+
+
+# ---------------------------------------------------------------------------
+# Fixture encoder: compressed-xref (ObjStm + XRef stream) CID-font PDF
+# ---------------------------------------------------------------------------
+
+
+def encode_pdf_objstm_cid(text: str) -> bytes:
+    """Build a genuine PDF 1.5 document exercising the two features
+    that gate most real-crawl PDFs: the catalog/pages/page/font objects
+    live COMPRESSED inside a ``/Type /ObjStm`` object stream located
+    only via a ``/Type /XRef`` cross-reference STREAM (no classic xref
+    table), and the text is shown through a Type0 ``/Identity-H``
+    composite font as 2-byte character codes that only the font's
+    ``/ToUnicode`` CMap can map back to Unicode.
+
+    Character codes: digits get a contiguous CID block 0x00D0..0x00D9
+    mapped by ONE ``bfrange`` (the increment form); every other
+    distinct character of ``text`` (including the newline) gets
+    0x0100+i mapped by ``bfchar`` entries (chunked 100/block per the
+    CMap spec).  Decoding the result through
+    :func:`extract_real_pdf_text` must reproduce ``text`` byte-for-byte
+    — the same round-trip invariant the uncompressed fixture family
+    checks.
+    """
+    digits = "0123456789"
+    others = sorted({ch for ch in text if ch not in digits})
+    cid_of = {ch: 0x00D0 + digits.index(ch) if ch in digits
+              else 0x0100 + others.index(ch) for ch in set(text)}
+    hex_codes = "".join(f"{cid_of[ch]:04X}" for ch in text)
+    content = f"BT /F1 12 Tf <{hex_codes}> Tj ET".encode("ascii")
+    content_z = zlib.compress(content)
+
+    bfchars = []
+    for ch in others:
+        dst = ch.encode("utf-16-be").hex().upper()
+        bfchars.append(f"<{0x0100 + others.index(ch):04X}> <{dst}>")
+    blocks = []
+    for i in range(0, len(bfchars), 100):
+        chunk = bfchars[i:i + 100]
+        blocks.append(f"{len(chunk)} beginbfchar\n"
+                      + "\n".join(chunk) + "\nendbfchar")
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "12 dict begin\nbegincmap\n"
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        "1 beginbfrange\n<00D0> <00D9> <0030>\nendbfrange\n"
+        + ("\n".join(blocks) + "\n" if blocks else "")
+        + "endcmap\nCMapName currentdict /CMap defineresource pop\n"
+          "end\nend\n"
+    ).encode("ascii")
+    cmap_z = zlib.compress(cmap)
+
+    # members of the object stream: 1 catalog, 2 pages, 3 page, 5 font
+    members = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        (5, b"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
+            b"/Encoding /Identity-H /ToUnicode 7 0 R >>"),
+    ]
+    offs, bodies, pos = [], [], 0
+    for onum, b in members:
+        offs.append(f"{onum} {pos}")
+        bodies.append(b)
+        pos += len(b) + 1
+    header = (" ".join(offs) + "\n").encode("ascii")
+    objstm_payload = header + b"\n".join(bodies) + b"\n"
+    objstm_z = zlib.compress(objstm_payload)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+
+    def emit(num: int, dict_bytes: bytes, stream: Optional[bytes] = None):
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode("ascii"))
+        out.extend(dict_bytes)
+        if stream is not None:
+            out.extend(b"\nstream\n")
+            out.extend(stream)
+            out.extend(b"\nendstream")
+        out.extend(b"\nendobj\n")
+
+    emit(4, f"<< /Length {len(content_z)} /Filter /FlateDecode >>"
+         .encode("ascii"), content_z)
+    emit(7, f"<< /Length {len(cmap_z)} /Filter /FlateDecode >>"
+         .encode("ascii"), cmap_z)
+    emit(6, (f"<< /Type /ObjStm /N {len(members)} "
+             f"/First {len(header)} /Length {len(objstm_z)} "
+             f"/Filter /FlateDecode >>").encode("ascii"), objstm_z)
+
+    # cross-reference STREAM (/W [1 2 2]): type-0 free, type-1 offset,
+    # type-2 (objstm, index) for the compressed members
+    member_index = {onum: i for i, (onum, _) in enumerate(members)}
+    xref_pos = len(out)
+    rows = []
+    for num in range(9):
+        if num == 0:
+            rows.append(bytes([0]) + (0).to_bytes(2, "big")
+                        + (65535).to_bytes(2, "big"))
+        elif num in member_index:
+            rows.append(bytes([2]) + (6).to_bytes(2, "big")
+                        + member_index[num].to_bytes(2, "big"))
+        elif num in offsets:
+            rows.append(bytes([1]) + offsets[num].to_bytes(2, "big")
+                        + (0).to_bytes(2, "big"))
+        else:  # the xref stream itself
+            rows.append(bytes([1]) + xref_pos.to_bytes(2, "big")
+                        + (0).to_bytes(2, "big"))
+    xref_data = b"".join(rows)
+    emit(8, (f"<< /Type /XRef /Size 9 /W [1 2 2] /Root 1 0 R "
+             f"/Length {len(xref_data)} >>").encode("ascii"), xref_data)
+    out.extend(f"startxref\n{xref_pos}\n%%EOF\n".encode("ascii"))
+    return bytes(out)

@@ -1192,20 +1192,73 @@ def q_pdf_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "lang", F.col("text").alias("extracted"))
     originals = docs.select(url.alias("url"), F.col("text").alias("orig"))
     joined = extracted.join(originals, "url")
-    return joined.groupBy("lang").agg(
+    simple = joined.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum((F.col("extracted") == F.col("orig")).cast("long"))
          .alias("n_roundtrip"),
         F.sum(F.length("extracted")).alias("sum_chars"),
-    ).orderBy("lang")
+    ).select(F.lit("simple").alias("variant"), "lang", "n_docs",
+             "n_roundtrip", "sum_chars")
+
+    # round 4, variant 'objstm_cid': the same byte-identity invariant
+    # through a PDF 1.5 COMPRESSED-XREF + CID-FONT document — catalog/
+    # pages/page/font dicts inside a /Type /ObjStm located by a /Type
+    # /XRef stream (no classic xref table), text shown as 2-byte
+    # Identity-H codes only the /ToUnicode CMap maps back
+    # (kernels/pdf_parse.encode_pdf_objstm_cid; decode:
+    # _expand_object_streams + _page_font_cmaps).  Built per-row in one
+    # Arrow batch pass (binary + zlib — not expressible as a column
+    # expression), extracted through the SAME UDF; the oracle stays the
+    # identity statement over the raw text.
+    docs2 = _read(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") % 17 == 5)
+
+    def build_cid_pdfs(batches):
+        from docling_graph_spark.kernels.pdf_parse import (
+            encode_pdf_objstm_cid)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": [f"pdf://cid/{int(d)}" for d in pdf["doc_id"]],
+                "html": [bytearray(encode_pdf_objstm_cid(str(t)))
+                         for t in pdf["text"]],
+                "lang": pdf["lang"],
+            })
+
+    pages2 = docs2.select("doc_id", "text", "lang").mapInPandas(
+        build_cid_pdfs, "url string, html binary, lang string"
+    ).select(
+        "url",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        "html", F.lit("").alias("text"), "lang",
+    )
+    extracted2 = extract_main_text(pages2).select(
+        "url", "lang", F.col("text").alias("extracted"))
+    originals2 = docs2.select(
+        F.concat(F.lit("pdf://cid/"), F.col("doc_id").cast("string"))
+        .alias("url"), F.col("text").alias("orig"))
+    cid = extracted2.join(originals2, "url").groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("extracted") == F.col("orig")).cast("long"))
+         .alias("n_roundtrip"),
+        F.sum(F.length("extracted")).alias("sum_chars"),
+    ).select(F.lit("objstm_cid").alias("variant"), "lang", "n_docs",
+             "n_roundtrip", "sum_chars")
+    return simple.unionByName(cid).orderBy("variant", "lang")
 
 
 SQL_PDF_REAL_ROUNDTRIP = """
-SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+SELECT 'simple' AS variant, lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_roundtrip,
        CAST(sum(strlen(text)) AS BIGINT) AS sum_chars
 FROM documents WHERE doc_id % 17 = 3
-GROUP BY lang ORDER BY lang
+GROUP BY lang
+UNION ALL
+SELECT 'objstm_cid', lang, CAST(count(*) AS BIGINT),
+       CAST(count(*) AS BIGINT), CAST(sum(strlen(text)) AS BIGINT)
+FROM documents WHERE doc_id % 17 = 5
+GROUP BY lang
+ORDER BY variant, lang
 """
 
 

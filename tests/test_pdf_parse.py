@@ -9,6 +9,9 @@ from __future__ import annotations
 
 import zlib
 
+import pytest
+
+from docling_graph_spark.kernels import pdf_parse as P
 from docling_graph_spark.kernels.pdf_parse import (
     extract_content_stream_text,
     extract_real_pdf_text,
@@ -175,3 +178,101 @@ def test_length_key_overrides_false_endstream():
     text, err = extract_real_pdf_text(pdf)
     assert err is None
     assert text == "part one\npart two"
+
+
+# ---------------------------------------------------------------------------
+# Round 4: compressed xref (ObjStm) + CID fonts with ToUnicode
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("text", [
+    "Hello, World 42!",
+    "line one\nline two\n\nafter a blank line 99",
+    "unicode: café – ★ 2024",
+    "",
+    "only\n\n\nnewlines",
+])
+def test_objstm_cid_roundtrip(text):
+    """A PDF 1.5 document whose catalog/pages/page/font objects live in
+    a /Type /ObjStm (located only via an /XRef stream — no classic xref
+    table) and whose text is 2-byte Identity-H CIDs mapped by a
+    /ToUnicode CMap must round-trip byte-for-byte."""
+    from docling_graph_spark.kernels.pdf_parse import (
+        encode_pdf_objstm_cid)
+
+    pdf = encode_pdf_objstm_cid(text)
+    assert b"/Type /ObjStm" in pdf and b"/Type /XRef" in pdf
+    assert b"xref\n0 " not in pdf  # really no classic xref table
+    got, err = P.extract_real_pdf_text(pdf)
+    if text:
+        assert err is None
+        assert got == text
+    else:
+        assert got == ""
+
+
+def test_tounicode_bfrange_increment_and_array():
+    """The single-destination bfrange form increments the destination
+    value per code; the array form maps positionally."""
+    from docling_graph_spark.kernels.pdf_parse import _parse_tounicode
+
+    cmap = (b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            b"1 beginbfrange\n<0041> <0043> <0058>\nendbfrange\n"
+            b"1 beginbfrange\n<0060> <0061> [<0077> <00790079>]\n"
+            b"endbfrange\n"
+            b"1 beginbfchar\n<00A0> <D83DDE00>\nendbfchar\n")
+    got = _parse_tounicode(cmap)
+    assert got["nbytes"] == 2
+    assert got["map"][0x41] == "X" and got["map"][0x43] == "Z"
+    assert got["map"][0x60] == "w" and got["map"][0x61] == "yy"
+    assert got["map"][0xA0] == "\U0001F600"  # surrogate-pair dst
+
+
+def test_cid_font_without_tounicode_keeps_byte_path():
+    """A font with no /ToUnicode must leave string decoding on the
+    Latin-1 byte path (no crash, no misrouting)."""
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+           b"/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+           b"5 0 obj\n<< /Type /Font /Subtype /TrueType >>\nendobj\n"
+           b"4 0 obj\n<< /Length 26 >>\nstream\n"
+           b"BT /F1 9 Tf (plain text) Tj ET\nendstream\nendobj\n"
+           b"%%EOF\n")
+    got, err = P.extract_real_pdf_text(pdf)
+    assert got == "plain text" and err is None
+
+
+def test_resources_inherited_from_parent():
+    """A page with no /Resources inherits the /Pages parent's fonts —
+    the standard real-world layout."""
+    import zlib as _z
+
+    cmap = _z.compress(
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<0001> <0048>\n<0002> <0069>\nendbfchar\n")
+    pdf = (b"%PDF-1.5\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 "
+           b"/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+           b"endobj\n"
+           b"5 0 obj\n<< /Type /Font /Subtype /Type0 "
+           b"/Encoding /Identity-H /ToUnicode 7 0 R >>\nendobj\n"
+           b"7 0 obj\n<< /Length " + str(len(cmap)).encode() +
+           b" /Filter /FlateDecode >>\nstream\n" + cmap +
+           b"\nendstream\nendobj\n"
+           b"4 0 obj\n<< /Length 30 >>\nstream\n"
+           b"BT /F1 9 Tf <00010002> Tj ET\nendstream\nendobj\n"
+           b"%%EOF\n")
+    got, err = P.extract_real_pdf_text(pdf)
+    assert got == "Hi" and err is None
+
+
+def test_unmapped_cid_routes_to_replacement_char():
+    from docling_graph_spark.kernels.pdf_parse import (
+        _decode_with_cmap)
+
+    cmap = {"nbytes": 2, "map": {1: "a"}}
+    assert _decode_with_cmap(b"\x00\x01\x00\x99", cmap) == "a�"
