@@ -259,7 +259,12 @@ Round-4 merge map (same driver-cap discipline):
                         dedup: exact-integer 63-bit DCT pHash over real
                         BMP decodes + 9-band LSH near-dup join; the
                         oracle recomputes every hash closed-form in SQL
-                        from the embedded fixed-point DCT table)
+                        from the embedded fixed-point DCT table) and
+                        WEBP lossless in the lossless_decode stage
+                        (real VP8L decode — prefix codes, LZ77, color
+                        cache, all four inverse transforms — with the
+                        encoder feature set rotating per doc; closed-
+                        form pixel oracle)
   link_graph_stats   += hits section now ADAPTIVE to its pointwise-
                         stable state (whole-graph Arrow kernel under
                         the edge gate) with a converged/realized gate

@@ -80,7 +80,11 @@ def decode_media(payload: bytes, media_type: str):
     uncompressed BI_RGB 8/24/32-bit, bottom-up or top-down
     (`kernels/bmp_codec.py`).  ``audio/wav`` PCM decodes for real too
     (`kernels/wav_codec.py`: RIFF chunk walk, fmt parse, 8/16/32-bit
-    integer sample decode).  Every other media type still requires
+    integer sample decode).  ``image/webp`` decodes for real — VP8L
+    lossless bitstream (`kernels/webp_codec.py`: canonical prefix
+    codes, LZ77 + color cache, all four inverse transforms); lossy VP8
+    raises and the operator falls back to the geometry probe.  Every
+    other media type still requires
     libraries this container doesn't ship (PIL/ffmpeg/torchaudio) and
     raises NotImplementedError behind the identical signature a production
     deployment would implement; the Spark operator falls back to
@@ -102,6 +106,10 @@ def decode_media(payload: bytes, media_type: str):
         from .bmp_codec import decode_bmp
 
         return decode_bmp(payload)
+    if media_type == "image/webp":
+        from .webp_codec import decode_webp
+
+        return decode_webp(payload)
     if media_type == "audio/wav":
         from .wav_codec import decode_wav
 

@@ -1,0 +1,934 @@
+"""WebP lossless (VP8L) codec — pure Python, no imaging libraries.
+
+WEBP is the second web image format after JPEG, and its lossless flavor
+(VP8L) carries most of the format's UI-asset/screenshot share.  This
+module implements the public "WebP Lossless Bitstream Specification":
+
+* RIFF walk: plain ``VP8L`` files and ``VP8X`` extended containers
+  holding a VP8L chunk; lossy ``VP8 `` raises NotImplementedError (the
+  geometry probe in kernels/media_probe.py still covers its header);
+* LSB-first bit reader; canonical prefix codes with the DEFLATE
+  convention (code bits stream MSB-of-code first), the 19-symbol
+  code-length code in its special order with RLE 16/17/18, the
+  "simple" 1/2-symbol code form, and the optional max_symbol limit;
+* spatially-coded image: green/red/blue/alpha/distance code groups,
+  optional meta-prefix entropy image selecting per-tile groups, LZ77
+  backward references (prefix-coded lengths/distances, the 120-entry
+  2-D distance neighborhood map), and the hash-indexed color cache;
+* all four inverse transforms, applied in reverse stream order:
+  subtract-green, predictor (14 modes, per-tile mode sub-image), color
+  (per-tile ColorTransformElement sub-image), and color-indexing
+  (delta-summed palette + sub-byte pixel bundling for <= 16 colors).
+
+Sub-images (entropy image, transform data, palette) recurse through the
+same entropy decoder, as the spec defines.
+
+The encoder half is the fixture generator: literal-only VP8L streams
+(every pixel coded as G/R/B/A literals through canonical prefix codes
+built from real histograms, falling back to balanced codes when a
+depth cap would be exceeded — any Huffman tree is complete, which the
+decoder requires).  It exists so the decoder is testable byte-lossless
+on arbitrary content without imaging libraries; interop caveats with
+exotic real-world streams (predictor modes touching the top-right
+corner pixel, the Select tie-break) are flagged inline.
+
+The reference (single-document extraction) has no image decode at all;
+this closes the WEBP share of the multimodal column's lossless family
+(kernels/{png,gif,bmp}_codec are the other members).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+
+class DecodedWebp(NamedTuple):
+    width: int
+    height: int
+    channels: int
+    pixels: bytes      # interleaved RGB (opaque) or RGBA
+
+
+# 19-symbol code-length-code transmission order (spec section 6.2.2)
+_CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+              13, 14, 15]
+
+# 2-D distance neighborhood map for distance codes 1..120 (spec 5.2.2):
+# (dx, dy) offsets ordered by the spec's fixed list.
+_DIST_MAP: List[Tuple[int, int]] = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+
+
+class _BitReader:
+    """LSB-first bit reader (DEFLATE packing)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise EOFError("VP8L bitstream exhausted")
+        v = (self.data[self.pos] >> self.bit) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return v
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            v |= self.read_bit() << i
+        return v
+
+
+class _Huff:
+    """Canonical prefix decoder from a code-length list; code bits are
+    consumed MSB-of-code first (DEFLATE convention).  A code with a
+    single used symbol is the zero-bit special form."""
+
+    def __init__(self, lengths: List[int]):
+        used = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        self.single: Optional[int] = used[0][1] if len(used) == 1 else None
+        self.lut: Dict[Tuple[int, int], int] = {}
+        if len(used) > 1:
+            for sym, (code, ln) in _canonical_lengths_to_codes(
+                    lengths).items():
+                self.lut[(ln, code)] = sym
+
+    def decode(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for length in range(1, 16):
+            code = (code << 1) | br.read_bit()
+            sym = self.lut.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid VP8L prefix code")
+
+
+def _canonical_lengths_to_codes(lengths: List[int]) -> Dict[int, Tuple[int, int]]:
+    """symbol -> (code, length) per RFC-1951 canonical assignment."""
+    out: Dict[int, Tuple[int, int]] = {}
+    used = sorted((ln, sym) for sym, ln in enumerate(lengths) if ln > 0)
+    code = 0
+    prev_len = 0
+    for ln, sym in used:
+        code <<= (ln - prev_len)
+        out[sym] = (code, ln)
+        code += 1
+        prev_len = ln
+    return out
+
+
+def _read_code_lengths(br: _BitReader, clc: _Huff, num_symbols: int,
+                       use_max: bool) -> List[int]:
+    if use_max:
+        length_nbits = 2 + 2 * br.read_bits(3)
+        max_symbol = 2 + br.read_bits(length_nbits)
+    else:
+        max_symbol = num_symbols
+    lengths = [0] * num_symbols
+    prev = 8
+    symbol = 0
+    while symbol < num_symbols:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        s = clc.decode(br)
+        if s < 16:
+            lengths[symbol] = s
+            symbol += 1
+            if s:
+                prev = s
+        else:
+            if s == 16:
+                repeat, fill = 3 + br.read_bits(2), prev
+            elif s == 17:
+                repeat, fill = 3 + br.read_bits(3), 0
+            else:
+                repeat, fill = 11 + br.read_bits(7), 0
+            for _ in range(repeat):
+                if symbol >= num_symbols:
+                    break
+                lengths[symbol] = fill
+                symbol += 1
+    return lengths
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _Huff:
+    if br.read_bit():  # simple code
+        num_symbols = br.read_bits(1) + 1
+        first_8bit = br.read_bit()
+        sym0 = br.read_bits(8 if first_8bit else 1)
+        lengths = [0] * alphabet_size
+        if num_symbols == 1:
+            lengths[sym0] = 1  # zero-bit single-symbol code
+            h = _Huff([0] * alphabet_size)
+            h.single = sym0
+            return h
+        sym1 = br.read_bits(8)
+        lengths[sym0] = 1
+        lengths[sym1] = 1
+        return _Huff(lengths)
+    num_clc = 4 + br.read_bits(4)
+    clc_lengths = [0] * 19
+    for i in range(num_clc):
+        clc_lengths[_CLC_ORDER[i]] = br.read_bits(3)
+    clc = _Huff(clc_lengths)
+    use_max = bool(br.read_bit())
+    return _Huff(_read_code_lengths(br, clc, alphabet_size, use_max))
+
+
+def _prefix_value(br: _BitReader, code: int) -> int:
+    """LZ77 length/distance prefix decode (spec 5.2.2)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read_bits(extra) + 1
+
+
+def _div_ceil(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _decode_entropy_image(br: _BitReader, w: int, h: int,
+                          allow_meta: bool) -> List[int]:
+    """Decode one spatially-coded ARGB image (no transforms) — the
+    recursion sub-images (entropy image, transform data, palette) use;
+    returns row-major ARGB ints."""
+    return _decode_pixels(br, w, h, allow_meta)
+
+
+def _decode_pixels(br: _BitReader, w: int, h: int,
+                   allow_meta: bool) -> List[int]:
+    cache_bits = br.read_bits(4) if br.read_bit() else 0
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+
+    meta: Optional[List[int]] = None
+    meta_bits = 0
+    n_groups = 1
+    if allow_meta and br.read_bit():
+        meta_bits = 2 + br.read_bits(3)
+        mw, mh = _div_ceil(w, 1 << meta_bits), _div_ceil(h, 1 << meta_bits)
+        meta_img = _decode_entropy_image(br, mw, mh, False)
+        meta = [((p >> 8) & 0xFFFF) for p in meta_img]
+        n_groups = max(meta) + 1
+
+    green_alphabet = 256 + 24 + (1 << cache_bits if cache_bits else 0)
+    groups = []
+    for _ in range(n_groups):
+        groups.append((
+            _read_prefix_code(br, green_alphabet),
+            _read_prefix_code(br, 256),   # red
+            _read_prefix_code(br, 256),   # blue
+            _read_prefix_code(br, 256),   # alpha
+            _read_prefix_code(br, 40),    # distance
+        ))
+
+    px: List[int] = []
+    n = w * h
+
+    def insert(v: int) -> None:
+        if cache is not None:
+            cache[(0x1E35A7BD * v & 0xFFFFFFFF) >> (32 - cache_bits)] = v
+
+    while len(px) < n:
+        x, y = len(px) % w, len(px) // w
+        if meta is not None:
+            g_idx = meta[(y >> meta_bits) * _div_ceil(w, 1 << meta_bits)
+                         + (x >> meta_bits)]
+        else:
+            g_idx = 0
+        gc, rc, bc, ac, dc = groups[g_idx]
+        s = gc.decode(br)
+        if s < 256:
+            r = rc.decode(br)
+            b = bc.decode(br)
+            a = ac.decode(br)
+            v = (a << 24) | (r << 16) | (s << 8) | b
+            px.append(v)
+            insert(v)
+        elif s < 280:
+            length = _prefix_value(br, s - 256)
+            dist_code = _prefix_value(br, dc.decode(br))
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _DIST_MAP[dist_code - 1]
+                dist = max(1, dy * w + dx)
+            if dist > len(px):
+                raise ValueError("VP8L backref before image start")
+            for _ in range(length):
+                if len(px) >= n:
+                    break
+                v = px[-dist]
+                px.append(v)
+                insert(v)
+        else:
+            if cache is None:
+                raise ValueError("cache symbol without color cache")
+            px.append(cache[s - 280])
+    return px
+
+
+# ---------------------------------------------------------------------------
+# inverse transforms
+# ---------------------------------------------------------------------------
+
+
+def _avg2(a: int, b: int) -> int:
+    return ((a >> 24) + (b >> 24) >> 1) << 24 \
+        | (((a >> 16) & 0xFF) + ((b >> 16) & 0xFF) >> 1) << 16 \
+        | (((a >> 8) & 0xFF) + ((b >> 8) & 0xFF) >> 1) << 8 \
+        | (((a & 0xFF) + (b & 0xFF)) >> 1)
+
+
+def _add_px(a: int, b: int) -> int:
+    return ((((a >> 24) + (b >> 24)) & 0xFF) << 24
+            | ((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) & 0xFF) << 16
+            | ((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) & 0xFF) << 8
+            | (((a & 0xFF) + (b & 0xFF)) & 0xFF))
+
+
+def _select(l: int, t: int, tl: int) -> int:
+    pa = pl = pt = 0
+    for sh in (24, 16, 8, 0):
+        cl, ct, ctl = (l >> sh) & 0xFF, (t >> sh) & 0xFF, (tl >> sh) & 0xFF
+        p = cl + ct - ctl
+        pl += abs(p - cl)
+        pt += abs(p - ct)
+    del pa
+    return l if pl < pt else t
+
+
+def _clamp(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _cas_full(l: int, t: int, tl: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        c = _clamp(((l >> sh) & 0xFF) + ((t >> sh) & 0xFF)
+                   - ((tl >> sh) & 0xFF))
+        out |= c << sh
+    return out
+
+
+def _cas_half(ave: int, tl: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        a = (ave >> sh) & 0xFF
+        b = (tl >> sh) & 0xFF
+        c = _clamp(a + (a - b) // 2 if a >= b else a - (b - a) // 2)
+        out |= c << sh
+    return out
+
+
+def _inverse_predictor(px: List[int], w: int, h: int, bits: int,
+                       modes: List[int]) -> None:
+    mw = _div_ceil(w, 1 << bits)
+    for i in range(w * h):
+        x, y = i % w, i // w
+        if x == 0 and y == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = px[i - 1]
+        elif x == 0:
+            pred = px[i - w]
+        else:
+            mode = (modes[(y >> bits) * mw + (x >> bits)] >> 8) & 0xFF
+            left = px[i - 1]
+            top = px[i - w]
+            tl = px[i - w - 1]
+            tr = px[i - w + 1] if x + 1 < w else px[i - w - (w - 1)]
+            if mode == 0:
+                pred = 0xFF000000
+            elif mode == 1:
+                pred = left
+            elif mode == 2:
+                pred = top
+            elif mode == 3:
+                pred = tr
+            elif mode == 4:
+                pred = tl
+            elif mode == 5:
+                pred = _avg2(_avg2(left, tr), top)
+            elif mode == 6:
+                pred = _avg2(left, tl)
+            elif mode == 7:
+                pred = _avg2(left, top)
+            elif mode == 8:
+                pred = _avg2(tl, top)
+            elif mode == 9:
+                pred = _avg2(top, tr)
+            elif mode == 10:
+                pred = _avg2(_avg2(left, tl), _avg2(top, tr))
+            elif mode == 11:
+                pred = _select(left, top, tl)
+            elif mode == 12:
+                pred = _cas_full(left, top, tl)
+            elif mode == 13:
+                pred = _cas_half(_avg2(left, top), tl)
+            else:
+                raise ValueError(f"bad predictor mode {mode}")
+        px[i] = _add_px(px[i], pred)
+
+
+def _ct_delta(t: int, c: int) -> int:
+    """(int8 t * int8 c) >> 5 — both operands sign-extended."""
+    ts = t - 256 if t >= 128 else t
+    cs = c - 256 if c >= 128 else c
+    return (ts * cs) >> 5
+
+
+def _inverse_color_transform(px: List[int], w: int, h: int, bits: int,
+                             elems: List[int]) -> None:
+    mw = _div_ceil(w, 1 << bits)
+    for i in range(w * h):
+        x, y = i % w, i // w
+        e = elems[(y >> bits) * mw + (x >> bits)]
+        g2r, g2b, r2b = (e >> 16) & 0xFF, (e >> 8) & 0xFF, e & 0xFF
+        v = px[i]
+        a = (v >> 24) & 0xFF
+        r = (v >> 16) & 0xFF
+        g = (v >> 8) & 0xFF
+        b = v & 0xFF
+        r = (r + _ct_delta(g2r, g)) & 0xFF
+        b = (b + _ct_delta(g2b, g) + _ct_delta(r2b, r)) & 0xFF
+        px[i] = (a << 24) | (r << 16) | (g << 8) | b
+
+
+def _inverse_subtract_green(px: List[int]) -> None:
+    for i, v in enumerate(px):
+        g = (v >> 8) & 0xFF
+        r = (((v >> 16) & 0xFF) + g) & 0xFF
+        b = ((v & 0xFF) + g) & 0xFF
+        px[i] = (v & 0xFF00FF00) | (r << 16) | b
+
+
+def decode_webp(data: bytes) -> DecodedWebp:
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WEBP (missing RIFF/WEBP header)")
+    pos = 12
+    payload = None
+    while pos + 8 <= len(data):
+        fourcc = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + size]
+        if fourcc == b"VP8L":
+            payload = body
+            break
+        if fourcc == b"VP8 ":
+            raise NotImplementedError(
+                "lossy WebP (VP8) not supported; lossless (VP8L) only")
+        pos += 8 + size + (size & 1)
+    if payload is None:
+        raise NotImplementedError("no VP8L chunk (lossy/animated WebP?)")
+    if payload[:1] != b"\x2f":
+        raise ValueError("bad VP8L signature")
+    br = _BitReader(payload[1:])
+    w = br.read_bits(14) + 1
+    h = br.read_bits(14) + 1
+    br.read_bit()       # alpha hint
+    if br.read_bits(3) != 0:
+        raise ValueError("unknown VP8L version")
+
+    # transforms (each type at most once), then the spatial image
+    transforms = []
+    dec_w = w
+    while br.read_bit():
+        ttype = br.read_bits(2)
+        if ttype in (0, 1):  # predictor / color: tile-mode sub-image
+            bits = 2 + br.read_bits(3)
+            tw, th = _div_ceil(dec_w, 1 << bits), _div_ceil(h, 1 << bits)
+            sub = _decode_entropy_image(br, tw, th, False)
+            transforms.append((ttype, bits, sub))
+        elif ttype == 2:     # subtract green
+            transforms.append((2, 0, None))
+        else:                # color indexing
+            n_colors = br.read_bits(8) + 1
+            pal_img = _decode_entropy_image(br, n_colors, 1, False)
+            palette = []
+            prev = 0
+            for p in pal_img:
+                prev = _add_px(p, prev)
+                palette.append(prev)
+            if n_colors <= 2:
+                wbits = 3
+            elif n_colors <= 4:
+                wbits = 2
+            elif n_colors <= 16:
+                wbits = 1
+            else:
+                wbits = 0
+            transforms.append((3, wbits, palette))
+            if wbits:
+                dec_w = _div_ceil(dec_w, 1 << wbits)
+
+    px = _decode_pixels(br, dec_w, h, True)
+
+    for ttype, bits, aux in reversed(transforms):
+        if ttype == 3:
+            palette = aux
+            if bits:
+                unpacked: List[int] = []
+                per = 1 << bits
+                mask = (1 << (8 >> bits)) - 1
+                ibits = 8 >> bits
+                for y in range(h):
+                    row: List[int] = []
+                    for xb in range(dec_w):
+                        g = (px[y * dec_w + xb] >> 8) & 0xFF
+                        for k in range(per):
+                            if len(row) < w:
+                                idx = (g >> (k * ibits)) & mask
+                                row.append(idx)
+                    unpacked.extend(
+                        palette[i] if i < len(palette) else 0
+                        for i in row)
+                px = unpacked
+            else:
+                px = [palette[(v >> 8) & 0xFF] if (v >> 8) & 0xFF
+                      < len(palette) else 0 for v in px]
+            dec_w = w
+        elif ttype == 2:
+            _inverse_subtract_green(px)
+        elif ttype == 1:
+            _inverse_color_transform(px, w, h, bits, aux)
+        else:
+            _inverse_predictor(px, w, h, bits, aux)
+
+    opaque = all((v >> 24) == 0xFF for v in px)
+    out = bytearray()
+    for v in px:
+        out += bytes(((v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF))
+        if not opaque:
+            out.append((v >> 24) & 0xFF)
+    return DecodedWebp(w, h, 3 if opaque else 4, bytes(out))
+
+
+# ---------------------------------------------------------------------------
+# Encoder (fixture generator): literal-only VP8L
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write_bits(self, value: int, n: int) -> None:
+        """Fixed-width field: LSB first (ReadBits mirror)."""
+        for i in range(n):
+            self._bit((value >> i) & 1)
+
+    def write_code(self, code: int, length: int) -> None:
+        """Prefix code: MSB of the code first (DEFLATE mirror)."""
+        for i in range(length - 1, -1, -1):
+            self._bit((code >> i) & 1)
+
+    def _bit(self, b: int) -> None:
+        self.acc |= b << self.nbits
+        self.nbits += 1
+        if self.nbits == 8:
+            self.out.append(self.acc)
+            self.acc = 0
+            self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _huffman_lengths(freqs: Dict[int, int], max_depth: int) -> Dict[int, int]:
+    """Code lengths from frequencies (plain Huffman); if the tree would
+    exceed ``max_depth``, rebuild with equal weights — the balanced
+    tree of n <= 2^max_depth symbols always fits and any Huffman tree
+    is a COMPLETE code, which decoders require."""
+    import heapq
+
+    syms = sorted(freqs)
+    if len(syms) == 1:
+        return {syms[0]: 1}
+
+    def build(weights: Dict[int, int]) -> Dict[int, int]:
+        heap = [(wt, sym, None) for sym, wt in weights.items()]
+        cnt = 0
+        nodes: Dict[int, tuple] = {}
+        heapq.heapify(heap)
+        while len(heap) > 1:
+            w1, s1, n1 = heapq.heappop(heap)
+            w2, s2, n2 = heapq.heappop(heap)
+            nodes[cnt] = ((s1, n1), (s2, n2))
+            heapq.heappush(heap, (w1 + w2, -1 - cnt, cnt))
+            cnt += 1
+        depths: Dict[int, int] = {}
+
+        def walk(sym, node, d):
+            if node is None:
+                depths[sym] = max(d, 1)
+            else:
+                for child_sym, child_node in nodes[node]:
+                    walk(child_sym, child_node, d + 1)
+
+        _w, root_sym, root_node = heap[0]
+        walk(root_sym, root_node, 0)
+        return depths
+
+    depths = build(dict(freqs))
+    if max(depths.values()) > max_depth:
+        depths = build(dict.fromkeys(syms, 1))
+    return depths
+
+
+def _emit_code_def(bw: _BitWriter, lengths_by_sym: Dict[int, int],
+                   alphabet_size: int) -> Dict[int, Tuple[int, int]]:
+    """Emit one prefix-code definition; returns symbol -> (code, len)."""
+    syms = sorted(lengths_by_sym)
+    if len(syms) == 1 and syms[0] < 256:
+        bw.write_bits(1, 1)          # simple
+        bw.write_bits(0, 1)          # one symbol
+        if syms[0] < 2:
+            bw.write_bits(0, 1)      # 1-bit symbol field
+            bw.write_bits(syms[0], 1)
+        else:
+            bw.write_bits(1, 1)
+            bw.write_bits(syms[0], 8)
+        return {syms[0]: (0, 0)}
+    if len(syms) == 2 and syms[0] < 2 and syms[1] < 256:
+        bw.write_bits(1, 1)
+        bw.write_bits(1, 1)          # two symbols
+        bw.write_bits(0, 1)          # first symbol in 1 bit
+        bw.write_bits(syms[0], 1)
+        bw.write_bits(syms[1], 8)
+        return {syms[0]: (0, 1), syms[1]: (1, 1)}
+
+    bw.write_bits(0, 1)              # normal code
+    full = [0] * alphabet_size
+    for s, ln in lengths_by_sym.items():
+        full[s] = ln
+    # code-length code over the emitted length symbols (no RLE)
+    clc_freq: Dict[int, int] = {}
+    for ln in full:
+        clc_freq[ln] = clc_freq.get(ln, 0) + 1
+    clc_len = _huffman_lengths(clc_freq, 7)
+    bw.write_bits(15, 4)             # num_code_lengths = 19
+    for s in _CLC_ORDER:
+        bw.write_bits(clc_len.get(s, 0), 3)
+    clc_codes = _canonical_lengths_to_codes(
+        [clc_len.get(i, 0) for i in range(19)])
+    bw.write_bits(0, 1)              # no max_symbol
+    for ln in full:
+        c, length = clc_codes[ln]
+        bw.write_code(c, length)
+    return _canonical_lengths_to_codes(full)
+
+
+def _prefix_encode(value: int) -> Tuple[int, int, int]:
+    """Inverse of :func:`_prefix_value`: value -> (code, extra, nbits)."""
+    if value <= 4:
+        return value - 1, 0, 0
+    for code in range(4, 40):
+        extra = (code - 2) >> 1
+        lo = ((2 + (code & 1)) << extra) + 1
+        if lo <= value <= lo + (1 << extra) - 1:
+            return code, value - lo, extra
+    raise ValueError(f"value {value} out of prefix range")
+
+
+def _sub_px(a: int, b: int) -> int:
+    return ((((a >> 24) - (b >> 24)) & 0xFF) << 24
+            | ((((a >> 16) & 0xFF) - ((b >> 16) & 0xFF)) & 0xFF) << 16
+            | ((((a >> 8) & 0xFF) - ((b >> 8) & 0xFF)) & 0xFF) << 8
+            | (((a & 0xFF) - (b & 0xFF)) & 0xFF))
+
+
+def _forward_predictor(px: List[int], w: int, h: int, mode: int) -> List[int]:
+    """Residuals of the fixed-mode predictor transform (edge rules as
+    the decoder applies them; predictions read ORIGINAL neighbor values
+    — the decoder reconstructs incrementally, so they agree)."""
+    out = []
+    for i, v in enumerate(px):
+        x, y = i % w, i // w
+        if x == 0 and y == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = px[i - 1]
+        elif x == 0:
+            pred = px[i - w]
+        elif mode == 1:
+            pred = px[i - 1]
+        elif mode == 2:
+            pred = px[i - w]
+        elif mode == 7:
+            pred = _avg2(px[i - 1], px[i - w])
+        else:
+            raise ValueError("fixture encoder supports modes 1/2/7")
+        out.append(_sub_px(v, pred))
+    return out
+
+
+def _emit_single_symbol(bw: _BitWriter, sym: int) -> None:
+    bw.write_bits(1, 1)              # simple code
+    bw.write_bits(0, 1)              # one symbol
+    if sym < 2:
+        bw.write_bits(0, 1)          # 1-bit symbol field
+        bw.write_bits(sym, 1)
+    else:
+        bw.write_bits(1, 1)          # 8-bit symbol field
+        bw.write_bits(sym, 8)
+
+
+def _emit_trivial_subimage(bw: _BitWriter) -> None:
+    """An all-zero-pixel sub-image where every code is the zero-bit
+    single-symbol form — its pixels consume no bits at all."""
+    bw.write_bits(0, 1)              # no color cache
+    for _ in range(5):               # green/red/blue/alpha/distance
+        _emit_single_symbol(bw, 0)
+
+
+def _emit_literal_subimage(bw: _BitWriter, argb: List[int]) -> None:
+    """Entropy-code a sub-image (palette deltas) literal-only: cache
+    bit 0, five code definitions from real histograms, then the
+    pixels.  Sub-images never read a meta-prefix bit."""
+    bw.write_bits(0, 1)              # no color cache
+    freqs = [dict(), dict(), dict(), dict()]
+    for v in argb:
+        for fr, val in ((freqs[0], (v >> 8) & 0xFF),
+                        (freqs[1], (v >> 16) & 0xFF),
+                        (freqs[2], v & 0xFF),
+                        (freqs[3], (v >> 24) & 0xFF)):
+            fr[val] = fr.get(val, 0) + 1
+    gt = _emit_code_def(bw, _huffman_lengths(freqs[0], 15), 256 + 24)
+    rt = _emit_code_def(bw, _huffman_lengths(freqs[1], 15), 256)
+    bt = _emit_code_def(bw, _huffman_lengths(freqs[2], 15), 256)
+    at = _emit_code_def(bw, _huffman_lengths(freqs[3], 15), 256)
+    _emit_code_def(bw, {0: 1}, 40)   # distance (unused)
+    for v in argb:
+        for tab, sym in ((gt, (v >> 8) & 0xFF), (rt, (v >> 16) & 0xFF),
+                         (bt, v & 0xFF), (at, (v >> 24) & 0xFF)):
+            c, ln = tab[sym]
+            if ln:
+                bw.write_code(c, ln)
+
+
+def encode_webp_lossless(width: int, height: int, rgba: bytes, *,
+                         subtract_green: bool = False,
+                         predictor_mode: Optional[int] = None,
+                         cache_bits: int = 0,
+                         use_rle: bool = False,
+                         trivial_meta: bool = False,
+                         palette: bool = False) -> bytes:
+    """VP8L encoding of row-major RGBA bytes — byte-lossless by
+    construction: decode_webp(encode_webp_lossless(w, h, px))
+    reproduces px exactly (as RGB when fully opaque, RGBA otherwise).
+
+    The default is the literal-only stream (no transforms / cache /
+    LZ77).  The keyword options exist to exercise every decoder path
+    with real encoded data: ``subtract_green`` and ``predictor_mode``
+    (1=left, 2=top, 7=avg; uniform 16x16-tile mode sub-image) write
+    those transforms with forward-applied residuals; ``cache_bits``
+    enables the hashed color cache (hits become cache symbols);
+    ``use_rle`` emits runs of >= 4 identical pixels as LZ77
+    length/distance-1 backrefs (plain distance coding, dist_code =
+    dist + 120); ``trivial_meta`` writes a meta-prefix entropy image of
+    all zeros (one group) so the per-tile group lookup machinery
+    runs."""
+    assert len(rgba) == width * height * 4
+    n = width * height
+    px: List[int] = []
+    has_alpha = False
+    for i in range(0, len(rgba), 4):
+        r, g, b, a = rgba[i], rgba[i + 1], rgba[i + 2], rgba[i + 3]
+        if a != 255:
+            has_alpha = True
+        px.append((a << 24) | (r << 16) | (g << 8) | b)
+
+    bw = _BitWriter()
+    bw.write_bits(width - 1, 14)
+    bw.write_bits(height - 1, 14)
+    bw.write_bits(1 if has_alpha else 0, 1)
+    bw.write_bits(0, 3)              # version
+
+    # transforms, in forward application order (= stream order)
+    coded = px
+    if palette:
+        assert not (subtract_green or predictor_mode), \
+            "fixture encoder does not combine palette with other transforms"
+        colors: List[int] = []
+        seen = {}
+        for v in px:
+            if v not in seen:
+                seen[v] = len(colors)
+                colors.append(v)
+        assert len(colors) <= 256, "too many colors for palette fixture"
+        bw.write_bits(1, 1)
+        bw.write_bits(3, 2)          # COLOR_INDEXING
+        bw.write_bits(len(colors) - 1, 8)
+        deltas = [_sub_px(c, colors[i - 1] if i else 0)
+                  for i, c in enumerate(colors)]
+        _emit_literal_subimage(bw, deltas)
+        nc = len(colors)
+        wbits = 3 if nc <= 2 else 2 if nc <= 4 else 1 if nc <= 16 else 0
+        if wbits:
+            per = 1 << wbits
+            ibits = 8 >> wbits
+            packed: List[int] = []
+            for y in range(height):
+                row = [seen[v] for v in px[y * width:(y + 1) * width]]
+                for s in range(0, len(row), per):
+                    g = 0
+                    for k, idx_ in enumerate(row[s:s + per]):
+                        g |= idx_ << (k * ibits)
+                    packed.append(g << 8)
+            coded = packed
+            n = len(coded)
+        else:
+            coded = [seen[v] << 8 for v in px]
+    if subtract_green:
+        bw.write_bits(1, 1)
+        bw.write_bits(2, 2)          # SUBTRACT_GREEN
+        nxt = []
+        for v in coded:
+            g = (v >> 8) & 0xFF
+            r = (((v >> 16) & 0xFF) - g) & 0xFF
+            b = ((v & 0xFF) - g) & 0xFF
+            nxt.append((v & 0xFF00FF00) | (r << 16) | b)
+        coded = nxt
+    if predictor_mode is not None:
+        bw.write_bits(1, 1)
+        bw.write_bits(0, 2)          # PREDICTOR
+        bw.write_bits(2, 3)          # size_bits' = 2 -> 16x16 tiles
+        # mode sub-image: every tile pixel carries the mode in GREEN;
+        # single-symbol codes make it cost a handful of bits total
+        bw.write_bits(0, 1)          # no color cache
+        _emit_single_symbol(bw, predictor_mode)   # green
+        for _ in range(4):                        # red/blue/alpha/dist
+            _emit_single_symbol(bw, 0)
+        coded = _forward_predictor(coded, width, height, predictor_mode)
+    bw.write_bits(0, 1)              # end of transforms
+
+    # token stream (shared by the histogram and emission passes)
+    cache_size = 1 << cache_bits if cache_bits else 0
+    tokens: List[tuple] = []
+    cache = [None] * cache_size if cache_size else None
+    i = 0
+    while i < n:
+        if use_rle and i > 0:
+            run = 0
+            while (i + run < n and coded[i + run] == coded[i - 1]
+                   and run < 4000):
+                run += 1
+            if run >= 4:
+                tokens.append(("copy", run, 1))
+                if cache is not None:
+                    for k in range(run):
+                        v = coded[i + k]
+                        cache[(0x1E35A7BD * v & 0xFFFFFFFF)
+                              >> (32 - cache_bits)] = v
+                i += run
+                continue
+        v = coded[i]
+        if cache is not None:
+            idx = (0x1E35A7BD * v & 0xFFFFFFFF) >> (32 - cache_bits)
+            if cache[idx] == v:
+                tokens.append(("cache", idx))
+                i += 1
+                continue
+            cache[idx] = v
+        tokens.append(("lit", v))
+        i += 1
+
+    bw.write_bits(1 if cache_bits else 0, 1)
+    if cache_bits:
+        bw.write_bits(cache_bits, 4)
+    if trivial_meta:
+        bw.write_bits(1, 1)          # meta prefix present
+        bw.write_bits(0, 3)          # meta_bits' = 0 -> 4x4 tiles
+        _emit_trivial_subimage(bw)
+    else:
+        bw.write_bits(0, 1)
+
+    gfreq: Dict[int, int] = {}
+    rfreq: Dict[int, int] = {}
+    bfreq: Dict[int, int] = {}
+    afreq: Dict[int, int] = {}
+    dfreq: Dict[int, int] = {}
+    for t in tokens:
+        if t[0] == "lit":
+            v = t[1]
+            for fr, val in ((gfreq, (v >> 8) & 0xFF),
+                            (rfreq, (v >> 16) & 0xFF),
+                            (bfreq, v & 0xFF),
+                            (afreq, (v >> 24) & 0xFF)):
+                fr[val] = fr.get(val, 0) + 1
+        elif t[0] == "copy":
+            lc, _x, _nb = _prefix_encode(t[1])
+            gfreq[256 + lc] = gfreq.get(256 + lc, 0) + 1
+            dcode, _x, _nb = _prefix_encode(t[2] + 120)
+            dfreq[dcode] = dfreq.get(dcode, 0) + 1
+        else:
+            sym = 280 + t[1]
+            gfreq[sym] = gfreq.get(sym, 0) + 1
+    if not dfreq:
+        dfreq[0] = 1
+
+    green_alpha = 256 + 24 + cache_size
+    gt = _emit_code_def(bw, _huffman_lengths(gfreq, 15), green_alpha)
+    rt = _emit_code_def(bw, _huffman_lengths(rfreq or {0: 1}, 15), 256)
+    bt = _emit_code_def(bw, _huffman_lengths(bfreq or {0: 1}, 15), 256)
+    at = _emit_code_def(bw, _huffman_lengths(afreq or {0: 1}, 15), 256)
+    dt = _emit_code_def(bw, _huffman_lengths(dfreq, 15), 40)
+
+    def put(tab, sym):
+        c, ln = tab[sym]
+        if ln:
+            bw.write_code(c, ln)
+
+    for t in tokens:
+        if t[0] == "lit":
+            v = t[1]
+            put(gt, (v >> 8) & 0xFF)
+            put(rt, (v >> 16) & 0xFF)
+            put(bt, v & 0xFF)
+            put(at, (v >> 24) & 0xFF)
+        elif t[0] == "copy":
+            lc, lx, lnb = _prefix_encode(t[1])
+            put(gt, 256 + lc)
+            bw.write_bits(lx, lnb)
+            dcode, dx, dnb = _prefix_encode(t[2] + 120)
+            put(dt, dcode)
+            bw.write_bits(dx, dnb)
+        else:
+            put(gt, 280 + t[1])
+
+    payload = b"\x2f" + bw.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

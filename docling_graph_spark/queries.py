@@ -6078,11 +6078,52 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     urls.append(f"gif:{d}")
             yield pd.DataFrame({"url": urls, "html": blobs})
 
+    # round 4: WEBP lossless (VP8L) joins the lossless family — 24 RGB
+    # images (w = 4+d%5, h = 3+d%4, pixel (x,y): r=(d*7+3x+y)%256,
+    # g=(d*11+x+5y)%256, b=(d*13+2x+3y)%256) on doc_ids [64, 88),
+    # encoded through kernels/webp_codec.encode_webp_lossless with the
+    # encoder FEATURE SET rotating by d%4 (literal-only; subtract-green
+    # + predictor; color cache + LZ77 runs; meta-prefix + avg
+    # predictor) — VP8L is lossless, so every variant must decode to
+    # the same closed-form pixels the oracle predicts.
+    def build_webps(batches):
+        from docling_graph_spark.kernels.webp_codec import (
+            encode_webp_lossless)
+
+        cfgs = [
+            dict(),
+            dict(subtract_green=True, predictor_mode=2),
+            dict(cache_bits=5, use_rle=True),
+            dict(trivial_meta=True, predictor_mode=7),
+        ]
+        for pdf in batches:
+            urls, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 4 + d % 5, 3 + d % 4
+                rgba = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        rgba += bytes((
+                            (d * 7 + x * 3 + y) % 256,
+                            (d * 11 + x + y * 5) % 256,
+                            (d * 13 + x * 2 + y * 3) % 256, 255))
+                urls.append(f"webp:{d}")
+                blobs.append(encode_webp_lossless(
+                    w, h, bytes(rgba), **cfgs[d % 4]))
+            yield pd.DataFrame({"url": urls, "html": blobs})
+
     ll = (
         _read(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _PNG_DOCS)
         .select("doc_id")
         .mapInPandas(build_lossless, "url string, html binary")
+    ).unionByName(
+        _read(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") >= _PNG_DOCS)
+                & (F.col("doc_id") < _PNG_DOCS + 24))
+        .select("doc_id")
+        .mapInPandas(build_webps, "url string, html binary")
     )
     lldec = op_mm.media_decode_stats(ll)
     ll_agg = lldec.agg(
@@ -6331,19 +6372,33 @@ llgsum AS (
   FROM llg, LATERAL (SELECT unnest(generate_series(0, llg.w*llg.h - 1))
                      AS k)
 ),
+llw AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents
+  WHERE doc_id >= {_PNG_DOCS} AND doc_id < {_PNG_DOCS + 24}
+),
+llwsum AS (
+  SELECT CAST(sum((llw.doc_id * 7 + x * 3 + y) % 256
+                  + (llw.doc_id * 11 + x + y * 5) % 256
+                  + (llw.doc_id * 13 + x * 2 + y * 3) % 256)
+              AS BIGINT) AS s
+  FROM llw,
+       LATERAL (SELECT unnest(generate_series(0, llw.w - 1)) AS x),
+       LATERAL (SELECT unnest(generate_series(0, llw.h - 1)) AS y)
+),
 llsum AS (
   SELECT CAST((SELECT count(*) FROM llb) + (SELECT count(*) FROM llg)
-              AS BIGINT) AS n_images,
+              + (SELECT count(*) FROM llw) AS BIGINT) AS n_images,
          CAST((SELECT count(*) FROM llb) + (SELECT count(*) FROM llg)
-              AS BIGINT) AS n_decoded,
+              + (SELECT count(*) FROM llw) AS BIGINT) AS n_decoded,
          CAST((SELECT sum(w*h) FROM llb) + (SELECT sum(w*h) FROM llg)
-              AS BIGINT) AS sum_pixels,
+              + (SELECT sum(w*h) FROM llw) AS BIGINT) AS sum_pixels,
          CAST((SELECT s FROM llbsum) + (SELECT s FROM llgsum)
-              AS BIGINT) AS sum_pixel_values,
+              + (SELECT s FROM llwsum) AS BIGINT) AS sum_pixel_values,
          CAST((SELECT sum(w) FROM llb) + (SELECT sum(w) FROM llg)
-              AS BIGINT) AS sum_width,
+              + (SELECT sum(w) FROM llw) AS BIGINT) AS sum_width,
          CAST((SELECT sum(h) FROM llb) + (SELECT sum(h) FROM llg)
-              AS BIGINT) AS sum_height
+              + (SELECT sum(h) FROM llw) AS BIGINT) AS sum_height
 ),
 jpg AS (
   SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 6 AS h,
