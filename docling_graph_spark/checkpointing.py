@@ -238,22 +238,63 @@ class CheckpointedRun:
 
     # ------------------------------------------------------------ readers
 
+    def _read_stage(self, stage: str) -> DataFrame:
+        """Stage-table read with SCHEMA EVOLUTION semantics: parquet
+        footers are merged across data files, so batches appended by a
+        newer pipeline version with added columns coexist with old
+        files — old rows surface NULL in the new columns, exactly what
+        an Iceberg add-column gives (column adds never rewrite data).
+        Without mergeSchema, Spark samples one footer and the visible
+        schema would depend on file listing order."""
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            self._path(stage))
+
     def nodes(self, as_of=None) -> DataFrame:
         """Graph nodes across committed runs (id-level dedup); ``as_of``
         (snapshot seq or run id) time-travels to that snapshot."""
         return self._filter_committed(
-            self.spark.read.parquet(self._path("nodes")), as_of=as_of
+            self._read_stage("nodes"), as_of=as_of
         ).dropDuplicates(["id"])
 
     def edges(self, as_of=None) -> DataFrame:
         return self._filter_committed(
-            self.spark.read.parquet(self._path("edges")), as_of=as_of
+            self._read_stage("edges"), as_of=as_of
         ).dropDuplicates(["src", "dst", "label"])
 
     def extracted(self, as_of=None) -> DataFrame:
+        """Extracted text across committed runs.  HIDDEN PARTITIONING:
+        the physical ``bucket=`` layout (a url-host hash transform,
+        :func:`host_bucket`) never leaks into the logical schema —
+        callers see exactly the pipeline's columns, as with an Iceberg
+        partition-spec transform.  Use :meth:`extracted_for_hosts` for
+        transform-aware pruned reads."""
         return self._filter_committed(
-            self.spark.read.parquet(self._path("extracted")), as_of=as_of
-        )
+            self._read_stage("extracted"), as_of=as_of
+        ).drop("bucket")
+
+    def extracted_for_hosts(self, hosts, as_of=None) -> DataFrame:
+        """Pruned read of :meth:`extracted` for a host set: the reader
+        applies the SAME hidden transform the writer used (Iceberg's
+        partition-spec evaluation) — host -> bucket on the driver
+        (O(#hosts) tiny job), a partition filter on the physical
+        ``bucket`` column so only matching directories are scanned,
+        then the exact host predicate; the transform column still never
+        leaks out."""
+        hosts = list(hosts)
+        if not hosts:
+            return self.extracted(as_of=as_of).limit(0)
+        buckets = [
+            r[0] for r in self.spark.createDataFrame(
+                [(h,) for h in hosts], "h string"
+            ).select(F.pmod(F.xxhash64("h"),
+                            F.lit(self.n_buckets))).collect()
+        ]
+        df = self._read_stage("extracted").where(
+            F.col("bucket").isin(sorted(set(buckets))))
+        df = self._filter_committed(df, as_of=as_of)
+        return df.where(
+            F.parse_url(F.col("url"), F.lit("HOST")).isin(hosts)
+        ).drop("bucket")
 
     # -------------------------------------------------------- maintenance
 
@@ -296,7 +337,10 @@ class CheckpointedRun:
             # past the ideal layout, so repeated maintenance is idempotent
             if n_files <= max(ideal * 2, ideal + 4):
                 continue
-            df = self.spark.read.parquet(path)
+            # mergeSchema: a rewrite must never drop columns added by
+            # schema evolution after some files were written
+            df = self.spark.read.option("mergeSchema", "true") \
+                .parquet(path)
             part_col = "bucket" if stage == "extracted" else None
             if part_col and part_col in df.columns:
                 packed = df.repartition(F.col(part_col))
@@ -332,7 +376,8 @@ class CheckpointedRun:
         for stage in STAGES:
             path = self._path(stage)
             try:
-                df = self.spark.read.parquet(path)
+                df = self.spark.read.option("mergeSchema", "true") \
+                    .parquet(path)
             except Exception:
                 continue
             if RUN_ID_COL not in df.columns:

@@ -126,3 +126,86 @@ def test_real_iceberg_runtime_when_available(spark, pages, tmp_path):
     snaps = spark.sql(
         "SELECT snapshot_id FROM iceberg_ci.parity.t.snapshots").count()
     assert snaps >= 1
+
+
+def test_schema_evolution_add_column(spark, pages, tmp_path):
+    """Iceberg add-column semantics on the parquet protocol: a batch
+    appended by a NEWER pipeline version carrying an extra column
+    coexists with old data files — reads surface the union schema with
+    NULL for pre-evolution rows, the new rows carry their values, and
+    pre-evolution rows project identically before and after (column
+    adds never rewrite data).  Maintenance rewrites (compact_files)
+    must preserve the evolved column too."""
+    run, n1, n2 = _runs(spark, tmp_path, pages)
+    before = {r.url: r.text for r in
+              run.extracted().select("url", "text").collect()}
+
+    # simulate the evolved writer: same stage append path, one extra
+    # column, committed through the normal manifest commit point
+    import uuid as _uuid
+
+    rid = _uuid.uuid4().hex
+    evolved = (
+        spark.createDataFrame(
+            [("https://host999.example.com/new1", "fresh text", "v2")],
+            "url string, text string, extractor_version string")
+        .withColumn("bucket",
+                    F.pmod(F.xxhash64(F.parse_url("url", F.lit("HOST"))),
+                           F.lit(run.n_buckets)))
+        .withColumn("_run_id", F.lit(rid))
+    )
+    evolved.write.mode("append").partitionBy("bucket").parquet(
+        run._path("extracted"))
+    run._manifest(rid, 1, 0.0)
+
+    cur = run.extracted()
+    assert "extractor_version" in cur.columns
+    assert "bucket" not in cur.columns          # still hidden
+    rows = {r.url: (r.text, r.extractor_version)
+            for r in cur.select("url", "text",
+                                "extractor_version").collect()}
+    assert rows["https://host999.example.com/new1"] == ("fresh text", "v2")
+    # every pre-evolution row: value preserved, NULL in the new column
+    for url, text in before.items():
+        assert rows[url] == (text, None)
+    # maintenance rewrite keeps the evolved column's data
+    run.compact_files(target_bytes=1 << 30)
+    after = {r.url: (r.text, r.extractor_version)
+             for r in run.extracted()
+             .select("url", "text", "extractor_version").collect()}
+    assert after == rows
+
+
+def test_hidden_partitioning_never_leaks_and_prunes(spark, pages,
+                                                    tmp_path):
+    """Iceberg hidden-partitioning semantics: the url-host bucket
+    transform is invisible in every logical schema, and a host-scoped
+    read applies the transform READER-side so the scan carries a real
+    partition filter (directory pruning) while returning exactly what
+    the unpruned read filtered by host returns."""
+    from docling_graph_spark.plans import formatted_plan
+
+    run, n1, n2 = _runs(spark, tmp_path, pages)
+    assert "bucket" not in run.extracted().columns
+    assert "bucket" not in run.extracted(as_of=1).columns
+
+    host = "host0.example.com"
+    pruned = run.extracted_for_hosts([host])
+    assert "bucket" not in pruned.columns
+    want = {r.url for r in run.extracted()
+            .where(F.parse_url("url", F.lit("HOST")) == host)
+            .select("url").collect()}
+    got = {r.url for r in pruned.select("url").collect()}
+    assert got == want and got
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    # the transform is the writer's: physical layout really is bucketed
+    import os
+
+    dirs = [d for d in os.listdir(str(tmp_path / "ck" / "extracted"))
+            if d.startswith("bucket=")]
+    assert len(dirs) > 1
+
+    # empty host set: empty result, same schema
+    assert run.extracted_for_hosts([]).count() == 0
