@@ -264,7 +264,11 @@ Round-4 merge map (same driver-cap discipline):
                         (real VP8L decode — prefix codes, LZ77, color
                         cache, all four inverse transforms — with the
                         encoder feature set rotating per doc; closed-
-                        form pixel oracle)
+                        form pixel oracle) and FLAC in the wav_decode
+                        stage (real lossless decode — rice residuals,
+                        fixed/LPC predictors, mid/side stereo, CRC
+                        gates — subframe mode rotating per doc;
+                        closed-form sample oracle)
   link_graph_stats   += hits section now ADAPTIVE to its pointwise-
                         stable state (whole-graph Arrow kernel under
                         the edge gate) with a converged/realized gate

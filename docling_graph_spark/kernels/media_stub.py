@@ -80,7 +80,10 @@ def decode_media(payload: bytes, media_type: str):
     uncompressed BI_RGB 8/24/32-bit, bottom-up or top-down
     (`kernels/bmp_codec.py`).  ``audio/wav`` PCM decodes for real too
     (`kernels/wav_codec.py`: RIFF chunk walk, fmt parse, 8/16/32-bit
-    integer sample decode).  ``image/webp`` decodes for real — VP8L
+    integer sample decode), and so does ``audio/flac``
+    (`kernels/flac_codec.py`: full lossless decode — rice residuals,
+    fixed/LPC predictors, stereo decorrelation, CRC-verified frames).
+    ``image/webp`` decodes for real — VP8L
     lossless bitstream (`kernels/webp_codec.py`: canonical prefix
     codes, LZ77 + color cache, all four inverse transforms); lossy VP8
     raises and the operator falls back to the geometry probe.  Every
@@ -114,6 +117,10 @@ def decode_media(payload: bytes, media_type: str):
         from .wav_codec import decode_wav
 
         return decode_wav(payload)
+    if media_type == "audio/flac":
+        from .flac_codec import decode_flac
+
+        return decode_flac(payload)
     raise NotImplementedError(
         "media decode requires image/audio libraries not present in this "
         f"container (requested: {media_type}); use fake_features for the "

@@ -227,10 +227,13 @@ def audio_decode_stats(web_pages: DataFrame) -> DataFrame:
     """REAL audio decode over the payload column: per row, the decoded PCM
     parameters (channels / rate / bit depth / frames) plus integer sample
     statistics (sum of |sample|, peak magnitude) where a real decoder
-    exists (PCM WAV, via the stdlib RIFF codec `kernels/wav_codec.py`),
-    and a routed error string where it does not — compressed audio
-    (MP3/OGG/FLAC) raises NotImplementedError inside the kernel and lands
-    in ``decode_error``, never an executor crash.  Same mapInPandas shape
+    exists (PCM WAV via the stdlib RIFF codec `kernels/wav_codec.py`;
+    FLAC via the full lossless decoder `kernels/flac_codec.py` —
+    rice-coded residuals, fixed + LPC predictors, stereo
+    decorrelation), and a routed error string where it does not —
+    lossy compressed audio (MP3/OGG) raises NotImplementedError inside
+    the kernel and lands in ``decode_error``, never an executor
+    crash.  Same mapInPandas shape
     as the image stage: per-batch decode loop, (url, html) pruned across
     the Arrow boundary.  This is the audio analogue of
     `media_decode_stats`; at 100 TB it is the scan-stage filter that drops

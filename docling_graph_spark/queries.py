@@ -5979,11 +5979,43 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(wav[:20] if d % 7 == 3 else wav)
             yield pd.DataFrame({"url": urls, "html": blobs})
 
+    # round 4: FLAC joins the audio stage — 24 streams on doc_ids
+    # [64, 88): channels 1+d%2, rate 8000, frames 50+d%20, sample k =
+    # ((d*29 + k*13) % 3001) - 1500, encoded by
+    # kernels/flac_codec.encode_flac with the subframe mode rotating by
+    # d%5 (verbatim / fixed1 / fixed2 / fixed4 / lpc2) and mid/side
+    # stereo when 2-channel — FLAC is lossless, so every variant
+    # decodes to the same closed-form samples the oracle predicts.
+    def build_flacs(batches):
+        from docling_graph_spark.kernels.flac_codec import encode_flac
+
+        modes = ["verbatim", "fixed1", "fixed2", "fixed4", "lpc2"]
+        for pdf in batches:
+            urls, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                c, f = 1 + d % 2, 50 + d % 20
+                inter = [((d * 29 + k * 13) % 3001) - 1500
+                         for k in range(f * c)]
+                chans = [inter[ch::c] for ch in range(c)]
+                urls.append(f"flac:{d}")
+                blobs.append(encode_flac(
+                    chans, sample_rate=8000, blocksize=64,
+                    subframe_mode=modes[d % 5],
+                    stereo_mode="mid_side" if c == 2 else "independent"))
+            yield pd.DataFrame({"url": urls, "html": blobs})
+
     wavs = (
         _read(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _PNG_DOCS)
         .select("doc_id")
         .mapInPandas(build_wavs, "url string, html binary")
+    ).unionByName(
+        _read(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") >= _PNG_DOCS)
+                & (F.col("doc_id") < _PNG_DOCS + 24))
+        .select("doc_id")
+        .mapInPandas(build_flacs, "url string, html binary")
     )
     adec = op_mm.audio_decode_stats(wavs)
     wav_agg = adec.agg(
@@ -6351,6 +6383,19 @@ wabs AS (
   FROM wav, LATERAL (SELECT unnest(generate_series(0, wav.f * wav.c - 1))
                      AS k)
 ),
+fl AS (
+  SELECT doc_id AS d, 1 + doc_id % 2 AS c, 50 + doc_id % 20 AS f
+  FROM documents
+  WHERE doc_id >= {_PNG_DOCS} AND doc_id < {_PNG_DOCS + 24}
+),
+flabs AS (
+  SELECT CAST(sum(abs(((fl.d * 29 + k * 13) % 3001) - 1500)) AS BIGINT)
+           AS s,
+         CAST(max(abs(((fl.d * 29 + k * 13) % 3001) - 1500)) AS BIGINT)
+           AS p
+  FROM fl, LATERAL (SELECT unnest(generate_series(0, fl.f * fl.c - 1))
+                    AS k)
+),
 llb AS (
   SELECT doc_id, 5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h
   FROM documents WHERE doc_id < {_PNG_DOCS} AND doc_id % 2 = 0
@@ -6420,19 +6465,24 @@ jsum AS (
 ),
 wsum AS (
   SELECT CAST((SELECT count(*) FROM documents WHERE doc_id < {_PNG_DOCS})
-              AS BIGINT) AS n_rows,
-         CAST((SELECT count(*) FROM wav) AS BIGINT) AS n_decoded,
+              + (SELECT count(*) FROM fl) AS BIGINT) AS n_rows,
+         CAST((SELECT count(*) FROM wav) + (SELECT count(*) FROM fl)
+              AS BIGINT) AS n_decoded,
          CAST((SELECT count(*) FROM documents
                WHERE doc_id < {_PNG_DOCS} AND doc_id % 7 = 3) AS BIGINT)
            AS n_malformed,
          CAST((SELECT count(*) FROM documents
                WHERE doc_id < {_PNG_DOCS} AND doc_id % 7 = 5) AS BIGINT)
            AS n_unsupported,
-         CAST((SELECT sum(c) FROM wav) AS BIGINT) AS sum_channels,
-         CAST((SELECT sum(r) FROM wav) AS BIGINT) AS sum_rate,
-         CAST((SELECT sum(f) FROM wav) AS BIGINT) AS sum_frames,
-         (SELECT s FROM wabs) AS sum_abs,
-         (SELECT p FROM wabs) AS max_peak
+         CAST((SELECT sum(c) FROM wav) + (SELECT sum(c) FROM fl)
+              AS BIGINT) AS sum_channels,
+         CAST((SELECT sum(r) FROM wav) + 8000 * (SELECT count(*) FROM fl)
+              AS BIGINT) AS sum_rate,
+         CAST((SELECT sum(f) FROM wav) + (SELECT sum(f) FROM fl)
+              AS BIGINT) AS sum_frames,
+         (SELECT s FROM wabs) + (SELECT s FROM flabs) AS sum_abs,
+         greatest((SELECT p FROM wabs), (SELECT p FROM flabs))
+           AS max_peak
 ){_phash_oracle_ctes()}
 SELECT stage, metric, value FROM (
   SELECT 'media' AS stage, media_type || ':n_docs' AS metric,

@@ -1,0 +1,120 @@
+"""FLAC lossless audio codec (kernels/flac_codec.py).
+
+Byte-lossless roundtrips through every subframe type (CONSTANT /
+VERBATIM / FIXED 0-4 / LPC), rice-coded residuals, the three stereo
+decorrelation modes, and multi-frame streams; CRC-8/CRC-16 are
+verified by the decoder, so a single flipped byte must fail loudly.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from docling_graph_spark.kernels import flac_codec as FL
+
+
+def _interleave(chans):
+    n = len(chans[0])
+    return [chans[c][i] for i in range(n) for c in range(len(chans))]
+
+
+@pytest.mark.parametrize("mode", ["verbatim", "fixed0", "fixed1",
+                                  "fixed2", "fixed3", "fixed4", "lpc2"])
+def test_roundtrip_every_subframe_type(mode):
+    rng = random.Random(hash(mode) & 0xFFFF)
+    for _ in range(3):
+        n = rng.randint(1, 700)
+        nch = rng.choice([1, 2])
+        chans = [[rng.randint(-30000, 30000) for _ in range(n)]
+                 for _ in range(nch)]
+        dec = FL.decode_flac(FL.encode_flac(chans, subframe_mode=mode))
+        assert (dec.n_channels, dec.sample_rate, dec.bit_depth,
+                dec.n_frames) == (nch, 8000, 16, n)
+        assert dec.samples == _interleave(chans)
+
+
+def test_constant_subframe():
+    dec = FL.decode_flac(FL.encode_flac([[1234] * 300],
+                                        subframe_mode="constant"))
+    assert dec.samples == [1234] * 300
+
+
+@pytest.mark.parametrize("sm", ["left_side", "right_side", "mid_side"])
+def test_stereo_decorrelation_roundtrip(sm):
+    rng = random.Random(42)
+    n = 333
+    left = [rng.randint(-30000, 30000) for _ in range(n)]
+    right = [rng.randint(-30000, 30000) for _ in range(n)]
+    dec = FL.decode_flac(FL.encode_flac([left, right],
+                                        subframe_mode="fixed2",
+                                        stereo_mode=sm))
+    assert dec.samples == _interleave([left, right])
+
+
+def test_multi_frame_stream_and_partial_last_block():
+    rng = random.Random(7)
+    n = 700  # blocksize 256 -> 2 full frames + a 188-sample tail
+    ch = [rng.randint(-2000, 2000) for _ in range(n)]
+    dec = FL.decode_flac(FL.encode_flac([ch], blocksize=256,
+                                        subframe_mode="fixed1"))
+    assert dec.n_frames == n and dec.samples == ch
+
+
+def test_smooth_content_compresses_under_prediction():
+    ch = [int(8000 * math.sin(i / 20)) for i in range(2000)]
+    verb = FL.encode_flac([ch], subframe_mode="verbatim")
+    fixed = FL.encode_flac([ch], subframe_mode="fixed2")
+    lpc = FL.encode_flac([ch], subframe_mode="lpc2")
+    assert FL.decode_flac(fixed).samples == ch
+    assert FL.decode_flac(lpc).samples == ch
+    assert len(fixed) < len(verb)
+
+
+def test_crc_detects_corruption():
+    ch = [i % 100 - 50 for i in range(300)]
+    data = bytearray(FL.encode_flac([ch], subframe_mode="fixed1"))
+    # flip a bit in the last frame's entropy data (past the metadata)
+    data[-10] ^= 0x40
+    with pytest.raises(Exception):
+        FL.decode_flac(bytes(data))
+
+
+def test_malformed_routes_cleanly():
+    with pytest.raises(ValueError, match="fLaC"):
+        FL.decode_flac(b"not a flac stream at all")
+    good = FL.encode_flac([[1, 2, 3, 4]], subframe_mode="verbatim")
+    with pytest.raises(Exception):
+        FL.decode_flac(good[: len(good) - 3])
+
+
+def test_decode_media_flac_integration():
+    from docling_graph_spark.kernels.media_stub import (decode_media,
+                                                        sniff_media_type)
+
+    ch = [((k * 17) % 2001) - 1000 for k in range(120)]
+    data = FL.encode_flac([ch], sample_rate=16000)
+    assert sniff_media_type(data) == "audio/flac"
+    dec = decode_media(data, "audio/flac")
+    assert (dec.n_channels, dec.sample_rate, dec.n_frames) == (1, 16000,
+                                                               120)
+    assert dec.samples == ch
+
+
+def test_audio_decode_stats_flac_and_mp3_routing(spark):
+    from docling_graph_spark.operators import multimodal as mm
+
+    ch = [((k * 13) % 801) - 400 for k in range(90)]
+    rows = [
+        ("f1", bytearray(FL.encode_flac([ch], subframe_mode="lpc2"))),
+        ("mp3", bytearray(b"ID3\x04\x00" + bytes(32))),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r["url"]: r for r in mm.audio_decode_stats(df).collect()}
+    assert out["f1"]["decoded"]
+    assert out["f1"]["abs_sum"] == sum(abs(s) for s in ch)
+    assert out["f1"]["peak"] == max(abs(s) for s in ch)
+    assert not out["mp3"]["decoded"]
+    assert out["mp3"]["decode_error"].startswith("unsupported")
