@@ -9,6 +9,8 @@ table as the plain anti-join.
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from docling_graph_spark.operators import bloom as op_bloom

@@ -12,6 +12,13 @@ import __spark_entry__ as entry_mod
 from docling_graph_spark.plans import formatted_plan
 
 QUERY_NAMES = sorted(entry_mod.queries())
+# the three heavyweight merged relations dominate the suite's wall time;
+# their driver-gate coverage still runs in the full (close-out) suite
+_SLOW_QUERIES = {"link_graph_stats", "corpus_prep_stats", "top_terms"}
+QUERY_PARAMS = [
+    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_QUERIES else n
+    for n in QUERY_NAMES
+]
 
 # the ONLY queries allowed to plan a BroadcastNestedLoopJoin — each is an
 # intentional tiny-build-side broadcast cross (centroid scoring in the
@@ -26,7 +33,7 @@ BNLJ_ALLOWED = {
 }
 
 
-@pytest.mark.parametrize("name", QUERY_NAMES)
+@pytest.mark.parametrize("name", QUERY_PARAMS)
 def test_no_cartesian_or_unbroadcast_nlj(spark, sf_smoke_dir, name):
     df = entry_mod.queries()[name](spark, sf_smoke_dir)
     plan = formatted_plan(df)

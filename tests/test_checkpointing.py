@@ -26,6 +26,7 @@ def test_pending_inputs_no_checkpoint(spark, pages, tmp_path):
     assert pending_inputs(pages, done) is pages
 
 
+@pytest.mark.slow
 def test_resume_processes_only_missing(spark, pages, tmp_path):
     root = str(tmp_path / "ckpt")
     first = pages.filter(F.crc32(F.col("url")) % 2 == 0)
@@ -60,6 +61,7 @@ def test_resume_processes_only_missing(spark, pages, tmp_path):
     assert {r["processed_docs"] for r in runs.collect()} == {n1, n2, 0}
 
 
+@pytest.mark.slow
 def test_crashed_run_is_invisible_and_retried(spark, pages, tmp_path):
     """Iceberg-style commit semantics on parquet: stage appends from a run
     that died before its manifest write (the commit point) must be invisible
@@ -103,6 +105,7 @@ def test_crashed_run_is_invisible_and_retried(spark, pages, tmp_path):
     assert raw.count() == pages.count() + other.count()
 
 
+@pytest.mark.slow
 def test_compact_reclaims_only_orphans(spark, pages, tmp_path):
     """compact() rewrites stage tables without uncommitted-run orphans; a
     fully-committed checkpoint is untouched (zero reclaimed)."""
@@ -133,6 +136,7 @@ def test_compact_reclaims_only_orphans(spark, pages, tmp_path):
     assert run.run(pages) == other.count()
 
 
+@pytest.mark.slow
 def test_compact_files_binpacks_fragmented_table(spark, pages, tmp_path):
     """Many small incremental runs fragment the stage tables into one file
     per task per run; compact_files rewrites them toward the target size
@@ -168,6 +172,7 @@ def test_compact_files_binpacks_fragmented_table(spark, pages, tmp_path):
     assert run.compact_files(target_bytes=256 << 20) == {}
 
 
+@pytest.mark.slow
 def test_time_travel_snapshots(spark, pages, tmp_path):
     """as_of pins reads to a snapshot: the first run's rows only, whether
     addressed by sequence number or by run id."""

@@ -41,9 +41,16 @@ def _rowset(cols, rows):
 
 
 QUERY_NAMES = sorted(entry_mod.oracle_sql())
+# the three heavyweight merged relations dominate the suite's wall time;
+# their driver-gate coverage still runs in the full (close-out) suite
+_SLOW_QUERIES = {"link_graph_stats", "corpus_prep_stats", "top_terms"}
+QUERY_PARAMS = [
+    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_QUERIES else n
+    for n in QUERY_NAMES
+]
 
 
-@pytest.mark.parametrize("name", QUERY_NAMES)
+@pytest.mark.parametrize("name", QUERY_PARAMS)
 def test_query_matches_oracle(spark, sf_smoke_dir, name):
     q = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql()[name]

@@ -91,6 +91,7 @@ def test_filter_pushdown_reaches_scan(spark, sf_correct_dir):
     assert any("l_shipdate" in p for p in pushed), pushed
 
 
+@pytest.mark.slow
 def test_relational_queries_are_pure_jvm(spark, sf_correct_dir):
     """No Python eval nodes anywhere in the JVM-only catalog queries.
 

@@ -49,6 +49,7 @@ def _rows(df, key="host"):
 
 @pytest.mark.parametrize("op", ["pagerank", "ppr", "bfs", "coreness",
                                 "lpa", "scc", "walks"])
+@pytest.mark.slow
 def test_local_and_sync_paths_identical(spark, op):
     edges = _edges(spark, GRAPH)
     seeds = spark.createDataFrame([("a",), ("p",)], "host string")
@@ -130,6 +131,7 @@ def test_kernel_lpa_two_cycle_is_honest():
     assert all(wc == 1 for _, wc, _ in res.values())
 
 
+@pytest.mark.slow
 def test_reliable_checkpoint_mode_identical_output(spark, tmp_path):
     """VERDICT item: swapping localCheckpoint for reliable checkpoint()
     must leave iterative-operator output bit-identical, and must
@@ -181,6 +183,7 @@ def test_hybrid_ops_on_empty_edges(spark):
     assert lg.weakly_connected(empty).count() == 0
 
 
+@pytest.mark.slow
 def test_local_vs_sync_on_random_graph(spark):
     """Moderate random digraph (several hundred edges, multiple
     components, cycles + dags): the component-local and synchronous

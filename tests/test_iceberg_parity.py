@@ -23,6 +23,8 @@ production deployment can replace CheckpointedRun' internals with
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from docling_graph_spark.checkpointing import CheckpointedRun

@@ -151,6 +151,7 @@ def _exhaustive_topk(spark, docs, k=op_ix.WAND_K,
         .select("query_id", "rn", "doc_id", "score"))
 
 
+@pytest.mark.slow
 def test_wand_topk_matches_exhaustive(spark, wand_corpus):
     """Safety: the pruned execution returns EXACTLY the unpruned top-k."""
     from pyspark.sql import functions as F
@@ -169,6 +170,7 @@ def test_wand_topk_matches_exhaustive(spark, wand_corpus):
         assert r["topk_checksum"] == ref_ck[r["query_id"]], r["query_id"]
 
 
+@pytest.mark.slow
 def test_wand_pruning_is_effective(wand_corpus):
     """The bound must do real work at BOTH levels: whole posting blocks
     are skipped before any doc enumeration (the document-at-a-time

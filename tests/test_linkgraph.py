@@ -8,6 +8,8 @@ driver's recording cap)."""
 
 from __future__ import annotations
 
+import pytest
+
 import duckdb
 from pyspark.sql import functions as F
 
@@ -320,6 +322,7 @@ def test_hits_adaptive_reaches_fixpoint(spark):
     assert fixed == {r["host"]: (r["hub"], r["auth"]) for r in rows}
 
 
+@pytest.mark.slow
 def test_hits_local_vs_sync_paths_identical(spark):
     """The whole-graph Arrow kernel and the synchronous DataFrame
     fallback agree value-for-value — adaptive on a fast-converging

@@ -211,6 +211,7 @@ def test_connected_components_long_path(spark):
     assert labels.count() == 61
 
 
+@pytest.mark.slow
 def test_connected_components_paths_agree(spark):
     """Scale-adaptive equivalence: the driver union-find shortcut and the
     distributed pointer-jumping loop produce identical labelings on random

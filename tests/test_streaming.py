@@ -72,6 +72,7 @@ def test_incremental_stream_drains_and_converges(spark, sf_smoke_dir, tmp_path):
         assemble_accumulated_graph(spark, dup_out, CFG)
 
 
+@pytest.mark.slow
 def test_dedup_urls_keeps_newest_capture_once(spark, sf_smoke_dir, tmp_path):
     """--dedup-urls crawl semantics: within a micro-batch the newest capture
     of a url wins; re-crawls of already-ingested urls are skipped on later
@@ -228,6 +229,7 @@ def test_incremental_link_graph_matches_batch(spark, sf_smoke_dir,
     assert sorted(map(tuple, ranks.collect())) == want_ranks
 
 
+@pytest.mark.slow
 def test_link_edges_exactly_once_despite_failed_extraction(spark,
                                                            tmp_path):
     """Under dedup_urls, a url whose extraction fails the extractable
