@@ -393,9 +393,14 @@ def image_near_dup(web_pages: DataFrame,
         raise ValueError(
             f"banding with {PHASH_BANDS} bands is only complete for "
             f"hamming <= {PHASH_BANDS - 1}; got {max_hamming}")
-    hashes = (image_hashes(web_pages)
-              .filter(F.col("decoded"))
-              .select("url", "phash"))
+    from ..lineage import cut
+
+    # pin the hash relation BEFORE the self-join: both join sides would
+    # otherwise re-run the decode+hash Arrow pass (the expensive part —
+    # the pinned relation is ~25 bytes/row regardless of image size)
+    hashes = cut(image_hashes(web_pages)
+                 .filter(F.col("decoded"))
+                 .select("url", "phash"))
     bands = hashes.select(
         "url", "phash",
         F.explode(F.array(*[
