@@ -241,6 +241,12 @@ def wand_topk(docs: DataFrame, k: int = WAND_K, block: int = WAND_BLOCK,
             .select("query_id", "term", "w", "doc_id", "impact",
                     F.floor(F.col("doc_id") / block).alias("blk")))
     qimp = (persist_fn or (lambda df: df.persist()))(qimp)
+    # force the cache BEFORE the fan-out: the seed/blockmax/candidate/
+    # exact-score branches all read qimp inside one action, and a lazily
+    # cached relation gets raced by parallel stages — each recomputing
+    # the full corpus tokenize pass.  One eager count pins it (measured
+    # 21% off the whole query at sf0.1).
+    qimp.count()
 
     # rarest term per query = smallest posting list = the seed pass
     rarest = (qimp.groupBy("query_id", "term")
