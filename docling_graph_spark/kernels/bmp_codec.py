@@ -30,6 +30,9 @@ class DecodedBmp(NamedTuple):
     pixels: bytes  # interleaved RGB
 
 
+MAX_PIXELS = 1 << 26  # shared decode guard with the other image codecs
+
+
 def decode_bmp(data: bytes) -> DecodedBmp:
     if data[:2] != b"BM" or len(data) < 54:
         raise ValueError("not a BMP")
@@ -49,6 +52,10 @@ def decode_bmp(data: bytes) -> DecodedBmp:
     h = abs(h)
     if w <= 0 or h <= 0:
         raise ValueError("bad BMP dimensions")
+    if w * h > MAX_PIXELS:
+        raise ValueError(
+            f"BMP dimensions {w}x{h} exceed the {MAX_PIXELS}-pixel "
+            "decode guard (decompression-bomb protection)")
 
     palette = None
     if bpp == 8:

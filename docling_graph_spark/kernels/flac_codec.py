@@ -224,7 +224,13 @@ def _parse_streaminfo(body: bytes) -> FlacInfo:
     return FlacInfo(sample_rate, channels, bps, total)
 
 
-def decode_flac(payload: bytes) -> DecodedWav:
+MAX_SAMPLES = 1 << 26  # decompression-bomb guard: a CONSTANT subframe
+# yields 32768 samples from ~20 bytes (1600x), so accumulated output
+# is capped — 2^26 samples is over 20 minutes of 48 kHz stereo
+
+
+def decode_flac(payload: bytes,
+                max_samples: int = MAX_SAMPLES) -> DecodedWav:
     """Decode a FLAC stream to interleaved integer samples (the same
     shape ``wav_codec.decode_wav`` returns, so the audio operators and
     their statistics treat both identically)."""
@@ -310,6 +316,10 @@ def decode_flac(payload: bytes) -> DecodedWav:
             raise ValueError("frame CRC-16 mismatch")
         for c, ch in enumerate(chans):
             samples[c].extend(ch)
+        if len(samples[0]) * info.channels > max_samples:
+            raise ValueError(
+                f"FLAC stream exceeds the {max_samples}-sample decode "
+                "guard (decompression-bomb protection)")
         pos = br.pos
 
     n_frames = len(samples[0]) if samples else 0
@@ -423,8 +433,21 @@ def _write_residuals(bw: _BitWriter, res: List[int],
                 bw.write_bits(u & ((1 << param) - 1), param)
 
 
+def _subframe_order(mode: str) -> int:
+    if mode.startswith("fixed"):
+        return int(mode[-1])
+    if mode == "lpc2":
+        return 2
+    return 0
+
+
 def _write_subframe(bw: _BitWriter, ch: List[int], bps: int,
                     mode: str) -> None:
+    # a predictor subframe needs order warmup samples; blocks shorter
+    # than the order (tiny inputs, short final block) downgrade to
+    # verbatim — the same fallback real encoders use
+    if len(ch) < _subframe_order(mode):
+        mode = "verbatim"
     bw.write_bits(0, 1)                 # padding
     if mode == "constant":
         bw.write_bits(0, 6)

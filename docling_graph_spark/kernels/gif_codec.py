@@ -80,12 +80,20 @@ def _lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> bytes:
 _INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+MAX_PIXELS = 1 << 26  # decompression-bomb guard: LZW expands ~1000x,
+# so the declared logical-screen geometry gates the decode
+
+
 def decode_gif(data: bytes) -> DecodedGif:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     if len(data) < 13:
         raise ValueError("truncated GIF header")
     sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    if sw * sh > MAX_PIXELS:
+        raise ValueError(
+            f"GIF screen {sw}x{sh} exceeds the {MAX_PIXELS}-pixel "
+            "decode guard (decompression-bomb protection)")
     pos = 13
     gct = None
     if flags & 0x80:
@@ -102,6 +110,10 @@ def decode_gif(data: bytes) -> DecodedGif:
         elif b == 0x2C:  # image descriptor
             left, top, w, h, iflags = struct.unpack_from("<HHHHB",
                                                          data, pos + 1)
+            if w * h > MAX_PIXELS:
+                raise ValueError(
+                    f"GIF frame {w}x{h} exceeds the {MAX_PIXELS}-pixel "
+                    "decode guard (decompression-bomb protection)")
             pos += 10
             ct = gct
             if iflags & 0x80:

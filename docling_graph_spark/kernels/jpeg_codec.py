@@ -121,6 +121,10 @@ for _u in range(8):
         _A[_u, _k] = 0.5 * _c * np.cos((2 * _k + 1) * _u * np.pi / 16)
 
 
+MAX_PIXELS = 1 << 26  # decompression-bomb guard: EOB-heavy entropy data
+# expands ~1000x, so header-declared dimensions gate the decode
+
+
 def _round_half_up(x: np.ndarray) -> np.ndarray:
     return np.floor(x + 0.5)
 
@@ -300,6 +304,11 @@ def decode_jpeg(data: bytes) -> DecodedJpeg:
             progressive = marker == 0xC2
             height = int.from_bytes(seg[1:3], "big")
             width = int.from_bytes(seg[3:5], "big")
+            if width * height > MAX_PIXELS:
+                raise ValueError(
+                    f"JPEG dimensions {width}x{height} exceed the "
+                    f"{MAX_PIXELS}-pixel decode guard "
+                    "(decompression-bomb protection)")
             nc = seg[5]
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]

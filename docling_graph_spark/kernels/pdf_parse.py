@@ -300,6 +300,8 @@ def extract_content_stream_text(data: bytes,
     return text[:-1] if text.endswith("\n") else text
 
 
+MAX_STREAM_BYTES = 1 << 26  # 64 MiB per decoded stream — deflate-bomb cap
+
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
 _STREAM_OPEN_RE = re.compile(rb"stream\r?\n")
 
@@ -328,7 +330,14 @@ def _decode_stream(obj_body: bytes) -> Optional[bytes]:
             raw = exact
     if _FLATE_RE.search(obj_body[: m.start()]):
         try:
-            return zlib.decompress(raw)
+            # bounded inflate: a deflate bomb in a content stream must
+            # not expand past the cap (routed as undecodable, never an
+            # executor OOM)
+            out = zlib.decompressobj().decompress(raw,
+                                                  MAX_STREAM_BYTES + 1)
+            if len(out) > MAX_STREAM_BYTES:
+                return None
+            return out
         except zlib.error:
             return None
     return raw

@@ -70,6 +70,11 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+MAX_PIXELS = 1 << 26  # decompression-bomb guard (shared policy with
+# the other image codecs): IHDR carries u32 dims a 100-byte payload
+# can set to billions
+
+
 def decode_png(data: bytes) -> DecodedPng:
     """Parse + inflate + defilter a PNG payload.
 
@@ -107,13 +112,20 @@ def decode_png(data: bytes) -> DecodedPng:
     if color_type not in _CHANNELS:
         raise ValueError(f"bad color type {color_type}")
     channels = _CHANNELS[color_type]
+    if width * height > MAX_PIXELS:
+        raise ValueError(
+            f"PNG dimensions {width}x{height} exceed the {MAX_PIXELS}-"
+            "pixel decode guard (decompression-bomb protection)")
     bpp = channels  # bytes per pixel at 8-bit depth
     stride = width * bpp
 
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (stride + 1):
+    # bounded inflate: a zlib bomb in IDAT must not expand past the
+    # geometry-implied size no matter what it claims
+    expected = height * (stride + 1)
+    raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
         raise ValueError(
-            f"inflated size {len(raw)} != expected {height * (stride + 1)}"
+            f"inflated size {len(raw)}+ != expected {expected}"
         )
 
     out = bytearray(height * stride)

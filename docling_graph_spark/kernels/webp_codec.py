@@ -427,7 +427,12 @@ def _inverse_subtract_green(px: List[int]) -> None:
         px[i] = (v & 0xFF00FF00) | (r << 16) | b
 
 
-def decode_webp(data: bytes) -> DecodedWebp:
+MAX_PIXELS = 1 << 26  # decompression-bomb guard: ~50 bytes of VP8L
+# can legally declare 16384x16384 (268M px) and pin a worker for
+# minutes; 2^26 (8192x8192) is generous for any real web image
+
+
+def decode_webp(data: bytes, max_pixels: int = MAX_PIXELS) -> DecodedWebp:
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WEBP (missing RIFF/WEBP header)")
     pos = 12
@@ -450,6 +455,10 @@ def decode_webp(data: bytes) -> DecodedWebp:
     br = _BitReader(payload[1:])
     w = br.read_bits(14) + 1
     h = br.read_bits(14) + 1
+    if w * h > max_pixels:
+        raise ValueError(
+            f"VP8L dimensions {w}x{h} exceed the {max_pixels}-pixel "
+            "decode guard (decompression-bomb protection)")
     br.read_bit()       # alpha hint
     if br.read_bits(3) != 0:
         raise ValueError("unknown VP8L version")

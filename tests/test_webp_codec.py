@@ -170,3 +170,25 @@ def test_prefix_encode_inverts_prefix_value():
         bw.write_bits(extra, nbits)
         br = W._BitReader(bw.flush() or b"\x00")
         assert W._prefix_value(br, code) == v
+
+
+def test_corruption_fuzz_never_hangs():
+    """Single-byte corruption of a valid VP8L stream must terminate
+    quickly — loud error or bounded decode, never a hang/OOM (the
+    pixel loop is bounded by the guarded header geometry)."""
+    import time
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(20, 20, 4), dtype=np.uint8)
+    arr[:, :, 3] = 255
+    good = W.encode_webp_lossless(20, 20, _rgba(arr), cache_bits=4,
+                                  use_rle=True)
+    t0 = time.time()
+    for pos in range(12, len(good), 5):
+        bad = bytearray(good)
+        bad[pos] ^= 0x24
+        try:
+            W.decode_webp(bytes(bad))
+        except Exception:
+            pass
+    assert time.time() - t0 < 30
