@@ -68,8 +68,8 @@ def decode_media(payload: bytes, media_type: str):
     """REAL decode entry point.
 
     ``image/png`` decodes for real — stdlib-only codec
-    (`kernels/png_codec.py`: chunk walk, IDAT inflate, full filter-0..4
-    defilter).  ``image/jpeg`` decodes for real — baseline T.81 process
+    (`kernels/png_codec.py`: chunk walk, bounded IDAT inflate, full
+    filter-0..4 defilter, Adam7 interlace, 1/2/4/8-bit depths).  ``image/jpeg`` decodes for real — baseline T.81 process
     AND Huffman progressive (Annex G) (`kernels/jpeg_codec.py`: marker
     walk, Huffman entropy decode, multi-scan successive-approximation
     accumulation, dequant + IDCT, 4:2:0 upsample, YCbCr->RGB;

@@ -74,60 +74,15 @@ MAX_PIXELS = 1 << 26  # decompression-bomb guard (shared policy with
 # the other image codecs): IHDR carries u32 dims a 100-byte payload
 # can set to billions
 
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per pass (PNG spec 8.2)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
-def decode_png(data: bytes) -> DecodedPng:
-    """Parse + inflate + defilter a PNG payload.
 
-    Supports 8-bit depth, all five color types, non-interlaced images —
-    the overwhelmingly common crawl case.  Raises ``ValueError`` on
-    malformed input and ``NotImplementedError`` on sub-8-bit depth, 16-bit
-    depth, or Adam7 interlace (the caller routes those to the stub path /
-    error column, never crashes the executor)."""
-    if data[:8] != PNG_SIGNATURE:
-        raise ValueError("not a PNG: bad signature")
-    pos = 8
-    width = height = bit_depth = color_type = interlace = None
-    idat = bytearray()
-    n = len(data)
-    while pos + 8 <= n:
-        (length,) = struct.unpack(">I", data[pos:pos + 4])
-        tag = data[pos + 4:pos + 8]
-        body = data[pos + 8:pos + 8 + length]
-        if len(body) < length:
-            raise ValueError("truncated PNG chunk")
-        pos += 12 + length  # skip CRC
-        if tag == b"IHDR":
-            width, height, bit_depth, color_type, _comp, _filt, interlace = \
-                struct.unpack(">IIBBBBB", body)
-        elif tag == b"IDAT":
-            idat.extend(body)
-        elif tag == b"IEND":
-            break
-    if width is None:
-        raise ValueError("PNG missing IHDR")
-    if bit_depth != 8:
-        raise NotImplementedError(f"bit depth {bit_depth} unsupported")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlace unsupported")
-    if color_type not in _CHANNELS:
-        raise ValueError(f"bad color type {color_type}")
-    channels = _CHANNELS[color_type]
-    if width * height > MAX_PIXELS:
-        raise ValueError(
-            f"PNG dimensions {width}x{height} exceed the {MAX_PIXELS}-"
-            "pixel decode guard (decompression-bomb protection)")
-    bpp = channels  # bytes per pixel at 8-bit depth
-    stride = width * bpp
-
-    # bounded inflate: a zlib bomb in IDAT must not expand past the
-    # geometry-implied size no matter what it claims
-    expected = height * (stride + 1)
-    raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
-    if len(raw) != expected:
-        raise ValueError(
-            f"inflated size {len(raw)}+ != expected {expected}"
-        )
-
+def _defilter(raw: bytes, height: int, stride: int, bpp: int) -> bytearray:
+    """Undo PNG filters 0-4 over ``height`` scanlines of ``stride``
+    bytes (each preceded by its filter byte); ``bpp`` is the filter
+    unit in BYTES (1 for sub-8-bit depths, per the spec)."""
     out = bytearray(height * stride)
     prev_start = -1
     for y in range(height):
@@ -159,5 +114,190 @@ def decode_png(data: bytes) -> DecodedPng:
         else:
             raise ValueError(f"bad filter type {ftype} in row {y}")
         prev_start = cur_start
+    return out
+
+
+def _unpack_subbyte(row: bytes, n: int, depth: int) -> list:
+    """Expand a packed sub-8-bit scanline to ``n`` integer samples
+    (MSB-first packing per the spec)."""
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    out = []
+    for i in range(n):
+        b = row[i // per]
+        shift = 8 - depth * (i % per + 1)
+        out.append((b >> shift) & mask)
+    return out
+
+
+def decode_png(data: bytes) -> DecodedPng:
+    """Parse + inflate + defilter a PNG payload.
+
+    Supports bit depths 1/2/4/8 (sub-8-bit grayscale and palette — the
+    icon/sprite formats — expand to one sample per output byte;
+    grayscale scales by bit replication to 0..255, palette keeps raw
+    indices like the 8-bit palette path), all five color types, and
+    BOTH progressive variants: non-interlaced and Adam7 interlaced
+    (each of the seven passes defiltered independently and scattered
+    into the pixel grid).  Raises ``ValueError`` on malformed input and
+    ``NotImplementedError`` on 16-bit depth (the caller routes those to
+    the probe path / error column, never crashes the executor)."""
+    if data[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # skip CRC
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth == 16:
+        raise NotImplementedError("16-bit depth unsupported")
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError(f"bad bit depth {bit_depth}")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"bad color type {color_type}")
+    if bit_depth < 8 and color_type not in (0, 3):
+        raise ValueError(
+            f"bit depth {bit_depth} illegal for color type {color_type}")
+    channels = _CHANNELS[color_type]
+    if width * height > MAX_PIXELS:
+        raise ValueError(
+            f"PNG dimensions {width}x{height} exceed the {MAX_PIXELS}-"
+            "pixel decode guard (decompression-bomb protection)")
+    # grayscale sub-8-bit scales by bit replication (exactly
+    # v * 255 / (2^d - 1)); palette keeps raw indices
+    scale = (255 // ((1 << bit_depth) - 1)
+             if (bit_depth < 8 and color_type == 0) else 1)
+
+    passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    layout = []          # (x0, y0, dx, dy, wp, hp, stride)
+    expected = 0
+    for x0, y0, dx, dy in passes:
+        wp = -(-(width - x0) // dx) if width > x0 else 0
+        hp = -(-(height - y0) // dy) if height > y0 else 0
+        if wp <= 0 or hp <= 0:
+            continue
+        stride = (-(-(wp * bit_depth) // 8) if bit_depth < 8
+                  else wp * channels)
+        layout.append((x0, y0, dx, dy, wp, hp, stride))
+        expected += hp * (stride + 1)
+
+    # bounded inflate: a zlib bomb in IDAT must not expand past the
+    # geometry-implied size no matter what it claims
+    raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
+        raise ValueError(
+            f"inflated size {len(raw)}+ != expected {expected}"
+        )
+
+    bpp = max(1, channels if bit_depth == 8 else 1)
+    out = bytearray(width * height * channels)
+    datapos = 0
+    for x0, y0, dx, dy, wp, hp, stride in layout:
+        block = raw[datapos:datapos + hp * (stride + 1)]
+        datapos += hp * (stride + 1)
+        rows = _defilter(block, hp, stride, bpp)
+        for ry in range(hp):
+            row = rows[ry * stride:(ry + 1) * stride]
+            y = y0 + ry * dy
+            if bit_depth < 8:
+                vals = _unpack_subbyte(row, wp, bit_depth)
+                for i in range(wp):
+                    out[y * width + x0 + i * dx] = vals[i] * scale
+            else:
+                for i in range(wp):
+                    x = x0 + i * dx
+                    off = (y * width + x) * channels
+                    out[off:off + channels] = \
+                        row[i * channels:(i + 1) * channels]
     return DecodedPng(width, height, bit_depth, color_type, channels,
                       bytes(out))
+
+
+# ---------------------------------------------------------------------------
+# extra fixture encoders (interlaced / sub-8-bit)
+# ---------------------------------------------------------------------------
+
+
+def _png_chunks(ihdr: bytes, raw: bytes, extra=()) -> bytes:
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    out = PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+    for tag, body in extra:
+        out += chunk(tag, body)
+    return out + chunk(b"IDAT", zlib.compress(raw, 9)) + chunk(b"IEND",
+                                                               b"")
+
+
+def encode_png_gray_interlaced(width: int, height: int,
+                               pixels: bytes) -> bytes:
+    """Adam7-interlaced 8-bit grayscale fixture: the same pixels as
+    :func:`encode_png_gray` laid out as the seven passes (filter-0
+    rows), so decode of either encoding must be byte-identical."""
+    assert len(pixels) == width * height
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        wp = -(-(width - x0) // dx) if width > x0 else 0
+        hp = -(-(height - y0) // dy) if height > y0 else 0
+        if wp <= 0 or hp <= 0:
+            continue
+        for ry in range(hp):
+            y = y0 + ry * dy
+            raw.append(0)
+            raw.extend(pixels[y * width + x0 + i * dx]
+                       for i in range(wp))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 1)
+    return _png_chunks(ihdr, bytes(raw))
+
+
+def encode_png_subbyte(width: int, height: int, depth: int,
+                       samples: list, color_type: int = 0,
+                       palette: bytes = b"",
+                       interlace: bool = False) -> bytes:
+    """Sub-8-bit fixture (depth 1/2/4): grayscale (color type 0) or
+    palette (3, with a PLTE chunk); MSB-first bit packing, filter-0
+    rows, optionally Adam7 interlaced."""
+    assert depth in (1, 2, 4)
+    assert all(0 <= v < (1 << depth) for v in samples)
+    per = 8 // depth
+
+    def pack_row(vals: list) -> bytes:
+        row = bytearray(-(-len(vals) * depth // 8))
+        for i, v in enumerate(vals):
+            row[i // per] |= v << (8 - depth * (i % per + 1))
+        return bytes(row)
+
+    raw = bytearray()
+    passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    for x0, y0, dx, dy in passes:
+        wp = -(-(width - x0) // dx) if width > x0 else 0
+        hp = -(-(height - y0) // dy) if height > y0 else 0
+        if wp <= 0 or hp <= 0:
+            continue
+        for ry in range(hp):
+            y = y0 + ry * dy
+            raw.append(0)
+            raw.extend(pack_row([samples[y * width + x0 + i * dx]
+                                 for i in range(wp)]))
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0,
+                       0, 1 if interlace else 0)
+    extra = [(b"PLTE", palette)] if color_type == 3 else []
+    return _png_chunks(ihdr, bytes(raw), extra)

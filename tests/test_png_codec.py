@@ -87,9 +87,11 @@ def test_rejects_bad_signature_and_truncation():
 
 def test_unsupported_features_raise_not_implemented():
     raw = bytes(4 * (1 + 2))  # 16-bit gray 2x... (content irrelevant)
-    with pytest.raises(NotImplementedError, match="bit depth"):
+    with pytest.raises(NotImplementedError, match="16-bit"):
         decode_png(_png(2, 2, 16, 0, raw))
-    with pytest.raises(NotImplementedError, match="interlace"):
+    # Adam7 interlace is SUPPORTED since round 4 — a malformed
+    # interlaced stream (wrong pass layout size) errors loudly instead
+    with pytest.raises(ValueError, match="inflated size"):
         decode_png(_png(2, 2, 8, 0, bytes(6), interlace=1))
 
 
@@ -120,3 +122,66 @@ def test_media_decode_stats_routes_errors(spark):
     # garbage after the JPEG magic: the real baseline decoder raises and
     # the header probe finds no SOF either -> routed as malformed
     assert got["jpeg"].decode_error.startswith("malformed")
+
+
+# ---------------------------------------------------------------------------
+# Round 4: Adam7 interlace + sub-8-bit depths
+# ---------------------------------------------------------------------------
+
+
+def test_adam7_interlaced_equals_sequential():
+    """The interlaced encoding of an image must decode byte-identical
+    to the sequential encoding — all seven passes scattered back."""
+    from docling_graph_spark.kernels.png_codec import (
+        encode_png_gray_interlaced)
+    import random
+
+    rng = random.Random(4)
+    for w, h in [(1, 1), (3, 2), (8, 8), (13, 9), (21, 17), (40, 33)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        seq = decode_png(encode_png_gray(w, h, px))
+        inter = decode_png(encode_png_gray_interlaced(w, h, px))
+        assert inter.pixels == seq.pixels == px
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_gray_scales_by_bit_replication(depth):
+    from docling_graph_spark.kernels.png_codec import encode_png_subbyte
+    import random
+
+    rng = random.Random(depth)
+    w, h = 19, 7
+    samples = [rng.randrange(1 << depth) for _ in range(w * h)]
+    dec = decode_png(encode_png_subbyte(w, h, depth, samples))
+    scale = 255 // ((1 << depth) - 1)
+    assert list(dec.pixels) == [v * scale for v in samples]
+    assert (dec.bit_depth, dec.channels) == (depth, 1)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_palette_keeps_indices(depth):
+    from docling_graph_spark.kernels.png_codec import encode_png_subbyte
+    import random
+
+    rng = random.Random(10 + depth)
+    w, h = 11, 6
+    samples = [rng.randrange(1 << depth) for _ in range(w * h)]
+    pal = bytes(range(3 * (1 << depth)))
+    dec = decode_png(encode_png_subbyte(w, h, depth, samples,
+                                        color_type=3, palette=pal))
+    assert list(dec.pixels) == samples
+    assert dec.color_type == 3
+
+
+def test_subbyte_interlaced_roundtrip():
+    from docling_graph_spark.kernels.png_codec import encode_png_subbyte
+    import random
+
+    rng = random.Random(77)
+    for depth in (1, 2, 4):
+        w, h = 23, 14
+        samples = [rng.randrange(1 << depth) for _ in range(w * h)]
+        plain = decode_png(encode_png_subbyte(w, h, depth, samples))
+        inter = decode_png(encode_png_subbyte(w, h, depth, samples,
+                                              interlace=True))
+        assert inter.pixels == plain.pixels
