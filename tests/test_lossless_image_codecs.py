@@ -98,3 +98,97 @@ def test_media_decode_stats_lossless_integration(spark):
     assert got["bmp"].decoded and got["bmp"].pixel_sum == sum(range(18))
     assert got["gif"].decoded
     assert got["gif"].pixel_sum == sum(3 * i for i in [0, 1, 2, 3] * 2)
+
+
+# ---------------------------------------------------------------------------
+# Round 4: GIF animation (multi-frame compose, disposal, transparency)
+# ---------------------------------------------------------------------------
+
+
+def _anim_palette():
+    return [b"\x00\x00\x00", b"\xff\x00\x00", b"\x00\xff\x00",
+            b"\x00\x00\xff"]
+
+
+def test_gif_animation_frame_count_and_first_frame():
+    pal = _anim_palette()
+    frames = [dict(indices=bytes([1] * 16)),
+              dict(indices=bytes([2] * 4), left=1, top=1, w=2, h=2),
+              dict(indices=bytes([3] * 4), left=0, top=0, w=2, h=2)]
+    data = G.encode_gif_animation(4, 4, pal, frames)
+    first = G.decode_gif(data)           # default = first frame, cheap
+    assert first.n_frames == 3
+    assert set(first.pixels) <= {0, 255}
+    assert first.pixels[:3] == b"\xff\x00\x00"
+
+
+def test_gif_animation_compose_leaves_in_place():
+    pal = _anim_palette()
+    frames = [dict(indices=bytes([1] * 16)),
+              dict(indices=bytes([2] * 4), left=1, top=1, w=2, h=2)]
+    data = G.encode_gif_animation(4, 4, pal, frames)
+    last = G.decode_gif(data, frame=-1)
+    px = [tuple(last.pixels[3 * i:3 * i + 3]) for i in range(16)]
+    assert px[0] == (255, 0, 0)          # untouched corner
+    assert px[5] == (0, 255, 0)          # patched center
+    assert last.n_frames == 2
+
+
+def test_gif_animation_disposal_background_and_previous():
+    pal = _anim_palette()
+    # frame1 red full; frame2 green patch with disposal=2 (restore rect
+    # to background); frame3 tiny blue dot
+    frames = [dict(indices=bytes([1] * 16)),
+              dict(indices=bytes([2] * 4), left=1, top=1, w=2, h=2,
+                   disposal=2),
+              dict(indices=bytes([3]), left=0, top=0, w=1, h=1)]
+    data = G.encode_gif_animation(4, 4, pal, frames, bg=0)
+    last = G.decode_gif(data, frame=-1)
+    px = [tuple(last.pixels[3 * i:3 * i + 3]) for i in range(16)]
+    assert px[0] == (0, 0, 255)          # frame3 dot
+    assert px[5] == (0, 0, 0)            # green patch restored to bg
+    assert px[3] == (255, 0, 0)          # frame1 outside the rect kept
+    # disposal=3: the patch is removed entirely, frame1 red restored
+    frames[1]["disposal"] = 3
+    data = G.encode_gif_animation(4, 4, pal, frames, bg=0)
+    last = G.decode_gif(data, frame=-1)
+    px = [tuple(last.pixels[3 * i:3 * i + 3]) for i in range(16)]
+    assert px[5] == (255, 0, 0)
+
+
+def test_gif_animation_transparency_preserves_underlying():
+    pal = _anim_palette()
+    # frame2 full-screen: index 0 transparent, so only the 2s paint
+    idx2 = bytes([2 if i % 2 else 0 for i in range(16)])
+    frames = [dict(indices=bytes([1] * 16)),
+              dict(indices=idx2, transparent=0)]
+    data = G.encode_gif_animation(4, 4, pal, frames)
+    last = G.decode_gif(data, frame=-1)
+    px = [tuple(last.pixels[3 * i:3 * i + 3]) for i in range(16)]
+    assert px[0] == (255, 0, 0)          # transparent kept frame1
+    assert px[1] == (0, 255, 0)
+
+
+def test_gif_animation_frame_selection_and_bounds():
+    pal = _anim_palette()
+    frames = [dict(indices=bytes([1] * 16)),
+              dict(indices=bytes([2] * 16)),
+              dict(indices=bytes([3] * 16))]
+    data = G.encode_gif_animation(4, 4, pal, frames)
+    assert G.decode_gif(data, frame=1).pixels[:3] == b"\x00\xff\x00"
+    with pytest.raises(ValueError, match="out of range"):
+        G.decode_gif(data, frame=7)
+    with pytest.raises(ValueError, match="frame decode guard"):
+        G.decode_gif(data, frame=-1, max_frames=2)
+
+
+def test_gif_single_frame_unchanged_by_animation_support():
+    """The original single-frame API keeps byte-identical output and
+    reports n_frames=1."""
+    pal = [bytes((i * 37 % 256, i * 59 % 256, i * 83 % 256))
+           for i in range(8)]
+    idx = bytes((7 + k) % 8 for k in range(30))
+    dec = G.decode_gif(G.encode_gif(6, 5, pal, idx))
+    assert dec.n_frames == 1
+    want = b"".join(pal[i] for i in idx)
+    assert dec.pixels == want
