@@ -269,6 +269,11 @@ Round-4 merge map (same driver-cap discipline):
                         fixed/LPC predictors, mid/side stereo, CRC
                         gates — subframe mode rotating per doc;
                         closed-form sample oracle)
+  pdf_real_roundtrip += variant 'rc4' (standard-security-handler
+                        RC4-encrypted documents, empty user password:
+                        per-object key derivation + stream decryption
+                        composing with ObjStm + CID decode; same
+                        byte-identity oracle)
   link_graph_stats   += hits section now ADAPTIVE to its pointwise-
                         stable state (whole-graph Arrow kernel under
                         the edge gate) with a converged/realized gate

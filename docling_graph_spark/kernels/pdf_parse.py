@@ -431,6 +431,9 @@ def extract_real_pdf_text(payload: bytes) -> Tuple[str, Optional[str]]:
         objects.setdefault(int(m.group(1)), m.group(2))
     if not objects:
         return "", "unsupported PDF structure (no objects found)"
+    enc_err = _maybe_decrypt(payload, objects)
+    if enc_err is not None:
+        return "", enc_err
     _expand_object_streams(objects)
 
     page_texts: List[str] = []
@@ -584,4 +587,206 @@ def encode_pdf_objstm_cid(text: str) -> bytes:
     emit(8, (f"<< /Type /XRef /Size 9 /W [1 2 2] /Root 1 0 R "
              f"/Length {len(xref_data)} >>").encode("ascii"), xref_data)
     out.extend(f"startxref\n{xref_pos}\n%%EOF\n".encode("ascii"))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Encrypted PDFs (standard security handler, RC4 V1/V2, empty password)
+# ---------------------------------------------------------------------------
+
+_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
+    0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+    0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A])
+
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>")
+_P_RE = re.compile(rb"/P\s+(-?\d+)\b")
+_V_RE = re.compile(rb"/V\s+(\d+)\b")
+_R_RE = re.compile(rb"/R\s+(\d+)\b")
+_KEYLEN_RE = re.compile(rb"/Length\s+(\d+)\b")
+_O_RE = re.compile(rb"/O\s*(\(|<)")
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _parse_o_entry(body: bytes) -> Optional[bytes]:
+    m = _O_RE.search(body)
+    if not m:
+        return None
+    if m.group(1) == b"(":
+        raw, _ = _parse_literal_string(body, m.end() - 1)
+        return raw
+    raw, _ = _parse_hex_string(body, m.end() - 1)
+    return raw
+
+
+def _file_key(enc_body: bytes, id0: bytes) -> Optional[bytes]:
+    """Encryption key for the EMPTY user password (PDF spec Algorithm
+    2) — the overwhelmingly common crawl case: documents encrypted only
+    to restrict printing/copying, readable by anyone.  Returns None
+    for non-Standard filters or AES (/V >= 4), which the caller routes
+    as an unsupported error."""
+    import hashlib
+
+    if b"/Standard" not in enc_body:
+        return None
+    v = int(_V_RE.search(enc_body).group(1)) if _V_RE.search(enc_body) \
+        else 1
+    if v not in (1, 2):
+        return None  # V4/V5 are AES crypt filters
+    r = int(_R_RE.search(enc_body).group(1)) if _R_RE.search(enc_body) \
+        else 2
+    o = _parse_o_entry(enc_body)
+    pm = _P_RE.search(enc_body)
+    if o is None or pm is None:
+        return None
+    p = int(pm.group(1)) & 0xFFFFFFFF
+    n = 5
+    if v == 2:
+        km = _KEYLEN_RE.search(enc_body)
+        n = (int(km.group(1)) // 8) if km else 5
+    h = hashlib.md5()
+    h.update(_PAD)
+    h.update(o[:32])
+    h.update(p.to_bytes(4, "little"))
+    h.update(id0)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+def _object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(file_key)
+    h.update(num.to_bytes(3, "little"))
+    h.update(gen.to_bytes(2, "little"))
+    return h.digest()[: min(len(file_key) + 5, 16)]
+
+
+def _decrypt_streams(objects: dict, file_key: bytes) -> None:
+    """RC4-decrypt every object's stream payload in place (content
+    streams, ToUnicode CMaps, ObjStms — everything the extractor
+    reads lives in streams; /Type /XRef streams are never encrypted
+    per spec).  Object generation is assumed 0 (the object scan drops
+    it; nonzero generations are vanishingly rare in crawl PDFs)."""
+    for num, body in list(objects.items()):
+        if b"stream" not in body or b"/Type /XRef" in body \
+                or b"/Type/XRef" in body:
+            continue
+        m = _STREAM_RE.search(body)
+        if not m:
+            continue
+        open_m = _STREAM_OPEN_RE.search(body)
+        raw = m.group(1)
+        start, endpos = m.start(1), m.end(1)
+        len_m = _LENGTH_RE.search(body[: open_m.start()]) if open_m \
+            else None
+        if open_m and len_m:
+            s2 = open_m.end()
+            exact = body[s2:s2 + int(len_m.group(1))]
+            if body[s2 + len(exact):].lstrip(b"\r\n").startswith(
+                    b"endstream"):
+                start, endpos = s2, s2 + len(exact)
+                raw = exact
+        dec = _rc4(_object_key(file_key, num), raw)
+        objects[num] = body[:start] + dec + body[endpos:]
+
+
+def _maybe_decrypt(payload: bytes, objects: dict) -> Optional[str]:
+    """Detect an /Encrypt trailer; decrypt in place when the standard
+    RC4 handler applies.  Returns an error string for unsupported
+    encryption, None otherwise."""
+    em = _ENCRYPT_REF_RE.search(payload)
+    if not em:
+        return None
+    enc_body = objects.get(int(em.group(1)))
+    idm = _ID_RE.search(payload)
+    if enc_body is None or idm is None:
+        return "encrypted PDF without parsable /Encrypt + /ID"
+    key = _file_key(enc_body, bytes.fromhex(idm.group(1).decode()))
+    if key is None:
+        return ("unsupported encryption (non-Standard filter or "
+                "AES crypt filter)")
+    _decrypt_streams(objects, key)
+    return None
+
+
+def encrypt_pdf_rc4(pdf: bytes, key_bits: int = 128) -> bytes:
+    """Fixture encoder: wrap an unencrypted PDF in the standard
+    security handler with an EMPTY user password — every stream
+    RC4-encrypted under the per-object key, an /Encrypt dictionary
+    appended, and a trailer carrying /Encrypt + /ID.  ``key_bits`` 40
+    selects V1/R2, anything else V2/R3 with the 50-round key mix.
+    Decrypting with :func:`extract_real_pdf_text` must reproduce the
+    plaintext extraction byte-for-byte."""
+    o_entry = bytes(range(0x40, 0x60))          # arbitrary owner hash
+    id0 = bytes(range(0xA0, 0xB0))
+    p = -44
+    if key_bits == 40:
+        v, r = 1, 2
+    else:
+        v, r = 2, 3
+    enc_body = (f"<< /Filter /Standard /V {v} /R {r} "
+                f"/Length {key_bits} /P {p} /O <"
+                + o_entry.hex().upper() + "> /U <"
+                + (b"\x00" * 32).hex() + "> >>").encode("ascii")
+    key = _file_key(enc_body, id0)
+    assert key is not None and len(key) == key_bits // 8
+
+    out = bytearray()
+    last = 0
+    max_num = 0
+    for m in _OBJ_RE.finditer(pdf):
+        num = int(m.group(1))
+        max_num = max(max_num, num)
+        body = m.group(2)
+        if b"stream" not in body or b"/Type /XRef" in body:
+            continue
+        sm = _STREAM_RE.search(body)
+        if not sm:
+            continue
+        open_m = _STREAM_OPEN_RE.search(body)
+        raw = sm.group(1)
+        start, endpos = sm.start(1), sm.end(1)
+        len_m = _LENGTH_RE.search(body[: open_m.start()]) if open_m \
+            else None
+        if open_m and len_m:
+            s2 = open_m.end()
+            exact = body[s2:s2 + int(len_m.group(1))]
+            if body[s2 + len(exact):].lstrip(b"\r\n").startswith(
+                    b"endstream"):
+                start, endpos = s2, s2 + len(exact)
+                raw = exact
+        enc = _rc4(_object_key(key, num), raw)
+        abs_start = m.start(2) + start
+        abs_end = m.start(2) + endpos
+        out += pdf[last:abs_start]
+        out += enc
+        last = abs_end
+    out += pdf[last:]
+    enc_num = max_num + 1
+    out += (f"\n{enc_num} 0 obj\n".encode("ascii") + enc_body
+            + b"\nendobj\n")
+    out += (f"trailer\n<< /Encrypt {enc_num} 0 R /ID [<"
+            f"{id0.hex().upper()}> <{id0.hex().upper()}>] >>\n"
+            .encode("ascii"))
     return bytes(out)

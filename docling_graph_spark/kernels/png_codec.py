@@ -139,9 +139,11 @@ def decode_png(data: bytes) -> DecodedPng:
     indices like the 8-bit palette path), all five color types, and
     BOTH progressive variants: non-interlaced and Adam7 interlaced
     (each of the seven passes defiltered independently and scattered
-    into the pixel grid).  Raises ``ValueError`` on malformed input and
-    ``NotImplementedError`` on 16-bit depth (the caller routes those to
-    the probe path / error column, never crashes the executor)."""
+    into the pixel grid).  16-bit depth decodes with the standard
+    high-byte reduction to 8-bit output (``bit_depth`` still reports
+    16).  Raises ``ValueError`` on malformed input (the caller routes
+    those to the probe path / error column, never crashes the
+    executor)."""
     if data[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG: bad signature")
     pos = 8
@@ -164,9 +166,7 @@ def decode_png(data: bytes) -> DecodedPng:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth == 16:
-        raise NotImplementedError("16-bit depth unsupported")
-    if bit_depth not in (1, 2, 4, 8):
+    if bit_depth not in (1, 2, 4, 8, 16):
         raise ValueError(f"bad bit depth {bit_depth}")
     if interlace not in (0, 1):
         raise ValueError(f"bad interlace method {interlace}")
@@ -175,6 +175,8 @@ def decode_png(data: bytes) -> DecodedPng:
     if bit_depth < 8 and color_type not in (0, 3):
         raise ValueError(
             f"bit depth {bit_depth} illegal for color type {color_type}")
+    if bit_depth == 16 and color_type == 3:
+        raise ValueError("16-bit palette is illegal")
     channels = _CHANNELS[color_type]
     if width * height > MAX_PIXELS:
         raise ValueError(
@@ -194,7 +196,7 @@ def decode_png(data: bytes) -> DecodedPng:
         if wp <= 0 or hp <= 0:
             continue
         stride = (-(-(wp * bit_depth) // 8) if bit_depth < 8
-                  else wp * channels)
+                  else wp * channels * (2 if bit_depth == 16 else 1))
         layout.append((x0, y0, dx, dy, wp, hp, stride))
         expected += hp * (stride + 1)
 
@@ -206,7 +208,8 @@ def decode_png(data: bytes) -> DecodedPng:
             f"inflated size {len(raw)}+ != expected {expected}"
         )
 
-    bpp = max(1, channels if bit_depth == 8 else 1)
+    bpp = (channels * 2 if bit_depth == 16
+           else channels if bit_depth == 8 else 1)
     out = bytearray(width * height * channels)
     datapos = 0
     for x0, y0, dx, dy, wp, hp, stride in layout:
@@ -220,6 +223,14 @@ def decode_png(data: bytes) -> DecodedPng:
                 vals = _unpack_subbyte(row, wp, bit_depth)
                 for i in range(wp):
                     out[y * width + x0 + i * dx] = vals[i] * scale
+            elif bit_depth == 16:
+                # 16 -> 8 bit by high byte (the standard display
+                # reduction; DecodedPng.bit_depth still reports 16)
+                for i in range(wp):
+                    x = x0 + i * dx
+                    off = (y * width + x) * channels
+                    for c in range(channels):
+                        out[off + c] = row[(i * channels + c) * 2]
             else:
                 for i in range(wp):
                     x = x0 + i * dx

@@ -1244,7 +1244,51 @@ def q_pdf_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("extracted")).alias("sum_chars"),
     ).select(F.lit("objstm_cid").alias("variant"), "lang", "n_docs",
              "n_roundtrip", "sum_chars")
-    return simple.unionByName(cid).orderBy("variant", "lang")
+
+    # round 4, variant 'rc4': the same invariant through ENCRYPTED
+    # documents — standard security handler, empty user password,
+    # every stream RC4-encrypted under the per-object key (V2/R3
+    # 128-bit with the 50-round key mix; kernels/pdf_parse.
+    # encrypt_pdf_rc4 / _maybe_decrypt).  The compressed-xref CID
+    # documents are re-used as plaintext, so decryption composes with
+    # ObjStm expansion and CMap decode.
+    docs3 = _read(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") % 17 == 7)
+
+    def build_rc4_pdfs(batches):
+        from docling_graph_spark.kernels.pdf_parse import (
+            encode_pdf_objstm_cid, encrypt_pdf_rc4)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": [f"pdf://rc4/{int(d)}" for d in pdf["doc_id"]],
+                "html": [bytearray(encrypt_pdf_rc4(
+                    encode_pdf_objstm_cid(str(t)), 128))
+                         for t in pdf["text"]],
+                "lang": pdf["lang"],
+            })
+
+    pages3 = docs3.select("doc_id", "text", "lang").mapInPandas(
+        build_rc4_pdfs, "url string, html binary, lang string"
+    ).select(
+        "url",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        "html", F.lit("").alias("text"), "lang",
+    )
+    extracted3 = extract_main_text(pages3).select(
+        "url", "lang", F.col("text").alias("extracted"))
+    originals3 = docs3.select(
+        F.concat(F.lit("pdf://rc4/"), F.col("doc_id").cast("string"))
+        .alias("url"), F.col("text").alias("orig"))
+    rc4 = extracted3.join(originals3, "url").groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("extracted") == F.col("orig")).cast("long"))
+         .alias("n_roundtrip"),
+        F.sum(F.length("extracted")).alias("sum_chars"),
+    ).select(F.lit("rc4").alias("variant"), "lang", "n_docs",
+             "n_roundtrip", "sum_chars")
+    return (simple.unionByName(cid).unionByName(rc4)
+            .orderBy("variant", "lang"))
 
 
 SQL_PDF_REAL_ROUNDTRIP = """
@@ -1257,6 +1301,11 @@ UNION ALL
 SELECT 'objstm_cid', lang, CAST(count(*) AS BIGINT),
        CAST(count(*) AS BIGINT), CAST(sum(strlen(text)) AS BIGINT)
 FROM documents WHERE doc_id % 17 = 5
+GROUP BY lang
+UNION ALL
+SELECT 'rc4', lang, CAST(count(*) AS BIGINT),
+       CAST(count(*) AS BIGINT), CAST(sum(strlen(text)) AS BIGINT)
+FROM documents WHERE doc_id % 17 = 7
 GROUP BY lang
 ORDER BY variant, lang
 """

@@ -276,3 +276,76 @@ def test_unmapped_cid_routes_to_replacement_char():
 
     cmap = {"nbytes": 2, "map": {1: "a"}}
     assert _decode_with_cmap(b"\x00\x01\x00\x99", cmap) == "a�"
+
+
+# ---------------------------------------------------------------------------
+# Round 4: encrypted PDFs (standard security handler, RC4, empty pw)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("bits", [40, 128])
+@pytest.mark.parametrize("text", ["Secret invoice 42",
+                                  "line one\nline two\n\ntail 7"])
+def test_rc4_encrypted_roundtrip(bits, text):
+    """Streams RC4-encrypted under the per-object key (V1/R2 40-bit and
+    V2/R3 128-bit with the 50-round key mix) decrypt transparently —
+    the common crawl case of permission-restricted documents readable
+    with the empty user password."""
+    from docling_graph_spark.kernels.pdf_parse import encrypt_pdf_rc4
+
+    esc = text.replace("(", r"\(").replace(")", r"\)")
+    stream = f"BT ({esc}) Tj ET"
+    pdf = (f"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\n"
+           f"endobj\n2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+           f"\nendobj\n3 0 obj\n<< /Type /Page /Parent 2 0 R "
+           f"/Contents 4 0 R >>\nendobj\n4 0 obj\n"
+           f"<< /Length {len(stream)} >>\nstream\n{stream}\nendstream\n"
+           f"endobj\ntrailer\n<< /Root 1 0 R >>\n%%EOF\n").encode()
+    got, err = P.extract_real_pdf_text(encrypt_pdf_rc4(pdf, bits))
+    assert err is None and got == text
+
+
+def test_rc4_encrypted_objstm_cid_combo():
+    """Encryption composes with the compressed-xref + CID-font path:
+    the ObjStm and the ToUnicode CMap are themselves encrypted
+    streams."""
+    from docling_graph_spark.kernels.pdf_parse import (
+        encode_pdf_objstm_cid, encrypt_pdf_rc4)
+
+    text = "unicode café – 99\nsecond line"
+    got, err = P.extract_real_pdf_text(
+        encrypt_pdf_rc4(encode_pdf_objstm_cid(text), 128))
+    assert err is None and got == text
+
+
+def test_aes_encryption_routed_as_unsupported():
+    from docling_graph_spark.kernels.pdf_parse import encrypt_pdf_rc4
+
+    pdf = (b"%PDF-1.6\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+           b"4 0 obj\n<< /Length 11 >>\nstream\nBT (x) Tj ET\n"
+           b"endstream\nendobj\n"
+           b"5 0 obj\n<< /Filter /Standard /V 4 /R 4 /CF << /StdCF "
+           b"<< /CFM /AESV2 >> >> /O <00> /P -44 >>\nendobj\n"
+           b"trailer\n<< /Encrypt 5 0 R /ID [<AABB> <AABB>] >>\n%%EOF")
+    got, err = P.extract_real_pdf_text(pdf)
+    assert got == "" and "unsupported encryption" in err
+
+
+def test_wrong_key_material_fails_loudly_not_garbage():
+    """Corrupting /O changes the derived key; the decrypted stream is
+    noise and extraction reports an error instead of emitting junk
+    from a FlateDecode failure."""
+    import zlib as _z
+
+    from docling_graph_spark.kernels.pdf_parse import encrypt_pdf_rc4
+
+    stream = _z.compress(b"BT (hidden) Tj ET")
+    pdf = (b"%PDF-1.4\n3 0 obj\n<< /Type /Page /Contents 4 0 R >>\n"
+           b"endobj\n4 0 obj\n<< /Length " + str(len(stream)).encode()
+           + b" /Filter /FlateDecode >>\nstream\n" + stream
+           + b"\nendstream\nendobj\n%%EOF\n")
+    enc = bytearray(encrypt_pdf_rc4(pdf, 128))
+    i = enc.index(b"/O <") + 4
+    enc[i:i + 2] = b"00" if enc[i:i + 2] != b"00" else b"11"
+    got, err = P.extract_real_pdf_text(bytes(enc))
+    assert got == "" and err is not None

@@ -85,14 +85,19 @@ def test_rejects_bad_signature_and_truncation():
         decode_png(good[:20])
 
 
-def test_unsupported_features_raise_not_implemented():
-    raw = bytes(4 * (1 + 2))  # 16-bit gray 2x... (content irrelevant)
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        decode_png(_png(2, 2, 16, 0, raw))
-    # Adam7 interlace is SUPPORTED since round 4 — a malformed
-    # interlaced stream (wrong pass layout size) errors loudly instead
+def test_formerly_unsupported_depths_now_decode_or_error_loudly():
+    # 16-bit gray 2x2 decodes via high-byte reduction (round 4)
+    raw = b"".join(b"\x00" + bytes([0xAB, 0x01, 0x7F, 0xFF])
+                   for _ in range(2))
+    dec = decode_png(_png(2, 2, 16, 0, raw))
+    assert dec.bit_depth == 16 and bytes(dec.pixels) == b"\xab\x7f" * 2
+    # a malformed interlaced stream (wrong pass layout size) errors
+    # loudly instead of raising NotImplementedError (round 4: Adam7 is
+    # supported)
     with pytest.raises(ValueError, match="inflated size"):
         decode_png(_png(2, 2, 8, 0, bytes(6), interlace=1))
+    with pytest.raises(ValueError, match="16-bit palette"):
+        decode_png(_png(2, 2, 16, 3, bytes(10)))
 
 
 def test_decode_media_routes_png_and_stubs_rest():
@@ -185,3 +190,38 @@ def test_subbyte_interlaced_roundtrip():
         inter = decode_png(encode_png_subbyte(w, h, depth, samples,
                                               interlace=True))
         assert inter.pixels == plain.pixels
+
+
+def test_16bit_depth_high_byte_reduction_all_filters():
+    """16-bit rows defilter with a 2*channels byte unit; output is the
+    high byte of each sample."""
+    import random
+    import struct as st
+    import zlib as zl
+
+    rng = random.Random(3)
+    w, h, ch = 7, 4, 3
+    samples = [rng.randrange(65536) for _ in range(w * h * ch)]
+    rows_raw = [b"".join(samples[y * w * ch + i].to_bytes(2, "big")
+                         for i in range(w * ch)) for y in range(h)]
+    # encode rows with the Sub filter to exercise the 6-byte unit
+    bpp = 2 * ch
+    raw = bytearray()
+    for row in rows_raw:
+        raw.append(1)
+        for i, b in enumerate(row):
+            a = row[i - bpp] if i >= bpp else 0
+            raw.append((b - a) & 0xFF)
+
+    def chunk(tag, body):
+        return (st.pack(">I", len(body)) + tag + body
+                + st.pack(">I", zl.crc32(tag + body)))
+
+    from docling_graph_spark.kernels.png_codec import PNG_SIGNATURE
+
+    ihdr = st.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    png = (PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zl.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    dec = decode_png(png)
+    assert bytes(dec.pixels) == bytes(s >> 8 for s in samples)
