@@ -635,20 +635,26 @@ def _parse_o_entry(body: bytes) -> Optional[bytes]:
     return raw
 
 
-def _file_key(enc_body: bytes, id0: bytes) -> Optional[bytes]:
-    """Encryption key for the EMPTY user password (PDF spec Algorithm
-    2) — the overwhelmingly common crawl case: documents encrypted only
-    to restrict printing/copying, readable by anyone.  Returns None
-    for non-Standard filters or AES (/V >= 4), which the caller routes
-    as an unsupported error."""
+def _file_key(enc_body: bytes, id0: bytes):
+    """(key, cipher) for the EMPTY user password (PDF spec Algorithm 2)
+    — the overwhelmingly common crawl case: documents encrypted only to
+    restrict printing/copying, readable by anyone.  ``cipher`` is
+    'rc4' (V1/V2) or 'aes' (V4 with an AESV2 crypt filter — AES-128-CBC
+    streams).  Returns None for non-Standard filters, V5/AES-256, or
+    V4 with a non-AESV2 filter, which the caller routes as an
+    unsupported error."""
     import hashlib
 
     if b"/Standard" not in enc_body:
         return None
     v = int(_V_RE.search(enc_body).group(1)) if _V_RE.search(enc_body) \
         else 1
-    if v not in (1, 2):
-        return None  # V4/V5 are AES crypt filters
+    if v in (1, 2):
+        cipher = "rc4"
+    elif v == 4 and b"/AESV2" in enc_body:
+        cipher = "aes"
+    else:
+        return None  # V5 (AES-256) or exotic V4 crypt filters
     r = int(_R_RE.search(enc_body).group(1)) if _R_RE.search(enc_body) \
         else 2
     o = _parse_o_entry(enc_body)
@@ -657,32 +663,41 @@ def _file_key(enc_body: bytes, id0: bytes) -> Optional[bytes]:
         return None
     p = int(pm.group(1)) & 0xFFFFFFFF
     n = 5
-    if v == 2:
-        km = _KEYLEN_RE.search(enc_body)
-        n = (int(km.group(1)) // 8) if km else 5
+    if v >= 2:
+        # /Length is bits at the top level but BYTES inside crypt
+        # filter dicts; normalize every occurrence (>= 40 means bits)
+        lens = [int(g) for g in _KEYLEN_RE.findall(enc_body)]
+        norm = [(x // 8 if x >= 40 else x) for x in lens]
+        n = max(norm) if norm else (16 if v == 4 else 5)
     h = hashlib.md5()
     h.update(_PAD)
     h.update(o[:32])
     h.update(p.to_bytes(4, "little"))
     h.update(id0)
+    if v == 4 and b"/EncryptMetadata false" in enc_body:
+        h.update(b"\xff\xff\xff\xff")
     key = h.digest()
     if r >= 3:
         for _ in range(50):
             key = hashlib.md5(key[:n]).digest()
-    return key[:n]
+    return key[:n], cipher
 
 
-def _object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
+def _object_key(file_key: bytes, num: int, gen: int = 0,
+                cipher: str = "rc4") -> bytes:
     import hashlib
 
     h = hashlib.md5()
     h.update(file_key)
     h.update(num.to_bytes(3, "little"))
     h.update(gen.to_bytes(2, "little"))
+    if cipher == "aes":
+        h.update(b"sAlT")   # the AESV2 salt (PDF spec Algorithm 1)
     return h.digest()[: min(len(file_key) + 5, 16)]
 
 
-def _decrypt_streams(objects: dict, file_key: bytes) -> None:
+def _decrypt_streams(objects: dict, file_key: bytes,
+                     cipher: str = "rc4") -> None:
     """RC4-decrypt every object's stream payload in place (content
     streams, ToUnicode CMaps, ObjStms — everything the extractor
     reads lives in streams; /Type /XRef streams are never encrypted
@@ -707,7 +722,16 @@ def _decrypt_streams(objects: dict, file_key: bytes) -> None:
                     b"endstream"):
                 start, endpos = s2, s2 + len(exact)
                 raw = exact
-        dec = _rc4(_object_key(file_key, num), raw)
+        okey = _object_key(file_key, num, cipher=cipher)
+        if cipher == "aes":
+            from .aes128 import cbc_decrypt
+
+            try:
+                dec = cbc_decrypt(okey, raw)
+            except ValueError:
+                continue  # malformed/foreign stream: leave encrypted
+        else:
+            dec = _rc4(okey, raw)
         objects[num] = body[:start] + dec + body[endpos:]
 
 
@@ -722,15 +746,17 @@ def _maybe_decrypt(payload: bytes, objects: dict) -> Optional[str]:
     idm = _ID_RE.search(payload)
     if enc_body is None or idm is None:
         return "encrypted PDF without parsable /Encrypt + /ID"
-    key = _file_key(enc_body, bytes.fromhex(idm.group(1).decode()))
-    if key is None:
-        return ("unsupported encryption (non-Standard filter or "
-                "AES crypt filter)")
-    _decrypt_streams(objects, key)
+    fk = _file_key(enc_body, bytes.fromhex(idm.group(1).decode()))
+    if fk is None:
+        return ("unsupported encryption (non-Standard filter, V5/"
+                "AES-256, or exotic crypt filter)")
+    key, cipher = fk
+    _decrypt_streams(objects, key, cipher)
     return None
 
 
-def encrypt_pdf_rc4(pdf: bytes, key_bits: int = 128) -> bytes:
+def encrypt_pdf_rc4(pdf: bytes, key_bits: int = 128,
+                    cipher: str = "rc4") -> bytes:
     """Fixture encoder: wrap an unencrypted PDF in the standard
     security handler with an EMPTY user password — every stream
     RC4-encrypted under the per-object key, an /Encrypt dictionary
@@ -741,15 +767,19 @@ def encrypt_pdf_rc4(pdf: bytes, key_bits: int = 128) -> bytes:
     o_entry = bytes(range(0x40, 0x60))          # arbitrary owner hash
     id0 = bytes(range(0xA0, 0xB0))
     p = -44
-    if key_bits == 40:
-        v, r = 1, 2
+    if cipher == "aes":
+        v, r, key_bits = 4, 4, 128
+        cf = ("/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+              "/StmF /StdCF /StrF /StdCF ")
+    elif key_bits == 40:
+        v, r, cf = 1, 2, ""
     else:
-        v, r = 2, 3
-    enc_body = (f"<< /Filter /Standard /V {v} /R {r} "
+        v, r, cf = 2, 3, ""
+    enc_body = (f"<< /Filter /Standard /V {v} /R {r} {cf}"
                 f"/Length {key_bits} /P {p} /O <"
                 + o_entry.hex().upper() + "> /U <"
                 + (b"\x00" * 32).hex() + "> >>").encode("ascii")
-    key = _file_key(enc_body, id0)
+    key, _cipher = _file_key(enc_body, id0)
     assert key is not None and len(key) == key_bits // 8
 
     out = bytearray()
@@ -776,7 +806,16 @@ def encrypt_pdf_rc4(pdf: bytes, key_bits: int = 128) -> bytes:
                     b"endstream"):
                 start, endpos = s2, s2 + len(exact)
                 raw = exact
-        enc = _rc4(_object_key(key, num), raw)
+        okey = _object_key(key, num, cipher=cipher)
+        if cipher == "aes":
+            import hashlib
+
+            from .aes128 import cbc_encrypt
+
+            iv = hashlib.md5(b"iv" + num.to_bytes(4, "big")).digest()
+            enc = cbc_encrypt(okey, iv, raw)
+        else:
+            enc = _rc4(okey, raw)
         abs_start = m.start(2) + start
         abs_end = m.start(2) + endpos
         out += pdf[last:abs_start]

@@ -318,14 +318,25 @@ def test_rc4_encrypted_objstm_cid_combo():
     assert err is None and got == text
 
 
-def test_aes_encryption_routed_as_unsupported():
-    from docling_graph_spark.kernels.pdf_parse import encrypt_pdf_rc4
+def test_aesv2_encrypted_roundtrip():
+    """AESV2 (V4/R4) — the PDF 1.6 default: AES-128-CBC streams with
+    the sAlT-ed per-object key, 16-byte IV prefix, PKCS#7 padding —
+    decrypts transparently, composing with ObjStm + CID decode."""
+    from docling_graph_spark.kernels.pdf_parse import (
+        encode_pdf_objstm_cid, encrypt_pdf_rc4)
 
-    pdf = (b"%PDF-1.6\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+    text = "AES secret 99\nsecond line"
+    got, err = P.extract_real_pdf_text(
+        encrypt_pdf_rc4(encode_pdf_objstm_cid(text), cipher="aes"))
+    assert err is None and got == text
+
+
+def test_aes256_v5_routed_as_unsupported():
+    pdf = (b"%PDF-2.0\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
            b"4 0 obj\n<< /Length 11 >>\nstream\nBT (x) Tj ET\n"
            b"endstream\nendobj\n"
-           b"5 0 obj\n<< /Filter /Standard /V 4 /R 4 /CF << /StdCF "
-           b"<< /CFM /AESV2 >> >> /O <00> /P -44 >>\nendobj\n"
+           b"5 0 obj\n<< /Filter /Standard /V 5 /R 6 /CF << /StdCF "
+           b"<< /CFM /AESV3 >> >> /O <00> /P -44 >>\nendobj\n"
            b"trailer\n<< /Encrypt 5 0 R /ID [<AABB> <AABB>] >>\n%%EOF")
     got, err = P.extract_real_pdf_text(pdf)
     assert got == "" and "unsupported encryption" in err
