@@ -1,10 +1,11 @@
-"""AES-128 block cipher + CBC mode — pure Python, stdlib only.
+"""AES-128/256 block cipher + CBC modes — pure Python, stdlib only.
 
-Exists for one consumer: AESV2-encrypted PDFs
-(kernels/pdf_parse._maybe_decrypt) — the PDF 1.6+ default security
-handler encrypts streams with AES-128-CBC (16-byte IV prefix, PKCS#7
-padding) under the same MD5-derived per-object keys as RC4, salted
-with b"sAlT".  Implemented from the public FIPS-197 specification;
+Exists for one consumer: AES-encrypted PDFs
+(kernels/pdf_parse._maybe_decrypt) — AESV2 (V4: AES-128-CBC streams
+under MD5-derived sAlT-ed per-object keys) and AESV3 (V5/R6: AES-256
+streams under the file key, with the no-padding CBC variants the
+Algorithm-2.A/2.B key derivation needs).  Implemented from the public
+FIPS-197 specification;
 the S-box and its inverse are COMPUTED from the GF(2^8) multiplicative
 inverse + affine map at import (no hand-typed tables to mistype), and
 the forward cipher exists so fixtures can encrypt what tests decrypt.
@@ -16,6 +17,7 @@ fine for content streams (capped at 64 MiB by the PDF stream guard).
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List
 
 
@@ -63,17 +65,25 @@ _SBOX, _INV_SBOX = _build_sbox()
 _RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
 
 
+@lru_cache(maxsize=64)
 def _expand_key(key: bytes) -> List[List[int]]:
-    assert len(key) == 16
-    words = [list(key[4 * i:4 * i + 4]) for i in range(4)]
-    for i in range(4, 44):
+    """Cached: CBC runs call the block cipher once per 16 bytes with
+    the same key — re-deriving the schedule per block dominated the
+    pure-Python cost."""
+    nk = len(key) // 4
+    assert nk in (4, 8)
+    nr = 10 if nk == 4 else 14
+    words = [list(key[4 * i:4 * i + 4]) for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(words[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_SBOX[b] for b in t]
-            t[0] ^= _RCON[i // 4 - 1]
-        words.append([a ^ b for a, b in zip(words[i - 4], t)])
-    return [sum(words[4 * r:4 * r + 4], []) for r in range(11)]
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk == 8 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        words.append([a ^ b for a, b in zip(words[i - nk], t)])
+    return [sum(words[4 * r:4 * r + 4], []) for r in range(nr + 1)]
 
 
 def _add_round_key(st, rk):
@@ -116,22 +126,24 @@ def _mix_columns(st, inverse=False):
 
 def encrypt_block(key: bytes, block: bytes) -> bytes:
     rks = _expand_key(key)
+    nr = len(rks) - 1
     st = _add_round_key(list(block), rks[0])
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         st = [_SBOX[b] for b in st]
         st = _shift_rows(st)
         st = _mix_columns(st)
         st = _add_round_key(st, rks[rnd])
     st = [_SBOX[b] for b in st]
     st = _shift_rows(st)
-    st = _add_round_key(st, rks[10])
+    st = _add_round_key(st, rks[nr])
     return bytes(st)
 
 
 def decrypt_block(key: bytes, block: bytes) -> bytes:
     rks = _expand_key(key)
-    st = _add_round_key(list(block), rks[10])
-    for rnd in range(9, 0, -1):
+    nr = len(rks) - 1
+    st = _add_round_key(list(block), rks[nr])
+    for rnd in range(nr - 1, 0, -1):
         st = _inv_shift_rows(st)
         st = [_INV_SBOX[b] for b in st]
         st = _add_round_key(st, rks[rnd])
@@ -171,4 +183,29 @@ def cbc_encrypt(key: bytes, iv: bytes, plain: bytes) -> bytes:
         blk = bytes(a ^ b for a, b in zip(plain[i:i + 16], prev))
         prev = encrypt_block(key, blk)
         out += prev
+    return bytes(out)
+
+
+def cbc_encrypt_nopad(key: bytes, iv: bytes, plain: bytes) -> bytes:
+    """Raw CBC (no padding, no IV prefix) — the PDF R6 key-wrapping
+    primitive (UE/OE entries and the 2.B hash rounds)."""
+    assert len(plain) % 16 == 0
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(plain), 16):
+        blk = bytes(a ^ b for a, b in zip(plain[i:i + 16], prev))
+        prev = encrypt_block(key, blk)
+        out += prev
+    return bytes(out)
+
+
+def cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    assert len(data) % 16 == 0
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i:i + 16]
+        out += bytes(a ^ b for a, b in zip(decrypt_block(key, blk),
+                                           prev))
+        prev = blk
     return bytes(out)

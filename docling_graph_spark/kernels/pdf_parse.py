@@ -624,8 +624,12 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def _parse_o_entry(body: bytes) -> Optional[bytes]:
-    m = _O_RE.search(body)
+_U_RE = re.compile(rb"/U\s*(\(|<)")
+_UE_RE = re.compile(rb"/UE\s*(\(|<)")
+
+
+def _parse_str_entry(body: bytes, regex) -> Optional[bytes]:
+    m = regex.search(body)
     if not m:
         return None
     if m.group(1) == b"(":
@@ -633,6 +637,54 @@ def _parse_o_entry(body: bytes) -> Optional[bytes]:
         return raw
     raw, _ = _parse_hex_string(body, m.end() - 1)
     return raw
+
+
+def _parse_o_entry(body: bytes) -> Optional[bytes]:
+    return _parse_str_entry(body, _O_RE)
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=32)
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """The R6 iterated hash (PDF 2.0 Algorithm 2.B): SHA-256 seed, then
+    rounds of AES-128-CBC over 64 repetitions of (pw + K + udata) with
+    the digest algorithm selected by the ciphertext — at least 64
+    rounds, continuing while the last ciphertext byte > round - 32."""
+    import hashlib
+
+    from .aes128 import cbc_encrypt_nopad
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    e = b"\xff"
+    while i < 64 or e[-1] > i - 32:
+        k1 = (password + k + udata) * 64
+        e = cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        k = {0: hashlib.sha256, 1: hashlib.sha384,
+             2: hashlib.sha512}[mod](e).digest()
+        i += 1
+    return k[:32]
+
+
+def _r6_file_key(enc_body: bytes) -> Optional[bytes]:
+    """AES-256 (V5/R6) file key for the EMPTY user password: validate
+    against /U's hash + validation salt, then unwrap /UE with the
+    key-salt-derived intermediate key (Algorithm 2.A).  None when the
+    document needs a real password or the entries are malformed."""
+    from .aes128 import cbc_decrypt_nopad
+
+    u = _parse_str_entry(enc_body, _U_RE)
+    ue = _parse_str_entry(enc_body, _UE_RE)
+    if u is None or ue is None or len(u) < 48 or len(ue) < 32:
+        return None
+    vsalt, ksalt = u[32:40], u[40:48]
+    if _hash_2b(b"", vsalt) != u[:32]:
+        return None  # non-empty user password required
+    ikey = _hash_2b(b"", ksalt)
+    return cbc_decrypt_nopad(ikey, bytes(16), ue[:32])
 
 
 def _file_key(enc_body: bytes, id0: bytes):
@@ -649,12 +701,17 @@ def _file_key(enc_body: bytes, id0: bytes):
         return None
     v = int(_V_RE.search(enc_body).group(1)) if _V_RE.search(enc_body) \
         else 1
+    if v == 5:
+        if b"/AESV3" not in enc_body:
+            return None
+        fek = _r6_file_key(enc_body)
+        return (fek, "aes256") if fek is not None else None
     if v in (1, 2):
         cipher = "rc4"
     elif v == 4 and b"/AESV2" in enc_body:
         cipher = "aes"
     else:
-        return None  # V5 (AES-256) or exotic V4 crypt filters
+        return None  # exotic V4 crypt filters
     r = int(_R_RE.search(enc_body).group(1)) if _R_RE.search(enc_body) \
         else 2
     o = _parse_o_entry(enc_body)
@@ -691,6 +748,8 @@ def _object_key(file_key: bytes, num: int, gen: int = 0,
     h.update(file_key)
     h.update(num.to_bytes(3, "little"))
     h.update(gen.to_bytes(2, "little"))
+    if cipher == "aes256":
+        return file_key       # V5: streams use the file key directly
     if cipher == "aes":
         h.update(b"sAlT")   # the AESV2 salt (PDF spec Algorithm 1)
     return h.digest()[: min(len(file_key) + 5, 16)]
@@ -723,7 +782,7 @@ def _decrypt_streams(objects: dict, file_key: bytes,
                 start, endpos = s2, s2 + len(exact)
                 raw = exact
         okey = _object_key(file_key, num, cipher=cipher)
-        if cipher == "aes":
+        if cipher in ("aes", "aes256"):
             from .aes128 import cbc_decrypt
 
             try:
@@ -748,8 +807,8 @@ def _maybe_decrypt(payload: bytes, objects: dict) -> Optional[str]:
         return "encrypted PDF without parsable /Encrypt + /ID"
     fk = _file_key(enc_body, bytes.fromhex(idm.group(1).decode()))
     if fk is None:
-        return ("unsupported encryption (non-Standard filter, V5/"
-                "AES-256, or exotic crypt filter)")
+        return ("unsupported encryption (non-Standard filter, exotic "
+                "crypt filter, or a non-empty user password)")
     key, cipher = fk
     _decrypt_streams(objects, key, cipher)
     return None
@@ -767,20 +826,37 @@ def encrypt_pdf_rc4(pdf: bytes, key_bits: int = 128,
     o_entry = bytes(range(0x40, 0x60))          # arbitrary owner hash
     id0 = bytes(range(0xA0, 0xB0))
     p = -44
-    if cipher == "aes":
-        v, r, key_bits = 4, 4, 128
-        cf = ("/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
-              "/StmF /StdCF /StrF /StdCF ")
-    elif key_bits == 40:
-        v, r, cf = 1, 2, ""
+    if cipher == "aes256":
+        from .aes128 import cbc_encrypt_nopad
+
+        fek = bytes(range(32, 64))
+        vsalt, ksalt = b"VsaltVs8", b"KsaltKs8"
+        u = _hash_2b(b"", vsalt) + vsalt + ksalt
+        ue = cbc_encrypt_nopad(_hash_2b(b"", ksalt), bytes(16), fek)
+        enc_body = (
+            "<< /Filter /Standard /V 5 /R 6 /Length 256 "
+            "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            "/StmF /StdCF /StrF /StdCF "
+            f"/P {p} /O <" + (o_entry + bytes(16)).hex().upper()
+            + "> /OE <" + bytes(32).hex() + "> /U <" + u.hex().upper()
+            + "> /UE <" + ue.hex().upper() + "> >>").encode("ascii")
+        key, _cipher = _file_key(enc_body, id0)
+        assert key == fek
     else:
-        v, r, cf = 2, 3, ""
-    enc_body = (f"<< /Filter /Standard /V {v} /R {r} {cf}"
-                f"/Length {key_bits} /P {p} /O <"
-                + o_entry.hex().upper() + "> /U <"
-                + (b"\x00" * 32).hex() + "> >>").encode("ascii")
-    key, _cipher = _file_key(enc_body, id0)
-    assert key is not None and len(key) == key_bits // 8
+        if cipher == "aes":
+            v, r, key_bits = 4, 4, 128
+            cf = ("/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                  "/StmF /StdCF /StrF /StdCF ")
+        elif key_bits == 40:
+            v, r, cf = 1, 2, ""
+        else:
+            v, r, cf = 2, 3, ""
+        enc_body = (f"<< /Filter /Standard /V {v} /R {r} {cf}"
+                    f"/Length {key_bits} /P {p} /O <"
+                    + o_entry.hex().upper() + "> /U <"
+                    + (b"\x00" * 32).hex() + "> >>").encode("ascii")
+        key, _cipher = _file_key(enc_body, id0)
+        assert key is not None and len(key) == key_bits // 8
 
     out = bytearray()
     last = 0
@@ -807,7 +883,7 @@ def encrypt_pdf_rc4(pdf: bytes, key_bits: int = 128,
                 start, endpos = s2, s2 + len(exact)
                 raw = exact
         okey = _object_key(key, num, cipher=cipher)
-        if cipher == "aes":
+        if cipher in ("aes", "aes256"):
             import hashlib
 
             from .aes128 import cbc_encrypt

@@ -331,15 +331,33 @@ def test_aesv2_encrypted_roundtrip():
     assert err is None and got == text
 
 
-def test_aes256_v5_routed_as_unsupported():
-    pdf = (b"%PDF-2.0\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
-           b"4 0 obj\n<< /Length 11 >>\nstream\nBT (x) Tj ET\n"
-           b"endstream\nendobj\n"
-           b"5 0 obj\n<< /Filter /Standard /V 5 /R 6 /CF << /StdCF "
-           b"<< /CFM /AESV3 >> >> /O <00> /P -44 >>\nendobj\n"
-           b"trailer\n<< /Encrypt 5 0 R /ID [<AABB> <AABB>] >>\n%%EOF")
-    got, err = P.extract_real_pdf_text(pdf)
-    assert got == "" and "unsupported encryption" in err
+def test_aes256_v5_r6_roundtrip():
+    """AES-256 (V5/R6, PDF 2.0): the Algorithm-2.B iterated hash
+    validates the empty user password against /U, /UE unwraps the file
+    key, and streams decrypt under it directly (no per-object
+    derivation)."""
+    from docling_graph_spark.kernels.pdf_parse import (
+        encode_pdf_objstm_cid, encrypt_pdf_rc4)
+
+    text = "AES-256 secret\nsecond line 42"
+    got, err = P.extract_real_pdf_text(
+        encrypt_pdf_rc4(encode_pdf_objstm_cid(text), cipher="aes256"))
+    assert err is None and got == text
+
+
+def test_aes256_wrong_password_routed():
+    """A corrupted /U validation hash means the empty user password
+    does not open the document — routed as an explicit error, never
+    garbage output."""
+    from docling_graph_spark.kernels.pdf_parse import (
+        encode_pdf_objstm_cid, encrypt_pdf_rc4)
+
+    enc = bytearray(encrypt_pdf_rc4(
+        encode_pdf_objstm_cid("hidden"), cipher="aes256"))
+    i = enc.index(b"/U <") + 4
+    enc[i:i + 2] = b"00" if enc[i:i + 2] != b"00" else b"11"
+    got, err = P.extract_real_pdf_text(bytes(enc))
+    assert got == "" and "user password" in err
 
 
 def test_wrong_key_material_fails_loudly_not_garbage():
