@@ -51,6 +51,11 @@ def sniff_media_type(payload: Optional[bytes]) -> str:
             return mtype
     if payload[4:12] in (b"ftypisom", b"ftypmp42", b"ftypMSNV"):
         return "video/mp4"
+    if payload[:4] == b"\x00\x00\x01\x00" and len(payload) >= 22:
+        # ICO: weak magic, so require a parseable ICONDIR entry count
+        n = int.from_bytes(payload[4:6], "little")
+        if 1 <= n <= 64:
+            return "image/x-icon"
     if payload[:2] == b"BM":
         # 'BM' alone is a weak 2-byte magic (plain text can start with it):
         # only classify as BMP when the DIB header actually parses
@@ -83,6 +88,9 @@ def decode_media(payload: bytes, media_type: str):
     integer sample decode), and so does ``audio/flac``
     (`kernels/flac_codec.py`: full lossless decode — rice residuals,
     fixed/LPC predictors, stereo decorrelation, CRC-verified frames).
+    ``image/x-icon`` (favicons) decodes
+    for real — embedded-PNG and 1/4/8/24/32-bit DIB entries with AND-
+    mask transparency (`kernels/ico_codec.py`), largest entry chosen.
     ``image/webp`` decodes for real — VP8L
     lossless bitstream (`kernels/webp_codec.py`: canonical prefix
     codes, LZ77 + color cache, all four inverse transforms); lossy VP8
@@ -121,6 +129,10 @@ def decode_media(payload: bytes, media_type: str):
         from .flac_codec import decode_flac
 
         return decode_flac(payload)
+    if media_type == "image/x-icon":
+        from .ico_codec import decode_ico
+
+        return decode_ico(payload)
     raise NotImplementedError(
         "media decode requires image/audio libraries not present in this "
         f"container (requested: {media_type}); use fake_features for the "
