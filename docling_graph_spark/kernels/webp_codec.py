@@ -319,6 +319,8 @@ def _select(l: int, t: int, tl: int) -> int:
         pl += abs(p - cl)
         pt += abs(p - ct)
     del pa
+    # INTEROP FLAG: tie-break direction (pl == pt -> top) mirrors the
+    # spec pseudo-code; fixtures avoid mode 11, untestable in-container
     return l if pl < pt else t
 
 
@@ -361,6 +363,10 @@ def _inverse_predictor(px: List[int], w: int, h: int, bits: int,
             left = px[i - 1]
             top = px[i - w]
             tl = px[i - w - 1]
+            # INTEROP FLAG: at the last column the spec's top-right
+            # pixel is taken as the row above's FIRST pixel (libwebp
+            # convention); fixture encoders avoid TR-using modes at
+            # edges, so this path is untestable in-container
             tr = px[i - w + 1] if x + 1 < w else px[i - w - (w - 1)]
             if mode == 0:
                 pred = 0xFF000000
