@@ -29,6 +29,8 @@ MEDIA_MAGIC: List[Tuple[bytes, str]] = [
     (b"OggS", "audio/ogg"),
     (b"fLaC", "audio/flac"),
     (b"%PDF", "application/pdf"),
+    (b"II\x2a\x00", "image/tiff"),
+    (b"MM\x00\x2a", "image/tiff"),
 ]
 
 
@@ -88,6 +90,9 @@ def decode_media(payload: bytes, media_type: str):
     integer sample decode), and so does ``audio/flac``
     (`kernels/flac_codec.py`: full lossless decode — rice residuals,
     fixed/LPC predictors, stereo decorrelation, CRC-verified frames).
+    ``image/tiff`` decodes for real —
+    baseline strip subset (`kernels/tiff_codec.py`: II/MM, 8-bit
+    gray/RGB, none/PackBits; tiles/LZW/planar route as unsupported).
     ``image/x-icon`` (favicons) decodes
     for real — embedded-PNG and 1/4/8/24/32-bit DIB entries with AND-
     mask transparency (`kernels/ico_codec.py`), largest entry chosen.
@@ -133,6 +138,10 @@ def decode_media(payload: bytes, media_type: str):
         from .ico_codec import decode_ico
 
         return decode_ico(payload)
+    if media_type == "image/tiff":
+        from .tiff_codec import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(
         "media decode requires image/audio libraries not present in this "
         f"container (requested: {media_type}); use fake_features for the "
