@@ -279,6 +279,8 @@ def decode_flac(payload: bytes,
             br.read_bits(16)
         elif sr_code == 15:
             raise ValueError("invalid sample rate code")
+        if ss_code == 3:                    # RFC 9639 §9.1.4: reserved
+            raise ValueError("reserved sample size code")
         bps = _SAMPLE_SIZES.get(ss_code, info.bits_per_sample)
         crc_hdr = _crc8(payload[frame_start:br.pos + (1 if br.bit else 0)])
         got_crc = br.read_bits(8)

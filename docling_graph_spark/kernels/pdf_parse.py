@@ -163,7 +163,13 @@ def _parse_tounicode(data: bytes) -> dict:
                 width = len(dh) // 2
                 base = int(dh, 16)
                 for i in range(hi - lo + 1):
-                    raw = (base + i).to_bytes(max(width, 2), "big")
+                    try:
+                        raw = (base + i).to_bytes(max(width, 2), "big")
+                    except OverflowError:
+                        # Malformed CMap whose range overruns the
+                        # destination width: skip the out-of-range tail
+                        # (routed-error contract — never abort the doc).
+                        break
                     mp[lo + i] = raw.decode("utf-16-be", "replace")
     return {"nbytes": nbytes, "map": mp}
 
@@ -785,6 +791,11 @@ def _decrypt_streams(objects: dict, file_key: bytes,
         if cipher in ("aes", "aes256"):
             from .aes128 import cbc_decrypt
 
+            if len(raw) % 16 and body[endpos:endpos + 2] == b"\r\n":
+                # A stale plaintext /Length forced the regex path, and
+                # the stream separator regex ate a trailing 0x0D that is
+                # really the last ciphertext byte.  Reclaim it.
+                raw, endpos = raw + b"\r", endpos + 1
             try:
                 dec = cbc_decrypt(okey, raw)
             except ValueError:
@@ -894,7 +905,17 @@ def encrypt_pdf_rc4(pdf: bytes, key_bits: int = 128,
             enc = _rc4(okey, raw)
         abs_start = m.start(2) + start
         abs_end = m.start(2) + endpos
-        out += pdf[last:abs_start]
+        if len_m is not None and len(enc) != len(raw):
+            # AES lengthens the payload (IV + PKCS#7 padding): rewrite
+            # /Length to the ciphertext size so decrypters can take the
+            # exact-length path instead of the \r-swallowing regex one.
+            dl_s = m.start(2) + len_m.start(1)
+            dl_e = m.start(2) + len_m.end(1)
+            out += pdf[last:dl_s]
+            out += str(len(enc)).encode("ascii")
+            out += pdf[dl_e:abs_start]
+        else:
+            out += pdf[last:abs_start]
         out += enc
         last = abs_end
     out += pdf[last:]

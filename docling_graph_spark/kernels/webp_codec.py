@@ -475,6 +475,14 @@ def decode_webp(data: bytes, max_pixels: int = MAX_PIXELS) -> DecodedWebp:
     while br.read_bit():
         ttype = br.read_bits(2)
         if ttype in (0, 1):  # predictor / color: tile-mode sub-image
+            if any(t[0] == 3 for t in transforms):
+                # Spec-legal but emitted by no real encoder: the tile
+                # sub-image below would be sized from the packed width
+                # while the inverse runs at full width. Route as an
+                # explicit error instead of decoding wrong pixels.
+                raise ValueError(
+                    "predictor/color transform after color-indexing "
+                    "is not supported")
             bits = 2 + br.read_bits(3)
             tw, th = _div_ceil(dec_w, 1 << bits), _div_ceil(h, 1 << bits)
             sub = _decode_entropy_image(br, tw, th, False)
@@ -658,9 +666,15 @@ def _emit_code_def(bw: _BitWriter, lengths_by_sym: Dict[int, int],
     clc_codes = _canonical_lengths_to_codes(
         [clc_len.get(i, 0) for i in range(19)])
     bw.write_bits(0, 1)              # no max_symbol
-    for ln in full:
-        c, length = clc_codes[ln]
-        bw.write_code(c, length)
+    if len(clc_len) > 1:
+        for ln in full:
+            c, length = clc_codes[ln]
+            bw.write_code(c, length)
+    # else: single used clc symbol -> the decoder's zero-bit special
+    # form reads NO bits per symbol (every position decodes to that one
+    # length class), so the encoder must write none either — e.g. a
+    # channel whose histogram is uniform over all 256 values gives every
+    # symbol length 8 and the clc collapses to the single symbol "8".
     return _canonical_lengths_to_codes(full)
 
 

@@ -149,3 +149,17 @@ def test_corruption_fuzz_never_hangs_or_lies():
             FL.decode_flac(bytes(bad), max_samples=1 << 16)
         except Exception:
             pass  # loud failure is the contract
+
+
+def test_reserved_sample_size_code_routes():
+    """Frame-header sample-size code 0b011 is reserved (RFC 9639); it
+    must raise like every other reserved code, not silently fall back
+    to the STREAMINFO bit depth (round-5 ADVICE)."""
+    data = bytearray(FL.encode_flac([[1, -2, 3, -4] * 8],
+                                    subframe_mode="verbatim"))
+    f = 4 + 4 + 34                       # fLaC + block header + STREAMINFO
+    assert data[f:f + 2] == b"\xff\xf8"  # frame sync
+    data[f + 3] |= 0b0110                # ss_code 0 -> 3 (bits 3..1)
+    data[f + 7] = FL._crc8(bytes(data[f:f + 7]))  # re-seal header CRC
+    with pytest.raises(ValueError, match="reserved sample size"):
+        FL.decode_flac(bytes(data))

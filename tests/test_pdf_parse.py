@@ -378,3 +378,65 @@ def test_wrong_key_material_fails_loudly_not_garbage():
     enc[i:i + 2] = b"00" if enc[i:i + 2] != b"00" else b"11"
     got, err = P.extract_real_pdf_text(bytes(enc))
     assert got == "" and err is not None
+
+
+def test_aes_length_rewritten_to_ciphertext_size():
+    """AES encryption lengthens streams (IV + PKCS#7 padding); the
+    fixture encoder must rewrite /Length so decrypters take the
+    exact-length path — a stale plaintext /Length forced the regex
+    fallback, which ate a trailing 0x0D ciphertext byte ~1/256 streams
+    and silently left the stream encrypted (round-5 ADVICE repro:
+    sweep enough distinct payloads to have hit it reliably)."""
+    from docling_graph_spark.kernels.pdf_parse import encrypt_pdf_rc4
+
+    for cipher in ("aes", "aes256"):
+        for i in range(120):
+            text = f"payload {i:03d} {'x' * (i % 13)}"
+            stream = f"BT ({text}) Tj ET"
+            pdf = (f"%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+                   f"4 0 obj\n<< /Length {len(stream)} >>\nstream\n"
+                   f"{stream}\nendstream\nendobj\n"
+                   f"trailer\n<< /Root 1 0 R >>\n%%EOF\n").encode()
+            enc = encrypt_pdf_rc4(pdf, cipher=cipher)
+            got, err = P.extract_real_pdf_text(enc)
+            assert err is None and got == text, (cipher, i, err, got)
+
+
+def test_decrypt_reclaims_regex_swallowed_cr():
+    """Even without the /Length rewrite (foreign encrypters emit stale
+    lengths too), _decrypt_streams retries with the \\r the stream
+    regex swallowed when the ciphertext length is not a multiple of
+    16."""
+    from docling_graph_spark.kernels import pdf_parse as PP
+
+    found = 0
+    for i in range(600):
+        text = f"cr probe {i:04d}"
+        stream = f"BT ({text}) Tj ET"
+        pdf = (f"%PDF-1.4\n4 0 obj\n<< /Length {len(stream)} >>\n"
+               f"stream\n{stream}\nendstream\nendobj\n"
+               f"trailer\n<< /Root 4 0 R >>\n%%EOF\n").encode()
+        enc = PP.encrypt_pdf_rc4(pdf, cipher="aes")
+        # Revert the encoder's /Length fix to simulate a foreign
+        # encrypter: restore the plaintext length token.
+        m = __import__("re").search(rb"/Length (\d+) >>\nstream", enc)
+        stale = enc[:m.start(1)] + str(len(stream)).encode() + enc[m.end(1):]
+        body_m = PP._STREAM_RE.search(stale)
+        got, err = PP.extract_real_pdf_text(stale)
+        if len(body_m.group(1)) % 16:
+            found += 1  # the regex swallowed a trailing ciphertext \r
+        assert err is None and got == text, (i, err, got)
+    assert found >= 1, "sweep never exercised the swallowed-\\r path"
+
+
+def test_bfrange_overflow_skips_out_of_range_tail():
+    """A malformed CMap whose bfrange crosses the destination width
+    (base <FFFE> with a long range) must not abort the document —
+    out-of-range mappings are skipped, in-range ones kept."""
+    from docling_graph_spark.kernels.pdf_parse import _parse_tounicode
+
+    cmap = (b"begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            b"beginbfrange\n<0010> <00FF> <FFFE>\nendbfrange\n")
+    parsed = _parse_tounicode(cmap)
+    assert parsed["map"][0x10] == "￾"
+    assert 0x13 not in parsed["map"]  # 0x10001 won't fit 2 bytes

@@ -192,3 +192,32 @@ def test_corruption_fuzz_never_hangs():
         except Exception:
             pass
     assert time.time() - t0 < 30
+
+
+def test_uniform_histogram_channel_roundtrip():
+    """A channel whose histogram is uniform over all 256 values gives
+    every symbol code length 8, so the code-length code collapses to a
+    single used symbol; the decoder's zero-bit special form reads no
+    per-symbol bits and the encoder must emit none (round-5 ADVICE: the
+    old encoder wrote 1 bit/symbol and desynced with 'invalid VP8L
+    prefix code')."""
+    w, h = 16, 16
+    rgba = bytearray()
+    for i in range(w * h):
+        rgba += bytes((i % 256, 0, 0, 255))     # red cycles 0..255
+    dec = W.decode_webp(W.encode_webp_lossless(w, h, bytes(rgba)))
+    assert dec.channels == 3
+    assert all(dec.pixels[3 * i] == i % 256 for i in range(w * h))
+
+
+def test_all_channels_uniform_histogram_roundtrip():
+    """Every channel simultaneously uniform — all four prefix codes hit
+    the single-clc-symbol form at once."""
+    w, h = 16, 16
+    rgba = bytes(bytearray(
+        b for i in range(w * h)
+        for b in (i % 256, (i * 7) % 256, (i * 13) % 256, 255)))
+    dec = W.decode_webp(W.encode_webp_lossless(w, h, rgba))
+    for i in range(w * h):
+        assert dec.pixels[3 * i:3 * i + 3] == bytes(
+            (i % 256, (i * 7) % 256, (i * 13) % 256))
