@@ -1,16 +1,20 @@
 """Minimal TIFF decoder — pure Python, stdlib only.
 
 TIFF shows up on crawls as scanned documents and publishing assets.
-This decodes the baseline subset that covers most of them: both byte
-orders (II/MM), the first IFD, strip-based storage, 8-bit samples,
-grayscale (photometric 0/1) and RGB (2), uncompressed (1) and
-PackBits (32773) compression.  Planar configuration 2, tiles, LZW/
-JPEG-in-TIFF, and other depths raise NotImplementedError — routed to
-the error column upstream like every other codec.  The shared
-MAX_PIXELS decompression-bomb guard applies (PackBits expands 128:1).
+This decodes the subset that covers most of them: both byte orders
+(II/MM), the first IFD, strip-based AND tiled storage, 8-bit samples,
+grayscale (photometric 0/1) and RGB (2), uncompressed (1), LZW (5,
+with the TIFF early-change code widths and the optional horizontal-
+differencing predictor, tag 317) and PackBits (32773) compression.
+Planar configuration 2, JPEG-in-TIFF, and other depths raise
+NotImplementedError — routed to the error column upstream like every
+other codec.  The shared MAX_PIXELS decompression-bomb guard applies
+(PackBits expands 128:1; LZW far more), and every decompressor stops
+at the expected output size so a hostile stream cannot balloon memory.
 
-The encoder half is the fixture generator (uncompressed or PackBits,
-gray or RGB, multi-strip) so the decoder is testable byte-lossless.
+The encoder half is the fixture generator (uncompressed, PackBits or
+LZW±predictor, gray or RGB, multi-strip or tiled) so the decoder is
+testable byte-lossless.
 """
 
 from __future__ import annotations
@@ -73,6 +77,131 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW: MSB-first codes, Clear=256/EOI=257, 9→12 bit
+    codes with the early change — the decoder widens when the table
+    reaches 511/1023/2047 entries (one before the power of two).  This
+    is the same algorithm PDF's LZWDecode inherits (EarlyChange=1).
+    Output is clamped to ``expected`` so hostile streams can't balloon
+    memory (the table itself is capped at 4096 entries; once full,
+    appends stop until the next Clear — the deferred-clear behaviour
+    real decoders implement)."""
+    out = bytearray()
+    acc = accbits = pos = 0
+    code_size = 9
+    table: List[bytes] = []
+
+    def reset() -> None:
+        nonlocal table, code_size
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        code_size = 9
+
+    reset()
+    prev: bytes | None = None
+    n = len(data)
+    while len(out) < expected:
+        while accbits < code_size:
+            if pos >= n:
+                raise ValueError("truncated LZW data")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            accbits += 8
+        code = (acc >> (accbits - code_size)) & ((1 << code_size) - 1)
+        accbits -= code_size
+        if code == 256:
+            reset()
+            prev = None
+            continue
+        if code == 257:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt LZW stream (bad first code)")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]     # the KwKwK case
+            else:
+                raise ValueError("corrupt LZW stream (code gap)")
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) in (511, 1023, 2047):
+                    code_size += 1
+        out += entry
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("LZW data does not cover the segment")
+    return bytes(out[:expected])
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (fixture generator), mirror of
+    :func:`_lzw_decode`: the decoder lags one table entry behind, so
+    the encoder widens at 512/1024/2048 and clears before its table
+    outruns 12-bit codes."""
+    out = bytearray()
+    acc = accbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, accbits
+        acc = (acc << size) | code
+        accbits += size
+        while accbits >= 8:
+            out.append((acc >> (accbits - 8)) & 0xFF)
+            accbits -= 8
+
+    table: Dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    code_size = 9
+    emit(256, code_size)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], code_size)
+        table[wc] = next_code
+        next_code += 1
+        if next_code in (512, 1024, 2048):
+            code_size += 1
+        elif next_code == 4093:             # keep clear of the 12-bit cap
+            emit(256, code_size)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            code_size = 9
+            w = b""
+            wc = bytes([ch])                # restart Ω from this char
+        w = wc[-1:]
+    if w:
+        emit(table[w], code_size)
+    emit(257, code_size)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
+def _undo_h_predictor(buf: bytearray, row_w: int, spp: int) -> None:
+    """Inverse of horizontal differencing (predictor tag 317 = 2),
+    in place, per ``row_w``-pixel row."""
+    stride = row_w * spp
+    for r0 in range(0, len(buf), stride):
+        for x in range(r0 + spp, r0 + stride):
+            buf[x] = (buf[x] + buf[x - spp]) & 0xFF
+
+
+def _apply_h_predictor(buf: bytes, row_w: int, spp: int) -> bytes:
+    """Forward horizontal differencing (encoder side)."""
+    out = bytearray(buf)
+    stride = row_w * spp
+    for r0 in range(0, len(out), stride):
+        for x in range(r0 + stride - 1, r0 + spp - 1, -1):
+            out[x] = (out[x] - out[x - spp]) & 0xFF
+    return bytes(out)
+
+
 def _read_ifd(data: bytes, fmt: str, off: int) -> Dict[int, list]:
     (count,) = struct.unpack_from(fmt + "H", data, off)
     tags: Dict[int, list] = {}
@@ -120,119 +249,186 @@ def decode_tiff(data: bytes) -> DecodedTiff:
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"TIFF bit depths {bits} unsupported")
     comp = one(259, 1)
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} unsupported (none/PackBits only)")
+            f"TIFF compression {comp} unsupported (none/LZW/PackBits "
+            "only)")
     photo = one(262, 1)
     if photo not in (0, 1, 2):
         raise NotImplementedError(
             f"TIFF photometric {photo} unsupported")
     if one(284, 1) != 1:
         raise NotImplementedError("planar configuration 2 unsupported")
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF unsupported")
     if spp not in (1, 3):
         raise NotImplementedError(f"{spp} samples/pixel unsupported")
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} "
+                                  "unsupported")
 
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF missing strip layout")
-    rows_per_strip = one(278, height)
-    stride = width * spp
-    out = bytearray()
-    for si, (soff, scnt) in enumerate(zip(offsets, counts)):
-        rows = min(rows_per_strip, height - si * rows_per_strip)
-        if rows <= 0:
-            break
-        expected = rows * stride
-        raw = data[soff:soff + scnt]
+    def segment(raw: bytes, expected: int, row_w: int) -> bytes:
         if comp == 1:
             if len(raw) < expected:
-                raise ValueError("truncated TIFF strip")
-            out += raw[:expected]
+                raise ValueError("truncated TIFF segment")
+            seg = raw[:expected]
+        elif comp == 5:
+            seg = _lzw_decode(raw, expected)
         else:
-            out += _packbits_decode(raw, expected)
-    if len(out) != height * stride:
-        raise ValueError("TIFF strip data does not cover the image")
+            seg = _packbits_decode(raw, expected)
+        if predictor == 2:
+            buf = bytearray(seg)
+            _undo_h_predictor(buf, row_w, spp)
+            seg = bytes(buf)
+        return seg
+
+    stride = width * spp
+    if 322 in tags or 323 in tags:       # tiled layout
+        tw, tl = one(322), one(323)
+        if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+            raise ValueError("TIFF tile dimensions must be positive "
+                             "multiples of 16")
+        t_offsets = tags.get(324)
+        t_counts = tags.get(325)
+        across = _div_ceil(width, tw)
+        down = _div_ceil(height, tl)
+        if not t_offsets or not t_counts \
+                or len(t_offsets) < across * down \
+                or len(t_counts) < across * down:
+            raise ValueError("TIFF missing tile layout")
+        if across * down * tw * tl > 4 * MAX_PIXELS:
+            raise ValueError("TIFF tile grid exceeds the decode guard")
+        out = bytearray(height * stride)
+        for ty in range(down):
+            for tx in range(across):
+                ti = ty * across + tx
+                raw = data[t_offsets[ti]:t_offsets[ti] + t_counts[ti]]
+                tile = segment(raw, tl * tw * spp, tw)
+                copy_w = min(tw, width - tx * tw) * spp
+                for r in range(min(tl, height - ty * tl)):
+                    src = r * tw * spp
+                    dst = (ty * tl + r) * stride + tx * tw * spp
+                    out[dst:dst + copy_w] = tile[src:src + copy_w]
+    else:                                # strip layout
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing strip layout")
+        rows_per_strip = one(278, height)
+        out = bytearray()
+        for si, (soff, scnt) in enumerate(zip(offsets, counts)):
+            rows = min(rows_per_strip, height - si * rows_per_strip)
+            if rows <= 0:
+                break
+            out += segment(data[soff:soff + scnt], rows * stride, width)
+        if len(out) != height * stride:
+            raise ValueError("TIFF strip data does not cover the image")
     if photo == 0:  # WhiteIsZero: invert to the shared convention
         out = bytearray(255 - b for b in out)
     return DecodedTiff(width, height, spp, bytes(out))
 
 
+def _div_ceil(a: int, b: int) -> int:
+    return -(-a // b)
+
+
 def encode_tiff(width: int, height: int, channels: int, pixels: bytes,
                 packbits: bool = False, big_endian: bool = False,
-                rows_per_strip: int = 0) -> bytes:
-    """Fixture TIFF: gray (1 channel) or RGB (3), uncompressed or
-    PackBits, optionally multi-strip and big-endian."""
+                rows_per_strip: int = 0, lzw: bool = False,
+                predictor: int = 1,
+                tile: "tuple[int, int] | None" = None) -> bytes:
+    """Fixture TIFF: gray (1 channel) or RGB (3); uncompressed,
+    PackBits or LZW (optionally with the horizontal-differencing
+    predictor); strip-based (optionally multi-strip) or tiled
+    (``tile=(tw, tl)``, multiples of 16, edge tiles zero-padded);
+    either byte order."""
     assert channels in (1, 3) and len(pixels) == width * height * channels
+    assert predictor in (1, 2)
     fmt = ">" if big_endian else "<"
-    rows_per_strip = rows_per_strip or height
+    comp = 5 if lzw else (32773 if packbits else 1)
     stride = width * channels
-    strips: List[bytes] = []
-    for y0 in range(0, height, rows_per_strip):
-        chunk = pixels[y0 * stride:(y0 + min(rows_per_strip,
-                                             height - y0)) * stride]
-        strips.append(_packbits_encode(chunk) if packbits else chunk)
 
-    n_tags = 9
-    header = struct.pack(fmt + "2sHI", b"MM" if big_endian else b"II",
-                         0x2A, 8)
-    ifd_size = 2 + 12 * n_tags + 4
-    # layout: header | IFD | bits array (if rgb) | offsets | counts | strips
-    pos = 8 + ifd_size
-    bits_off = pos
-    if channels == 3:
-        pos += 6
-    arr_off = pos
-    n_strips = len(strips)
-    off_off, cnt_off = arr_off, arr_off + 4 * n_strips
-    pos = cnt_off + 4 * n_strips
-    strip_offsets = []
-    for sdata in strips:
-        strip_offsets.append(pos)
-        pos += len(sdata)
+    def compress(seg: bytes, row_w: int) -> bytes:
+        if predictor == 2:
+            seg = _apply_h_predictor(seg, row_w, channels)
+        if comp == 5:
+            return _lzw_encode(seg)
+        if comp == 32773:
+            return _packbits_encode(seg)
+        return seg
 
-    def entry(tag, typ, n, value_or_off):
-        e = struct.pack(fmt + "HHI", tag, typ, n)
-        if typ == 3 and n == 1:
-            e += struct.pack(fmt + "HH", value_or_off, 0)
+    segs: List[bytes] = []
+    if tile:
+        tw, tl = tile
+        assert tw % 16 == 0 and tl % 16 == 0
+        for ty in range(0, height, tl):
+            for tx in range(0, width, tw):
+                buf = bytearray(tl * tw * channels)
+                copy_w = min(tw, width - tx) * channels
+                for r in range(min(tl, height - ty)):
+                    src = (ty + r) * stride + tx * channels
+                    dst = r * tw * channels
+                    buf[dst:dst + copy_w] = pixels[src:src + copy_w]
+                segs.append(compress(bytes(buf), tw))
+    else:
+        rows_per_strip = rows_per_strip or height
+        for y0 in range(0, height, rows_per_strip):
+            chunk = pixels[y0 * stride:(y0 + min(rows_per_strip,
+                                                 height - y0)) * stride]
+            segs.append(compress(chunk, width))
+
+    entries: List[tuple] = [
+        (256, 4, [width]),
+        (257, 4, [height]),
+        (258, 3, [8] * channels),
+        (259, 3, [comp]),
+        (262, 3, [2 if channels == 3 else 1]),
+        (277, 3, [channels]),
+    ]
+    if predictor == 2:
+        entries.append((317, 3, [2]))
+    if tile:
+        entries.append((322, 4, [tile[0]]))
+        entries.append((323, 4, [tile[1]]))
+        off_tag, cnt_tag = 324, 325
+    else:
+        entries.append((278, 4, [rows_per_strip]))
+        off_tag, cnt_tag = 273, 279
+    entries.append((off_tag, 4, None))          # filled below
+    entries.append((cnt_tag, 4, [len(s) for s in segs]))
+    entries.sort(key=lambda e: e[0])            # spec: ascending tags
+
+    sizes = {3: 2, 4: 4}
+    val_pos = 8 + 2 + 12 * len(entries) + 4
+    ext: Dict[int, int] = {}
+    for tag, typ, vals in entries:
+        total = sizes[typ] * (len(segs) if vals is None else len(vals))
+        if total > 4:
+            ext[tag] = val_pos
+            val_pos += total
+    seg_offsets: List[int] = []
+    pos = val_pos
+    for s in segs:
+        seg_offsets.append(pos)
+        pos += len(s)
+    entries = [(t, typ, seg_offsets if vals is None else vals)
+               for t, typ, vals in entries]
+
+    out = bytearray(struct.pack(fmt + "2sHI",
+                                b"MM" if big_endian else b"II", 0x2A, 8))
+    out += struct.pack(fmt + "H", len(entries))
+    valarea = bytearray()
+    for tag, typ, vals in entries:
+        kind = {3: "H", 4: "I"}[typ]
+        total = sizes[typ] * len(vals)
+        out += struct.pack(fmt + "HHI", tag, typ, len(vals))
+        packed = struct.pack(f"{fmt}{len(vals)}{kind}", *vals)
+        if total <= 4:
+            out += packed + b"\x00" * (4 - total)
         else:
-            e += struct.pack(fmt + "I", value_or_off)
-        return e
-
-    ifd = struct.pack(fmt + "H", n_tags)
-    ifd += entry(256, 4, 1, width)
-    ifd += entry(257, 4, 1, height)
-    if channels == 3:
-        ifd += entry(258, 3, 3, bits_off)
-    else:
-        ifd += entry(258, 3, 1, 8)
-    ifd += entry(259, 3, 1, 32773 if packbits else 1)
-    ifd += entry(262, 3, 1, 2 if channels == 3 else 1)
-    if n_strips == 1:
-        ifd += entry(273, 4, 1, strip_offsets[0])
-    else:
-        ifd += entry(273, 4, n_strips, off_off)
-    ifd += entry(277, 3, 1, channels)
-    ifd += entry(278, 4, 1, rows_per_strip)
-    if n_strips == 1:
-        ifd += entry(279, 4, 1, len(strips[0]))
-    else:
-        ifd += entry(279, 4, n_strips, cnt_off)
-    ifd += struct.pack(fmt + "I", 0)  # next IFD
-
-    out = bytearray(header + ifd)
-    if channels == 3:
-        out += struct.pack(fmt + "3H", 8, 8, 8)
-    if n_strips > 1:
-        for o in strip_offsets:
-            out += struct.pack(fmt + "I", o)
-        for sdata in strips:
-            out += struct.pack(fmt + "I", len(sdata))
-    else:
-        # keep layout deterministic even when arrays are inlined
-        out += b"\x00" * (8 * n_strips)
-    for sdata in strips:
-        out += sdata
+            out += struct.pack(fmt + "I", ext[tag])
+            valarea += packed
+    out += struct.pack(fmt + "I", 0)            # next IFD
+    out += valarea
+    for s in segs:
+        out += s
     return bytes(out)

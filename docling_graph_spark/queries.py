@@ -6194,6 +6194,37 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     w, h, bytes(rgba), **cfgs[d % 4]))
             yield pd.DataFrame({"url": urls, "html": blobs})
 
+    # round 5: TIFF joins the lossless family — 24 RGB images on
+    # doc_ids [88, 112): w = 17+d%9, h = 14+d%7, pixel byte k =
+    # (d*17 + k*5) % 256, encoded by kernels/tiff_codec.encode_tiff
+    # with the STORAGE VARIANT rotating by d%6 (uncompressed /
+    # PackBits / LZW / LZW+horizontal-predictor / LZW tiled 16x16 /
+    # big-endian LZW+predictor tiled) — TIFF is lossless, so every
+    # variant decodes to the same closed-form bytes the oracle
+    # predicts, which pins the LZW early-change widths, the predictor
+    # inverse, and the tile blitting all at once.
+    def build_tiffs(batches):
+        from docling_graph_spark.kernels.tiff_codec import encode_tiff
+
+        cfgs = [
+            dict(),
+            dict(packbits=True),
+            dict(lzw=True),
+            dict(lzw=True, predictor=2),
+            dict(lzw=True, tile=(16, 16)),
+            dict(lzw=True, predictor=2, tile=(16, 16), big_endian=True),
+        ]
+        for pdf in batches:
+            urls, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 17 + d % 9, 14 + d % 7
+                px = bytes((d * 17 + k * 5) % 256
+                           for k in range(w * h * 3))
+                urls.append(f"tif:{d}")
+                blobs.append(encode_tiff(w, h, 3, px, **cfgs[d % 6]))
+            yield pd.DataFrame({"url": urls, "html": blobs})
+
     ll = (
         _read(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _PNG_DOCS)
@@ -6205,6 +6236,12 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("doc_id") < _PNG_DOCS + 24))
         .select("doc_id")
         .mapInPandas(build_webps, "url string, html binary")
+    ).unionByName(
+        _read(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") >= _PNG_DOCS + 24)
+                & (F.col("doc_id") < _PNG_DOCS + 48))
+        .select("doc_id")
+        .mapInPandas(build_tiffs, "url string, html binary")
     )
     lldec = op_mm.media_decode_stats(ll)
     ll_agg = lldec.agg(
@@ -6480,19 +6517,37 @@ llwsum AS (
        LATERAL (SELECT unnest(generate_series(0, llw.w - 1)) AS x),
        LATERAL (SELECT unnest(generate_series(0, llw.h - 1)) AS y)
 ),
+llt AS (
+  -- round 5: TIFF fixtures (variants rotate storage only; decoded
+  -- bytes are the same closed form for all six)
+  SELECT doc_id, 17 + doc_id % 9 AS w, 14 + doc_id % 7 AS h
+  FROM documents
+  WHERE doc_id >= {_PNG_DOCS + 24} AND doc_id < {_PNG_DOCS + 48}
+),
+lltsum AS (
+  SELECT CAST(sum((llt.doc_id * 17 + k * 5) % 256) AS BIGINT) AS s
+  FROM llt, LATERAL (SELECT unnest(generate_series(0, llt.w*llt.h*3 - 1))
+                     AS k)
+),
 llsum AS (
   SELECT CAST((SELECT count(*) FROM llb) + (SELECT count(*) FROM llg)
-              + (SELECT count(*) FROM llw) AS BIGINT) AS n_images,
+              + (SELECT count(*) FROM llw)
+              + (SELECT count(*) FROM llt) AS BIGINT) AS n_images,
          CAST((SELECT count(*) FROM llb) + (SELECT count(*) FROM llg)
-              + (SELECT count(*) FROM llw) AS BIGINT) AS n_decoded,
+              + (SELECT count(*) FROM llw)
+              + (SELECT count(*) FROM llt) AS BIGINT) AS n_decoded,
          CAST((SELECT sum(w*h) FROM llb) + (SELECT sum(w*h) FROM llg)
-              + (SELECT sum(w*h) FROM llw) AS BIGINT) AS sum_pixels,
+              + (SELECT sum(w*h) FROM llw)
+              + (SELECT sum(w*h) FROM llt) AS BIGINT) AS sum_pixels,
          CAST((SELECT s FROM llbsum) + (SELECT s FROM llgsum)
-              + (SELECT s FROM llwsum) AS BIGINT) AS sum_pixel_values,
+              + (SELECT s FROM llwsum)
+              + (SELECT s FROM lltsum) AS BIGINT) AS sum_pixel_values,
          CAST((SELECT sum(w) FROM llb) + (SELECT sum(w) FROM llg)
-              + (SELECT sum(w) FROM llw) AS BIGINT) AS sum_width,
+              + (SELECT sum(w) FROM llw)
+              + (SELECT sum(w) FROM llt) AS BIGINT) AS sum_width,
          CAST((SELECT sum(h) FROM llb) + (SELECT sum(h) FROM llg)
-              + (SELECT sum(h) FROM llw) AS BIGINT) AS sum_height
+              + (SELECT sum(h) FROM llw)
+              + (SELECT sum(h) FROM llt) AS BIGINT) AS sum_height
 ),
 jpg AS (
   SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 6 AS h,

@@ -52,7 +52,7 @@ def test_unsupported_and_malformed_route_cleanly():
         T.decode_tiff(b"XX\x2a\x00 nope")
     good = bytearray(T.encode_tiff(4, 4, 1, bytes(16)))
     i = good.index(b"\x03\x01")  # compression tag 259 (II)
-    good[i + 8] = 5              # LZW
+    good[i + 8] = 7              # JPEG-in-TIFF
     with pytest.raises(NotImplementedError, match="compression"):
         T.decode_tiff(bytes(good))
     # dimension bomb
@@ -77,3 +77,89 @@ def test_decode_media_tiff_integration():
     dec = decode_media(data, "image/tiff")
     assert (dec.width, dec.height, dec.channels) == (4, 4, 3)
     assert dec.pixels == px
+
+
+# ---------------------------------------------------------------------------
+# Round 5: LZW (+ horizontal-differencing predictor) and tiled layout
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ch", [1, 3])
+@pytest.mark.parametrize("predictor", [1, 2])
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_lzw_roundtrip_matrix(ch, predictor, big_endian):
+    """LZW strips roundtrip byte-lossless on random and smooth content,
+    with and without the horizontal predictor, in both byte orders and
+    across multi-strip layouts."""
+    rng = random.Random(ch * 10 + predictor)
+    for w, h in [(7, 5), (33, 17), (64, 48)]:
+        noisy = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        smooth = bytes(((x // 3 + y * 2) % 256)
+                       for y in range(h) for x in range(w * ch))
+        for px in (noisy, smooth):
+            enc = T.encode_tiff(w, h, ch, px, lzw=True,
+                                predictor=predictor,
+                                big_endian=big_endian, rows_per_strip=5)
+            d = T.decode_tiff(enc)
+            assert (d.width, d.height, d.channels) == (w, h, ch)
+            assert d.pixels == px
+
+
+def test_lzw_predictor_compresses_smooth_gradients():
+    """The point of predictor 2: gradients become constant residuals
+    that LZW then collapses — the combination must beat plain LZW on a
+    ramp, and both must decode losslessly."""
+    w, h = 128, 64
+    px = bytes((x * 2 + y) % 256 for y in range(h) for x in range(w))
+    plain = T.encode_tiff(w, h, 1, px, lzw=True)
+    pred = T.encode_tiff(w, h, 1, px, lzw=True, predictor=2)
+    assert T.decode_tiff(plain).pixels == px
+    assert T.decode_tiff(pred).pixels == px
+    assert len(pred) < len(plain) < len(px)
+
+
+def test_lzw_code_width_boundaries_and_table_clear():
+    """Random content long enough to push the code width through 10,
+    11 and 12 bits and trigger the encoder's mid-stream table clear;
+    the early-change thresholds on both sides must agree exactly."""
+    rng = random.Random(99)
+    w, h = 256, 128                     # 32k random bytes ≈ 15k codes
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    d = T.decode_tiff(T.encode_tiff(w, h, 1, px, lzw=True))
+    assert d.pixels == px
+
+
+@pytest.mark.parametrize("tile,kwargs", [
+    ((16, 16), {}),
+    ((16, 16), dict(lzw=True, predictor=2)),
+    ((32, 16), dict(packbits=True, big_endian=True)),
+    ((16, 32), dict(lzw=True)),
+])
+def test_tiled_roundtrip(tile, kwargs):
+    """Tiled layout (tags 322-325) with edge tiles zero-padded by the
+    encoder and cropped by the decoder, composing with every supported
+    compression and the predictor (whose rows are tile-width rows)."""
+    rng = random.Random(tile[0] * 100 + tile[1])
+    for w, h, ch in [(16, 16, 1), (33, 17, 3), (70, 40, 3)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        d = T.decode_tiff(T.encode_tiff(w, h, ch, px, tile=tile,
+                                        **kwargs))
+        assert (d.width, d.height, d.channels) == (w, h, ch)
+        assert d.pixels == px
+
+
+def test_tile_layout_malformed_routes():
+    import struct as st
+
+    enc = bytearray(T.encode_tiff(32, 32, 1, bytes(32 * 32),
+                                  tile=(16, 16)))
+    i = enc.index(st.pack("<HH", 322, 4))       # TileWidth entry
+    enc[i + 8:i + 12] = st.pack("<I", 15)       # not a multiple of 16
+    with pytest.raises(ValueError, match="multiples of 16"):
+        T.decode_tiff(bytes(enc))
+
+
+def test_lzw_truncation_routes():
+    enc = T.encode_tiff(64, 64, 1, bytes(range(256)) * 16, lzw=True)
+    with pytest.raises(ValueError):
+        T.decode_tiff(enc[: len(enc) - 40])
