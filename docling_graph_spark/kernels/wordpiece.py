@@ -201,3 +201,141 @@ MINI_VOCAB: Tuple[str, ...] = tuple(
         "smal", "##l", "agg", "vect", "##or",
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece TRAINER — the published likelihood-scored merge algorithm
+# (Schuster & Nakajima 2012 as popularized by BERT; the exact scoring
+# and merge loop documented in the HuggingFace tokenizers course:
+# score(pair) = freq(pair) / (freq(left) * freq(right)), merge the
+# highest-scoring pair, the merged piece keeps the left element's
+# position form).  The reference relies on a pretrained HF vocab
+# (document_chunker.py:58-95); this container has no model files, so
+# full-size vocabularies for parity testing are TRAINED deterministically
+# with this function (see tools/build_wordpiece_vocab.py).
+# ---------------------------------------------------------------------------
+
+
+def train_wordpiece(word_freqs: Iterable[Tuple[str, int]],
+                    n_merges: int, min_count: int = 2) -> List[str]:
+    """Learn up to ``n_merges`` merged pieces from a (word, freq) table.
+
+    Returns the NEW pieces in merge order (word-initial pieces plain,
+    continuations ``##``-prefixed); the full vocab is the caller's
+    specials + the corpus alphabet + these.  Incremental trainer: pair
+    counts, symbol counts and a pair->word index are maintained across
+    merges; the argmax runs over a lazy max-heap whose stale entries
+    (symbol counts change on every merge, and a WordPiece score can
+    RISE when a denominator symbol shrinks) are refreshed on pop via a
+    recorded (pair_count, left_count, right_count) triple.  Tie-break:
+    equal score -> lexicographically smallest pair.  Stops early when
+    no pair reaches ``min_count``.
+    """
+    import heapq
+
+    words: List[List[str]] = []
+    freqs: List[int] = []
+    for w, f in word_freqs:
+        if w:
+            words.append([w[0]] + ["##" + c for c in w[1:]])
+            freqs.append(int(f))
+
+    sym_counts: Dict[str, int] = {}
+    pair_counts: Dict[Tuple[str, str], int] = {}
+    pair_words: Dict[Tuple[str, str], set] = {}
+    sym_pairs: Dict[str, set] = {}
+
+    def add_word(wi: int, sign: int) -> None:
+        syms = words[wi]
+        f = freqs[wi] * sign
+        for s in syms:
+            sym_counts[s] = sym_counts.get(s, 0) + f
+        for a, b in zip(syms, syms[1:]):
+            p = (a, b)
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(wi)
+                sym_pairs.setdefault(a, set()).add(p)
+                sym_pairs.setdefault(b, set()).add(p)
+
+    for wi in range(len(words)):
+        add_word(wi, +1)
+
+    heap: List[tuple] = []
+
+    def push(p: Tuple[str, str]) -> None:
+        c = pair_counts.get(p, 0)
+        if c < min_count:
+            return
+        cx = sym_counts.get(p[0], 0)
+        cy = sym_counts.get(p[1], 0)
+        if cx <= 0 or cy <= 0:
+            return
+        heapq.heappush(heap, (-c / (cx * cy), p, c, cx, cy))
+
+    for p in list(pair_counts):
+        push(p)
+
+    merges: List[str] = []
+    while len(merges) < n_merges and heap:
+        _negscore, p, c, cx, cy = heapq.heappop(heap)
+        if (c != pair_counts.get(p, 0)
+                or cx != sym_counts.get(p[0], 0)
+                or cy != sym_counts.get(p[1], 0)):
+            push(p)                      # stale snapshot: refresh, retry
+            continue
+        x, y = p
+        z = x + y[2:]
+        merges.append(z)
+        touched = set()
+        for wi in sorted(pair_words.get(p, ())):
+            syms = words[wi]
+            add_word(wi, -1)
+            out: List[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == p:
+                    out.append(z)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wi] = out
+            add_word(wi, +1)
+            for q in zip(out, out[1:]):
+                touched.add(q)
+        pair_words.pop(p, None)
+        # x/y symbol counts changed: every surviving pair containing
+        # either needs a refreshed heap entry (scores can rise)
+        for s in (x, y):
+            for q in sym_pairs.get(s, ()):
+                touched.add(q)
+        for q in touched:
+            push(q)
+    return merges
+
+
+# ---------------------------------------------------------------------------
+# Full-size vocab: ~30k entries trained by train_wordpiece over a
+# deterministic corpus (tools/build_wordpiece_vocab.py regenerates it
+# byte-identically) — the stand-in for the pretrained HF vocab the
+# reference loads, at the same scale.  Shipped as package data so both
+# the catalog queries and the parity tests read one copy.
+# ---------------------------------------------------------------------------
+
+_FULL_VOCAB_LINES: Tuple[str, ...] = ()
+
+
+def full_vocab_lines() -> Tuple[str, ...]:
+    """The 30k-entry trained vocab as a tuple of lines (the same
+    picklable shape counter_for and the ('vocab', lines) tokenizer spec
+    take)."""
+    global _FULL_VOCAB_LINES
+    if not _FULL_VOCAB_LINES:
+        import os
+
+        path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                            "data", "wordpiece_vocab_30k.txt")
+        with open(path, encoding="utf-8") as f:
+            _FULL_VOCAB_LINES = tuple(f.read().splitlines())
+    return _FULL_VOCAB_LINES

@@ -947,8 +947,10 @@ def q_hybrid_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the vendored-vocab WordPiece counter of kernels/wordpiece.py over
     word-aligned 10-word paragraphs at max_tokens=30 — the
     token-bounded chunking the reference gets from a real HF tokenizer,
-    `document_chunker.py:58-95` — replayed in SQL by an unrolled greedy
-    longest-prefix WordPiece over the frozen MINI_VOCAB)."""
+    `document_chunker.py:58-95` — round 5: the FULL 30k trained vocab,
+    kernels/wordpiece.full_vocab_lines — replayed in SQL by an unrolled
+    greedy longest-prefix WordPiece over the lexicon-reachable subset
+    of that vocab)."""
     from .operators import chunk as op_chunk
 
     schema = T.StructType([
@@ -1021,11 +1023,11 @@ def q_hybrid_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.lit(label).alias("counter"), "n_chunks",
                         "n_docs"))
 
-    from .kernels.wordpiece import MINI_VOCAB
+    from .kernels.wordpiece import full_vocab_lines
 
     return (hist(sectionize, 100, None, "heuristic")
             .unionByName(hist(sectionize_words, 30,
-                              ("vocab", MINI_VOCAB), "vocab"))
+                              ("vocab", full_vocab_lines()), "vocab"))
             .orderBy("counter", "n_chunks"))
 
 
@@ -1037,7 +1039,8 @@ def _hybrid_chunk_stats_sql(max_steps: int = 12,
       est(n)=int(n*0.4): two 120-char paragraphs merge at 96<=100, a
       third only when the tail paragraph is <= 8 chars);
     * counter='vocab' — a REAL WordPiece replay in SQL: greedy
-      longest-prefix matching against the frozen MINI_VOCAB as
+      longest-prefix matching against the full 30k trained vocab
+      (filtered to the lexicon-reachable pieces, see below) as
       ``max_steps`` unrolled one-piece-per-step CTEs over the distinct
       corpus words (corpus words are <= 8 chars, so <= 8 pieces; the
       12-step unroll has slack), per-10-word-paragraph piece sums, and
@@ -1048,10 +1051,26 @@ def _hybrid_chunk_stats_sql(max_steps: int = 12,
     """
     import re as _re
 
-    from .kernels.wordpiece import MINI_VOCAB
+    from .kernels.wordpiece import full_vocab_lines
 
-    pieces = sorted({p for p in MINI_VOCAB
-                     if _re.fullmatch(r"(##)?[a-z]+", p)})
+    # Round 5: the vocab section runs the FULL 30k trained vocab (the
+    # pretrained-scale stand-in, kernels/wordpiece.full_vocab_lines).
+    # Embedding all 30k pieces in the oracle would bloat the SQL to
+    # ~400 KB for nothing: a piece can only ever match if its stripped
+    # form is a substring of a corpus word, and the testdata lexicon is
+    # the fixed 31-word set below at every SF (TESTDATA.md generator),
+    # so the filtered VALUES list (~140 rows) replays the full-vocab
+    # longest-prefix match EXACTLY.
+    lex = ["a", "agg", "batch", "big", "column", "customer", "data",
+           "dup", "fast", "filter", "group", "hash", "join", "key",
+           "line", "merge", "order", "part", "query", "row", "scan",
+           "slow", "small", "sort", "spark", "stream", "table", "the",
+           "value", "vector", "window"]
+    subs = {w[i:j] for w in lex for i in range(len(w))
+            for j in range(i + 1, len(w) + 1)}
+    pieces = sorted({p for p in full_vocab_lines()
+                     if _re.fullmatch(r"(##)?[a-z]+", p)
+                     and (p[2:] if p.startswith("##") else p) in subs})
     vals = ", ".join(
         "('{m}', {c})".format(m=p[2:] if p.startswith("##") else p,
                               c="true" if p.startswith("##") else "false")
