@@ -92,14 +92,18 @@ def decode_media(payload: bytes, media_type: str):
     fixed/LPC predictors, stereo decorrelation, CRC-verified frames).
     ``image/tiff`` decodes for real —
     baseline strip subset (`kernels/tiff_codec.py`: II/MM, 8-bit
-    gray/RGB, none/PackBits; tiles/LZW/planar route as unsupported).
+    gray/RGB, none/PackBits/LZW ± horizontal predictor, strips and
+    tiles; planar/JPEG-in-TIFF route as unsupported).
     ``image/x-icon`` (favicons) decodes
     for real — embedded-PNG and 1/4/8/24/32-bit DIB entries with AND-
     mask transparency (`kernels/ico_codec.py`), largest entry chosen.
     ``image/webp`` decodes for real — VP8L
     lossless bitstream (`kernels/webp_codec.py`: canonical prefix
-    codes, LZ77 + color cache, all four inverse transforms); lossy VP8
-    raises and the operator falls back to the geometry probe.  Every
+    codes, LZ77 + color cache, all four inverse transforms) AND, round
+    5, lossy VP8 key frames (`kernels/vp8_codec.py`: boolean coder,
+    intra prediction, dequant + inverse DCT/WHT; self-describing
+    streams — see that module's interop note); animated WebP falls
+    back to the geometry probe.  Every
     other media type still requires
     libraries this container doesn't ship (PIL/ffmpeg/torchaudio) and
     raises NotImplementedError behind the identical signature a production

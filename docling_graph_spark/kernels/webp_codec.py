@@ -451,11 +451,15 @@ def decode_webp(data: bytes, max_pixels: int = MAX_PIXELS) -> DecodedWebp:
             payload = body
             break
         if fourcc == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8) not supported; lossless (VP8L) only")
+            # lossy key frame: kernels/vp8_codec (round 5)
+            from .vp8_codec import decode_vp8, vp8_frame_to_rgb
+
+            dec = decode_vp8(body, max_pixels)
+            return DecodedWebp(dec.width, dec.height, 3,
+                               vp8_frame_to_rgb(dec))
         pos += 8 + size + (size & 1)
     if payload is None:
-        raise NotImplementedError("no VP8L chunk (lossy/animated WebP?)")
+        raise NotImplementedError("no VP8L chunk (animated WebP?)")
     if payload[:1] != b"\x2f":
         raise ValueError("bad VP8L signature")
     br = _BitReader(payload[1:])

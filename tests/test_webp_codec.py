@@ -121,7 +121,9 @@ def test_lossy_and_malformed_route_cleanly():
 
     vp8 = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
            + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4)
-    with pytest.raises(NotImplementedError, match="lossy"):
+    # round 5: VP8 dispatches to the real key-frame decoder; a 4-byte
+    # chunk is malformed, not unsupported
+    with pytest.raises(ValueError, match="too short"):
         W.decode_webp(vp8)
     with pytest.raises(ValueError):
         W.decode_webp(b"RIFX not a webp")
