@@ -6262,6 +6262,54 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .mapInPandas(build_tiffs, "url string, html binary")
     )
+    # stage 'vp8_decode' (round 5): REAL lossy-WebP pixel decode —
+    # solid-gray single-MB VP8 key frames on doc_ids [136, 160):
+    # w = 9+d%8, h = 9+d%6, gray g = 64+(d*11)%128, quantizer
+    # qi = (d*7)%48, prediction DC (even d, pred 128) or TM (odd d,
+    # pred 129 from the 127/129 borders), two token partitions when
+    # d%3==0.  The whole chain — RGBToY, DC/TM prediction, the exact
+    # 8x residual DC, Y2 WHT quantization, inverse-WHT (W+3)>>3,
+    # DC-only IDCT (DC+4)>>3, the chroma -1 residual under TM, and
+    # libwebp's fixed-point YUV->RGB — is integer closed-form, which
+    # the oracle replays per doc (kernels/vp8_codec.py; shifts used
+    # for every negative-capable division per the cross-engine rule).
+    def build_vp8s(batches):
+        from docling_graph_spark.kernels.vp8_codec import (
+            encode_webp_lossy)
+
+        for pdf in batches:
+            urls, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 9 + d % 8, 9 + d % 6
+                g = 64 + (d * 11) % 128
+                rgb = bytes([g, g, g]) * (w * h)
+                urls.append(f"vp8:{d}")
+                blobs.append(encode_webp_lossy(
+                    w, h, rgb, qi=(d * 7) % 48,
+                    mode="tm" if d % 2 else "dc",
+                    n_parts=2 if d % 3 == 0 else 1))
+            yield pd.DataFrame({"url": urls, "html": blobs})
+
+    v8 = (
+        _read(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") >= _PNG_DOCS + 72)
+                & (F.col("doc_id") < _PNG_DOCS + 96))
+        .select("doc_id")
+        .mapInPandas(build_vp8s, "url string, html binary")
+    )
+    v8dec = op_mm.media_decode_stats(v8)
+    v8_agg = v8dec.agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("decoded").cast("long")).alias("n_decoded"),
+        F.sum(F.col("width").cast("long") * F.col("height"))
+        .alias("sum_pixels"),
+        F.sum("pixel_sum").alias("sum_pixel_values"),
+        F.sum(F.col("width").cast("long")).alias("sum_width"),
+        F.sum(F.col("height").cast("long")).alias("sum_height"),
+    )
+    v8_rows = _unpivot_single_row(v8_agg, "vp8_decode")
+
     lldec = op_mm.media_decode_stats(ll)
     ll_agg = lldec.agg(
         F.count("*").alias("n_images"),
@@ -6353,7 +6401,8 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                 "image_phash")))
     return (media_rows.unionByName(png_rows).unionByName(probe_rows)
             .unionByName(wav_rows).unionByName(jpg_rows)
-            .unionByName(ll_rows).unionByName(ph_rows)
+            .unionByName(ll_rows).unionByName(v8_rows)
+            .unionByName(ph_rows)
             .orderBy("stage", "metric"))
 
 
@@ -6426,6 +6475,75 @@ phsh AS MATERIALIZED (
 ppair AS (
   SELECT a.d AS da, b.d AS db, bit_count(xor(a.hash, b.hash)) AS dist
   FROM phsh a JOIN phsh b ON a.d < b.d)"""
+
+
+def _vp8_oracle_ctes() -> str:
+    """CTE chain replaying the vp8_decode stage closed-form: RGBToY,
+    DC/TM prediction off the 127/129 borders, the exact 8x forward DC,
+    Y2 quantization against the kernel's DC quant lookup (embedded
+    from the SAME table, by-construction sync), inverse-WHT (W+3)>>3,
+    DC-only IDCT (DC+4)>>3, the chroma -1 residual under TM, and
+    libwebp's fixed-point YUV->RGB.  Every negative-capable division
+    is an arithmetic shift (DuckDB // truncates toward zero, >> floors
+    like Python); // appears only on non-negative operands."""
+    from .kernels.vp8_codec import _DC_Q
+
+    dcq = ", ".join(f"({i}, {_DC_Q[i]})" for i in range(64))
+    return f""",
+v8fx AS (
+  SELECT doc_id AS d, 9 + doc_id % 8 AS w, 9 + doc_id % 6 AS h,
+         64 + (doc_id * 11) % 128 AS g,
+         (doc_id * 7) % 48 AS qi, doc_id % 2 AS tm
+  FROM documents
+  WHERE doc_id >= {_PNG_DOCS + 72} AND doc_id < {_PNG_DOCS + 96}
+),
+v8dcq(i, q) AS (VALUES {dcq}),
+v8a AS (
+  SELECT v8fx.*, q AS dcq,
+         (56318 * g + 1048576 + 32768) >> 16 AS y0
+  FROM v8fx JOIN v8dcq ON v8dcq.i = v8fx.qi
+),
+v8b AS (
+  SELECT *, 128 + tm AS pred, y0 - (128 + tm) AS resid,
+         2 * dcq AS qy2, LEAST(132, dcq) AS quv
+  FROM v8a
+),
+v8c AS (
+  SELECT *,
+    CASE WHEN resid >= 0
+         THEN  (128 * resid + qy2) // (2 * qy2)
+         ELSE -((128 * (-resid) + qy2) // (2 * qy2)) END AS n2,
+    CASE WHEN tm = 0 THEN 0
+         ELSE -((16 + quv) // (2 * quv)) END AS nuv
+  FROM v8b
+),
+v8d AS (
+  SELECT *,
+    LEAST(255, GREATEST(0,
+      pred + ((((n2 * qy2 + 3) >> 3) + 4) >> 3))) AS ry,
+    LEAST(255, GREATEST(0, pred + ((nuv * quv + 4) >> 3))) AS ru
+  FROM v8c
+),
+v8rgb AS (
+  SELECT *,
+    LEAST(255, GREATEST(0, (((19077 * ry) >> 8)
+      + ((26149 * ru) >> 8) - 14234) >> 6)) AS r,
+    LEAST(255, GREATEST(0, (((19077 * ry) >> 8) - ((6419 * ru) >> 8)
+      - ((13320 * ru) >> 8) + 8708) >> 6)) AS gg,
+    LEAST(255, GREATEST(0, (((19077 * ry) >> 8)
+      + ((33050 * ru) >> 8) - 17685) >> 6)) AS b
+  FROM v8d
+),
+v8sum AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_images,
+         CAST(count(*) AS BIGINT) AS n_decoded,
+         CAST(sum(w * h) AS BIGINT) AS sum_pixels,
+         CAST(sum(w * h * (r + gg + b)) AS BIGINT)
+           AS sum_pixel_values,
+         CAST(sum(w) AS BIGINT) AS sum_width,
+         CAST(sum(h) AS BIGINT) AS sum_height
+  FROM v8rgb
+)"""
 
 
 _PHASH_ORACLE_ROWS = """
@@ -6606,7 +6724,7 @@ wsum AS (
          (SELECT s FROM wabs) + (SELECT s FROM flabs) AS sum_abs,
          greatest((SELECT p FROM wabs), (SELECT p FROM flabs))
            AS max_peak
-){_phash_oracle_ctes()}
+){_vp8_oracle_ctes()}{_phash_oracle_ctes()}
 SELECT stage, metric, value FROM (
   SELECT 'media' AS stage, media_type || ':n_docs' AS metric,
          CAST(n_docs AS VARCHAR) AS value FROM m
@@ -6654,6 +6772,10 @@ SELECT stage, metric, value FROM (
                'sum_width', 'sum_height', 'n_progressive'])}
   UNION ALL
 {_sql_unpivot('llsum', 'lossless_decode',
+              ['n_images', 'n_decoded', 'sum_pixels', 'sum_pixel_values',
+               'sum_width', 'sum_height'])}
+  UNION ALL
+{_sql_unpivot('v8sum', 'vp8_decode',
               ['n_images', 'n_decoded', 'sum_pixels', 'sum_pixel_values',
                'sum_width', 'sum_height'])}{_PHASH_ORACLE_ROWS}
 ) ORDER BY stage, metric
