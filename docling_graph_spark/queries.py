@@ -6343,40 +6343,53 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (All shared integer ops keep operands non-negative or use >>,
     # because DuckDB's // and % truncate toward zero while Python
     # floors.)
+    # Round 5: doc_ids [20, 28) are CROSS-FORMAT TRANSCODES — the same
+    # pixels as image d-20 re-encoded as lossless VP8L WebP (the
+    # transcode-dedup case the operator exists for): hash(d) equals
+    # hash(d-20) exactly, so image_near_dup must pair each transcode
+    # with its BMP original at Hamming 0 AND with the original's
+    # planted near-dup partner at the original pair distance.
     def build_phash_bmps(batches):
         from docling_graph_spark.kernels.bmp_codec import encode_bmp_rgb
         from docling_graph_spark.kernels.phash import DCT_TABLE as T
+        from docling_graph_spark.kernels.webp_codec import (
+            encode_webp_lossless)
 
         for pdf in batches:
             urls, blobs = [], []
             for did in pdf["doc_id"]:
                 d = int(did)
-                h = (d - d % 2) // 2
+                e = d - 20 if d >= 20 else d
+                h = (e - e % 2) // 2
                 comps = []
                 for u in range(8):
                     for v in range(8):
                         if u == 0 and v == 0:
                             continue
                         mag = 60 // (1 + u + v) + (h * 7 + u * 3 + v) % 5
-                        if d % 2:
+                        if e % 2:
                             mag -= mag // 5
                         sign = (1 if ((h + 3) * (u * 8 + v + 7) * 31
                                       // 8) % 2 else -1)
                         comps.append((u, v, sign * mag))
                 px = bytearray()
+                rgba = bytearray()
                 for y in range(32):
                     for x in range(32):
                         s = sum(c * T[u][x] * T[v][y]
                                 for u, v, c in comps)
                         val = max(0, min(255, 128 + (s >> 22)))
                         px += bytes((val, val, val))
+                        rgba += bytes((val, val, val, 255))
                 urls.append(f"ph:{d:02d}")
-                blobs.append(encode_bmp_rgb(32, 32, bytes(px)))
+                blobs.append(encode_webp_lossless(32, 32, bytes(rgba))
+                             if d >= 20
+                             else encode_bmp_rgb(32, 32, bytes(px)))
             yield pd.DataFrame({"url": urls, "html": blobs})
 
     ph_pages = (
         _read(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 20)
+        .filter(F.col("doc_id") < 28)
         .select("doc_id")
         .mapInPandas(build_phash_bmps, "url string, html binary")
     )
@@ -6429,18 +6442,23 @@ def _phash_oracle_ctes() -> str:
 
 
     return f""",
-pimg AS (SELECT DISTINCT doc_id AS d FROM documents WHERE doc_id < 20),
+pimg AS (
+  -- d >= 20: lossless VP8L transcode of image d-20 (same pixels, so
+  -- the closed form runs on the base pattern id e)
+  SELECT DISTINCT doc_id AS d,
+         CASE WHEN doc_id >= 20 THEN doc_id - 20 ELSE doc_id END AS e
+  FROM documents WHERE doc_id < 28),
 ptab(u, y, v) AS (VALUES {tab}),
 pcmp AS MATERIALIZED (
   SELECT i.d, uu.u AS cu, vv.u AS cv,
-         (CASE WHEN ((((i.d - i.d % 2) // 2 + 3)
+         (CASE WHEN ((((i.e - i.e % 2) // 2 + 3)
                       * (uu.u * 8 + vv.u + 7) * 31) // 8) % 2 = 1
                THEN 1 ELSE -1 END)
          * (60 // (1 + uu.u + vv.u)
-            + (((i.d - i.d % 2) // 2) * 7 + uu.u * 3 + vv.u) % 5
-            - CASE WHEN i.d % 2 = 1
+            + (((i.e - i.e % 2) // 2) * 7 + uu.u * 3 + vv.u) % 5
+            - CASE WHEN i.e % 2 = 1
                    THEN (60 // (1 + uu.u + vv.u)
-                         + (((i.d - i.d % 2) // 2) * 7
+                         + (((i.e - i.e % 2) // 2) * 7
                             + uu.u * 3 + vv.u) % 5) // 5
                    ELSE 0 END) AS c
   FROM pimg i, (SELECT DISTINCT u FROM ptab) uu,

@@ -201,3 +201,39 @@ def test_image_near_dup_threshold_guard(spark):
     pages = _bmp_pages(spark, [("a", _smooth(0, 32, 32))])
     with pytest.raises(ValueError, match="complete"):
         mm.image_near_dup(pages, max_hamming=9)
+
+
+def test_cross_format_transcode_dedup(spark):
+    """The actual transcode-dedup use case (round 5): ONE image stored
+    as BMP, as a requantized baseline JPEG, as lossless VP8L WebP and
+    as lossy VP8 WebP must all pair with each other through
+    image_near_dup (VP8L at Hamming 0; the lossy transcodes at small
+    distances), while an unrelated image pairs with none of them."""
+    from docling_graph_spark.kernels.bmp_codec import encode_bmp_rgb
+    from docling_graph_spark.kernels.vp8_codec import encode_webp_lossy
+    from docling_graph_spark.kernels.webp_codec import (
+        encode_webp_lossless)
+    from docling_graph_spark.operators import multimodal as mm
+
+    img = _smooth(7, 48, 48)
+    rgb = bytes(b for v in img.flatten() for b in (v, v, v))
+    rgba = bytes(b for v in img.flatten() for b in (v, v, v, 255))
+    other = _smooth(321, 48, 48)
+    orgb = bytes(b for v in other.flatten() for b in (v, v, v))
+    rows = [
+        ("bmp", bytearray(encode_bmp_rgb(48, 48, rgb))),
+        ("jpg", bytearray(jc.encode_jpeg_gray(48, 48, img.tobytes()))),
+        ("vp8l", bytearray(encode_webp_lossless(48, 48, rgba))),
+        ("vp8", bytearray(encode_webp_lossy(48, 48, rgb, qi=6))),
+        ("far", bytearray(encode_bmp_rgb(48, 48, orgb))),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    pairs = {(min(r["url_a"], r["url_b"]), max(r["url_a"], r["url_b"])):
+             r["hamming"]
+             for r in mm.image_near_dup(pages, max_hamming=8).collect()}
+    assert pairs[("bmp", "vp8l")] == 0           # lossless transcode
+    assert pairs[("bmp", "jpg")] <= 6            # requantized
+    assert pairs[("bmp", "vp8")] <= 6            # lossy transcode
+    assert pairs[("jpg", "vp8l")] <= 6
+    assert ("bmp", "far") not in pairs and ("far", "jpg") not in pairs
+    assert ("far", "vp8l") not in pairs and ("far", "vp8") not in pairs
