@@ -174,14 +174,165 @@ class CheckpointedRun:
         committed = self.committed_runs(as_of=as_of)
         if committed is not None:
             df = df.join(F.broadcast(committed), RUN_ID_COL, "left_semi")
+        df = self._apply_deletes(df, as_of=as_of)
         return df.drop(RUN_ID_COL)
+
+    # ------------------------------------------------- row-level deletes
+
+    def _run_seqs(self) -> Optional[DataFrame]:
+        """Tiny (run_id, seq) relation over committed+expired snapshots
+        — broadcast into delete application so the fact table never
+        shuffles for it."""
+        try:
+            runs = self.spark.read.json(self._path("runs"))
+        except Exception:
+            return None
+        if "seq" not in runs.columns or "run_id" not in runs.columns:
+            return None
+        return (runs.where(F.col("status").isin("committed", "expired"))
+                .groupBy("run_id").agg(F.max("seq").alias("seq"))
+                .withColumnRenamed("run_id", RUN_ID_COL))
+
+    def _as_of_seq(self, as_of) -> Optional[int]:
+        if as_of is None:
+            return None
+        if isinstance(as_of, str):
+            runs = self.spark.read.json(self._path("runs"))
+            pin = [r.seq for r in runs.where(F.col("run_id") == as_of)
+                   .select("seq").collect()]
+            if not pin:
+                raise ValueError(f"run {as_of!r} never committed")
+            return max(pin)
+        return int(as_of)
+
+    def _delete_keys(self, as_of=None) -> Optional[DataFrame]:
+        """(url, _dseq) of committed equality deletes visible at
+        ``as_of``, or None when none exist."""
+        try:
+            dels = self.spark.read.parquet(self._path("deletes"))
+        except Exception:
+            return None
+        seqs = self._run_seqs()
+        if seqs is None:
+            return None
+        keys = dels.join(seqs, RUN_ID_COL).select(
+            "url", F.col("seq").alias("_dseq"))
+        pin = self._as_of_seq(as_of)
+        if pin is not None:
+            keys = keys.where(F.col("_dseq") <= pin)
+        return keys
+
+    def _apply_deletes(self, df: DataFrame, as_of=None) -> DataFrame:
+        """Merge-on-read application of equality deletes (Iceberg v2):
+        a delete hides a row with the same url whose data snapshot is
+        STRICTLY OLDER than the delete snapshot — re-appending the url
+        later makes it visible again.  Both the delete-key relation and
+        the (run_id, seq) map are tiny and broadcast, so this is a
+        broadcast anti-join on url with a residual seq comparison: no
+        shuffle of the data table at any scale.  Only url-keyed stages
+        participate (graph nodes/edges are derived relations)."""
+        if "url" not in df.columns:
+            return df
+        dkeys = self._delete_keys(as_of=as_of)
+        if dkeys is None or not dkeys.head(1):
+            return df
+        seqs = self._run_seqs()
+        out = df.join(F.broadcast(seqs), RUN_ID_COL, "left")
+        cond = (out["url"] == dkeys["url"]) \
+            & (dkeys["_dseq"] > out["seq"])
+        return out.join(F.broadcast(dkeys), cond, "left_anti") \
+            .drop("seq")
+
+    def _done_keys(self) -> Optional[DataFrame]:
+        """Resume anti-join build side: committed extracted urls with
+        equality deletes applied — a deleted url is pending again, so
+        re-ingesting it commits a fresh (visible) snapshot.  Column-
+        pruned to (url, run id) before the scan like
+        :func:`completed_keys`."""
+        try:
+            df = self._read_stage("extracted")
+        except Exception:
+            return None
+        cols = ["url"] + ([RUN_ID_COL] if RUN_ID_COL in df.columns
+                          else [])
+        return self._filter_committed(df.select(*cols)).distinct()
+
+    def delete_urls(self, urls) -> int:
+        """Commit an EQUALITY-DELETE snapshot (the Iceberg v2 row-level
+        delete analogue): the urls land in a small delete file and the
+        manifest row written last is the commit point — NO data file is
+        rewritten (merge-on-read; see :meth:`_apply_deletes` for the
+        sequence-number visibility rule, :meth:`rewrite_deletes` for the
+        physical-apply path).  A deleted url becomes pending again for
+        :meth:`run`, and re-processing it commits a newer snapshot the
+        old delete does not apply to."""
+        urls = sorted(set(urls))
+        if not urls:
+            return 0
+        run_id = uuid.uuid4().hex
+        self.spark.createDataFrame(
+            [(u, run_id) for u in urls],
+            f"url string, {RUN_ID_COL} string",
+        ).write.mode("append").parquet(self._path("deletes"))
+        self._manifest(run_id, len(urls), 0.0, kind="delete")
+        return len(urls)
+
+    def rewrite_deletes(self) -> dict:
+        """Physically apply committed equality deletes to the data files
+        (the ``rewrite_data_files``-with-delete-application maintenance
+        pass) and drop the delete files.  Invariants, pinned by the
+        parity tests:
+
+        * CURRENT reads are identical before and after the rewrite;
+        * ``as_of`` at-or-after the newest applied delete still works;
+        * time travel to snapshots OLDER than the newest applied delete
+          is retired loudly (status ``expired`` — the parquet stand-in
+          keeps no old file versions, and silently returning a state
+          missing its deleted rows would un-pin lineage; real Iceberg
+          keeps old snapshots until ``expire_snapshots``).
+
+        Returns ``{"applied_deletes": n, "removed_rows": total}``."""
+        dkeys = self._delete_keys()
+        if dkeys is None:
+            return {"applied_deletes": 0, "removed_rows": 0}
+        n_dels = dkeys.count()
+        if n_dels == 0:
+            return {"applied_deletes": 0, "removed_rows": 0}
+        seqs = self._run_seqs()
+        removed = 0
+        for stage in STAGES:
+            try:
+                df = self._read_stage(stage)
+            except Exception:
+                continue
+            if "url" not in df.columns or RUN_ID_COL not in df.columns:
+                continue
+            out = df.join(F.broadcast(seqs), RUN_ID_COL, "left")
+            cond = (out["url"] == dkeys["url"]) \
+                & (dkeys["_dseq"] > out["seq"])
+            keep = out.join(F.broadcast(dkeys), cond, "left_anti") \
+                .drop("seq")
+            n_total = df.count()
+            n_keep = keep.count()
+            if n_total == n_keep:
+                continue
+            removed += n_total - n_keep
+            writer = keep.write.mode("overwrite")
+            if stage == "extracted":
+                writer = writer.partitionBy("bucket")
+            _atomic_rewrite(self._path(stage), writer)
+        import shutil
+
+        max_dseq = dkeys.agg(F.max("_dseq")).collect()[0][0]
+        shutil.rmtree(self._path("deletes"), ignore_errors=True)
+        self._expire_manifest_below(int(max_dseq))
+        return {"applied_deletes": n_dels, "removed_rows": removed}
 
     # ---------------------------------------------------------------- run
 
     def run(self, web_pages: DataFrame) -> int:
         """Process pending inputs; returns number of newly processed docs."""
-        done = completed_keys(self.spark, self._path("extracted"),
-                              committed=self.committed_runs())
+        done = self._done_keys()
         todo = pending_inputs(web_pages, done)
         # cheap emptiness probe: limit(1) avoids a full count of the input
         if todo.limit(1).isEmpty():
@@ -421,6 +572,13 @@ class CheckpointedRun:
             return {"expired": 0, "reclaimed_rows": 0}
         seqs = [r.seq for r in snaps.select("seq").collect()]
         cutoff = sorted(seqs)[-keep_last] if keep_last <= len(seqs) else 0
+        expired_n = self._expire_manifest_below(cutoff)
+        reclaimed = sum(self.compact().values())
+        return {"expired": expired_n, "reclaimed_rows": reclaimed}
+
+    def _expire_manifest_below(self, cutoff: int) -> int:
+        """Mark committed manifest rows with ``seq < cutoff`` as
+        ``expired`` (atomic json swap); returns the count."""
         runs = self.spark.read.json(self._path("runs"))
         expired_n = runs.where(
             (F.col("status") == "committed")
@@ -441,8 +599,7 @@ class CheckpointedRun:
             shutil.move(path, old)
             shutil.move(tmp, path)
             shutil.rmtree(old)
-        reclaimed = sum(self.compact().values())
-        return {"expired": expired_n, "reclaimed_rows": reclaimed}
+        return expired_n
 
     def added_between(self, stage: str, since: int,
                       until=None) -> DataFrame:
@@ -462,11 +619,12 @@ class CheckpointedRun:
             .drop(RUN_ID_COL)
 
     def _manifest(self, run_id: str, processed: int,
-                  wall_seconds: float) -> None:
+                  wall_seconds: float, kind: str = "append") -> None:
         """S12 run-manifest row (`orchestrator.py:149-240` analogue); doubles
         as the atomic commit record for ``run_id``'s appends."""
         row = {
             "run_id": run_id,
+            "kind": kind,
             "status": "committed",
             # monotone snapshot sequence — the time-travel axis (run_ts has
             # second resolution, so ties are possible there; seq is total)

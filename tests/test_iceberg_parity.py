@@ -17,7 +17,13 @@ production deployment can replace CheckpointedRun' internals with
 3. incremental scans between two snapshot ids return exactly the delta
    appended between them;
 4. when a real Iceberg runtime IS on the classpath, the same scenario
-   runs against a genuine Iceberg catalog (skipped here, documented).
+   runs against a genuine Iceberg catalog (skipped here, documented);
+5. (round 5) row-level EQUALITY DELETES are merge-on-read snapshots —
+   no data-file rewrite at delete time, sequence-number visibility (a
+   delete hides only strictly-older data, so re-appending the url
+   revives it), time travel across the delete boundary, and the
+   physical rewrite pass keeps current reads identical while retiring
+   pre-delete time travel loudly.
 """
 
 from __future__ import annotations
@@ -211,3 +217,98 @@ def test_hidden_partitioning_never_leaks_and_prunes(spark, pages,
 
     # empty host set: empty result, same schema
     assert run.extracted_for_hosts([]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Round 5: row-level (equality) deletes — Iceberg v2 merge-on-read +
+# the rewrite path
+# ---------------------------------------------------------------------------
+
+
+def _data_files(tmp_path, stage):
+    import glob
+
+    return sorted(glob.glob(str(tmp_path / "ck" / stage / "**" /
+                                "*.parquet"), recursive=True))
+
+
+def test_equality_delete_is_merge_on_read(spark, pages, tmp_path):
+    """delete_urls commits a delete SNAPSHOT: readers hide the rows at
+    once, but no data file is touched (merge-on-read, not rewrite)."""
+    run, _, _ = _runs(spark, tmp_path, pages)
+    urls = [r.url for r in run.extracted().select("url").limit(3)
+            .collect()]
+    before_files = _data_files(tmp_path, "extracted")
+    n_before = run.extracted().count()
+    assert run.delete_urls(urls) == 3
+    assert _data_files(tmp_path, "extracted") == before_files
+    vis = run.extracted()
+    assert vis.count() == n_before - 3
+    assert vis.where(F.col("url").isin(urls)).count() == 0
+    # url-keyed downstream stages hide the rows too
+    assert run._filter_committed(
+        run._read_stage("chunks")).where(
+        F.col("url").isin(urls)).count() == 0
+
+
+def test_delete_sequence_semantics_reappend(spark, pages, tmp_path):
+    """A delete applies only to STRICTLY OLDER snapshots: the deleted
+    url becomes pending again, and re-running it commits a newer
+    snapshot the old delete does not hide."""
+    run, _, _ = _runs(spark, tmp_path, pages)
+    url = run.extracted().select("url").limit(1).collect()[0].url
+    run.delete_urls([url])
+    assert run.extracted().where(F.col("url") == url).count() == 0
+    reprocessed = run.run(pages)          # only the deleted url pending
+    assert reprocessed == 1
+    assert run.extracted().where(F.col("url") == url).count() == 1
+
+
+def test_delete_time_travel(spark, pages, tmp_path):
+    """as_of a pre-delete snapshot still shows the rows; as_of the
+    delete snapshot (or later) hides them."""
+    run, _, _ = _runs(spark, tmp_path, pages)
+    pre = max(r.seq for r in run.snapshots().collect())
+    url = run.extracted().select("url").limit(1).collect()[0].url
+    run.delete_urls([url])
+    post = max(r.seq for r in run.snapshots().collect())
+    assert post == pre + 1
+    assert run.extracted(as_of=pre).where(
+        F.col("url") == url).count() == 1
+    assert run.extracted(as_of=post).where(
+        F.col("url") == url).count() == 0
+
+
+def test_rewrite_deletes_invariants(spark, pages, tmp_path):
+    """The physical-apply pass: current reads identical before/after,
+    delete files gone, idempotent on re-run, and time travel to
+    pre-delete snapshots retired LOUDLY (parquet keeps no old file
+    versions; silently serving a state missing its deleted rows would
+    un-pin lineage)."""
+    run, _, _ = _runs(spark, tmp_path, pages)
+    pre = max(r.seq for r in run.snapshots().collect())
+    urls = [r.url for r in run.extracted().select("url").limit(2)
+            .collect()]
+    run.delete_urls(urls)
+    post = max(r.seq for r in run.snapshots().collect())
+    current = sorted(r.url for r in run.extracted().select("url")
+                     .collect())
+    stats = run.rewrite_deletes()
+    assert stats["applied_deletes"] == 2 and stats["removed_rows"] >= 2
+    assert sorted(r.url for r in run.extracted().select("url")
+                  .collect()) == current
+    assert not (tmp_path / "ck" / "deletes").exists()
+    assert run.extracted(as_of=post).count() == len(current)
+    with pytest.raises(ValueError, match="expired"):
+        run.extracted(as_of=pre).count()
+    again = run.rewrite_deletes()
+    assert again == {"applied_deletes": 0, "removed_rows": 0}
+
+
+def test_delete_nothing_is_noop(spark, pages, tmp_path):
+    run, _, _ = _runs(spark, tmp_path, pages)
+    n = run.extracted().count()
+    assert run.delete_urls([]) == 0
+    assert run.rewrite_deletes() == {"applied_deletes": 0,
+                                     "removed_rows": 0}
+    assert run.extracted().count() == n
