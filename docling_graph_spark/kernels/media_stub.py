@@ -89,6 +89,7 @@ def decode_media(payload: bytes, media_type: str):
     (`kernels/wav_codec.py`: RIFF chunk walk, fmt parse, 8/16/32-bit
     integer sample decode), and so does ``audio/flac``
     (`kernels/flac_codec.py`: full lossless decode — rice residuals,
+    see also round 5's ``audio/ogg`` Vorbis decode below —
     fixed/LPC predictors, stereo decorrelation, CRC-verified frames).
     ``image/tiff`` decodes for real —
     baseline strip subset (`kernels/tiff_codec.py`: II/MM, 8-bit
@@ -138,6 +139,10 @@ def decode_media(payload: bytes, media_type: str):
         from .flac_codec import decode_flac
 
         return decode_flac(payload)
+    if media_type == "audio/ogg":
+        from .vorbis_codec import decode_vorbis
+
+        return decode_vorbis(payload)
     if media_type == "image/x-icon":
         from .ico_codec import decode_ico
 

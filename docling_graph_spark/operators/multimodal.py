@@ -230,10 +230,12 @@ def audio_decode_stats(web_pages: DataFrame) -> DataFrame:
     exists (PCM WAV via the stdlib RIFF codec `kernels/wav_codec.py`;
     FLAC via the full lossless decoder `kernels/flac_codec.py` —
     rice-coded residuals, fixed + LPC predictors, stereo
-    decorrelation), and a routed error string where it does not —
-    lossy compressed audio (MP3/OGG) raises NotImplementedError inside
-    the kernel and lands in ``decode_error``, never an executor
-    crash.  Same mapInPandas shape
+    decorrelation; round 5 adds Ogg Vorbis — full lossy decode via
+    `kernels/vorbis_codec.py`: Ogg framing + CRC, self-describing
+    codebooks, floor1, residue, coupling, IMDCT + overlap-add), and a
+    routed error string where it does not — MP3 raises
+    NotImplementedError inside the kernel and lands in
+    ``decode_error``, never an executor crash.  Same mapInPandas shape
     as the image stage: per-batch decode loop, (url, html) pruned across
     the Arrow boundary.  This is the audio analogue of
     `media_decode_stats`; at 100 TB it is the scan-stage filter that drops

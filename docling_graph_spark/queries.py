@@ -6073,6 +6073,31 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     stereo_mode="mid_side" if c == 2 else "independent"))
             yield pd.DataFrame({"url": urls, "html": blobs})
 
+    # round 5: Ogg Vorbis joins the audio stage — 24 REAL lossy
+    # streams on doc_ids [160, 184): channels 1+d%2, rate
+    # 8000+1000*(d%3), frames 30+d%50, blocksize 128, square-polar
+    # coupling when stereo and d%4==1, all SILENCE — Vorbis decodes
+    # silence to exact zero samples (empty residue through the silent
+    # class, zero spectrum, zero IMDCT), so every decoded field is
+    # closed-form: n_frames from the granule, abs_sum and peak exactly
+    # 0 (kernels/vorbis_codec.py; rich content is pinned in pytest by
+    # decode == the encoder's intended reconstruction).
+    def build_vorbis(batches):
+        from docling_graph_spark.kernels.vorbis_codec import (
+            encode_vorbis)
+
+        for pdf in batches:
+            urls, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                c, f = 1 + d % 2, 30 + d % 50
+                urls.append(f"ogg:{d}")
+                blobs.append(encode_vorbis(
+                    [[0] * f] * c, 8000 + 1000 * (d % 3),
+                    blocksize=128,
+                    couple=(c == 2 and d % 4 == 1)))
+            yield pd.DataFrame({"url": urls, "html": blobs})
+
     wavs = (
         _read(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _PNG_DOCS)
@@ -6084,6 +6109,12 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("doc_id") < _PNG_DOCS + 24))
         .select("doc_id")
         .mapInPandas(build_flacs, "url string, html binary")
+    ).unionByName(
+        _read(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") >= _PNG_DOCS + 96)
+                & (F.col("doc_id") < _PNG_DOCS + 120))
+        .select("doc_id")
+        .mapInPandas(build_vorbis, "url string, html binary")
     )
     adec = op_mm.audio_decode_stats(wavs)
     wav_agg = adec.agg(
@@ -6722,10 +6753,19 @@ jsum AS (
               AS BIGINT) AS n_progressive
   FROM jpg
 ),
+og AS (
+  -- round 5: Ogg Vorbis silence fixtures — every field closed-form
+  SELECT doc_id AS d, 1 + doc_id % 2 AS c,
+         8000 + 1000 * (doc_id % 3) AS r, 30 + doc_id % 50 AS f
+  FROM documents
+  WHERE doc_id >= {_PNG_DOCS + 96} AND doc_id < {_PNG_DOCS + 120}
+),
 wsum AS (
   SELECT CAST((SELECT count(*) FROM documents WHERE doc_id < {_PNG_DOCS})
-              + (SELECT count(*) FROM fl) AS BIGINT) AS n_rows,
+              + (SELECT count(*) FROM fl)
+              + (SELECT count(*) FROM og) AS BIGINT) AS n_rows,
          CAST((SELECT count(*) FROM wav) + (SELECT count(*) FROM fl)
+              + (SELECT count(*) FROM og)
               AS BIGINT) AS n_decoded,
          CAST((SELECT count(*) FROM documents
                WHERE doc_id < {_PNG_DOCS} AND doc_id % 7 = 3) AS BIGINT)
@@ -6734,10 +6774,13 @@ wsum AS (
                WHERE doc_id < {_PNG_DOCS} AND doc_id % 7 = 5) AS BIGINT)
            AS n_unsupported,
          CAST((SELECT sum(c) FROM wav) + (SELECT sum(c) FROM fl)
+              + (SELECT sum(c) FROM og)
               AS BIGINT) AS sum_channels,
          CAST((SELECT sum(r) FROM wav) + 8000 * (SELECT count(*) FROM fl)
+              + (SELECT sum(r) FROM og)
               AS BIGINT) AS sum_rate,
          CAST((SELECT sum(f) FROM wav) + (SELECT sum(f) FROM fl)
+              + (SELECT sum(f) FROM og)
               AS BIGINT) AS sum_frames,
          (SELECT s FROM wabs) + (SELECT s FROM flabs) AS sum_abs,
          greatest((SELECT p FROM wabs), (SELECT p FROM flabs))

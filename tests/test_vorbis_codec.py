@@ -1,0 +1,231 @@
+"""Ogg Vorbis lossy audio codec (kernels/vorbis_codec.py).
+
+Vorbis streams are self-describing by spec design (every codebook /
+floor / residue config travels in the setup header), so
+encoder/decoder roundtrips exercise the whole machinery for real:
+Ogg framing + CRC, canonical codeword assignment, VQ lookup, floor1
+synthesis with the closed-form inverse-dB table, residue type 2 with
+classwords and the silent class, square-polar coupling, IMDCT +
+window + overlap-add.  The strong invariant mirrors the VP8 suite:
+the decoder's PCM must equal the encoder's own intended
+reconstruction EXACTLY (any bit, codeword, table or transform desync
+anywhere breaks it).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import struct
+
+import numpy as np
+import pytest
+
+from docling_graph_spark.kernels import vorbis_codec as VC
+
+
+def _tone(T, freq=440.0, amp=12000, rate=8000, phase=0.0):
+    return [int(amp * math.sin(2 * math.pi * freq * t / rate + phase))
+            for t in range(T)]
+
+
+def _expected(channels, T, n, bits, couple):
+    """Replay the encoder's quantized levels through the float
+    synthesis — the exact PCM a correct decoder must produce."""
+    ch = len(channels)
+    n2 = n // 2
+    n_frames = max(2, -(-T // n2) + 1)
+    sig = [np.zeros((n_frames + 1) * n2) for _ in range(ch)]
+    for c in range(ch):
+        sig[c][n2:n2 + T] = np.asarray(channels[c], float) / 32768.0
+    C = VC._imdct_matrix(n)
+    w = VC._vorbis_window(n)
+    levels = (1 << bits) + 1
+    delta = 8.0 / (levels - 1)
+    lim = 2.0 if couple else 4.0
+    acc = [np.zeros((n_frames + 2) * n2) for _ in range(ch)]
+    center = -1
+    for k in range(n_frames):
+        lv = [VC._quantize((4.0 / n) * (C.T @ (w * sig[c][
+            k * n2:k * n2 + n])), lim, delta, levels)
+            for c in range(ch)]
+        if couple:
+            l_ = VC._VMIN + delta * lv[0]
+            r_ = VC._VMIN + delta * lv[1]
+            m = np.where(l_ >= r_, np.where(l_ > 0, l_, r_),
+                         np.where(r_ > 0, r_, l_))
+            a = np.where(l_ >= r_, np.where(l_ > 0, l_ - r_, r_ - l_),
+                         np.where(r_ > 0, l_ - r_, r_ - l_))
+            # decoder-side inverse of the coupling
+            mq = VC._VMIN + delta * VC._quantize(m, 4.0, delta, levels)
+            aq = VC._VMIN + delta * VC._quantize(a, 4.0, delta, levels)
+            # the spec's four-case inverse coupling
+            L = np.where(mq > 0, np.where(aq > 0, mq, mq + aq),
+                         np.where(aq > 0, mq, mq - aq))
+            R = np.where(mq > 0, np.where(aq > 0, mq - aq, mq),
+                         np.where(aq > 0, mq + aq, mq))
+            vecs = [L, R]
+        else:
+            vecs = [VC._VMIN + delta * v for v in lv]
+        if center < 0:
+            center = n2
+            first = center
+        else:
+            center += n2
+        for c in range(ch):
+            acc[c][center - n2:center + n2] += w * (C @ vecs[c])
+    out = []
+    for c in range(ch):
+        vals = acc[c][first:center][:T]
+        out.append(np.clip(np.rint(vals * 32767.0), -32768,
+                           32767).astype(int))
+    return out
+
+
+def test_ogg_crc_and_framing_roundtrip():
+    pkts = [b"hello", b"x" * 300, b"", b"tail"]
+    page = VC.ogg_page(7, 3, 1234, pkts)
+    got = list(VC.ogg_pages(page))
+    assert len(got) == 1
+    htype, granule, serial, packets, tail = got[0]
+    assert granule == 1234 and serial == 7 and packets == pkts
+    corrupt = bytearray(page)
+    corrupt[-1] ^= 1
+    with pytest.raises(ValueError, match="CRC"):
+        list(VC.ogg_pages(bytes(corrupt)))
+
+
+def test_codeword_assignment_canonical():
+    """Spec example semantics: entries get the numerically lowest
+    available codeword of their length, in entry order."""
+    codes = VC.assign_codewords([2, 4, 4, 4, 4, 2, 3, 3])
+    assert codes[0] == (0b00, 2)
+    assert codes[1] == (0b0100, 4)
+    assert codes[2] == (0b0101, 4)
+    assert codes[3] == (0b0110, 4)
+    assert codes[4] == (0b0111, 4)
+    assert codes[5] == (0b10, 2)
+    assert codes[6] == (0b110, 3)
+    assert codes[7] == (0b111, 3)
+
+
+def test_float32_pack_unpack_exact_dyadics():
+    for v in (0.0, 1.0, -4.0, 0.125, 0.015625, -0.001953125):
+        assert VC.float32_unpack(VC.float32_pack(v)) == v
+
+
+def test_inverse_db_closed_form_endpoints():
+    assert abs(VC.INVERSE_DB[0] - 1.0649863e-07) < 1e-13
+    assert VC.INVERSE_DB[255] == 1.0
+
+
+def test_silence_decodes_to_exact_zeros():
+    for ch, T in [(1, 500), (2, 333)]:
+        ogg = VC.encode_vorbis([[0] * T] * ch, 8000)
+        dec = VC.decode_vorbis(ogg)
+        assert dec.n_channels == ch and dec.sample_rate == 8000
+        assert dec.n_frames == T and dec.bit_depth == 16
+        assert all(s == 0 for s in dec.samples)
+
+
+@pytest.mark.parametrize("couple", [False, True])
+@pytest.mark.parametrize("bits", [9, 12])
+def test_decode_equals_intended_reconstruction(couple, bits):
+    T = 700
+    chans = [_tone(T), _tone(T, 250.0, 9000, phase=1.0)]
+    ogg = VC.encode_vorbis(chans, 8000, couple=couple, bits=bits)
+    dec = VC.decode_vorbis(ogg)
+    exp = _expected(chans, T, 256, bits, couple)
+    got = [np.array(dec.samples[c::2]) for c in range(2)]
+    for c in range(2):
+        assert np.array_equal(got[c], exp[c]), (couple, bits, c)
+
+
+def test_mono_quality_scales_with_bits():
+    T = 2000
+    tone = _tone(T)
+    errs = {}
+    for bits in (9, 12):
+        dec = VC.decode_vorbis(VC.encode_vorbis([tone], 8000,
+                                                bits=bits))
+        errs[bits] = max(abs(a - b)
+                         for a, b in zip(dec.samples, tone))
+    assert errs[12] < errs[9] / 3
+    assert errs[12] < 800                # ~2.4% of full scale
+
+
+def test_blocksize_variants():
+    T = 1500
+    tone = _tone(T, 300.0)
+    for n in (128, 256, 512):
+        dec = VC.decode_vorbis(VC.encode_vorbis([tone], 8000,
+                                                blocksize=n, bits=12))
+        assert dec.n_frames == T
+        err = max(abs(a - b) for a, b in zip(dec.samples, tone))
+        assert err < 1500, (n, err)
+
+
+def test_mixed_content_with_silent_partitions():
+    """Half silence, half tone: the silent class and the coded class
+    coexist within a stream, and silence regions decode near-zero."""
+    T = 1024
+    pcm = [0] * 512 + _tone(512, 500.0)
+    ogg = VC.encode_vorbis([pcm], 8000, bits=12)
+    dec = VC.decode_vorbis(ogg)
+    assert dec.n_frames == T
+    assert max(abs(s) for s in dec.samples[:300]) < 400
+
+
+def test_compression_on_sparse_content():
+    """Silence must code far below raw size through the silent class."""
+    T = 8000
+    ogg = VC.encode_vorbis([[0] * T], 8000)
+    assert len(ogg) < T // 4             # vs 16 kB raw
+
+
+def test_decode_media_integration():
+    from docling_graph_spark.kernels.media_stub import (decode_media,
+                                                        sniff_media_type)
+
+    ogg = VC.encode_vorbis([_tone(400)], 16000)
+    assert sniff_media_type(ogg) == "audio/ogg"
+    dec = decode_media(ogg, "audio/ogg")
+    assert dec.sample_rate == 16000 and dec.n_frames == 400
+
+
+def test_malformed_and_guard_routes():
+    ogg = bytearray(VC.encode_vorbis([[0] * 200], 8000))
+    with pytest.raises(ValueError, match="OggS"):
+        VC.decode_vorbis(b"not ogg at all")
+    bad = bytearray(ogg)
+    bad[40] ^= 0xFF                      # corrupt first page body
+    with pytest.raises(ValueError):
+        VC.decode_vorbis(bytes(bad))
+    # granule bomb: declare absurd sample count on the last page
+    bomb = bytearray(ogg)
+    # find last page and patch granule
+    pos = bomb.rfind(b"OggS")
+    bomb[pos + 6:pos + 14] = struct.pack("<q", 1 << 40)
+    bomb[pos + 22:pos + 26] = b"\x00" * 4
+    lace_n = bomb[pos + 26]
+    body = bytes(bomb[pos:pos + 27 + lace_n
+                      + sum(bomb[pos + 27:pos + 27 + lace_n])])
+    crc = VC._ogg_crc(body)
+    bomb[pos + 22:pos + 26] = struct.pack("<I", crc)
+    with pytest.raises(ValueError, match="guard"):
+        VC.decode_vorbis(bytes(bomb))
+    with pytest.raises(ValueError):
+        VC.decode_vorbis(bytes(ogg[:60]))
+
+
+def test_corruption_fuzz_never_hangs_or_crashes_unrouted():
+    rng = random.Random(5)
+    ogg = bytearray(VC.encode_vorbis([_tone(600)], 8000))
+    for _ in range(40):
+        mut = bytearray(ogg)
+        mut[rng.randrange(len(mut))] ^= 1 << rng.randrange(8)
+        try:
+            VC.decode_vorbis(bytes(mut))
+        except (ValueError, NotImplementedError, IndexError,
+                KeyError, ZeroDivisionError):
+            pass
