@@ -5,8 +5,13 @@ WEBP is the second web image format after JPEG, and its lossless flavor
 module implements the public "WebP Lossless Bitstream Specification":
 
 * RIFF walk: plain ``VP8L`` files and ``VP8X`` extended containers
-  holding a VP8L chunk; lossy ``VP8 `` raises NotImplementedError (the
-  geometry probe in kernels/media_probe.py still covers its header);
+  holding a VP8L chunk; lossy ``VP8 `` dispatches to the round-5
+  key-frame decoder (kernels/vp8_codec.py); ANIMATED containers
+  (VP8X + ANIM/ANMF, round 5) compose per the container spec —
+  even-coordinate placement, dispose-to-background, alpha-blend vs
+  overwrite — with gif_codec-style frame selection (first frame cheap,
+  ``frame=-1`` final state, ``n_frames`` reported) and both frame
+  flavors (VP8L and VP8) supported inside ANMF;
 * LSB-first bit reader; canonical prefix codes with the DEFLATE
   convention (code bits stream MSB-of-code first), the 19-symbol
   code-length code in its special order with RLE 16/17/18, the
@@ -48,6 +53,8 @@ class DecodedWebp(NamedTuple):
     height: int
     channels: int
     pixels: bytes      # interleaved RGB (opaque) or RGBA
+    n_frames: int = 1  # >1 for animated containers (composed frame
+    #                    selection mirrors gif_codec.decode_gif)
 
 
 # 19-symbol code-length-code transmission order (spec section 6.2.2)
@@ -438,18 +445,30 @@ MAX_PIXELS = 1 << 26  # decompression-bomb guard: ~50 bytes of VP8L
 # minutes; 2^26 (8192x8192) is generous for any real web image
 
 
-def decode_webp(data: bytes, max_pixels: int = MAX_PIXELS) -> DecodedWebp:
+def decode_webp(data: bytes, max_pixels: int = MAX_PIXELS,
+                frame: int = 0, max_frames: int = 1024) -> DecodedWebp:
+    """Decode a WebP container: still VP8L (lossless), still VP8
+    (lossy key frame, kernels/vp8_codec), or — round 5 — an ANIMATED
+    container (VP8X + ANIM/ANMF): ``frame=0`` composes the first
+    frame (the cheap image-pipeline path), ``frame=-1`` runs the
+    animation to its final state with the container spec's dispose-to-
+    background and alpha-blend semantics, a non-negative ``frame``
+    returns that frame's composed canvas; ``n_frames`` always reports
+    the frame count.  ``max_frames`` bounds animation work the same
+    way MAX_PIXELS bounds geometry."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WEBP (missing RIFF/WEBP header)")
     pos = 12
-    payload = None
+    anim = False
+    canvas_w = canvas_h = 0
+    bg = 0
+    anmf = []
     while pos + 8 <= len(data):
         fourcc = data[pos:pos + 4]
         size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
         body = data[pos + 8:pos + 8 + size]
         if fourcc == b"VP8L":
-            payload = body
-            break
+            return _decode_vp8l(body, max_pixels)
         if fourcc == b"VP8 ":
             # lossy key frame: kernels/vp8_codec (round 5)
             from .vp8_codec import decode_vp8, vp8_frame_to_rgb
@@ -457,9 +476,24 @@ def decode_webp(data: bytes, max_pixels: int = MAX_PIXELS) -> DecodedWebp:
             dec = decode_vp8(body, max_pixels)
             return DecodedWebp(dec.width, dec.height, 3,
                                vp8_frame_to_rgb(dec))
+        if fourcc == b"VP8X" and len(body) >= 10:
+            anim = bool(body[0] & 0x02)
+            canvas_w = 1 + int.from_bytes(body[4:7], "little")
+            canvas_h = 1 + int.from_bytes(body[7:10], "little")
+        elif fourcc == b"ANIM" and len(body) >= 6:
+            bg = struct.unpack("<I", body[:4])[0]
+        elif fourcc == b"ANMF":
+            anmf.append(body)
         pos += 8 + size + (size & 1)
-    if payload is None:
-        raise NotImplementedError("no VP8L chunk (animated WebP?)")
+    if anim and anmf:
+        return _compose_webp_anim(canvas_w, canvas_h, bg, anmf, frame,
+                                  max_frames, max_pixels)
+    raise NotImplementedError("no image payload chunk in WEBP "
+                              "container")
+
+
+def _decode_vp8l(payload: bytes,
+                 max_pixels: int = MAX_PIXELS) -> DecodedWebp:
     if payload[:1] != b"\x2f":
         raise ValueError("bad VP8L signature")
     br = _BitReader(payload[1:])
@@ -965,3 +999,147 @@ def encode_webp_lossless(width: int, height: int, rgba: bytes, *,
     if len(payload) & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (round 5): VP8X + ANIM/ANMF compose.  Each ANMF frame
+# carries its own VP8L or VP8 sub-chunk (both decoders exist now), an
+# (x, y) placement in even coordinates, a dispose-to-background flag
+# applied AFTER the frame shows, and a blend flag (alpha-over vs
+# overwrite) — the same compose discipline as gif_codec's GIF89a path.
+# ---------------------------------------------------------------------------
+
+
+def _compose_webp_anim(cw: int, ch_: int, bg: int, frames: List[bytes],
+                       frame: int, max_frames: int,
+                       max_pixels: int) -> DecodedWebp:
+    if cw * ch_ > max_pixels:
+        raise ValueError(
+            f"animated WEBP canvas {cw}x{ch_} exceeds the "
+            f"{max_pixels}-pixel decode guard")
+    n_frames = len(frames)
+    if n_frames > max_frames:
+        raise ValueError(
+            f"animated WEBP declares {n_frames} frames, beyond the "
+            f"{max_frames}-frame decode guard")
+    want = n_frames - 1 if frame == -1 else frame
+    if not 0 <= want < n_frames:
+        raise ValueError(f"frame {frame} out of range (0..{n_frames - 1})")
+    # ANIM background color is BGRA
+    bg_rgba = ((bg >> 16) & 0xFF, (bg >> 8) & 0xFF, bg & 0xFF,
+               (bg >> 24) & 0xFF)
+    canvas = bytearray(bytes(bg_rgba) * (cw * ch_))
+    for fi in range(want + 1):
+        body = frames[fi]
+        if len(body) < 16:
+            raise ValueError("truncated ANMF chunk")
+        fx = 2 * int.from_bytes(body[0:3], "little")
+        fy = 2 * int.from_bytes(body[3:6], "little")
+        fw = 1 + int.from_bytes(body[6:9], "little")
+        fh = 1 + int.from_bytes(body[9:12], "little")
+        flags = body[15]
+        sub = body[16:]
+        dec = None
+        spos = 0
+        while spos + 8 <= len(sub):
+            fcc = sub[spos:spos + 4]
+            ssz = struct.unpack("<I", sub[spos + 4:spos + 8])[0]
+            sbody = sub[spos + 8:spos + 8 + ssz]
+            if fcc == b"VP8L":
+                dec = _decode_vp8l(sbody, max_pixels)
+                break
+            if fcc == b"VP8 ":
+                from .vp8_codec import decode_vp8, vp8_frame_to_rgb
+
+                d = decode_vp8(sbody, max_pixels)
+                dec = DecodedWebp(d.width, d.height, 3,
+                                  vp8_frame_to_rgb(d))
+                break
+            spos += 8 + ssz + (ssz & 1)
+        if dec is None:
+            raise ValueError("ANMF frame without VP8/VP8L image chunk")
+        if (dec.width, dec.height) != (fw, fh):
+            raise ValueError("ANMF frame geometry mismatch")
+        if fx + fw > cw or fy + fh > ch_:
+            raise ValueError("ANMF frame outside the canvas")
+        blend = not (flags & 0x02) and dec.channels == 4
+        for r in range(fh):
+            for c in range(fw):
+                si = (r * fw + c) * dec.channels
+                if dec.channels == 4:
+                    sr, sg, sb, sa = dec.pixels[si:si + 4]
+                else:
+                    sr, sg, sb = dec.pixels[si:si + 3]
+                    sa = 255
+                di = ((fy + r) * cw + (fx + c)) * 4
+                if blend and sa < 255:
+                    dr, dg, db, da = canvas[di:di + 4]
+                    ao = sa + da * (255 - sa) // 255
+                    if ao == 0:
+                        canvas[di:di + 4] = b"\x00\x00\x00\x00"
+                    else:
+                        canvas[di] = (sr * sa * 255
+                                      + dr * da * (255 - sa)) \
+                            // (ao * 255)
+                        canvas[di + 1] = (sg * sa * 255
+                                          + dg * da * (255 - sa)) \
+                            // (ao * 255)
+                        canvas[di + 2] = (sb * sa * 255
+                                          + db * da * (255 - sa)) \
+                            // (ao * 255)
+                        canvas[di + 3] = ao
+                else:
+                    canvas[di:di + 4] = bytes((sr, sg, sb, sa))
+        if fi < want and (flags & 0x01):     # dispose to background
+            for r in range(fh):
+                di = ((fy + r) * cw + fx) * 4
+                canvas[di:di + 4 * fw] = bytes(bg_rgba) * fw
+    opaque = all(canvas[i] == 255 for i in range(3, len(canvas), 4))
+    if opaque:
+        out = bytearray()
+        for i in range(0, len(canvas), 4):
+            out += canvas[i:i + 3]
+        return DecodedWebp(cw, ch_, 3, bytes(out), n_frames)
+    return DecodedWebp(cw, ch_, 4, bytes(canvas), n_frames)
+
+
+def encode_webp_anim(canvas_w: int, canvas_h: int, frames: List[dict],
+                     bg: int = 0xFF000000) -> bytes:
+    """Fixture animated WebP.  Each frame dict: ``x``/``y`` (even),
+    ``rgba`` (bytes, fw*fh*4) with ``w``/``h``, optional
+    ``dispose`` (to background), ``blend`` (default True),
+    ``lossy`` (VP8 sub-chunk via encode_webp_lossy, RGB only) and
+    ``duration`` ms.  ``bg`` is BGRA like the ANIM chunk."""
+    chunks = bytearray()
+    vp8x = bytes([0x12, 0, 0, 0]) \
+        + (canvas_w - 1).to_bytes(3, "little") \
+        + (canvas_h - 1).to_bytes(3, "little")
+    chunks += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    anim = struct.pack("<I", bg) + struct.pack("<H", 0)
+    chunks += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for f in frames:
+        fw, fh = f["w"], f["h"]
+        x, y = f.get("x", 0), f.get("y", 0)
+        assert x % 2 == 0 and y % 2 == 0
+        if f.get("lossy"):
+            from .vp8_codec import encode_webp_lossy
+
+            rgb = bytes(b for i in range(fw * fh)
+                        for b in f["rgba"][4 * i:4 * i + 3])
+            inner = encode_webp_lossy(fw, fh, rgb,
+                                      qi=f.get("qi", 8))[12:]
+        else:
+            inner = encode_webp_lossless(fw, fh, f["rgba"])[12:]
+        body = ((x // 2).to_bytes(3, "little")
+                + (y // 2).to_bytes(3, "little")
+                + (fw - 1).to_bytes(3, "little")
+                + (fh - 1).to_bytes(3, "little")
+                + f.get("duration", 100).to_bytes(3, "little")
+                + bytes([(0x01 if f.get("dispose") else 0)
+                         | (0 if f.get("blend", True) else 0x02)])
+                + inner)
+        chunks += b"ANMF" + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            chunks += b"\x00"
+    riff = b"WEBP" + chunks
+    return b"RIFF" + struct.pack("<I", len(riff)) + bytes(riff)

@@ -223,3 +223,122 @@ def test_all_channels_uniform_histogram_roundtrip():
     for i in range(w * h):
         assert dec.pixels[3 * i:3 * i + 3] == bytes(
             (i % 256, (i * 7) % 256, (i * 13) % 256))
+
+
+# ---------------------------------------------------------------------------
+# Round 5: animated WebP (VP8X + ANIM/ANMF)
+# ---------------------------------------------------------------------------
+
+
+def _solid_rgba(w, h, rgba):
+    return bytes(rgba) * (w * h)
+
+
+def test_anim_first_frame_default_and_n_frames():
+    f0 = dict(w=8, h=6, rgba=_solid_rgba(8, 6, (10, 20, 30, 255)))
+    f1 = dict(w=4, h=4, x=2, y=2,
+              rgba=_solid_rgba(4, 4, (200, 0, 0, 255)))
+    data = W.encode_webp_anim(8, 6, [f0, f1])
+    d = W.decode_webp(data)
+    assert d.n_frames == 2 and (d.width, d.height) == (8, 6)
+    assert d.channels == 3 and set(
+        d.pixels[i:i + 3] for i in range(0, len(d.pixels), 3)
+    ) == {bytes((10, 20, 30))}
+
+
+def test_anim_final_state_composes_offsets():
+    f0 = dict(w=8, h=6, rgba=_solid_rgba(8, 6, (10, 20, 30, 255)))
+    f1 = dict(w=4, h=4, x=2, y=2,
+              rgba=_solid_rgba(4, 4, (200, 0, 0, 255)))
+    d = W.decode_webp(W.encode_webp_anim(8, 6, [f0, f1]), frame=-1)
+    px = d.pixels
+    assert px[0:3] == bytes((10, 20, 30))            # outside patch
+    mid = ((3 * 8) + 3) * 3
+    assert px[mid:mid + 3] == bytes((200, 0, 0))     # inside patch
+
+
+def test_anim_dispose_to_background():
+    # ANIM bg is [B,G,R,A] byte order, i.e. u32le 0xAARRGGBB with B in
+    # the low byte: 0xFF336699 -> B=0x99 G=0x66 R=0x33 A=0xFF
+    bg = 0xFF336699
+    f0 = dict(w=4, h=4, x=0, y=0, dispose=True,
+              rgba=_solid_rgba(4, 4, (1, 2, 3, 255)))
+    f1 = dict(w=2, h=2, x=4, y=4,
+              rgba=_solid_rgba(2, 2, (7, 8, 9, 255)))
+    d = W.decode_webp(W.encode_webp_anim(8, 8, [f0, f1], bg=bg),
+                      frame=-1)
+    px = d.pixels
+    # frame 0's rect was restored to background after showing
+    assert px[0:3] == bytes((0x33, 0x66, 0x99))
+    k = (4 * 8 + 4) * 3
+    assert px[k:k + 3] == bytes((7, 8, 9))
+
+
+def test_anim_alpha_blend_vs_overwrite():
+    base = dict(w=4, h=4, rgba=_solid_rgba(4, 4, (100, 100, 100, 255)))
+    half = dict(w=4, h=4, rgba=_solid_rgba(4, 4, (200, 0, 0, 128)))
+    blended = W.decode_webp(
+        W.encode_webp_anim(4, 4, [base, dict(half)]), frame=-1)
+    # alpha-over: r = (200*128*255 + 100*255*127) // (255*255)
+    r = (200 * 128 * 255 + 100 * 255 * 127) // (255 * 255)
+    assert blended.pixels[0] == r and blended.channels == 3
+    over = W.decode_webp(
+        W.encode_webp_anim(4, 4, [base, dict(half, blend=False)]),
+        frame=-1)
+    assert over.channels == 4
+    assert over.pixels[0:4] == bytes((200, 0, 0, 128))
+
+
+def test_anim_lossy_vp8_frames_compose():
+    f0 = dict(w=16, h=16, lossy=True, qi=4,
+              rgba=_solid_rgba(16, 16, (150, 150, 150, 255)))
+    f1 = dict(w=4, h=4, x=8, y=8,
+              rgba=_solid_rgba(4, 4, (0, 255, 0, 255)))
+    d = W.decode_webp(W.encode_webp_anim(16, 16, [f0, f1]), frame=-1)
+    assert d.n_frames == 2
+    assert d.pixels[0:3] == bytes((150, 150, 150))   # lossy gray exact
+    k = (9 * 16 + 9) * 3
+    assert d.pixels[k:k + 3] == bytes((0, 255, 0))
+
+
+def test_anim_frame_selection_and_guards():
+    frames = [dict(w=4, h=4, rgba=_solid_rgba(4, 4, (i, i, i, 255)))
+              for i in range(5)]
+    data = W.encode_webp_anim(4, 4, frames)
+    for i in range(5):
+        assert W.decode_webp(data, frame=i).pixels[0] == i
+    with pytest.raises(ValueError, match="out of range"):
+        W.decode_webp(data, frame=5)
+    with pytest.raises(ValueError, match="decode guard"):
+        W.decode_webp(data, max_frames=3)
+    # geometry-mismatch route: corrupt a frame's declared width
+    bad = bytearray(data)
+    i = bad.index(b"ANMF")
+    bad[i + 8 + 6] ^= 0x01
+    with pytest.raises(ValueError):
+        W.decode_webp(bytes(bad), frame=-1)
+
+
+def test_anim_canvas_bomb_guard():
+    f0 = dict(w=4, h=4, rgba=_solid_rgba(4, 4, (0, 0, 0, 255)))
+    data = bytearray(W.encode_webp_anim(4, 4, [f0]))
+    i = data.index(b"VP8X")
+    data[i + 8 + 4:i + 8 + 10] = (16383).to_bytes(3, "little") * 2
+    with pytest.raises(ValueError, match="decode guard"):
+        W.decode_webp(bytes(data))
+
+
+def test_anim_through_media_decode_stats(spark):
+    from docling_graph_spark.operators.multimodal import (
+        media_decode_stats)
+
+    f0 = dict(w=6, h=5, rgba=_solid_rgba(6, 5, (9, 9, 9, 255)))
+    f1 = dict(w=2, h=2, x=2, y=2,
+              rgba=_solid_rgba(2, 2, (255, 255, 255, 255)))
+    data = W.encode_webp_anim(6, 5, [f0, f1])
+    df = spark.createDataFrame([("a", bytearray(data))],
+                               "url string, html binary")
+    row = media_decode_stats(df).collect()[0]
+    assert row.decoded and row.media_type == "image/webp"
+    assert (row.width, row.height) == (6, 5)
+    assert row.pixel_sum == 6 * 5 * 27                # first frame
