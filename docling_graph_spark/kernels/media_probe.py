@@ -158,6 +158,10 @@ def probe_dimensions(payload: Optional[bytes]) -> Optional[ImageHeader]:
         return _probe_bmp(b)
     if b[:4] == b"RIFF":
         return _probe_webp(b)
+    if b[4:8] == b"ftyp":
+        return _probe_mp4(b)
+    if b[:4] == b"\x1a\x45\xdf\xa3":
+        return _probe_webm(b)
     return None
 
 
@@ -197,3 +201,152 @@ def make_webp_vp8x_header(width: int, height: int) -> bytes:
                + (height - 1).to_bytes(3, "little"))
     chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# ------------------------------------------------- video containers
+# Round 5: video stays pixel-stubbed (no codec decode), but the two
+# dominant web containers carry their geometry in plain metadata the
+# probe can walk — the thumbnail/aspect filter question answered for
+# video rows at the same cost as for images.
+
+
+def _probe_mp4(b: bytes) -> Optional[ImageHeader]:
+    """ISO BMFF box walk: moov -> trak -> tkhd carries the track's
+    presentation width/height as 16.16 fixed point; the first track
+    with nonzero geometry is the video track."""
+    def boxes(buf, pos, end):
+        while pos + 8 <= end:
+            size = struct.unpack_from(">I", buf, pos)[0]
+            fourcc = buf[pos + 4:pos + 8]
+            head = 8
+            if size == 1:
+                if pos + 16 > end:
+                    return
+                size = struct.unpack_from(">Q", buf, pos + 8)[0]
+                head = 16
+            elif size == 0:            # box extends to end of file
+                size = end - pos
+            if size < head or pos + size > end:
+                return
+            yield fourcc, pos + head, pos + size
+            pos += size
+
+    for cc, s, e in boxes(b, 0, len(b)):
+        if cc != b"moov":
+            continue
+        for cc2, s2, e2 in boxes(b, s, e):
+            if cc2 != b"trak":
+                continue
+            for cc3, s3, e3 in boxes(b, s2, e2):
+                if cc3 != b"tkhd" or e3 - s3 < 84:
+                    continue
+                ver = b[s3]
+                off = s3 + (88 if ver == 1 else 76)
+                if off + 8 > e3:
+                    continue
+                w = struct.unpack_from(">I", b, off)[0] >> 16
+                h = struct.unpack_from(">I", b, off + 4)[0] >> 16
+                if w and h:
+                    return ImageHeader("video/mp4", w, h, None)
+    return None
+
+
+def _ebml_vint(b: bytes, pos: int, keep_marker: bool):
+    """(value, next_pos) EBML variable-length integer, or None."""
+    if pos >= len(b) or b[pos] == 0:
+        return None
+    first = b[pos]
+    length = 1
+    mask = 0x80
+    while not (first & mask):
+        mask >>= 1
+        length += 1
+    if pos + length > len(b):
+        return None
+    v = first if keep_marker else (first & (mask - 1))
+    for i in range(1, length):
+        v = (v << 8) | b[pos + i]
+    return v, pos + length
+
+
+def _probe_webm(b: bytes) -> Optional[ImageHeader]:
+    """EBML walk: Segment -> Tracks -> TrackEntry -> Video carries
+    PixelWidth (0xB0) / PixelHeight (0xBA).  Unknown-size elements
+    (all-ones size, standard for live Segments) extend to the end."""
+    DESCEND = {0x18538067, 0x1654AE6B, 0xAE, 0xE0}  # Segment/Tracks/
+    #                                                 TrackEntry/Video
+    w = h = 0
+
+    def walk(pos, end, depth):
+        nonlocal w, h
+        while pos < end and depth < 8:
+            got = _ebml_vint(b, pos, True)
+            if got is None:
+                return
+            eid, pos = got
+            got = _ebml_vint(b, pos, False)
+            if got is None:
+                return
+            size, pos = got
+            # unknown-size (all value-bits set, standard for live
+            # Segments) or overrun: extend to the end of scope
+            if size >= (1 << 56) - 1 or pos + size > end:
+                size = end - pos
+            if eid in DESCEND:
+                walk(pos, pos + size, depth + 1)
+            elif eid == 0xB0:
+                w = int.from_bytes(b[pos:pos + size], "big")
+            elif eid == 0xBA:
+                h = int.from_bytes(b[pos:pos + size], "big")
+            if w and h:
+                return
+            pos += size
+
+    # skip the EBML header element, then walk from the Segment
+    got = _ebml_vint(b, 0, True)
+    if got is None or got[0] != 0x1A45DFA3:
+        return None
+    got2 = _ebml_vint(b, got[1], False)
+    if got2 is None:
+        return None
+    walk(got2[0] + got2[1], len(b), 0)
+    if w and h:
+        return ImageHeader("video/webm", w, h, None)
+    return None
+
+
+def make_mp4_header(width: int, height: int) -> bytes:
+    """Minimal valid ISO BMFF prefix: ftyp + moov/trak/tkhd (v0) with
+    the 16.16 fixed-point presentation size."""
+    tkhd_payload = bytes(4) + bytes(4 * 5) + bytes(8) + bytes(2 * 4) \
+        + bytes(36) + struct.pack(">II", width << 16, height << 16)
+    tkhd = struct.pack(">I", 8 + len(tkhd_payload)) + b"tkhd" \
+        + tkhd_payload
+    trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    moov = struct.pack(">I", 8 + len(trak)) + b"moov" + trak
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
+    return ftyp + moov
+
+
+def _ebml_elem(eid: int, payload: bytes) -> bytes:
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = len(payload)
+    # one-byte size when it fits, else 8-byte form
+    if n < 127:
+        sz = bytes([0x80 | n])
+    else:
+        sz = bytes([0x01]) + n.to_bytes(7, "big")
+    return idb + sz + payload
+
+
+def make_webm_header(width: int, height: int) -> bytes:
+    """Minimal valid EBML/WebM prefix: EBML header + Segment(Tracks(
+    TrackEntry(Video(PixelWidth, PixelHeight))))."""
+    video = _ebml_elem(0xE0, _ebml_elem(
+        0xB0, width.to_bytes(2, "big"))
+        + _ebml_elem(0xBA, height.to_bytes(2, "big")))
+    entry = _ebml_elem(0xAE, video)
+    tracks = _ebml_elem(0x1654AE6B, entry)
+    ebml_hdr = _ebml_elem(0x1A45DFA3, _ebml_elem(0x4282, b"webm"))
+    segment = _ebml_elem(0x18538067, tracks)
+    return ebml_hdr + segment

@@ -51,8 +51,8 @@ def sniff_media_type(payload: Optional[bytes]) -> str:
                     return "image/webp"
                 return "application/riff"
             return mtype
-    if payload[4:12] in (b"ftypisom", b"ftypmp42", b"ftypMSNV"):
-        return "video/mp4"
+    if payload[4:8] == b"ftyp":
+        return "video/mp4"          # any ISO BMFF brand (isom/mp42/...)
     if payload[:4] == b"\x00\x00\x01\x00" and len(payload) >= 22:
         # ICO: weak magic, so require a parseable ICONDIR entry count
         n = int.from_bytes(payload[4:6], "little")

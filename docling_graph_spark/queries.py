@@ -5988,23 +5988,30 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stage 'header_probe': REAL container-metadata extraction for formats
     # with no full decoder — JPEG SOF / GIF LSD / BMP DIB / WEBP VP8X
-    # headers (kernels/media_probe.py) synthesized deterministically
-    # (format = doc_id%4, w = 20+doc_id%17, h = 10+doc_id%13), geometry
-    # read back through media_decode_stats' header fallback and compared
-    # against the oracle's closed-form sums per format.
+    # headers, and (round 5) the two video containers: ISO BMFF
+    # moov/trak/tkhd 16.16 geometry and Matroska/WebM EBML
+    # PixelWidth/PixelHeight (kernels/media_probe.py), synthesized
+    # deterministically (format = doc_id%6, w = 20+doc_id%17,
+    # h = 10+doc_id%13), geometry read back through
+    # media_decode_stats' header fallback and compared against the
+    # oracle's closed-form sums per format.
     def build_probes(batches):
         from docling_graph_spark.kernels.media_probe import (
             make_bmp_header, make_gif_header, make_jpeg_header,
-            make_webp_vp8x_header)
+            make_mp4_header, make_webm_header, make_webp_vp8x_header)
 
+        # round 5 adds the two video containers: their geometry parses
+        # from plain box/EBML metadata (ISO BMFF tkhd, Matroska Video)
+        # with no codec decode — the same header-only fallback path
         makers = [make_jpeg_header, make_gif_header, make_bmp_header,
-                  make_webp_vp8x_header]
+                  make_webp_vp8x_header, make_mp4_header,
+                  make_webm_header]
         for pdf in batches:
             urls, blobs = [], []
             for did in pdf["doc_id"]:
                 d = int(did)
                 urls.append(f"img:{d}")
-                blobs.append(makers[d % 4](20 + d % 17, 10 + d % 13))
+                blobs.append(makers[d % 6](20 + d % 17, 10 + d % 13))
             yield pd.DataFrame({"url": urls, "html": blobs})
 
     imgs = (
@@ -6635,8 +6642,9 @@ pxv AS (
                      AS k)
 ),
 probe AS (
-  SELECT CASE doc_id % 4 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/gif'
-              WHEN 2 THEN 'image/bmp' ELSE 'image/webp' END AS media_type,
+  SELECT CASE doc_id % 6 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/gif'
+              WHEN 2 THEN 'image/bmp' WHEN 3 THEN 'image/webp'
+              WHEN 4 THEN 'video/mp4' ELSE 'video/webm' END AS media_type,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(20 + doc_id % 17) AS BIGINT) AS w,
          CAST(sum(10 + doc_id % 13) AS BIGINT) AS h

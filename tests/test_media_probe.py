@@ -94,3 +94,70 @@ def test_decode_stats_header_fallback(spark):
     assert (got["p"]["width"], got["p"]["height"]) == (3, 2)
     assert got["x"]["width"] is None
     assert got["x"]["decode_error"].startswith("unsupported")
+
+
+# ---------------------------------------------------------------------------
+# Round 5: video container probes (ISO BMFF + Matroska/WebM)
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_probe_roundtrip_and_versions():
+    import struct
+
+    from docling_graph_spark.kernels.media_probe import (
+        _probe_mp4, make_mp4_header, probe_dimensions)
+
+    for w, h in [(640, 360), (1, 1), (3840, 2160)]:
+        hdr = probe_dimensions(make_mp4_header(w, h))
+        assert hdr == ("video/mp4", w, h, None)
+    # version-1 tkhd (64-bit times): geometry offset shifts to 88
+    tk = bytes([1]) + bytes(3) + bytes(8 * 2 + 4 + 4) + bytes(8) \
+        + bytes(8) + bytes(2 * 4) + bytes(36) \
+        + struct.pack(">II", 320 << 16, 200 << 16)
+    tkhd = struct.pack(">I", 8 + len(tk)) + b"tkhd" + tk
+    trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    moov = struct.pack(">I", 8 + len(trak)) + b"moov" + trak
+    data = struct.pack(">I", 16) + b"ftyp" + b"mp42" + bytes(4) + moov
+    assert _probe_mp4(data) == ("video/mp4", 320, 200, None)
+
+
+def test_webm_probe_roundtrip_and_unknown_size():
+    from docling_graph_spark.kernels.media_probe import (
+        _ebml_elem, make_webm_header, probe_dimensions)
+
+    for w, h in [(640, 360), (12, 7), (7680, 4320)]:
+        hdr = probe_dimensions(make_webm_header(w, h))
+        assert hdr == ("video/webm", w, h, None)
+    # unknown-size Segment (all value-bits set) — the live-stream form
+    video = _ebml_elem(0xE0, _ebml_elem(0xB0, (800).to_bytes(2, "big"))
+                       + _ebml_elem(0xBA, (600).to_bytes(2, "big")))
+    tracks = _ebml_elem(0x1654AE6B, _ebml_elem(0xAE, video))
+    ebml = _ebml_elem(0x1A45DFA3, b"")
+    seg = (0x18538067).to_bytes(4, "big") + b"\xff" + tracks
+    hdr = probe_dimensions(ebml + seg)
+    assert hdr == ("video/webm", 800, 600, None)
+
+
+def test_video_probe_malformed_returns_none():
+    from docling_graph_spark.kernels.media_probe import probe_dimensions
+
+    assert probe_dimensions(b"\x00\x00\x00\x10ftypisom" + b"junk") is None
+    assert probe_dimensions(b"\x1a\x45\xdf\xa3" + b"\x00" * 8) is None
+
+
+def test_video_rows_flow_header_only_through_operator(spark):
+    from docling_graph_spark.kernels.media_probe import (
+        make_mp4_header, make_webm_header)
+    from docling_graph_spark.operators.multimodal import (
+        media_decode_stats)
+
+    rows = [("m", bytearray(make_mp4_header(1280, 720))),
+            ("w", bytearray(make_webm_header(854, 480)))]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r["url"]: r for r in media_decode_stats(df).collect()}
+    assert out["m"]["media_type"] == "video/mp4"
+    assert not out["m"]["decoded"]
+    assert out["m"]["decode_error"] == "header-only"
+    assert (out["m"]["width"], out["m"]["height"]) == (1280, 720)
+    assert (out["w"]["width"], out["w"]["height"]) == (854, 480)
+    assert out["w"]["media_type"] == "video/webm"
