@@ -312,3 +312,228 @@ def encode_png_subbyte(width: int, height: int, depth: int,
                        0, 1 if interlace else 0)
     extra = [(b"PLTE", palette)] if color_type == 3 else []
     return _png_chunks(ihdr, bytes(raw), extra)
+
+
+# ---------------------------------------------------------------------------
+# APNG (round 5): acTL/fcTL/fdAT animation compose.  Each frame's data
+# chunks form a complete zlib stream exactly like IDAT, so frames
+# decode by synthesizing a one-frame PNG (IHDR with the frame's
+# geometry + the parent's PLTE/tRNS) through decode_png, then compose
+# with the spec's dispose_op (none / background / previous) and
+# blend_op (source / over) — the same frame-selection API as
+# gif_codec.decode_gif and the animated-WebP path.
+# ---------------------------------------------------------------------------
+
+
+class DecodedApng(NamedTuple):
+    width: int
+    height: int
+    channels: int      # 3 (opaque) or 4
+    pixels: bytes
+    n_frames: int
+
+
+def _samples_to_rgba(dec: DecodedPng, plte: bytes,
+                     trns: bytes) -> bytes:
+    """Expand a decoded frame's samples to RGBA."""
+    out = bytearray()
+    px = dec.pixels
+    ct, ch = dec.color_type, dec.channels
+    for i in range(dec.width * dec.height):
+        if ct == 0:
+            g = px[i]
+            out += bytes((g, g, g, 255))
+        elif ct == 2:
+            out += px[3 * i:3 * i + 3] + b"\xff"
+        elif ct == 3:
+            k = px[i]
+            rgb = plte[3 * k:3 * k + 3] or b"\x00\x00\x00"
+            a = trns[k] if k < len(trns) else 255
+            out += rgb + bytes((a,))
+        elif ct == 4:
+            g, a = px[2 * i:2 * i + 2]
+            out += bytes((g, g, g, a))
+        else:
+            out += px[4 * i:4 * i + 4]
+    return bytes(out)
+
+
+def decode_apng(data: bytes, frame: int = 0,
+                max_frames: int = 1024) -> DecodedApng:
+    """Compose an APNG.  ``frame=0`` = first animation frame (the
+    default image when its fcTL precedes IDAT, per spec), ``frame=-1``
+    = final state, non-negative = that frame's composed canvas;
+    ``n_frames`` reports the animation length.  A plain PNG (no acTL)
+    decodes as a 1-frame animation.  ``max_frames`` bounds work like
+    MAX_PIXELS-style guards elsewhere."""
+    if data[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    ihdr = b""
+    plte = b""
+    trns = b""
+    actl_frames = 0
+    frames = []            # (fctl_body, bytearray(data))
+    default_idat = bytearray()
+    default_in_anim = False
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"tRNS":
+            trns = body
+        elif tag == b"acTL":
+            actl_frames = struct.unpack(">I", body[:4])[0]
+        elif tag == b"fcTL":
+            frames.append([body, bytearray()])
+            if not default_idat:
+                default_in_anim = True
+        elif tag == b"IDAT":
+            default_idat.extend(body)
+            if default_in_anim and frames:
+                frames[0][1].extend(body)
+        elif tag == b"fdAT":
+            if not frames:
+                raise ValueError("fdAT before any fcTL")
+            frames[-1][1].extend(body[4:])   # drop sequence number
+        elif tag == b"IEND":
+            break
+    if not ihdr:
+        raise ValueError("PNG missing IHDR")
+    cw, ch_ = struct.unpack(">II", ihdr[:8])
+    depth, ctype = ihdr[8], ihdr[9]
+    if not frames or actl_frames == 0:
+        dec = decode_png(data)
+        rgba = _samples_to_rgba(dec, plte, trns)
+        return _apng_result(cw, ch_, rgba, 1)
+    if len(frames) > max_frames:
+        raise ValueError(
+            f"APNG declares {len(frames)} frames, beyond the "
+            f"{max_frames}-frame decode guard")
+    n_frames = len(frames)
+    want = n_frames - 1 if frame == -1 else frame
+    if not 0 <= want < n_frames:
+        raise ValueError(f"frame {frame} out of range (0..{n_frames - 1})")
+
+    canvas = bytearray(cw * ch_ * 4)     # transparent black
+    extra = ([(b"PLTE", plte)] if plte else []) \
+        + ([(b"tRNS", trns)] if trns else [])
+    for fi in range(want + 1):
+        fctl, fdata = frames[fi]
+        fw, fh, fx, fy = struct.unpack(">IIII", fctl[4:20])
+        dispose_op, blend_op = fctl[24], fctl[25]
+        if fx + fw > cw or fy + fh > ch_:
+            raise ValueError("APNG frame outside the canvas")
+        sub_ihdr = struct.pack(">IIBBBBB", fw, fh, depth, ctype, 0, 0,
+                               0)
+        sub = _png_chunks(sub_ihdr, b"", extra)
+        # splice the already-compressed frame stream in as IDAT
+        sub = _splice_idat(sub, bytes(fdata))
+        dec = decode_png(sub)
+        rgba = _samples_to_rgba(dec, plte, trns)
+        saved = None
+        if fi < want and dispose_op == 2:          # previous
+            saved = bytes(canvas)
+        for r in range(fh):
+            for c in range(fw):
+                si = (r * fw + c) * 4
+                sa = rgba[si + 3]
+                di = ((fy + r) * cw + (fx + c)) * 4
+                if blend_op == 1 and sa < 255:     # over
+                    if sa == 0:
+                        continue
+                    da = canvas[di + 3]
+                    ao = sa + da * (255 - sa) // 255
+                    if ao == 0:
+                        canvas[di:di + 4] = b"\x00\x00\x00\x00"
+                        continue
+                    for k in range(3):
+                        canvas[di + k] = (rgba[si + k] * sa * 255
+                                          + canvas[di + k] * da
+                                          * (255 - sa)) // (ao * 255)
+                    canvas[di + 3] = ao
+                else:                              # source
+                    canvas[di:di + 4] = rgba[si:si + 4]
+        if fi < want:
+            if dispose_op == 1:                    # background
+                for r in range(fh):
+                    di = ((fy + r) * cw + fx) * 4
+                    canvas[di:di + 4 * fw] = bytes(4 * fw)
+            elif dispose_op == 2 and saved is not None:
+                canvas[:] = saved
+    return _apng_result(cw, ch_, bytes(canvas), n_frames)
+
+
+def _apng_result(w: int, h: int, rgba: bytes,
+                 n_frames: int) -> DecodedApng:
+    if all(rgba[i] == 255 for i in range(3, len(rgba), 4)):
+        rgb = bytes(b for i in range(0, len(rgba), 4)
+                    for b in rgba[i:i + 3])
+        return DecodedApng(w, h, 3, rgb, n_frames)
+    return DecodedApng(w, h, 4, rgba, n_frames)
+
+
+def _splice_idat(png: bytes, idat: bytes) -> bytes:
+    """Replace the IDAT payload of a synthesized PNG with an
+    already-compressed stream (frame data chunks are IDAT-equivalent
+    zlib streams per the APNG spec)."""
+    pos = 8
+    out = bytearray(png[:8])
+    n = len(png)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", png[pos:pos + 4])
+        tag = png[pos + 4:pos + 8]
+        body = png[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IDAT":
+            body = idat
+        out += struct.pack(">I", len(body)) + tag + body \
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def encode_apng(canvas_w: int, canvas_h: int, frames: list) -> bytes:
+    """Fixture APNG (RGBA, 8-bit, filter-0).  Frame dicts: ``rgba``
+    (+ ``w``/``h``), ``x``/``y`` offsets, ``dispose`` (0/1/2),
+    ``blend`` (0 source / 1 over).  Frame 0 must cover the canvas
+    (spec requirement); its fcTL precedes IDAT, so the default image
+    participates in the animation."""
+    assert frames and frames[0].get("x", 0) == 0 \
+        and frames[0].get("y", 0) == 0 \
+        and frames[0]["w"] == canvas_w and frames[0]["h"] == canvas_h
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)
+                              & 0xFFFFFFFF))
+
+    out = bytearray(PNG_SIGNATURE)
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", canvas_w, canvas_h,
+                                      8, 6, 0, 0, 0))
+    out += chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for fi, f in enumerate(frames):
+        fw, fh = f["w"], f["h"]
+        fctl = struct.pack(">IIIIIHHBB", seq, fw, fh,
+                           f.get("x", 0), f.get("y", 0), 1, 10,
+                           f.get("dispose", 0), f.get("blend", 1))
+        out += chunk(b"fcTL", fctl)
+        seq += 1
+        raw = b"".join(b"\x00" + f["rgba"][y * fw * 4:(y + 1) * fw * 4]
+                       for y in range(fh))
+        z = zlib.compress(raw, 9)
+        if fi == 0:
+            out += chunk(b"IDAT", z)
+        else:
+            out += chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    out += chunk(b"IEND", b"")
+    return bytes(out)

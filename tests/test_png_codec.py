@@ -225,3 +225,97 @@ def test_16bit_depth_high_byte_reduction_all_filters():
            + chunk(b"IEND", b""))
     dec = decode_png(png)
     assert bytes(dec.pixels) == bytes(s >> 8 for s in samples)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: APNG (acTL/fcTL/fdAT) animation compose
+# ---------------------------------------------------------------------------
+
+from docling_graph_spark.kernels import png_codec as P
+
+
+def _solid(w, h, rgba):
+    return bytes(rgba) * (w * h)
+
+
+def test_apng_first_final_and_n_frames():
+    f0 = dict(w=8, h=6, rgba=_solid(8, 6, (10, 20, 30, 255)))
+    f1 = dict(w=4, h=4, x=2, y=2, rgba=_solid(4, 4, (200, 0, 0, 255)))
+    data = P.encode_apng(8, 6, [f0, f1])
+    d0 = P.decode_apng(data)
+    assert (d0.width, d0.height, d0.channels, d0.n_frames) == (8, 6, 3, 2)
+    assert d0.pixels[:3] == bytes((10, 20, 30))
+    dF = P.decode_apng(data, frame=-1)
+    mid = ((3 * 8) + 3) * 3
+    assert dF.pixels[mid:mid + 3] == bytes((200, 0, 0))
+    assert dF.pixels[:3] == bytes((10, 20, 30))
+
+
+def test_apng_dispose_background_and_previous():
+    f0 = dict(w=6, h=6, rgba=_solid(6, 6, (50, 50, 50, 255)))
+    f1 = dict(w=2, h=2, x=0, y=0, dispose=1,
+              rgba=_solid(2, 2, (1, 2, 3, 255)))
+    f2 = dict(w=2, h=2, x=4, y=4, rgba=_solid(2, 2, (7, 8, 9, 255)))
+    d = P.decode_apng(P.encode_apng(6, 6, [f0, f1, f2]), frame=-1)
+    # f1's rect cleared to transparent -> output carries alpha
+    assert d.channels == 4
+    assert d.pixels[3] == 0                       # (0,0) transparent
+    k = (4 * 6 + 4) * 4
+    assert d.pixels[k:k + 3] == bytes((7, 8, 9))
+    # dispose previous: f1's effect fully undone
+    f1p = dict(f1, dispose=2)
+    d2 = P.decode_apng(P.encode_apng(6, 6, [f0, f1p, f2]), frame=-1)
+    assert d2.channels == 3
+    assert d2.pixels[:3] == bytes((50, 50, 50))
+
+
+def test_apng_blend_over_vs_source():
+    base = dict(w=4, h=4, rgba=_solid(4, 4, (100, 100, 100, 255)))
+    half_over = dict(w=4, h=4, blend=1,
+                     rgba=_solid(4, 4, (200, 0, 0, 128)))
+    d = P.decode_apng(P.encode_apng(4, 4, [base, half_over]), frame=-1)
+    r = (200 * 128 * 255 + 100 * 255 * 127) // (255 * 255)
+    assert d.channels == 3 and d.pixels[0] == r
+    half_src = dict(half_over, blend=0)
+    d2 = P.decode_apng(P.encode_apng(4, 4, [base, half_src]), frame=-1)
+    assert d2.channels == 4
+    assert d2.pixels[0:4] == bytes((200, 0, 0, 128))
+
+
+def test_apng_default_image_is_frame_zero_for_decode_png():
+    """The fcTL-before-IDAT layout makes the static image the first
+    animation frame — so the existing decode_png path (the image
+    pipeline's default) sees frame 0 without knowing about APNG."""
+    f0 = dict(w=5, h=4, rgba=_solid(5, 4, (9, 8, 7, 255)))
+    f1 = dict(w=5, h=4, rgba=_solid(5, 4, (1, 1, 1, 255)))
+    data = P.encode_apng(5, 4, [f0, f1])
+    dec = P.decode_png(data)
+    assert (dec.width, dec.height, dec.color_type) == (5, 4, 6)
+    assert dec.pixels[:4] == bytes((9, 8, 7, 255))
+
+
+def test_apng_plain_png_is_single_frame():
+    plain = P.encode_png_gray(4, 3, bytes(range(12)))
+    d = P.decode_apng(plain)
+    assert d.n_frames == 1 and (d.width, d.height) == (4, 3)
+    assert d.pixels[:3] == bytes((0, 0, 0))
+
+
+def test_apng_frame_selection_and_guards():
+    frames = [dict(w=4, h=4, rgba=_solid(4, 4, (0, 0, 0, 255)))]
+    frames += [dict(w=2, h=2, x=0, y=0,
+                    rgba=_solid(2, 2, (i, i, i, 255)))
+               for i in range(1, 4)]
+    data = P.encode_apng(4, 4, frames)
+    for i in range(4):
+        assert P.decode_apng(data, frame=i).pixels[0] == max(0, i)
+    with pytest.raises(ValueError, match="out of range"):
+        P.decode_apng(data, frame=9)
+    with pytest.raises(ValueError, match="decode guard"):
+        P.decode_apng(data, max_frames=2)
+    bad = bytearray(data)
+    i = bad.index(b"fcTL")
+    # push a frame outside the canvas
+    bad[i + 4 + 12:i + 4 + 16] = (99).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        P.decode_apng(bytes(bad), frame=-1)
