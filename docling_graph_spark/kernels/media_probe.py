@@ -350,3 +350,94 @@ def make_webm_header(width: int, height: int) -> bytes:
     ebml_hdr = _ebml_elem(0x1A45DFA3, _ebml_elem(0x4282, b"webm"))
     segment = _ebml_elem(0x18538067, tracks)
     return ebml_hdr + segment
+
+
+# ------------------------------------------------- audio containers
+# Round 5: MP3 decode needs untranscribable Huffman/synthesis tables
+# (see kernels/vorbis_codec.py's docstring for why Vorbis is the lossy
+# format implemented in full), but the MPEG audio FRAME HEADER is four
+# bytes of public fixed tables — sample rate, channel mode and bitrate
+# answer the crawl-metadata question with no decoder at all.
+
+
+class AudioHeader(NamedTuple):
+    media_type: str
+    n_channels: int
+    sample_rate: int
+    bitrate_kbps: int
+
+
+_MP3_BITRATE = {
+    # (version_group, layer): kbps by bitrate index 1..14
+    (1, 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+             416, 448],
+    (1, 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384],
+    (1, 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320],
+    (2, 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256],
+    (2, 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160],
+    (2, 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160],
+}
+_MP3_RATES = {3: [44100, 48000, 32000],      # MPEG1
+              2: [22050, 24000, 16000],      # MPEG2
+              0: [11025, 12000, 8000]}       # MPEG2.5
+
+
+def _parse_mp3_frame(b: bytes, i: int) -> Optional[AudioHeader]:
+    if i + 4 > len(b) or b[i] != 0xFF or (b[i + 1] & 0xE0) != 0xE0:
+        return None
+    ver = (b[i + 1] >> 3) & 3            # 0=2.5, 2=MPEG2, 3=MPEG1
+    layer = (b[i + 1] >> 1) & 3          # 1=III, 2=II, 3=I
+    if ver == 1 or layer == 0:
+        return None                      # reserved
+    br_idx = (b[i + 2] >> 4) & 0xF
+    sr_idx = (b[i + 2] >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None                      # free-format / reserved
+    vgroup = 1 if ver == 3 else 2
+    lnum = 4 - layer                     # layer bits -> I/II/III number
+    kbps = _MP3_BITRATE[(vgroup, lnum)][br_idx - 1]
+    rate = _MP3_RATES[ver][sr_idx]
+    mode = (b[i + 3] >> 6) & 3
+    return AudioHeader("audio/mpeg", 1 if mode == 3 else 2, rate, kbps)
+
+
+def probe_audio(payload: Optional[bytes]) -> Optional[AudioHeader]:
+    """MPEG audio (MP3) header probe: skips an ID3v2 tag (synchsafe
+    size), finds the first frame sync, and reads rate/channels/bitrate
+    from the fixed header tables.  None for anything else."""
+    if not payload or len(payload) < 4:
+        return None
+    b = payload
+    i = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) \
+            | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        i = 10 + size
+    # scan a bounded window for the sync (junk before first frame is
+    # common in the wild)
+    for j in range(i, min(i + 4096, len(b) - 3)):
+        hdr = _parse_mp3_frame(b, j)
+        if hdr is not None:
+            return hdr
+    return None
+
+
+def make_mp3_header(sample_rate: int = 44100, channels: int = 2,
+                    kbps: int = 128, id3: bool = True) -> bytes:
+    """Minimal MP3 prefix: optional empty ID3v2 tag + one MPEG1
+    Layer III frame header (no audio payload — the probe never reads
+    past the 4-byte header)."""
+    sr_idx = _MP3_RATES[3].index(sample_rate)
+    br_idx = _MP3_BITRATE[(1, 3)].index(kbps) + 1
+    b1 = 0xE0 | (3 << 3) | (1 << 1) | 1  # MPEG1, Layer III, no CRC
+    b2 = (br_idx << 4) | (sr_idx << 2)
+    b3 = (3 if channels == 1 else 0) << 6
+    frame = bytes((0xFF, b1, b2, b3))
+    if id3:
+        return b"ID3\x04\x00\x00\x00\x00\x00\x00" + frame
+    return frame

@@ -53,6 +53,14 @@ def sniff_media_type(payload: Optional[bytes]) -> str:
             return mtype
     if payload[4:8] == b"ftyp":
         return "video/mp4"          # any ISO BMFF brand (isom/mp42/...)
+    if payload[0:1] == b"\xff" and len(payload) >= 4 \
+            and (payload[1] & 0xE0) == 0xE0:
+        # bare MPEG-audio frame sync (no ID3 tag): accept only when
+        # the 4-byte header parses against the fixed tables
+        from .media_probe import _parse_mp3_frame
+
+        if _parse_mp3_frame(payload, 0) is not None:
+            return "audio/mpeg"
     if payload[:4] == b"\x00\x00\x01\x00" and len(payload) >= 22:
         # ICO: weak magic, so require a parseable ICONDIR entry count
         n = int.from_bytes(payload[4:6], "little")

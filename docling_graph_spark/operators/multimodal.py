@@ -233,13 +233,17 @@ def audio_decode_stats(web_pages: DataFrame) -> DataFrame:
     decorrelation; round 5 adds Ogg Vorbis — full lossy decode via
     `kernels/vorbis_codec.py`: Ogg framing + CRC, self-describing
     codebooks, floor1, residue, coupling, IMDCT + overlap-add), and a
-    routed error string where it does not — MP3 raises
-    NotImplementedError inside the kernel and lands in
-    ``decode_error``, never an executor crash.  Same mapInPandas shape
+    routed error string where it does not — MP3 has no decoder (its
+    Huffman/synthesis tables are untranscribable offline), but when a
+    frame header is present its rate/channels fill in with
+    ``decode_error = 'header-only'`` (kernels/media_probe.probe_audio,
+    round 5); payloads with neither decoder nor header stay routed,
+    never an executor crash.  Same mapInPandas shape
     as the image stage: per-batch decode loop, (url, html) pruned across
     the Arrow boundary.  This is the audio analogue of
     `media_decode_stats`; at 100 TB it is the scan-stage filter that drops
     silent/clipped/truncated audio before any expensive featurization."""
+    from ..kernels.media_probe import probe_audio
     from ..kernels.media_stub import decode_media
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -267,7 +271,17 @@ def audio_decode_stats(web_pages: DataFrame) -> DataFrame:
                 try:
                     dec = decode_media(b, mtype)
                 except NotImplementedError as exc:
-                    out["decode_error"][i] = f"unsupported: {exc}"
+                    # round 5: MP3 has no decoder (untranscribable
+                    # tables) but its frame header carries rate and
+                    # channel mode — the header-only metadata path,
+                    # mirroring media_decode_stats' image fallback
+                    hdr = probe_audio(b)
+                    if hdr is not None:
+                        out["n_channels"][i] = hdr.n_channels
+                        out["sample_rate"][i] = hdr.sample_rate
+                        out["decode_error"][i] = "header-only"
+                    else:
+                        out["decode_error"][i] = f"unsupported: {exc}"
                     continue
                 except Exception as exc:  # malformed payload -> routed
                     out["decode_error"][i] = f"malformed: {exc}"

@@ -161,3 +161,42 @@ def test_video_rows_flow_header_only_through_operator(spark):
     assert (out["m"]["width"], out["m"]["height"]) == (1280, 720)
     assert (out["w"]["width"], out["w"]["height"]) == (854, 480)
     assert out["w"]["media_type"] == "video/webm"
+
+
+def test_mp3_header_probe_tables():
+    from docling_graph_spark.kernels.media_probe import (
+        make_mp3_header, probe_audio)
+
+    for sr in (44100, 48000, 32000):
+        for ch in (1, 2):
+            for kb in (32, 128, 320):
+                h = probe_audio(make_mp3_header(sr, ch, kb))
+                assert h == ("audio/mpeg", ch, sr, kb)
+    # ID3-only payload (no frame): no metadata to report
+    assert probe_audio(b"ID3\x04\x00" + bytes(32)) is None
+    # reserved bitrate/samplerate indexes are rejected
+    assert probe_audio(b"\xff\xfb\xf0\x00") is None
+    assert probe_audio(b"\xff\xfb\x9c\x00") is None
+
+
+def test_mp3_bare_sync_sniff_and_header_only_flow(spark):
+    from docling_graph_spark.kernels.media_probe import make_mp3_header
+    from docling_graph_spark.kernels.media_stub import sniff_media_type
+    from docling_graph_spark.operators.multimodal import (
+        audio_decode_stats)
+
+    bare = make_mp3_header(32000, 1, 192, id3=False)
+    assert sniff_media_type(bare) == "audio/mpeg"
+    assert sniff_media_type(b"\xff\xff\xff\xff") != "audio/mpeg"
+    rows = [("bare", bytearray(bare)),
+            ("tagged", bytearray(make_mp3_header(44100, 2, 128))),
+            ("id3only", bytearray(b"ID3\x04\x00" + bytes(32)))]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r["url"]: r for r in audio_decode_stats(df).collect()}
+    for u, sr, ch in (("bare", 32000, 1), ("tagged", 44100, 2)):
+        assert out[u]["media_type"] == "audio/mpeg"
+        assert not out[u]["decoded"]
+        assert out[u]["decode_error"] == "header-only"
+        assert out[u]["sample_rate"] == sr
+        assert out[u]["n_channels"] == ch
+    assert out["id3only"]["decode_error"].startswith("unsupported")
