@@ -101,8 +101,9 @@ def decode_media(payload: bytes, media_type: str):
     fixed/LPC predictors, stereo decorrelation, CRC-verified frames).
     ``image/tiff`` decodes for real —
     baseline strip subset (`kernels/tiff_codec.py`: II/MM, 8-bit
-    gray/RGB, none/PackBits/LZW ± horizontal predictor, strips and
-    tiles; planar/JPEG-in-TIFF route as unsupported).
+    gray/RGB 8/16-bit, none/PackBits/LZW ± horizontal predictor,
+    strips, tiles and planar planes; JPEG-in-TIFF routes as
+    unsupported).
     ``image/x-icon`` (favicons) decodes
     for real — embedded-PNG and 1/4/8/24/32-bit DIB entries with AND-
     mask transparency (`kernels/ico_codec.py`), largest entry chosen.

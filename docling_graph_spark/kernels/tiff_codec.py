@@ -2,11 +2,13 @@
 
 TIFF shows up on crawls as scanned documents and publishing assets.
 This decodes the subset that covers most of them: both byte orders
-(II/MM), the first IFD, strip-based AND tiled storage, 8-bit samples,
-grayscale (photometric 0/1) and RGB (2), uncompressed (1), LZW (5,
-with the TIFF early-change code widths and the optional horizontal-
-differencing predictor, tag 317) and PackBits (32773) compression.
-Planar configuration 2, JPEG-in-TIFF, and other depths raise
+(II/MM), the first IFD, strip-based AND tiled storage, 8-bit samples
+plus 16-bit via the standard high-byte reduction, grayscale
+(photometric 0/1) and RGB (2), uncompressed (1), LZW (5, with the
+TIFF early-change code widths and the optional horizontal-
+differencing predictor, tag 317) and PackBits (32773) compression,
+and planar configuration 2 (per-sample strip planes).  JPEG-in-TIFF,
+planar tiles, 16-bit prediction and other depths raise
 NotImplementedError — routed to the error column upstream like every
 other codec.  The shared MAX_PIXELS decompression-bomb guard applies
 (PackBits expands 128:1; LZW far more), and every decompressor stops
@@ -246,7 +248,11 @@ def decode_tiff(data: bytes) -> DecodedTiff:
             "-pixel decode guard (decompression-bomb protection)")
     spp = one(277, 1)
     bits = tags.get(258, [8])
-    if any(b != 8 for b in bits):
+    if all(b == 8 for b in bits):
+        sb = 1
+    elif all(b == 16 for b in bits):
+        sb = 2                           # round 5: high-byte reduction
+    else:
         raise NotImplementedError(f"TIFF bit depths {bits} unsupported")
     comp = one(259, 1)
     if comp not in (1, 5, 32773):
@@ -257,16 +263,24 @@ def decode_tiff(data: bytes) -> DecodedTiff:
     if photo not in (0, 1, 2):
         raise NotImplementedError(
             f"TIFF photometric {photo} unsupported")
-    if one(284, 1) != 1:
-        raise NotImplementedError("planar configuration 2 unsupported")
+    planar = one(284, 1)
+    if planar not in (1, 2):
+        raise NotImplementedError(f"planar configuration {planar} "
+                                  "unsupported")
+    if planar == 2 and (322 in tags or 323 in tags):
+        raise NotImplementedError("planar tiled TIFF unsupported")
     if spp not in (1, 3):
         raise NotImplementedError(f"{spp} samples/pixel unsupported")
     predictor = one(317, 1)
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} "
                                   "unsupported")
+    if predictor == 2 and sb == 2:
+        raise NotImplementedError(
+            "16-bit horizontal predictor unsupported")
 
-    def segment(raw: bytes, expected: int, row_w: int) -> bytes:
+    def segment(raw: bytes, expected: int, row_w: int,
+                seg_spp: int) -> bytes:
         if comp == 1:
             if len(raw) < expected:
                 raise ValueError("truncated TIFF segment")
@@ -277,11 +291,11 @@ def decode_tiff(data: bytes) -> DecodedTiff:
             seg = _packbits_decode(raw, expected)
         if predictor == 2:
             buf = bytearray(seg)
-            _undo_h_predictor(buf, row_w, spp)
+            _undo_h_predictor(buf, row_w, seg_spp)
             seg = bytes(buf)
         return seg
 
-    stride = width * spp
+    stride = width * spp * sb
     if 322 in tags or 323 in tags:       # tiled layout
         tw, tl = one(322), one(323)
         if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
@@ -302,11 +316,11 @@ def decode_tiff(data: bytes) -> DecodedTiff:
             for tx in range(across):
                 ti = ty * across + tx
                 raw = data[t_offsets[ti]:t_offsets[ti] + t_counts[ti]]
-                tile = segment(raw, tl * tw * spp, tw)
-                copy_w = min(tw, width - tx * tw) * spp
+                tile = segment(raw, tl * tw * spp * sb, tw, spp)
+                copy_w = min(tw, width - tx * tw) * spp * sb
                 for r in range(min(tl, height - ty * tl)):
-                    src = r * tw * spp
-                    dst = (ty * tl + r) * stride + tx * tw * spp
+                    src = r * tw * spp * sb
+                    dst = (ty * tl + r) * stride + tx * tw * spp * sb
                     out[dst:dst + copy_w] = tile[src:src + copy_w]
     else:                                # strip layout
         offsets = tags.get(273)
@@ -314,14 +328,48 @@ def decode_tiff(data: bytes) -> DecodedTiff:
         if not offsets or not counts or len(offsets) != len(counts):
             raise ValueError("TIFF missing strip layout")
         rows_per_strip = one(278, height)
-        out = bytearray()
-        for si, (soff, scnt) in enumerate(zip(offsets, counts)):
-            rows = min(rows_per_strip, height - si * rows_per_strip)
-            if rows <= 0:
-                break
-            out += segment(data[soff:soff + scnt], rows * stride, width)
-        if len(out) != height * stride:
-            raise ValueError("TIFF strip data does not cover the image")
+        if planar == 2:
+            # round 5: separate planes — strips grouped per sample,
+            # predictor rows are single-sample rows, planes interleave
+            # at the end
+            spl = _div_ceil(height, rows_per_strip)
+            if len(offsets) < spl * spp:
+                raise ValueError("planar TIFF missing plane strips")
+            planes = []
+            for pi in range(spp):
+                pbuf = bytearray()
+                for si in range(spl):
+                    rows = min(rows_per_strip,
+                               height - si * rows_per_strip)
+                    k = pi * spl + si
+                    pbuf += segment(data[offsets[k]:offsets[k]
+                                         + counts[k]],
+                                    rows * width * sb, width, 1)
+                if len(pbuf) != height * width * sb:
+                    raise ValueError(
+                        "TIFF plane data does not cover the image")
+                planes.append(pbuf)
+            out = bytearray(height * stride)
+            for i in range(height * width):
+                for pi in range(spp):
+                    out[(i * spp + pi) * sb:(i * spp + pi + 1) * sb]                         = planes[pi][i * sb:(i + 1) * sb]
+        else:
+            out = bytearray()
+            for si, (soff, scnt) in enumerate(zip(offsets, counts)):
+                rows = min(rows_per_strip, height - si * rows_per_strip)
+                if rows <= 0:
+                    break
+                out += segment(data[soff:soff + scnt], rows * stride,
+                               width, spp)
+            if len(out) != height * stride:
+                raise ValueError(
+                    "TIFF strip data does not cover the image")
+    if sb == 2:
+        # 16-bit: standard high-byte reduction (PNG-style), honoring
+        # the file byte order
+        hi = 1 if fmt == "<" else 0
+        out = bytearray(out[i * 2 + hi]
+                        for i in range(height * width * spp))
     if photo == 0:  # WhiteIsZero: invert to the shared convention
         out = bytearray(255 - b for b in out)
     return DecodedTiff(width, height, spp, bytes(out))
@@ -335,7 +383,8 @@ def encode_tiff(width: int, height: int, channels: int, pixels: bytes,
                 packbits: bool = False, big_endian: bool = False,
                 rows_per_strip: int = 0, lzw: bool = False,
                 predictor: int = 1,
-                tile: "tuple[int, int] | None" = None) -> bytes:
+                tile: "tuple[int, int] | None" = None,
+                planar: bool = False, depth16: bool = False) -> bytes:
     """Fixture TIFF: gray (1 channel) or RGB (3); uncompressed,
     PackBits or LZW (optionally with the horizontal-differencing
     predictor); strip-based (optionally multi-strip) or tiled
@@ -343,13 +392,22 @@ def encode_tiff(width: int, height: int, channels: int, pixels: bytes,
     either byte order."""
     assert channels in (1, 3) and len(pixels) == width * height * channels
     assert predictor in (1, 2)
+    assert not (planar and tile) and not (depth16 and predictor == 2)
     fmt = ">" if big_endian else "<"
     comp = 5 if lzw else (32773 if packbits else 1)
-    stride = width * channels
+    sb = 2 if depth16 else 1
+    if depth16:
+        # 16-bit samples as v*257 ((v<<8)|v): byte-order symmetric and
+        # exactly reversible under the decoder's high-byte reduction
+        wide = bytearray()
+        for v in pixels:
+            wide += bytes((v, v))
+        pixels = bytes(wide)
+    stride = width * channels * sb
 
-    def compress(seg: bytes, row_w: int) -> bytes:
+    def compress(seg: bytes, row_w: int, seg_spp: int) -> bytes:
         if predictor == 2:
-            seg = _apply_h_predictor(seg, row_w, channels)
+            seg = _apply_h_predictor(seg, row_w, seg_spp)
         if comp == 5:
             return _lzw_encode(seg)
         if comp == 32773:
@@ -362,28 +420,41 @@ def encode_tiff(width: int, height: int, channels: int, pixels: bytes,
         assert tw % 16 == 0 and tl % 16 == 0
         for ty in range(0, height, tl):
             for tx in range(0, width, tw):
-                buf = bytearray(tl * tw * channels)
-                copy_w = min(tw, width - tx) * channels
+                buf = bytearray(tl * tw * channels * sb)
+                copy_w = min(tw, width - tx) * channels * sb
                 for r in range(min(tl, height - ty)):
-                    src = (ty + r) * stride + tx * channels
-                    dst = r * tw * channels
+                    src = (ty + r) * stride + tx * channels * sb
+                    dst = r * tw * channels * sb
                     buf[dst:dst + copy_w] = pixels[src:src + copy_w]
-                segs.append(compress(bytes(buf), tw))
+                segs.append(compress(bytes(buf), tw, channels))
+    elif planar:
+        rows_per_strip = rows_per_strip or height
+        for pi in range(channels):
+            plane = bytes(b for i in range(width * height)
+                          for b in pixels[(i * channels + pi) * sb:
+                                          (i * channels + pi + 1) * sb])
+            prow = width * sb
+            for y0 in range(0, height, rows_per_strip):
+                rows = min(rows_per_strip, height - y0)
+                segs.append(compress(
+                    plane[y0 * prow:(y0 + rows) * prow], width, 1))
     else:
         rows_per_strip = rows_per_strip or height
         for y0 in range(0, height, rows_per_strip):
             chunk = pixels[y0 * stride:(y0 + min(rows_per_strip,
                                                  height - y0)) * stride]
-            segs.append(compress(chunk, width))
+            segs.append(compress(chunk, width, channels))
 
     entries: List[tuple] = [
         (256, 4, [width]),
         (257, 4, [height]),
-        (258, 3, [8] * channels),
+        (258, 3, [16 if depth16 else 8] * channels),
         (259, 3, [comp]),
         (262, 3, [2 if channels == 3 else 1]),
         (277, 3, [channels]),
     ]
+    if planar:
+        entries.append((284, 3, [2]))
     if predictor == 2:
         entries.append((317, 3, [2]))
     if tile:
