@@ -28,6 +28,10 @@ from typing import NamedTuple
 
 WAVE_FORMAT_PCM = 1
 WAVE_FORMAT_IEEE_FLOAT = 3
+WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+# KSDATAFORMAT_SUBTYPE_* GUID remainder after the format-tag u16
+_KS_GUID_TAIL = bytes((0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
+                       0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71))
 
 
 def _quant16(f: float) -> int:
@@ -103,6 +107,7 @@ def decode_wav(payload: bytes) -> DecodedWav:
         raise ValueError("truncated RIFF payload")
 
     fmt_fields = None
+    fmt_ext = None
     data = None
     pos = 12
     end = min(len(b), 8 + riff_size)  # trailing bytes after the RIFF
@@ -116,6 +121,7 @@ def decode_wav(payload: bytes) -> DecodedWav:
             if csize < 16:
                 raise ValueError("fmt chunk too small")
             fmt_fields = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_ext = body[16:]
         elif cid == b"data":
             data = body
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned
@@ -125,6 +131,18 @@ def decode_wav(payload: bytes) -> DecodedWav:
     if data is None:
         raise ValueError("missing data chunk")
     audio_format, n_channels, sample_rate, _rate, _align, bits = fmt_fields
+    if audio_format == WAVE_FORMAT_EXTENSIBLE:
+        # round 5: the modern default for >2ch / >16-bit writers wraps
+        # the real format in a fmt-chunk extension: cbSize(2) +
+        # valid-bits(2) + channel mask(4) + SubFormat GUID whose first
+        # u16 is the wrapped format tag (KSDATAFORMAT_SUBTYPE_* GUIDs
+        # share the fixed remainder)
+        if fmt_ext is None or len(fmt_ext) < 24:
+            raise ValueError("extensible WAV missing SubFormat")
+        audio_format = struct.unpack_from("<H", fmt_ext, 8)[0]
+        if fmt_ext[10:24] != _KS_GUID_TAIL:
+            raise NotImplementedError(
+                "extensible WAV with a non-KS SubFormat GUID")
     if audio_format == WAVE_FORMAT_IEEE_FLOAT:
         if n_channels <= 0 or sample_rate <= 0:
             raise ValueError("invalid channel count or sample rate")

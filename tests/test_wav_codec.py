@@ -138,3 +138,64 @@ def test_ieee_float_wav_decodes_quantized():
     assert dec.samples[1] == 16384 and dec.samples[2] == -16384
     assert dec.samples[4] == -32768
     assert dec.samples[5] == 1  # subnormal-ish tiny value rounds to 1?
+
+
+# ---------------------------------------------------------------------------
+# Round 5: WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+# ---------------------------------------------------------------------------
+
+
+def _extensible(sub_fmt: int, fmt_tail: bytes, bits: int,
+                data: bytes, ch: int = 2, rate: int = 8000) -> bytes:
+    import struct
+
+    from docling_graph_spark.kernels import wav_codec as WV
+
+    sub = struct.pack("<H", sub_fmt) + fmt_tail
+    fmt = struct.pack("<HHIIHH", 0xFFFE, ch, rate,
+                      rate * ch * bits // 8, ch * bits // 8, bits) \
+        + struct.pack("<HHI", 22, bits, (1 << ch) - 1) + sub
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_extensible_pcm_and_float_unwrap():
+    import struct
+
+    from docling_graph_spark.kernels import wav_codec as WV
+
+    samples = [100, -200, 300, -400, 500, -600]
+    wav = _extensible(1, WV._KS_GUID_TAIL, 16,
+                      struct.pack("<6h", *samples))
+    d = WV.decode_wav(wav)
+    assert (d.n_channels, d.sample_rate, d.n_frames) == (2, 8000, 3)
+    assert d.samples == samples
+    floats = [0.5, -0.25, 1.0, -1.0]
+    wavf = _extensible(3, WV._KS_GUID_TAIL, 32,
+                       struct.pack("<4f", *floats))
+    df = WV.decode_wav(wavf)
+    assert df.samples == [WV._quant16(f) for f in floats]
+
+
+def test_extensible_bad_subformat_routes():
+    import struct
+
+    import pytest
+
+    from docling_graph_spark.kernels import wav_codec as WV
+
+    wav = _extensible(1, b"X" * 14, 16, struct.pack("<2h", 1, 2))
+    with pytest.raises(NotImplementedError, match="GUID"):
+        WV.decode_wav(wav)
+    # truncated extension
+    wav2 = bytearray(_extensible(1, WV._KS_GUID_TAIL, 16,
+                                 struct.pack("<2h", 1, 2)))
+    i = wav2.index(b"fmt ")
+    wav2[i + 4:i + 8] = struct.pack("<I", 16)     # claim no extension
+    # rebuild is invalid RIFF sizes; just assert a routed error type
+    try:
+        WV.decode_wav(bytes(wav2))
+        assert False, "should have raised"
+    except (ValueError, NotImplementedError):
+        pass
