@@ -12,7 +12,14 @@ parser for the common "simple" shape of machine-generated PDFs:
   and their member objects added to the object table, which is what
   PDF 1.5+ cross-reference-stream files need; the ``/Type /XRef``
   stream itself carries only object locations and is ignored);
-* stream decoding: raw or ``/Filter /FlateDecode`` via stdlib ``zlib``;
+* stream decoding (round 5: the full standard filter chain): raw,
+  ``FlateDecode`` (stdlib zlib, bounded inflate), ``LZWDecode``
+  (the shared early-change LZW kernel, EarlyChange=0 honored),
+  ``ASCIIHexDecode``, ``ASCII85Decode`` and ``RunLengthDecode``,
+  applied in /Filter array order, with PNG predictors 10-15
+  (/DecodeParms Predictor/Columns/Colors/BitsPerComponent) undone via
+  the shared PNG defilter; /Crypt and image-only filters route as
+  undecodable rather than mis-extracting;
 * page discovery via ``/Type /Page`` objects and their ``/Contents``
   references (single ref or array), pages ordered by object number;
 * content-stream tokenization: literal strings with the full escape set
@@ -49,7 +56,14 @@ _CONTENTS_REF_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[(.*?)\]", re.DOTALL)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _PAGE_TYPE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
-_FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode\b")
+_FILTER_RE = re.compile(
+    rb"/Filter\s*(/[A-Za-z0-9]+|\[(?:\s*/[A-Za-z0-9]+)*\s*\])")
+_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+_PRED_RE = re.compile(rb"/Predictor\s+(\d+)\b")
+_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)\b")
+_COLORS_RE = re.compile(rb"/Colors\s+(\d+)\b")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)\b")
+_EARLY_RE = re.compile(rb"/EarlyChange\s+(\d+)\b")
 
 # PDF delimiters for the content tokenizer
 _WHITESPACE = b"\x00\t\n\x0c\r "
@@ -334,19 +348,131 @@ def _decode_stream(obj_body: bytes) -> Optional[bytes]:
             b"endstream"
         ):
             raw = exact
-    if _FLATE_RE.search(obj_body[: m.start()]):
+    dct = obj_body[: m.start()]
+    fm = _FILTER_RE.search(dct)
+    if not fm:
+        return raw
+    filters = [n.decode("ascii") for n in _NAME_RE.findall(fm.group(1))]
+    data = raw
+    for name in filters:
         try:
-            # bounded inflate: a deflate bomb in a content stream must
-            # not expand past the cap (routed as undecodable, never an
-            # executor OOM)
-            out = zlib.decompressobj().decompress(raw,
-                                                  MAX_STREAM_BYTES + 1)
-            if len(out) > MAX_STREAM_BYTES:
-                return None
-            return out
-        except zlib.error:
+            data = _apply_filter(name, data, dct)
+        except (ValueError, NotImplementedError, zlib.error):
             return None
-    return raw
+        if data is None or len(data) > MAX_STREAM_BYTES:
+            return None
+    return data
+
+
+def _apply_filter(name: str, data: bytes, dct: bytes):
+    """One standard stream filter (round 5: the full decode chain —
+    Flate, LZW incl. EarlyChange, ASCIIHex, ASCII85, RunLength — plus
+    the PNG predictors 10-15 via the shared png_codec defilter;
+    /Crypt and image filters (DCT/JPX/CCITT/JBIG2) return None and
+    route as undecodable rather than mis-extracting)."""
+    if name == "FlateDecode":
+        # bounded inflate: a deflate bomb in a content stream must not
+        # expand past the cap (routed as undecodable, never an OOM)
+        out = zlib.decompressobj().decompress(data,
+                                              MAX_STREAM_BYTES + 1)
+        if len(out) > MAX_STREAM_BYTES:
+            return None
+        return _unpredict(out, dct)
+    if name == "LZWDecode":
+        from .tiff_codec import _lzw_decode
+
+        em = _EARLY_RE.search(dct)
+        out = _lzw_decode(data, None,
+                          early_change=(em is None
+                                        or em.group(1) != b"0"))
+        return _unpredict(out, dct)
+    if name == "ASCIIHexDecode":
+        body = data.split(b">")[0]
+        hx = bytes(c for c in body
+                   if c not in b" \t\r\n\x0c\x00")
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+    if name == "ASCII85Decode":
+        return _a85_decode(data)
+    if name == "RunLengthDecode":
+        return _rl_decode(data)
+    return None
+
+
+def _unpredict(data: bytes, dct: bytes) -> "Optional[bytes]":
+    pm = _PRED_RE.search(dct)
+    pred = int(pm.group(1)) if pm else 1
+    if pred <= 1:
+        return data
+    if pred < 10:
+        return None                      # TIFF predictor 2: rare, route
+    cm = _COLUMNS_RE.search(dct)
+    colm = _COLORS_RE.search(dct)
+    bm = _BPC_RE.search(dct)
+    columns = int(cm.group(1)) if cm else 1
+    colors = int(colm.group(1)) if colm else 1
+    bpc = int(bm.group(1)) if bm else 8
+    bpp = max(1, (colors * bpc + 7) // 8)
+    stride = (columns * colors * bpc + 7) // 8
+    if stride <= 0 or len(data) % (stride + 1):
+        return None
+    from .png_codec import _defilter
+
+    height = len(data) // (stride + 1)
+    return bytes(_defilter(data, height, stride, bpp))
+
+
+def _a85_decode(data: bytes) -> bytes:
+    body = data.split(b"~>")[0]
+    out = bytearray()
+    group = []
+    for c in body:
+        if c in b" \t\r\n\x0c\x00":
+            continue
+        if c == 0x7A:                    # 'z' -> four zero bytes
+            if group:
+                raise ValueError("z inside ASCII85 group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise ValueError("bad ASCII85 character")
+        group.append(c - 33)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        k = len(group)
+        if k == 1:
+            raise ValueError("dangling ASCII85 digit")
+        v = 0
+        for g in group + [84] * (5 - k):
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _rl_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ln = data[i]
+        i += 1
+        if ln == 128:                    # EOD
+            break
+        if ln < 128:
+            out += data[i:i + ln + 1]
+            i += ln + 1
+        else:
+            if i >= n:
+                raise ValueError("truncated RunLength stream")
+            out += bytes([data[i]]) * (257 - ln)
+            i += 1
+    return bytes(out)
 
 
 _OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")

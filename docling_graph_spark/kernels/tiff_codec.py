@@ -79,19 +79,24 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _lzw_decode(data: bytes, expected: int) -> bytes:
+def _lzw_decode(data: bytes, expected: "int | None",
+                early_change: bool = True) -> bytes:
     """TIFF-variant LZW: MSB-first codes, Clear=256/EOI=257, 9→12 bit
     codes with the early change — the decoder widens when the table
-    reaches 511/1023/2047 entries (one before the power of two).  This
-    is the same algorithm PDF's LZWDecode inherits (EarlyChange=1).
-    Output is clamped to ``expected`` so hostile streams can't balloon
-    memory (the table itself is capped at 4096 entries; once full,
-    appends stop until the next Clear — the deferred-clear behaviour
-    real decoders implement)."""
+    reaches 511/1023/2047 entries (one before the power of two; with
+    ``early_change=False``, PDF's EarlyChange=0, one after).  This is
+    the same algorithm PDF's LZWDecode inherits.  With ``expected``
+    the output is clamped to that size; with ``expected=None`` (the
+    PDF stream case, unknown size) decode runs to EOI or input end,
+    capped at 2^26 bytes (the table itself is capped at 4096 entries;
+    once full, appends stop until the next Clear — the deferred-clear
+    behaviour real decoders implement)."""
     out = bytearray()
     acc = accbits = pos = 0
     code_size = 9
     table: List[bytes] = []
+    cap = expected if expected is not None else (1 << 26)
+    widen = (511, 1023, 2047) if early_change else (512, 1024, 2048)
 
     def reset() -> None:
         nonlocal table, code_size
@@ -101,9 +106,11 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
     reset()
     prev: bytes | None = None
     n = len(data)
-    while len(out) < expected:
+    while len(out) < cap:
         while accbits < code_size:
             if pos >= n:
+                if expected is None:
+                    return bytes(out)     # unterminated: all we have
                 raise ValueError("truncated LZW data")
             acc = (acc << 8) | data[pos]
             pos += 1
@@ -129,13 +136,13 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
                 raise ValueError("corrupt LZW stream (code gap)")
             if len(table) < 4096:
                 table.append(prev + entry[:1])
-                if len(table) in (511, 1023, 2047):
+                if len(table) in widen:
                     code_size += 1
         out += entry
         prev = entry
-    if len(out) < expected:
+    if expected is not None and len(out) < expected:
         raise ValueError("LZW data does not cover the segment")
-    return bytes(out[:expected])
+    return bytes(out[:cap])
 
 
 def _lzw_encode(data: bytes) -> bytes:

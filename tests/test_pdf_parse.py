@@ -440,3 +440,84 @@ def test_bfrange_overflow_skips_out_of_range_tail():
     parsed = _parse_tounicode(cmap)
     assert parsed["map"][0x10] == "￾"
     assert 0x13 not in parsed["map"]  # 0x10001 won't fit 2 bytes
+
+
+# ---------------------------------------------------------------------------
+# Round 5: the full standard stream-filter chain
+# ---------------------------------------------------------------------------
+
+
+def _one_stream_pdf(filter_spec: str, payload: bytes) -> bytes:
+    return (b"%PDF-1.4\n4 0 obj\n<< /Length "
+            + str(len(payload)).encode() + b" " + filter_spec.encode()
+            + b" >>\nstream\n" + payload
+            + b"\nendstream\nendobj\ntrailer\n<< /Root 4 0 R >>\n%%EOF\n")
+
+
+def test_stream_filters_decode():
+    import base64
+
+    from docling_graph_spark.kernels.tiff_codec import _lzw_encode
+
+    text = "filter chain test\nsecond line 42"
+    stream = f"BT ({text}) Tj ET".encode()
+    cases = {
+        "/Filter /LZWDecode": _lzw_encode(stream),
+        "/Filter /ASCIIHexDecode": stream.hex().encode() + b">",
+        "/Filter /ASCII85Decode": base64.a85encode(stream) + b"~>",
+        "/Filter /RunLengthDecode":
+            bytes([len(stream) - 1]) + stream + b"\x80",
+        "/Filter [/ASCIIHexDecode /LZWDecode]":
+            _lzw_encode(stream).hex().encode() + b">",
+    }
+    for spec, payload in cases.items():
+        got, err = P.extract_real_pdf_text(_one_stream_pdf(spec,
+                                                           payload))
+        assert err is None and got == text, (spec, err, got)
+
+
+def test_flate_png_predictor_up():
+    import zlib
+
+    text = "predictor rows here"
+    stream = f"BT ({text}) Tj ET".encode()
+    cols = 8
+    rows = [stream[i:i + cols].ljust(cols, b" ")
+            for i in range(0, len(stream), cols)]
+    filt = bytearray()
+    prev = bytes(cols)
+    for r in rows:
+        filt += b"\x02" + bytes((r[i] - prev[i]) & 0xFF
+                                for i in range(cols))
+        prev = r
+    z = zlib.compress(bytes(filt))
+    spec = ("/Filter /FlateDecode /DecodeParms "
+            "<< /Predictor 12 /Columns 8 >>")
+    got, err = P.extract_real_pdf_text(_one_stream_pdf(spec, z))
+    assert err is None and text in got
+
+
+def test_lzw_early_change_zero_variant():
+    """EarlyChange 0 shifts the code-width thresholds by one; both
+    variants of a stream long enough to cross 9->10 bits decode."""
+    from docling_graph_spark.kernels.tiff_codec import (_lzw_decode,
+                                                        _lzw_encode)
+    import random
+
+    rng = random.Random(4)
+    data = bytes(rng.randrange(256) for _ in range(900))
+    enc = _lzw_encode(data)
+    assert _lzw_decode(enc, None, early_change=True) == data
+    # decoding with the wrong variant must desync — either detected
+    # loudly (code gap) or as different output, never silent identity
+    try:
+        got = _lzw_decode(enc, None, early_change=False)
+        assert got != data
+    except ValueError:
+        pass
+
+
+def test_unsupported_filters_route_not_garbage():
+    pdf = _one_stream_pdf("/Filter /DCTDecode", b"\xff\xd8\xff junk")
+    got, err = P.extract_real_pdf_text(pdf)
+    assert got == ""                     # no text, no crash, no garbage
