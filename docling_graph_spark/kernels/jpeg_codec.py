@@ -345,7 +345,8 @@ def decode_jpeg(data: bytes) -> DecodedJpeg:
                                 restart_interval)
         pos += seglen
     if progressive and coefs:
-        return _finish_progressive(comps, coefs, qtables, width, height)
+        return _orient(_finish_progressive(comps, coefs, qtables,
+                                           width, height), data)
     raise ValueError("no SOS marker found")
 
 
@@ -404,7 +405,8 @@ def _decode_scan(data, pos, width, height, comps, scan_map, qtables,
                         x0 = (mx * c.h + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px
 
-    return _assemble(comps, planes, width, height, hmax, vmax)
+    return _orient(_assemble(comps, planes, width, height, hmax,
+                             vmax), data)
 
 
 def _assemble(comps, planes, width, height, hmax, vmax) -> DecodedJpeg:
@@ -633,6 +635,84 @@ def _finish_progressive(comps, coefs, qtables, width, height
         px = np.clip(_round_half_up(px), 0, 255)
         planes.append(px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
     return _assemble(comps, planes, width, height, hmax, vmax)
+
+
+def exif_orientation(data: bytes) -> int:
+    """Tag 274 from an APP1 Exif segment (round 5): the embedded Exif
+    body is a TIFF IFD, parsed by the shared tiff_codec reader; 1
+    (upright) when absent or unparseable — metadata must never make an
+    otherwise-decodable image fail."""
+    import struct as _st
+
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n and data[pos] == 0xFF:
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+            continue
+        if marker in (0xD9, 0xDA):
+            break
+        seglen = int.from_bytes(data[pos:pos + 2], "big")
+        seg = data[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            t = seg[6:]
+            fmt = "<" if t[:2] == b"II" else \
+                ">" if t[:2] == b"MM" else None
+            if fmt is None:
+                return 1
+            try:
+                from .tiff_codec import _read_ifd
+
+                (off,) = _st.unpack_from(fmt + "I", t, 4)
+                o = _read_ifd(t, fmt, off).get(274, [1])[0]
+                return o if 1 <= o <= 8 else 1
+            except Exception:
+                return 1
+    return 1
+
+
+def _orient(dec: DecodedJpeg, data: bytes) -> DecodedJpeg:
+    """Apply the Exif orientation the way browsers do, so pixel
+    consumers (pHash dedup above all) see the upright image."""
+    o = exif_orientation(data)
+    if o <= 1:
+        return dec
+    a = np.frombuffer(dec.pixels, np.uint8).reshape(
+        dec.height, dec.width, dec.channels)
+    if o == 2:
+        a = a[:, ::-1]
+    elif o == 3:
+        a = a[::-1, ::-1]
+    elif o == 4:
+        a = a[::-1]
+    elif o == 5:                         # transpose (TL-BR mirror)
+        a = a.transpose(1, 0, 2)
+    elif o == 6:                         # rotate 90 CW
+        a = a.transpose(1, 0, 2)[:, ::-1]
+    elif o == 7:                         # transverse
+        a = a.transpose(1, 0, 2)[::-1, ::-1]
+    else:                                # 8: rotate 270 CW
+        a = a.transpose(1, 0, 2)[::-1]
+    h2, w2 = a.shape[0], a.shape[1]
+    return DecodedJpeg(w2, h2, dec.channels, np.ascontiguousarray(a)
+                       .tobytes())
+
+
+def make_exif_app1(orientation: int, big_endian: bool = False) -> bytes:
+    """Fixture APP1 Exif segment carrying only tag 274."""
+    import struct as _st
+
+    fmt = ">" if big_endian else "<"
+    tiff = (b"MM" if big_endian else b"II") \
+        + _st.pack(fmt + "HI", 0x2A, 8) \
+        + _st.pack(fmt + "H", 1) \
+        + _st.pack(fmt + "HHI", 274, 3, 1) \
+        + _st.pack(fmt + "HH", orientation, 0) \
+        + _st.pack(fmt + "I", 0)
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + _st.pack(">H", len(body) + 2) + body
 
 
 # ---------------------------------------------------------------------------

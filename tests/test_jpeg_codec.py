@@ -209,3 +209,63 @@ def test_progressive_through_decode_media():
     dec = decode_media(data, "image/jpeg")
     base = decode_media(J.encode_jpeg_gray(16, 8, img), "image/jpeg")
     assert dec.pixels == base.pixels
+
+
+# ---------------------------------------------------------------------------
+# Round 5: EXIF orientation (tag 274 in the APP1 TIFF IFD)
+# ---------------------------------------------------------------------------
+
+
+def test_exif_orientation_applied_like_browsers():
+    import numpy as np
+
+    w, h = 16, 8
+    img = bytes((x * 16) % 256 for y in range(h) for x in range(w))
+    base = J.encode_jpeg_gray(w, h, img)
+    a1 = np.frombuffer(J.decode_jpeg(base).pixels,
+                       np.uint8).reshape(h, w)
+    cases = {1: a1, 2: a1[:, ::-1], 3: a1[::-1, ::-1], 4: a1[::-1],
+             5: a1.transpose(), 6: np.rot90(a1, k=-1),
+             # 7 (transverse: row0=right, col0=bottom) = transpose+180
+             7: a1.transpose()[::-1, ::-1], 8: np.rot90(a1, k=1)}
+    for o, expect in cases.items():
+        tagged = base[:2] + J.make_exif_app1(o, big_endian=o % 2 == 0) \
+            + base[2:]
+        assert J.exif_orientation(tagged) == o
+        d = J.decode_jpeg(tagged)
+        got = np.frombuffer(d.pixels, np.uint8).reshape(d.height,
+                                                        d.width)
+        assert np.array_equal(got, expect), o
+
+
+def test_exif_orientation_makes_rotated_copies_near_dups(spark):
+    """The dedup payoff: a 90°-rotated-with-metadata copy hashes like
+    the upright original once orientation is applied."""
+    import numpy as np
+
+    from docling_graph_spark.operators.multimodal import image_near_dup
+
+    rng = np.random.default_rng(3)
+    low = rng.integers(30, 226, size=(6, 8)).astype(float)
+    yy = np.clip(np.linspace(0, 5, 48), 0, 5)
+    xx = np.linspace(0, 7, 48)
+    rows = np.array([np.interp(xx, np.arange(8), low[int(round(v))])
+                     for v in yy])
+    img = np.clip(rows, 0, 255).astype(np.uint8)
+    base = J.encode_jpeg_gray(48, 48, img.tobytes())
+    # physically rotate the pixels, then tag the file to rotate BACK
+    rot = np.ascontiguousarray(np.rot90(img, k=1))   # 90 CCW pixels
+    rot_jpg = J.encode_jpeg_gray(48, 48, rot.tobytes())
+    tagged = rot_jpg[:2] + J.make_exif_app1(6) + rot_jpg[2:]
+    df = spark.createDataFrame(
+        [("up", bytearray(base)), ("rot", bytearray(tagged))],
+        "url string, html binary")
+    pairs = image_near_dup(df, max_hamming=8).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] <= 6
+
+
+def test_malformed_exif_never_fails_decode():
+    base = J.encode_jpeg_gray(8, 8, bytes(range(64)))
+    bad = base[:2] + b"\xff\xe1\x00\x0aExif\x00\x00XX" + base[2:]
+    assert J.exif_orientation(bad) == 1
+    assert J.decode_jpeg(bad).width == 8
