@@ -44,7 +44,11 @@ def test_bmp_unsupported_routes():
     data = bytearray(B.encode_bmp_rgb(4, 3, bytes(36)))
     import struct
 
-    struct.pack_into("<I", data, 30, 1)  # BI_RLE8
+    # round 5: RLE8 decodes now; mismatched depth for it routes
+    struct.pack_into("<I", data, 30, 1)  # BI_RLE8 on a 24-bit image
+    with pytest.raises(ValueError, match="mismatch"):
+        B.decode_bmp(bytes(data))
+    struct.pack_into("<I", data, 30, 3)  # BI_BITFIELDS
     with pytest.raises(NotImplementedError, match="compression"):
         B.decode_bmp(bytes(data))
     with pytest.raises(ValueError):
@@ -192,3 +196,96 @@ def test_gif_single_frame_unchanged_by_animation_support():
     assert dec.n_frames == 1
     want = b"".join(pal[i] for i in idx)
     assert dec.pixels == want
+
+
+# ---------------------------------------------------------------------------
+# Round 5: BMP RLE8 + sub-8-bit palette depths
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_rle8_roundtrip_and_semantics():
+    import random
+
+    from docling_graph_spark.kernels import bmp_codec as B
+
+    rng = random.Random(6)
+    pal = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+           for _ in range(8)]
+    for w, h in [(7, 5), (23, 11), (64, 3)]:
+        idx = bytes(rng.randrange(8) if rng.random() < 0.5 else 3
+                    for _ in range(w * h))
+        d = B.decode_bmp(B.encode_bmp_rle8(w, h, idx, pal))
+        assert (d.width, d.height, d.channels) == (w, h, 3)
+        assert d.pixels == b"".join(bytes(pal[i]) for i in idx)
+
+
+def test_bmp_rle8_delta_and_early_eob_leave_zero_entry():
+    import struct as st
+
+    from docling_graph_spark.kernels import bmp_codec as B
+
+    pal = [(9, 9, 9), (200, 10, 10)]
+    # hand-built stream: 3 pixels of color 1, delta (2,1), 2 pixels of
+    # color 1, EOB — skipped cells stay palette entry 0
+    body = bytes((3, 1, 0, 2, 2, 1, 2, 1, 0, 1))
+    palb = b"".join(bytes((c[2], c[1], c[0], 0)) for c in pal)
+    off = 14 + 40 + len(palb)
+    hdr = b"BM" + st.pack("<IHHI", off + len(body), 0, 0, off)
+    info = st.pack("<IiiHHIIiiII", 40, 8, 3, 1, 8, 1, len(body),
+                   0, 0, 2, 0)
+    d = B.decode_bmp(hdr + info + palb + body)
+    px = d.pixels
+    # bottom row: 3 red then skip; row above (after delta dy=1,dx=2):
+    # two red at x=5,6
+    bot = px[(2 * 8) * 3:(2 * 8 + 8) * 3]
+    assert bot[:9] == bytes((200, 10, 10)) * 3
+    assert bot[9:12] == bytes((9, 9, 9))
+    mid = px[(1 * 8) * 3:(1 * 8 + 8) * 3]
+    assert mid[15:21] == bytes((200, 10, 10)) * 2
+
+
+def test_bmp_4bit_and_1bit_uncompressed():
+    import struct as st
+
+    from docling_graph_spark.kernels import bmp_codec as B
+
+    # 4-bit: 5 pixels wide (odd -> nibble padding), 2 palette colors
+    pal = [(1, 2, 3), (250, 251, 252)]
+    palb = b"".join(bytes((c[2], c[1], c[0], 0)) for c in pal)
+    rows = [[1, 0, 1, 0, 1], [0, 1, 0, 1, 0]]
+    body = bytearray()
+    for r in reversed(rows):             # bottom-up
+        packed = bytearray()
+        for i in range(0, len(r), 2):
+            hi = r[i]
+            lo = r[i + 1] if i + 1 < len(r) else 0
+            packed.append((hi << 4) | lo)
+        while len(packed) % 4:
+            packed.append(0)
+        body += packed
+    off = 14 + 40 + len(palb)
+    hdr = b"BM" + st.pack("<IHHI", off + len(body), 0, 0, off)
+    info = st.pack("<IiiHHIIiiII", 40, 5, 2, 1, 4, 0, len(body),
+                   0, 0, 2, 0)
+    d = B.decode_bmp(hdr + info + palb + bytes(body))
+    assert d.pixels[:3] == bytes((250, 251, 252))
+    assert d.pixels[3:6] == bytes((1, 2, 3))
+    # 1-bit: 10 wide
+    rows1 = [1, 0] * 5
+    packed = bytearray()
+    val = 0
+    for i, b in enumerate(rows1):
+        val = (val << 1) | b
+        if i % 8 == 7:
+            packed.append(val)
+            val = 0
+    packed.append(val << 6)
+    while len(packed) % 4:
+        packed.append(0)
+    off = 14 + 40 + len(palb)
+    hdr = b"BM" + st.pack("<IHHI", off + len(packed), 0, 0, off)
+    info = st.pack("<IiiHHIIiiII", 40, 10, 1, 1, 1, 0, len(packed),
+                   0, 0, 2, 0)
+    d = B.decode_bmp(hdr + info + palb + bytes(packed))
+    assert d.pixels[:3] == bytes((250, 251, 252))
+    assert d.pixels[3:6] == bytes((1, 2, 3))
