@@ -280,6 +280,31 @@ Round-4 merge map (same driver-cap discipline):
                         row (sum would_change, max last_chg) replayed
                         by the cap-unrolled oracle
 
+Round-5 additions (still 50 total):
+  media_pipeline_stats += vp8_decode stage (REAL lossy-WebP key-frame
+                        decode — boolean coder, intra prediction, Y2
+                        WHT, exact-integer IDCT, fixed-point YUV->RGB;
+                        solid-gray DC/TM fixtures with a fully closed-
+                        form oracle incl. the kernel's embedded DC
+                        quant lookup) and Vorbis rows in the
+                        wav_decode stage (real Ogg Vorbis decode —
+                        self-describing codebooks, floor1, residue,
+                        coupling, IMDCT; silence fixtures, closed-form
+                        oracle) and TIFF rows in the lossless_decode
+                        stage (none/PackBits/LZW ± predictor, strips
+                        and tiles, six storage variants, closed-form
+                        byte oracle) and video containers in the
+                        header_probe stage (ISO BMFF tkhd + WebM EBML
+                        geometry, six probe formats) and cross-format
+                        transcodes in the image_phash stage (doc_ids
+                        [20,28) re-encode their d-20 originals as
+                        lossless VP8L: Hamming-0 pairs, oracle via the
+                        base-pattern id)
+  hybrid_chunk_stats  vocab section now runs the FULL 30k trained
+                        WordPiece vocab (kernels/wordpiece.
+                        full_vocab_lines); oracle replays it through
+                        the lexicon-reachable piece subset
+
 Every merged section still runs its full operator; the single-purpose
 query functions remain in docling_graph_spark.queries as building blocks.
 
