@@ -39,6 +39,10 @@ What is implemented, and to what fidelity:
   streams that do not carry full coefficient-probability updates, so
   external payloads route to `decode_error` rather than decoding
   wrong pixels.
+* ALPH alpha channels (round-5 continuation) decode next to the VP8
+  frame — raw and lossless compression, all four prediction filters —
+  so transparent lossy WebP (still and ANMF animation frames) yields
+  RGBA; see webp_codec.decode_alpha.
 * The loop filter is parsed but not applied; the fixture encoder
   always emits filter_level 0, for which the spec filter is a no-op,
   so fixture decodes are bit-exact.  Non-zero filter levels raise
@@ -1396,13 +1400,31 @@ def vp8_frame_to_rgb(dec: DecodedVp8) -> bytes:
 
 def encode_webp_lossy(width: int, height: int, rgb: bytes,
                       qi: int = 8, mode: str = "dc",
-                      n_parts: int = 1) -> bytes:
-    """RIFF/WEBP container around one VP8 key frame."""
+                      n_parts: int = 1,
+                      alpha: "bytes | None" = None,
+                      alpha_filter: int = 0) -> bytes:
+    """RIFF/WEBP container around one VP8 key frame; with ``alpha``
+    (w*h bytes) a VP8X container carrying an ALPH chunk (lossless
+    alpha compression, optional prediction filter) precedes it —
+    the transparent-lossy-WebP shape (round 5)."""
     y, u, v = rgb_to_yuv420(width, height, rgb)
     frame = encode_vp8(width, height, y, u, v, qi=qi, mode=mode,
                        n_parts=n_parts)
-    chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
+    chunks = bytearray()
+    if alpha is not None:
+        from .webp_codec import encode_alpha
+
+        vp8x = bytes([0x10, 0, 0, 0]) \
+            + (width - 1).to_bytes(3, "little") \
+            + (height - 1).to_bytes(3, "little")
+        chunks += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+        ab = encode_alpha(alpha, width, height, method=1,
+                          filt=alpha_filter)
+        chunks += b"ALPH" + struct.pack("<I", len(ab)) + ab
+        if len(ab) & 1:
+            chunks += b"\x00"
+    chunks += b"VP8 " + struct.pack("<I", len(frame)) + frame
     if len(frame) & 1:
-        chunk += b"\x00"
-    riff = b"WEBP" + chunk
+        chunks += b"\x00"
+    riff = b"WEBP" + bytes(chunks)
     return b"RIFF" + struct.pack("<I", len(riff)) + riff

@@ -463,19 +463,31 @@ def decode_webp(data: bytes, max_pixels: int = MAX_PIXELS,
     canvas_w = canvas_h = 0
     bg = 0
     anmf = []
+    alph = None
     while pos + 8 <= len(data):
         fourcc = data[pos:pos + 4]
         size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
         body = data[pos + 8:pos + 8 + size]
         if fourcc == b"VP8L":
             return _decode_vp8l(body, max_pixels)
+        if fourcc == b"ALPH":
+            alph = body
         if fourcc == b"VP8 ":
             # lossy key frame: kernels/vp8_codec (round 5)
             from .vp8_codec import decode_vp8, vp8_frame_to_rgb
 
             dec = decode_vp8(body, max_pixels)
-            return DecodedWebp(dec.width, dec.height, 3,
-                               vp8_frame_to_rgb(dec))
+            rgb = vp8_frame_to_rgb(dec)
+            if alph is None:
+                return DecodedWebp(dec.width, dec.height, 3, rgb)
+            a = decode_alpha(alph, dec.width, dec.height, max_pixels)
+            out = bytearray()
+            for i in range(dec.width * dec.height):
+                out += rgb[3 * i:3 * i + 3]
+                out.append(a[i])
+            if all(v == 255 for v in a):
+                return DecodedWebp(dec.width, dec.height, 3, rgb)
+            return DecodedWebp(dec.width, dec.height, 4, bytes(out))
         if fourcc == b"VP8X" and len(body) >= 10:
             anim = bool(body[0] & 0x02)
             canvas_w = 1 + int.from_bytes(body[4:7], "little")
@@ -1040,11 +1052,14 @@ def _compose_webp_anim(cw: int, ch_: int, bg: int, frames: List[bytes],
         flags = body[15]
         sub = body[16:]
         dec = None
+        f_alph = None
         spos = 0
         while spos + 8 <= len(sub):
             fcc = sub[spos:spos + 4]
             ssz = struct.unpack("<I", sub[spos + 4:spos + 8])[0]
             sbody = sub[spos + 8:spos + 8 + ssz]
+            if fcc == b"ALPH":
+                f_alph = sbody
             if fcc == b"VP8L":
                 dec = _decode_vp8l(sbody, max_pixels)
                 break
@@ -1052,8 +1067,18 @@ def _compose_webp_anim(cw: int, ch_: int, bg: int, frames: List[bytes],
                 from .vp8_codec import decode_vp8, vp8_frame_to_rgb
 
                 d = decode_vp8(sbody, max_pixels)
-                dec = DecodedWebp(d.width, d.height, 3,
-                                  vp8_frame_to_rgb(d))
+                rgb = vp8_frame_to_rgb(d)
+                if f_alph is not None:
+                    a = decode_alpha(f_alph, d.width, d.height,
+                                     max_pixels)
+                    rgba_px = bytearray()
+                    for i in range(d.width * d.height):
+                        rgba_px += rgb[3 * i:3 * i + 3]
+                        rgba_px.append(a[i])
+                    dec = DecodedWebp(d.width, d.height, 4,
+                                      bytes(rgba_px))
+                else:
+                    dec = DecodedWebp(d.width, d.height, 3, rgb)
                 break
             spos += 8 + ssz + (ssz & 1)
         if dec is None:
@@ -1143,3 +1168,124 @@ def encode_webp_anim(canvas_w: int, canvas_h: int, frames: List[dict],
             chunks += b"\x00"
     riff = b"WEBP" + chunks
     return b"RIFF" + struct.pack("<I", len(riff)) + bytes(riff)
+
+
+# ---------------------------------------------------------------------------
+# ALPH chunk (round 5): the alpha plane of lossy (VP8) WebP stills and
+# animation frames.  Header byte, LSB-first per the container spec:
+# bits 0-1 compression (0 = raw, 1 = WebP lossless), 2-3 filter
+# (none / horizontal / vertical / gradient), 4-5 pre-processing.  The
+# lossless form is a HEADERLESS VP8L stream whose GREEN channel carries
+# the alpha values; it is decoded by splicing a synthetic 37-bit VP8L
+# header in front (bit-exact reuse of the full decoder, no second code
+# path), and the fixture encoder produces it by stripping those bits
+# from a normal encode_webp_lossless stream.
+# ---------------------------------------------------------------------------
+
+
+def _gradient(a: int, b: int, c: int) -> int:
+    g = a + b - c
+    return 0 if g < 0 else 255 if g > 255 else g
+
+
+def _unfilter_alpha(plane: bytearray, w: int, h: int,
+                    method: int) -> None:
+    if method == 0:
+        return
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if method == 1:
+                p = plane[i - 1] if x else (plane[i - w] if y else 0)
+            elif method == 2:
+                p = plane[i - w] if y else (plane[i - 1] if x else 0)
+            else:
+                if x and y:
+                    p = _gradient(plane[i - 1], plane[i - w],
+                                  plane[i - w - 1])
+                elif x:
+                    p = plane[i - 1]
+                elif y:
+                    p = plane[i - w]
+                else:
+                    p = 0
+            plane[i] = (plane[i] + p) & 0xFF
+
+
+def _filter_alpha(alpha: bytes, w: int, h: int, method: int) -> bytes:
+    if method == 0:
+        return alpha
+    out = bytearray(len(alpha))
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if method == 1:
+                p = alpha[i - 1] if x else (alpha[i - w] if y else 0)
+            elif method == 2:
+                p = alpha[i - w] if y else (alpha[i - 1] if x else 0)
+            else:
+                if x and y:
+                    p = _gradient(alpha[i - 1], alpha[i - w],
+                                  alpha[i - w - 1])
+                elif x:
+                    p = alpha[i - 1]
+                elif y:
+                    p = alpha[i - w]
+                else:
+                    p = 0
+            out[i] = (alpha[i] - p) & 0xFF
+    return bytes(out)
+
+
+def decode_alpha(body: bytes, w: int, h: int,
+                 max_pixels: int = MAX_PIXELS) -> bytes:
+    """Decode one ALPH chunk body to w*h alpha bytes."""
+    if not body:
+        raise ValueError("empty ALPH chunk")
+    method = body[0] & 0x03
+    filt = (body[0] >> 2) & 0x03
+    if (body[0] >> 4) & 0x03 not in (0, 1):
+        raise ValueError("reserved ALPH pre-processing")
+    data = body[1:]
+    if method == 0:
+        if len(data) < w * h:
+            raise ValueError("truncated raw alpha plane")
+        plane = bytearray(data[:w * h])
+    elif method == 1:
+        bw = _BitWriter()
+        bw.write_bits(w - 1, 14)
+        bw.write_bits(h - 1, 14)
+        bw.write_bits(1, 1)              # alpha hint
+        bw.write_bits(0, 3)              # version
+        br = _BitReader(data)
+        for _ in range(len(data) * 8):
+            bw.write_bits(br.read_bit(), 1)
+        dec = _decode_vp8l(b"\x2f" + bw.flush(), max_pixels)
+        ch = dec.channels
+        plane = bytearray(dec.pixels[i * ch + 1]
+                          for i in range(w * h))
+    else:
+        raise ValueError(f"reserved ALPH compression {method}")
+    _unfilter_alpha(plane, w, h, filt)
+    return bytes(plane)
+
+
+def encode_alpha(alpha: bytes, w: int, h: int, method: int = 1,
+                 filt: int = 0) -> bytes:
+    """Fixture ALPH chunk body (raw or lossless, optional filter)."""
+    assert len(alpha) == w * h
+    filtered = _filter_alpha(alpha, w, h, filt)
+    hdr = bytes([method | (filt << 2)])
+    if method == 0:
+        return hdr + filtered
+    rgba = bytes(b for a in filtered for b in (0, a, 0, 255))
+    full = encode_webp_lossless(w, h, rgba)
+    size = struct.unpack("<I", full[16:20])[0]
+    payload = full[21:20 + size]         # after the 0x2f signature
+    br = _BitReader(payload)
+    for _ in range(32):                  # strip w/h/alpha/version bits
+        br.read_bit()
+    bw = _BitWriter()
+    for _ in range(len(payload) * 8 - 32):
+        bw.write_bits(br.read_bit(), 1)
+    return hdr + bw.flush()

@@ -220,3 +220,63 @@ def test_corruption_fuzz_never_hangs_or_crashes_unrouted():
             V.decode_vp8(bytes(mut))
         except (ValueError, NotImplementedError, IndexError):
             pass
+
+
+# ---------------------------------------------------------------------------
+# Round 5: ALPH alpha channel on lossy stills and animation frames
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("method", [0, 1])
+@pytest.mark.parametrize("filt", [0, 1, 2, 3])
+def test_alph_roundtrip_all_modes(method, filt):
+    rng = random.Random(method * 10 + filt)
+    for w, h in [(7, 5), (20, 13)]:
+        alpha = bytes(rng.randrange(256) for _ in range(w * h))
+        body = W.encode_alpha(alpha, w, h, method=method, filt=filt)
+        assert W.decode_alpha(body, w, h) == alpha
+
+
+def test_lossy_still_with_alpha():
+    rng = random.Random(2)
+    w, h = 20, 14
+    rgb = bytes([120] * (w * h * 3))
+    alpha = bytes(rng.randrange(256) for _ in range(w * h))
+    d = W.decode_webp(V.encode_webp_lossy(w, h, rgb, qi=4,
+                                          alpha=alpha,
+                                          alpha_filter=2))
+    assert d.channels == 4
+    assert bytes(d.pixels[3::4]) == alpha        # lossless alpha
+    assert set(d.pixels[0::4]) == {120}
+    # fully-opaque alpha collapses back to 3 channels
+    d2 = W.decode_webp(V.encode_webp_lossy(
+        w, h, rgb, qi=4, alpha=bytes([255] * (w * h))))
+    assert d2.channels == 3
+
+
+def test_anim_lossy_frame_with_alpha_blends():
+    """A half-transparent lossy frame over a solid base must alpha-
+    blend through the animation compositor (the ALPH sub-chunk path
+    inside ANMF)."""
+    base = dict(w=16, h=16,
+                rgba=bytes((100, 100, 100, 255)) * 256)
+    lossy_rgb = bytes([200] * (16 * 16 * 3))
+    inner = V.encode_webp_lossy(16, 16, lossy_rgb, qi=4,
+                                alpha=bytes([128] * 256))[12:]
+    # hand-assemble the ANMF with the VP8X+ALPH+VP8 sub-chunks
+    data = W.encode_webp_anim(16, 16, [base, dict(
+        w=16, h=16, rgba=bytes((0, 0, 0, 255)) * 256)])
+    i = data.rindex(b"ANMF")
+    size = struct.unpack("<I", data[i + 4:i + 8])[0]
+    fctl = data[i + 8:i + 8 + 16]
+    new_body = fctl + inner
+    new_chunk = b"ANMF" + struct.pack("<I", len(new_body)) + new_body
+    if len(new_body) & 1:
+        new_chunk += b"\x00"
+    patched = data[:i] + new_chunk
+    patched = patched[:4] + struct.pack(
+        "<I", len(patched) - 8) + patched[8:]
+    d = W.decode_webp(patched, frame=-1)
+    # lossy gray 200 decodes exactly for solid frames; blend at a=128:
+    v = (200 * 128 * 255 + 100 * 255 * 127) // (255 * 255)
+    assert d.pixels[0] == v
