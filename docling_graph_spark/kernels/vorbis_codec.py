@@ -761,8 +761,12 @@ def decode_vorbis(payload: bytes,
     # AND for long/short transitions (the transition windows from
     # _window_halves keep the Princen-Bradley condition across the
     # size change).
-    acc = [np.zeros(info.bs1 * 2) for _ in range(ch)]
-    acc_len = info.bs1 * 2
+    # left margin bs1: a long block following a short first block has
+    # center - n/2 < 0 in stream coordinates (its left half windows
+    # into pre-stream silence) — the margin keeps every slice in range
+    margin = info.bs1
+    acc = [np.zeros(margin + info.bs1 * 2) for _ in range(ch)]
+    acc_len = margin + info.bs1 * 2
     center = -1
     first_center = -1
     prev_n = 0
@@ -825,7 +829,7 @@ def decode_vorbis(payload: bytes,
             first_center = center
         else:
             center += prev_n // 4 + n // 4
-        start = center - n // 2
+        start = margin + center - n // 2
         while start + n > acc_len:
             acc = [np.concatenate([a, np.zeros(acc_len)]) for a in acc]
             acc_len *= 2
@@ -839,7 +843,7 @@ def decode_vorbis(payload: bytes,
 
     if center < 0 or center == first_center:
         return DecodedWav(ch, info.rate, 16, 0, [])
-    chans = [a[first_center:center] for a in acc]
+    chans = [a[margin + first_center:margin + center] for a in acc]
     n_frames = len(chans[0])
     if 0 <= last_granule < n_frames:
         chans = [c[:last_granule] for c in chans]
@@ -912,8 +916,8 @@ def _write_codebook(bw: _BitWriter, dim: int, lengths: List[int],
             bw.write_bits(m, vbits)
 
 
-def _setup_packet(ch: int, n2: int, couple: bool,
-                  bits: int) -> bytes:
+def _setup_packet(ch: int, n2: int, couple: bool, bits: int,
+                  two_modes: bool = False) -> bytes:
     bw = _BitWriter()
     for b in b"\x05vorbis":
         bw.write_bits(b, 8)
@@ -957,16 +961,25 @@ def _setup_packet(ch: int, n2: int, couple: bool,
     bw.write_bits(0, 8)                  # submap time placeholder
     bw.write_bits(0, 8)                  # floor 0
     bw.write_bits(0, 8)                  # residue 0
-    bw.write_bits(0, 6)                  # 1 mode
-    bw.write_bits(0, 1)                  # blockflag 0
-    bw.write_bits(0, 16)
-    bw.write_bits(0, 16)
-    bw.write_bits(0, 8)
+    if two_modes:
+        bw.write_bits(1, 6)              # 2 modes: short then long
+        for bf in (0, 1):
+            bw.write_bits(bf, 1)
+            bw.write_bits(0, 16)
+            bw.write_bits(0, 16)
+            bw.write_bits(0, 8)
+    else:
+        bw.write_bits(0, 6)              # 1 mode
+        bw.write_bits(0, 1)              # blockflag 0
+        bw.write_bits(0, 16)
+        bw.write_bits(0, 16)
+        bw.write_bits(0, 8)
     bw.write_bits(1, 1)                  # framing
     return bw.flush()
 
 
-def _ident_packet(ch: int, rate: int, n: int) -> bytes:
+def _ident_packet(ch: int, rate: int, n0: int,
+                  n1: "int | None" = None) -> bytes:
     bw = _BitWriter()
     for b in b"\x01vorbis":
         bw.write_bits(b, 8)
@@ -975,9 +988,8 @@ def _ident_packet(ch: int, rate: int, n: int) -> bytes:
     bw.write_bits(rate, 32)
     for _ in range(3):
         bw.write_bits(0, 32)
-    lg = n.bit_length() - 1
-    bw.write_bits(lg, 4)
-    bw.write_bits(lg, 4)
+    bw.write_bits(n0.bit_length() - 1, 4)
+    bw.write_bits((n1 if n1 is not None else n0).bit_length() - 1, 4)
     bw.write_bits(1, 1)
     return bw.flush()
 
@@ -1012,30 +1024,58 @@ def _quantize(x: np.ndarray, lim: float, delta: float,
 
 def encode_vorbis(channels_pcm: List[List[int]], sample_rate: int,
                   blocksize: int = 256, couple: bool = False,
-                  bits: int = 9) -> bytes:
+                  bits: int = 9,
+                  long_blocksize: "int | None" = None) -> bytes:
     """Encode int16 PCM channels as a real Ogg Vorbis stream.
 
-    Equal blocksizes (one mode, blockflag 0), flat unit floor, residue
-    type 2 with a silent class for all-zero partitions and a dim-1
-    65-level value book (exact-zero center), optional square-polar
+    Default: equal blocksizes (one mode, blockflag 0).  With
+    ``long_blocksize`` set, TWO modes are emitted and frames alternate
+    short/long on a fixed pattern (frame k long iff k % 3 == 1), with
+    the correct prev/next window flags — the long/short transition
+    windows and center-aligned overlap-add then carry the
+    reconstruction exactly as in the equal case.  Flat unit floor,
+    residue type 2 with a silent class for all-zero partitions and a
+    dim-1 value book with an exact-zero center, optional square-polar
     stereo coupling.  The decoder's output is deterministic: silence
     encodes and decodes to exact zeros, and arbitrary content round-
     trips within the scalar-quantizer error bound."""
     ch = len(channels_pcm)
     assert ch >= 1 and (not couple or ch == 2)
-    n = blocksize
-    assert n & (n - 1) == 0 and 64 <= n <= 8192
-    n2 = n // 2
+    bs0 = blocksize
+    bs1 = long_blocksize if long_blocksize is not None else blocksize
+    for nn in (bs0, bs1):
+        assert nn & (nn - 1) == 0 and 64 <= nn <= 8192
+    assert bs0 <= bs1
+    two_modes = long_blocksize is not None and bs1 != bs0
     T = len(channels_pcm[0])
     assert all(len(c) == T for c in channels_pcm)
-    sig = [np.zeros((max(2, -(-T // n2) + 1) + 1) * n2)
-           for _ in range(ch)]
-    n_frames = max(2, -(-T // n2) + 1)
+
+    def is_long(k: int) -> bool:
+        return two_modes and k % 3 == 1
+
+    # frame plan: sizes and absolute centers (block k is centered at
+    # center_{k-1} + n_{k-1}/4 + n_k/4; output = [center_0, center_last))
+    plan: List[Tuple[int, int]] = []     # (n, center)
+    center = None
+    k = 0
+    while True:
+        nn = bs1 if is_long(k) else bs0
+        if center is None:
+            center = nn // 2
+            first = center
+        else:
+            center += plan[-1][0] // 4 + nn // 4
+        plan.append((nn, center))
+        if len(plan) >= 2 and center - first >= T:
+            break
+        k += 1
+    margin = bs1
+    total_len = margin + plan[-1][1] + bs1
+    sig = [np.zeros(total_len) for _ in range(ch)]
     for c in range(ch):
-        sig[c][n2:n2 + T] = np.asarray(channels_pcm[c],
-                                       dtype=float) / 32768.0
-    C = _imdct_matrix(n)
-    w = _vorbis_window(n)
+        sig[c][margin + first:margin + first + T] = \
+            np.asarray(channels_pcm[c], dtype=float) / 32768.0
+
     levels = (1 << bits) + 1
     zero = 1 << (bits - 1)
     delta = 8.0 / (levels - 1)
@@ -1043,9 +1083,18 @@ def encode_vorbis(channels_pcm: List[List[int]], sample_rate: int,
     lim = (-_VMIN) / 2 if couple else -_VMIN
 
     audio_packets: List[bytes] = []
-    for k in range(n_frames):
-        frames = [sig[c][k * n2:k * n2 + n] for c in range(ch)]
-        specs = [(4.0 / n) * (C.T @ (w * f)) for f in frames]
+    granules: List[int] = []
+    for k, (nn, cen) in enumerate(plan):
+        n2 = nn // 2
+        bflag = 1 if (two_modes and nn == bs1) else 0
+        prev_f = int(k > 0 and plan[k - 1][0] == bs1)
+        next_f = int(k + 1 < len(plan) and plan[k + 1][0] == bs1)
+        C = _imdct_matrix(nn)
+        w = (_window_halves(nn, bs0, prev_f, next_f, bflag)
+             if two_modes else _vorbis_window(nn))
+        frames = [sig[c][margin + cen - n2:margin + cen + n2]
+                  for c in range(ch)]
+        specs = [(4.0 / nn) * (C.T @ (w * f)) for f in frames]
         lvls = [_quantize(sp, lim, delta, levels) for sp in specs]
         if couple:
             lv = _VMIN + delta * lvls[0]
@@ -1063,7 +1112,11 @@ def encode_vorbis(channels_pcm: List[List[int]], sample_rate: int,
             inter[c::ch] = lvls[c]
         bw = _BitWriter()
         bw.write_bits(0, 1)              # audio packet type
-        # 1 mode -> zero mode bits; blockflag 0 -> no window flags
+        if two_modes:
+            bw.write_bits(bflag, 1)      # mode number (2 modes: 1 bit)
+            if bflag:
+                bw.write_bits(prev_f, 1)
+                bw.write_bits(next_f, 1)
         for _ in range(ch):              # flat unit floor per channel
             bw.write_bits(1, 1)          # nonzero
             bw.write_bits(255, 8)
@@ -1087,13 +1140,16 @@ def encode_vorbis(channels_pcm: List[List[int]], sample_rate: int,
                         bw.write_code(code, ln)
                 p += 1
         audio_packets.append(bw.flush())
+        granules.append(min(T, cen - first))
 
     serial = 0x5041
-    pages = [ogg_page(serial, 0, 0, [_ident_packet(ch, sample_rate,
-                                                   n)], 0x02),
+    pages = [ogg_page(serial, 0, 0,
+                      [_ident_packet(ch, sample_rate, bs0, bs1)],
+                      0x02),
              ogg_page(serial, 1, 0, [_comment_packet(),
-                                     _setup_packet(ch, n2, couple,
-                                                   bits)])]
+                                     _setup_packet(ch, bs1 // 2,
+                                                   couple, bits,
+                                                   two_modes)])]
     # pack up to 40 audio packets per page (per-page overhead is the
     # dominant cost for sparse content otherwise)
     seq = 2
@@ -1102,7 +1158,7 @@ def encode_vorbis(channels_pcm: List[List[int]], sample_rate: int,
         group = audio_packets[j:j + 40]
         j += len(group)
         last = j >= len(audio_packets)
-        granule = T if last else min(T, (j - 1) * n2)
+        granule = T if last else granules[j - 1]
         pages.append(ogg_page(serial, seq, granule, group,
                               0x04 if last else 0))
         seq += 1

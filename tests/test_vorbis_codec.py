@@ -229,3 +229,53 @@ def test_corruption_fuzz_never_hangs_or_crashes_unrouted():
         except (ValueError, NotImplementedError, IndexError,
                 KeyError, ZeroDivisionError):
             pass
+
+
+# ---------------------------------------------------------------------------
+# Round 5 continuation: long/short blocksize transitions
+# ---------------------------------------------------------------------------
+
+
+def test_long_short_transitions_roundtrip():
+    """Two blocksizes with blockflag modes: the transition windows and
+    center-aligned overlap-add must reconstruct across every
+    long->short and short->long boundary (frame k long iff k%3==1)."""
+    T = 2500
+    tone = _tone(T)
+    ogg = VC.encode_vorbis([tone], 8000, blocksize=128,
+                           long_blocksize=512, bits=12)
+    dec = VC.decode_vorbis(ogg)
+    assert dec.n_frames == T
+    assert max(abs(a - b) for a, b in zip(dec.samples, tone)) < 2000
+
+
+def test_long_short_silence_exact():
+    dec = VC.decode_vorbis(VC.encode_vorbis([[0] * 900], 8000,
+                                            blocksize=128,
+                                            long_blocksize=512))
+    assert dec.n_frames == 900 and all(s == 0 for s in dec.samples)
+
+
+def test_long_short_stereo_coupled():
+    T = 1800
+    l = _tone(T)
+    r = _tone(T, 250.0, 9000, phase=1.0)
+    dec = VC.decode_vorbis(VC.encode_vorbis(
+        [l, r], 8000, blocksize=128, long_blocksize=512,
+        couple=True, bits=12))
+    assert dec.n_frames == T
+    assert max(abs(a - b) for a, b in zip(dec.samples[0::2], l)) < 2500
+    assert max(abs(a - b) for a, b in zip(dec.samples[1::2], r)) < 2500
+
+
+def test_long_first_block_margin():
+    """A stream can lead with content that the first LONG block's left
+    half windows into pre-stream silence — the decoder's margin must
+    keep the slice in range (the latent negative-index bug the
+    two-blocksize path exposed)."""
+    T = 700
+    tone = _tone(T, 500.0)
+    for n0, n1 in [(64, 1024), (128, 256)]:
+        dec = VC.decode_vorbis(VC.encode_vorbis(
+            [tone], 8000, blocksize=n0, long_blocksize=n1, bits=12))
+        assert dec.n_frames == T
