@@ -102,8 +102,9 @@ def decode_media(payload: bytes, media_type: str):
     ``image/tiff`` decodes for real —
     baseline strip subset (`kernels/tiff_codec.py`: II/MM, 8-bit
     gray/RGB 8/16-bit, none/PackBits/LZW ± horizontal predictor,
-    strips, tiles and planar planes; JPEG-in-TIFF routes as
-    unsupported).
+    strips, tiles and planar planes) plus new-style JPEG-in-TIFF
+    (compression 7 with shared JPEGTables, gray or YCbCr, through the
+    real baseline JPEG decoder; old-style 6 routes as unsupported).
     ``image/x-icon`` (favicons) decodes
     for real — embedded-PNG and 1/4/8/24/32-bit DIB entries with AND-
     mask transparency (`kernels/ico_codec.py`), largest entry chosen.

@@ -7,16 +7,23 @@ plus 16-bit via the standard high-byte reduction, grayscale
 (photometric 0/1) and RGB (2), uncompressed (1), LZW (5, with the
 TIFF early-change code widths and the optional horizontal-
 differencing predictor, tag 317) and PackBits (32773) compression,
-and planar configuration 2 (per-sample strip planes).  JPEG-in-TIFF,
-planar tiles, 16-bit prediction and other depths raise
-NotImplementedError — routed to the error column upstream like every
-other codec.  The shared MAX_PIXELS decompression-bomb guard applies
-(PackBits expands 128:1; LZW far more), and every decompressor stops
-at the expected output size so a hostile stream cannot balloon memory.
+planar configuration 2 (per-sample strip planes), and new-style
+JPEG-in-TIFF (compression 7, TIFF TechNote 2: complete JPEG streams
+per strip/tile, optional shared-table JPEGTables tag 347, gray or
+YCbCr photometric, MCU-padded segments cropped) via the real baseline
+decoder in `kernels/jpeg_codec.py` — the layout scanned-document
+crawls actually carry.  Old-style JPEG (6), planar tiles, 16-bit
+prediction and other depths raise NotImplementedError — routed to the
+error column upstream like every other codec.  The shared MAX_PIXELS
+decompression-bomb guard applies (PackBits expands 128:1; LZW far
+more), and every decompressor stops at the expected output size so a
+hostile stream cannot balloon memory.
 
-The encoder half is the fixture generator (uncompressed, PackBits or
-LZW±predictor, gray or RGB, multi-strip or tiled) so the decoder is
-testable byte-lossless.
+The encoder half is the fixture generator (uncompressed, PackBits,
+LZW±predictor, or per-segment baseline JPEG with optional hoisted
+tables; gray or RGB; multi-strip or tiled) so the decoder is testable
+— byte-lossless for the lossless modes, stitched-equal to the direct
+per-segment `decode_jpeg` outputs for JPEG mode.
 """
 
 from __future__ import annotations
@@ -214,7 +221,7 @@ def _apply_h_predictor(buf: bytes, row_w: int, spp: int) -> bytes:
 def _read_ifd(data: bytes, fmt: str, off: int) -> Dict[int, list]:
     (count,) = struct.unpack_from(fmt + "H", data, off)
     tags: Dict[int, list] = {}
-    sizes = {1: 1, 2: 1, 3: 2, 4: 4}
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 7: 1}
     for i in range(count):
         base = off + 2 + 12 * i
         tag, typ, n = struct.unpack_from(fmt + "HHI", data, base)
@@ -223,7 +230,7 @@ def _read_ifd(data: bytes, fmt: str, off: int) -> Dict[int, list]:
         total = sizes[typ] * n
         voff = base + 8 if total <= 4 else struct.unpack_from(
             fmt + "I", data, base + 8)[0]
-        kind = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+        kind = {1: "B", 2: "B", 3: "H", 4: "I", 7: "B"}[typ]
         vals = list(struct.unpack_from(f"{fmt}{n}{kind}", data, voff))
         tags[tag] = vals
     return tags
@@ -262,14 +269,22 @@ def decode_tiff(data: bytes) -> DecodedTiff:
     else:
         raise NotImplementedError(f"TIFF bit depths {bits} unsupported")
     comp = one(259, 1)
-    if comp not in (1, 5, 32773):
+    if comp == 6:
         raise NotImplementedError(
-            f"TIFF compression {comp} unsupported (none/LZW/PackBits "
-            "only)")
+            "old-style JPEG-in-TIFF (compression 6, TIFF 6.0 §22) is "
+            "deprecated and unsupported; new-style (7) decodes")
+    if comp not in (1, 5, 32773, 7):
+        raise NotImplementedError(
+            f"TIFF compression {comp} unsupported (none/LZW/PackBits/"
+            "JPEG only)")
     photo = one(262, 1)
-    if photo not in (0, 1, 2):
+    if photo not in (0, 1, 2, 6):
         raise NotImplementedError(
             f"TIFF photometric {photo} unsupported")
+    if photo == 6 and comp != 7:
+        raise NotImplementedError(
+            "photometric YCbCr is only supported inside new-style "
+            "JPEG strips/tiles (compression 7)")
     planar = one(284, 1)
     if planar not in (1, 2):
         raise NotImplementedError(f"planar configuration {planar} "
@@ -285,9 +300,60 @@ def decode_tiff(data: bytes) -> DecodedTiff:
     if predictor == 2 and sb == 2:
         raise NotImplementedError(
             "16-bit horizontal predictor unsupported")
+    jpeg_tables: "bytes | None" = None
+    if comp == 7:
+        # New-style JPEG (TIFF TechNote 2): every strip/tile is a
+        # complete JPEG interchange stream; an optional JPEGTables tag
+        # (347) carries an abbreviated table stream (SOI tables EOI)
+        # whose segments are spliced after each strip's SOI — the
+        # layout libtiff writes for scanned documents.
+        if sb != 1:
+            raise NotImplementedError(
+                "16-bit JPEG-in-TIFF unsupported")
+        if predictor == 2:
+            raise ValueError("predictor is meaningless with JPEG "
+                             "compression")
+        if planar == 2:
+            raise NotImplementedError("planar JPEG-in-TIFF unsupported")
+        if photo == 0:
+            raise NotImplementedError(
+                "WhiteIsZero JPEG-in-TIFF unsupported")
+        tv = tags.get(347)
+        if tv is not None:
+            tb = bytes(tv)
+            if tb[:2] != b"\xff\xd8" or tb[-2:] != b"\xff\xd9":
+                raise ValueError("malformed JPEGTables stream")
+            jpeg_tables = tb[2:-2]
+
+    def jpeg_segment(raw: bytes, seg_w: int, rows: int) -> bytes:
+        from .jpeg_codec import decode_jpeg
+
+        stream = raw
+        if stream[:2] != b"\xff\xd8":
+            raise ValueError("JPEG strip/tile does not start with SOI")
+        if jpeg_tables is not None:
+            stream = b"\xff\xd8" + jpeg_tables + stream[2:]
+        dec = decode_jpeg(stream)
+        if dec.channels != spp:
+            raise ValueError(
+                f"JPEG segment has {dec.channels} channels, IFD "
+                f"declares {spp}")
+        if dec.width < seg_w or dec.height < rows:
+            raise ValueError("JPEG segment smaller than its TIFF "
+                             "region")
+        if dec.width == seg_w and dec.height == rows:
+            return dec.pixels
+        # real writers may round segment dims up to the MCU: crop
+        src_stride = dec.width * spp
+        return b"".join(
+            dec.pixels[r * src_stride:r * src_stride + seg_w * spp]
+            for r in range(rows))
 
     def segment(raw: bytes, expected: int, row_w: int,
                 seg_spp: int) -> bytes:
+        if comp == 7:
+            return jpeg_segment(raw, row_w,
+                                expected // (row_w * seg_spp * sb))
         if comp == 1:
             if len(raw) < expected:
                 raise ValueError("truncated TIFF segment")
@@ -473,9 +539,17 @@ def encode_tiff(width: int, height: int, channels: int, pixels: bytes,
         off_tag, cnt_tag = 273, 279
     entries.append((off_tag, 4, None))          # filled below
     entries.append((cnt_tag, 4, [len(s) for s in segs]))
-    entries.sort(key=lambda e: e[0])            # spec: ascending tags
+    return _assemble_tiff(big_endian, entries, segs)
 
-    sizes = {3: 2, 4: 4}
+
+def _assemble_tiff(big_endian: bool, entries: List[tuple],
+                   segs: List[bytes]) -> bytes:
+    """Lay out a single-IFD TIFF: header, sorted IFD, out-of-line
+    value area, then the data segments.  An entry whose value list is
+    ``None`` receives the segment offsets (tag 273/324)."""
+    fmt = ">" if big_endian else "<"
+    entries = sorted(entries, key=lambda e: e[0])   # spec: ascending
+    sizes = {3: 2, 4: 4, 7: 1}
     val_pos = 8 + 2 + 12 * len(entries) + 4
     ext: Dict[int, int] = {}
     for tag, typ, vals in entries:
@@ -496,7 +570,7 @@ def encode_tiff(width: int, height: int, channels: int, pixels: bytes,
     out += struct.pack(fmt + "H", len(entries))
     valarea = bytearray()
     for tag, typ, vals in entries:
-        kind = {3: "H", 4: "I"}[typ]
+        kind = {3: "H", 4: "I", 7: "B"}[typ]
         total = sizes[typ] * len(vals)
         out += struct.pack(fmt + "HHI", tag, typ, len(vals))
         packed = struct.pack(f"{fmt}{len(vals)}{kind}", *vals)
@@ -510,3 +584,160 @@ def encode_tiff(width: int, height: int, channels: int, pixels: bytes,
     for s in segs:
         out += s
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# New-style JPEG-in-TIFF (compression 7) fixture encoder
+# ---------------------------------------------------------------------------
+
+def _split_jpeg_tables(stream: bytes) -> "tuple[List[bytes], bytes]":
+    """Split a JPEG interchange stream into its table segments
+    (DQT/DHT) and the remainder (everything else between SOI and EOI,
+    in order).  Used to build the abbreviated-stream layout libtiff
+    writes: tables hoisted into tag 347, strips carry only frame +
+    scan."""
+    assert stream[:2] == b"\xff\xd8"
+    tables: List[bytes] = []
+    rest = bytearray()
+    pos = 2
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = stream[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos:pos + 2 + ln]
+        if marker in (0xDB, 0xC4):          # DQT / DHT
+            tables.append(seg)
+            pos += 2 + ln
+            continue
+        if marker == 0xDA:                  # SOS: entropy data follows
+            rest += stream[pos:-2]          # through to (not incl.) EOI
+            break
+        rest += seg
+        pos += 2 + ln
+    return tables, bytes(rest)
+
+
+def _rgb_to_ycbcr420(width: int, height: int, pixels: bytes
+                     ) -> "tuple[bytes, bytes, bytes]":
+    """JFIF forward color transform + 2x2 mean chroma subsampling,
+    rounding pinned to floor(x + 0.5) like the decoder side."""
+    import numpy as np
+
+    rgb = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
+    rgb = rgb.reshape(height, width, 3)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    yf = 0.299 * r + 0.587 * g + 0.114 * b
+    cbf = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    crf = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    def q(a):
+        return np.clip(np.floor(a + 0.5), 0, 255).astype(np.uint8)
+
+    ch, cw = -(-height // 2), -(-width // 2)
+
+    def sub(a):
+        padded = np.pad(a, ((0, 2 * ch - height), (0, 2 * cw - width)),
+                        mode="edge")
+        return (padded[0::2, 0::2] + padded[0::2, 1::2]
+                + padded[1::2, 0::2] + padded[1::2, 1::2]) / 4.0
+
+    return (q(yf).tobytes(), q(sub(cbf)).tobytes(),
+            q(sub(crf)).tobytes())
+
+
+def encode_tiff_jpeg(width: int, height: int, channels: int,
+                     pixels: bytes, rows_per_strip: int = 0,
+                     tile: "tuple[int, int] | None" = None,
+                     shared_tables: bool = False,
+                     big_endian: bool = False) -> bytes:
+    """Fixture new-style JPEG-in-TIFF: each strip/tile is encoded as a
+    complete baseline JPEG (gray via the K.1-K.6 tables, RGB via the
+    JFIF transform + 4:2:0); with ``shared_tables`` the DQT/DHT
+    segments are hoisted into a JPEGTables tag (347) and the strips
+    become abbreviated streams — the layout libtiff emits for scanned
+    documents.  Note JPEG is lossy: the decode invariant is
+    decode_tiff(...) == the per-segment decode_jpeg outputs stitched
+    together, not byte identity with ``pixels``."""
+    from .jpeg_codec import encode_jpeg_gray, encode_jpeg_ycbcr420
+
+    assert channels in (1, 3) and len(pixels) == width * height * channels
+
+    def enc_region(x0: int, y0: int, w: int, h: int) -> bytes:
+        stride = width * channels
+        buf = b"".join(
+            pixels[(y0 + r) * stride + x0 * channels:
+                   (y0 + r) * stride + (x0 + w) * channels]
+            for r in range(h))
+        if channels == 1:
+            return encode_jpeg_gray(w, h, buf)
+        y, cb, cr = _rgb_to_ycbcr420(w, h, buf)
+        return encode_jpeg_ycbcr420(w, h, y, cb, cr)
+
+    segs: List[bytes] = []
+    if tile:
+        tw, tl = tile
+        assert tw % 16 == 0 and tl % 16 == 0
+        for ty in range(0, height, tl):
+            for tx in range(0, width, tw):
+                # edge tiles are padded to full tile size (spec: tiles
+                # are uniform; the decoder crops)
+                w = min(tw, width - tx)
+                h = min(tl, height - ty)
+                if w < tw or h < tl:
+                    stride = width * channels
+                    rows = [pixels[(ty + r) * stride + tx * channels:
+                                   (ty + r) * stride
+                                   + (tx + w) * channels]
+                            for r in range(h)]
+                    rows = [rw + rw[-channels:] * (tw - w)
+                            for rw in rows]
+                    rows += [rows[-1]] * (tl - h)
+                    buf = b"".join(rows)
+                    if channels == 1:
+                        from .jpeg_codec import encode_jpeg_gray as eg
+                        segs.append(eg(tw, tl, buf))
+                    else:
+                        y, cb, cr = _rgb_to_ycbcr420(tw, tl, buf)
+                        segs.append(encode_jpeg_ycbcr420(
+                            tw, tl, y, cb, cr))
+                else:
+                    segs.append(enc_region(tx, ty, tw, tl))
+    else:
+        rows_per_strip = rows_per_strip or height
+        for y0 in range(0, height, rows_per_strip):
+            segs.append(enc_region(0, y0, width,
+                                   min(rows_per_strip, height - y0)))
+
+    entries: List[tuple] = [
+        (256, 4, [width]),
+        (257, 4, [height]),
+        (258, 3, [8] * channels),
+        (259, 3, [7]),
+        (262, 3, [6 if channels == 3 else 1]),
+        (277, 3, [channels]),
+    ]
+    if shared_tables:
+        all_tables: List[bytes] = []
+        stripped: List[bytes] = []
+        for s in segs:
+            tabs, rest = _split_jpeg_tables(s)
+            for t in tabs:
+                if t not in all_tables:
+                    all_tables.append(t)
+            stripped.append(b"\xff\xd8" + rest + b"\xff\xd9")
+        segs = stripped
+        tstream = b"\xff\xd8" + b"".join(all_tables) + b"\xff\xd9"
+        entries.append((347, 7, list(tstream)))
+    if tile:
+        entries.append((322, 4, [tile[0]]))
+        entries.append((323, 4, [tile[1]]))
+        entries.append((324, 4, None))
+        entries.append((325, 4, [len(s) for s in segs]))
+    else:
+        entries.append((278, 4, [rows_per_strip]))
+        entries.append((273, 4, None))
+        entries.append((279, 4, [len(s) for s in segs]))
+    return _assemble_tiff(big_endian, entries, segs)

@@ -52,7 +52,7 @@ def test_unsupported_and_malformed_route_cleanly():
         T.decode_tiff(b"XX\x2a\x00 nope")
     good = bytearray(T.encode_tiff(4, 4, 1, bytes(16)))
     i = good.index(b"\x03\x01")  # compression tag 259 (II)
-    good[i + 8] = 7              # JPEG-in-TIFF
+    good[i + 8] = 8              # Adobe Deflate
     with pytest.raises(NotImplementedError, match="compression"):
         T.decode_tiff(bytes(good))
     # dimension bomb
@@ -214,3 +214,160 @@ def test_planar_tiled_and_16bit_predictor_route():
     enc[i + 8] = 3
     with pytest.raises(NotImplementedError, match="planar"):
         T.decode_tiff(bytes(enc))
+
+
+# ---------------------------------------------------------------------------
+# New-style JPEG-in-TIFF (compression 7)
+# ---------------------------------------------------------------------------
+
+def _gradient(width, height, channels, seed=3):
+    rnd = []
+    v = seed
+    for i in range(width * height * channels):
+        v = (v * 73 + 41) % 256
+        rnd.append((v + i // channels) % 256)
+    return bytes(rnd)
+
+
+def test_jpeg_in_tiff_gray_strips_match_direct_jpeg_decode():
+    from docling_graph_spark.kernels.jpeg_codec import (
+        decode_jpeg, encode_jpeg_gray)
+    from docling_graph_spark.kernels.tiff_codec import (
+        decode_tiff, encode_tiff_jpeg)
+
+    w, h, rps = 24, 30, 10
+    px = _gradient(w, h, 1)
+    t = encode_tiff_jpeg(w, h, 1, px, rows_per_strip=rps)
+    dec = decode_tiff(t)
+    assert (dec.width, dec.height, dec.channels) == (w, h, 1)
+    want = b"".join(
+        decode_jpeg(encode_jpeg_gray(
+            w, min(rps, h - y0), px[y0 * w:(y0 + min(rps, h - y0)) * w]
+        )).pixels
+        for y0 in range(0, h, rps))
+    assert dec.pixels == want
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_jpeg_in_tiff_shared_tables_identical(big_endian):
+    from docling_graph_spark.kernels.tiff_codec import (
+        _read_ifd, decode_tiff, encode_tiff_jpeg)
+
+    w, h = 16, 24
+    px = _gradient(w, h, 1, seed=9)
+    inline = encode_tiff_jpeg(w, h, 1, px, rows_per_strip=8,
+                              big_endian=big_endian)
+    shared = encode_tiff_jpeg(w, h, 1, px, rows_per_strip=8,
+                              shared_tables=True, big_endian=big_endian)
+    assert decode_tiff(shared).pixels == decode_tiff(inline).pixels
+    # the abbreviated layout really hoisted the tables: tag 347 exists
+    # and the strips shrank
+    import struct as _s
+    fmt = ">" if big_endian else "<"
+    tags = _read_ifd(shared, fmt, _s.unpack_from(fmt + "I", shared, 4)[0])
+    assert 347 in tags and bytes(tags[347])[:2] == b"\xff\xd8"
+    assert sum(tags[279]) < sum(
+        _read_ifd(inline, fmt,
+                  _s.unpack_from(fmt + "I", inline, 4)[0])[279])
+
+
+def test_jpeg_in_tiff_color_tiled_matches_direct_decode():
+    from docling_graph_spark.kernels.jpeg_codec import decode_jpeg
+    from docling_graph_spark.kernels.tiff_codec import (
+        _rgb_to_ycbcr420, decode_tiff, encode_tiff_jpeg)
+    from docling_graph_spark.kernels.jpeg_codec import encode_jpeg_ycbcr420
+
+    w = h = 32
+    px = _gradient(w, h, 3)
+    t = encode_tiff_jpeg(w, h, 3, px, tile=(16, 16))
+    dec = decode_tiff(t)
+    assert (dec.width, dec.height, dec.channels) == (w, h, 3)
+    # stitch the four tiles decoded directly
+    out = bytearray(w * h * 3)
+    for ty in (0, 16):
+        for tx in (0, 16):
+            buf = b"".join(
+                px[(ty + r) * w * 3 + tx * 3:
+                   (ty + r) * w * 3 + (tx + 16) * 3]
+                for r in range(16))
+            y, cb, cr = _rgb_to_ycbcr420(16, 16, buf)
+            tile = decode_jpeg(encode_jpeg_ycbcr420(16, 16, y, cb, cr))
+            for r in range(16):
+                dst = (ty + r) * w * 3 + tx * 3
+                out[dst:dst + 48] = tile.pixels[r * 48:(r + 1) * 48]
+    assert dec.pixels == bytes(out)
+
+
+def test_jpeg_in_tiff_edge_tiles_cropped():
+    from docling_graph_spark.kernels.tiff_codec import (
+        decode_tiff, encode_tiff_jpeg)
+
+    w, h = 24, 20                      # edge tiles padded to 16x16
+    px = _gradient(w, h, 1, seed=5)
+    dec = decode_tiff(encode_tiff_jpeg(w, h, 1, px, tile=(16, 16)))
+    assert (dec.width, dec.height, dec.channels) == (w, h, 1)
+    assert len(dec.pixels) == w * h
+
+
+def test_jpeg_in_tiff_mcu_padded_strip_cropped():
+    # a strip JPEG taller/wider than its declared TIFF region (real
+    # writers round strip dims up to the MCU) is cropped, not rejected
+    from docling_graph_spark.kernels.jpeg_codec import (
+        decode_jpeg, encode_jpeg_gray)
+    from docling_graph_spark.kernels.tiff_codec import (
+        _assemble_tiff, decode_tiff)
+
+    w, h = 13, 11                       # decoder must crop from 16x16
+    big = _gradient(16, 16, 1, seed=7)
+    jpg = encode_jpeg_gray(16, 16, big)
+    t = _assemble_tiff(False, [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8]), (259, 3, [7]),
+        (262, 3, [1]), (277, 3, [1]), (278, 4, [h]),
+        (273, 4, None), (279, 4, [len(jpg)]),
+    ], [jpg])
+    dec = decode_tiff(t)
+    full = decode_jpeg(jpg).pixels
+    want = b"".join(full[r * 16:r * 16 + w] for r in range(h))
+    assert (dec.width, dec.height) == (w, h) and dec.pixels == want
+
+
+def test_jpeg_in_tiff_routes():
+    from docling_graph_spark.kernels.tiff_codec import (
+        _assemble_tiff, decode_tiff, encode_tiff)
+
+    # old-style JPEG (compression 6) routes with its name
+    base = encode_tiff(4, 4, 1, bytes(16))
+    old = bytearray(base)
+    i = old.find((259).to_bytes(2, "little"))
+    old[i + 8] = 6
+    with pytest.raises(NotImplementedError, match="old-style"):
+        decode_tiff(bytes(old))
+    # YCbCr photometric outside JPEG compression routes
+    t = _assemble_tiff(False, [
+        (256, 4, [4]), (257, 4, [4]), (258, 3, [8, 8, 8]),
+        (259, 3, [1]), (262, 3, [6]), (277, 3, [3]), (278, 4, [4]),
+        (273, 4, None), (279, 4, [48]),
+    ], [bytes(48)])
+    with pytest.raises(NotImplementedError, match="YCbCr"):
+        decode_tiff(t)
+    # garbage strip payload is a routed ValueError, not a crash
+    t = _assemble_tiff(False, [
+        (256, 4, [4]), (257, 4, [4]), (258, 3, [8]), (259, 3, [7]),
+        (262, 3, [1]), (277, 3, [1]), (278, 4, [4]),
+        (273, 4, None), (279, 4, [5]),
+    ], [b"junk!"])
+    with pytest.raises(ValueError, match="SOI"):
+        decode_tiff(t)
+
+
+def test_jpeg_in_tiff_decode_media_integration():
+    from docling_graph_spark.kernels.media_stub import (
+        decode_media, sniff_media_type)
+    from docling_graph_spark.kernels.tiff_codec import encode_tiff_jpeg
+
+    t = encode_tiff_jpeg(20, 12, 1, _gradient(20, 12, 1), rows_per_strip=6,
+                         shared_tables=True)
+    assert sniff_media_type(t) == "image/tiff"
+    dec = decode_media(t, "image/tiff")
+    assert dec.width == 20 and dec.height == 12
+    assert sum(dec.pixels) > 0
