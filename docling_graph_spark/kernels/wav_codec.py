@@ -8,8 +8,11 @@ parse, ``data`` chunk extraction, and integer sample decode for the three
 uncompressed PCM layouts (8-bit unsigned, 16-bit and 32-bit signed
 little-endian, WAVE_FORMAT_PCM = 1 per RIFF/Multimedia Programming
 Interface spec) plus IEEE-float (format 3, 32/64-bit, quantized to the
-16-bit integer lattice).  Compressed formats (ADPCM, MP3-in-RIFF) raise —
-the caller routes that to a ``decode_error`` column, never a crash.
+16-bit integer lattice) and G.711 telephony companding (format 7
+mu-law / 6 A-law, 8-bit code points expanded by the formulaic segment
+curves — voicemail/IVR recordings crawls actually carry).  Other
+compressed formats (ADPCM, MP3-in-RIFF) raise — the caller routes that
+to a ``decode_error`` column, never a crash.
 
 The encoder half exists for fixtures and oracles: a fixed header layout
 with no optional chunks makes encode→decode a pure roundtrip, so tests
@@ -28,6 +31,8 @@ from typing import NamedTuple
 
 WAVE_FORMAT_PCM = 1
 WAVE_FORMAT_IEEE_FLOAT = 3
+WAVE_FORMAT_ALAW = 6
+WAVE_FORMAT_MULAW = 7
 WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 # KSDATAFORMAT_SUBTYPE_* GUID remainder after the format-tag u16
 _KS_GUID_TAIL = bytes((0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
@@ -57,6 +62,99 @@ def encode_wav_float32(sample_rate: int, n_channels: int,
     body = (b"fmt " + _s.pack("<I", len(fmt)) + fmt
             + b"data" + _s.pack("<I", len(data)) + data)
     return b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+# ---------------------------------------------------------------------------
+# G.711 companding (formats 6/7) — fully formulaic per ITU-T G.711's
+# segmented quasi-logarithmic curves, no empirically-trained tables:
+# every value below derives from the segment arithmetic, so the decoder
+# is verifiable offline (unlike e.g. VP8's default probability tables).
+# ---------------------------------------------------------------------------
+
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+
+
+def ulaw_decode_byte(u: int) -> int:
+    """One mu-law code point -> 16-bit linear (G.711 table 2a/2b)."""
+    u = ~u & 0xFF
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    t = (((mantissa << 3) + _ULAW_BIAS) << exponent) - _ULAW_BIAS
+    return -t if u & 0x80 else t
+
+
+def ulaw_encode_sample(pcm: int) -> int:
+    """16-bit linear -> mu-law code point (segment + mantissa search
+    expressed in closed form via the bit length)."""
+    sign = 0x80 if pcm < 0 else 0
+    if sign:
+        pcm = -pcm
+    if pcm > _ULAW_CLIP:
+        pcm = _ULAW_CLIP
+    pcm += _ULAW_BIAS
+    exponent = max(pcm.bit_length() - 8, 0)
+    mantissa = (pcm >> (exponent + 3)) & 0x0F
+    return ~(sign | (exponent << 4) | mantissa) & 0xFF
+
+
+def alaw_decode_byte(a: int) -> int:
+    """One A-law code point -> 16-bit linear (G.711 table 1a/1b; the
+    13-bit magnitude scaled by 8, even-bit-inverted transmission
+    convention)."""
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    if seg == 0:
+        t += 8
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+def alaw_encode_sample(pcm: int) -> int:
+    """16-bit linear -> A-law code point."""
+    pcm >>= 3                         # to the 13-bit domain (floor)
+    if pcm >= 0:
+        mask = 0xD5
+    else:
+        mask = 0x55
+        pcm = -pcm - 1
+    if pcm > 0x1FFF:
+        pcm = 0x1FFF
+    seg = max(pcm.bit_length() - 5, 0)
+    if seg == 0:
+        aval = (pcm >> 1) & 0x0F
+    else:
+        aval = (seg << 4) | ((pcm >> seg) & 0x0F)
+    return aval ^ mask
+
+
+def encode_wav_g711(sample_rate: int, n_channels: int, samples: list,
+                    law: str = "mu",
+                    extensible: bool = False) -> bytes:
+    """G.711 WAV fixture encoder (format 7 mu-law / 6 A-law, 8-bit
+    code points); with ``extensible`` the format tag is wrapped in a
+    WAVE_FORMAT_EXTENSIBLE fmt chunk like modern writers do."""
+    enc = ulaw_encode_sample if law == "mu" else alaw_encode_sample
+    tag = WAVE_FORMAT_MULAW if law == "mu" else WAVE_FORMAT_ALAW
+    data = bytes(enc(s) for s in samples)
+    block_align = n_channels
+    byte_rate = sample_rate * block_align
+    if extensible:
+        fmt = struct.pack("<HHIIHH", WAVE_FORMAT_EXTENSIBLE, n_channels,
+                          sample_rate, byte_rate, block_align, 8)
+        fmt += struct.pack("<HHI", 22, 8, 0)    # cbSize, valid bits, mask
+        fmt += struct.pack("<H", tag) + _KS_GUID_TAIL
+    else:
+        fmt = struct.pack("<HHIIHH", tag, n_channels, sample_rate,
+                          byte_rate, block_align, 8)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    if len(data) & 1:
+        body += b"\x00"               # RIFF word-alignment pad
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 class DecodedWav(NamedTuple):
@@ -162,6 +260,19 @@ def decode_wav(payload: bytes) -> DecodedWav:
         n_frames = len(samples) // n_channels
         return DecodedWav(n_channels, sample_rate, bits, n_frames,
                           samples)
+    if audio_format in (WAVE_FORMAT_ALAW, WAVE_FORMAT_MULAW):
+        # G.711 telephony companding: 8-bit code points expand to the
+        # 16-bit lattice via the formulaic segment curves above
+        if n_channels <= 0 or sample_rate <= 0:
+            raise ValueError("invalid channel count or sample rate")
+        if bits != 8:
+            raise ValueError(f"G.711 WAV with {bits}-bit code points")
+        dec = (ulaw_decode_byte if audio_format == WAVE_FORMAT_MULAW
+               else alaw_decode_byte)
+        table = [dec(v) for v in range(256)]
+        samples = [table[v] for v in data]
+        n_frames = len(samples) // n_channels
+        return DecodedWav(n_channels, sample_rate, 8, n_frames, samples)
     if audio_format != WAVE_FORMAT_PCM:
         raise NotImplementedError(
             f"compressed WAV format {audio_format} requires codecs "

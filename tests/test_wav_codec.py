@@ -199,3 +199,83 @@ def test_extensible_bad_subformat_routes():
         assert False, "should have raised"
     except (ValueError, NotImplementedError):
         pass
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law (formats 7 / 6)
+# ---------------------------------------------------------------------------
+
+def test_g711_code_point_involution():
+    from docling_graph_spark.kernels.wav_codec import (
+        alaw_decode_byte, alaw_encode_sample, ulaw_decode_byte,
+        ulaw_encode_sample)
+
+    # every A-law code point survives a decode->encode roundtrip
+    for b in range(256):
+        assert alaw_encode_sample(alaw_decode_byte(b)) == b
+    # mu-law likewise, except negative zero (0x7F) which canonicalizes
+    # to positive zero (0xFF)
+    for b in range(256):
+        want = 0xFF if b == 0x7F else b
+        assert ulaw_encode_sample(ulaw_decode_byte(b)) == want
+
+
+def test_g711_known_pins():
+    from docling_graph_spark.kernels.wav_codec import (
+        alaw_decode_byte, ulaw_decode_byte)
+
+    # classic G.711 landmark values
+    assert ulaw_decode_byte(0xFF) == 0          # mu-law silence
+    assert ulaw_decode_byte(0x80) == 32124      # positive full scale
+    assert ulaw_decode_byte(0x00) == -32124     # negative full scale
+    assert alaw_decode_byte(0xD5) == 8          # A-law has no zero
+    assert alaw_decode_byte(0x55) == -8
+    assert alaw_decode_byte(0xAA) == 32256      # positive full scale
+    assert alaw_decode_byte(0x2A) == -32256
+
+
+def test_g711_quantization_error_bound():
+    from docling_graph_spark.kernels.wav_codec import (
+        alaw_decode_byte, alaw_encode_sample, ulaw_decode_byte,
+        ulaw_encode_sample)
+
+    xs = list(range(-32768, 32768, 997)) + [-32768, 32767, -1, 0, 1]
+    for x in xs:
+        # top mu-law segment step is 1<<10; A-law top step 1<<9 (x16)
+        assert abs(ulaw_decode_byte(ulaw_encode_sample(x)) - x) <= 1024
+        assert abs(alaw_decode_byte(alaw_encode_sample(x)) - x) <= 1024
+
+
+@pytest.mark.parametrize("law,tag", [("mu", 7), ("a", 6)])
+def test_g711_wav_roundtrip(law, tag):
+    import struct as _s
+
+    from docling_graph_spark.kernels.wav_codec import (
+        alaw_decode_byte, alaw_encode_sample, decode_wav,
+        encode_wav_g711, ulaw_decode_byte, ulaw_encode_sample)
+
+    src = [int(8000 * __import__("math").sin(i / 7)) for i in range(301)]
+    wav = encode_wav_g711(8000, 1, src, law=law)
+    assert _s.unpack_from("<H", wav, 20)[0] == tag
+    dec = decode_wav(wav)
+    assert (dec.n_channels, dec.sample_rate, dec.bit_depth,
+            dec.n_frames) == (1, 8000, 8, 301)
+    e = ulaw_encode_sample if law == "mu" else alaw_encode_sample
+    d = ulaw_decode_byte if law == "mu" else alaw_decode_byte
+    assert dec.samples == [d(e(x)) for x in src]
+
+
+def test_g711_extensible_wrap_and_audio_stage():
+    from docling_graph_spark.kernels.media_stub import (
+        decode_media, sniff_media_type)
+    from docling_graph_spark.kernels.wav_codec import (
+        decode_wav, encode_wav_g711)
+
+    src = [0, 100, -100, 5000, -5000, 32000, -32000] * 10
+    plain = encode_wav_g711(16000, 1, src, law="a")
+    wrapped = encode_wav_g711(16000, 1, src, law="a", extensible=True)
+    assert decode_wav(wrapped).samples == decode_wav(plain).samples
+    assert sniff_media_type(plain) == "audio/wav"
+    dec = decode_media(plain, "audio/wav")
+    assert dec.n_frames == len(src) and sum(
+        abs(s) for s in dec.samples) > 0
