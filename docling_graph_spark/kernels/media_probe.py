@@ -157,6 +157,8 @@ def probe_dimensions(payload: Optional[bytes]) -> Optional[ImageHeader]:
     if b[:2] == b"BM":
         return _probe_bmp(b)
     if b[:4] == b"RIFF":
+        if b[8:12] == b"AVI ":
+            return _probe_avi(b)
         return _probe_webp(b)
     if b[4:8] == b"ftyp":
         return _probe_mp4(b)
@@ -248,6 +250,23 @@ def _probe_mp4(b: bytes) -> Optional[ImageHeader]:
                 h = struct.unpack_from(">I", b, off + 4)[0] >> 16
                 if w and h:
                     return ImageHeader("video/mp4", w, h, None)
+    return None
+
+
+def _probe_avi(b: bytes) -> Optional[ImageHeader]:
+    """RIFF AVI geometry: the avih main header (inside the hdrl LIST)
+    carries dwWidth/dwHeight at offsets 32/36 — the header-only
+    fallback for AVIs whose codec has no decoder here."""
+    from .avi_codec import _chunks
+
+    end = min(len(b), 8 + struct.unpack_from("<I", b, 4)[0])
+    for cid, s, e in _chunks(b, 12, end):
+        if cid == b"LIST" and b[s:s + 4] == b"hdrl":
+            for cid2, s2, e2 in _chunks(b, s + 4, e):
+                if cid2 == b"avih" and e2 - s2 >= 40:
+                    w, h = struct.unpack_from("<II", b, s2 + 32)
+                    if w and h:
+                        return ImageHeader("video/avi", w, h, None)
     return None
 
 

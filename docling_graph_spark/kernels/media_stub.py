@@ -161,6 +161,10 @@ def decode_media(payload: bytes, media_type: str):
         from .tiff_codec import decode_tiff
 
         return decode_tiff(payload)
+    if media_type == "video/avi":
+        from .avi_codec import decode_avi
+
+        return decode_avi(payload)
     raise NotImplementedError(
         "media decode requires image/audio libraries not present in this "
         f"container (requested: {media_type}); use fake_features for the "
