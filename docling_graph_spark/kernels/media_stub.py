@@ -93,9 +93,12 @@ def decode_media(payload: bytes, media_type: str):
     reset, interlace, first frame composed onto the logical screen
     (`kernels/gif_codec.py`).  ``image/bmp`` decodes for real —
     uncompressed BI_RGB 8/24/32-bit, bottom-up or top-down
-    (`kernels/bmp_codec.py`).  ``audio/wav`` PCM decodes for real too
-    (`kernels/wav_codec.py`: RIFF chunk walk, fmt parse, 8/16/32-bit
-    integer sample decode), and so does ``audio/flac``
+    (`kernels/bmp_codec.py`).  ``audio/wav`` decodes for real too
+    (`kernels/wav_codec.py`: RIFF chunk walk, fmt parse, PCM
+    8/16/32-bit, IEEE-float, and G.711 mu/A-law expansion).
+    ``video/avi`` Motion-JPEG decodes its first frame for real
+    (`kernels/avi_codec.py`); other AVI codecs route to the
+    header-only geometry probe.  So does ``audio/flac``
     (`kernels/flac_codec.py`: full lossless decode — rice residuals,
     see also round 5's ``audio/ogg`` Vorbis decode below —
     fixed/LPC predictors, stereo decorrelation, CRC-verified frames).

@@ -227,7 +227,8 @@ def audio_decode_stats(web_pages: DataFrame) -> DataFrame:
     """REAL audio decode over the payload column: per row, the decoded PCM
     parameters (channels / rate / bit depth / frames) plus integer sample
     statistics (sum of |sample|, peak magnitude) where a real decoder
-    exists (PCM WAV via the stdlib RIFF codec `kernels/wav_codec.py`;
+    exists (PCM / IEEE-float / G.711 mu- and A-law WAV via the stdlib
+    RIFF codec `kernels/wav_codec.py`;
     FLAC via the full lossless decoder `kernels/flac_codec.py` —
     rice-coded residuals, fixed + LPC predictors, stereo
     decorrelation; round 5 adds Ogg Vorbis — full lossy decode via

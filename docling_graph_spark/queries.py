@@ -6105,6 +6105,32 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     couple=(c == 2 and d % 4 == 1)))
             yield pd.DataFrame({"url": urls, "html": blobs})
 
+    # round 5 continuation: G.711 telephony WAVs join the audio stage —
+    # 24 streams on doc_ids [184, 208): mu-law for d < 196, A-law for
+    # d >= 196, channels 1+d%2, rate 8000, frames 35+d%21.  Sample k is
+    # the EXPANSION of code point (d*31+k*17)%256 through the formulaic
+    # G.711 segment curves (kernels/wav_codec.ulaw/alaw_decode_byte) —
+    # code points are fixed points of the compander, so the fixture
+    # encoder reproduces them exactly and the oracle replays the same
+    # segment arithmetic closed-form in SQL.
+    def build_g711(batches):
+        from docling_graph_spark.kernels.wav_codec import (
+            alaw_decode_byte, encode_wav_g711, ulaw_decode_byte)
+
+        for pdf in batches:
+            urls, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                law = "mu" if d < _PNG_DOCS + 132 else "a"
+                dec = (ulaw_decode_byte if law == "mu"
+                       else alaw_decode_byte)
+                c, f = 1 + d % 2, 35 + d % 21
+                samples = [dec((d * 31 + k * 17) % 256)
+                           for k in range(f * c)]
+                urls.append(f"g711:{d}")
+                blobs.append(encode_wav_g711(8000, c, samples, law=law))
+            yield pd.DataFrame({"url": urls, "html": blobs})
+
     wavs = (
         _read(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _PNG_DOCS)
@@ -6122,6 +6148,12 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("doc_id") < _PNG_DOCS + 120))
         .select("doc_id")
         .mapInPandas(build_vorbis, "url string, html binary")
+    ).unionByName(
+        _read(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") >= _PNG_DOCS + 120)
+                & (F.col("doc_id") < _PNG_DOCS + 144))
+        .select("doc_id")
+        .mapInPandas(build_g711, "url string, html binary")
     )
     adec = op_mm.audio_decode_stats(wavs)
     wav_agg = adec.agg(
@@ -6348,6 +6380,71 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v8_rows = _unpivot_single_row(v8_agg, "vp8_decode")
 
+    # stage 'container_decode' (round 5 continuation): the JPEG
+    # CONTAINER family — the same solid-gray baseline JPEG payload
+    # (w = 8+d%9, h = 8+d%6, gray v = 128+(d*13)%100, decoded gray
+    # p = 128 + 2*((x+1)//2) with x = v-128, identical closed form to
+    # the jpeg_decode stage) wrapped in rotating containers on doc_ids
+    # [208, 232): d%4==0 single-strip JPEG-in-TIFF with inline tables;
+    # d%4==1 multi-strip (5 rows) with a hoisted JPEGTables tag 347
+    # (the libtiff scanned-document layout); d%4==2 a Motion-JPEG AVI
+    # with 1+d%3 identical frames (frame 0 surfaces, like GIF/APNG);
+    # d%4==3 a 16x16-tiled JPEG-in-TIFF with shared tables (edge tiles
+    # pad by replication — still solid, so the closed form holds).
+    # Every wrapper must decode to EXACTLY the same pixels as the bare
+    # JPEG, which the oracle replays per doc
+    # (kernels/tiff_codec.py, kernels/avi_codec.py).
+    def build_containers(batches):
+        from docling_graph_spark.kernels.avi_codec import (
+            encode_avi_mjpeg)
+        from docling_graph_spark.kernels.jpeg_codec import (
+            encode_jpeg_gray)
+        from docling_graph_spark.kernels.tiff_codec import (
+            encode_tiff_jpeg)
+
+        for pdf in batches:
+            urls, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 8 + d % 9, 8 + d % 6
+                v = 128 + (d * 13) % 100
+                raw = bytes([v] * (w * h))
+                urls.append(f"ctr:{d}")
+                if d % 4 == 0:
+                    blobs.append(encode_tiff_jpeg(w, h, 1, raw))
+                elif d % 4 == 1:
+                    blobs.append(encode_tiff_jpeg(
+                        w, h, 1, raw, rows_per_strip=5,
+                        shared_tables=True))
+                elif d % 4 == 2:
+                    jpg = encode_jpeg_gray(w, h, raw)
+                    blobs.append(encode_avi_mjpeg(
+                        w, h, [jpg] * (1 + d % 3)))
+                else:
+                    blobs.append(encode_tiff_jpeg(
+                        w, h, 1, raw, tile=(16, 16),
+                        shared_tables=True))
+            yield pd.DataFrame({"url": urls, "html": blobs})
+
+    ctr = (
+        _read(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") >= _PNG_DOCS + 144)
+                & (F.col("doc_id") < _PNG_DOCS + 168))
+        .select("doc_id")
+        .mapInPandas(build_containers, "url string, html binary")
+    )
+    cdec = op_mm.media_decode_stats(ctr)
+    ctr_agg = cdec.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("decoded").cast("long")).alias("n_decoded"),
+        F.sum(F.col("width").cast("long") * F.col("height"))
+        .alias("sum_pixels"),
+        F.sum("pixel_sum").alias("sum_pixel_values"),
+        F.sum(F.col("width").cast("long")).alias("sum_width"),
+        F.sum(F.col("height").cast("long")).alias("sum_height"),
+    )
+    ctr_rows = _unpivot_single_row(ctr_agg, "container_decode")
+
     lldec = op_mm.media_decode_stats(ll)
     ll_agg = lldec.agg(
         F.count("*").alias("n_images"),
@@ -6453,6 +6550,7 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (media_rows.unionByName(png_rows).unionByName(probe_rows)
             .unionByName(wav_rows).unionByName(jpg_rows)
             .unionByName(ll_rows).unionByName(v8_rows)
+            .unionByName(ctr_rows)
             .unionByName(ph_rows)
             .orderBy("stage", "metric"))
 
@@ -6768,12 +6866,45 @@ og AS (
   FROM documents
   WHERE doc_id >= {_PNG_DOCS + 96} AND doc_id < {_PNG_DOCS + 120}
 ),
+g7 AS (
+  -- round 5 continuation: G.711 fixtures — sample k is the expansion
+  -- of code point (d*31+k*17)%256; mu-law for d < {_PNG_DOCS + 132},
+  -- A-law above
+  SELECT doc_id AS d, 1 + doc_id % 2 AS c, 35 + doc_id % 21 AS f,
+         CASE WHEN doc_id < {_PNG_DOCS + 132} THEN 1 ELSE 0 END AS mu
+  FROM documents
+  WHERE doc_id >= {_PNG_DOCS + 120} AND doc_id < {_PNG_DOCS + 144}
+),
+g7s AS (
+  -- the formulaic segment expansion, replayed per sample: mu-law
+  -- t = ((m*8+132)<<e)-132 on the complemented byte; A-law
+  -- t = (m*16+8) in segment 0 else ((m*16+264)<<(seg-1)) on the
+  -- 0x55-inverted byte (kernels/wav_codec.ulaw/alaw_decode_byte)
+  SELECT g7.d,
+         CASE WHEN g7.mu = 1 THEN
+           ((((255 - cd) & 15) * 8 + 132)
+              << (((255 - cd) >> 4) & 7)) - 132
+         ELSE
+           CASE WHEN ((xor(cd, 85) >> 4) & 7) = 0
+                THEN (xor(cd, 85) & 15) * 16 + 8
+                ELSE ((xor(cd, 85) & 15) * 16 + 264)
+                       << (((xor(cd, 85) >> 4) & 7) - 1) END
+         END AS mag
+  FROM g7, LATERAL (
+    SELECT (g7.d * 31 + unnest(generate_series(0, g7.f * g7.c - 1))
+            * 17) % 256 AS cd)
+),
+g7abs AS (
+  SELECT CAST(sum(mag) AS BIGINT) AS s, CAST(max(mag) AS BIGINT) AS p
+  FROM g7s
+),
 wsum AS (
   SELECT CAST((SELECT count(*) FROM documents WHERE doc_id < {_PNG_DOCS})
               + (SELECT count(*) FROM fl)
-              + (SELECT count(*) FROM og) AS BIGINT) AS n_rows,
-         CAST((SELECT count(*) FROM wav) + (SELECT count(*) FROM fl)
               + (SELECT count(*) FROM og)
+              + (SELECT count(*) FROM g7) AS BIGINT) AS n_rows,
+         CAST((SELECT count(*) FROM wav) + (SELECT count(*) FROM fl)
+              + (SELECT count(*) FROM og) + (SELECT count(*) FROM g7)
               AS BIGINT) AS n_decoded,
          CAST((SELECT count(*) FROM documents
                WHERE doc_id < {_PNG_DOCS} AND doc_id % 7 = 3) AS BIGINT)
@@ -6782,17 +6913,38 @@ wsum AS (
                WHERE doc_id < {_PNG_DOCS} AND doc_id % 7 = 5) AS BIGINT)
            AS n_unsupported,
          CAST((SELECT sum(c) FROM wav) + (SELECT sum(c) FROM fl)
-              + (SELECT sum(c) FROM og)
+              + (SELECT sum(c) FROM og) + (SELECT sum(c) FROM g7)
               AS BIGINT) AS sum_channels,
          CAST((SELECT sum(r) FROM wav) + 8000 * (SELECT count(*) FROM fl)
               + (SELECT sum(r) FROM og)
+              + 8000 * (SELECT count(*) FROM g7)
               AS BIGINT) AS sum_rate,
          CAST((SELECT sum(f) FROM wav) + (SELECT sum(f) FROM fl)
-              + (SELECT sum(f) FROM og)
+              + (SELECT sum(f) FROM og) + (SELECT sum(f) FROM g7)
               AS BIGINT) AS sum_frames,
-         (SELECT s FROM wabs) + (SELECT s FROM flabs) AS sum_abs,
-         greatest((SELECT p FROM wabs), (SELECT p FROM flabs))
+         (SELECT s FROM wabs) + (SELECT s FROM flabs)
+           + (SELECT s FROM g7abs) AS sum_abs,
+         greatest((SELECT p FROM wabs), (SELECT p FROM flabs),
+                  (SELECT p FROM g7abs))
            AS max_peak
+),
+ctr AS (
+  -- round 5 continuation: container_decode — same solid-gray JPEG
+  -- closed form as jpg, wrapped in TIFF/AVI containers (wrapping is
+  -- pixel-neutral by construction)
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 6 AS h,
+         128 + 2 * (((doc_id * 13) % 100 + 1) // 2) AS p
+  FROM documents
+  WHERE doc_id >= {_PNG_DOCS + 144} AND doc_id < {_PNG_DOCS + 168}
+),
+csum AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_decoded,
+         CAST(sum(w * h) AS BIGINT) AS sum_pixels,
+         CAST(sum(p * w * h) AS BIGINT) AS sum_pixel_values,
+         CAST(sum(w) AS BIGINT) AS sum_width,
+         CAST(sum(h) AS BIGINT) AS sum_height
+  FROM ctr
 ){_vp8_oracle_ctes()}{_phash_oracle_ctes()}
 SELECT stage, metric, value FROM (
   SELECT 'media' AS stage, media_type || ':n_docs' AS metric,
@@ -6846,6 +6998,10 @@ SELECT stage, metric, value FROM (
   UNION ALL
 {_sql_unpivot('v8sum', 'vp8_decode',
               ['n_images', 'n_decoded', 'sum_pixels', 'sum_pixel_values',
+               'sum_width', 'sum_height'])}
+  UNION ALL
+{_sql_unpivot('csum', 'container_decode',
+              ['n_rows', 'n_decoded', 'sum_pixels', 'sum_pixel_values',
                'sum_width', 'sum_height'])}{_PHASH_ORACLE_ROWS}
 ) ORDER BY stage, metric
 """
