@@ -330,9 +330,107 @@ class CheckpointedRun:
 
     # ---------------------------------------------------------------- run
 
-    def run(self, web_pages: DataFrame) -> int:
-        """Process pending inputs; returns number of newly processed docs."""
+    # ------------------------------------------------- WAP branching
+
+    def _staged_runs(self, branch: str) -> Optional[DataFrame]:
+        """One-column ``_run_id`` relation of runs staged on ``branch``
+        and neither published nor dropped yet (a later manifest row for
+        the same run id supersedes the staged one)."""
+        try:
+            runs = self.spark.read.json(self._path("runs"))
+        except Exception:
+            return None
+        if "branch" not in runs.columns or "run_id" not in runs.columns:
+            return None
+        latest = (runs.groupBy("run_id")
+                  .agg(F.max("seq").alias("seq")))
+        live = runs.join(latest, ["run_id", "seq"]) \
+            .where((F.col("status") == "staged")
+                   & (F.col("branch") == branch))
+        return live.select(F.col("run_id").alias(RUN_ID_COL)).distinct()
+
+    def branch_preview(self, stage: str, branch: str) -> DataFrame:
+        """The AUDIT read of write-audit-publish: ``stage`` as it would
+        look after ``branch`` is published — committed main snapshots
+        plus the branch's staged runs (Iceberg: reading from the
+        branch ref).  Main readers (`nodes()`, `extracted()`, ...)
+        never see staged rows."""
+        df = self._read_stage(stage)
+        if RUN_ID_COL not in df.columns:
+            return df
+        vis = self.committed_runs()
+        staged = self._staged_runs(branch)
+        if staged is not None:
+            vis = staged if vis is None else vis.unionByName(staged)
+        if vis is not None:
+            df = df.join(F.broadcast(vis.distinct()), RUN_ID_COL,
+                         "left_semi")
+        df = self._apply_deletes(df)
+        return df.drop(RUN_ID_COL)
+
+    def publish_branch(self, branch: str) -> int:
+        """Fast-forward publish (Iceberg: main ⇐ branch): every run
+        staged on ``branch`` becomes a committed snapshot, in staging
+        order, by appending manifest rows only — a METADATA-ONLY
+        operation; no data file is rewritten or moved, which the parity
+        test pins by listing the stage directories before and after.
+        Time travel to any pre-publish snapshot still excludes the
+        branch.  Returns the number of runs published."""
+        staged = self._staged_runs(branch)
+        if staged is None:
+            return 0
+        rids = [r[RUN_ID_COL] for r in staged.collect()]
+        if not rids:
+            return 0
+        # preserve staging order: replay by each run's staged seq, and
+        # carry its processed count onto the publish row so the
+        # snapshot log stays meaningful
+        runs = self.spark.read.json(self._path("runs"))
+        staged_rows = {r.run_id: (r.seq, r.processed_docs) for r in
+                       runs.where(F.col("run_id").isin(rids)
+                                  & (F.col("status") == "staged"))
+                       .select("run_id", "seq", "processed_docs")
+                       .collect()}
+        for rid in sorted(rids, key=lambda r: staged_rows.get(r,
+                                                              (0, 0))[0]):
+            self._manifest(rid, int(staged_rows.get(rid, (0, 0))[1]),
+                           0.0, kind="publish")
+        return len(rids)
+
+    def drop_branch(self, branch: str) -> int:
+        """Abandon ``branch``: staged runs become aborted (their data
+        rows remain as invisible orphans, exactly like a crashed run's,
+        until `compact_files` rewrites them away).  Returns the number
+        of runs dropped."""
+        staged = self._staged_runs(branch)
+        if staged is None:
+            return 0
+        rids = [r[RUN_ID_COL] for r in staged.collect()]
+        for rid in rids:
+            self._manifest(rid, 0, 0.0, kind="drop", status="aborted")
+        return len(rids)
+
+    def run(self, web_pages: DataFrame,
+            branch: Optional[str] = None) -> int:
+        """Process pending inputs; returns number of newly processed docs.
+
+        With ``branch`` the run is STAGED (write-audit-publish,
+        Iceberg's ``spark.wap.branch``): its appends land normally but
+        the manifest row says ``staged``, so main readers and
+        `snapshots()` ignore it until `publish_branch` fast-forwards
+        main.  Resume sees committed work plus THIS branch's staged
+        work, so re-running the same input on the same branch stays
+        idempotent, while a main run of the same input correctly
+        reprocesses it."""
         done = self._done_keys()
+        if branch is not None:
+            staged = self._staged_runs(branch)
+            if staged is not None and staged.head(1):
+                mine = self._read_stage("extracted") \
+                    .join(F.broadcast(staged), RUN_ID_COL, "left_semi") \
+                    .select("url").distinct()
+                done = mine if done is None else \
+                    done.select("url").unionByName(mine).distinct()
         todo = pending_inputs(web_pages, done)
         # cheap emptiness probe: limit(1) avoids a full count of the input
         if todo.limit(1).isEmpty():
@@ -357,7 +455,10 @@ class CheckpointedRun:
         processed = res.extracted.count()
         res.unpersist()
         # the commit point: a run is visible if and only if this row landed
-        self._manifest(run_id, processed, time.perf_counter() - t0)
+        # (for a branch run: visible to the BRANCH if and only if)
+        self._manifest(run_id, processed, time.perf_counter() - t0,
+                       status="staged" if branch else "committed",
+                       branch=branch)
         return processed
 
     def _append_stages(self, res: PipelineResult, run_id: str) -> None:
@@ -619,13 +720,17 @@ class CheckpointedRun:
             .drop(RUN_ID_COL)
 
     def _manifest(self, run_id: str, processed: int,
-                  wall_seconds: float, kind: str = "append") -> None:
+                  wall_seconds: float, kind: str = "append",
+                  status: str = "committed",
+                  branch: Optional[str] = None) -> None:
         """S12 run-manifest row (`orchestrator.py:149-240` analogue); doubles
-        as the atomic commit record for ``run_id``'s appends."""
+        as the atomic commit record for ``run_id``'s appends (or its
+        staging record, for a WAP branch run)."""
         row = {
             "run_id": run_id,
             "kind": kind,
-            "status": "committed",
+            "status": status,
+            "branch": branch or "",
             # monotone snapshot sequence — the time-travel axis (run_ts has
             # second resolution, so ties are possible there; seq is total)
             "seq": self._next_seq(),

@@ -144,6 +144,18 @@ def main() -> int:
                          "seen-url anti-join with a Bloom filter of this "
                          "many bits (0 = off); bloom-negative rows skip "
                          "the history join entirely")
+    ap.add_argument("--branch", default=None,
+                    help="resume mode: stage this run on a "
+                         "write-audit-publish branch (invisible to main "
+                         "readers until --publish-branch; Iceberg's "
+                         "spark.wap.branch)")
+    ap.add_argument("--publish-branch", default=None, metavar="BRANCH",
+                    help="resume mode: fast-forward main to BRANCH's "
+                         "staged runs (metadata-only) instead of "
+                         "processing input")
+    ap.add_argument("--drop-branch", default=None, metavar="BRANCH",
+                    help="resume mode: abandon BRANCH's staged runs "
+                         "instead of processing input")
     ap.add_argument("--id-mode", choices=["blake2b", "xxhash64"],
                     default=None)
     ap.add_argument("--max-tokens", type=int, default=None)
@@ -283,6 +295,9 @@ def main() -> int:
     # table) — only the batch modes load pages here
     if args.mode in ("stream", "compact", "graph", "shards"):
         pass
+    elif args.mode == "resume" and (args.publish_branch
+                                    or args.drop_branch):
+        pass                  # metadata-only operations need no input
     elif args.input:
         pages = spark.read.parquet(args.input)
     elif args.sf_dir:
@@ -442,7 +457,12 @@ def main() -> int:
     elif args.mode == "resume":
         from docling_graph_spark.checkpointing import CheckpointedRun
         ckpt_run = CheckpointedRun(spark, args.output, cfg)
-        processed = ckpt_run.run(pages)
+        if args.publish_branch:
+            processed = ckpt_run.publish_branch(args.publish_branch)
+        elif args.drop_branch:
+            processed = ckpt_run.drop_branch(args.drop_branch)
+        else:
+            processed = ckpt_run.run(pages, branch=args.branch)
         if args.report:
             from docling_graph_spark import visualizers
             out = args.output.rstrip("/")

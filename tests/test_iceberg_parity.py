@@ -23,7 +23,13 @@ production deployment can replace CheckpointedRun' internals with
    delete hides only strictly-older data, so re-appending the url
    revives it), time travel across the delete boundary, and the
    physical rewrite pass keeps current reads identical while retiring
-   pre-delete time travel loudly.
+   pre-delete time travel loudly;
+6. (round 5) WRITE-AUDIT-PUBLISH branches (``spark.wap.branch`` /
+   fast-forward): a run staged on a branch is invisible to main
+   readers and the snapshot log, auditable through a branch read,
+   idempotent against re-staging, published by a METADATA-ONLY
+   fast-forward (no data file moves; pre-publish time travel excludes
+   the branch), or dropped leaving only compactable orphans.
 """
 
 from __future__ import annotations
@@ -312,3 +318,103 @@ def test_delete_nothing_is_noop(spark, pages, tmp_path):
     assert run.rewrite_deletes() == {"applied_deletes": 0,
                                      "removed_rows": 0}
     assert run.extracted().count() == n
+
+
+# ------------------------------------------------- WAP branching (round 5)
+
+def _glob_files(tmp_path, stage):
+    import glob
+
+    return sorted(glob.glob(str(tmp_path / "ck" / stage / "**" / "*.parquet"),
+                            recursive=True))
+
+
+def test_wap_staged_run_invisible_to_main(spark, pages, tmp_path):
+    run = CheckpointedRun(spark, str(tmp_path / "ck"),
+                          PipelineConfig(max_tokens=40))
+    run.run(pages.limit(25))
+    main_before = {r.url for r in run.extracted().select("url").collect()}
+    snaps_before = run.snapshots().count()
+
+    staged = run.run(pages, branch="audit")
+    assert staged == 15
+    # main readers and the snapshot log are untouched by the staged run
+    assert {r.url for r in run.extracted().select("url").collect()} \
+        == main_before
+    assert run.snapshots().count() == snaps_before
+    # ... but the branch preview (audit read) sees main + branch
+    preview = {r.url for r in
+               run.branch_preview("extracted", "audit")
+               .select("url").collect()}
+    assert len(preview) == 40 and main_before < preview
+
+
+def test_wap_branch_resume_idempotent(spark, pages, tmp_path):
+    run = CheckpointedRun(spark, str(tmp_path / "ck"),
+                          PipelineConfig(max_tokens=40))
+    run.run(pages.limit(25))
+    assert run.run(pages, branch="audit") == 15
+    # same input, same branch: nothing pending
+    assert run.run(pages, branch="audit") == 0
+    # a MAIN run of the same input still (correctly) reprocesses it
+    assert run.run(pages) == 15
+
+
+def test_wap_publish_is_metadata_only_fast_forward(spark, pages, tmp_path):
+    run = CheckpointedRun(spark, str(tmp_path / "ck"),
+                          PipelineConfig(max_tokens=40))
+    run.run(pages.limit(25))
+    run.run(pages, branch="audit")
+    pre_seq = int(run.snapshots().agg(F.max("seq").alias("m"))
+                  .collect()[0].m)
+    files_before = _glob_files(tmp_path, "extracted")
+
+    assert run.publish_branch("audit") == 1
+    # fast-forward: no data file moved or rewritten
+    assert _glob_files(tmp_path, "extracted") == files_before
+    # main now sees the branch rows, exactly once
+    urls = [r.url for r in run.extracted().select("url").collect()]
+    assert len(urls) == 40 and len(set(urls)) == 40
+    # the publish row carries the staged run's processed count
+    pub = run.snapshots().where(F.col("kind") == "publish").collect()
+    assert len(pub) == 1 and int(pub[0].processed_docs) == 15
+    # time travel to the pre-publish snapshot excludes the branch
+    assert run.extracted(as_of=pre_seq).count() == 25
+    # publishing again is a no-op
+    assert run.publish_branch("audit") == 0
+
+
+def test_wap_drop_branch_discards(spark, pages, tmp_path):
+    run = CheckpointedRun(spark, str(tmp_path / "ck"),
+                          PipelineConfig(max_tokens=40))
+    run.run(pages.limit(25))
+    run.run(pages, branch="audit")
+    assert run.drop_branch("audit") == 1
+    # preview reverts to main; publish refuses; main unchanged
+    assert run.branch_preview("extracted", "audit").count() == 25
+    assert run.publish_branch("audit") == 0
+    assert run.extracted().count() == 25
+    # the dropped run's rows are orphans: compaction reclaims them
+    # while leaving the committed state identical
+    before = {r.url for r in run.extracted().select("url").collect()}
+    run.compact()
+    assert {r.url for r in run.extracted().select("url").collect()} \
+        == before
+
+
+def test_wap_two_branches_are_independent(spark, pages, tmp_path):
+    run = CheckpointedRun(spark, str(tmp_path / "ck"),
+                          PipelineConfig(max_tokens=40))
+    run.run(pages.limit(25))
+    run.run(pages.limit(32), branch="b1")      # 7 new urls on b1
+    run.run(pages, branch="b2")                # all 15 pending on b2
+    p1 = run.branch_preview("extracted", "b1").count()
+    p2 = run.branch_preview("extracted", "b2").count()
+    assert p1 == 32 and p2 == 40
+    assert run.publish_branch("b1") == 1
+    assert run.extracted().count() == 32
+    # b2 staged before b1 published: publishing it may now double-carry
+    # urls b1 also staged — the preview warns (real Iceberg: a
+    # fast-forward conflict); here we just drop b2
+    assert run.drop_branch("b2") == 1
+    assert run.extracted().count() == 32
