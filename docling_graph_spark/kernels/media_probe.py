@@ -164,7 +164,61 @@ def probe_dimensions(payload: Optional[bytes]) -> Optional[ImageHeader]:
         return _probe_mp4(b)
     if b[:4] == b"\x1a\x45\xdf\xa3":
         return _probe_webm(b)
+    head = b[:16].lstrip()
+    if head[:4].lower() == b"<svg" or head[:5].lower() == b"<?xml":
+        return _probe_svg(b)
     return None
+
+
+def _probe_svg(b: bytes) -> Optional[ImageHeader]:
+    """SVG geometry from the root element: width/height attributes
+    (px or unitless; other units are rejected — resolving em/%/mm
+    needs a layout context), falling back to the viewBox extent.
+    Vector formats have no pixel decode, so this IS the whole
+    header-only story for them."""
+    import re
+
+    m = re.search(br"<svg\b[^>]*>", b[:4096], re.IGNORECASE | re.DOTALL)
+    if m is None:
+        return None
+    tag = m.group(0)
+
+    def attr(name):
+        am = re.search(br'\b' + name + br'\s*=\s*["\']([^"\']+)["\']',
+                       tag, re.IGNORECASE)
+        return am.group(1).strip() if am else None
+
+    def as_px(v):
+        if v is None:
+            return None
+        vm = re.fullmatch(br"([0-9]+(?:\.[0-9]+)?)(px)?", v)
+        return int(float(vm.group(1))) if vm else None
+
+    w, h = as_px(attr(b"width")), as_px(attr(b"height"))
+    if not (w and h):
+        vb = attr(b"viewBox")
+        if vb:
+            parts = re.split(br"[\s,]+", vb)
+            if len(parts) == 4:
+                try:
+                    w = w or int(float(parts[2]))
+                    h = h or int(float(parts[3]))
+                except ValueError:
+                    pass
+    if w and h:
+        return ImageHeader("image/svg+xml", w, h, None)
+    return None
+
+
+def make_svg_header(width: int, height: int,
+                    viewbox_only: bool = False) -> bytes:
+    """Minimal well-formed SVG document fixture."""
+    if viewbox_only:
+        dims = f'viewBox="0 0 {width} {height}"'
+    else:
+        dims = f'width="{width}" height="{height}"'
+    return (f'<?xml version="1.0"?>\n<svg xmlns="http://www.w3.org/'
+            f'2000/svg" {dims}><rect/></svg>').encode("ascii")
 
 
 # ------------------------------------------------- test-fixture encoders

@@ -52,7 +52,13 @@ def sniff_media_type(payload: Optional[bytes]) -> str:
                 return "application/riff"
             return mtype
     if payload[4:8] == b"ftyp":
-        return "video/mp4"          # any ISO BMFF brand (isom/mp42/...)
+        brand = payload[8:12]
+        if brand in (b"heic", b"heix", b"hevc", b"hevx", b"mif1",
+                     b"msf1"):
+            return "image/heic"     # HEIF stills (no HEVC decoder)
+        if brand in (b"avif", b"avis"):
+            return "image/avif"     # AV1 stills (no AV1 decoder)
+        return "video/mp4"          # any other ISO BMFF brand
     if payload[0:1] == b"\xff" and len(payload) >= 4 \
             and (payload[1] & 0xE0) == 0xE0:
         # bare MPEG-audio frame sync (no ID3 tag): accept only when
@@ -75,6 +81,10 @@ def sniff_media_type(payload: Optional[bytes]) -> str:
             return "image/bmp"
     head = payload[:256].lstrip()
     if head[:1] == b"<" or b"<html" in head.lower():
+        low = payload[:2048].lower()
+        if head[:4].lower() == b"<svg" \
+                or (head[:5].lower() == b"<?xml" and b"<svg" in low):
+            return "image/svg+xml"  # vector: geometry probes, no raster
         return "text/html"
     return "application/octet-stream"
 

@@ -6,7 +6,8 @@ This decodes the subset that covers most of them: both byte orders
 plus 16-bit via the standard high-byte reduction, grayscale
 (photometric 0/1) and RGB (2), uncompressed (1), LZW (5, with the
 TIFF early-change code widths and the optional horizontal-
-differencing predictor, tag 317) and PackBits (32773) compression,
+differencing predictor, tag 317), PackBits (32773) and Deflate
+(8, plus the legacy 32946 code; bounded inflate) compression,
 planar configuration 2 (per-sample strip planes), and new-style
 JPEG-in-TIFF (compression 7, TIFF TechNote 2: complete JPEG streams
 per strip/tile, optional shared-table JPEGTables tag 347, gray or
@@ -273,10 +274,12 @@ def decode_tiff(data: bytes) -> DecodedTiff:
         raise NotImplementedError(
             "old-style JPEG-in-TIFF (compression 6, TIFF 6.0 §22) is "
             "deprecated and unsupported; new-style (7) decodes")
-    if comp not in (1, 5, 32773, 7):
+    if comp == 32946:
+        comp = 8          # legacy Deflate code predates TIFF TechNote 3
+    if comp not in (1, 5, 32773, 7, 8):
         raise NotImplementedError(
             f"TIFF compression {comp} unsupported (none/LZW/PackBits/"
-            "JPEG only)")
+            "JPEG/Deflate only)")
     photo = one(262, 1)
     if photo not in (0, 1, 2, 6):
         raise NotImplementedError(
@@ -360,6 +363,15 @@ def decode_tiff(data: bytes) -> DecodedTiff:
             seg = raw[:expected]
         elif comp == 5:
             seg = _lzw_decode(raw, expected)
+        elif comp == 8:
+            import zlib
+
+            # bounded inflate: never produce more than the segment
+            # needs, whatever the stream claims (bomb guard)
+            seg = zlib.decompressobj().decompress(raw, expected)
+            if len(seg) < expected:
+                raise ValueError("Deflate data does not cover the "
+                                 "segment")
         else:
             seg = _packbits_decode(raw, expected)
         if predictor == 2:
@@ -457,17 +469,20 @@ def encode_tiff(width: int, height: int, channels: int, pixels: bytes,
                 rows_per_strip: int = 0, lzw: bool = False,
                 predictor: int = 1,
                 tile: "tuple[int, int] | None" = None,
-                planar: bool = False, depth16: bool = False) -> bytes:
+                planar: bool = False, depth16: bool = False,
+                deflate: "bool | str" = False) -> bytes:
     """Fixture TIFF: gray (1 channel) or RGB (3); uncompressed,
-    PackBits or LZW (optionally with the horizontal-differencing
-    predictor); strip-based (optionally multi-strip) or tiled
-    (``tile=(tw, tl)``, multiples of 16, edge tiles zero-padded);
-    either byte order."""
+    PackBits, LZW or Deflate (``deflate=True`` for code 8,
+    ``deflate='legacy'`` for the pre-TechNote-3 code 32946; LZW and
+    Deflate optionally with the horizontal-differencing predictor);
+    strip-based (optionally multi-strip) or tiled (``tile=(tw, tl)``,
+    multiples of 16, edge tiles zero-padded); either byte order."""
     assert channels in (1, 3) and len(pixels) == width * height * channels
     assert predictor in (1, 2)
     assert not (planar and tile) and not (depth16 and predictor == 2)
     fmt = ">" if big_endian else "<"
-    comp = 5 if lzw else (32773 if packbits else 1)
+    comp = (32946 if deflate == "legacy" else 8) if deflate \
+        else (5 if lzw else (32773 if packbits else 1))
     sb = 2 if depth16 else 1
     if depth16:
         # 16-bit samples as v*257 ((v<<8)|v): byte-order symmetric and
@@ -485,6 +500,10 @@ def encode_tiff(width: int, height: int, channels: int, pixels: bytes,
             return _lzw_encode(seg)
         if comp == 32773:
             return _packbits_encode(seg)
+        if comp in (8, 32946):
+            import zlib
+
+            return zlib.compress(seg, 6)
         return seg
 
     segs: List[bytes] = []

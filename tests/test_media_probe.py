@@ -200,3 +200,45 @@ def test_mp3_bare_sync_sniff_and_header_only_flow(spark):
         assert out[u]["sample_rate"] == sr
         assert out[u]["n_channels"] == ch
     assert out["id3only"]["decode_error"].startswith("unsupported")
+
+
+# ------------------------------------------------- SVG / HEIC / AVIF (r5)
+
+def test_svg_sniff_and_probe():
+    from docling_graph_spark.kernels.media_probe import (
+        make_svg_header, probe_dimensions)
+    from docling_graph_spark.kernels.media_stub import sniff_media_type
+
+    plain = make_svg_header(120, 80)
+    vb = make_svg_header(300, 150, viewbox_only=True)
+    bare = b'<svg width="5" height="9"></svg>'
+    for svg in (plain, vb, bare):
+        assert sniff_media_type(svg) == "image/svg+xml"
+    assert probe_dimensions(plain).width == 120
+    assert probe_dimensions(plain).height == 80
+    assert (probe_dimensions(vb).width,
+            probe_dimensions(vb).height) == (300, 150)
+    assert probe_dimensions(bare).width == 5
+    # px units accepted; layout-dependent units rejected -> viewBox
+    em = b'<svg width="10em" height="4em" viewBox="0 0 64 32"/>'
+    hdr = probe_dimensions(em)
+    assert (hdr.width, hdr.height) == (64, 32)
+    # html is NOT svg
+    assert sniff_media_type(b"<html><body>x</body></html>") \
+        == "text/html"
+    assert sniff_media_type(b'<?xml version="1.0"?><feed/>') \
+        == "text/html"
+
+
+def test_heic_avif_typing():
+    import struct
+
+    from docling_graph_spark.kernels.media_stub import sniff_media_type
+
+    def bmff(brand):
+        return struct.pack(">I", 16) + b"ftyp" + brand + b"\x00\x00\x00\x00"
+
+    assert sniff_media_type(bmff(b"heic")) == "image/heic"
+    assert sniff_media_type(bmff(b"mif1")) == "image/heic"
+    assert sniff_media_type(bmff(b"avif")) == "image/avif"
+    assert sniff_media_type(bmff(b"isom")) == "video/mp4"

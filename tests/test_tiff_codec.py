@@ -52,7 +52,7 @@ def test_unsupported_and_malformed_route_cleanly():
         T.decode_tiff(b"XX\x2a\x00 nope")
     good = bytearray(T.encode_tiff(4, 4, 1, bytes(16)))
     i = good.index(b"\x03\x01")  # compression tag 259 (II)
-    good[i + 8] = 8              # Adobe Deflate
+    good[i + 8] = 4              # CCITT G4 fax
     with pytest.raises(NotImplementedError, match="compression"):
         T.decode_tiff(bytes(good))
     # dimension bomb
@@ -371,3 +371,53 @@ def test_jpeg_in_tiff_decode_media_integration():
     dec = decode_media(t, "image/tiff")
     assert dec.width == 20 and dec.height == 12
     assert sum(dec.pixels) > 0
+
+
+# ---------------------------------------------------------------------------
+# Deflate compression (8 / legacy 32946)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kwargs", [
+    dict(deflate=True),
+    dict(deflate=True, predictor=2),
+    dict(deflate="legacy"),
+    dict(deflate=True, tile=(16, 16)),
+    dict(deflate=True, predictor=2, big_endian=True, rows_per_strip=5),
+])
+def test_deflate_roundtrip(kwargs):
+    from docling_graph_spark.kernels.tiff_codec import (
+        decode_tiff, encode_tiff)
+
+    w, h = 19, 13
+    px = bytes((k * 7 + 3) % 256 for k in range(w * h * 3))
+    dec = decode_tiff(encode_tiff(w, h, 3, px, **kwargs))
+    assert (dec.width, dec.height, dec.channels) == (w, h, 3)
+    assert dec.pixels == px
+
+
+def test_deflate_bounded_inflate_and_truncation():
+    import struct
+    import zlib
+
+    from docling_graph_spark.kernels.tiff_codec import (
+        _assemble_tiff, decode_tiff)
+
+    # a strip whose inflate EXPANDS far beyond the declared segment is
+    # clamped to the expected size (bomb guard), not ballooned
+    big = zlib.compress(bytes(10_000_000), 9)       # ~10 KB -> 10 MB
+    t = _assemble_tiff(False, [
+        (256, 4, [4]), (257, 4, [4]), (258, 3, [8]), (259, 3, [8]),
+        (262, 3, [1]), (277, 3, [1]), (278, 4, [4]),
+        (273, 4, None), (279, 4, [len(big)]),
+    ], [big])
+    dec = decode_tiff(t)
+    assert dec.pixels == bytes(16)
+    # a stream that inflates SHORT routes as a ValueError
+    small = zlib.compress(bytes(3))
+    t = _assemble_tiff(False, [
+        (256, 4, [4]), (257, 4, [4]), (258, 3, [8]), (259, 3, [8]),
+        (262, 3, [1]), (277, 3, [1]), (278, 4, [4]),
+        (273, 4, None), (279, 4, [len(small)]),
+    ], [small])
+    with pytest.raises(ValueError, match="cover"):
+        decode_tiff(t)
