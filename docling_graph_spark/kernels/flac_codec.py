@@ -500,7 +500,8 @@ def _write_subframe(bw: _BitWriter, ch: List[int], bps: int,
 def encode_flac(channels: List[List[int]], sample_rate: int = 8000,
                 bps: int = 16, blocksize: int = 256,
                 subframe_mode: str = "verbatim",
-                stereo_mode: str = "independent") -> bytes:
+                stereo_mode: str = "independent",
+                comments: "dict | None" = None) -> bytes:
     """Real FLAC stream from per-channel integer samples.
 
     ``subframe_mode``: constant (requires constant blocks) / verbatim /
@@ -520,7 +521,19 @@ def encode_flac(channels: List[List[int]], sample_rate: int = 8000,
         | ((bps - 1) << 36) | n
     si += packed.to_bytes(8, "big")
     si += bytes(16)                      # md5 unset
-    out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
+    if comments:
+        out += bytes([0x00]) + len(si).to_bytes(3, "big") + si
+        vendor = b"docling-graph-spark fixture encoder"
+        vc = bytearray(struct.pack("<I", len(vendor)) + vendor)
+        items = [f"{k.upper()}={v}".encode("utf-8")
+                 for k, v in comments.items()]
+        vc += struct.pack("<I", len(items))
+        for it in items:
+            vc += struct.pack("<I", len(it)) + it
+        # VORBIS_COMMENT block (type 4), now the last metadata block
+        out += bytes([0x84]) + len(vc).to_bytes(3, "big") + vc
+    else:
+        out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
 
     frame_no = 0
     for start in range(0, n, blocksize):

@@ -1,0 +1,306 @@
+"""Audio text-tag extraction — ID3v2, Vorbis comments, RIFF INFO.
+
+A training-data pipeline wants the TEXT riding inside media payloads
+(titles, artists, descriptions) even when the audio itself only needs
+statistics: tags are document text for indexing/dedup purposes.  This
+module parses the three tag families that cover nearly all crawled
+audio:
+
+* ID3v2 (2.2 / 2.3 / 2.4) prepended to MP3 streams — text frames with
+  all four spec encodings (latin-1, UTF-16 ± BOM, UTF-8), syncsafe
+  sizes where the version says so;
+* Vorbis comments — the ``KEY=value`` UTF-8 list carried in Ogg Vorbis
+  packet 2 (``\\x03vorbis``) and byte-identically in FLAC's
+  VORBIS_COMMENT metadata block (type 4);
+* RIFF ``LIST INFO`` chunks in WAV files (INAM/IART/... zero-padded
+  latin-1 strings).
+
+Everything returns a plain ``{normalized_key: text}`` dict with the
+common fields mapped to title/artist/album/date/comment; unknown
+frames/keys pass through under their native name.  Parsers are
+bounded (tag sizes capped, malformed frames skipped) — a hostile
+payload yields an empty or partial dict, never an exception, because
+tag text is advisory metadata, not decode-critical state.
+
+The reference stops at magic-byte typing for binary inputs
+(`core/input/types.py:39-105`); this is part of the container-feasible
+extension the multimodal column gets here.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, Optional
+
+MAX_TAG_BYTES = 1 << 22       # 4 MiB: generous for any sane tag block
+
+_ID3_MAP = {
+    "TIT2": "title", "TT2": "title",
+    "TPE1": "artist", "TP1": "artist",
+    "TALB": "album", "TAL": "album",
+    "TDRC": "date", "TYER": "date", "TYE": "date",
+    "COMM": "comment", "COM": "comment",
+}
+
+_VORBIS_MAP = {
+    "title": "title", "artist": "artist", "album": "album",
+    "date": "date", "description": "comment", "comment": "comment",
+}
+
+_RIFF_MAP = {
+    b"INAM": "title", b"IART": "artist", b"IPRD": "album",
+    b"ICRD": "date", b"ICMT": "comment",
+}
+
+
+def _syncsafe(b: bytes) -> int:
+    return ((b[0] & 0x7F) << 21) | ((b[1] & 0x7F) << 14) \
+        | ((b[2] & 0x7F) << 7) | (b[3] & 0x7F)
+
+
+def _id3_text(enc: int, data: bytes) -> Optional[str]:
+    try:
+        if enc == 0:
+            s = data.decode("latin-1")
+        elif enc == 1:
+            s = data.decode("utf-16")      # BOM-driven
+        elif enc == 2:
+            s = data.decode("utf-16-be")
+        elif enc == 3:
+            s = data.decode("utf-8")
+        else:
+            return None
+    except (UnicodeDecodeError, LookupError):
+        return None
+    return s.split("\x00")[0].strip() or None
+
+
+def read_id3v2(payload: bytes) -> Dict[str, str]:
+    """Text frames of a leading ID3v2 tag (empty dict if none)."""
+    b = payload
+    if b[:3] != b"ID3" or len(b) < 10:
+        return {}
+    ver = b[3]
+    if ver not in (2, 3, 4):
+        return {}
+    flags = b[5]
+    size = _syncsafe(b[6:10])
+    end = min(10 + size, len(b), MAX_TAG_BYTES)
+    pos = 10
+    if flags & 0x40 and ver in (3, 4):     # extended header: skip
+        if pos + 4 > end:
+            return {}
+        ehs = (_syncsafe(b[pos:pos + 4]) if ver == 4
+               else struct.unpack_from(">I", b, pos)[0] + 4)
+        pos += ehs
+    out: Dict[str, str] = {}
+    id_len = 3 if ver == 2 else 4
+    while pos + id_len + (3 if ver == 2 else 6) <= end:
+        fid = b[pos:pos + id_len]
+        if fid.strip(b"\x00") == b"":
+            break                          # padding reached
+        if ver == 2:
+            fsize = int.from_bytes(b[pos + 3:pos + 6], "big")
+            body_at = pos + 6
+        else:
+            raw = b[pos + 4:pos + 8]
+            fsize = _syncsafe(raw) if ver == 4 \
+                else struct.unpack(">I", raw)[0]
+            body_at = pos + 10             # 2 flag bytes skipped
+        if fsize <= 0 or body_at + fsize > end:
+            break
+        body = b[body_at:body_at + fsize]
+        try:
+            name = fid.decode("ascii")
+        except UnicodeDecodeError:
+            name = ""
+        if name and body:
+            if name.startswith("T"):
+                txt = _id3_text(body[0], body[1:])
+                if txt:
+                    out[_ID3_MAP.get(name, name)] = txt
+            elif name in ("COMM", "COM") and len(body) >= 5:
+                # enc(1) + lang(3) + short-desc\x00 + text
+                enc, rest = body[0], body[4:]
+                sep = b"\x00\x00" if enc in (1, 2) else b"\x00"
+                idx = rest.find(sep)
+                if idx >= 0:
+                    txt = _id3_text(enc, rest[idx + len(sep):])
+                    if txt:
+                        out[_ID3_MAP[name]] = txt
+        pos = body_at + fsize
+    return out
+
+
+def _parse_vorbis_comment_body(b: bytes, pos: int) -> Dict[str, str]:
+    """The shared vendor + ``KEY=value`` list layout (Vorbis I §5,
+    reused verbatim by FLAC block type 4)."""
+    out: Dict[str, str] = {}
+    end = min(len(b), pos + MAX_TAG_BYTES)
+    if pos + 4 > end:
+        return out
+    (vlen,) = struct.unpack_from("<I", b, pos)
+    pos += 4 + vlen
+    if pos + 4 > end:
+        return out
+    (n,) = struct.unpack_from("<I", b, pos)
+    pos += 4
+    for _ in range(min(n, 4096)):
+        if pos + 4 > end:
+            break
+        (ln,) = struct.unpack_from("<I", b, pos)
+        pos += 4
+        if ln > end - pos:
+            break
+        try:
+            item = b[pos:pos + ln].decode("utf-8")
+        except UnicodeDecodeError:
+            pos += ln
+            continue
+        pos += ln
+        if "=" in item:
+            k, v = item.split("=", 1)
+            k = k.lower()
+            if v.strip():
+                out[_VORBIS_MAP.get(k, k)] = v.strip()
+    return out
+
+
+def read_ogg_comments(payload: bytes) -> Dict[str, str]:
+    """Vorbis comments from an Ogg stream (packet 2's \\x03vorbis
+    header; a bounded scan is enough — the comment header sits in the
+    first pages by spec)."""
+    idx = payload.find(b"\x03vorbis", 0, MAX_TAG_BYTES)
+    if idx < 0:
+        return {}
+    return _parse_vorbis_comment_body(payload, idx + 7)
+
+
+def read_flac_comments(payload: bytes) -> Dict[str, str]:
+    """VORBIS_COMMENT metadata block (type 4) of a FLAC stream."""
+    if payload[:4] != b"fLaC":
+        return {}
+    pos = 4
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        blen = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        if (hdr & 0x7F) == 4:
+            return _parse_vorbis_comment_body(payload, pos + 4)
+        pos += 4 + blen
+        if hdr & 0x80:
+            break
+    return {}
+
+
+def read_riff_info(payload: bytes) -> Dict[str, str]:
+    """``LIST INFO`` tags of a RIFF (WAV/AVI) payload."""
+    b = payload
+    if len(b) < 12 or b[:4] != b"RIFF":
+        return {}
+    end = min(len(b), 8 + struct.unpack_from("<I", b, 4)[0],
+              MAX_TAG_BYTES)
+    out: Dict[str, str] = {}
+    pos = 12
+    while pos + 8 <= end:
+        cid = b[pos:pos + 4]
+        (csize,) = struct.unpack_from("<I", b, pos + 4)
+        body = pos + 8
+        if body + csize > end:
+            break
+        if cid == b"LIST" and b[body:body + 4] == b"INFO":
+            p = body + 4
+            stop = body + csize
+            while p + 8 <= stop:
+                tid = b[p:p + 4]
+                (tsize,) = struct.unpack_from("<I", b, p + 4)
+                if p + 8 + tsize > stop:
+                    break
+                try:
+                    txt = b[p + 8:p + 8 + tsize].split(b"\x00")[0] \
+                        .decode("latin-1").strip()
+                except UnicodeDecodeError:
+                    txt = ""
+                if txt:
+                    key = _RIFF_MAP.get(tid)
+                    if key is None:
+                        try:
+                            key = tid.decode("ascii").lower()
+                        except UnicodeDecodeError:
+                            key = None
+                    if key:
+                        out[key] = txt
+                p += 8 + tsize + (tsize & 1)
+        pos = body + csize + (csize & 1)
+    return out
+
+
+def audio_text_tags(payload: Optional[bytes]) -> Dict[str, str]:
+    """Dispatch on magic: the one call the operators use."""
+    if not payload:
+        return {}
+    if payload[:3] == b"ID3":
+        return read_id3v2(payload)
+    if payload[:4] == b"OggS":
+        return read_ogg_comments(payload)
+    if payload[:4] == b"fLaC":
+        return read_flac_comments(payload)
+    if payload[:4] == b"RIFF":
+        return read_riff_info(payload)
+    return {}
+
+
+# ------------------------------------------------------------- fixtures
+
+def make_id3v2(tags: Dict[str, str], version: int = 3,
+               audio: bytes = b"") -> bytes:
+    """ID3v2.3/2.4 tag fixture (UTF-16-with-BOM for v3 text frames,
+    UTF-8 for v4) prepended to ``audio``."""
+    assert version in (3, 4)
+    rev = {"title": "TIT2", "artist": "TPE1", "album": "TALB",
+           "date": "TDRC" if version == 4 else "TYER",
+           "comment": "COMM"}
+    def u16(s: str) -> bytes:              # UTF-16 with explicit BOM
+        return b"\xff\xfe" + s.encode("utf-16-le")
+
+    frames = bytearray()
+    for k, v in tags.items():
+        fid = rev.get(k, k).encode("ascii")
+        if k == "comment":
+            if version == 4:
+                body = b"\x03eng\x00" + v.encode("utf-8")
+            else:
+                # enc=1: lang + BOM'd empty description + \x00\x00
+                # terminator + BOM'd text
+                body = b"\x01eng" + u16("") + b"\x00\x00" + u16(v)
+        elif version == 4:
+            body = b"\x03" + v.encode("utf-8")
+        else:
+            body = b"\x01" + u16(v)
+        size = (_syncsafe_enc(len(body)) if version == 4
+                else struct.pack(">I", len(body)))
+        frames += fid + size + b"\x00\x00" + body
+    hdr = b"ID3" + bytes([version, 0, 0]) + _syncsafe_enc(len(frames))
+    return hdr + bytes(frames) + audio
+
+
+def _syncsafe_enc(n: int) -> bytes:
+    return bytes(((n >> s) & 0x7F) for s in (21, 14, 7, 0))
+
+
+def add_riff_info(wav: bytes, tags: Dict[str, str]) -> bytes:
+    """Append a ``LIST INFO`` chunk to a RIFF payload (WAV fixture),
+    updating the RIFF size — readers that walk chunks are order-
+    agnostic, which `wav_codec.decode_wav` pins."""
+    rev = {v: k for k, v in _RIFF_MAP.items()}
+    body = bytearray(b"INFO")
+    for k, v in tags.items():
+        tid = rev.get(k, k[:4].upper().encode("ascii"))
+        data = v.encode("latin-1") + b"\x00"
+        body += tid + struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            body += b"\x00"
+    chunk = b"LIST" + struct.pack("<I", len(body)) + bytes(body)
+    out = bytearray(wav)
+    out += chunk
+    struct.pack_into("<I", out, 4, len(out) - 8)
+    return bytes(out)

@@ -994,11 +994,15 @@ def _ident_packet(ch: int, rate: int, n0: int,
     return bw.flush()
 
 
-def _comment_packet() -> bytes:
+def _comment_packet(comments: "dict | None" = None) -> bytes:
     vendor = b"docling-graph-spark fixture encoder"
     out = bytearray(b"\x03vorbis")
     out += struct.pack("<I", len(vendor)) + vendor
-    out += struct.pack("<I", 0)
+    items = [f"{k.upper()}={v}".encode("utf-8")
+             for k, v in (comments or {}).items()]
+    out += struct.pack("<I", len(items))
+    for it in items:
+        out += struct.pack("<I", len(it)) + it
     out += b"\x01"
     return bytes(out)
 
@@ -1025,7 +1029,8 @@ def _quantize(x: np.ndarray, lim: float, delta: float,
 def encode_vorbis(channels_pcm: List[List[int]], sample_rate: int,
                   blocksize: int = 256, couple: bool = False,
                   bits: int = 9,
-                  long_blocksize: "int | None" = None) -> bytes:
+                  long_blocksize: "int | None" = None,
+                  comments: "dict | None" = None) -> bytes:
     """Encode int16 PCM channels as a real Ogg Vorbis stream.
 
     Default: equal blocksizes (one mode, blockflag 0).  With
@@ -1146,7 +1151,7 @@ def encode_vorbis(channels_pcm: List[List[int]], sample_rate: int,
     pages = [ogg_page(serial, 0, 0,
                       [_ident_packet(ch, sample_rate, bs0, bs1)],
                       0x02),
-             ogg_page(serial, 1, 0, [_comment_packet(),
+             ogg_page(serial, 1, 0, [_comment_packet(comments),
                                      _setup_packet(ch, bs1 // 2,
                                                    couple, bits,
                                                    two_modes)])]

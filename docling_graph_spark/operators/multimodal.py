@@ -446,3 +446,48 @@ def image_near_dup(web_pages: DataFrame,
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+MEDIA_TAGS = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("media_type", T.StringType(), True),
+    T.StructField("n_tags", T.IntegerType(), False),
+    T.StructField("title", T.StringType(), True),
+    T.StructField("artist", T.StringType(), True),
+    T.StructField("album", T.StringType(), True),
+    T.StructField("date", T.StringType(), True),
+    T.StructField("comment", T.StringType(), True),
+])
+
+
+def media_text_tags(web_pages: DataFrame) -> DataFrame:
+    """Text metadata riding inside media payloads — ID3v2 frames,
+    Vorbis comments (Ogg and FLAC), RIFF INFO chunks
+    (`kernels/media_tags.py`) — surfaced as corpus text columns: at
+    100 TB these titles/descriptions join the document text for
+    indexing and dedup, the way image alt-text does for pictures.
+    Same mapInPandas shape as the decode stages ((url, html) pruned
+    across the Arrow boundary, per-batch parse loop, malformed tags
+    yield empty columns, never an executor crash)."""
+    from ..kernels.media_tags import audio_text_tags
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fields = ("title", "artist", "album", "date", "comment")
+        for pdf in batches:
+            n = len(pdf)
+            out = {"url": pdf["url"],
+                   "media_type": [None] * n,
+                   "n_tags": [0] * n,
+                   **{f: [None] * n for f in fields}}
+            for i, payload in enumerate(pdf["html"]):
+                b = bytes(payload) if payload is not None else b""
+                out["media_type"][i] = sniff_media_type(b)
+                tags = audio_text_tags(b)
+                out["n_tags"][i] = len(tags)
+                for f in fields:
+                    if f in tags:
+                        out[f][i] = tags[f]
+            yield pd.DataFrame(out)
+
+    pruned = web_pages.select("url", "html")
+    return pruned.mapInPandas(process, schema=MEDIA_TAGS)

@@ -1,0 +1,109 @@
+"""Audio text-tag extraction (kernels/media_tags.py): ID3v2, Vorbis
+comments (Ogg + FLAC), RIFF INFO — tags are corpus text, parsed
+boundedly and never fatally."""
+
+import pytest
+
+from docling_graph_spark.kernels.media_tags import (
+    add_riff_info, audio_text_tags, make_id3v2, read_flac_comments,
+    read_id3v2, read_ogg_comments, read_riff_info)
+
+TAGS = {"title": "Über Song", "artist": "Ann O'Nym",
+        "album": "Crawl Vol. 1", "comment": "from a test"}
+
+
+@pytest.mark.parametrize("version", [3, 4])
+def test_id3v2_roundtrip(version):
+    blob = make_id3v2(TAGS, version=version, audio=b"\xff\xfb\x90\x00")
+    got = read_id3v2(blob)
+    assert got["title"] == TAGS["title"]
+    assert got["artist"] == TAGS["artist"]
+    assert got["album"] == TAGS["album"]
+    assert got["comment"] == TAGS["comment"]
+    # dispatch: leading ID3 routes to the ID3 parser
+    assert audio_text_tags(blob) == got
+
+
+def test_id3v2_malformed_never_raises():
+    good = make_id3v2(TAGS, version=3)
+    for b in (b"", b"ID3", good[:15], good[:40],
+              b"ID3\x07\x00\x00\x00\x00\x00\x20" + b"\xff" * 32,
+              bytes(64)):
+        assert isinstance(read_id3v2(b), dict)
+
+
+def test_ogg_vorbis_comments_roundtrip():
+    from docling_graph_spark.kernels.vorbis_codec import (
+        decode_vorbis, encode_vorbis)
+
+    ogg = encode_vorbis([[0] * 64], 8000, blocksize=128,
+                        comments=TAGS)
+    got = read_ogg_comments(ogg)
+    assert got["title"] == TAGS["title"]
+    assert got["comment"] == TAGS["comment"]
+    assert audio_text_tags(ogg) == got
+    # the stream still decodes (the comment header stays conformant)
+    dec = decode_vorbis(ogg)
+    assert dec.n_frames == 64 and all(s == 0 for s in dec.samples)
+
+
+def test_flac_vorbis_comment_block_roundtrip():
+    from docling_graph_spark.kernels.flac_codec import (
+        decode_flac, encode_flac)
+
+    samples = [((k * 13) % 101) - 50 for k in range(100)]
+    fl = encode_flac([samples], blocksize=64, comments=TAGS)
+    got = read_flac_comments(fl)
+    assert got["title"] == TAGS["title"]
+    assert got["album"] == TAGS["album"]
+    assert audio_text_tags(fl) == got
+    # the added metadata block leaves decode untouched
+    assert decode_flac(fl).samples == samples
+    # a comment-free stream yields no tags
+    assert read_flac_comments(encode_flac([samples])) == {}
+
+
+def test_riff_info_roundtrip():
+    from docling_graph_spark.kernels.wav_codec import (
+        decode_wav, encode_wav_pcm16)
+
+    wav = encode_wav_pcm16(8000, 1, [5, -5] * 20)
+    tagged = add_riff_info(wav, TAGS)
+    got = read_riff_info(tagged)
+    assert got["title"] == TAGS["title"]
+    assert got["artist"] == TAGS["artist"]
+    assert audio_text_tags(tagged) == got
+    # decode_wav is chunk-order agnostic: samples unchanged
+    assert decode_wav(tagged).samples == decode_wav(wav).samples
+    assert read_riff_info(wav) == {}
+
+
+def test_dispatch_unknown_and_empty():
+    assert audio_text_tags(None) == {}
+    assert audio_text_tags(b"") == {}
+    assert audio_text_tags(b"\x00\x01\x02\x03" * 10) == {}
+
+
+def test_media_text_tags_operator(spark):
+    from docling_graph_spark.kernels.flac_codec import encode_flac
+    from docling_graph_spark.kernels.media_tags import (add_riff_info,
+                                                        make_id3v2)
+    from docling_graph_spark.kernels.wav_codec import encode_wav_pcm16
+    from docling_graph_spark.operators.multimodal import media_text_tags
+
+    rows = [
+        ("a-id3", make_id3v2(TAGS, version=4, audio=b"\xff\xfb\x90\x00")),
+        ("b-flac", encode_flac([[0] * 64], blocksize=64,
+                               comments={"title": "flac title"})),
+        ("c-wav", add_riff_info(encode_wav_pcm16(8000, 1, [1, 2]),
+                                {"artist": "wav artist"})),
+        ("d-untagged", encode_wav_pcm16(8000, 1, [1, 2])),
+        ("e-not-audio", b"hello world"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r.url: r for r in media_text_tags(df).collect()}
+    assert got["a-id3"].title == TAGS["title"] and got["a-id3"].n_tags == 4
+    assert got["b-flac"].title == "flac title"
+    assert got["c-wav"].artist == "wav artist"
+    assert got["d-untagged"].n_tags == 0
+    assert got["e-not-audio"].n_tags == 0
