@@ -13,7 +13,12 @@ audio:
   packet 2 (``\\x03vorbis``) and byte-identically in FLAC's
   VORBIS_COMMENT metadata block (type 4);
 * RIFF ``LIST INFO`` chunks in WAV files (INAM/IART/... zero-padded
-  latin-1 strings).
+  latin-1 strings);
+* the 128-byte ID3v1 trailer as a fallback when no v2 tag leads;
+* image-borne text: PNG tEXt/zTXt/iTXt chunks (keyword-mapped,
+  bounded inflate for the compressed forms) and GIF comment
+  extensions (full block walk, image data skipped sub-block-wise
+  without LZW decode).
 
 Everything returns a plain ``{normalized_key: text}`` dict with the
 common fields mapped to title/artist/album/date/comment; unknown
@@ -304,3 +309,220 @@ def add_riff_info(wav: bytes, tags: Dict[str, str]) -> bytes:
     out += chunk
     struct.pack_into("<I", out, 4, len(out) - 8)
     return bytes(out)
+
+
+# ------------------------------------------------ image-borne text (r5)
+
+_PNG_KEY_MAP = {
+    "title": "title", "author": "artist", "description": "comment",
+    "comment": "comment", "copyright": "copyright",
+    "creation time": "date",
+}
+
+
+def read_png_text(payload: bytes) -> Dict[str, str]:
+    """tEXt / zTXt / iTXt chunks of a PNG (keyword-mapped; iTXt may be
+    zlib-compressed — inflate is bounded by MAX_TAG_BYTES)."""
+    b = payload
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return {}
+    import zlib
+
+    out: Dict[str, str] = {}
+    pos = 8
+    end = min(len(b), MAX_TAG_BYTES)
+    while pos + 8 <= end:
+        (ln,) = struct.unpack_from(">I", b, pos)
+        tag = b[pos + 4:pos + 8]
+        body = b[pos + 8:pos + 8 + ln]
+        if len(body) < ln:
+            break
+        txt = kw = None
+        try:
+            if tag == b"tEXt":
+                kw, _, rest = body.partition(b"\x00")
+                txt = rest.decode("latin-1")
+            elif tag == b"zTXt":
+                kw, _, rest = body.partition(b"\x00")
+                if rest[:1] == b"\x00":
+                    txt = zlib.decompressobj().decompress(
+                        rest[1:], MAX_TAG_BYTES).decode("latin-1")
+            elif tag == b"iTXt":
+                kw, _, rest = body.partition(b"\x00")
+                if len(rest) >= 2:
+                    comp, rest = rest[0], rest[2:]
+                    # skip language tag and translated keyword
+                    _, _, rest = rest.partition(b"\x00")
+                    _, _, rest = rest.partition(b"\x00")
+                    raw = (zlib.decompressobj().decompress(
+                        rest, MAX_TAG_BYTES) if comp else rest)
+                    txt = raw.decode("utf-8")
+        except Exception:
+            txt = None                 # malformed text chunk: skip it
+        if kw and txt and txt.strip():
+            try:
+                key = kw.decode("latin-1").lower()
+            except UnicodeDecodeError:
+                key = ""
+            if key:
+                out[_PNG_KEY_MAP.get(key, key)] = txt.strip()
+        if tag == b"IEND":
+            break
+        pos += 12 + ln                 # length + tag + body + CRC
+    return out
+
+
+def read_gif_comments(payload: bytes) -> Dict[str, str]:
+    """Comment extensions (0x21 0xFE) of a GIF, walking the full block
+    structure (image data skipped sub-block-wise, no LZW decode)."""
+    b = payload
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return {}
+    flags = b[10]
+    pos = 13
+    if flags & 0x80:                   # global color table
+        pos += 3 * (2 << (flags & 7))
+    comments = []
+    end = min(len(b), MAX_TAG_BYTES)
+
+    def skip_subblocks(p):
+        while p < end:
+            n = b[p]
+            p += 1 + n
+            if n == 0:
+                return p
+        return end
+
+    while pos < end:
+        marker = b[pos]
+        if marker == 0x3B:             # trailer
+            break
+        if marker == 0x21 and pos + 1 < end:
+            label = b[pos + 1]
+            p = pos + 2
+            if label == 0xFE:
+                buf = bytearray()
+                while p < end:
+                    n = b[p]
+                    if n == 0:
+                        p += 1
+                        break
+                    buf += b[p + 1:p + 1 + n]
+                    p += 1 + n
+                try:
+                    txt = buf.decode("utf-8")
+                except UnicodeDecodeError:
+                    txt = buf.decode("latin-1", "replace")
+                if txt.strip():
+                    comments.append(txt.strip())
+                pos = p
+            else:
+                pos = skip_subblocks(p)
+        elif marker == 0x2C and pos + 10 <= end:   # image descriptor
+            lflags = b[pos + 9]
+            pos += 10
+            if lflags & 0x80:
+                pos += 3 * (2 << (lflags & 7))
+            pos += 1                   # LZW min code size
+            pos = skip_subblocks(pos)
+        else:
+            break                      # unknown structure: stop cleanly
+    return {"comment": " ".join(comments)} if comments else {}
+
+
+def read_id3v1(payload: bytes) -> Dict[str, str]:
+    """The 128-byte ID3v1 trailer — the fallback when no v2 tag leads."""
+    if len(payload) < 128:
+        return {}
+    t = payload[-128:]
+    if t[:3] != b"TAG":
+        return {}
+
+    def field(a, z):
+        return t[a:z].split(b"\x00")[0].decode("latin-1",
+                                               "replace").strip()
+
+    out = {}
+    for key, (a, z) in (("title", (3, 33)), ("artist", (33, 63)),
+                        ("album", (63, 93)), ("date", (93, 97)),
+                        ("comment", (97, 127))):
+        v = field(a, z)
+        if v:
+            out[key] = v
+    return out
+
+
+def text_tags(payload: Optional[bytes]) -> Dict[str, str]:
+    """Text metadata from ANY supported container: the audio families
+    plus PNG text chunks and GIF comments.  The one call
+    `multimodal.media_text_tags` uses."""
+    if not payload:
+        return {}
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return read_png_text(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return read_gif_comments(payload)
+    got = audio_text_tags(payload)
+    if not got and len(payload) >= 128 \
+            and payload[-128:][:3] == b"TAG":
+        return read_id3v1(payload)
+    return got
+
+
+# fixture helpers -------------------------------------------------------
+
+def add_png_text(png: bytes, tags: Dict[str, str],
+                 itxt: bool = False) -> bytes:
+    """Insert tEXt (or UTF-8 iTXt) chunks before IEND."""
+    import zlib
+
+    rev = {"title": b"Title", "artist": b"Author",
+           "comment": b"Description", "date": b"Creation Time",
+           "copyright": b"Copyright"}
+    chunks = bytearray()
+    for k, v in tags.items():
+        kw = rev.get(k, k.title().encode("latin-1"))
+        if itxt:
+            body = kw + b"\x00\x00\x00" + b"\x00" + b"\x00" \
+                + v.encode("utf-8")
+            tag = b"iTXt"
+        else:
+            body = kw + b"\x00" + v.encode("latin-1")
+            tag = b"tEXt"
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        chunks += struct.pack(">I", len(body)) + tag + body \
+            + struct.pack(">I", crc)
+    idx = png.rfind(b"IEND")
+    assert idx >= 8
+    return png[:idx - 4] + bytes(chunks) + png[idx - 4:]
+
+
+def add_gif_comment(gif: bytes, text: str) -> bytes:
+    """Insert a comment extension right after the (optional) global
+    color table."""
+    flags = gif[10]
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 7))
+    data = text.encode("utf-8")
+    blocks = bytearray(b"\x21\xfe")
+    for i in range(0, len(data), 255):
+        part = data[i:i + 255]
+        blocks += bytes([len(part)]) + part
+    blocks += b"\x00"
+    return gif[:pos] + bytes(blocks) + gif[pos:]
+
+
+def make_id3v1(tags: Dict[str, str], audio: bytes = b"") -> bytes:
+    t = bytearray(b"TAG" + bytes(125))
+
+    def put(a, z, key):
+        v = tags.get(key, "").encode("latin-1", "replace")[:z - a]
+        t[a:a + len(v)] = v
+
+    put(3, 33, "title")
+    put(33, 63, "artist")
+    put(63, 93, "album")
+    put(93, 97, "date")
+    put(97, 127, "comment")
+    return audio + bytes(t)

@@ -461,15 +461,16 @@ MEDIA_TAGS = T.StructType([
 
 
 def media_text_tags(web_pages: DataFrame) -> DataFrame:
-    """Text metadata riding inside media payloads — ID3v2 frames,
-    Vorbis comments (Ogg and FLAC), RIFF INFO chunks
+    """Text metadata riding inside media payloads — ID3v2/ID3v1
+    frames, Vorbis comments (Ogg and FLAC), RIFF INFO chunks, PNG
+    tEXt/zTXt/iTXt chunks and GIF comment extensions
     (`kernels/media_tags.py`) — surfaced as corpus text columns: at
     100 TB these titles/descriptions join the document text for
     indexing and dedup, the way image alt-text does for pictures.
     Same mapInPandas shape as the decode stages ((url, html) pruned
     across the Arrow boundary, per-batch parse loop, malformed tags
     yield empty columns, never an executor crash)."""
-    from ..kernels.media_tags import audio_text_tags
+    from ..kernels.media_tags import text_tags
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fields = ("title", "artist", "album", "date", "comment")
@@ -482,7 +483,7 @@ def media_text_tags(web_pages: DataFrame) -> DataFrame:
             for i, payload in enumerate(pdf["html"]):
                 b = bytes(payload) if payload is not None else b""
                 out["media_type"][i] = sniff_media_type(b)
-                tags = audio_text_tags(b)
+                tags = text_tags(b)
                 out["n_tags"][i] = len(tags)
                 for f in fields:
                     if f in tags:

@@ -107,3 +107,68 @@ def test_media_text_tags_operator(spark):
     assert got["c-wav"].artist == "wav artist"
     assert got["d-untagged"].n_tags == 0
     assert got["e-not-audio"].n_tags == 0
+
+
+# ------------------------------------------------- image text + ID3v1
+
+def test_png_text_chunks_roundtrip():
+    from docling_graph_spark.kernels.media_tags import (add_png_text,
+                                                        read_png_text,
+                                                        text_tags)
+    from docling_graph_spark.kernels.png_codec import (decode_png,
+                                                       encode_png_gray)
+
+    png = encode_png_gray(4, 4, bytes(range(16)))
+    tagged = add_png_text(png, {"title": "a png", "comment": "desc"})
+    got = read_png_text(tagged)
+    assert got == {"title": "a png", "comment": "desc"}
+    assert text_tags(tagged) == got
+    # decoder ignores the inserted ancillary chunks
+    assert decode_png(tagged).pixels == decode_png(png).pixels
+    # iTXt (UTF-8) variant
+    it = add_png_text(png, {"title": "ünïcodé"}, itxt=True)
+    assert read_png_text(it)["title"] == "ünïcodé"
+    assert read_png_text(png) == {}
+
+
+def test_gif_comment_extension_roundtrip():
+    from docling_graph_spark.kernels.gif_codec import decode_gif, encode_gif
+    from docling_graph_spark.kernels.media_tags import (add_gif_comment,
+                                                        read_gif_comments,
+                                                        text_tags)
+
+    pal = [bytes((i, i, i)) for i in range(4)]
+    gif = encode_gif(5, 4, pal, bytes([i % 4 for i in range(20)]))
+    tagged = add_gif_comment(gif, "made by a crawler " * 20)  # >255 bytes
+    got = read_gif_comments(tagged)
+    assert got["comment"].startswith("made by a crawler")
+    assert len(got["comment"]) > 255
+    assert text_tags(tagged) == got
+    assert decode_gif(tagged).pixels == decode_gif(gif).pixels
+    assert read_gif_comments(gif) == {}
+
+
+def test_id3v1_trailer_fallback():
+    from docling_graph_spark.kernels.media_tags import (make_id3v1,
+                                                        make_id3v2,
+                                                        text_tags)
+
+    audio = b"\xff\xfb\x90\x00" + bytes(64)
+    v1 = make_id3v1({"title": "old song", "artist": "someone"},
+                    audio=audio)
+    got = text_tags(v1)
+    assert got["title"] == "old song" and got["artist"] == "someone"
+    # a v2 tag wins over a v1 trailer
+    both = make_id3v2({"title": "new title"}, version=4,
+                      audio=v1)
+    assert text_tags(both)["title"] == "new title"
+
+
+def test_image_text_malformed_never_raises():
+    from docling_graph_spark.kernels.media_tags import (read_gif_comments,
+                                                        read_png_text)
+
+    for b in (b"", b"\x89PNG\r\n\x1a\n", b"\x89PNG\r\n\x1a\n" + b"\xff" * 20,
+              b"GIF89a", b"GIF89a" + bytes(20)):
+        assert isinstance(read_png_text(b), dict)
+        assert isinstance(read_gif_comments(b), dict)
