@@ -673,14 +673,13 @@ def exif_orientation(data: bytes) -> int:
     return 1
 
 
-def _orient(dec: DecodedJpeg, data: bytes) -> DecodedJpeg:
-    """Apply the Exif orientation the way browsers do, so pixel
-    consumers (pHash dedup above all) see the upright image."""
-    o = exif_orientation(data)
-    if o <= 1:
-        return dec
-    a = np.frombuffer(dec.pixels, np.uint8).reshape(
-        dec.height, dec.width, dec.channels)
+def orient_pixels(width: int, height: int, channels: int,
+                  pixels: bytes, o: int):
+    """Apply Exif orientation ``o`` (2-8) to an interleaved pixel
+    buffer the way browsers do; returns (width, height, pixels).
+    Shared by the JPEG and WebP decode paths so pHash dedup sees the
+    upright image whichever container carried the tag."""
+    a = np.frombuffer(pixels, np.uint8).reshape(height, width, channels)
     if o == 2:
         a = a[:, ::-1]
     elif o == 3:
@@ -695,9 +694,18 @@ def _orient(dec: DecodedJpeg, data: bytes) -> DecodedJpeg:
         a = a.transpose(1, 0, 2)[::-1, ::-1]
     else:                                # 8: rotate 270 CW
         a = a.transpose(1, 0, 2)[::-1]
-    h2, w2 = a.shape[0], a.shape[1]
-    return DecodedJpeg(w2, h2, dec.channels, np.ascontiguousarray(a)
-                       .tobytes())
+    return a.shape[1], a.shape[0], np.ascontiguousarray(a).tobytes()
+
+
+def _orient(dec: DecodedJpeg, data: bytes) -> DecodedJpeg:
+    """Apply the Exif orientation the way browsers do, so pixel
+    consumers (pHash dedup above all) see the upright image."""
+    o = exif_orientation(data)
+    if o <= 1:
+        return dec
+    w2, h2, px = orient_pixels(dec.width, dec.height, dec.channels,
+                               dec.pixels, o)
+    return DecodedJpeg(w2, h2, dec.channels, px)
 
 
 def make_exif_app1(orientation: int, big_endian: bool = False) -> bytes:

@@ -11,7 +11,10 @@ module implements the public "WebP Lossless Bitstream Specification":
   even-coordinate placement, dispose-to-background, alpha-blend vs
   overwrite — with gif_codec-style frame selection (first frame cheap,
   ``frame=-1`` final state, ``n_frames`` reported) and both frame
-  flavors (VP8L and VP8) supported inside ANMF;
+  flavors (VP8L and VP8) supported inside ANMF; VP8X EXIF chunks
+  apply their orientation to stills browser-style (shared
+  `jpeg_codec.orient_pixels`), so EXIF-rotated WebPs pair with their
+  upright originals in pHash dedup;
 * LSB-first bit reader; canonical prefix codes with the DEFLATE
   convention (code bits stream MSB-of-code first), the 19-symbol
   code-length code in its special order with RLE 16/17/18, the
@@ -464,31 +467,40 @@ def decode_webp(data: bytes, max_pixels: int = MAX_PIXELS,
     bg = 0
     anmf = []
     alph = None
+    still: "DecodedWebp | None" = None
+    exif: "bytes | None" = None
     while pos + 8 <= len(data):
         fourcc = data[pos:pos + 4]
         size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
         body = data[pos + 8:pos + 8 + size]
-        if fourcc == b"VP8L":
-            return _decode_vp8l(body, max_pixels)
-        if fourcc == b"ALPH":
+        if fourcc == b"VP8L" and still is None:
+            still = _decode_vp8l(body, max_pixels)
+        elif fourcc == b"ALPH":
             alph = body
-        if fourcc == b"VP8 ":
+        elif fourcc == b"VP8 " and still is None:
             # lossy key frame: kernels/vp8_codec (round 5)
             from .vp8_codec import decode_vp8, vp8_frame_to_rgb
 
             dec = decode_vp8(body, max_pixels)
             rgb = vp8_frame_to_rgb(dec)
             if alph is None:
-                return DecodedWebp(dec.width, dec.height, 3, rgb)
-            a = decode_alpha(alph, dec.width, dec.height, max_pixels)
-            out = bytearray()
-            for i in range(dec.width * dec.height):
-                out += rgb[3 * i:3 * i + 3]
-                out.append(a[i])
-            if all(v == 255 for v in a):
-                return DecodedWebp(dec.width, dec.height, 3, rgb)
-            return DecodedWebp(dec.width, dec.height, 4, bytes(out))
-        if fourcc == b"VP8X" and len(body) >= 10:
+                still = DecodedWebp(dec.width, dec.height, 3, rgb)
+            else:
+                a = decode_alpha(alph, dec.width, dec.height,
+                                 max_pixels)
+                out = bytearray()
+                for i in range(dec.width * dec.height):
+                    out += rgb[3 * i:3 * i + 3]
+                    out.append(a[i])
+                still = (DecodedWebp(dec.width, dec.height, 3, rgb)
+                         if all(v == 255 for v in a)
+                         else DecodedWebp(dec.width, dec.height, 4,
+                                          bytes(out)))
+        elif fourcc == b"EXIF":
+            # VP8X metadata chunk (placed after the image data by
+            # spec, so the walk must not early-return on the still)
+            exif = body
+        elif fourcc == b"VP8X" and len(body) >= 10:
             anim = bool(body[0] & 0x02)
             canvas_w = 1 + int.from_bytes(body[4:7], "little")
             canvas_h = 1 + int.from_bytes(body[7:10], "little")
@@ -497,11 +509,39 @@ def decode_webp(data: bytes, max_pixels: int = MAX_PIXELS,
         elif fourcc == b"ANMF":
             anmf.append(body)
         pos += 8 + size + (size & 1)
+    if still is not None:
+        o = webp_exif_orientation(exif) if exif else 1
+        if o > 1:
+            from .jpeg_codec import orient_pixels
+
+            w2, h2, px = orient_pixels(still.width, still.height,
+                                       still.channels, still.pixels, o)
+            still = DecodedWebp(w2, h2, still.channels, px)
+        return still
     if anim and anmf:
         return _compose_webp_anim(canvas_w, canvas_h, bg, anmf, frame,
                                   max_frames, max_pixels)
     raise NotImplementedError("no image payload chunk in WEBP "
                               "container")
+
+
+def webp_exif_orientation(body: bytes) -> int:
+    """Tag 274 from a WebP EXIF chunk: the payload is the Exif TIFF
+    IFD, with or without the JPEG-style ``Exif\\x00\\x00`` prefix
+    (both occur in the wild).  1 when absent or unparseable — metadata
+    must never fail an otherwise-decodable image."""
+    t = body[6:] if body[:6] == b"Exif\x00\x00" else body
+    fmt = "<" if t[:2] == b"II" else ">" if t[:2] == b"MM" else None
+    if fmt is None:
+        return 1
+    try:
+        from .tiff_codec import _read_ifd
+
+        (off,) = struct.unpack_from(fmt + "I", t, 4)
+        o = _read_ifd(t, fmt, off).get(274, [1])[0]
+        return o if 1 <= o <= 8 else 1
+    except Exception:
+        return 1
 
 
 def _decode_vp8l(payload: bytes,
@@ -1289,3 +1329,26 @@ def encode_alpha(alpha: bytes, w: int, h: int, method: int = 1,
     for _ in range(len(payload) * 8 - 32):
         bw.write_bits(br.read_bit(), 1)
     return hdr + bw.flush()
+
+
+def add_webp_exif(webp: bytes, orientation: int,
+                  big_endian: bool = False) -> bytes:
+    """Fixture: rewrap a plain still WebP in a VP8X container carrying
+    an EXIF chunk with the given orientation (the metadata chunk
+    placed after the image data, as the container spec orders it)."""
+    from .jpeg_codec import make_exif_app1
+
+    assert webp[:4] == b"RIFF" and webp[8:12] == b"WEBP"
+    dec = decode_webp(webp)
+    w, h = dec.width, dec.height
+    inner = webp[12:]
+    # APP1 segment minus the JPEG marker+length = Exif\0\0 + TIFF IFD
+    exif_body = make_exif_app1(orientation, big_endian)[4:]
+    vp8x = bytes([0x08, 0, 0, 0]) \
+        + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    chunks = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x + inner
+    chunks += b"EXIF" + struct.pack("<I", len(exif_body)) + exif_body
+    if len(exif_body) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" \
+        + chunks

@@ -342,3 +342,69 @@ def test_anim_through_media_decode_stats(spark):
     assert row.decoded and row.media_type == "image/webp"
     assert (row.width, row.height) == (6, 5)
     assert row.pixel_sum == 6 * 5 * 27                # first frame
+
+
+# ------------------------------------------------ EXIF orientation (r5)
+
+@pytest.mark.parametrize("orientation", [1, 2, 3, 4, 5, 6, 7, 8])
+def test_webp_exif_orientation_matches_jpeg_semantics(orientation):
+    from docling_graph_spark.kernels.jpeg_codec import orient_pixels
+    from docling_graph_spark.kernels.webp_codec import (add_webp_exif,
+                                                        decode_webp,
+                                                        encode_webp_lossless)
+
+    w, h = 5, 3
+    rgba = bytes(b for i in range(w * h)
+                 for b in ((i * 7) % 256, (i * 11) % 256,
+                           (i * 13) % 256, 255))
+    plain = encode_webp_lossless(w, h, rgba)
+    base = decode_webp(plain)
+    tagged = decode_webp(add_webp_exif(plain, orientation))
+    if orientation <= 1:
+        assert (tagged.width, tagged.height) == (w, h)
+        assert tagged.pixels == base.pixels
+    else:
+        w2, h2, px = orient_pixels(base.width, base.height,
+                                   base.channels, base.pixels,
+                                   orientation)
+        assert (tagged.width, tagged.height) == (w2, h2)
+        assert tagged.pixels == px
+    if orientation in (5, 6, 7, 8):
+        assert (tagged.width, tagged.height) == (h, w)
+
+
+def test_webp_rotated_transcode_pairs_in_phash():
+    # the use case: an EXIF-rotated WebP of physically-rotated pixels
+    # hashes identically to the upright original
+    from docling_graph_spark.kernels.jpeg_codec import orient_pixels
+    from docling_graph_spark.kernels.phash import phash63
+    from docling_graph_spark.kernels.webp_codec import (add_webp_exif,
+                                                        decode_webp,
+                                                        encode_webp_lossless)
+
+    w = h = 32
+    lum = bytes((x * 3 + y * 5) % 256 for y in range(h) for x in range(w))
+    rgba = bytes(b for v in lum for b in (v, v, v, 255))
+    upright = decode_webp(encode_webp_lossless(w, h, rgba))
+    # physically rotate 90 CCW so that Exif 6 (rotate 90 CW) restores it
+    w2, h2, rot = orient_pixels(w, h, 4, rgba, 8)
+    rotated = add_webp_exif(encode_webp_lossless(w2, h2, rot), 6)
+    restored = decode_webp(rotated)
+    assert (restored.width, restored.height) == (w, h)
+
+    assert phash63(restored.pixels, w, h, restored.channels) \
+        == phash63(upright.pixels, w, h, upright.channels)
+
+
+def test_webp_exif_malformed_is_ignored():
+    from docling_graph_spark.kernels.webp_codec import (add_webp_exif,
+                                                        decode_webp,
+                                                        encode_webp_lossless)
+    import struct as _s
+
+    plain = encode_webp_lossless(3, 3, bytes(range(27)) + bytes(9))
+    tagged = bytearray(add_webp_exif(plain, 6))
+    i = tagged.find(b"EXIF")
+    tagged[i + 8:i + 14] = b"broken"        # corrupt the Exif prefix
+    dec = decode_webp(bytes(tagged))
+    assert (dec.width, dec.height) == (3, 3)  # orientation ignored
