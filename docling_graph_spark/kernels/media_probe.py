@@ -161,6 +161,9 @@ def probe_dimensions(payload: Optional[bytes]) -> Optional[ImageHeader]:
             return _probe_avi(b)
         return _probe_webp(b)
     if b[4:8] == b"ftyp":
+        if b[8:12] in (b"heic", b"heix", b"hevc", b"hevx", b"mif1",
+                       b"msf1", b"avif", b"avis"):
+            return _probe_heif(b)
         return _probe_mp4(b)
     if b[:4] == b"\x1a\x45\xdf\xa3":
         return _probe_webm(b)
@@ -305,6 +308,62 @@ def _probe_mp4(b: bytes) -> Optional[ImageHeader]:
                 if w and h:
                     return ImageHeader("video/mp4", w, h, None)
     return None
+
+
+def _probe_heif(b: bytes) -> Optional[ImageHeader]:
+    """HEIF/AVIF still geometry: meta → iprp → ipco → ispe carries the
+    image spatial extents.  ``meta`` is a FullBox (4 version/flags
+    bytes before its children); the property containers are plain
+    boxes.  HEVC/AV1 pixel decode needs codec libraries, so this
+    header path is the whole story for these brands."""
+    mtype = ("image/avif" if b[8:12] in (b"avif", b"avis")
+             else "image/heic")
+
+    def boxes(pos, end, fullbox=False):
+        if fullbox:
+            pos += 4
+        while pos + 8 <= end:
+            size = struct.unpack_from(">I", b, pos)[0]
+            cc = b[pos + 4:pos + 8]
+            head = 8
+            if size == 1:
+                if pos + 16 > end:
+                    return
+                size = struct.unpack_from(">Q", b, pos + 8)[0]
+                head = 16
+            elif size == 0:
+                size = end - pos
+            if size < head or pos + size > end:
+                return
+            yield cc, pos + head, pos + size
+            pos += size
+
+    for cc, s, e in boxes(0, len(b)):
+        if cc != b"meta":
+            continue
+        for cc2, s2, e2 in boxes(s, e, fullbox=True):
+            if cc2 != b"iprp":
+                continue
+            for cc3, s3, e3 in boxes(s2, e2):
+                if cc3 != b"ipco":
+                    continue
+                for cc4, s4, e4 in boxes(s3, e3):
+                    if cc4 == b"ispe" and e4 - s4 >= 12:
+                        w, h = struct.unpack_from(">II", b, s4 + 4)
+                        if w and h:
+                            return ImageHeader(mtype, w, h, None)
+    return None
+
+
+def make_heif_header(width: int, height: int,
+                     brand: bytes = b"heic") -> bytes:
+    """Minimal HEIF/AVIF prefix: ftyp + meta/iprp/ipco/ispe."""
+    ispe = struct.pack(">I4sIII", 20, b"ispe", 0, width, height)
+    ipco = struct.pack(">I4s", 8 + len(ispe), b"ipco") + ispe
+    iprp = struct.pack(">I4s", 8 + len(ipco), b"iprp") + ipco
+    meta = struct.pack(">I4sI", 12 + len(iprp), b"meta", 0) + iprp
+    ftyp = struct.pack(">I4s", 16, b"ftyp") + brand + b"\x00\x00\x00\x00"
+    return ftyp + meta
 
 
 def _probe_avi(b: bytes) -> Optional[ImageHeader]:

@@ -149,6 +149,7 @@ def decode_png(data: bytes) -> DecodedPng:
     pos = 8
     width = height = bit_depth = color_type = interlace = None
     idat = bytearray()
+    exif_o = 1
     n = len(data)
     while pos + 8 <= n:
         (length,) = struct.unpack(">I", data[pos:pos + 4])
@@ -162,6 +163,12 @@ def decode_png(data: bytes) -> DecodedPng:
                 struct.unpack(">IIBBBBB", body)
         elif tag == b"IDAT":
             idat.extend(body)
+        elif tag == b"eXIf":
+            # PNG-3 Exif chunk: raw TIFF IFD; orientation applies to
+            # the decoded pixels browser-style, like JPEG/WebP
+            from .webp_codec import webp_exif_orientation
+
+            exif_o = webp_exif_orientation(body)
         elif tag == b"IEND":
             break
     if width is None:
@@ -237,6 +244,11 @@ def decode_png(data: bytes) -> DecodedPng:
                     off = (y * width + x) * channels
                     out[off:off + channels] = \
                         row[i * channels:(i + 1) * channels]
+    if exif_o > 1:
+        from .jpeg_codec import orient_pixels
+
+        width, height, out = orient_pixels(width, height, channels,
+                                           bytes(out), exif_o)
     return DecodedPng(width, height, bit_depth, color_type, channels,
                       bytes(out))
 
@@ -537,3 +549,19 @@ def encode_apng(canvas_w: int, canvas_h: int, frames: list) -> bytes:
             seq += 1
     out += chunk(b"IEND", b"")
     return bytes(out)
+
+
+def add_png_exif(png: bytes, orientation: int) -> bytes:
+    """Fixture: insert a PNG-3 eXIf chunk (raw TIFF IFD, tag 274)
+    before IEND."""
+    import zlib as _z
+
+    from .jpeg_codec import make_exif_app1
+
+    body = make_exif_app1(orientation)[10:]    # strip APP1 + Exif\0\0
+    crc = _z.crc32(b"eXIf" + body) & 0xFFFFFFFF
+    chunk = struct.pack(">I", len(body)) + b"eXIf" + body \
+        + struct.pack(">I", crc)
+    idx = png.rfind(b"IEND")
+    assert idx >= 8
+    return png[:idx - 4] + chunk + png[idx - 4:]

@@ -242,3 +242,22 @@ def test_heic_avif_typing():
     assert sniff_media_type(bmff(b"mif1")) == "image/heic"
     assert sniff_media_type(bmff(b"avif")) == "image/avif"
     assert sniff_media_type(bmff(b"isom")) == "video/mp4"
+
+
+def test_heif_avif_ispe_probe():
+    from docling_graph_spark.kernels.media_probe import (make_heif_header,
+                                                         probe_dimensions)
+    from docling_graph_spark.kernels.media_stub import sniff_media_type
+
+    heic = make_heif_header(640, 480, b"heic")
+    avif = make_heif_header(31, 17, b"avif")
+    assert sniff_media_type(heic) == "image/heic"
+    assert sniff_media_type(avif) == "image/avif"
+    hh = probe_dimensions(heic)
+    assert (hh.media_type, hh.width, hh.height) \
+        == ("image/heic", 640, 480)
+    ha = probe_dimensions(avif)
+    assert (ha.media_type, ha.width, ha.height) \
+        == ("image/avif", 31, 17)
+    # truncated meta: no geometry, no crash
+    assert probe_dimensions(heic[:24]) is None

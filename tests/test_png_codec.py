@@ -319,3 +319,39 @@ def test_apng_frame_selection_and_guards():
     bad[i + 4 + 12:i + 4 + 16] = (99).to_bytes(4, "big")
     with pytest.raises(ValueError):
         P.decode_apng(bytes(bad), frame=-1)
+
+
+# ------------------------------------------------ eXIf orientation (r5)
+
+@pytest.mark.parametrize("orientation", [1, 3, 6, 8])
+def test_png_exif_orientation(orientation):
+    from docling_graph_spark.kernels.jpeg_codec import orient_pixels
+    from docling_graph_spark.kernels.png_codec import (add_png_exif,
+                                                       decode_png,
+                                                       encode_png_gray)
+
+    w, h = 5, 3
+    px = bytes((i * 17) % 256 for i in range(w * h))
+    plain = encode_png_gray(w, h, px)
+    dec = decode_png(add_png_exif(plain, orientation))
+    if orientation == 1:
+        assert (dec.width, dec.height, dec.pixels) == (w, h, px)
+    else:
+        w2, h2, want = orient_pixels(w, h, 1, px, orientation)
+        assert (dec.width, dec.height) == (w2, h2)
+        assert dec.pixels == want
+
+
+def test_png_exif_malformed_ignored():
+    from docling_graph_spark.kernels.png_codec import (add_png_exif,
+                                                       decode_png,
+                                                       encode_png_gray)
+    import zlib as _z
+    import struct as _s
+
+    plain = encode_png_gray(4, 4, bytes(range(16)))
+    tagged = bytearray(add_png_exif(plain, 6))
+    i = tagged.find(b"eXIf")
+    tagged[i + 4:i + 8] = b"\xff\xff\xff\xff"   # corrupt the TIFF body
+    dec = decode_png(bytes(tagged))
+    assert (dec.width, dec.height) == (4, 4)
