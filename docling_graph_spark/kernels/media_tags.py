@@ -462,6 +462,10 @@ def text_tags(payload: Optional[bytes]) -> Dict[str, str]:
         return read_png_text(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return read_gif_comments(payload)
+    if payload[:4] == b"%PDF":
+        from .pdf_parse import extract_pdf_metadata
+
+        return extract_pdf_metadata(payload)
     got = audio_text_tags(payload)
     if not got and len(payload) >= 128 \
             and payload[-128:][:3] == b"TAG":

@@ -1052,3 +1052,87 @@ def encrypt_pdf_rc4(pdf: bytes, key_bits: int = 128,
             f"{id0.hex().upper()}> <{id0.hex().upper()}>] >>\n"
             .encode("ascii"))
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Document metadata (trailer /Info dictionary)
+# ---------------------------------------------------------------------------
+
+_INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+\d+\s+R")
+_INFO_KEYS = {b"Title": "title", b"Author": "artist",
+              b"Subject": "comment", b"Keywords": "keywords",
+              b"Producer": "producer", b"CreationDate": "date"}
+
+
+def extract_pdf_metadata(payload: bytes) -> dict:
+    """Document metadata from the trailer's /Info dictionary: Title /
+    Author / Subject / Keywords / Producer / CreationDate as literal
+    or hex strings (UTF-16BE with BOM honored), keyword-mapped to the
+    same normalized keys `kernels/media_tags.py` uses — PDF titles are
+    corpus text like audio tags.  Encrypted documents return {} (the
+    strings would be ciphertext); malformed structures degrade to
+    partial/empty dicts, never an exception."""
+    if _ENCRYPT_REF_RE.search(payload):
+        # encrypted document: Info strings are ciphertext (the fixture
+        # encrypter only rewrites streams, but real writers encrypt
+        # strings too — returning plaintext-looking garbage would be
+        # worse than returning nothing)
+        return {}
+    refs = _INFO_REF_RE.findall(payload)
+    if not refs:
+        return {}
+    info_num = int(refs[-1])               # last trailer wins (updates)
+    objects = {}
+    for m in _OBJ_RE.finditer(payload):
+        objects.setdefault(int(m.group(1)), m.group(2))
+    try:
+        _expand_object_streams(objects)
+    except Exception:
+        pass
+    body = objects.get(info_num)
+    if body is None:
+        return {}
+    out = {}
+    for raw_key, key in _INFO_KEYS.items():
+        m = re.search(rb"/" + raw_key + rb"\s*", body)
+        if m is None:
+            continue
+        i = m.end()
+        try:
+            if body[i:i + 1] == b"(":
+                raw, _ = _parse_literal_string(body, i)
+            elif body[i:i + 1] == b"<" and body[i:i + 2] != b"<<":
+                raw, _ = _parse_hex_string(body, i)
+            else:
+                continue
+            txt = _decode_pdf_string(raw).strip()
+        except Exception:
+            continue
+        if txt:
+            out[key] = txt
+    return out
+
+
+def add_pdf_info(pdf: bytes, meta: dict) -> bytes:
+    """Fixture: append an /Info object + updated trailer reference to
+    a PDF (incremental-update style: the LAST /Info reference wins,
+    which the reader honors)."""
+    num = 900                               # clear of fixture objects
+    rev = {"title": b"Title", "artist": b"Author",
+           "comment": b"Subject", "keywords": b"Keywords",
+           "producer": b"Producer", "date": b"CreationDate"}
+
+    def pdf_string(s: str) -> bytes:
+        if all(ord(c) < 128 for c in s):
+            esc = s.replace("\\", r"\\").replace("(", r"\(") \
+                .replace(")", r"\)")
+            return b"(" + esc.encode("ascii") + b")"
+        raw = b"\xfe\xff" + s.encode("utf-16-be")
+        return b"<" + raw.hex().encode("ascii") + b">"
+
+    entries = b" ".join(b"/" + rev.get(k, k.title().encode("ascii"))
+                        + b" " + pdf_string(v)
+                        for k, v in meta.items())
+    obj = b"\n%d 0 obj\n<< %s >>\nendobj\n" % (num, entries)
+    trailer = b"trailer\n<< /Info %d 0 R >>\n" % num
+    return pdf + obj + trailer

@@ -172,3 +172,14 @@ def test_image_text_malformed_never_raises():
               b"GIF89a", b"GIF89a" + bytes(20)):
         assert isinstance(read_png_text(b), dict)
         assert isinstance(read_gif_comments(b), dict)
+
+
+def test_pdf_info_through_text_tags():
+    from docling_graph_spark.kernels.media_tags import text_tags
+    from docling_graph_spark.kernels.pdf_parse import (
+        add_pdf_info, encode_pdf_objstm_cid)
+
+    pdf = add_pdf_info(encode_pdf_objstm_cid("body text"),
+                       {"title": "A Paper", "artist": "An Author"})
+    got = text_tags(pdf)
+    assert got["title"] == "A Paper" and got["artist"] == "An Author"

@@ -521,3 +521,45 @@ def test_unsupported_filters_route_not_garbage():
     pdf = _one_stream_pdf("/Filter /DCTDecode", b"\xff\xd8\xff junk")
     got, err = P.extract_real_pdf_text(pdf)
     assert got == ""                     # no text, no crash, no garbage
+
+
+# ------------------------------------------------- /Info metadata (r5)
+
+def test_pdf_info_metadata_roundtrip():
+    from docling_graph_spark.kernels.pdf_parse import (
+        add_pdf_info, encode_pdf_objstm_cid, extract_pdf_metadata,
+        extract_real_pdf_text)
+
+    base = encode_pdf_objstm_cid("hello metadata world")
+    assert extract_pdf_metadata(base) == {}
+    meta = {"title": "Annual Report", "artist": "Jane Doe",
+            "comment": "Über résumé",          # non-ASCII -> UTF-16BE hex
+            "producer": "docling-graph-spark"}
+    tagged = add_pdf_info(base, meta)
+    got = extract_pdf_metadata(tagged)
+    assert got["title"] == "Annual Report"
+    assert got["artist"] == "Jane Doe"
+    assert got["comment"] == "Über résumé"
+    assert got["producer"] == "docling-graph-spark"
+    # text extraction is unaffected by the appended update
+    t1, e1 = extract_real_pdf_text(tagged)
+    assert e1 is None and "hello metadata world" in t1
+
+
+def test_pdf_info_encrypted_returns_empty():
+    from docling_graph_spark.kernels.pdf_parse import (
+        add_pdf_info, encode_pdf_objstm_cid, encrypt_pdf_rc4,
+        extract_pdf_metadata)
+
+    pdf = add_pdf_info(encode_pdf_objstm_cid("secret"),
+                       {"title": "hidden"})
+    enc = encrypt_pdf_rc4(pdf)
+    assert extract_pdf_metadata(enc) == {}
+
+
+def test_pdf_info_malformed_never_raises():
+    from docling_graph_spark.kernels.pdf_parse import extract_pdf_metadata
+
+    for b in (b"", b"%PDF-1.4", b"/Info 3 0 R",
+              b"%PDF /Info 1 0 R 1 0 obj << /Title ( >> endobj"):
+        assert isinstance(extract_pdf_metadata(b), dict)
