@@ -6445,6 +6445,68 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ctr_rows = _unpivot_single_row(ctr_agg, "container_decode")
 
+    # stage 'text_tags' (round 5 continuation): text metadata riding
+    # inside media payloads — doc_ids [232, 256) carry title =
+    # 'title {d}' and artist = 'artist {d}' through SIX tag families
+    # rotating by d%6 (ID3v2.3, ID3v2.4, ID3v1 trailer, PNG tEXt,
+    # RIFF INFO, FLAC VORBIS_COMMENT); every family must surface both
+    # fields (n_tags = 2 per row), so the aggregate lengths are pure
+    # closed forms of the doc id the oracle replays
+    # (kernels/media_tags.py, operators/multimodal.media_text_tags;
+    # GIF comments and PDF /Info are pytest-pinned — single-field
+    # families would complicate the closed form for no extra signal).
+    def build_tagged(batches):
+        from docling_graph_spark.kernels.flac_codec import encode_flac
+        from docling_graph_spark.kernels.media_tags import (
+            add_png_text, add_riff_info, make_id3v1, make_id3v2)
+        from docling_graph_spark.kernels.png_codec import (
+            encode_png_gray)
+        from docling_graph_spark.kernels.wav_codec import (
+            encode_wav_pcm16)
+
+        for pdf in batches:
+            urls, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                tags = {"title": f"title {d}", "artist": f"artist {d}"}
+                fam = d % 6
+                audio = b"\xff\xfb\x90\x00" + bytes(16)
+                if fam == 0:
+                    blob = make_id3v2(tags, version=3, audio=audio)
+                elif fam == 1:
+                    blob = make_id3v2(tags, version=4, audio=audio)
+                elif fam == 2:
+                    blob = make_id3v1(tags, audio=audio)
+                elif fam == 3:
+                    blob = add_png_text(
+                        encode_png_gray(3, 3, bytes(9)), tags)
+                elif fam == 4:
+                    blob = add_riff_info(
+                        encode_wav_pcm16(8000, 1, [0, 1]), tags)
+                else:
+                    blob = encode_flac([[0] * 16], blocksize=16,
+                                       comments=tags)
+                urls.append(f"tag:{d}")
+                blobs.append(blob)
+            yield pd.DataFrame({"url": urls, "html": blobs})
+
+    tagged = (
+        _read(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") >= _PNG_DOCS + 168)
+                & (F.col("doc_id") < _PNG_DOCS + 192))
+        .select("doc_id")
+        .mapInPandas(build_tagged, "url string, html binary")
+    )
+    tdec = op_mm.media_text_tags(tagged)
+    tag_agg = tdec.agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("n_tags") > 0).cast("long")).alias("n_tagged"),
+        F.sum("n_tags").alias("sum_tags"),
+        F.sum(F.length("title")).alias("sum_title_len"),
+        F.sum(F.length("artist")).alias("sum_artist_len"),
+    )
+    tag_rows = _unpivot_single_row(tag_agg, "text_tags")
+
     lldec = op_mm.media_decode_stats(ll)
     ll_agg = lldec.agg(
         F.count("*").alias("n_images"),
@@ -6551,6 +6613,7 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(wav_rows).unionByName(jpg_rows)
             .unionByName(ll_rows).unionByName(v8_rows)
             .unionByName(ctr_rows)
+            .unionByName(tag_rows)
             .unionByName(ph_rows)
             .orderBy("stage", "metric"))
 
@@ -6945,6 +7008,19 @@ csum AS (
          CAST(sum(w) AS BIGINT) AS sum_width,
          CAST(sum(h) AS BIGINT) AS sum_height
   FROM ctr
+),
+tgsum AS (
+  -- text_tags: every family surfaces title 'title {{d}}' and artist
+  -- 'artist {{d}}', so lengths are closed forms of the id digits
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_tagged,
+         CAST(2 * count(*) AS BIGINT) AS sum_tags,
+         CAST(sum(6 + length(CAST(doc_id AS VARCHAR))) AS BIGINT)
+           AS sum_title_len,
+         CAST(sum(7 + length(CAST(doc_id AS VARCHAR))) AS BIGINT)
+           AS sum_artist_len
+  FROM documents
+  WHERE doc_id >= {_PNG_DOCS + 168} AND doc_id < {_PNG_DOCS + 192}
 ){_vp8_oracle_ctes()}{_phash_oracle_ctes()}
 SELECT stage, metric, value FROM (
   SELECT 'media' AS stage, media_type || ':n_docs' AS metric,
@@ -7002,7 +7078,11 @@ SELECT stage, metric, value FROM (
   UNION ALL
 {_sql_unpivot('csum', 'container_decode',
               ['n_rows', 'n_decoded', 'sum_pixels', 'sum_pixel_values',
-               'sum_width', 'sum_height'])}{_PHASH_ORACLE_ROWS}
+               'sum_width', 'sum_height'])}
+  UNION ALL
+{_sql_unpivot('tgsum', 'text_tags',
+              ['n_rows', 'n_tagged', 'sum_tags', 'sum_title_len',
+               'sum_artist_len'])}{_PHASH_ORACLE_ROWS}
 ) ORDER BY stage, metric
 """
 
