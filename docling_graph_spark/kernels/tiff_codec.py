@@ -2,7 +2,9 @@
 
 TIFF shows up on crawls as scanned documents and publishing assets.
 This decodes the subset that covers most of them: both byte orders
-(II/MM), the first IFD, strip-based AND tiled storage, 8-bit samples
+(II/MM), multi-page IFD chains with page selection (``page=``,
+``n_pages`` reported, loop-guarded — the structure scanned documents
+use), strip-based AND tiled storage, 8-bit samples
 plus 16-bit via the standard high-byte reduction, grayscale
 (photometric 0/1) and RGB (2), uncompressed (1), LZW (5, with the
 TIFF early-change code widths and the optional horizontal-
@@ -40,6 +42,7 @@ class DecodedTiff(NamedTuple):
     height: int
     channels: int
     pixels: bytes      # interleaved, row-major
+    n_pages: int = 1   # IFDs in the chain (multi-page scanned docs)
 
 
 def _packbits_decode(data: bytes, expected: int) -> bytes:
@@ -237,15 +240,43 @@ def _read_ifd(data: bytes, fmt: str, off: int) -> Dict[int, list]:
     return tags
 
 
-def decode_tiff(data: bytes) -> DecodedTiff:
+def _ifd_chain(data: bytes, fmt: str, max_ifds: int = 1024) -> List[int]:
+    """Offsets of every IFD in the chain (multi-page TIFF), bounded and
+    loop-guarded."""
+    offs: List[int] = []
+    seen = set()
+    (off,) = struct.unpack_from(fmt + "I", data, 4)
+    while off and off not in seen and len(offs) < max_ifds:
+        if off + 2 > len(data):
+            break
+        seen.add(off)
+        offs.append(off)
+        (count,) = struct.unpack_from(fmt + "H", data, off)
+        nxt_at = off + 2 + 12 * count
+        if nxt_at + 4 > len(data):
+            break
+        (off,) = struct.unpack_from(fmt + "I", data, nxt_at)
+    return offs
+
+
+def decode_tiff(data: bytes, page: int = 0) -> DecodedTiff:
+    """Decode one page of a (possibly multi-page) TIFF; ``n_pages``
+    always reports the IFD-chain length, mirroring the GIF/animation
+    frame-selection API."""
     if data[:2] == b"II" and data[2:4] == b"\x2a\x00":
         fmt = "<"
     elif data[:2] == b"MM" and data[2:4] == b"\x00\x2a":
         fmt = ">"
     else:
         raise ValueError("not a TIFF (bad byte-order header)")
-    (ifd_off,) = struct.unpack_from(fmt + "I", data, 4)
-    tags = _read_ifd(data, fmt, ifd_off)
+    chain = _ifd_chain(data, fmt)
+    if not chain:
+        raise ValueError("TIFF has no IFD")
+    if not 0 <= page < len(chain):
+        raise ValueError(f"TIFF page {page} out of range "
+                         f"(document has {len(chain)})")
+    n_pages = len(chain)
+    tags = _read_ifd(data, fmt, chain[page])
 
     def one(tag, default=None):
         v = tags.get(tag)
@@ -457,7 +488,7 @@ def decode_tiff(data: bytes) -> DecodedTiff:
                         for i in range(height * width * spp))
     if photo == 0:  # WhiteIsZero: invert to the shared convention
         out = bytearray(255 - b for b in out)
-    return DecodedTiff(width, height, spp, bytes(out))
+    return DecodedTiff(width, height, spp, bytes(out), n_pages)
 
 
 def _div_ceil(a: int, b: int) -> int:
@@ -470,7 +501,8 @@ def encode_tiff(width: int, height: int, channels: int, pixels: bytes,
                 predictor: int = 1,
                 tile: "tuple[int, int] | None" = None,
                 planar: bool = False, depth16: bool = False,
-                deflate: "bool | str" = False) -> bytes:
+                deflate: "bool | str" = False,
+                _return_parts: bool = False):
     """Fixture TIFF: gray (1 channel) or RGB (3); uncompressed,
     PackBits, LZW or Deflate (``deflate=True`` for code 8,
     ``deflate='legacy'`` for the pre-TechNote-3 code 32946; LZW and
@@ -558,50 +590,76 @@ def encode_tiff(width: int, height: int, channels: int, pixels: bytes,
         off_tag, cnt_tag = 273, 279
     entries.append((off_tag, 4, None))          # filled below
     entries.append((cnt_tag, 4, [len(s) for s in segs]))
+    if _return_parts:
+        return entries, segs
     return _assemble_tiff(big_endian, entries, segs)
+
+
+def encode_tiff_multipage(pages: List[dict],
+                          big_endian: bool = False) -> bytes:
+    """Multi-page fixture TIFF: each dict holds `encode_tiff` kwargs
+    (width/height/channels/pixels plus any storage options); pages
+    chain through the IFD next pointers like scanned documents."""
+    parts = [encode_tiff(big_endian=big_endian, _return_parts=True,
+                         **spec) for spec in pages]
+    return _assemble_tiff_multi(big_endian, parts)
 
 
 def _assemble_tiff(big_endian: bool, entries: List[tuple],
                    segs: List[bytes]) -> bytes:
-    """Lay out a single-IFD TIFF: header, sorted IFD, out-of-line
-    value area, then the data segments.  An entry whose value list is
-    ``None`` receives the segment offsets (tag 273/324)."""
-    fmt = ">" if big_endian else "<"
-    entries = sorted(entries, key=lambda e: e[0])   # spec: ascending
-    sizes = {3: 2, 4: 4, 7: 1}
-    val_pos = 8 + 2 + 12 * len(entries) + 4
-    ext: Dict[int, int] = {}
-    for tag, typ, vals in entries:
-        total = sizes[typ] * (len(segs) if vals is None else len(vals))
-        if total > 4:
-            ext[tag] = val_pos
-            val_pos += total
-    seg_offsets: List[int] = []
-    pos = val_pos
-    for s in segs:
-        seg_offsets.append(pos)
-        pos += len(s)
-    entries = [(t, typ, seg_offsets if vals is None else vals)
-               for t, typ, vals in entries]
+    """Single-page layout (see :func:`_assemble_tiff_multi`)."""
+    return _assemble_tiff_multi(big_endian, [(entries, segs)])
 
+
+def _assemble_tiff_multi(big_endian: bool, pages: List[tuple]) -> bytes:
+    """Lay out a chained-IFD TIFF: header, then per page a sorted IFD,
+    its out-of-line value area and its data segments, with each IFD's
+    next pointer linking to the following page (0 on the last — the
+    multi-page structure scanned documents use).  An entry whose value
+    list is ``None`` receives that page's segment offsets (tag
+    273/324)."""
+    fmt = ">" if big_endian else "<"
+    sizes = {3: 2, 4: 4, 7: 1}
     out = bytearray(struct.pack(fmt + "2sHI",
                                 b"MM" if big_endian else b"II", 0x2A, 8))
-    out += struct.pack(fmt + "H", len(entries))
-    valarea = bytearray()
-    for tag, typ, vals in entries:
-        kind = {3: "H", 4: "I", 7: "B"}[typ]
-        total = sizes[typ] * len(vals)
-        out += struct.pack(fmt + "HHI", tag, typ, len(vals))
-        packed = struct.pack(f"{fmt}{len(vals)}{kind}", *vals)
-        if total <= 4:
-            out += packed + b"\x00" * (4 - total)
-        else:
-            out += struct.pack(fmt + "I", ext[tag])
-            valarea += packed
-    out += struct.pack(fmt + "I", 0)            # next IFD
-    out += valarea
-    for s in segs:
-        out += s
+    pos = 8
+    for pi, (entries, segs) in enumerate(pages):
+        entries = sorted(entries, key=lambda e: e[0])  # spec: ascending
+        val_pos = pos + 2 + 12 * len(entries) + 4
+        ext: Dict[int, int] = {}
+        for tag, typ, vals in entries:
+            total = sizes[typ] * (len(segs) if vals is None
+                                  else len(vals))
+            if total > 4:
+                ext[tag] = val_pos
+                val_pos += total
+        seg_offsets: List[int] = []
+        p = val_pos
+        for s in segs:
+            seg_offsets.append(p)
+            p += len(s)
+        page_end = p                    # next page's IFD starts here
+        entries = [(t, typ, seg_offsets if vals is None else vals)
+                   for t, typ, vals in entries]
+
+        out += struct.pack(fmt + "H", len(entries))
+        valarea = bytearray()
+        for tag, typ, vals in entries:
+            kind = {3: "H", 4: "I", 7: "B"}[typ]
+            total = sizes[typ] * len(vals)
+            out += struct.pack(fmt + "HHI", tag, typ, len(vals))
+            packed = struct.pack(f"{fmt}{len(vals)}{kind}", *vals)
+            if total <= 4:
+                out += packed + b"\x00" * (4 - total)
+            else:
+                out += struct.pack(fmt + "I", ext[tag])
+                valarea += packed
+        out += struct.pack(fmt + "I",
+                           page_end if pi + 1 < len(pages) else 0)
+        out += valarea
+        for s in segs:
+            out += s
+        pos = page_end
     return bytes(out)
 
 

@@ -4,8 +4,8 @@ The media stage treats audio payloads as opaque binary columns with
 stubbed decode (`media_stub.decode_media`) because no audio libraries ship
 in this container — but canonical PCM WAV needs nothing beyond ``struct``,
 so this module provides a real decode path: RIFF header walk, ``fmt ``
-parse, ``data`` chunk extraction, and integer sample decode for the three
-uncompressed PCM layouts (8-bit unsigned, 16-bit and 32-bit signed
+parse, ``data`` chunk extraction, and integer sample decode for the
+uncompressed PCM layouts (8-bit unsigned; 16/24/32-bit signed
 little-endian, WAVE_FORMAT_PCM = 1 per RIFF/Multimedia Programming
 Interface spec) plus IEEE-float (format 3, 32/64-bit, quantized to the
 16-bit integer lattice) and G.711 telephony companding (format 7
@@ -192,7 +192,7 @@ def decode_wav(payload: bytes) -> DecodedWav:
 
     Walks RIFF sub-chunks (tolerating extras like LIST/fact in any order,
     with the spec's odd-size pad byte), requires a ``fmt `` chunk with
-    WAVE_FORMAT_PCM and bit depth 8/16/32, and decodes the ``data`` chunk:
+    WAVE_FORMAT_PCM and bit depth 8/16/24/32, and decodes the ``data`` chunk:
     8-bit as unsigned 0..255, 16/32-bit as signed little-endian.  Raises
     ValueError on structural corruption and NotImplementedError on
     compressed formats.
@@ -287,6 +287,12 @@ def decode_wav(payload: bytes) -> DecodedWav:
         usable = len(data) - len(data) % width
         samples = list(struct.unpack("<%dh" % (usable // width),
                                      data[:usable]))
+    elif bits == 24:
+        # studio-interchange depth: 3-byte little-endian signed
+        width = 3
+        usable = len(data) - len(data) % width
+        samples = [int.from_bytes(data[i:i + 3], "little", signed=True)
+                   for i in range(0, usable, 3)]
     elif bits == 32:
         width = 4
         usable = len(data) - len(data) % width
@@ -296,3 +302,20 @@ def decode_wav(payload: bytes) -> DecodedWav:
         raise NotImplementedError(f"unsupported PCM bit depth {bits}")
     n_frames = len(samples) // n_channels
     return DecodedWav(n_channels, sample_rate, bits, n_frames, samples)
+
+
+def encode_wav_pcm24(sample_rate: int, n_channels: int,
+                     samples: list) -> bytes:
+    """24-bit PCM WAV fixture (3-byte little-endian signed)."""
+    data = b"".join(s.to_bytes(3, "little", signed=True)
+                    for s in samples)
+    block_align = n_channels * 3
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack("<HHIIHH", WAVE_FORMAT_PCM, n_channels,
+                      sample_rate, byte_rate, block_align, 24)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -103,7 +103,15 @@ def test_flac_sample_bomb():
                          subframe_mode="constant")
     hdr_end = 4 + 4 + 34
     bomb = one[:hdr_end] + one[hdr_end:] * 2500
-    _expect_fast_guard(lambda: FL.decode_flac(bomb))
+    # unlike the header-geometry guards, the FLAC cap legitimately
+    # decodes up to MAX_SAMPLES (~2048 constant frames, ~2 s of work)
+    # before tripping — bound it loosely so co-tenant load can't flake
+    # the test while an unguarded decode (minutes) still fails it
+    t0 = time.time()
+    with pytest.raises(ValueError, match="guard"):
+        FL.decode_flac(bomb)
+    assert time.time() - t0 < 15.0, \
+        "sample cap must bound decode work"
 
 
 def test_pdf_flate_bomb_routed():

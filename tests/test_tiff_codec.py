@@ -421,3 +421,62 @@ def test_deflate_bounded_inflate_and_truncation():
     ], [small])
     with pytest.raises(ValueError, match="cover"):
         decode_tiff(t)
+
+
+# ---------------------------------------------------------------------------
+# Multi-page (chained IFDs)
+# ---------------------------------------------------------------------------
+
+def test_multipage_roundtrip_and_page_selection():
+    from docling_graph_spark.kernels.tiff_codec import (
+        decode_tiff, encode_tiff_multipage)
+
+    p0 = bytes((k * 3) % 256 for k in range(8 * 6))
+    p1 = bytes((k * 5 + 1) % 256 for k in range(10 * 4 * 3))
+    p2 = bytes((k * 7 + 2) % 256 for k in range(5 * 5))
+    t = encode_tiff_multipage([
+        dict(width=8, height=6, channels=1, pixels=p0),
+        dict(width=10, height=4, channels=3, pixels=p1, lzw=True),
+        dict(width=5, height=5, channels=1, pixels=p2, packbits=True),
+    ])
+    d0 = decode_tiff(t)                     # default: first page
+    assert (d0.width, d0.height, d0.n_pages) == (8, 6, 3)
+    assert d0.pixels == p0
+    d1 = decode_tiff(t, page=1)
+    assert (d1.width, d1.height, d1.channels) == (10, 4, 3)
+    assert d1.pixels == p1
+    d2 = decode_tiff(t, page=2)
+    assert d2.pixels == p2
+    with pytest.raises(ValueError, match="out of range"):
+        decode_tiff(t, page=3)
+
+
+def test_multipage_big_endian_and_single_page_unchanged():
+    from docling_graph_spark.kernels.tiff_codec import (
+        decode_tiff, encode_tiff, encode_tiff_multipage)
+
+    px = bytes(range(24))
+    multi = encode_tiff_multipage(
+        [dict(width=4, height=6, channels=1, pixels=px)] * 2,
+        big_endian=True)
+    d = decode_tiff(multi, page=1)
+    assert d.pixels == px and d.n_pages == 2
+    # single-page files still report n_pages == 1
+    single = decode_tiff(encode_tiff(4, 6, 1, px))
+    assert single.n_pages == 1
+
+
+def test_ifd_chain_loop_guard():
+    import struct
+
+    from docling_graph_spark.kernels.tiff_codec import (
+        decode_tiff, encode_tiff)
+
+    t = bytearray(encode_tiff(4, 4, 1, bytes(16)))
+    # point the next-IFD pointer back at the first IFD (a loop)
+    (ifd_off,) = struct.unpack_from("<I", t, 4)
+    (count,) = struct.unpack_from("<H", t, ifd_off)
+    nxt_at = ifd_off + 2 + 12 * count
+    struct.pack_into("<I", t, nxt_at, ifd_off)
+    d = decode_tiff(bytes(t))               # must terminate
+    assert d.n_pages == 1

@@ -90,9 +90,9 @@ def test_compressed_format_not_implemented():
         decode_wav(_wav_raw(_fmt(audio_format=2), b"\x00\x00"))
 
 
-def test_24bit_depth_not_implemented():
+def test_odd_depth_not_implemented():
     with pytest.raises(NotImplementedError):
-        decode_wav(_wav_raw(_fmt(bits=24), b"\x00" * 6))
+        decode_wav(_wav_raw(_fmt(bits=12), b"\x00" * 6))
 
 
 def test_audio_decode_stats_stage(spark):
@@ -279,3 +279,14 @@ def test_g711_extensible_wrap_and_audio_stage():
     dec = decode_media(plain, "audio/wav")
     assert dec.n_frames == len(src) and sum(
         abs(s) for s in dec.samples) > 0
+
+
+def test_pcm24_roundtrip():
+    from docling_graph_spark.kernels.wav_codec import (decode_wav,
+                                                       encode_wav_pcm24)
+
+    src = [0, 1, -1, 8_000_000, -8_000_000, (1 << 23) - 1, -(1 << 23)]
+    dec = decode_wav(encode_wav_pcm24(48000, 1, src))
+    assert (dec.n_channels, dec.sample_rate, dec.bit_depth,
+            dec.n_frames) == (1, 48000, 24, len(src))
+    assert dec.samples == src
