@@ -305,6 +305,23 @@ Round-5 additions (still 50 total):
                         full_vocab_lines); oracle replays it through
                         the lexicon-reachable piece subset
 
+Round-5 continuation additions (still 50 total):
+  media_pipeline_stats += container_decode stage (the JPEG container
+                        family: solid-gray baseline JPEG wrapped as
+                        single-strip JPEG-in-TIFF, multi-strip with a
+                        hoisted JPEGTables tag, Motion-JPEG AVI frame
+                        0, and 16x16-tiled TIFF with shared tables —
+                        all four wrappers must decode to the identical
+                        closed form the oracle replays per doc) and a
+                        G.711 band in the wav_decode stage (mu-law +
+                        A-law code-point expansions; the oracle
+                        replays the formulaic ITU-T segment arithmetic
+                        in SQL) and a text_tags stage (title/artist
+                        through six tag families — ID3v2.3/2.4, ID3v1,
+                        PNG tEXt, RIFF INFO, FLAC VORBIS_COMMENT — via
+                        the media_text_tags operator; closed-form
+                        length oracle)
+
 Every merged section still runs its full operator; the single-purpose
 query functions remain in docling_graph_spark.queries as building blocks.
 
