@@ -67,6 +67,19 @@ def sniff_media_type(payload: Optional[bytes]) -> str:
 
         if _parse_mp3_frame(payload, 0) is not None:
             return "audio/mpeg"
+    if payload[:4] == b"PK\x03\x04":
+        # ZIP container: refine to the OOXML office types by the
+        # central-directory member names (no inflate)
+        from .ooxml_parse import sniff_ooxml_kind
+
+        return {
+            "docx": "application/vnd.openxmlformats-officedocument"
+                    ".wordprocessingml.document",
+            "pptx": "application/vnd.openxmlformats-officedocument"
+                    ".presentationml.presentation",
+            "xlsx": "application/vnd.openxmlformats-officedocument"
+                    ".spreadsheetml.sheet",
+        }.get(sniff_ooxml_kind(payload), "application/zip")
     if payload[:4] == b"\x00\x00\x01\x00" and len(payload) >= 22:
         # ICO: weak magic, so require a parseable ICONDIR entry count
         n = int.from_bytes(payload[4:6], "little")

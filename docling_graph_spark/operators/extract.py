@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from ..kernels.html_main import extract_main_content
+from ..kernels.ooxml_parse import extract_ooxml_text, is_ooxml
 from ..kernels.pdf_stub import extract_pdf_text, is_pdf
 from ..schemas import CHUNK_SPAN_LITE, EXTRACTION_RESULT
 
@@ -38,6 +39,11 @@ def extract_payload(html: pd.Series, ctype: pd.Series) -> pd.DataFrame:
             elif is_pdf(bytes(payload)):
                 kind = "pdf"
                 text, err = extract_pdf_text(bytes(payload))
+                nbytes = len(payload) - len(text.encode("utf-8"))
+            elif is_ooxml(bytes(payload)):
+                # Office documents (reference converter scope):
+                # ZIP+XML extraction, kernels/ooxml_parse.py
+                text, kind, err = extract_ooxml_text(bytes(payload))
                 nbytes = len(payload) - len(text.encode("utf-8"))
             else:
                 kind = "html"
@@ -108,6 +114,9 @@ def make_extract_chunk_udf(max_tokens: int, context_limit: int,
                 elif is_pdf(bytes(payload)):
                     kind = "pdf"
                     text, err = extract_pdf_text(bytes(payload))
+                    nbytes = len(payload) - len(text.encode("utf-8"))
+                elif is_ooxml(bytes(payload)):
+                    text, kind, err = extract_ooxml_text(bytes(payload))
                     nbytes = len(payload) - len(text.encode("utf-8"))
                 else:
                     kind = "html"
