@@ -70,7 +70,7 @@ def sniff_media_type(payload: Optional[bytes]) -> str:
     if payload[:4] == b"PK\x03\x04":
         # ZIP container: refine to the OOXML office types by the
         # central-directory member names (no inflate)
-        from .ooxml_parse import sniff_ooxml_kind
+        from .ooxml_parse import sniff_zip_kind
 
         return {
             "docx": "application/vnd.openxmlformats-officedocument"
@@ -79,7 +79,11 @@ def sniff_media_type(payload: Optional[bytes]) -> str:
                     ".presentationml.presentation",
             "xlsx": "application/vnd.openxmlformats-officedocument"
                     ".spreadsheetml.sheet",
-        }.get(sniff_ooxml_kind(payload), "application/zip")
+            "odt": "application/vnd.oasis.opendocument.text",
+            "ods": "application/vnd.oasis.opendocument.spreadsheet",
+            "odp": "application/vnd.oasis.opendocument.presentation",
+            "epub": "application/epub+zip",
+        }.get(sniff_zip_kind(payload), "application/zip")
     if payload[:4] == b"\x00\x00\x01\x00" and len(payload) >= 22:
         # ICO: weak magic, so require a parseable ICONDIR entry count
         n = int.from_bytes(payload[4:6], "little")

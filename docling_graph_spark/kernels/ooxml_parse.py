@@ -18,6 +18,12 @@ is ZIP + XML, so a real extraction path needs nothing beyond
   including rich-text runs) plus inline strings from each sheet, one
   cell per line.  Numeric cell values are layout, not text — skipped,
   like the HTML extractor skips style attributes.
+* **ODT/ODS/ODP** (OpenDocument) — ``content.xml`` paragraphs,
+  outline-leveled headings and row-flattened tables, the same shapes
+  as the DOCX path.
+* **EPUB** — XHTML chapters in OPF spine order, each routed through
+  the SAME main-content extractor as crawled HTML (books get the
+  boilerplate model, not a raw tag strip).
 
 Decompression-bomb guard: OOXML members inflate through a byte-capped
 read (MAX_TEXT_BYTES per member and total, member count capped), so a
@@ -188,14 +194,18 @@ def extract_ooxml_text(payload: bytes) -> Tuple[str, str,
     extraction operator routes to.  Plain ZIPs (not OOXML) and
     malformed archives return an error string, never raise."""
     try:
-        kind = sniff_ooxml_kind(payload)
+        kind = sniff_zip_kind(payload)
         if kind == "docx":
             return extract_docx_text(payload), kind, None
         if kind == "pptx":
             return extract_pptx_text(payload), kind, None
         if kind == "xlsx":
             return extract_xlsx_text(payload), kind, None
-        return "", "zip", "ZIP archive is not an OOXML document"
+        if kind in ("odt", "ods", "odp"):
+            return extract_odf_text(payload), kind, None
+        if kind == "epub":
+            return extract_epub_text(payload), kind, None
+        return "", "zip", "ZIP archive is not a known document format"
     except ValueError as exc:          # bomb guard: keep the message
         return "", "zip", str(exc)
     except Exception as exc:
@@ -336,3 +346,220 @@ def make_zip_bomb(depth_bytes: int = 1 << 28) -> bytes:
         ("[Content_Types].xml", ct),
         ("word/document.xml", doc),
     ])
+
+
+# ------------------------------------------------ OpenDocument + EPUB
+
+_T = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+_TBL = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
+_OFF = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
+
+
+def _odf_node_text(node) -> str:
+    """Text of an ODF paragraph/heading with text:s (spaces), text:tab
+    and text:line-break expanded."""
+    parts: List[str] = []
+
+    def walk(n):
+        if n.tag == _T + "s":
+            parts.append(" " * int(n.get(_T + "c", "1") or "1"))
+        elif n.tag == _T + "tab":
+            parts.append("\t")
+        elif n.tag == _T + "line-break":
+            parts.append("\n")
+        if n.text:
+            parts.append(n.text)
+        for c in n:
+            walk(c)
+            if c.tail:
+                parts.append(c.tail)
+
+    for c in node:
+        walk(c)
+        if c.tail:
+            parts.append(c.tail)
+    if node.text:
+        parts.insert(0, node.text)
+    return "".join(parts)
+
+
+def extract_odf_text(payload: bytes) -> str:
+    """OpenDocument text: ``content.xml`` paragraphs (``text:p``),
+    headings (``text:h`` with outline level -> markdown prefix) and
+    table cells (row-flattened, tab-separated) — covers ODT and the
+    text content of ODS/ODP the same way."""
+    budget = [MAX_TEXT_BYTES]
+    zf = zipfile.ZipFile(io.BytesIO(payload))
+    root = ElementTree.fromstring(
+        _read_member(zf, "content.xml", budget))
+    out: List[str] = []
+
+    def walk(node):
+        if node.tag == _T + "h":
+            lvl = int(node.get(_T + "outline-level", "1") or "1")
+            txt = _odf_node_text(node).strip()
+            if txt:
+                out.append("#" * max(lvl, 1) + " " + txt)
+            return
+        if node.tag == _T + "p":
+            txt = _odf_node_text(node).strip()
+            if txt:
+                out.append(txt)
+            return
+        if node.tag == _TBL + "table":
+            # a table is one unit: rows flatten tab-separated, and
+            # the cell paragraphs are NOT revisited as standalone text
+            for row in node.iter(_TBL + "table-row"):
+                cells = [" ".join(_odf_node_text(p).strip()
+                                  for p in tc.iter(_T + "p")).strip()
+                         for tc in row.iter(_TBL + "table-cell")]
+                if any(cells):
+                    out.append("\t".join(cells))
+            return
+        for c in node:
+            walk(c)
+
+    walk(root)
+    return "\n\n".join(out)
+
+
+def extract_epub_text(payload: bytes) -> str:
+    """EPUB: the XHTML chapters (in OPF spine order when the manifest
+    parses, member order otherwise), each routed through the SAME
+    main-content extractor the HTML path uses — books are documents,
+    so they get the boilerplate model, not a raw tag strip."""
+    from .html_main import extract_main_content
+
+    budget = [MAX_TEXT_BYTES]
+    zf = zipfile.ZipFile(io.BytesIO(payload))
+    names = zf.namelist()[:MAX_MEMBERS]
+    order: List[str] = []
+    opf = next((n for n in names if n.endswith(".opf")), None)
+    if opf is not None:
+        try:
+            root = ElementTree.fromstring(_read_member(zf, opf, budget))
+            ns = "{http://www.idpf.org/2007/opf}"
+            base = opf.rsplit("/", 1)[0] + "/" if "/" in opf else ""
+            hrefs = {i.get("id"): i.get("href") for i in
+                     root.iter(ns + "item")}
+            for ref in root.iter(ns + "itemref"):
+                href = hrefs.get(ref.get("idref"))
+                if href and base + href in names:
+                    order.append(base + href)
+        except Exception:
+            order = []
+    if not order:
+        order = [n for n in names
+                 if n.endswith((".xhtml", ".html", ".htm"))]
+    chapters: List[str] = []
+    for name in order:
+        try:
+            html = _read_member(zf, name, budget)
+            text = extract_main_content(html).text.strip()
+            if text:
+                chapters.append(text)
+        except ValueError:
+            raise                     # bomb guard propagates
+        except Exception:
+            continue                  # malformed chapter: skip
+    return "\n\n".join(chapters)
+
+
+def sniff_zip_kind(payload: bytes) -> str:
+    """docx / pptx / xlsx / odt / ods / odp / epub / zip."""
+    kind = sniff_ooxml_kind(payload)
+    if kind != "zip":
+        return kind
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+        names = zf.namelist()[:MAX_MEMBERS]
+    except Exception:
+        return "zip"
+    if "mimetype" in names:
+        try:
+            mt = zf.read("mimetype")[:100].decode("ascii", "replace")
+        except Exception:
+            mt = ""
+        if mt.startswith("application/epub"):
+            return "epub"
+        tail = {"application/vnd.oasis.opendocument.text": "odt",
+                "application/vnd.oasis.opendocument.spreadsheet": "ods",
+                "application/vnd.oasis.opendocument.presentation":
+                    "odp"}
+        for k, v in tail.items():
+            if mt.startswith(k):
+                return v
+    if "content.xml" in names:
+        return "odt"
+    if any(n.endswith(".opf") for n in names):
+        return "epub"
+    return "zip"
+
+
+def make_odt(blocks: List) -> bytes:
+    """Deterministic ODT fixture: paragraph strings, ``(level, text)``
+    headings, or row-list tables."""
+    t = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+    tbl = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+    off = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+    parts: List[str] = []
+    for b in blocks:
+        if isinstance(b, tuple):
+            lvl, txt = b
+            parts.append(f'<text:h text:outline-level="{lvl}">'
+                         f"{_xml_escape(txt)}</text:h>")
+        elif isinstance(b, list):
+            rows = "".join(
+                "<table:table-row>" + "".join(
+                    f"<table:table-cell><text:p>{_xml_escape(c)}"
+                    "</text:p></table:table-cell>" for c in row)
+                + "</table:table-row>" for row in b)
+            parts.append(f"<table:table>{rows}</table:table>")
+        else:
+            parts.append(f"<text:p>{_xml_escape(b)}</text:p>")
+    content = (f'<?xml version="1.0"?><office:document-content '
+               f'xmlns:office="{off}" xmlns:text="{t}" '
+               f'xmlns:table="{tbl}"><office:body><office:text>'
+               f'{"".join(parts)}</office:text></office:body>'
+               f"</office:document-content>")
+    return _zip_bytes([
+        ("mimetype", "application/vnd.oasis.opendocument.text"),
+        ("content.xml", content),
+    ])
+
+
+def make_epub(chapters: List[str],
+              with_opf: bool = True) -> bytes:
+    """Deterministic EPUB fixture: each chapter is an XHTML body with
+    real boilerplate around it (nav + footer) so the main-content
+    extractor has something to strip; with ``with_opf`` the spine
+    REVERSES member order to prove spine ordering is honored."""
+    members: List[Tuple[str, str]] = [
+        ("mimetype", "application/epub+zip"),
+    ]
+    n = len(chapters)
+    for i, body in enumerate(chapters, start=1):
+        members.append((
+            f"OEBPS/ch{i}.xhtml",
+            "<html><head><title>c</title></head><body>"
+            "<nav><a href='/'>home</a> <a href='/toc'>contents</a>"
+            "</nav><main>" + "".join(
+                f"<p>{_xml_escape(p)}</p>"
+                for p in body.split("\n")) + "</main>"
+            "<footer>copyright notice</footer></body></html>"))
+    if with_opf:
+        ns = "http://www.idpf.org/2007/opf"
+        items = "".join(
+            f'<item id="c{i}" href="ch{i}.xhtml" media-type='
+            '"application/xhtml+xml"/>' for i in range(1, n + 1))
+        spine = "".join(f'<itemref idref="c{i}"/>'
+                        for i in range(1, n + 1))
+        members.append((
+            "OEBPS/content.opf",
+            f'<?xml version="1.0"?><package xmlns="{ns}">'
+            f"<manifest>{items}</manifest><spine>{spine}</spine>"
+            f"</package>"))
+        # reverse the chapter member order: spine must restore it
+        members = [members[0], *reversed(members[1:n + 1]),
+                   members[n + 1]]
+    return _zip_bytes(members)

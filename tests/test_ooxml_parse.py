@@ -146,3 +146,82 @@ def test_pipeline_mixed_payloads_route_independently(spark):
     # gate (never a crash); if surfaced, it must carry its error
     bad = by_url.get("https://c.example.com/bad.zip")
     assert bad is None or (bad.kind == "zip" and bad.error is not None)
+
+
+# ------------------------------------------------- ODF + EPUB (r5)
+
+def test_odt_paragraphs_headings_tables():
+    from docling_graph_spark.kernels.ooxml_parse import (
+        extract_odf_text, make_odt, sniff_zip_kind)
+
+    odt = make_odt([
+        (1, "Project Plan"),
+        "Opening paragraph.",
+        [["r1c1", "r1c2"], ["r2c1", "r2c2"]],
+        (2, "Phase Two"),
+        "Closing paragraph with ümlauts & <angles>.",
+    ])
+    assert sniff_zip_kind(odt) == "odt"
+    text = extract_odf_text(odt)
+    assert "# Project Plan" in text and "## Phase Two" in text
+    assert "Opening paragraph." in text
+    assert "r1c1\tr1c2" in text and "r2c1\tr2c2" in text
+    # table cell paragraphs appear ONLY in their row, not standalone
+    assert text.count("r1c1") == 1
+    assert "ümlauts & <angles>" in text
+
+
+def test_epub_spine_order_and_boilerplate_strip():
+    from docling_graph_spark.kernels.ooxml_parse import (
+        extract_epub_text, make_epub, sniff_zip_kind)
+
+    chapters = [f"Chapter {i} body text with several words inside."
+                for i in range(1, 5)]
+    ep = make_epub(chapters, with_opf=True)
+    assert sniff_zip_kind(ep) == "epub"
+    text = extract_epub_text(ep)
+    # spine restores order despite reversed member order
+    idx = [text.index(f"Chapter {i} body") for i in range(1, 5)]
+    assert idx == sorted(idx)
+    # the per-chapter nav/footer boilerplate is stripped by the
+    # main-content extractor
+    assert "copyright notice" not in text
+    # no-OPF fallback still extracts
+    text2 = extract_epub_text(make_epub(chapters[:2], with_opf=False))
+    assert "Chapter 1 body" in text2 and "Chapter 2 body" in text2
+
+
+def test_odf_epub_through_dispatch_and_sniff():
+    from docling_graph_spark.kernels.media_stub import sniff_media_type
+    from docling_graph_spark.kernels.ooxml_parse import (
+        extract_ooxml_text, make_epub, make_odt)
+
+    odt = make_odt(["odt body"])
+    text, kind, err = extract_ooxml_text(odt)
+    assert (kind, err) == ("odt", None) and "odt body" in text
+    assert sniff_media_type(odt) == \
+        "application/vnd.oasis.opendocument.text"
+    ep = make_epub(["epub body words"])
+    text, kind, err = extract_ooxml_text(ep)
+    assert (kind, err) == ("epub", None) and "epub body words" in text
+    assert sniff_media_type(ep) == "application/epub+zip"
+
+
+def test_odt_through_run_pipeline(spark):
+    from datetime import datetime
+
+    from docling_graph_spark import schemas
+    from docling_graph_spark.kernels.ooxml_parse import make_odt
+    from docling_graph_spark.pipeline import PipelineConfig, run_pipeline
+
+    odt = make_odt([
+        (1, "Meeting Notes"),
+        "Decisions were made about the roadmap and the team. " * 6,
+    ])
+    pages = spark.createDataFrame(
+        [("https://files.example.com/notes.odt",
+          datetime(2026, 1, 2), odt, None, None)], schemas.WEB_PAGES)
+    res = run_pipeline(pages, PipelineConfig(max_tokens=40))
+    row = res.extracted.collect()[0]
+    assert row.kind == "odt" and row.error is None
+    assert "Meeting Notes" in row.text
