@@ -96,6 +96,8 @@ def sniff_media_type(payload: Optional[bytes]) -> str:
 
         if _probe_bmp(payload) is not None:
             return "image/bmp"
+    if payload[:5] == b"{\\rtf":
+        return "application/rtf"
     head = payload[:256].lstrip()
     if head[:1] == b"<" or b"<html" in head.lower():
         low = payload[:2048].lower()

@@ -25,6 +25,7 @@ from pyspark.sql.functions import pandas_udf
 from ..kernels.html_main import extract_main_content
 from ..kernels.ooxml_parse import extract_ooxml_text, is_ooxml
 from ..kernels.pdf_stub import extract_pdf_text, is_pdf
+from ..kernels.rtf_parse import extract_rtf_text, is_rtf
 from ..schemas import CHUNK_SPAN_LITE, EXTRACTION_RESULT
 
 
@@ -44,6 +45,10 @@ def extract_payload(html: pd.Series, ctype: pd.Series) -> pd.DataFrame:
                 # Office documents (reference converter scope):
                 # ZIP+XML extraction, kernels/ooxml_parse.py
                 text, kind, err = extract_ooxml_text(bytes(payload))
+                nbytes = len(payload) - len(text.encode("utf-8"))
+            elif is_rtf(bytes(payload)):
+                kind = "rtf"
+                text = extract_rtf_text(bytes(payload))
                 nbytes = len(payload) - len(text.encode("utf-8"))
             else:
                 kind = "html"
@@ -117,6 +122,10 @@ def make_extract_chunk_udf(max_tokens: int, context_limit: int,
                     nbytes = len(payload) - len(text.encode("utf-8"))
                 elif is_ooxml(bytes(payload)):
                     text, kind, err = extract_ooxml_text(bytes(payload))
+                    nbytes = len(payload) - len(text.encode("utf-8"))
+                elif is_rtf(bytes(payload)):
+                    kind = "rtf"
+                    text = extract_rtf_text(bytes(payload))
                     nbytes = len(payload) - len(text.encode("utf-8"))
                 else:
                     kind = "html"
