@@ -6507,6 +6507,57 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag_rows = _unpivot_single_row(tag_agg, "text_tags")
 
+    # stage 'doc_extract' (round 5 continuation): the office/legacy
+    # DOCUMENT family through the real extraction UDF — doc_ids
+    # [256, 280) carry the single paragraph 'Body text {d} end.' in a
+    # container rotating by d%3 (DOCX zip+xml, ODT zip+xml, RTF token
+    # stream); each must extract to EXACTLY that string (byte-identity
+    # through three different parsers), so row counts, per-kind counts
+    # and text lengths are closed forms of the id digits
+    # (kernels/ooxml_parse.py, kernels/rtf_parse.py; EPUB flows the
+    # boilerplate model and stays pytest-pinned instead).
+    def build_docfiles(batches):
+        from docling_graph_spark.kernels.ooxml_parse import (
+            make_docx, make_odt)
+        from docling_graph_spark.kernels.rtf_parse import make_rtf
+
+        for pdf in batches:
+            urls, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                body = f"Body text {d} end."
+                fam = d % 3
+                if fam == 0:
+                    blob = make_docx([body])
+                elif fam == 1:
+                    blob = make_odt([body])
+                else:
+                    blob = make_rtf([body])
+                urls.append(f"doc:{d}")
+                blobs.append(blob)
+            yield pd.DataFrame({"url": urls, "html": blobs})
+
+    from .operators.extract import extract_payload as _xp
+
+    docf = (
+        _read(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") >= _PNG_DOCS + 192)
+                & (F.col("doc_id") < _PNG_DOCS + 216))
+        .select("doc_id")
+        .mapInPandas(build_docfiles, "url string, html binary")
+        .withColumn("x", _xp(F.col("html"),
+                             F.lit(None).cast("string")))
+    )
+    doc_agg = docf.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("x.error").isNull().cast("long")).alias("n_ok"),
+        F.sum((F.col("x.kind") == "docx").cast("long")).alias("n_docx"),
+        F.sum((F.col("x.kind") == "odt").cast("long")).alias("n_odt"),
+        F.sum((F.col("x.kind") == "rtf").cast("long")).alias("n_rtf"),
+        F.sum(F.length("x.text")).alias("sum_text_len"),
+    )
+    doc_rows = _unpivot_single_row(doc_agg, "doc_extract")
+
     lldec = op_mm.media_decode_stats(ll)
     ll_agg = lldec.agg(
         F.count("*").alias("n_images"),
@@ -6614,6 +6665,7 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(ll_rows).unionByName(v8_rows)
             .unionByName(ctr_rows)
             .unionByName(tag_rows)
+            .unionByName(doc_rows)
             .unionByName(ph_rows)
             .orderBy("stage", "metric"))
 
@@ -7009,6 +7061,22 @@ csum AS (
          CAST(sum(h) AS BIGINT) AS sum_height
   FROM ctr
 ),
+dxsum AS (
+  -- doc_extract: 'Body text {{d}} end.' extracts byte-identically
+  -- from DOCX/ODT/RTF, so lengths are closed forms of the id digits
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_ok,
+         CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_docx,
+         CAST(sum(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_odt,
+         CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_rtf,
+         CAST(sum(15 + length(CAST(doc_id AS VARCHAR))) AS BIGINT)
+           AS sum_text_len
+  FROM documents
+  WHERE doc_id >= {_PNG_DOCS + 192} AND doc_id < {_PNG_DOCS + 216}
+),
 tgsum AS (
   -- text_tags: every family surfaces title 'title {{d}}' and artist
   -- 'artist {{d}}', so lengths are closed forms of the id digits
@@ -7082,7 +7150,11 @@ SELECT stage, metric, value FROM (
   UNION ALL
 {_sql_unpivot('tgsum', 'text_tags',
               ['n_rows', 'n_tagged', 'sum_tags', 'sum_title_len',
-               'sum_artist_len'])}{_PHASH_ORACLE_ROWS}
+               'sum_artist_len'])}
+  UNION ALL
+{_sql_unpivot('dxsum', 'doc_extract',
+              ['n_rows', 'n_ok', 'n_docx', 'n_odt', 'n_rtf',
+               'sum_text_len'])}{_PHASH_ORACLE_ROWS}
 ) ORDER BY stage, metric
 """
 
