@@ -320,7 +320,13 @@ Round-5 continuation additions (still 50 total):
                         through six tag families — ID3v2.3/2.4, ID3v1,
                         PNG tEXt, RIFF INFO, FLAC VORBIS_COMMENT — via
                         the media_text_tags operator; closed-form
-                        length oracle)
+                        length oracle) and a doc_extract stage (the
+                        office/legacy document family: DOCX/ODT/RTF
+                        containers of one known paragraph must
+                        extract byte-identically through the real
+                        extraction UDF; closed-form length oracle;
+                        PPTX/XLSX/EPUB + zip-bomb routing are
+                        pytest-pinned)
 
 Every merged section still runs its full operator; the single-purpose
 query functions remain in docling_graph_spark.queries as building blocks.
