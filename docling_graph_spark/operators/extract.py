@@ -29,38 +29,47 @@ from ..kernels.rtf_parse import extract_rtf_text, is_rtf
 from ..schemas import CHUNK_SPAN_LITE, EXTRACTION_RESULT
 
 
+def _route_payload(payload, transport):
+    """Shared magic-byte routing for both extraction UDFs: returns
+    (text, spans, bytes_stripped, kind, error).  One function so the
+    chunked and unchunked paths can never drift apart."""
+    text, spans, nbytes, kind, err = "", [], 0, "empty", None
+    try:
+        if payload is None or len(payload) == 0:
+            err = "empty payload"
+        elif is_pdf(bytes(payload)):
+            kind = "pdf"
+            text, err = extract_pdf_text(bytes(payload))
+            nbytes = len(payload) - len(text.encode("utf-8"))
+        elif is_ooxml(bytes(payload)):
+            # Office/ODF/EPUB documents (reference converter scope):
+            # ZIP+XML extraction, kernels/ooxml_parse.py
+            text, kind, err = extract_ooxml_text(bytes(payload))
+            nbytes = len(payload) - len(text.encode("utf-8"))
+        elif is_rtf(bytes(payload)):
+            kind = "rtf"
+            text = extract_rtf_text(bytes(payload))
+            nbytes = len(payload) - len(text.encode("utf-8"))
+        else:
+            kind = "html"
+            result = extract_main_content(bytes(payload), transport)
+            text = result.text
+            spans = [
+                {"start": s.start, "end": s.end, "tag": s.tag}
+                for s in result.spans
+            ]
+            nbytes = result.bytes_stripped
+    except Exception as exc:  # zero-data-loss: record, don't drop
+        err = f"extraction failed: {exc}"
+    return text, spans, nbytes, kind, err
+
+
 @pandas_udf(EXTRACTION_RESULT)
 def extract_payload(html: pd.Series, ctype: pd.Series) -> pd.DataFrame:
     texts, spans_col, stripped, kinds, errors = [], [], [], [], []
     for payload, transport in zip(html, ctype):
-        text, spans, nbytes, kind, err = "", [], 0, "empty", None
-        try:
-            if payload is None or len(payload) == 0:
-                err = "empty payload"
-            elif is_pdf(bytes(payload)):
-                kind = "pdf"
-                text, err = extract_pdf_text(bytes(payload))
-                nbytes = len(payload) - len(text.encode("utf-8"))
-            elif is_ooxml(bytes(payload)):
-                # Office documents (reference converter scope):
-                # ZIP+XML extraction, kernels/ooxml_parse.py
-                text, kind, err = extract_ooxml_text(bytes(payload))
-                nbytes = len(payload) - len(text.encode("utf-8"))
-            elif is_rtf(bytes(payload)):
-                kind = "rtf"
-                text = extract_rtf_text(bytes(payload))
-                nbytes = len(payload) - len(text.encode("utf-8"))
-            else:
-                kind = "html"
-                result = extract_main_content(bytes(payload), transport)
-                text = result.text
-                spans = [
-                    {"start": s.start, "end": s.end, "tag": s.tag}
-                    for s in result.spans
-                ]
-                nbytes = result.bytes_stripped
-        except Exception as exc:  # zero-data-loss: record, don't drop
-            err = f"extraction failed: {exc}"
+        text, spans, nbytes, kind, err = _route_payload(payload,
+                                                        transport)
         texts.append(text)
         spans_col.append(spans)
         stripped.append(nbytes)
@@ -112,32 +121,8 @@ def make_extract_chunk_udf(max_tokens: int, context_limit: int,
         texts, spans_col, stripped, kinds, errors, chunk_col = \
             [], [], [], [], [], []
         for payload, transport in zip(html, ctype):
-            text, spans, nbytes, kind, err = "", [], 0, "empty", None
-            try:
-                if payload is None or len(payload) == 0:
-                    err = "empty payload"
-                elif is_pdf(bytes(payload)):
-                    kind = "pdf"
-                    text, err = extract_pdf_text(bytes(payload))
-                    nbytes = len(payload) - len(text.encode("utf-8"))
-                elif is_ooxml(bytes(payload)):
-                    text, kind, err = extract_ooxml_text(bytes(payload))
-                    nbytes = len(payload) - len(text.encode("utf-8"))
-                elif is_rtf(bytes(payload)):
-                    kind = "rtf"
-                    text = extract_rtf_text(bytes(payload))
-                    nbytes = len(payload) - len(text.encode("utf-8"))
-                else:
-                    kind = "html"
-                    result = extract_main_content(bytes(payload), transport)
-                    text = result.text
-                    spans = [
-                        {"start": s.start, "end": s.end, "tag": s.tag}
-                        for s in result.spans
-                    ]
-                    nbytes = result.bytes_stripped
-            except Exception as exc:  # zero-data-loss: record, don't drop
-                err = f"extraction failed: {exc}"
+            text, spans, nbytes, kind, err = _route_payload(payload,
+                                                            transport)
             chunks = []
             if err is None and text.strip():
                 cspans = k_chunk.chunk_spans(text, max_tokens)
