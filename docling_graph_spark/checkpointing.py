@@ -524,6 +524,23 @@ class CheckpointedRun:
             self._read_stage("extracted"), as_of=as_of
         ).drop("bucket")
 
+    def _bucket_specs(self) -> "set[int]":
+        """Every bucket-count spec data was ever committed (or staged)
+        under, from the manifest — Iceberg's partition-spec registry
+        analogue.  Legacy manifests without the field contribute the
+        CURRENT spec (they predate evolution support)."""
+        specs = {self.n_buckets}
+        try:
+            runs = self.spark.read.json(self._path("runs"))
+        except Exception:
+            return specs
+        if "n_buckets" not in runs.columns:
+            return specs
+        for r in runs.where(F.col("n_buckets").isNotNull()) \
+                .select("n_buckets").distinct().collect():
+            specs.add(int(r.n_buckets))
+        return specs
+
     def extracted_for_hosts(self, hosts, as_of=None) -> DataFrame:
         """Pruned read of :meth:`extracted` for a host set: the reader
         applies the SAME hidden transform the writer used (Iceberg's
@@ -531,18 +548,26 @@ class CheckpointedRun:
         (O(#hosts) tiny job), a partition filter on the physical
         ``bucket`` column so only matching directories are scanned,
         then the exact host predicate; the transform column still never
-        leaks out."""
+        leaks out.
+
+        PARTITION SPEC EVOLUTION (Iceberg: spec-id per data file): if
+        the table accumulated runs under different ``n_buckets``
+        settings, the bucket IN-list is the UNION of each spec's
+        transform of the host set — files written under any historical
+        spec still prune correctly, and the exact host predicate keeps
+        the result identical to the unpruned read."""
         hosts = list(hosts)
         if not hosts:
             return self.extracted(as_of=as_of).limit(0)
-        buckets = [
-            r[0] for r in self.spark.createDataFrame(
-                [(h,) for h in hosts], "h string"
-            ).select(F.pmod(F.xxhash64("h"),
-                            F.lit(self.n_buckets))).collect()
-        ]
+        hdf = self.spark.createDataFrame([(h,) for h in hosts],
+                                         "h string")
+        buckets: "set[int]" = set()
+        for spec in sorted(self._bucket_specs()):
+            buckets.update(
+                r[0] for r in hdf.select(
+                    F.pmod(F.xxhash64("h"), F.lit(spec))).collect())
         df = self._read_stage("extracted").where(
-            F.col("bucket").isin(sorted(set(buckets))))
+            F.col("bucket").isin(sorted(buckets)))
         df = self._filter_committed(df, as_of=as_of)
         return df.where(
             F.parse_url(F.col("url"), F.lit("HOST")).isin(hosts)
@@ -731,6 +756,9 @@ class CheckpointedRun:
             "kind": kind,
             "status": status,
             "branch": branch or "",
+            # the partition spec this run's data files were written
+            # under (Iceberg: spec-id); readers union specs for pruning
+            "n_buckets": self.n_buckets,
             # monotone snapshot sequence — the time-travel axis (run_ts has
             # second resolution, so ties are possible there; seq is total)
             "seq": self._next_seq(),

@@ -29,7 +29,12 @@ production deployment can replace CheckpointedRun' internals with
    readers and the snapshot log, auditable through a branch read,
    idempotent against re-staging, published by a METADATA-ONLY
    fast-forward (no data file moves; pre-publish time travel excludes
-   the branch), or dropped leaving only compactable orphans.
+   the branch), or dropped leaving only compactable orphans;
+7. (round 5) PARTITION SPEC EVOLUTION: runs committed under different
+   bucket counts coexist — the manifest records each run's spec
+   (Iceberg: spec-id per data file) and pruned host reads union every
+   historical spec's transform, so old-spec files never vanish from a
+   pruned scan while the partition filter keeps pruning.
 """
 
 from __future__ import annotations
@@ -418,3 +423,53 @@ def test_wap_two_branches_are_independent(spark, pages, tmp_path):
     # fast-forward conflict); here we just drop b2
     assert run.drop_branch("b2") == 1
     assert run.extracted().count() == 32
+
+
+# --------------------------------------- partition spec evolution (round 5)
+
+def test_partition_spec_evolution_prunes_across_specs(spark, pages,
+                                                      tmp_path):
+    """7. A table that accumulated runs under DIFFERENT n_buckets
+    settings (Iceberg: partition spec evolution, spec-id per data
+    file) keeps pruned host reads IDENTICAL to the unpruned read: the
+    reader unions each historical spec's transform of the host set,
+    so files written under the old spec never vanish from a pruned
+    scan."""
+    run8 = CheckpointedRun(spark, str(tmp_path / "ck"),
+                           PipelineConfig(max_tokens=40), n_buckets=8)
+    assert run8.run(pages.limit(25)) == 25
+    # the table evolves: later runs bucket by 4
+    run4 = CheckpointedRun(spark, str(tmp_path / "ck"),
+                           PipelineConfig(max_tokens=40), n_buckets=4)
+    assert run4.run(pages) == 15
+    assert run4._bucket_specs() == {4, 8}
+
+    full = run4.extracted()
+    hosts = sorted({r.h for r in full.select(
+        F.parse_url("url", F.lit("HOST")).alias("h")).collect()})[:5]
+    want = {r.url for r in full.where(
+        F.parse_url("url", F.lit("HOST")).isin(hosts)).collect()}
+    got = {r.url for r in
+           run4.extracted_for_hosts(hosts).collect()}
+    assert got == want and len(got) > 0
+    # rows from BOTH specs' runs are present (the old spec's files
+    # did not vanish from the pruned read)
+    old_urls = {r.url for r in run8.extracted(as_of=1).collect()}
+    assert got & old_urls, "pruned read lost the old spec's files"
+    # and the plan still prunes: a partition filter on bucket exists
+    plan = run4.extracted_for_hosts(hosts)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_partition_spec_single_spec_unchanged(spark, pages, tmp_path):
+    run = CheckpointedRun(spark, str(tmp_path / "ck"),
+                          PipelineConfig(max_tokens=40), n_buckets=16)
+    run.run(pages.limit(20))
+    assert run._bucket_specs() == {16}
+    full = run.extracted()
+    host = full.select(
+        F.parse_url("url", F.lit("HOST")).alias("h")).first().h
+    want = full.where(
+        F.parse_url("url", F.lit("HOST")) == host).count()
+    assert run.extracted_for_hosts([host]).count() == want
