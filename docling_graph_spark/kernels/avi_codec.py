@@ -54,7 +54,11 @@ def _chunks(b: bytes, pos: int, end: int):
 
 
 def decode_avi(payload: bytes,
-               max_pixels: int = MAX_PIXELS) -> DecodedAviFrame:
+               max_pixels: int = MAX_PIXELS,
+               frame: int = 0) -> DecodedAviFrame:
+    """Decode one video frame of a Motion-JPEG AVI (``frame=-1`` for
+    the last), mirroring the GIF/TIFF frame/page-selection API;
+    ``n_frames`` always reports the chunk count."""
     b = payload
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
@@ -107,22 +111,25 @@ def decode_avi(payload: bytes,
         raise ValueError("AVI has no movi data")
 
     want = {b"%02ddc" % vid_stream, b"%02ddb" % vid_stream}
-    first: Optional[bytes] = None
-    n_frames = 0
+    frames_found: List[Tuple[int, int]] = []
 
     def scan(pos: int, stop: int) -> None:
-        nonlocal first, n_frames
         for cid, s, e in _chunks(b, pos, stop):
             if cid == b"LIST" and b[s:s + 4] == b"rec ":
                 scan(s + 4, e)        # interleave grouping wrapper
-            elif cid in want:
-                n_frames += 1
-                if first is None and e > s:
-                    first = b[s:e]
+            elif cid in want and e > s:
+                frames_found.append((s, e))
 
     scan(*movi)
-    if first is None:
+    n_frames = len(frames_found)
+    if not frames_found:
         raise ValueError("AVI movi carries no video frames")
+    idx = frame if frame >= 0 else n_frames + frame
+    if not 0 <= idx < n_frames:
+        raise ValueError(f"AVI frame {frame} out of range "
+                         f"(stream has {n_frames})")
+    fs, fe = frames_found[idx]
+    first = b[fs:fe]
 
     if codec.upper() not in ("MJPG", "MJPEG"):
         raise NotImplementedError(
@@ -130,9 +137,9 @@ def decode_avi(payload: bytes,
             "present in this container (only Motion-JPEG decodes)")
     from .jpeg_codec import decode_jpeg
 
-    frame = decode_jpeg(first)
-    return DecodedAviFrame(frame.width, frame.height, frame.channels,
-                           frame.pixels, n_frames, codec)
+    dec = decode_jpeg(first)
+    return DecodedAviFrame(dec.width, dec.height, dec.channels,
+                           dec.pixels, n_frames, codec)
 
 
 # ------------------------------------------------------------- encoder

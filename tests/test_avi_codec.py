@@ -103,3 +103,17 @@ def test_probe_and_sniff_integration():
     assert hdr is not None and (hdr.width, hdr.height) == (20, 12)
     dec = decode_media(avi, "video/avi")
     assert dec.width == 20 and sum(dec.pixels) > 0
+
+
+def test_frame_selection_mirrors_gif_api():
+    w, h = 8, 8
+    frames = [encode_jpeg_gray(w, h, _gray(w, h, s)) for s in (1, 5, 9)]
+    avi = encode_avi_mjpeg(w, h, frames)
+    for i in range(3):
+        got = decode_avi(avi, frame=i)
+        assert got.pixels == decode_jpeg(frames[i]).pixels
+        assert got.n_frames == 3
+    assert decode_avi(avi, frame=-1).pixels \
+        == decode_jpeg(frames[-1]).pixels
+    with pytest.raises(ValueError, match="out of range"):
+        decode_avi(avi, frame=3)

@@ -183,3 +183,38 @@ def test_pdf_info_through_text_tags():
                        {"title": "A Paper", "artist": "An Author"})
     got = text_tags(pdf)
     assert got["title"] == "A Paper" and got["artist"] == "An Author"
+
+
+def test_id3v22_three_char_frames():
+    import struct
+
+    from docling_graph_spark.kernels.media_tags import read_id3v2
+
+    # hand-built ID3v2.2 tag: TT2/TP1 frames, 3-byte ids + sizes
+    def frame(fid, text):
+        body = b"\x00" + text.encode("latin-1")
+        return fid + len(body).to_bytes(3, "big") + body
+
+    frames = frame(b"TT2", "old title") + frame(b"TP1", "old artist")
+    def ss(n):
+        return bytes(((n >> s) & 0x7F) for s in (21, 14, 7, 0))
+    tag = b"ID3\x02\x00\x00" + ss(len(frames)) + frames
+    got = read_id3v2(tag)
+    assert got == {"title": "old title", "artist": "old artist"}
+
+
+def test_avi_riff_info_tags():
+    from docling_graph_spark.kernels.avi_codec import encode_avi_mjpeg
+    from docling_graph_spark.kernels.jpeg_codec import encode_jpeg_gray
+    from docling_graph_spark.kernels.media_tags import (add_riff_info,
+                                                        read_riff_info,
+                                                        text_tags)
+
+    avi = encode_avi_mjpeg(8, 8, [encode_jpeg_gray(8, 8, bytes(64))])
+    tagged = add_riff_info(avi, {"title": "home video"})
+    assert read_riff_info(tagged)["title"] == "home video"
+    assert text_tags(tagged)["title"] == "home video"
+    # the decoder still reads the tagged file
+    from docling_graph_spark.kernels.avi_codec import decode_avi
+
+    assert decode_avi(tagged).n_frames == 1
