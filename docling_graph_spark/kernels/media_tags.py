@@ -459,7 +459,13 @@ def text_tags(payload: Optional[bytes]) -> Dict[str, str]:
     if not payload:
         return {}
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        return read_png_text(payload)
+        out = read_png_text(payload)
+        for k, v in read_exif_strings(payload).items():
+            out.setdefault(k, v)
+        return out
+    if payload[:2] == b"\xff\xd8" or payload[:2] in (b"II", b"MM") \
+            or (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"):
+        return read_exif_strings(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return read_gif_comments(payload)
     if payload[:4] == b"%PDF":
@@ -530,3 +536,100 @@ def make_id3v1(tags: Dict[str, str], audio: bytes = b"") -> bytes:
     put(93, 97, "date")
     put(97, 127, "comment")
     return audio + bytes(t)
+
+
+# --------------------------------------------- EXIF text strings (r5)
+
+_EXIF_STR_TAGS = {271: "camera_make", 272: "camera_model",
+                  306: "date"}
+
+
+def _exif_strings_from_tiff(t: bytes) -> Dict[str, str]:
+    """ASCII tags (Make/Model/DateTime) of IFD0 in a TIFF blob."""
+    import struct as _s
+
+    fmt = "<" if t[:2] == b"II" else ">" if t[:2] == b"MM" else None
+    if fmt is None:
+        return {}
+    try:
+        from .tiff_codec import _read_ifd
+
+        (off,) = _s.unpack_from(fmt + "I", t, 4)
+        tags = _read_ifd(t, fmt, off)
+    except Exception:
+        return {}
+    out: Dict[str, str] = {}
+    for tag, key in _EXIF_STR_TAGS.items():
+        vals = tags.get(tag)
+        if not vals:
+            continue
+        try:
+            txt = bytes(vals).split(b"\x00")[0] \
+                .decode("ascii", "replace").strip()
+        except Exception:
+            continue
+        if txt:
+            out[key] = txt
+    return out
+
+
+def read_exif_strings(payload: bytes) -> Dict[str, str]:
+    """Camera make/model/date from whatever EXIF the container
+    carries: JPEG APP1, bare TIFF IFD0, WebP EXIF chunk, PNG eXIf
+    chunk — the provenance text an image corpus keeps."""
+    b = payload
+    if b[:2] == b"\xff\xd8":                       # JPEG: APP1 walk
+        pos = 2
+        while pos + 4 <= len(b) and b[pos] == 0xFF:
+            marker = b[pos + 1]
+            pos += 2
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+                continue
+            if marker in (0xD9, 0xDA):
+                break
+            ln = int.from_bytes(b[pos:pos + 2], "big")
+            seg = b[pos + 2:pos + ln]
+            pos += ln
+            if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+                return _exif_strings_from_tiff(seg[6:])
+        return {}
+    if b[:2] in (b"II", b"MM"):                    # bare TIFF
+        return _exif_strings_from_tiff(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":    # WebP EXIF chunk
+        pos = 12
+        while pos + 8 <= len(b):
+            cc = b[pos:pos + 4]
+            size = int.from_bytes(b[pos + 4:pos + 8], "little")
+            if cc == b"EXIF":
+                body = b[pos + 8:pos + 8 + size]
+                if body[:6] == b"Exif\x00\x00":
+                    body = body[6:]
+                return _exif_strings_from_tiff(body)
+            pos += 8 + size + (size & 1)
+        return {}
+    if b[:8] == b"\x89PNG\r\n\x1a\n":              # PNG eXIf chunk
+        pos = 8
+        while pos + 8 <= len(b):
+            ln = int.from_bytes(b[pos:pos + 4], "big")
+            tag = b[pos + 4:pos + 8]
+            if tag == b"eXIf":
+                return _exif_strings_from_tiff(b[pos + 8:pos + 8 + ln])
+            if tag == b"IEND":
+                break
+            pos += 12 + ln
+    return {}
+
+
+def make_exif_strings_tiff(make: str = "", model: str = "",
+                           date: str = "",
+                           big_endian: bool = False) -> bytes:
+    """Fixture: a bare TIFF IFD carrying the ASCII provenance tags
+    (usable standalone or as a JPEG APP1 / WebP EXIF / PNG eXIf
+    body)."""
+    from .tiff_codec import _assemble_tiff
+
+    entries = []
+    for tag, v in ((271, make), (272, model), (306, date)):
+        if v:
+            entries.append((tag, 2, list(v.encode("ascii") + b"\x00")))
+    return _assemble_tiff(big_endian, entries, [])

@@ -619,7 +619,7 @@ def _assemble_tiff_multi(big_endian: bool, pages: List[tuple]) -> bytes:
     list is ``None`` receives that page's segment offsets (tag
     273/324)."""
     fmt = ">" if big_endian else "<"
-    sizes = {3: 2, 4: 4, 7: 1}
+    sizes = {2: 1, 3: 2, 4: 4, 7: 1}
     out = bytearray(struct.pack(fmt + "2sHI",
                                 b"MM" if big_endian else b"II", 0x2A, 8))
     pos = 8
@@ -645,7 +645,7 @@ def _assemble_tiff_multi(big_endian: bool, pages: List[tuple]) -> bytes:
         out += struct.pack(fmt + "H", len(entries))
         valarea = bytearray()
         for tag, typ, vals in entries:
-            kind = {3: "H", 4: "I", 7: "B"}[typ]
+            kind = {2: "B", 3: "H", 4: "I", 7: "B"}[typ]
             total = sizes[typ] * len(vals)
             out += struct.pack(fmt + "HHI", tag, typ, len(vals))
             packed = struct.pack(f"{fmt}{len(vals)}{kind}", *vals)

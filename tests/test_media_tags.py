@@ -218,3 +218,62 @@ def test_avi_riff_info_tags():
     from docling_graph_spark.kernels.avi_codec import decode_avi
 
     assert decode_avi(tagged).n_frames == 1
+
+
+# ------------------------------------------------- EXIF strings (r5)
+
+def test_exif_strings_all_containers():
+    from docling_graph_spark.kernels.jpeg_codec import encode_jpeg_gray
+    from docling_graph_spark.kernels.media_tags import (
+        make_exif_strings_tiff, read_exif_strings, text_tags)
+    from docling_graph_spark.kernels.png_codec import encode_png_gray
+    from docling_graph_spark.kernels.webp_codec import (
+        encode_webp_lossless)
+    import struct
+    import zlib
+
+    tiff_body = make_exif_strings_tiff(
+        make="ACME", model="Crawler 9000", date="2026:01:02 03:04:05")
+    want = {"camera_make": "ACME", "camera_model": "Crawler 9000",
+            "date": "2026:01:02 03:04:05"}
+    # bare TIFF
+    assert read_exif_strings(tiff_body) == want
+    # JPEG APP1
+    app1 = b"Exif\x00\x00" + tiff_body
+    seg = b"\xff\xe1" + (len(app1) + 2).to_bytes(2, "big") + app1
+    jpg = encode_jpeg_gray(4, 4, bytes(16))
+    jpg_tagged = jpg[:2] + seg + jpg[2:]
+    assert read_exif_strings(jpg_tagged) == want
+    assert text_tags(jpg_tagged) == want
+    # WebP EXIF chunk
+    webp = encode_webp_lossless(2, 2, bytes(16))
+    chunk = b"EXIF" + struct.pack("<I", len(tiff_body)) + tiff_body
+    if len(tiff_body) & 1:
+        chunk += b"\x00"
+    wp = webp[:12] + chunk + webp[12:]
+    wp = b"RIFF" + struct.pack("<I", len(wp) - 8) + wp[8:]
+    assert read_exif_strings(wp) == want
+    assert text_tags(wp) == want
+    # PNG eXIf chunk (+ tEXt priority check: tEXt 'date' wins)
+    from docling_graph_spark.kernels.media_tags import add_png_text
+
+    png = encode_png_gray(3, 3, bytes(9))
+    crc = zlib.crc32(b"eXIf" + tiff_body) & 0xFFFFFFFF
+    ch = struct.pack(">I", len(tiff_body)) + b"eXIf" + tiff_body \
+        + struct.pack(">I", crc)
+    i = png.rfind(b"IEND")
+    png_tagged = png[:i - 4] + ch + png[i - 4:]
+    assert read_exif_strings(png_tagged) == want
+    both = add_png_text(png_tagged, {"date": "from-text-chunk"})
+    tags = text_tags(both)
+    assert tags["date"] == "from-text-chunk"       # text chunk wins
+    assert tags["camera_make"] == "ACME"           # exif fills the rest
+
+
+def test_exif_strings_absent_or_malformed():
+    from docling_graph_spark.kernels.jpeg_codec import encode_jpeg_gray
+    from docling_graph_spark.kernels.media_tags import read_exif_strings
+
+    assert read_exif_strings(encode_jpeg_gray(4, 4, bytes(16))) == {}
+    assert read_exif_strings(b"II\x2a\x00garbage") == {}
+    assert read_exif_strings(b"") == {}
