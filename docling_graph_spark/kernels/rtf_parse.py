@@ -188,3 +188,87 @@ def make_rtf(paragraphs: List[str]) -> bytes:
            "{\\*\\generator docling-graph-spark fixtures;}"
            + "\\par ".join(body) + "}")
     return doc.encode("ascii")
+
+
+# ------------------------------------------- subtitles (WebVTT / SRT)
+
+_VTT_NOTE_RE = re.compile(r"^(?:NOTE|STYLE|REGION)\b")
+_CUE_TAG_RE = re.compile(r"</?[a-zA-Z][^>]*>|\{\\?an?\d\}")
+
+
+def is_webvtt(payload: Optional[bytes]) -> bool:
+    return bool(payload) and payload.lstrip(
+        b"\xef\xbb\xbf")[:6] == b"WEBVTT"
+
+
+def is_srt(payload: Optional[bytes]) -> bool:
+    """SRT has no magic: accept when the head matches the
+    counter/timestamp cue structure (first two non-blank lines are a
+    number then a ``-->`` timing line)."""
+    if not payload:
+        return False
+    head = payload.lstrip(b"\xef\xbb\xbf")[:256]
+    lines = [ln.strip() for ln in head.splitlines() if ln.strip()]
+    return (len(lines) >= 2 and lines[0].isdigit()
+            and b"-->" in lines[1])
+
+
+def extract_subtitle_text(payload: bytes) -> str:
+    """Cue text of a WebVTT or SRT file: counters, timing lines,
+    NOTE/STYLE/REGION blocks and inline cue tags (``<i>``, ``<c.cls>``,
+    ``{\\an8}``) stripped; consecutive cue lines join with newlines,
+    cues separate with blank lines — the transcript a text corpus
+    keeps."""
+    text = payload[:MAX_RTF_BYTES].lstrip(b"\xef\xbb\xbf") \
+        .decode("utf-8", "replace")
+    out: List[str] = []
+    in_note = False
+    cue: List[str] = []
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line:
+            if cue:
+                out.append("\n".join(cue))
+                cue = []
+            in_note = False
+            continue
+        if line.startswith("WEBVTT"):
+            continue
+        if _VTT_NOTE_RE.match(line):
+            in_note = True
+            continue
+        if in_note:
+            continue
+        if line.isdigit() and not cue:
+            continue                    # SRT cue counter
+        if "-->" in line:
+            continue                    # timing line
+        cleaned = _CUE_TAG_RE.sub("", line).strip()
+        if cleaned:
+            cue.append(cleaned)
+    if cue:
+        out.append("\n".join(cue))
+    return "\n\n".join(out)
+
+
+def make_webvtt(cues: List[str]) -> bytes:
+    body = ["WEBVTT", "", "NOTE generated fixture", ""]
+    t = 0
+    for c in cues:
+        body.append(f"00:00:{t:02d}.000 --> 00:00:{t + 2:02d}.000")
+        body.append(f"<i>{c}</i>")
+        body.append("")
+        t += 3
+    return "\n".join(body).encode("utf-8")
+
+
+def make_srt(cues: List[str]) -> bytes:
+    body: List[str] = []
+    t = 0
+    for i, c in enumerate(cues, start=1):
+        body.append(str(i))
+        body.append(f"00:00:{t:02d},000 --> 00:00:{t + 2:02d},000")
+        body.append(c)
+        body.append("")
+        t += 3
+    return "\n".join(body).encode("utf-8")

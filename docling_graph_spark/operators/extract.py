@@ -25,7 +25,9 @@ from pyspark.sql.functions import pandas_udf
 from ..kernels.html_main import extract_main_content
 from ..kernels.ooxml_parse import extract_ooxml_text, is_ooxml
 from ..kernels.pdf_stub import extract_pdf_text, is_pdf
-from ..kernels.rtf_parse import extract_rtf_text, is_rtf
+from ..kernels.rtf_parse import (extract_rtf_text,
+                                 extract_subtitle_text, is_rtf,
+                                 is_srt, is_webvtt)
 from ..schemas import CHUNK_SPAN_LITE, EXTRACTION_RESULT
 
 
@@ -49,6 +51,10 @@ def _route_payload(payload, transport):
         elif is_rtf(bytes(payload)):
             kind = "rtf"
             text = extract_rtf_text(bytes(payload))
+            nbytes = len(payload) - len(text.encode("utf-8"))
+        elif is_webvtt(bytes(payload)) or is_srt(bytes(payload)):
+            kind = "subtitle"
+            text = extract_subtitle_text(bytes(payload))
             nbytes = len(payload) - len(text.encode("utf-8"))
         else:
             kind = "html"

@@ -58,3 +58,45 @@ def test_rtf_through_run_pipeline(spark):
     row = res.extracted.collect()[0]
     assert row.kind == "rtf" and row.error is None
     assert "An RTF memo" in row.text
+
+
+# ------------------------------------------- subtitles (WebVTT / SRT)
+
+def test_webvtt_and_srt_extraction():
+    from docling_graph_spark.kernels.rtf_parse import (
+        extract_subtitle_text, is_srt, is_webvtt, make_srt, make_webvtt)
+
+    cues = ["First spoken line.", "Second line, with punctuation!",
+            "Third and final line."]
+    vtt = make_webvtt(cues)
+    assert is_webvtt(vtt) and not is_srt(vtt)
+    tv = extract_subtitle_text(vtt)
+    for c in cues:
+        assert c in tv
+    assert "-->" not in tv and "WEBVTT" not in tv
+    assert "NOTE" not in tv and "<i>" not in tv
+
+    srt = make_srt(cues)
+    assert is_srt(srt) and not is_webvtt(srt)
+    ts = extract_subtitle_text(srt)
+    for c in cues:
+        assert c in ts
+    assert "-->" not in ts and "\n1\n" not in ts
+
+
+def test_subtitle_through_run_pipeline(spark):
+    from datetime import datetime
+
+    from docling_graph_spark import schemas
+    from docling_graph_spark.kernels.rtf_parse import make_webvtt
+    from docling_graph_spark.pipeline import PipelineConfig, run_pipeline
+
+    vtt = make_webvtt([f"Transcript sentence number {i} spoken aloud."
+                       for i in range(12)])
+    pages = spark.createDataFrame(
+        [("https://cdn.example.com/ep1.vtt",
+          datetime(2026, 1, 4), vtt, None, None)], schemas.WEB_PAGES)
+    res = run_pipeline(pages, PipelineConfig(max_tokens=40))
+    row = res.extracted.collect()[0]
+    assert row.kind == "subtitle" and row.error is None
+    assert "Transcript sentence number 3" in row.text
