@@ -18,7 +18,11 @@ audio:
 * image-borne text: PNG tEXt/zTXt/iTXt chunks (keyword-mapped,
   bounded inflate for the compressed forms) and GIF comment
   extensions (full block walk, image data skipped sub-block-wise
-  without LZW decode).
+  without LZW decode);
+* EXIF provenance strings (Make/Model/DateTime from IFD0) out of
+  JPEG APP1, bare TIFF, WebP EXIF and PNG eXIf containers;
+* PDF documents dispatch to the trailer /Info metadata reader
+  (`kernels/pdf_parse.extract_pdf_metadata`).
 
 Everything returns a plain ``{normalized_key: text}`` dict with the
 common fields mapped to title/artist/album/date/comment; unknown

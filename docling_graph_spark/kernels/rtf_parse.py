@@ -24,7 +24,9 @@ text was readable — extraction metadata, never an executor crash.
 
 The reference's converter treats .rtf as out of scope (binary route);
 here it joins the document family next to OOXML/ODF/EPUB
-(`kernels/ooxml_parse.py`).
+(`kernels/ooxml_parse.py`).  The module also carries the subtitle
+extractors (WebVTT by magic, SRT by cue-head structure): transcripts
+are crawl text too.
 """
 
 from __future__ import annotations
