@@ -127,7 +127,11 @@ def decode_media(payload: bytes, media_type: str):
     8/16/32-bit, IEEE-float, and G.711 mu/A-law expansion).
     ``video/avi`` Motion-JPEG decodes its first frame for real
     (`kernels/avi_codec.py`); other AVI codecs route to the
-    header-only geometry probe.  So does ``audio/flac``
+    header-only geometry probe.  ``video/webm`` VP8 video tracks
+    decode a selected key frame for real (`kernels/webm_codec.py`:
+    EBML walk, SimpleBlock/BlockGroup, all lacing modes, then the
+    same VP8 decoder lossy WebP uses); VP9/AV1 tracks route to the
+    geometry probe.  So does ``audio/flac``
     (`kernels/flac_codec.py`: full lossless decode — rice residuals,
     see also round 5's ``audio/ogg`` Vorbis decode below —
     fixed/LPC predictors, stereo decorrelation, CRC-verified frames).
@@ -197,6 +201,10 @@ def decode_media(payload: bytes, media_type: str):
         from .avi_codec import decode_avi
 
         return decode_avi(payload)
+    if media_type == "video/webm":
+        from .webm_codec import decode_webm
+
+        return decode_webm(payload)
     raise NotImplementedError(
         "media decode requires image/audio libraries not present in this "
         f"container (requested: {media_type}); use fake_features for the "

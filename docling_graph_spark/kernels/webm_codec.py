@@ -1,0 +1,419 @@
+"""WebM (Matroska/EBML) container walk + VP8 key-frame decode.
+
+WebM is the web's native video container (the <video> tag's royalty-
+free default), and its VP8 video track carries EXACTLY the same raw
+key-frame bitstream a lossy WebP file embeds in its ``VP8 `` chunk —
+so the round-5 VP8 decoder (`kernels/vp8_codec.py`) makes WebM video
+rows decodable for real with no new pixel math.  This module walks the
+EBML structure (Segment -> Tracks -> TrackEntry for codec + geometry,
+Segment -> Cluster -> SimpleBlock / BlockGroup(Block) for frame data,
+all three lacing modes for intra-block frame packing) and decodes one
+selected frame of a ``V_VP8`` track to pixels, mirroring how
+GIF / animated-WebP / AVI rows surface a frame through
+`media_decode_stats`.  ``V_VP9`` / ``V_AV1`` tracks raise
+NotImplementedError with the codec named, so the operator falls back
+to the header-only geometry probe (`media_probe._probe_webm`) — a
+routed column, never a crash.
+
+The reference treats video inputs as out-of-scope binaries
+(`core/input/types.py:39-105` stops at magic-byte detection); here the
+container-feasible subset decodes for real.
+
+The encoder half is the fixture generator: a structurally complete
+WebM (EBML header with DocType, Segment with Info/TimecodeScale,
+Tracks with one VP8 TrackEntry, one Cluster of SimpleBlocks) wrapped
+around caller-supplied raw VP8 frames, so the decode invariant is
+exact: decode_webm(...).pixels == vp8_frame_to_rgb(decode_vp8(frame)).
+
+Decompression-bomb guard: the declared PixelWidth x PixelHeight gate
+rejects hostile headers in O(header) before any frame data is read,
+and the VP8 decoder re-checks its own frame-header geometry.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, NamedTuple, Optional, Tuple
+
+MAX_PIXELS = 1 << 26    # shared decode guard with the other codecs
+
+# EBML / Matroska element ids (the public Matroska registry subset
+# this walk needs)
+_EBML_HEADER = 0x1A45DFA3
+_DOCTYPE = 0x4282
+_SEGMENT = 0x18538067
+_INFO = 0x1549A966
+_TIMECODE_SCALE = 0x2AD7B1
+_TRACKS = 0x1654AE6B
+_TRACK_ENTRY = 0xAE
+_TRACK_NUMBER = 0xD7
+_TRACK_TYPE = 0x83
+_CODEC_ID = 0x86
+_CODEC_PRIVATE = 0x63A2
+_VIDEO = 0xE0
+_PIXEL_W = 0xB0
+_PIXEL_H = 0xBA
+_AUDIO = 0xE1
+_SAMPLE_FREQ = 0xB5
+_CHANNELS = 0x9F
+_CLUSTER = 0x1F43B675
+_CLUSTER_TIMECODE = 0xE7
+_SIMPLE_BLOCK = 0xA3
+_BLOCK_GROUP = 0xA0
+_BLOCK = 0xA1
+_TITLE = 0x7BA9
+_TAGS = 0x1254C367
+_TAG_NAME = 0x45A3
+_TAG_STRING = 0x4487
+
+
+class DecodedWebmFrame(NamedTuple):
+    width: int
+    height: int
+    channels: int
+    pixels: bytes        # selected video frame, interleaved RGB
+    n_frames: int        # block-laced frame count on the video track
+    codec: str           # Matroska CodecID, e.g. 'V_VP8'
+
+
+class WebmTrack(NamedTuple):
+    number: int
+    ttype: int           # 1 = video, 2 = audio
+    codec: str
+    width: int
+    height: int
+    sample_rate: float
+    channels: int
+    codec_private: bytes
+
+
+def _vint(b: bytes, pos: int, keep_marker: bool):
+    """(value, next_pos) EBML variable-length integer, or None."""
+    if pos >= len(b) or b[pos] == 0:
+        return None
+    first = b[pos]
+    length = 1
+    mask = 0x80
+    while not (first & mask):
+        mask >>= 1
+        length += 1
+    if pos + length > len(b):
+        return None
+    v = first if keep_marker else (first & (mask - 1))
+    for i in range(1, length):
+        v = (v << 8) | b[pos + i]
+    return v, pos + length
+
+
+def _svint(b: bytes, pos: int):
+    """Signed EBML vint (lacing deltas): value - (2^(7L-1) - 1)."""
+    got = _vint(b, pos, False)
+    if got is None:
+        return None
+    v, npos = got
+    length = npos - pos
+    return v - ((1 << (7 * length - 1)) - 1), npos
+
+
+def _elements(b: bytes, pos: int, end: int):
+    """Yield (element_id, body_start, body_end) over an EBML scope.
+    Unknown-size elements (all value-bits set, standard for live
+    Segments) and overruns extend to the end of the scope."""
+    while pos < end:
+        got = _vint(b, pos, True)
+        if got is None:
+            return
+        eid, pos = got
+        got = _vint(b, pos, False)
+        if got is None:
+            return
+        size, pos = got
+        if size >= (1 << 56) - 1 or pos + size > end:
+            size = end - pos
+        yield eid, pos, pos + size
+        pos += size
+
+
+def _block_frames(b: bytes, s: int, e: int) -> Optional[Tuple[int, List[bytes]]]:
+    """Parse a (Simple)Block body: (track_number, frames) honoring the
+    three lacing modes (none / Xiph / fixed-size / EBML)."""
+    got = _vint(b, s, False)
+    if got is None:
+        return None
+    track, pos = got
+    if pos + 3 > e:
+        return None
+    flags = b[pos + 2]
+    pos += 3                       # int16 timecode + flags byte
+    lacing = (flags >> 1) & 3
+    if lacing == 0:
+        return track, [b[pos:e]]
+    if pos >= e:
+        return None
+    n_frames = b[pos] + 1
+    pos += 1
+    sizes: List[int] = []
+    if lacing == 1:                # Xiph: 255-continued bytes
+        for _ in range(n_frames - 1):
+            sz = 0
+            while pos < e:
+                sz += b[pos]
+                if b[pos] != 255:
+                    pos += 1
+                    break
+                pos += 1
+            sizes.append(sz)
+    elif lacing == 2:              # fixed-size: equal division
+        if (e - pos) % n_frames:
+            return None
+        sizes = [(e - pos) // n_frames] * (n_frames - 1)
+    else:                          # EBML: first absolute, then deltas
+        got = _vint(b, pos, False)
+        if got is None:
+            return None
+        sz, pos = got
+        sizes.append(sz)
+        for _ in range(n_frames - 2):
+            got = _svint(b, pos)
+            if got is None:
+                return None
+            delta, pos = got
+            sz += delta
+            sizes.append(sz)
+    frames = []
+    for sz in sizes:
+        if pos + sz > e:
+            return None
+        frames.append(b[pos:pos + sz])
+        pos += sz
+    frames.append(b[pos:e])        # last frame: remainder of the block
+    return track, frames
+
+
+def parse_webm(payload: bytes):
+    """Structural walk shared by decode and metadata: returns
+    (tracks, frames_by_track, title, tags) where ``frames_by_track``
+    maps track number -> list of raw frame byte strings in stream
+    order, ``title`` is the Segment Info Title (or ''), and ``tags``
+    is a dict of Tags SimpleTag name -> string."""
+    b = payload
+    got = _vint(b, 0, True)
+    if got is None or got[0] != _EBML_HEADER:
+        raise ValueError("not an EBML/Matroska payload")
+    got2 = _vint(b, got[1], False)
+    if got2 is None:
+        raise ValueError("truncated EBML header")
+    hdr_end = got2[0] + got2[1]
+    doctype = ""
+    for eid, s, e in _elements(b, got2[1], hdr_end):
+        if eid == _DOCTYPE:
+            doctype = b[s:e].decode("ascii", "replace").rstrip("\x00")
+    if doctype not in ("webm", "matroska", ""):
+        raise ValueError(f"unsupported EBML DocType '{doctype}'")
+
+    tracks: List[WebmTrack] = []
+    frames_by_track: dict = {}
+    title = ""
+    tags: dict = {}
+
+    def parse_entry(s: int, e: int) -> None:
+        num = ttype = width = height = channels = 0
+        rate = 0.0
+        codec = ""
+        private = b""
+        for eid, s2, e2 in _elements(b, s, e):
+            if eid == _TRACK_NUMBER:
+                num = int.from_bytes(b[s2:e2], "big")
+            elif eid == _TRACK_TYPE:
+                ttype = int.from_bytes(b[s2:e2], "big")
+            elif eid == _CODEC_ID:
+                codec = b[s2:e2].decode("ascii", "replace").rstrip("\x00")
+            elif eid == _CODEC_PRIVATE:
+                private = b[s2:e2]
+            elif eid == _VIDEO:
+                for eid3, s3, e3 in _elements(b, s2, e2):
+                    if eid3 == _PIXEL_W:
+                        width = int.from_bytes(b[s3:e3], "big")
+                    elif eid3 == _PIXEL_H:
+                        height = int.from_bytes(b[s3:e3], "big")
+            elif eid == _AUDIO:
+                for eid3, s3, e3 in _elements(b, s2, e2):
+                    if eid3 == _SAMPLE_FREQ and e3 - s3 in (4, 8):
+                        rate = struct.unpack(
+                            ">f" if e3 - s3 == 4 else ">d",
+                            b[s3:e3])[0]
+                    elif eid3 == _CHANNELS:
+                        channels = int.from_bytes(b[s3:e3], "big")
+        tracks.append(WebmTrack(num, ttype, codec, width, height,
+                                rate, channels, private))
+
+    def parse_tags(s: int, e: int) -> None:
+        # Tags -> Tag -> SimpleTag(TagName, TagString); SimpleTags can
+        # nest, so walk every scope that contains element structure
+        name = val = None
+        for eid, s2, e2 in _elements(b, s, e):
+            if eid == _TAG_NAME:
+                name = b[s2:e2].decode("utf-8", "replace")
+            elif eid == _TAG_STRING:
+                val = b[s2:e2].decode("utf-8", "replace")
+            elif eid in (0x7373, 0x63C0):   # Tag / Targets
+                parse_tags(s2, e2)
+            elif eid == 0x67C8:             # SimpleTag
+                parse_tags(s2, e2)
+        if name and val is not None:
+            tags[name] = val
+
+    got3 = _vint(b, hdr_end, True)
+    if got3 is None or got3[0] != _SEGMENT:
+        raise ValueError("EBML stream has no Segment")
+    got4 = _vint(b, got3[1], False)
+    if got4 is None:
+        raise ValueError("truncated Segment header")
+    seg_start = got4[1]
+    seg_end = seg_start + got4[0]
+    if got4[0] >= (1 << 56) - 1 or seg_end > len(b):
+        seg_end = len(b)
+
+    for eid, s, e in _elements(b, seg_start, seg_end):
+        if eid == _TRACKS:
+            for eid2, s2, e2 in _elements(b, s, e):
+                if eid2 == _TRACK_ENTRY:
+                    parse_entry(s2, e2)
+        elif eid == _INFO:
+            for eid2, s2, e2 in _elements(b, s, e):
+                if eid2 == _TITLE:
+                    title = b[s2:e2].decode("utf-8", "replace")
+        elif eid == _TAGS:
+            parse_tags(s, e)
+        elif eid == _CLUSTER:
+            for eid2, s2, e2 in _elements(b, s, e):
+                if eid2 == _SIMPLE_BLOCK:
+                    got5 = _block_frames(b, s2, e2)
+                elif eid2 == _BLOCK_GROUP:
+                    got5 = None
+                    for eid3, s3, e3 in _elements(b, s2, e2):
+                        if eid3 == _BLOCK:
+                            got5 = _block_frames(b, s3, e3)
+                            break
+                else:
+                    continue
+                if got5 is not None:
+                    frames_by_track.setdefault(got5[0], []).extend(
+                        got5[1])
+    return tracks, frames_by_track, title, tags
+
+
+def decode_webm(payload: bytes,
+                max_pixels: int = MAX_PIXELS,
+                frame: int = 0) -> DecodedWebmFrame:
+    """Decode one video frame of a VP8 WebM (``frame=-1`` for the
+    last), mirroring the GIF/TIFF/AVI frame-selection API; ``n_frames``
+    always reports the laced frame count on the video track."""
+    tracks, frames_by_track, _title, _tags = parse_webm(payload)
+    video = next((t for t in tracks if t.ttype == 1), None)
+    if video is None:
+        if any(t.ttype == 2 for t in tracks):
+            raise NotImplementedError(
+                "audio-only WebM: use the audio decode stage")
+        raise ValueError("WebM has no video track")
+    if video.width <= 0 or video.height <= 0:
+        raise ValueError("WebM video track missing frame geometry")
+    if video.width * video.height > max_pixels:
+        raise ValueError(
+            f"WebM dimensions {video.width}x{video.height} exceed the "
+            f"{max_pixels}-pixel decode guard (decompression-bomb "
+            "protection)")
+    frames = frames_by_track.get(video.number, [])
+    n_frames = len(frames)
+    if not frames:
+        raise ValueError("WebM clusters carry no video frames")
+    idx = frame if frame >= 0 else n_frames + frame
+    if not 0 <= idx < n_frames:
+        raise ValueError(f"WebM frame {frame} out of range "
+                         f"(track has {n_frames})")
+    if video.codec != "V_VP8":
+        raise NotImplementedError(
+            f"WebM video codec '{video.codec or '?'}' requires "
+            "libraries not present in this container (only VP8 key "
+            "frames decode)")
+    from .vp8_codec import decode_vp8, vp8_frame_to_rgb
+
+    dec = decode_vp8(frames[idx], max_pixels=max_pixels)
+    rgb = vp8_frame_to_rgb(dec)
+    return DecodedWebmFrame(dec.width, dec.height, 3, rgb,
+                            n_frames, video.codec)
+
+
+# ------------------------------------------------------------- encoder
+
+def _elem(eid: int, body: bytes) -> bytes:
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = len(body)
+    if n < 127:
+        sz = bytes([0x80 | n])
+    else:
+        sz = bytes([0x01]) + n.to_bytes(7, "big")
+    return idb + sz + body
+
+
+def _uint_elem(eid: int, v: int) -> bytes:
+    return _elem(eid, v.to_bytes(max((v.bit_length() + 7) // 8, 1),
+                                 "big"))
+
+
+def encode_webm_vp8(width: int, height: int, frames: List[bytes],
+                    title: str = "", tags: "dict | None" = None,
+                    lacing: str = "none") -> bytes:
+    """Fixture encoder: a structurally complete WebM around raw VP8
+    frame bitstreams (as produced by `vp8_codec.encode_vp8`) — EBML
+    header with DocType 'webm', Segment(Info(TimecodeScale [+ Title]),
+    Tracks(one VP8 video TrackEntry), [Tags,] Cluster of SimpleBlocks).
+    ``lacing='xiph'`` packs ALL frames into one Xiph-laced SimpleBlock
+    (exercising the lacing parser); 'none' emits one block per frame,
+    the layout real muxers use for video.  The decode invariant is
+    exact: decode_webm(out, frame=k).pixels ==
+    vp8_frame_to_rgb(decode_vp8(frames[k]))."""
+    ebml_hdr = _elem(_EBML_HEADER,
+                     _uint_elem(0x4286, 1)          # EBMLVersion
+                     + _uint_elem(0x42F7, 1)        # EBMLReadVersion
+                     + _uint_elem(0x42F2, 4)        # EBMLMaxIDLength
+                     + _uint_elem(0x42F3, 8)        # EBMLMaxSizeLength
+                     + _elem(_DOCTYPE, b"webm")
+                     + _uint_elem(0x4287, 2)        # DocTypeVersion
+                     + _uint_elem(0x4285, 2))       # DocTypeReadVersion
+    info_body = _uint_elem(_TIMECODE_SCALE, 1000000)
+    if title:
+        info_body += _elem(_TITLE, title.encode("utf-8"))
+    info = _elem(_INFO, info_body)
+    video = _elem(_VIDEO, _uint_elem(_PIXEL_W, width)
+                  + _uint_elem(_PIXEL_H, height))
+    entry = _elem(_TRACK_ENTRY,
+                  _uint_elem(_TRACK_NUMBER, 1)
+                  + _uint_elem(0x73C5, 1)           # TrackUID
+                  + _uint_elem(_TRACK_TYPE, 1)
+                  + _elem(_CODEC_ID, b"V_VP8") + video)
+    tracks = _elem(_TRACKS, entry)
+    tags_el = b""
+    if tags:
+        simple = b"".join(
+            _elem(0x67C8, _elem(_TAG_NAME, k.encode("utf-8"))
+                  + _elem(_TAG_STRING, v.encode("utf-8")))
+            for k, v in tags.items())
+        tags_el = _elem(_TAGS, _elem(0x7373, simple))
+
+    blocks = b""
+    if lacing == "xiph" and len(frames) > 1:
+        lace = bytes([len(frames) - 1])
+        for f in frames[:-1]:
+            sz = len(f)
+            lace += bytes([255]) * (sz // 255) + bytes([sz % 255])
+        body = (b"\x81" + struct.pack(">h", 0) + bytes([0x80 | 0x02])
+                + lace + b"".join(frames))
+        blocks = _elem(_SIMPLE_BLOCK, body)
+    else:
+        for k, f in enumerate(frames):
+            body = b"\x81" + struct.pack(">h", k) + b"\x80" + f
+            blocks += _elem(_SIMPLE_BLOCK, body)
+    cluster = _elem(_CLUSTER, _uint_elem(_CLUSTER_TIMECODE, 0) + blocks)
+    segment = _elem(_SEGMENT, info + tracks + tags_el + cluster)
+    return ebml_hdr + segment

@@ -6343,9 +6343,18 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # libwebp's fixed-point YUV->RGB — is integer closed-form, which
     # the oracle replays per doc (kernels/vp8_codec.py; shifts used
     # for every negative-capable division per the cross-engine rule).
+    # Container rotation (round 5 continuation): d%5==4 wraps the SAME
+    # VP8 frame in a WebM/Matroska SimpleBlock instead of a RIFF WebP
+    # chunk (kernels/webm_codec.py) — the decoded pixels are identical
+    # by construction (a WebM V_VP8 block IS the raw VP8 bitstream a
+    # WebP 'VP8 ' chunk carries), so the closed-form oracle needs no
+    # per-container terms; the stage still gates the EBML walk end to
+    # end through media_decode_stats' magic-type routing.
     def build_vp8s(batches):
         from docling_graph_spark.kernels.vp8_codec import (
-            encode_webp_lossy)
+            encode_vp8, encode_webp_lossy, rgb_to_yuv420)
+        from docling_graph_spark.kernels.webm_codec import (
+            encode_webm_vp8)
 
         for pdf in batches:
             urls, blobs = [], []
@@ -6355,10 +6364,18 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 g = 64 + (d * 11) % 128
                 rgb = bytes([g, g, g]) * (w * h)
                 urls.append(f"vp8:{d}")
-                blobs.append(encode_webp_lossy(
-                    w, h, rgb, qi=(d * 7) % 48,
-                    mode="tm" if d % 2 else "dc",
-                    n_parts=2 if d % 3 == 0 else 1))
+                qi = (d * 7) % 48
+                mode = "tm" if d % 2 else "dc"
+                n_parts = 2 if d % 3 == 0 else 1
+                if d % 5 == 4:
+                    y, u, v = rgb_to_yuv420(w, h, rgb)
+                    frame = encode_vp8(w, h, y, u, v, qi=qi,
+                                       mode=mode, n_parts=n_parts)
+                    blobs.append(encode_webm_vp8(w, h, [frame]))
+                else:
+                    blobs.append(encode_webp_lossy(
+                        w, h, rgb, qi=qi, mode=mode,
+                        n_parts=n_parts))
             yield pd.DataFrame({"url": urls, "html": blobs})
 
     v8 = (

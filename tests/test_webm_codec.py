@@ -1,0 +1,102 @@
+"""WebM (Matroska/EBML) container walk + VP8 key-frame decode."""
+import pytest
+
+from docling_graph_spark.kernels.vp8_codec import (
+    decode_vp8, encode_vp8, rgb_to_yuv420, vp8_frame_to_rgb)
+from docling_graph_spark.kernels.webm_codec import (
+    decode_webm, encode_webm_vp8, parse_webm)
+
+
+def _vp8_frame(w, h, seed=3, mode="dc"):
+    v, rgb = seed, []
+    for i in range(w * h * 3):
+        v = (v * 73 + 41) % 256
+        rgb.append(v)
+    y, u, vv = rgb_to_yuv420(w, h, bytes(rgb))
+    return encode_vp8(w, h, y, u, vv, qi=10, mode=mode)
+
+
+def test_first_frame_matches_direct_vp8_decode():
+    w, h = 24, 16
+    frames = [_vp8_frame(w, h, s) for s in (1, 2, 3)]
+    webm = encode_webm_vp8(w, h, frames)
+    dec = decode_webm(webm)
+    want = vp8_frame_to_rgb(decode_vp8(frames[0]))
+    assert (dec.width, dec.height, dec.channels) == (w, h, 3)
+    assert dec.n_frames == 3 and dec.codec == "V_VP8"
+    assert dec.pixels == want
+
+
+def test_frame_selection_and_negative_index():
+    w = h = 16
+    frames = [_vp8_frame(w, h, s, mode=m)
+              for s, m in ((1, "dc"), (2, "tm"), (3, "v"))]
+    webm = encode_webm_vp8(w, h, frames)
+    for k in range(3):
+        assert decode_webm(webm, frame=k).pixels == vp8_frame_to_rgb(
+            decode_vp8(frames[k]))
+    assert decode_webm(webm, frame=-1).pixels == vp8_frame_to_rgb(
+        decode_vp8(frames[-1]))
+    with pytest.raises(ValueError, match="out of range"):
+        decode_webm(webm, frame=3)
+
+
+def test_xiph_laced_block_enumerates_and_decodes():
+    w = h = 16
+    frames = [_vp8_frame(w, h, s) for s in (4, 5, 6, 7)]
+    webm = encode_webm_vp8(w, h, frames, lacing="xiph")
+    dec = decode_webm(webm, frame=2)
+    assert dec.n_frames == 4
+    assert dec.pixels == vp8_frame_to_rgb(decode_vp8(frames[2]))
+
+
+def test_title_and_tags_surface():
+    webm = encode_webm_vp8(16, 16, [_vp8_frame(16, 16)],
+                           title="title 7",
+                           tags={"ARTIST": "artist 7"})
+    tracks, frames, title, tags = parse_webm(webm)
+    assert title == "title 7"
+    assert tags == {"ARTIST": "artist 7"}
+    assert tracks[0].codec == "V_VP8" and tracks[0].ttype == 1
+
+
+def test_non_vp8_codec_routes_with_name():
+    webm = encode_webm_vp8(16, 16, [_vp8_frame(16, 16)])
+    webm = webm.replace(b"V_VP8", b"V_VP9")
+    with pytest.raises(NotImplementedError, match="V_VP9"):
+        decode_webm(webm)
+
+
+def test_bomb_guard_rejects_declared_geometry():
+    webm = encode_webm_vp8(16, 16, [_vp8_frame(16, 16)])
+    with pytest.raises(ValueError, match="decode guard"):
+        decode_webm(webm, max_pixels=16 * 16 - 1)
+
+
+def test_truncated_and_garbage_route_as_errors():
+    webm = encode_webm_vp8(16, 16, [_vp8_frame(16, 16)])
+    with pytest.raises(ValueError):
+        decode_webm(webm[:40])
+    with pytest.raises(ValueError):
+        decode_webm(b"\x00" * 64)
+    with pytest.raises(ValueError):
+        decode_webm(b"")
+
+
+def test_decode_media_routes_webm():
+    from docling_graph_spark.kernels.media_stub import (
+        decode_media, sniff_media_type)
+
+    frame = _vp8_frame(16, 16, 9)
+    webm = encode_webm_vp8(16, 16, [frame])
+    assert sniff_media_type(webm) == "video/webm"
+    dec = decode_media(webm, "video/webm")
+    assert dec.pixels == vp8_frame_to_rgb(decode_vp8(frame))
+
+
+def test_geometry_probe_still_reads_fixture():
+    from docling_graph_spark.kernels.media_probe import probe_dimensions
+
+    webm = encode_webm_vp8(20, 12, [_vp8_frame(20, 12)])
+    hdr = probe_dimensions(webm)
+    assert hdr is not None and (hdr.width, hdr.height) == (20, 12)
