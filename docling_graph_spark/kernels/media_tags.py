@@ -476,6 +476,10 @@ def text_tags(payload: Optional[bytes]) -> Dict[str, str]:
         from .pdf_parse import extract_pdf_metadata
 
         return extract_pdf_metadata(payload)
+    if payload[:4] == b"\x1aE\xdf\xa3":
+        return read_webm_tags(payload)
+    if payload[4:8] == b"ftyp":
+        return read_mp4_tags(payload)
     got = audio_text_tags(payload)
     if not got and len(payload) >= 128 \
             and payload[-128:][:3] == b"TAG":
@@ -637,3 +641,129 @@ def make_exif_strings_tiff(make: str = "", model: str = "",
         if v:
             entries.append((tag, 2, list(v.encode("ascii") + b"\x00")))
     return _assemble_tiff(big_endian, entries, [])
+
+
+# video container tags --------------------------------------------------
+# The reference stops at magic-byte typing for video rows; titles and
+# artists ride in MP4 udta/meta/ilst items ('©nam'/'©ART'/...) and in
+# Matroska Segment Info Title + Tags SimpleTags — both are document
+# text for indexing/dedup, extractable in O(header) with no codec.
+
+_MP4_MAP = {b"\xa9nam": "title", b"\xa9ART": "artist",
+            b"\xa9alb": "album", b"\xa9day": "date",
+            b"\xa9cmt": "comment", b"desc": "comment"}
+
+_MKV_MAP = {"TITLE": "title", "ARTIST": "artist", "ALBUM": "album",
+            "DATE_RELEASED": "date", "DATE": "date",
+            "COMMENT": "comment", "DESCRIPTION": "comment"}
+
+
+def _mp4_boxes(b: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_end) over an ISO BMFF box run
+    (32-bit sizes; size 0 = to-end; 64-bit largesize honored)."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", b, pos)
+        cc = b[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack_from(">Q", b, pos + 8)
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return
+        yield cc, body, pos + size
+        pos += size
+
+
+def read_mp4_tags(payload: bytes) -> Dict[str, str]:
+    """iTunes-style metadata out of moov/udta/meta/ilst: each item box
+    ('©nam', '©ART', ...) carries a 'data' fullbox whose flags value 1
+    marks UTF-8 text (8-byte version/flags + locale preamble).  The
+    layout every MP4 muxer (and M4A/M4V) writes."""
+    b = payload[:MAX_TAG_BYTES]
+    out: Dict[str, str] = {}
+
+    def walk_ilst(s: int, e: int) -> None:
+        for cc, s2, e2 in _mp4_boxes(b, s, e):
+            for cc3, s3, e3 in _mp4_boxes(b, s2, e2):
+                if cc3 != b"data" or e3 - s3 < 8:
+                    continue
+                flags = int.from_bytes(b[s3:s3 + 4], "big") & 0xFFFFFF
+                if flags != 1:          # not UTF-8 text
+                    continue
+                try:
+                    txt = b[s3 + 8:e3].decode("utf-8").strip()
+                except UnicodeDecodeError:
+                    continue
+                if txt:
+                    key = _MP4_MAP.get(
+                        cc, cc.decode("latin-1").lstrip("\xa9").lower())
+                    out.setdefault(key, txt)
+
+    for cc, s, e in _mp4_boxes(b, 0, len(b)):
+        if cc != b"moov":
+            continue
+        for cc2, s2, e2 in _mp4_boxes(b, s, e):
+            if cc2 != b"udta":
+                continue
+            for cc3, s3, e3 in _mp4_boxes(b, s2, e2):
+                if cc3 != b"meta":
+                    continue
+                # meta is a fullbox: 4 bytes of version/flags lead
+                for cc4, s4, e4 in _mp4_boxes(b, s3 + 4, e3):
+                    if cc4 == b"ilst":
+                        walk_ilst(s4, e4)
+    return out
+
+
+def read_webm_tags(payload: bytes) -> Dict[str, str]:
+    """Matroska/WebM text metadata: Segment Info Title plus Tags
+    SimpleTags (TITLE/ARTIST/... per the public Matroska tag
+    registry), normalized to the shared key set."""
+    from .webm_codec import parse_webm
+
+    try:
+        _tracks, _frames, title, tags = parse_webm(payload)
+    except Exception:
+        return {}
+    out: Dict[str, str] = {}
+    if title.strip():
+        out["title"] = title.strip()
+    for k, v in tags.items():
+        if v.strip():
+            out.setdefault(_MKV_MAP.get(k.upper(), k.lower()),
+                           v.strip())
+    return out
+
+
+def make_mp4_tags(tags: Dict[str, str],
+                  width: int = 0, height: int = 0) -> bytes:
+    """Fixture: ftyp + moov(trak/tkhd when geometry given,
+    udta(meta(hdlr + ilst(items with UTF-8 'data' boxes))))."""
+    rev = {v: k for k, v in _MP4_MAP.items() if k != b"desc"}
+
+    def box(cc: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + cc + body
+
+    items = b""
+    for k, v in tags.items():
+        cc = rev.get(k, k.encode("latin-1")[:4].ljust(4))
+        data = box(b"data",
+                   (1).to_bytes(4, "big") + bytes(4)
+                   + v.encode("utf-8"))
+        items += box(cc, data)
+    hdlr = box(b"hdlr", bytes(8) + b"mdir" + b"appl" + bytes(10))
+    meta = box(b"meta", bytes(4) + hdlr + box(b"ilst", items))
+    moov_body = b""
+    if width and height:
+        tkhd_payload = bytes(4) + bytes(4 * 5) + bytes(8) \
+            + bytes(2 * 4) + bytes(36) \
+            + struct.pack(">II", width << 16, height << 16)
+        moov_body += box(b"trak", box(b"tkhd", tkhd_payload))
+    moov_body += box(b"udta", meta)
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" \
+        + b"\x00\x00\x02\x00"
+    return ftyp + box(b"moov", moov_body)

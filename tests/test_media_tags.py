@@ -277,3 +277,53 @@ def test_exif_strings_absent_or_malformed():
     assert read_exif_strings(encode_jpeg_gray(4, 4, bytes(16))) == {}
     assert read_exif_strings(b"II\x2a\x00garbage") == {}
     assert read_exif_strings(b"") == {}
+
+
+def test_mp4_ilst_tags_through_text_tags():
+    from docling_graph_spark.kernels.media_tags import (
+        make_mp4_tags, read_mp4_tags, text_tags)
+
+    mp4 = make_mp4_tags({"title": "title 9", "artist": "artist 9",
+                         "date": "2024-01-02"}, width=32, height=24)
+    want = {"title": "title 9", "artist": "artist 9",
+            "date": "2024-01-02"}
+    assert read_mp4_tags(mp4) == want
+    assert text_tags(mp4) == want
+    # geometry probe still reads the same fixture
+    from docling_graph_spark.kernels.media_probe import probe_dimensions
+
+    hdr = probe_dimensions(mp4)
+    assert hdr is not None and (hdr.width, hdr.height) == (32, 24)
+    # non-text data box flags are skipped, not mis-decoded
+    assert read_mp4_tags(mp4.replace(
+        (1).to_bytes(4, "big") + bytes(4) + b"title 9",
+        (0).to_bytes(4, "big") + bytes(4) + b"title 9", 1)
+    ) == {"artist": "artist 9", "date": "2024-01-02"}
+
+
+def test_webm_segment_title_and_simpletags():
+    from docling_graph_spark.kernels.media_tags import (
+        read_webm_tags, text_tags)
+    from docling_graph_spark.kernels.vp8_codec import (
+        encode_vp8, rgb_to_yuv420)
+    from docling_graph_spark.kernels.webm_codec import encode_webm_vp8
+
+    y, u, v = rgb_to_yuv420(16, 16, bytes([99] * 768))
+    frame = encode_vp8(16, 16, y, u, v)
+    webm = encode_webm_vp8(16, 16, [frame], title="title 11",
+                           tags={"ARTIST": "artist 11",
+                                 "DATE_RELEASED": "2023"})
+    want = {"title": "title 11", "artist": "artist 11",
+            "date": "2023"}
+    assert read_webm_tags(webm) == want
+    assert text_tags(webm) == want
+
+
+def test_video_tags_malformed_never_raise():
+    from docling_graph_spark.kernels.media_tags import (
+        read_mp4_tags, read_webm_tags)
+
+    assert read_mp4_tags(b"\x00\x00\x00\x08ftypisom") == {}
+    assert read_mp4_tags(b"\x00" * 40) == {}
+    assert read_webm_tags(b"\x1aE\xdf\xa3garbage") == {}
+    assert read_webm_tags(b"") == {}
