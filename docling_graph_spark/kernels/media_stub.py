@@ -202,9 +202,9 @@ def decode_media(payload: bytes, media_type: str):
 
         return decode_avi(payload)
     if media_type == "video/webm":
-        from .webm_codec import decode_webm
+        from .webm_codec import decode_webm_media
 
-        return decode_webm(payload)
+        return decode_webm_media(payload)
     raise NotImplementedError(
         "media decode requires image/audio libraries not present in this "
         f"container (requested: {media_type}); use fake_features for the "

@@ -726,9 +726,10 @@ def read_webm_tags(payload: bytes) -> Dict[str, str]:
     from .webm_codec import parse_webm
 
     try:
-        _tracks, _frames, title, tags = parse_webm(payload)
+        parsed = parse_webm(payload)
     except Exception:
         return {}
+    title, tags = parsed.title, parsed.tags
     out: Dict[str, str] = {}
     if title.strip():
         out["title"] = title.strip()

@@ -741,16 +741,38 @@ def decode_vorbis(payload: bytes,
             pending = pending + tail if pending else tail
         if granule >= 0:
             last_granule = granule
+    if last_granule < 0:
+        raise ValueError(
+            "Ogg Vorbis stream carries no granule position")
+    return decode_vorbis_packets(packets, last_granule, max_samples)
+
+
+def decode_vorbis_packets(packets: List[bytes],
+                          last_granule: int = -1,
+                          max_samples: int = MAX_SAMPLES) -> DecodedWav:
+    """Packet-level Vorbis decode: the three header packets followed
+    by audio packets, independent of the transport framing — Ogg pages
+    (`decode_vorbis`) and Matroska/WebM blocks with a Xiph-laced
+    CodecPrivate (`webm_codec.decode_webm_audio`) both land here.
+    ``last_granule`` trims the overlap-add tail to the stream's
+    declared sample count; -1 (no container timestamp) keeps every
+    fully-decoded sample, bounded by a packet-count guard instead."""
     if len(packets) < 3:
         raise ValueError("missing Vorbis headers")
     info = _parse_ident(packets[0])
     if packets[1][:7] != b"\x03vorbis":
         raise ValueError("bad Vorbis comment header")
     setup = _parse_setup(packets[2], info.channels)
-    if last_granule > max_samples or last_granule < 0:
+    if last_granule > max_samples:
         raise ValueError(
             f"Vorbis stream declares {last_granule} samples, beyond "
             f"the {max_samples}-sample decode guard")
+    if last_granule < 0 \
+            and (len(packets) - 3) * (info.bs1 // 2) > max_samples:
+        raise ValueError(
+            f"Vorbis stream carries {len(packets) - 3} packets of "
+            f"blocksize {info.bs1}, beyond the {max_samples}-sample "
+            "decode guard")
 
     ch = info.channels
     mode_bits = _ilog(len(setup.modes) - 1)

@@ -56,6 +56,7 @@ _PIXEL_H = 0xBA
 _AUDIO = 0xE1
 _SAMPLE_FREQ = 0xB5
 _CHANNELS = 0x9F
+_DURATION = 0x4489
 _CLUSTER = 0x1F43B675
 _CLUSTER_TIMECODE = 0xE7
 _SIMPLE_BLOCK = 0xA3
@@ -85,6 +86,15 @@ class WebmTrack(NamedTuple):
     sample_rate: float
     channels: int
     codec_private: bytes
+
+
+class ParsedWebm(NamedTuple):
+    tracks: List[WebmTrack]
+    frames_by_track: dict     # track number -> raw frame bytes, in order
+    title: str
+    tags: dict                # Tags SimpleTag name -> string
+    timecode_scale: int       # ns per timecode unit (default 1000000)
+    duration: float           # Segment Duration in timecode units (0 = absent)
 
 
 def _vint(b: bytes, pos: int, keep_marker: bool):
@@ -191,11 +201,11 @@ def _block_frames(b: bytes, s: int, e: int) -> Optional[Tuple[int, List[bytes]]]
 
 
 def parse_webm(payload: bytes):
-    """Structural walk shared by decode and metadata: returns
-    (tracks, frames_by_track, title, tags) where ``frames_by_track``
-    maps track number -> list of raw frame byte strings in stream
-    order, ``title`` is the Segment Info Title (or ''), and ``tags``
-    is a dict of Tags SimpleTag name -> string."""
+    """Structural walk shared by decode and metadata: a ParsedWebm
+    whose ``frames_by_track`` maps track number -> list of raw frame
+    byte strings in stream order, ``title`` is the Segment Info Title
+    (or ''), ``tags`` the Tags SimpleTag name -> string dict, plus the
+    Info TimecodeScale/Duration pair audio trimming needs."""
     b = payload
     got = _vint(b, 0, True)
     if got is None or got[0] != _EBML_HEADER:
@@ -215,6 +225,8 @@ def parse_webm(payload: bytes):
     frames_by_track: dict = {}
     title = ""
     tags: dict = {}
+    timecode_scale = 1000000
+    duration = 0.0
 
     def parse_entry(s: int, e: int) -> None:
         num = ttype = width = height = channels = 0
@@ -283,6 +295,11 @@ def parse_webm(payload: bytes):
             for eid2, s2, e2 in _elements(b, s, e):
                 if eid2 == _TITLE:
                     title = b[s2:e2].decode("utf-8", "replace")
+                elif eid2 == _TIMECODE_SCALE:
+                    timecode_scale = int.from_bytes(b[s2:e2], "big")
+                elif eid2 == _DURATION and e2 - s2 in (4, 8):
+                    duration = struct.unpack(
+                        ">f" if e2 - s2 == 4 else ">d", b[s2:e2])[0]
         elif eid == _TAGS:
             parse_tags(s, e)
         elif eid == _CLUSTER:
@@ -300,7 +317,8 @@ def parse_webm(payload: bytes):
                 if got5 is not None:
                     frames_by_track.setdefault(got5[0], []).extend(
                         got5[1])
-    return tracks, frames_by_track, title, tags
+    return ParsedWebm(tracks, frames_by_track, title, tags,
+                      timecode_scale, duration)
 
 
 def decode_webm(payload: bytes,
@@ -309,7 +327,8 @@ def decode_webm(payload: bytes,
     """Decode one video frame of a VP8 WebM (``frame=-1`` for the
     last), mirroring the GIF/TIFF/AVI frame-selection API; ``n_frames``
     always reports the laced frame count on the video track."""
-    tracks, frames_by_track, _title, _tags = parse_webm(payload)
+    parsed = parse_webm(payload)
+    tracks, frames_by_track = parsed.tracks, parsed.frames_by_track
     video = next((t for t in tracks if t.ttype == 1), None)
     if video is None:
         if any(t.ttype == 2 for t in tracks):
@@ -342,6 +361,75 @@ def decode_webm(payload: bytes,
     rgb = vp8_frame_to_rgb(dec)
     return DecodedWebmFrame(dec.width, dec.height, 3, rgb,
                             n_frames, video.codec)
+
+
+def _xiph_codec_private(b: bytes) -> List[bytes]:
+    """Matroska A_VORBIS CodecPrivate: count byte (must be 2 = three
+    packets) + Xiph-laced sizes for the first two, remainder is the
+    third — the identification / comment / setup header packets."""
+    if not b or b[0] != 2:
+        raise ValueError("A_VORBIS CodecPrivate must carry 3 packets")
+    pos = 1
+    sizes = []
+    for _ in range(2):
+        sz = 0
+        while pos < len(b):
+            sz += b[pos]
+            if b[pos] != 255:
+                pos += 1
+                break
+            pos += 1
+        sizes.append(sz)
+    packets = []
+    for sz in sizes:
+        if pos + sz > len(b):
+            raise ValueError("truncated A_VORBIS CodecPrivate")
+        packets.append(b[pos:pos + sz])
+        pos += sz
+    packets.append(b[pos:])
+    return packets
+
+
+def decode_webm_audio(payload: bytes, max_samples: "int | None" = None):
+    """Decode the Vorbis audio track of a WebM to interleaved int16
+    samples (the DecodedWav shape wav/flac/ogg decode to): CodecPrivate
+    carries the three Xiph-laced header packets, each block one audio
+    packet, and the Segment Duration (when present) trims the
+    overlap-add tail exactly as Ogg's final granule does."""
+    from .vorbis_codec import MAX_SAMPLES, decode_vorbis_packets
+
+    if max_samples is None:
+        max_samples = MAX_SAMPLES
+    parsed = parse_webm(payload)
+    audio = next((t for t in parsed.tracks if t.ttype == 2), None)
+    if audio is None:
+        raise ValueError("WebM has no audio track")
+    if audio.codec != "A_VORBIS":
+        raise NotImplementedError(
+            f"WebM audio codec '{audio.codec or '?'}' requires "
+            "libraries not present in this container (only Vorbis "
+            "decodes)")
+    headers = _xiph_codec_private(audio.codec_private)
+    packets = headers + parsed.frames_by_track.get(audio.number, [])
+    last_granule = -1
+    if parsed.duration > 0 and audio.sample_rate > 0:
+        last_granule = int(round(
+            parsed.duration * parsed.timecode_scale
+            * audio.sample_rate / 1e9))
+    return decode_vorbis_packets(packets, last_granule, max_samples)
+
+
+def decode_webm_media(payload: bytes):
+    """The one `decode_media` route: a WebM with a video track decodes
+    a VP8 frame (DecodedWebmFrame); an audio-only WebM decodes its
+    Vorbis track (DecodedWav) — the decode-stats operators pick the
+    result shape apart by attribute, same as every other container."""
+    parsed = parse_webm(payload)
+    if any(t.ttype == 1 for t in parsed.tracks):
+        return decode_webm(payload)
+    if any(t.ttype == 2 for t in parsed.tracks):
+        return decode_webm_audio(payload)
+    raise ValueError("WebM has no video or audio track")
 
 
 # ------------------------------------------------------------- encoder
@@ -416,4 +504,79 @@ def encode_webm_vp8(width: int, height: int, frames: List[bytes],
             blocks += _elem(_SIMPLE_BLOCK, body)
     cluster = _elem(_CLUSTER, _uint_elem(_CLUSTER_TIMECODE, 0) + blocks)
     segment = _elem(_SEGMENT, info + tracks + tags_el + cluster)
+    return ebml_hdr + segment
+
+
+def encode_webm_vorbis(ogg: bytes, title: str = "",
+                       tags: "dict | None" = None) -> bytes:
+    """Fixture transmuxer: demux a real Ogg Vorbis stream
+    (`vorbis_codec.encode_vorbis` output or any other) into a WebM
+    audio track — the three header packets become the Xiph-laced
+    CodecPrivate, each audio packet one SimpleBlock, and the final
+    granule becomes the Segment Duration so decode trims identically.
+    The decode invariant is exact:
+    decode_webm_audio(encode_webm_vorbis(ogg)) == decode_vorbis(ogg)."""
+    from .vorbis_codec import _parse_ident, ogg_pages
+
+    packets: List[bytes] = []
+    pending = b""
+    last_granule = -1
+    for _htype, granule, _serial, pkts, tail in ogg_pages(ogg):
+        if pkts:
+            pkts = list(pkts)
+            if pending:
+                pkts[0] = pending + pkts[0]
+                pending = b""
+            packets.extend(pkts)
+        if tail is not None:
+            pending = pending + tail if pending else tail
+        if granule >= 0:
+            last_granule = granule
+    if len(packets) < 3:
+        raise ValueError("Ogg stream carries no Vorbis headers")
+    info = _parse_ident(packets[0])
+
+    private = bytes([2])
+    for p in packets[:2]:
+        sz = len(p)
+        private += bytes([255]) * (sz // 255) + bytes([sz % 255])
+    private += packets[0] + packets[1] + packets[2]
+
+    ebml_hdr = _elem(_EBML_HEADER,
+                     _uint_elem(0x4286, 1) + _uint_elem(0x42F7, 1)
+                     + _uint_elem(0x42F2, 4) + _uint_elem(0x42F3, 8)
+                     + _elem(_DOCTYPE, b"webm")
+                     + _uint_elem(0x4287, 2) + _uint_elem(0x4285, 2))
+    info_body = _uint_elem(_TIMECODE_SCALE, 1000000)
+    if last_granule >= 0 and info.rate > 0:
+        dur = last_granule * 1e9 / (info.rate * 1000000)
+        info_body += _elem(_DURATION, struct.pack(">d", dur))
+    if title:
+        info_body += _elem(_TITLE, title.encode("utf-8"))
+    audio = _elem(_AUDIO,
+                  _elem(_SAMPLE_FREQ,
+                        struct.pack(">d", float(info.rate)))
+                  + _uint_elem(_CHANNELS, info.channels))
+    entry = _elem(_TRACK_ENTRY,
+                  _uint_elem(_TRACK_NUMBER, 1)
+                  + _uint_elem(0x73C5, 2)
+                  + _uint_elem(_TRACK_TYPE, 2)
+                  + _elem(_CODEC_ID, b"A_VORBIS")
+                  + _elem(_CODEC_PRIVATE, private) + audio)
+    tracks = _elem(_TRACKS, entry)
+    tags_el = b""
+    if tags:
+        simple = b"".join(
+            _elem(0x67C8, _elem(_TAG_NAME, k.encode("utf-8"))
+                  + _elem(_TAG_STRING, v.encode("utf-8")))
+            for k, v in tags.items())
+        tags_el = _elem(_TAGS, _elem(0x7373, simple))
+    blocks = b""
+    for k, p in enumerate(packets[3:]):
+        blocks += _elem(_SIMPLE_BLOCK,
+                        b"\x81" + struct.pack(">h", min(k, 32000))
+                        + b"\x80" + p)
+    cluster = _elem(_CLUSTER, _uint_elem(_CLUSTER_TIMECODE, 0) + blocks)
+    segment = _elem(_SEGMENT, _elem(_INFO, info_body) + tracks
+                    + tags_el + cluster)
     return ebml_hdr + segment

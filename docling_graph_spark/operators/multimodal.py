@@ -266,7 +266,12 @@ def audio_decode_stats(web_pages: DataFrame) -> DataFrame:
                 b = bytes(payload) if payload is not None else b""
                 mtype = sniff_media_type(b)
                 out["media_type"][i] = mtype
-                if not mtype.startswith("audio/"):
+                # video/webm is admitted because WebM doubles as the
+                # web's audio container (audio-only WebM / "WebM
+                # Audio"): decode_media returns a DecodedWav for those
+                # and a video frame otherwise, picked apart below
+                if not (mtype.startswith("audio/")
+                        or mtype == "video/webm"):
                     out["decode_error"][i] = "not audio"
                     continue
                 try:
@@ -286,6 +291,9 @@ def audio_decode_stats(web_pages: DataFrame) -> DataFrame:
                     continue
                 except Exception as exc:  # malformed payload -> routed
                     out["decode_error"][i] = f"malformed: {exc}"
+                    continue
+                if hasattr(dec, "width"):  # WebM with a video track
+                    out["decode_error"][i] = "not audio"
                     continue
                 out["decoded"][i] = True
                 out["n_channels"][i] = dec.n_channels

@@ -54,10 +54,11 @@ def test_title_and_tags_surface():
     webm = encode_webm_vp8(16, 16, [_vp8_frame(16, 16)],
                            title="title 7",
                            tags={"ARTIST": "artist 7"})
-    tracks, frames, title, tags = parse_webm(webm)
-    assert title == "title 7"
-    assert tags == {"ARTIST": "artist 7"}
-    assert tracks[0].codec == "V_VP8" and tracks[0].ttype == 1
+    parsed = parse_webm(webm)
+    assert parsed.title == "title 7"
+    assert parsed.tags == {"ARTIST": "artist 7"}
+    assert parsed.tracks[0].codec == "V_VP8" \
+        and parsed.tracks[0].ttype == 1
 
 
 def test_non_vp8_codec_routes_with_name():
@@ -100,3 +101,70 @@ def test_geometry_probe_still_reads_fixture():
     webm = encode_webm_vp8(20, 12, [_vp8_frame(20, 12)])
     hdr = probe_dimensions(webm)
     assert hdr is not None and (hdr.width, hdr.height) == (20, 12)
+
+
+def _tone_ogg(rate=8000, T=1000, ch=1):
+    import math
+
+    from docling_graph_spark.kernels.vorbis_codec import encode_vorbis
+
+    pcm = [[int(12000 * math.sin(2 * math.pi * (440 + 110 * c)
+                                 * t / rate))
+            for t in range(T)] for c in range(ch)]
+    return encode_vorbis(pcm, rate, blocksize=256)
+
+
+def test_vorbis_audio_track_matches_ogg_decode():
+    from docling_graph_spark.kernels.vorbis_codec import decode_vorbis
+    from docling_graph_spark.kernels.webm_codec import (
+        decode_webm_audio, decode_webm_media, encode_webm_vorbis)
+
+    ogg = _tone_ogg(ch=2)
+    want = decode_vorbis(ogg)
+    webm = encode_webm_vorbis(ogg)
+    got = decode_webm_audio(webm)
+    assert got == want          # sample-exact, duration-trimmed
+    assert decode_webm_media(webm) == want
+
+
+def test_audio_only_webm_through_audio_stage(spark):
+    from docling_graph_spark.kernels.vorbis_codec import decode_vorbis
+    from docling_graph_spark.kernels.webm_codec import (
+        encode_webm_vorbis)
+    from docling_graph_spark.operators import multimodal as mm
+
+    ogg = _tone_ogg()
+    want = decode_vorbis(ogg)
+    webm = encode_webm_vorbis(ogg)
+    video = encode_webm_vp8(16, 16, [_vp8_frame(16, 16)])
+    df = spark.createDataFrame(
+        [("webm:a", webm), ("webm:v", video)],
+        "url string, html binary")
+    rows = {r.url: r for r in mm.audio_decode_stats(df).collect()}
+    a = rows["webm:a"]
+    assert a.decoded and a.media_type == "video/webm"
+    assert a.sample_rate == want.sample_rate
+    assert a.n_frames == want.n_frames
+    assert a.abs_sum == sum(abs(s) for s in want.samples)
+    # a video-track WebM is routed, not misread as audio
+    assert not rows["webm:v"].decoded
+    assert rows["webm:v"].decode_error == "not audio"
+
+
+def test_non_vorbis_audio_codec_routes_with_name():
+    from docling_graph_spark.kernels.webm_codec import (
+        decode_webm_audio, encode_webm_vorbis)
+
+    webm = encode_webm_vorbis(_tone_ogg()).replace(
+        b"A_VORBIS", b"A_OPUS\x00\x00")
+    with pytest.raises(NotImplementedError, match="A_OPUS"):
+        decode_webm_audio(webm)
+
+
+def test_webm_audio_bomb_guard_on_packet_count():
+    from docling_graph_spark.kernels.webm_codec import (
+        decode_webm_audio, encode_webm_vorbis)
+
+    webm = encode_webm_vorbis(_tone_ogg())
+    with pytest.raises(ValueError, match="decode guard"):
+        decode_webm_audio(webm, max_samples=100)
