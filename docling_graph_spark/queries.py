@@ -6088,10 +6088,18 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # class, zero spectrum, zero IMDCT), so every decoded field is
     # closed-form: n_frames from the granule, abs_sum and peak exactly
     # 0 (kernels/vorbis_codec.py; rich content is pinned in pytest by
-    # decode == the encoder's intended reconstruction).
+    # decode == the encoder's intended reconstruction).  Container
+    # rotation (round 5 continuation): d%5==2 transmuxes the SAME
+    # Vorbis packets into a WebM audio track (kernels/webm_codec.py,
+    # Xiph-laced CodecPrivate + Segment Duration carrying the final
+    # granule) — every decoded field is identical by construction, so
+    # the closed-form oracle needs no per-container terms while the
+    # EBML audio walk runs under the driver gate.
     def build_vorbis(batches):
         from docling_graph_spark.kernels.vorbis_codec import (
             encode_vorbis)
+        from docling_graph_spark.kernels.webm_codec import (
+            encode_webm_vorbis)
 
         for pdf in batches:
             urls, blobs = [], []
@@ -6099,10 +6107,12 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(did)
                 c, f = 1 + d % 2, 30 + d % 50
                 urls.append(f"ogg:{d}")
-                blobs.append(encode_vorbis(
+                ogg = encode_vorbis(
                     [[0] * f] * c, 8000 + 1000 * (d % 3),
                     blocksize=128,
-                    couple=(c == 2 and d % 4 == 1)))
+                    couple=(c == 2 and d % 4 == 1))
+                blobs.append(encode_webm_vorbis(ogg)
+                             if d % 5 == 2 else ogg)
             yield pd.DataFrame({"url": urls, "html": blobs})
 
     # round 5 continuation: G.711 telephony WAVs join the audio stage —
