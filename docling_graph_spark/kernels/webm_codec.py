@@ -580,3 +580,78 @@ def encode_webm_vorbis(ogg: bytes, title: str = "",
     segment = _elem(_SEGMENT, _elem(_INFO, info_body) + tracks
                     + tags_el + cluster)
     return ebml_hdr + segment
+
+
+# ----------------------------------------------------------- subtitles
+
+def webm_subtitle_text(payload: bytes) -> str:
+    """Cue text of a WebM/Matroska subtitle track (CodecID
+    ``S_TEXT/UTF8`` = SRT-style plain cues, ``S_TEXT/WEBVTT`` = VTT
+    cue payloads; timing lives in block timestamps, inline cue tags
+    stripped) — the transcript a text corpus keeps from a video row,
+    joined cue-per-paragraph exactly like
+    `rtf_parse.extract_subtitle_text` renders standalone files."""
+    from .rtf_parse import _CUE_TAG_RE
+
+    parsed = parse_webm(payload)
+    subs = [t for t in parsed.tracks if t.ttype == 0x11
+            or t.codec.startswith("S_TEXT/")]
+    out: List[str] = []
+    for t in subs:
+        if not t.codec.startswith("S_TEXT/"):
+            continue
+        for frame in parsed.frames_by_track.get(t.number, []):
+            cue = []
+            for raw in frame.decode("utf-8", "replace").splitlines():
+                line = _CUE_TAG_RE.sub("", raw.strip()).strip()
+                if line and "-->" not in line:
+                    cue.append(line)
+            if cue:
+                out.append("\n".join(cue))
+    return "\n\n".join(out)
+
+
+def encode_webm_subtitles(cues: List[str], codec: str = "S_TEXT/UTF8",
+                          video: "tuple | None" = None) -> bytes:
+    """Fixture: a WebM carrying a subtitle track (one cue per
+    SimpleBlock; ``S_TEXT/WEBVTT`` cues get an inline ``<i>`` tag the
+    extractor must strip), optionally muxed under a VP8 video track
+    ``(width, height, [frames])`` — the subtitles-in-a-real-video
+    shape."""
+    ebml_hdr = _elem(_EBML_HEADER,
+                     _uint_elem(0x4286, 1) + _uint_elem(0x42F7, 1)
+                     + _uint_elem(0x42F2, 4) + _uint_elem(0x42F3, 8)
+                     + _elem(_DOCTYPE, b"webm")
+                     + _uint_elem(0x4287, 2) + _uint_elem(0x4285, 2))
+    info = _elem(_INFO, _uint_elem(_TIMECODE_SCALE, 1000000))
+    entries = b""
+    blocks = b""
+    sub_track = 1
+    if video is not None:
+        w, h, vframes = video
+        sub_track = 2
+        entries += _elem(
+            _TRACK_ENTRY,
+            _uint_elem(_TRACK_NUMBER, 1) + _uint_elem(0x73C5, 1)
+            + _uint_elem(_TRACK_TYPE, 1)
+            + _elem(_CODEC_ID, b"V_VP8")
+            + _elem(_VIDEO, _uint_elem(_PIXEL_W, w)
+                    + _uint_elem(_PIXEL_H, h)))
+        for k, f in enumerate(vframes):
+            blocks += _elem(_SIMPLE_BLOCK,
+                            b"\x81" + struct.pack(">h", k) + b"\x80"
+                            + f)
+    entries += _elem(
+        _TRACK_ENTRY,
+        _uint_elem(_TRACK_NUMBER, sub_track) + _uint_elem(0x73C5, 7)
+        + _uint_elem(_TRACK_TYPE, 0x11)
+        + _elem(_CODEC_ID, codec.encode("ascii")))
+    for k, cue in enumerate(cues):
+        body = (f"<i>{cue}</i>" if codec == "S_TEXT/WEBVTT"
+                else cue).encode("utf-8")
+        blocks += _elem(_SIMPLE_BLOCK,
+                        bytes([0x80 | sub_track])
+                        + struct.pack(">h", k) + b"\x80" + body)
+    cluster = _elem(_CLUSTER, _uint_elem(_CLUSTER_TIMECODE, 0) + blocks)
+    segment = _elem(_SEGMENT, info + _elem(_TRACKS, entries) + cluster)
+    return ebml_hdr + segment

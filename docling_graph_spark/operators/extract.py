@@ -31,6 +31,14 @@ from ..kernels.rtf_parse import (extract_rtf_text,
 from ..schemas import CHUNK_SPAN_LITE, EXTRACTION_RESULT
 
 
+def _sniff_is_mp4_video(b: bytes) -> bool:
+    """True only for ISO BMFF brands the media sniffer types as video
+    (HEIC/AVIF image brands keep their existing routing)."""
+    from ..kernels.media_stub import sniff_media_type
+
+    return sniff_media_type(b) == "video/mp4"
+
+
 def _route_payload(payload, transport):
     """Shared magic-byte routing for both extraction UDFs: returns
     (text, spans, bytes_stripped, kind, error).  One function so the
@@ -56,6 +64,24 @@ def _route_payload(payload, transport):
             kind = "subtitle"
             text = extract_subtitle_text(bytes(payload))
             nbytes = len(payload) - len(text.encode("utf-8"))
+        elif bytes(payload)[:4] == b"\x1aE\xdf\xa3":
+            # WebM/Matroska video rows: the corpus text is the
+            # subtitle track (S_TEXT/UTF8 / S_TEXT/WEBVTT cue text);
+            # a container without one is a routed row, not HTML noise
+            from ..kernels.webm_codec import webm_subtitle_text
+
+            text = webm_subtitle_text(bytes(payload))
+            if text:
+                kind = "subtitle"
+                nbytes = len(payload) - len(text.encode("utf-8"))
+            else:
+                kind = "video"
+                err = "video container carries no subtitle text"
+        elif len(payload) >= 12 and bytes(payload)[4:8] == b"ftyp" \
+                and _sniff_is_mp4_video(bytes(payload)):
+            kind = "video"
+            err = ("video container carries no extractable text "
+                   "(MP4 text tracks unsupported)")
         else:
             kind = "html"
             result = extract_main_content(bytes(payload), transport)

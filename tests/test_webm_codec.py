@@ -168,3 +168,44 @@ def test_webm_audio_bomb_guard_on_packet_count():
     webm = encode_webm_vorbis(_tone_ogg())
     with pytest.raises(ValueError, match="decode guard"):
         decode_webm_audio(webm, max_samples=100)
+
+
+def test_subtitle_track_text_extraction():
+    from docling_graph_spark.kernels.webm_codec import (
+        encode_webm_subtitles, webm_subtitle_text)
+
+    w = encode_webm_subtitles(["hello world", "second cue\nwrapped"])
+    assert webm_subtitle_text(w) == "hello world\n\nsecond cue\nwrapped"
+    # WEBVTT codec: inline cue tags stripped
+    w2 = encode_webm_subtitles(["styled cue"], codec="S_TEXT/WEBVTT")
+    assert webm_subtitle_text(w2) == "styled cue"
+    # muxed under a real VP8 video track: text AND frame both reachable
+    frame = _vp8_frame(16, 16, 8)
+    w3 = encode_webm_subtitles(["muxed cue"],
+                               video=(16, 16, [frame]))
+    assert webm_subtitle_text(w3) == "muxed cue"
+    assert decode_webm(w3).pixels == vp8_frame_to_rgb(
+        decode_vp8(frame))
+    # no subtitle track -> empty, never an exception
+    assert webm_subtitle_text(
+        encode_webm_vp8(16, 16, [frame])) == ""
+
+
+def test_video_rows_route_through_extraction(spark):
+    from docling_graph_spark.kernels.media_probe import make_mp4_header
+    from docling_graph_spark.kernels.webm_codec import (
+        encode_webm_subtitles)
+    from docling_graph_spark.operators.extract import _route_payload
+
+    subbed = encode_webm_subtitles(["a spoken line", "another line"])
+    text, _spans, _n, kind, err = _route_payload(subbed, None)
+    assert kind == "subtitle" and err is None
+    assert text == "a spoken line\n\nanother line"
+
+    bare = encode_webm_vp8(16, 16, [_vp8_frame(16, 16)])
+    text, _spans, _n, kind, err = _route_payload(bare, None)
+    assert kind == "video" and text == "" and "subtitle" in err
+
+    mp4 = make_mp4_header(64, 48)
+    text, _spans, _n, kind, err = _route_payload(mp4, None)
+    assert kind == "video" and text == "" and "MP4" in err
