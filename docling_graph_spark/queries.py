@@ -6537,29 +6537,36 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 'doc_extract' (round 5 continuation): the office/legacy
     # DOCUMENT family through the real extraction UDF — doc_ids
     # [256, 280) carry the single paragraph 'Body text {d} end.' in a
-    # container rotating by d%3 (DOCX zip+xml, ODT zip+xml, RTF token
-    # stream); each must extract to EXACTLY that string (byte-identity
-    # through three different parsers), so row counts, per-kind counts
-    # and text lengths are closed forms of the id digits
-    # (kernels/ooxml_parse.py, kernels/rtf_parse.py; EPUB flows the
-    # boilerplate model and stays pytest-pinned instead).
+    # container rotating by d%4 (DOCX zip+xml, ODT zip+xml, RTF token
+    # stream, and — round 5 second continuation — a WebM S_TEXT/UTF8
+    # subtitle track: video rows whose corpus text is the cue
+    # transcript); each must extract to EXACTLY that string
+    # (byte-identity through four different parsers), so row counts,
+    # per-kind counts and text lengths are closed forms of the id
+    # digits (kernels/ooxml_parse.py, kernels/rtf_parse.py,
+    # kernels/webm_codec.py; EPUB flows the boilerplate model and
+    # stays pytest-pinned instead).
     def build_docfiles(batches):
         from docling_graph_spark.kernels.ooxml_parse import (
             make_docx, make_odt)
         from docling_graph_spark.kernels.rtf_parse import make_rtf
+        from docling_graph_spark.kernels.webm_codec import (
+            encode_webm_subtitles)
 
         for pdf in batches:
             urls, blobs = [], []
             for did in pdf["doc_id"]:
                 d = int(did)
                 body = f"Body text {d} end."
-                fam = d % 3
+                fam = d % 4
                 if fam == 0:
                     blob = make_docx([body])
                 elif fam == 1:
                     blob = make_odt([body])
-                else:
+                elif fam == 2:
                     blob = make_rtf([body])
+                else:
+                    blob = encode_webm_subtitles([body])
                 urls.append(f"doc:{d}")
                 blobs.append(blob)
             yield pd.DataFrame({"url": urls, "html": blobs})
@@ -6581,6 +6588,8 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x.kind") == "docx").cast("long")).alias("n_docx"),
         F.sum((F.col("x.kind") == "odt").cast("long")).alias("n_odt"),
         F.sum((F.col("x.kind") == "rtf").cast("long")).alias("n_rtf"),
+        F.sum((F.col("x.kind") == "subtitle").cast("long"))
+        .alias("n_subtitle"),
         F.sum(F.length("x.text")).alias("sum_text_len"),
     )
     doc_rows = _unpivot_single_row(doc_agg, "doc_extract")
@@ -7090,15 +7099,18 @@ csum AS (
 ),
 dxsum AS (
   -- doc_extract: 'Body text {{d}} end.' extracts byte-identically
-  -- from DOCX/ODT/RTF, so lengths are closed forms of the id digits
+  -- from DOCX/ODT/RTF and a WebM S_TEXT/UTF8 subtitle track, so
+  -- lengths are closed forms of the id digits
   SELECT CAST(count(*) AS BIGINT) AS n_rows,
          CAST(count(*) AS BIGINT) AS n_ok,
-         CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+         CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
               AS BIGINT) AS n_docx,
-         CAST(sum(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END)
+         CAST(sum(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END)
               AS BIGINT) AS n_odt,
-         CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END)
+         CAST(sum(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END)
               AS BIGINT) AS n_rtf,
+         CAST(sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_subtitle,
          CAST(sum(15 + length(CAST(doc_id AS VARCHAR))) AS BIGINT)
            AS sum_text_len
   FROM documents
@@ -7181,7 +7193,7 @@ SELECT stage, metric, value FROM (
   UNION ALL
 {_sql_unpivot('dxsum', 'doc_extract',
               ['n_rows', 'n_ok', 'n_docx', 'n_odt', 'n_rtf',
-               'sum_text_len'])}{_PHASH_ORACLE_ROWS}
+               'n_subtitle', 'sum_text_len'])}{_PHASH_ORACLE_ROWS}
 ) ORDER BY stage, metric
 """
 
