@@ -374,13 +374,21 @@ def image_hashes(web_pages: DataFrame) -> DataFrame:
                 b = bytes(payload) if payload is not None else b""
                 mtype = sniff_media_type(b)
                 out["media_type"][i] = mtype
-                if not mtype.startswith("image/"):
+                # frame-decodable video containers are admitted too:
+                # a keyframe hash is the video-thumbnail dedup signal
+                # (WebM VP8 / AVI MJPEG decode a real frame; audio-only
+                # WebM yields a non-image shape and routes below)
+                if not (mtype.startswith("image/")
+                        or mtype in ("video/webm", "video/avi")):
                     out["decode_error"][i] = "not an image"
                     continue
                 try:
                     dec = decode_media(b, mtype)
                 except Exception as exc:
                     out["decode_error"][i] = f"undecodable: {exc}"
+                    continue
+                if not hasattr(dec, "width"):
+                    out["decode_error"][i] = "not an image"
                     continue
                 out["decoded"][i] = True
                 out["phash"][i] = phash63(dec.pixels, dec.width,

@@ -209,3 +209,30 @@ def test_video_rows_route_through_extraction(spark):
     mp4 = make_mp4_header(64, 48)
     text, _spans, _n, kind, err = _route_payload(mp4, None)
     assert kind == "video" and text == "" and "MP4" in err
+
+
+def test_webm_keyframe_phash_pairs_with_webp_still(spark):
+    """The video-thumbnail dedup case: a WebM keyframe and the WebP
+    still transcoded from the same pixels decode to identical RGB, so
+    their perceptual hashes are identical and image_near_dup pairs
+    them at Hamming 0."""
+    from docling_graph_spark.kernels.vp8_codec import (
+        encode_webp_lossy)
+    from docling_graph_spark.operators import multimodal as mm
+
+    w = h = 32
+    rgb = bytes((37 * x + 11 * y) % 256
+                for y in range(h) for x in range(w) for _ in range(3))
+    y_, u_, v_ = rgb_to_yuv420(w, h, rgb)
+    frame = encode_vp8(w, h, y_, u_, v_, qi=12, mode="tm")
+    webm = encode_webm_vp8(w, h, [frame])
+    webp = encode_webp_lossy(w, h, rgb, qi=12, mode="tm")
+    df = spark.createDataFrame(
+        [("vid.webm", webm), ("still.webp", webp)],
+        "url string, html binary")
+    hashes = {r.url: r for r in mm.image_hashes(df).collect()}
+    assert hashes["vid.webm"].decoded and hashes["still.webp"].decoded
+    assert hashes["vid.webm"].phash == hashes["still.webp"].phash
+    pairs = mm.image_near_dup(df, max_hamming=8).collect()
+    assert [(p.url_a, p.url_b, p.hamming) for p in pairs] == [
+        ("still.webp", "vid.webm", 0)]
