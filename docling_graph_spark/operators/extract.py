@@ -79,9 +79,17 @@ def _route_payload(payload, transport):
                 err = "video container carries no subtitle text"
         elif len(payload) >= 12 and bytes(payload)[4:8] == b"ftyp" \
                 and _sniff_is_mp4_video(bytes(payload)):
-            kind = "video"
-            err = ("video container carries no extractable text "
-                   "(MP4 text tracks unsupported)")
+            # MP4 video rows: the corpus text is the tx3g timed-text
+            # track (3GPP captions), mirroring the WebM S_TEXT route
+            from ..kernels.mp4_parse import mp4_subtitle_text
+
+            text = mp4_subtitle_text(bytes(payload))
+            if text:
+                kind = "subtitle"
+                nbytes = len(payload) - len(text.encode("utf-8"))
+            else:
+                kind = "video"
+                err = "video container carries no subtitle text"
         else:
             kind = "html"
             result = extract_main_content(bytes(payload), transport)

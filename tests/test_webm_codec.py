@@ -208,7 +208,7 @@ def test_video_rows_route_through_extraction(spark):
 
     mp4 = make_mp4_header(64, 48)
     text, _spans, _n, kind, err = _route_payload(mp4, None)
-    assert kind == "video" and text == "" and "MP4" in err
+    assert kind == "video" and text == "" and "subtitle" in err
 
 
 def test_webm_keyframe_phash_pairs_with_webp_still(spark):
