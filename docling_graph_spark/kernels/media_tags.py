@@ -49,6 +49,7 @@ _ID3_MAP = {
     "TALB": "album", "TAL": "album",
     "TDRC": "date", "TYER": "date", "TYE": "date",
     "COMM": "comment", "COM": "comment",
+    "USLT": "lyrics", "ULT": "lyrics",
 }
 
 _VORBIS_MAP = {
@@ -128,8 +129,10 @@ def read_id3v2(payload: bytes) -> Dict[str, str]:
                 txt = _id3_text(body[0], body[1:])
                 if txt:
                     out[_ID3_MAP.get(name, name)] = txt
-            elif name in ("COMM", "COM") and len(body) >= 5:
-                # enc(1) + lang(3) + short-desc\x00 + text
+            elif name in ("COMM", "COM", "USLT", "ULT") \
+                    and len(body) >= 5:
+                # enc(1) + lang(3) + short-desc\x00 + text — USLT
+                # (full lyrics, real corpus text) shares COMM's layout
                 enc, rest = body[0], body[4:]
                 sep = b"\x00\x00" if enc in (1, 2) else b"\x00"
                 idx = rest.find(sep)
@@ -267,14 +270,14 @@ def make_id3v2(tags: Dict[str, str], version: int = 3,
     assert version in (3, 4)
     rev = {"title": "TIT2", "artist": "TPE1", "album": "TALB",
            "date": "TDRC" if version == 4 else "TYER",
-           "comment": "COMM"}
+           "comment": "COMM", "lyrics": "USLT"}
     def u16(s: str) -> bytes:              # UTF-16 with explicit BOM
         return b"\xff\xfe" + s.encode("utf-16-le")
 
     frames = bytearray()
     for k, v in tags.items():
         fid = rev.get(k, k).encode("ascii")
-        if k == "comment":
+        if k in ("comment", "lyrics"):
             if version == 4:
                 body = b"\x03eng\x00" + v.encode("utf-8")
             else:

@@ -327,3 +327,18 @@ def test_video_tags_malformed_never_raise():
     assert read_mp4_tags(b"\x00" * 40) == {}
     assert read_webm_tags(b"\x1aE\xdf\xa3garbage") == {}
     assert read_webm_tags(b"") == {}
+
+
+def test_uslt_lyrics_frame():
+    from docling_graph_spark.kernels.media_tags import (
+        make_id3v2, read_id3v2, text_tags)
+
+    lyrics = "verse one line\nverse two line\n\nchorus here"
+    for ver in (3, 4):
+        mp3 = make_id3v2({"title": "song", "lyrics": lyrics},
+                         version=ver,
+                         audio=b"\xff\xfb\x90\x00" + bytes(16))
+        got = read_id3v2(mp3)
+        assert got["lyrics"] == lyrics
+        assert got["title"] == "song"
+        assert text_tags(mp3)["lyrics"] == lyrics
