@@ -545,6 +545,17 @@ def probe_audio(payload: Optional[bytes]) -> Optional[AudioHeader]:
     if not payload or len(payload) < 4:
         return None
     b = payload
+    if b[:4] == b"OggS" and len(b) >= 28:
+        # first packet of the first page: Ogg Opus carries channels +
+        # original input rate in OpusHead — the header-only metadata
+        # path for the codec the Vorbis decoder routes by name
+        nsegs = b[26]
+        p = 27 + nsegs
+        if b[p:p + 8] == b"OpusHead" and len(b) >= p + 17:
+            ch = b[p + 9]
+            (rate,) = struct.unpack_from("<I", b, p + 12)
+            return AudioHeader("audio/opus", ch, rate, 0)
+        return None
     i = 0
     if b[:3] == b"ID3" and len(b) >= 10:
         size = ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) \

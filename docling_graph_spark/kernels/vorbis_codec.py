@@ -741,9 +741,12 @@ def decode_vorbis(payload: bytes,
             pending = pending + tail if pending else tail
         if granule >= 0:
             last_granule = granule
-    if last_granule < 0:
+    if last_granule < 0 and packets \
+            and packets[0][:7] == b"\x01vorbis":
         raise ValueError(
             "Ogg Vorbis stream carries no granule position")
+    # non-Vorbis codecs fall through so the packet-level router can
+    # name them (Opus / Ogg-FLAC -> NotImplementedError)
     return decode_vorbis_packets(packets, last_granule, max_samples)
 
 
@@ -757,6 +760,15 @@ def decode_vorbis_packets(packets: List[bytes],
     ``last_granule`` trims the overlap-add tail to the stream's
     declared sample count; -1 (no container timestamp) keeps every
     fully-decoded sample, bounded by a packet-count guard instead."""
+    if packets and packets[0][:8] == b"OpusHead":
+        raise NotImplementedError(
+            "Ogg Opus requires libraries not present in this "
+            "container (only Vorbis decodes; header probe carries "
+            "rate/channels)")
+    if packets and packets[0][:5] == b"\x7fFLAC":
+        raise NotImplementedError(
+            "Ogg-encapsulated FLAC is not mapped (native FLAC "
+            "decodes in full)")
     if len(packets) < 3:
         raise ValueError("missing Vorbis headers")
     info = _parse_ident(packets[0])

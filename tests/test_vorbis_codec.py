@@ -279,3 +279,54 @@ def test_long_first_block_margin():
         dec = VC.decode_vorbis(VC.encode_vorbis(
             [tone], 8000, blocksize=n0, long_blocksize=n1, bits=12))
         assert dec.n_frames == T
+
+
+def test_ogg_opus_routes_by_name_with_header_probe():
+    import struct
+
+    import pytest
+
+    from docling_graph_spark.kernels.media_probe import probe_audio
+    from docling_graph_spark.kernels.vorbis_codec import (
+        decode_vorbis, ogg_page)
+
+    head = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+            + struct.pack("<I", 48000) + struct.pack("<h", 0)
+            + bytes([0]))
+    ogg = ogg_page(7, 0, 0, [head], 0x02) \
+        + ogg_page(7, 1, 960, [b"\xfc\xff\xfe"], 0x04)
+    with pytest.raises(NotImplementedError, match="Opus"):
+        decode_vorbis(ogg)
+    hdr = probe_audio(ogg)
+    assert hdr is not None
+    assert (hdr.media_type, hdr.n_channels, hdr.sample_rate) == \
+        ("audio/opus", 2, 48000)
+
+
+def test_ogg_flac_routes_by_name():
+    import pytest
+
+    from docling_graph_spark.kernels.vorbis_codec import (
+        decode_vorbis, ogg_page)
+
+    ogg = ogg_page(9, 0, 0, [b"\x7fFLAC\x01\x00" + bytes(8)], 0x02) \
+        + ogg_page(9, 1, 100, [bytes(4)], 0x04)
+    with pytest.raises(NotImplementedError, match="FLAC"):
+        decode_vorbis(ogg)
+
+
+def test_opus_through_audio_stage_header_only(spark):
+    import struct
+
+    from docling_graph_spark.kernels.vorbis_codec import ogg_page
+    from docling_graph_spark.operators import multimodal as mm
+
+    head = (b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 312)
+            + struct.pack("<I", 24000) + struct.pack("<h", 0)
+            + bytes([0]))
+    ogg = ogg_page(7, 0, 0, [head], 0x02) \
+        + ogg_page(7, 1, 960, [b"\xfc\xff\xfe"], 0x04)
+    df = spark.createDataFrame([("op", ogg)], "url string, html binary")
+    r = mm.audio_decode_stats(df).collect()[0]
+    assert not r.decoded and r.decode_error == "header-only"
+    assert (r.n_channels, r.sample_rate) == (1, 24000)
