@@ -105,11 +105,15 @@ def test_decode_media_routes_png_and_stubs_rest():
     dec = decode_media(png, "image/png")
     assert (dec.width, dec.height) == (3, 2)
     # JPEG now has a REAL baseline decoder: corrupt bytes raise a decode
-    # error (not NotImplementedError); video stays stubbed
+    # error (not NotImplementedError); WebM decodes for real too, so
+    # malformed EBML is a decode error, while MP4 video stays stubbed
     with pytest.raises(Exception):
         decode_media(b"\xff\xd8\xff-jpeg-ish", "image/jpeg")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_media(b"\x1a\x45\xdf\xa3webm", "video/webm")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00\x00\x10ftypisom" + bytes(8),
+                     "video/mp4")
 
 
 def test_media_decode_stats_routes_errors(spark):
