@@ -740,6 +740,21 @@ def read_webm_tags(payload: bytes) -> Dict[str, str]:
         if v.strip():
             out.setdefault(_MKV_MAP.get(k.upper(), k.lower()),
                            v.strip())
+    # transmuxed Vorbis audio keeps its comment packet inside the
+    # A_VORBIS CodecPrivate — surface those KEY=value tags too
+    # (Matroska-level Tags/Title take priority)
+    for t in parsed.tracks:
+        if t.codec == "A_VORBIS" and t.codec_private:
+            try:
+                from .webm_codec import _xiph_codec_private
+
+                pkts = _xiph_codec_private(t.codec_private)
+                if pkts[1][:7] == b"\x03vorbis":
+                    for k, v in _parse_vorbis_comment_body(
+                            pkts[1], 7).items():
+                        out.setdefault(k, v)
+            except Exception:
+                continue
     return out
 
 

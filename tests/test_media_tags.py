@@ -342,3 +342,24 @@ def test_uslt_lyrics_frame():
         assert got["lyrics"] == lyrics
         assert got["title"] == "song"
         assert text_tags(mp3)["lyrics"] == lyrics
+
+
+def test_webm_vorbis_codecprivate_comments_surface():
+    import math
+
+    from docling_graph_spark.kernels.media_tags import read_webm_tags
+    from docling_graph_spark.kernels.vorbis_codec import encode_vorbis
+    from docling_graph_spark.kernels.webm_codec import (
+        encode_webm_vorbis)
+
+    rate = 8000
+    pcm = [[int(8000 * math.sin(2 * math.pi * 440 * t / rate))
+            for t in range(400)]]
+    ogg = encode_vorbis(pcm, rate, comments={"title": "song 5",
+                                             "artist": "artist 5"})
+    webm = encode_webm_vorbis(ogg)
+    got = read_webm_tags(webm)
+    assert got["title"] == "song 5" and got["artist"] == "artist 5"
+    # Matroska-level Title takes priority over the comment packet
+    got2 = read_webm_tags(encode_webm_vorbis(ogg, title="outer"))
+    assert got2["title"] == "outer" and got2["artist"] == "artist 5"
