@@ -36,6 +36,7 @@ import struct
 from typing import List, NamedTuple, Optional, Tuple
 
 MAX_PIXELS = 1 << 26    # shared decode guard with the other codecs
+MAX_FRAMES = 1 << 16    # per-track frame-range cap (hostile streams)
 
 # EBML / Matroska element ids (the public Matroska registry subset
 # this walk needs)
@@ -90,7 +91,7 @@ class WebmTrack(NamedTuple):
 
 class ParsedWebm(NamedTuple):
     tracks: List[WebmTrack]
-    frames_by_track: dict     # track number -> raw frame bytes, in order
+    frames_by_track: dict     # track number -> (start, end) ranges, in order
     title: str
     tags: dict                # Tags SimpleTag name -> string
     timecode_scale: int       # ns per timecode unit (default 1000000)
@@ -144,9 +145,12 @@ def _elements(b: bytes, pos: int, end: int):
         pos += size
 
 
-def _block_frames(b: bytes, s: int, e: int) -> Optional[Tuple[int, List[bytes]]]:
-    """Parse a (Simple)Block body: (track_number, frames) honoring the
-    three lacing modes (none / Xiph / fixed-size / EBML)."""
+def _block_frames(b: bytes, s: int, e: int):
+    """Parse a (Simple)Block body: (track_number, [(start, end), ...])
+    frame RANGES honoring the three lacing modes (none / Xiph /
+    fixed-size / EBML) — ranges, not copies, so the container walk
+    stays zero-copy however large the video payload is; consumers
+    slice only the frames they decode."""
     got = _vint(b, s, False)
     if got is None:
         return None
@@ -157,7 +161,7 @@ def _block_frames(b: bytes, s: int, e: int) -> Optional[Tuple[int, List[bytes]]]
     pos += 3                       # int16 timecode + flags byte
     lacing = (flags >> 1) & 3
     if lacing == 0:
-        return track, [b[pos:e]]
+        return track, [(pos, e)]
     if pos >= e:
         return None
     n_frames = b[pos] + 1
@@ -194,16 +198,17 @@ def _block_frames(b: bytes, s: int, e: int) -> Optional[Tuple[int, List[bytes]]]
     for sz in sizes:
         if pos + sz > e:
             return None
-        frames.append(b[pos:pos + sz])
+        frames.append((pos, pos + sz))
         pos += sz
-    frames.append(b[pos:e])        # last frame: remainder of the block
+    frames.append((pos, e))        # last frame: remainder of the block
     return track, frames
 
 
 def parse_webm(payload: bytes):
     """Structural walk shared by decode and metadata: a ParsedWebm
-    whose ``frames_by_track`` maps track number -> list of raw frame
-    byte strings in stream order, ``title`` is the Segment Info Title
+    whose ``frames_by_track`` maps track number -> list of (start, end)
+    frame ranges in stream order (zero-copy; capped at MAX_FRAMES per
+    track), ``title`` is the Segment Info Title
     (or ''), ``tags`` the Tags SimpleTag name -> string dict, plus the
     Info TimecodeScale/Duration pair audio trimming needs."""
     b = payload
@@ -315,8 +320,9 @@ def parse_webm(payload: bytes):
                 else:
                     continue
                 if got5 is not None:
-                    frames_by_track.setdefault(got5[0], []).extend(
-                        got5[1])
+                    lst = frames_by_track.setdefault(got5[0], [])
+                    if len(lst) < MAX_FRAMES:
+                        lst.extend(got5[1][:MAX_FRAMES - len(lst)])
     return ParsedWebm(tracks, frames_by_track, title, tags,
                       timecode_scale, duration)
 
@@ -357,7 +363,8 @@ def decode_webm(payload: bytes,
             "frames decode)")
     from .vp8_codec import decode_vp8, vp8_frame_to_rgb
 
-    dec = decode_vp8(frames[idx], max_pixels=max_pixels)
+    fs, fe = frames[idx]
+    dec = decode_vp8(payload[fs:fe], max_pixels=max_pixels)
     rgb = vp8_frame_to_rgb(dec)
     return DecodedWebmFrame(dec.width, dec.height, 3, rgb,
                             n_frames, video.codec)
@@ -410,7 +417,8 @@ def decode_webm_audio(payload: bytes, max_samples: "int | None" = None):
             "libraries not present in this container (only Vorbis "
             "decodes)")
     headers = _xiph_codec_private(audio.codec_private)
-    packets = headers + parsed.frames_by_track.get(audio.number, [])
+    packets = headers + [payload[s:e] for s, e in
+                         parsed.frames_by_track.get(audio.number, [])]
     last_granule = -1
     if parsed.duration > 0 and audio.sample_rate > 0:
         last_granule = int(round(
@@ -600,9 +608,10 @@ def webm_subtitle_text(payload: bytes) -> str:
     for t in subs:
         if not t.codec.startswith("S_TEXT/"):
             continue
-        for frame in parsed.frames_by_track.get(t.number, []):
+        for fs, fe in parsed.frames_by_track.get(t.number, []):
             cue = []
-            for raw in frame.decode("utf-8", "replace").splitlines():
+            for raw in payload[fs:fe].decode(
+                    "utf-8", "replace").splitlines():
                 line = _CUE_TAG_RE.sub("", raw.strip()).strip()
                 if line and "-->" not in line:
                     cue.append(line)
