@@ -196,8 +196,8 @@ def _block_frames(b: bytes, s: int, e: int):
             sizes.append(sz)
     frames = []
     for sz in sizes:
-        if pos + sz > e:
-            return None
+        if sz < 0 or pos + sz > e:      # negative EBML delta runs or
+            return None                 # overruns reject the block
         frames.append((pos, pos + sz))
         pos += sz
     frames.append((pos, e))        # last frame: remainder of the block
