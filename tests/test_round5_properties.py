@@ -120,3 +120,58 @@ def test_vorbis_roundtrip_error_bounded(pcm, blocksize):
     bound = int(32768 * (8.0 / 4096 / 2) * (blocksize / 2) * 2) + 64
     assert all(abs(a - b) <= bound
                for a, b in zip(dec.samples, pcm))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 second continuation: container-walk robustness.  The tag /
+# subtitle surfaces are advisory metadata — ARBITRARY bytes and
+# mutations of valid containers must degrade to empty/partial results
+# or (for decode entry points) a routed ValueError, never any other
+# exception class and never a hang.
+
+
+@_FAST
+@given(st.binary(min_size=0, max_size=3000))
+def test_media_tags_never_raise_on_arbitrary_bytes(data):
+    from docling_graph_spark.kernels import media_tags as MT
+
+    for fn in (MT.text_tags, MT.read_mp4_tags, MT.read_webm_tags):
+        assert isinstance(fn(data), dict)
+
+
+@_FAST
+@given(st.binary(min_size=0, max_size=2000))
+def test_mp4_subtitle_text_never_raises(data):
+    from docling_graph_spark.kernels.mp4_parse import mp4_subtitle_text
+
+    assert isinstance(mp4_subtitle_text(data), str)
+    assert isinstance(
+        mp4_subtitle_text(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00"
+                          + data), str)
+
+
+@_FAST
+@given(st.integers(0, 10_000), st.integers(0, 255),
+       st.data())
+def test_webm_mutations_route_cleanly(pos, byte, data):
+    """Single-byte mutations of a valid WebM must either still parse
+    or raise exactly ValueError/NotImplementedError from the decode
+    entry points; the extraction route never raises at all."""
+    from docling_graph_spark.kernels import webm_codec as WC
+    from docling_graph_spark.kernels.vp8_codec import (
+        encode_vp8, rgb_to_yuv420)
+    from docling_graph_spark.operators.extract import _route_payload
+
+    y, u, v = rgb_to_yuv420(16, 16, bytes([120]) * 768)
+    frame = encode_vp8(16, 16, y, u, v)
+    base = WC.encode_webm_vp8(16, 16, [frame],
+                              title="t", tags={"ARTIST": "a"})
+    mut = bytearray(base)
+    mut[pos % len(mut)] = byte
+    mut = bytes(mut)
+    try:
+        WC.decode_webm(mut)
+    except (ValueError, NotImplementedError):
+        pass
+    _text, _spans, _n, kind, _err = _route_payload(mut, None)
+    assert isinstance(kind, str)
