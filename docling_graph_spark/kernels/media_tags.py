@@ -706,6 +706,29 @@ def read_mp4_tags(payload: bytes) -> Dict[str, str]:
                         cc, cc.decode("latin-1").lstrip("\xa9").lower())
                     out.setdefault(key, txt)
 
+    def read_chpl(s: int, e: int) -> None:
+        # Nero chapter box (version 1): fullbox(4) + 4 reserved +
+        # uint8 count, entries = uint64 start + uint8 len + title
+        pos = s + 9
+        if pos > e:
+            return
+        count = b[s + 8] if s + 8 < e else 0
+        titles: List[str] = []
+        for _ in range(min(count, 512)):
+            if pos + 9 > e:
+                break
+            ln = b[pos + 8]
+            raw = b[pos + 9:pos + 9 + ln]
+            pos += 9 + ln
+            try:
+                t = raw.decode("utf-8").strip()
+            except UnicodeDecodeError:
+                continue
+            if t:
+                titles.append(t)
+        if titles:
+            out.setdefault("chapters", "\n".join(titles))
+
     for cc, s, e in _mp4_boxes(b, 0, len(b)):
         if cc != b"moov":
             continue
@@ -713,6 +736,8 @@ def read_mp4_tags(payload: bytes) -> Dict[str, str]:
             if cc2 != b"udta":
                 continue
             for cc3, s3, e3 in _mp4_boxes(b, s2, e2):
+                if cc3 == b"chpl":
+                    read_chpl(s3, e3)
                 if cc3 != b"meta":
                     continue
                 # meta is a fullbox: 4 bytes of version/flags lead
@@ -740,6 +765,8 @@ def read_webm_tags(payload: bytes) -> Dict[str, str]:
         if v.strip():
             out.setdefault(_MKV_MAP.get(k.upper(), k.lower()),
                            v.strip())
+    if parsed.chapters:
+        out.setdefault("chapters", "\n".join(parsed.chapters))
     # transmuxed Vorbis audio keeps its comment packet inside the
     # A_VORBIS CodecPrivate — surface those KEY=value tags too
     # (Matroska-level Tags/Title take priority)
@@ -759,7 +786,8 @@ def read_webm_tags(payload: bytes) -> Dict[str, str]:
 
 
 def make_mp4_tags(tags: Dict[str, str],
-                  width: int = 0, height: int = 0) -> bytes:
+                  width: int = 0, height: int = 0,
+                  chapters: "Optional[List[str]]" = None) -> bytes:
     """Fixture: ftyp + moov(trak/tkhd when geometry given,
     udta(meta(hdlr + ilst(items with UTF-8 'data' boxes))))."""
     rev = {v: k for k, v in _MP4_MAP.items() if k != b"desc"}
@@ -776,6 +804,14 @@ def make_mp4_tags(tags: Dict[str, str],
         items += box(cc, data)
     hdlr = box(b"hdlr", bytes(8) + b"mdir" + b"appl" + bytes(10))
     meta = box(b"meta", bytes(4) + hdlr + box(b"ilst", items))
+    if chapters:
+        body = (b"\x01" + bytes(3) + bytes(4)
+                + bytes([len(chapters)]))
+        for k, c in enumerate(chapters):
+            raw = c.encode("utf-8")
+            body += (k * 1000).to_bytes(8, "big") \
+                + bytes([len(raw)]) + raw
+        meta = box(b"chpl", body) + meta
     moov_body = b""
     if width and height:
         tkhd_payload = bytes(4) + bytes(4 * 5) + bytes(8) \

@@ -65,6 +65,7 @@ _BLOCK_GROUP = 0xA0
 _BLOCK = 0xA1
 _TITLE = 0x7BA9
 _TAGS = 0x1254C367
+_CHAPTERS = 0x1043A770
 _TAG_NAME = 0x45A3
 _TAG_STRING = 0x4487
 
@@ -96,6 +97,7 @@ class ParsedWebm(NamedTuple):
     tags: dict                # Tags SimpleTag name -> string
     timecode_scale: int       # ns per timecode unit (default 1000000)
     duration: float           # Segment Duration in timecode units (0 = absent)
+    chapters: List[str]       # ChapterDisplay/ChapString titles, in order
 
 
 def _vint(b: bytes, pos: int, keep_marker: bool):
@@ -232,6 +234,7 @@ def parse_webm(payload: bytes):
     tags: dict = {}
     timecode_scale = 1000000
     duration = 0.0
+    chapters: List[str] = []
 
     def parse_entry(s: int, e: int) -> None:
         num = ttype = width = height = channels = 0
@@ -307,6 +310,22 @@ def parse_webm(payload: bytes):
                         ">f" if e2 - s2 == 4 else ">d", b[s2:e2])[0]
         elif eid == _TAGS:
             parse_tags(s, e)
+        elif eid == _CHAPTERS:
+            # Chapters -> EditionEntry -> ChapterAtom (nestable) ->
+            # ChapterDisplay -> ChapString: navigation titles
+            def walk_chapters(cs, ce):
+                for eid2, s2, e2 in _elements(b, cs, ce):
+                    if eid2 in (0x45B9, 0xB6):   # Edition / Atom
+                        walk_chapters(s2, e2)
+                    elif eid2 == 0x80:           # ChapterDisplay
+                        for eid3, s3, e3 in _elements(b, s2, e2):
+                            if eid3 == 0x85:     # ChapString
+                                t = b[s3:e3].decode(
+                                    "utf-8", "replace").strip()
+                                if t:
+                                    chapters.append(t)
+
+            walk_chapters(s, e)
         elif eid == _CLUSTER:
             for eid2, s2, e2 in _elements(b, s, e):
                 if eid2 == _SIMPLE_BLOCK:
@@ -324,7 +343,7 @@ def parse_webm(payload: bytes):
                     if len(lst) < MAX_FRAMES:
                         lst.extend(got5[1][:MAX_FRAMES - len(lst)])
     return ParsedWebm(tracks, frames_by_track, title, tags,
-                      timecode_scale, duration)
+                      timecode_scale, duration, chapters)
 
 
 def decode_webm(payload: bytes,
@@ -459,7 +478,8 @@ def _uint_elem(eid: int, v: int) -> bytes:
 
 def encode_webm_vp8(width: int, height: int, frames: List[bytes],
                     title: str = "", tags: "dict | None" = None,
-                    lacing: str = "none") -> bytes:
+                    lacing: str = "none",
+                    chapters: "List[str] | None" = None) -> bytes:
     """Fixture encoder: a structurally complete WebM around raw VP8
     frame bitstreams (as produced by `vp8_codec.encode_vp8`) — EBML
     header with DocType 'webm', Segment(Info(TimecodeScale [+ Title]),
@@ -496,6 +516,11 @@ def encode_webm_vp8(width: int, height: int, frames: List[bytes],
                   + _elem(_TAG_STRING, v.encode("utf-8")))
             for k, v in tags.items())
         tags_el = _elem(_TAGS, _elem(0x7373, simple))
+    if chapters:
+        atoms = b"".join(
+            _elem(0xB6, _elem(0x80, _elem(0x85, c.encode("utf-8"))))
+            for c in chapters)
+        tags_el += _elem(_CHAPTERS, _elem(0x45B9, atoms))
 
     blocks = b""
     if lacing == "xiph" and len(frames) > 1:

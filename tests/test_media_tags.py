@@ -363,3 +363,23 @@ def test_webm_vorbis_codecprivate_comments_surface():
     # Matroska-level Title takes priority over the comment packet
     got2 = read_webm_tags(encode_webm_vorbis(ogg, title="outer"))
     assert got2["title"] == "outer" and got2["artist"] == "artist 5"
+
+
+def test_chapter_titles_both_containers():
+    from docling_graph_spark.kernels.media_tags import (
+        make_mp4_tags, read_mp4_tags, read_webm_tags)
+    from docling_graph_spark.kernels.vp8_codec import (
+        encode_vp8, rgb_to_yuv420)
+    from docling_graph_spark.kernels.webm_codec import encode_webm_vp8
+
+    # MP4 Nero chpl box
+    mp4 = make_mp4_tags({"title": "film"},
+                        chapters=["Intro", "Main part", "Credits"])
+    got = read_mp4_tags(mp4)
+    assert got["title"] == "film"
+    assert got["chapters"] == "Intro\nMain part\nCredits"
+    # Matroska Chapters/ChapterAtom/ChapString
+    y, u, v = rgb_to_yuv420(16, 16, bytes([99] * 768))
+    webm = encode_webm_vp8(16, 16, [encode_vp8(16, 16, y, u, v)],
+                           chapters=["Part one", "Part two"])
+    assert read_webm_tags(webm)["chapters"] == "Part one\nPart two"
