@@ -779,11 +779,16 @@ def decode_vorbis_packets(packets: List[bytes],
         raise ValueError(
             f"Vorbis stream declares {last_granule} samples, beyond "
             f"the {max_samples}-sample decode guard")
-    if last_granule < 0 \
-            and (len(packets) - 3) * (info.bs1 // 2) > max_samples:
+    # packet-count guard for EVERY stream (not just granule-less
+    # ones): each packet advances the overlap-add center by at least
+    # bs0/2, so a stream whose packet count implies more than
+    # max_samples of audio is hostile even if its declared granule is
+    # small — without this, a tiny-granule Ogg with millions of
+    # packets grows the accumulator (and burns CPU) unboundedly
+    if (len(packets) - 3) * (info.bs0 // 2) > max_samples + 2 * info.bs1:
         raise ValueError(
             f"Vorbis stream carries {len(packets) - 3} packets of "
-            f"blocksize {info.bs1}, beyond the {max_samples}-sample "
+            f"blocksize {info.bs0}+, beyond the {max_samples}-sample "
             "decode guard")
 
     ch = info.channels

@@ -348,11 +348,12 @@ def parse_webm(payload: bytes):
 
 def decode_webm(payload: bytes,
                 max_pixels: int = MAX_PIXELS,
-                frame: int = 0) -> DecodedWebmFrame:
+                frame: int = 0,
+                _parsed: "ParsedWebm | None" = None) -> DecodedWebmFrame:
     """Decode one video frame of a VP8 WebM (``frame=-1`` for the
     last), mirroring the GIF/TIFF/AVI frame-selection API; ``n_frames``
     always reports the laced frame count on the video track."""
-    parsed = parse_webm(payload)
+    parsed = _parsed if _parsed is not None else parse_webm(payload)
     tracks, frames_by_track = parsed.tracks, parsed.frames_by_track
     video = next((t for t in tracks if t.ttype == 1), None)
     if video is None:
@@ -416,7 +417,8 @@ def _xiph_codec_private(b: bytes) -> List[bytes]:
     return packets
 
 
-def decode_webm_audio(payload: bytes, max_samples: "int | None" = None):
+def decode_webm_audio(payload: bytes, max_samples: "int | None" = None,
+                      _parsed: "ParsedWebm | None" = None):
     """Decode the Vorbis audio track of a WebM to interleaved int16
     samples (the DecodedWav shape wav/flac/ogg decode to): CodecPrivate
     carries the three Xiph-laced header packets, each block one audio
@@ -426,7 +428,7 @@ def decode_webm_audio(payload: bytes, max_samples: "int | None" = None):
 
     if max_samples is None:
         max_samples = MAX_SAMPLES
-    parsed = parse_webm(payload)
+    parsed = _parsed if _parsed is not None else parse_webm(payload)
     audio = next((t for t in parsed.tracks if t.ttype == 2), None)
     if audio is None:
         raise ValueError("WebM has no audio track")
@@ -453,9 +455,9 @@ def decode_webm_media(payload: bytes):
     result shape apart by attribute, same as every other container."""
     parsed = parse_webm(payload)
     if any(t.ttype == 1 for t in parsed.tracks):
-        return decode_webm(payload)
+        return decode_webm(payload, _parsed=parsed)
     if any(t.ttype == 2 for t in parsed.tracks):
-        return decode_webm_audio(payload)
+        return decode_webm_audio(payload, _parsed=parsed)
     raise ValueError("WebM has no video or audio track")
 
 

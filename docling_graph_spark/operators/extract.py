@@ -70,6 +70,7 @@ def _route_payload(payload, transport):
             # a container without one is a routed row, not HTML noise
             from ..kernels.webm_codec import webm_subtitle_text
 
+            kind = "video"      # malformed EBML stays a video row
             text = webm_subtitle_text(bytes(payload))
             if text:
                 kind = "subtitle"

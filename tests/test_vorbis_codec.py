@@ -330,3 +330,36 @@ def test_opus_through_audio_stage_header_only(spark):
     r = mm.audio_decode_stats(df).collect()[0]
     assert not r.decoded and r.decode_error == "header-only"
     assert (r.n_channels, r.sample_rate) == (1, 24000)
+
+
+def test_packet_count_guard_applies_with_small_granule():
+    """A hostile stream with a tiny declared granule but a huge packet
+    count must be rejected before the accumulator grows (CPU/memory
+    guard independent of the granule)."""
+    import math
+
+    import pytest
+
+    from docling_graph_spark.kernels.vorbis_codec import (
+        decode_vorbis, encode_vorbis, ogg_pages, ogg_page)
+
+    rate = 8000
+    pcm = [[int(8000 * math.sin(2 * math.pi * 440 * t / rate))
+            for t in range(300)]]
+    ogg = encode_vorbis(pcm, rate, blocksize=128)
+    pkts = []
+    for _h, _g, _s, ps, _t in ogg_pages(ogg):
+        pkts.extend(ps)
+    # rebuild: same headers, one audio packet repeated far past the
+    # guard, final granule kept tiny
+    audio = pkts[3]
+    n = 2_000_000 // 64 + 10          # > max_samples/(bs0/2) packets
+    pages = [ogg_page(1, 0, 0, pkts[:1], 0x02),
+             ogg_page(1, 1, 0, pkts[1:3])]
+    seq = 2
+    for i in range(0, n, 100):
+        pages.append(ogg_page(1, seq, 5, [audio] * min(100, n - i)))
+        seq += 1
+    hostile = b"".join(pages)
+    with pytest.raises(ValueError, match="decode guard"):
+        decode_vorbis(hostile, max_samples=2_000_000 // 16)
