@@ -148,8 +148,8 @@ def mp4_subtitle_text(payload: bytes) -> str:
             if stbl is None:
                 continue
             stsd = _find(b, stbl[0], stbl[1], (b"stsd",))
+            fmt = None
             if stsd is not None:
-                fmt = None
                 for cc3, _s3, _e3 in _boxes(b, stsd[0] + 8, stsd[1]):
                     fmt = cc3
                     break
@@ -158,14 +158,28 @@ def mp4_subtitle_text(payload: bytes) -> str:
             for off, size in _sample_offsets(b, *stbl):
                 if size < 2 or off + size > len(b) or budget <= 0:
                     continue
-                (ln,) = struct.unpack_from(">H", b, off)
-                raw = b[off + 2:off + 2 + min(ln, size - 2, budget)]
-                budget -= len(raw)
-                if raw[:2] in (b"\xfe\xff", b"\xff\xfe"):
-                    text = raw.decode("utf-16", "replace")
+                if fmt == b"stpp":
+                    # TTML: the sample IS an XML document — strip the
+                    # markup, keep the cue text
+                    import re
+
+                    raw = b[off:off + min(size, budget)]
+                    budget -= len(raw)
+                    text = re.sub(
+                        r"<[^>]*>", " ",
+                        raw.decode("utf-8", "replace"))
+                    text = " ".join(text.split()).strip()
                 else:
-                    text = raw.decode("utf-8", "replace")
-                text = text.strip()
+                    # tx3g / QuickTime text: uint16 length + UTF-8
+                    # (UTF-16 BOM switches encoding per spec)
+                    (ln,) = struct.unpack_from(">H", b, off)
+                    raw = b[off + 2:off + 2 + min(ln, size - 2, budget)]
+                    budget -= len(raw)
+                    if raw[:2] in (b"\xfe\xff", b"\xff\xfe"):
+                        text = raw.decode("utf-16", "replace")
+                    else:
+                        text = raw.decode("utf-8", "replace")
+                    text = text.strip()
                 if text:
                     out.append(text)
     return "\n\n".join(out)
@@ -179,14 +193,20 @@ def _box(cc: bytes, body: bytes) -> bytes:
 
 def make_mp4_tx3g(cues: List[str],
                   video: "Optional[Tuple[int, int]]" = None,
-                  per_chunk: int = 1) -> bytes:
+                  per_chunk: int = 1,
+                  fmt: bytes = b"tx3g") -> bytes:
     """Fixture: ftyp + mdat (length-prefixed cue samples) + moov with a
     tx3g subtitle track whose full sample table (stsd/stts/stsc/stsz/
     stco) addresses them; ``per_chunk`` > 1 exercises the stsc
     sample-to-chunk run resolution, ``video`` adds a tkhd-only video
     trak so geometry probing keeps working on the same payload."""
-    samples = [struct.pack(">H", len(c.encode("utf-8")))
-               + c.encode("utf-8") for c in cues]
+    if fmt == b"stpp":
+        samples = [(f'<?xml version="1.0"?><tt><body><div><p>{c}'
+                    f"</p></div></body></tt>").encode("utf-8")
+                   for c in cues]
+    else:
+        samples = [struct.pack(">H", len(c.encode("utf-8")))
+                   + c.encode("utf-8") for c in cues]
     ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
     mdat_body = b"".join(samples)
     mdat_start = len(ftyp) + 8
@@ -201,7 +221,7 @@ def make_mp4_tx3g(cues: List[str],
         pos += len(s)
 
     stsd = _box(b"stsd", bytes(4) + struct.pack(">I", 1)
-                + _box(b"tx3g", bytes(6) + struct.pack(">H", 1)
+                + _box(fmt, bytes(6) + struct.pack(">H", 1)
                        + bytes(26)))
     stts = _box(b"stts", bytes(4) + struct.pack(">I", 1)
                 + struct.pack(">II", len(samples), 1000))

@@ -59,3 +59,9 @@ def test_extraction_routes_mp4_captions():
     text, _spans, _n, kind, err = _route_payload(m, None)
     assert kind == "subtitle" and err is None
     assert text == "spoken words\n\nmore words"
+
+
+def test_stpp_ttml_samples_strip_markup():
+    m = make_mp4_tx3g(["spoken ttml line", "second one"],
+                      fmt=b"stpp")
+    assert mp4_subtitle_text(m) == "spoken ttml line\n\nsecond one"
