@@ -15,7 +15,9 @@ JPEG-in-TIFF (compression 7, TIFF TechNote 2: complete JPEG streams
 per strip/tile, optional shared-table JPEGTables tag 347, gray or
 YCbCr photometric, MCU-padded segments cropped) via the real baseline
 decoder in `kernels/jpeg_codec.py` — the layout scanned-document
-crawls actually carry.  Old-style JPEG (6), planar tiles, 16-bit
+crawls actually carry, plus old-style JPEG (compression 6) when it
+carries the common JPEGInterchangeFormat whole-stream layout (tags
+513/514).  Per-strip old-style JPEG, planar tiles, 16-bit
 prediction and other depths raise NotImplementedError — routed to the
 error column upstream like every other codec.  The shared MAX_PIXELS
 decompression-bomb guard applies (PackBits expands 128:1; LZW far
@@ -302,9 +304,30 @@ def decode_tiff(data: bytes, page: int = 0) -> DecodedTiff:
         raise NotImplementedError(f"TIFF bit depths {bits} unsupported")
     comp = one(259, 1)
     if comp == 6:
+        # old-style JPEG-in-TIFF (TIFF 6.0 §22): the COMMON legacy
+        # layout carries one complete JPEG interchange stream at tag
+        # 513 (offset) + 514 (length) — decode it whole through the
+        # real JPEG decoder; the deprecated per-strip table variant
+        # (tags 519-521 with no 513) stays routed by name
+        if 513 in tags:
+            joff = tags[513][0]
+            jlen = tags.get(514, [len(data) - joff])[0]
+            if joff + jlen > len(data) or jlen <= 0:
+                raise ValueError(
+                    "old-style JPEG offset/length outside the file")
+            from .jpeg_codec import decode_jpeg
+
+            dec = decode_jpeg(data[joff:joff + jlen])
+            if (dec.width, dec.height) != (width, height):
+                raise ValueError(
+                    "old-style JPEG geometry disagrees with the IFD "
+                    f"({dec.width}x{dec.height} vs {width}x{height})")
+            return DecodedTiff(dec.width, dec.height, dec.channels,
+                               dec.pixels, n_pages)
         raise NotImplementedError(
-            "old-style JPEG-in-TIFF (compression 6, TIFF 6.0 §22) is "
-            "deprecated and unsupported; new-style (7) decodes")
+            "old-style JPEG-in-TIFF (compression 6, TIFF 6.0 §22) "
+            "without a JPEGInterchangeFormat stream is deprecated and "
+            "unsupported; new-style (7) decodes")
     if comp == 32946:
         comp = 8          # legacy Deflate code predates TIFF TechNote 3
     if comp not in (1, 5, 32773, 7, 8):
@@ -818,3 +841,30 @@ def encode_tiff_jpeg(width: int, height: int, channels: int,
         entries.append((273, 4, None))
         entries.append((279, 4, [len(s) for s in segs]))
     return _assemble_tiff(big_endian, entries, segs)
+
+
+def encode_tiff_oldjpeg(width: int, height: int, channels: int,
+                        pixels: bytes,
+                        big_endian: bool = False) -> bytes:
+    """Fixture old-style JPEG-in-TIFF (compression 6, TIFF 6.0 §22):
+    one complete JPEG interchange stream referenced by
+    JPEGInterchangeFormat (513) / ...Length (514) — the layout legacy
+    scanner software actually wrote.  Decode invariant:
+    decode_tiff(...) == decode_jpeg(embedded stream)."""
+    from .jpeg_codec import encode_jpeg_gray, encode_jpeg_ycbcr420
+
+    assert channels in (1, 3) and len(pixels) == width * height * channels
+    if channels == 1:
+        jpg = encode_jpeg_gray(width, height, pixels)
+        photo = 1
+    else:
+        y, cb, cr = _rgb_to_ycbcr420(width, height, pixels)
+        jpg = encode_jpeg_ycbcr420(width, height, y, cb, cr)
+        photo = 6
+    entries = [
+        (256, 3, [width]), (257, 3, [height]),
+        (258, 3, [8] * channels), (259, 3, [6]),
+        (262, 3, [photo]), (277, 3, [channels]),
+        (513, 4, None), (514, 4, [len(jpg)]),
+    ]
+    return _assemble_tiff(big_endian, entries, [jpg])

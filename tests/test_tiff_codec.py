@@ -480,3 +480,45 @@ def test_ifd_chain_loop_guard():
     struct.pack_into("<I", t, nxt_at, ifd_off)
     d = decode_tiff(bytes(t))               # must terminate
     assert d.n_pages == 1
+
+
+def test_oldstyle_jpeg_interchange_stream_decodes():
+    from docling_graph_spark.kernels.jpeg_codec import (
+        decode_jpeg, encode_jpeg_gray)
+    from docling_graph_spark.kernels.tiff_codec import (
+        decode_tiff, encode_tiff_oldjpeg)
+
+    g = bytes((i * 7) % 256 for i in range(24 * 16))
+    t = encode_tiff_oldjpeg(24, 16, 1, g)
+    dec = decode_tiff(t)
+    want = decode_jpeg(encode_jpeg_gray(24, 16, g))
+    assert (dec.width, dec.height, dec.channels) == (24, 16, 1)
+    assert dec.pixels == want.pixels
+    # color: pixels equal the embedded interchange stream's decode
+    rgb = bytes((i * 5) % 256 for i in range(16 * 16 * 3))
+    t2 = encode_tiff_oldjpeg(16, 16, 3, rgb, big_endian=True)
+    i = t2.find(b"\xff\xd8")
+    assert decode_tiff(t2).pixels == decode_jpeg(t2[i:]).pixels
+
+
+def test_oldstyle_jpeg_guards():
+    import struct
+
+    import pytest
+
+    from docling_graph_spark.kernels.tiff_codec import (
+        decode_tiff, encode_tiff_oldjpeg)
+
+    g = bytes(16 * 16)
+    t = bytearray(encode_tiff_oldjpeg(16, 16, 1, g))
+    # geometry mismatch between IFD and embedded stream is rejected
+    w_at = t.find(struct.pack("<HHI", 256, 3, 1))
+    struct.pack_into("<H", t, w_at + 8, 17)
+    with pytest.raises(ValueError, match="disagrees"):
+        decode_tiff(bytes(t))
+    # per-strip old-style variant (no tag 513) stays routed by name
+    t2 = bytearray(encode_tiff_oldjpeg(16, 16, 1, g))
+    at = t2.find(struct.pack("<HH", 513, 4))
+    struct.pack_into("<H", t2, at, 519)        # 513 -> 519
+    with pytest.raises(NotImplementedError, match="old-style"):
+        decode_tiff(bytes(t2))
