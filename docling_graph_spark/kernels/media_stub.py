@@ -130,8 +130,12 @@ def decode_media(payload: bytes, media_type: str):
     header-only geometry probe.  ``video/webm`` VP8 video tracks
     decode a selected key frame for real (`kernels/webm_codec.py`:
     EBML walk, SimpleBlock/BlockGroup, all lacing modes, then the
-    same VP8 decoder lossy WebP uses); VP9/AV1 tracks route to the
-    geometry probe.  So does ``audio/flac``
+    same VP8 decoder lossy WebP uses), audio-only WebM decodes its
+    Vorbis track; VP9/AV1/Opus tracks route to the probes.
+    ``video/mp4`` Motion-JPEG tracks (stsd 'jpeg') decode a selected
+    frame through the sample table (`kernels/mp4_parse.py`);
+    AVC/HEVC/VP9/AV1 route to the geometry probe.  So does
+    ``audio/flac``
     (`kernels/flac_codec.py`: full lossless decode — rice residuals,
     see also round 5's ``audio/ogg`` Vorbis decode below —
     fixed/LPC predictors, stereo decorrelation, CRC-verified frames).
@@ -205,6 +209,10 @@ def decode_media(payload: bytes, media_type: str):
         from .webm_codec import decode_webm_media
 
         return decode_webm_media(payload)
+    if media_type == "video/mp4":
+        from .mp4_parse import decode_mp4
+
+        return decode_mp4(payload)
     raise NotImplementedError(
         "media decode requires image/audio libraries not present in this "
         f"container (requested: {media_type}); use fake_features for the "

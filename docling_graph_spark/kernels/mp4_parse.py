@@ -1,4 +1,4 @@
-"""ISO BMFF (MP4) timed-text extraction — the 'tx3g' subtitle track.
+"""ISO BMFF (MP4) sample-table walk: timed text + Motion-JPEG frames.
 
 MP4 is the web's other video container, and its 3GPP timed-text
 (``tx3g``, also written by muxers as ``text`` / QuickTime ``'text'``)
@@ -11,9 +11,15 @@ the same way `webm_codec.webm_subtitle_text` reads Matroska
 (``sbtl`` / ``text`` / ``subt``) and decodes each sample's
 ``uint16 length + UTF-8`` payload into cue-per-paragraph text.
 
+The same sample-table resolution drives :func:`decode_mp4`: a video
+track whose stsd entry is ``jpeg`` (QuickTime/MP4 Motion-JPEG — every
+sample a complete baseline JPEG) decodes a selected frame through the
+real JPEG decoder, mirroring the AVI/WebM frame APIs; AVC/HEVC/VP9/
+AV1 route by name to the header-only geometry probe.
+
 The reference treats video inputs as out-of-scope binaries
 (`core/input/types.py:39-105` stops at magic-byte detection); the
-container-feasible text subset extracts for real here.
+container-feasible text and frame subsets extract for real here.
 
 Bounds: the walk is O(boxes) over a byte-capped prefix; per-track
 sample counts and total text size are capped so a hostile sample
@@ -25,7 +31,7 @@ decode-critical state).
 from __future__ import annotations
 
 import struct
-from typing import List, Optional, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 MAX_MDAT_TEXT = 1 << 22      # total cue bytes kept per payload
 MAX_SAMPLES = 65536          # per-track sample-count cap
@@ -246,3 +252,130 @@ def make_mp4_tx3g(cues: List[str],
             + moov_body
     moov = _box(b"moov", moov_body)
     return ftyp + mdat + moov
+
+
+# ------------------------------------------------------- video frames
+
+MAX_PIXELS = 1 << 26     # shared decode guard with the other codecs
+
+_JPEG_FORMATS = (b"jpeg", b"mjpa")   # MJPEG sample entries (full JPEGs)
+
+
+class DecodedMp4Frame(NamedTuple):
+    width: int
+    height: int
+    channels: int
+    pixels: bytes        # selected video frame
+    n_frames: int        # samples on the video track
+    codec: str           # stsd sample-entry fourcc, e.g. 'jpeg'
+
+
+def decode_mp4(payload: bytes, max_pixels: int = MAX_PIXELS,
+               frame: int = 0) -> DecodedMp4Frame:
+    """Decode one video frame of an MJPEG MP4 (stsd sample entry
+    ``jpeg`` — every sample a complete baseline JPEG, the QuickTime/
+    MP4 Motion-JPEG layout), mirroring the GIF/TIFF/AVI/WebM
+    frame-selection API; AVC/HEVC/VP9/AV1 tracks raise
+    NotImplementedError with the codec named so the operator falls
+    back to the header-only geometry probe."""
+    b = payload
+    for cc, s, e in _boxes(b, 0, len(b)):
+        if cc != b"moov":
+            continue
+        for cc2, s2, e2 in _boxes(b, s, e):
+            if cc2 != b"trak":
+                continue
+            mdia = _find(b, s2, e2, (b"mdia",))
+            if mdia is None:
+                continue
+            hdlr = _find(b, mdia[0], mdia[1], (b"hdlr",))
+            if hdlr is None \
+                    or b[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+                continue
+            stbl = _find(b, mdia[0], mdia[1], (b"minf", b"stbl"))
+            if stbl is None:
+                continue
+            stsd = _find(b, stbl[0], stbl[1], (b"stsd",))
+            fmt = b""
+            width = height = 0
+            if stsd is not None:
+                for cc3, s3, e3 in _boxes(b, stsd[0] + 8, stsd[1]):
+                    fmt = cc3
+                    # VisualSampleEntry: width/height at body +24/+26
+                    if e3 - s3 >= 28:
+                        width, height = struct.unpack_from(
+                            ">HH", b, s3 + 24)
+                    break
+            if width * height > max_pixels:
+                raise ValueError(
+                    f"MP4 dimensions {width}x{height} exceed the "
+                    f"{max_pixels}-pixel decode guard "
+                    "(decompression-bomb protection)")
+            samples = _sample_offsets(b, *stbl)
+            n_frames = len(samples)
+            if not samples:
+                raise ValueError("MP4 video track has no samples")
+            idx = frame if frame >= 0 else n_frames + frame
+            if not 0 <= idx < n_frames:
+                raise ValueError(
+                    f"MP4 frame {frame} out of range "
+                    f"(track has {n_frames})")
+            if fmt not in _JPEG_FORMATS:
+                raise NotImplementedError(
+                    f"MP4 video codec '{fmt.decode('latin-1')}' "
+                    "requires libraries not present in this container "
+                    "(only Motion-JPEG decodes)")
+            off, size = samples[idx]
+            if off + size > len(b):
+                raise ValueError("MP4 sample outside the file")
+            from .jpeg_codec import decode_jpeg
+
+            dec = decode_jpeg(b[off:off + size])
+            return DecodedMp4Frame(dec.width, dec.height,
+                                   dec.channels, dec.pixels,
+                                   n_frames,
+                                   fmt.decode("latin-1"))
+    raise ValueError("MP4 has no video track")
+
+
+def make_mp4_mjpeg(width: int, height: int,
+                   frames: List[bytes],
+                   per_chunk: int = 1) -> bytes:
+    """Fixture MJPEG MP4: ftyp + mdat of complete JPEG samples + moov
+    with a 'vide' track whose stsd 'jpeg' VisualSampleEntry carries
+    the geometry and whose sample table addresses the frames.  Decode
+    invariant: decode_mp4(..., frame=k).pixels ==
+    decode_jpeg(frames[k]).pixels."""
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
+    mdat_start = len(ftyp) + 8
+    mdat = _box(b"mdat", b"".join(frames))
+
+    sizes = [len(f) for f in frames]
+    offsets: List[int] = []
+    pos = mdat_start
+    for i, f in enumerate(frames):
+        if i % per_chunk == 0:
+            offsets.append(pos)
+        pos += len(f)
+
+    entry = _box(b"jpeg", bytes(6) + struct.pack(">H", 1)
+                 + bytes(16) + struct.pack(">HH", width, height)
+                 + struct.pack(">II", 0x00480000, 0x00480000)
+                 + bytes(4) + struct.pack(">H", 1) + bytes(32)
+                 + struct.pack(">Hh", 24, -1))
+    stsd = _box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+    stts = _box(b"stts", bytes(4) + struct.pack(">I", 1)
+                + struct.pack(">II", len(frames), 1000))
+    stsc = _box(b"stsc", bytes(4) + struct.pack(">I", 1)
+                + struct.pack(">III", 1, per_chunk, 1))
+    stsz = _box(b"stsz", bytes(4) + struct.pack(">II", 0, len(sizes))
+                + b"".join(struct.pack(">I", sz) for sz in sizes))
+    stco = _box(b"stco", bytes(4) + struct.pack(">I", len(offsets))
+                + b"".join(struct.pack(">I", o) for o in offsets))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    hdlr = _box(b"hdlr", bytes(8) + b"vide" + bytes(14))
+    mdia = _box(b"mdia", hdlr + _box(b"minf", stbl))
+    tkhd_payload = bytes(4) + bytes(4 * 5) + bytes(8) + bytes(2 * 4) \
+        + bytes(36) + struct.pack(">II", width << 16, height << 16)
+    trak = _box(b"trak", _box(b"tkhd", tkhd_payload) + mdia)
+    return ftyp + mdat + _box(b"moov", trak)

@@ -379,7 +379,8 @@ def image_hashes(web_pages: DataFrame) -> DataFrame:
                 # (WebM VP8 / AVI MJPEG decode a real frame; audio-only
                 # WebM yields a non-image shape and routes below)
                 if not (mtype.startswith("image/")
-                        or mtype in ("video/webm", "video/avi")):
+                        or mtype in ("video/webm", "video/avi",
+                                     "video/mp4")):
                     out["decode_error"][i] = "not an image"
                     continue
                 try:

@@ -37,8 +37,10 @@ def test_sniff_media_type():
 def test_decode_media_is_stubbed():
     # formats with no real decoder stay stubbed behind the same seam
     # (round 5: audio/ogg decodes for real now — a malformed Ogg blob
-    # is a routed ValueError, not an unsupported format)
-    with pytest.raises(NotImplementedError):
+    # is a routed ValueError, not an unsupported format; MP4 walks its
+    # sample table for real, so a track-less shell is a ValueError and
+    # only codec-infeasible tracks route as unsupported)
+    with pytest.raises(ValueError):
         media_stub.decode_media(b"\x00\x00\x00 ftypisom", "video/mp4")
     with pytest.raises(NotImplementedError):
         media_stub.decode_media(b"ID3\x04\x00" + bytes(16),

@@ -105,13 +105,14 @@ def test_decode_media_routes_png_and_stubs_rest():
     dec = decode_media(png, "image/png")
     assert (dec.width, dec.height) == (3, 2)
     # JPEG now has a REAL baseline decoder: corrupt bytes raise a decode
-    # error (not NotImplementedError); WebM decodes for real too, so
-    # malformed EBML is a decode error, while MP4 video stays stubbed
+    # error (not NotImplementedError); WebM and MP4 decode for real
+    # too, so structurally-empty containers are decode errors while
+    # codec-infeasible tracks route by name (see their own suites)
     with pytest.raises(Exception):
         decode_media(b"\xff\xd8\xff-jpeg-ish", "image/jpeg")
     with pytest.raises(ValueError):
         decode_media(b"\x1a\x45\xdf\xa3webm", "video/webm")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_media(b"\x00\x00\x00\x10ftypisom" + bytes(8),
                      "video/mp4")
 
