@@ -6412,20 +6412,25 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (w = 8+d%9, h = 8+d%6, gray v = 128+(d*13)%100, decoded gray
     # p = 128 + 2*((x+1)//2) with x = v-128, identical closed form to
     # the jpeg_decode stage) wrapped in rotating containers on doc_ids
-    # [208, 232): d%4==0 single-strip JPEG-in-TIFF with inline tables;
-    # d%4==1 multi-strip (5 rows) with a hoisted JPEGTables tag 347
-    # (the libtiff scanned-document layout); d%4==2 a Motion-JPEG AVI
+    # [208, 232): d%5==0 single-strip JPEG-in-TIFF with inline tables;
+    # d%5==1 multi-strip (5 rows) with a hoisted JPEGTables tag 347
+    # (the libtiff scanned-document layout); d%5==2 a Motion-JPEG AVI
     # with 1+d%3 identical frames (frame 0 surfaces, like GIF/APNG);
-    # d%4==3 a 16x16-tiled JPEG-in-TIFF with shared tables (edge tiles
-    # pad by replication — still solid, so the closed form holds).
+    # d%5==3 a 16x16-tiled JPEG-in-TIFF with shared tables (edge tiles
+    # pad by replication — still solid, so the closed form holds);
+    # d%5==4 (round 5 second continuation) a Motion-JPEG MP4 whose
+    # sample table addresses 1+d%3 identical frames.
     # Every wrapper must decode to EXACTLY the same pixels as the bare
-    # JPEG, which the oracle replays per doc
-    # (kernels/tiff_codec.py, kernels/avi_codec.py).
+    # JPEG, which the oracle replays per doc — rotating the wrapper
+    # set never touches the closed form (kernels/tiff_codec.py,
+    # kernels/avi_codec.py, kernels/mp4_parse.py).
     def build_containers(batches):
         from docling_graph_spark.kernels.avi_codec import (
             encode_avi_mjpeg)
         from docling_graph_spark.kernels.jpeg_codec import (
             encode_jpeg_gray)
+        from docling_graph_spark.kernels.mp4_parse import (
+            make_mp4_mjpeg)
         from docling_graph_spark.kernels.tiff_codec import (
             encode_tiff_jpeg)
 
@@ -6437,20 +6442,24 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 v = 128 + (d * 13) % 100
                 raw = bytes([v] * (w * h))
                 urls.append(f"ctr:{d}")
-                if d % 4 == 0:
+                if d % 5 == 0:
                     blobs.append(encode_tiff_jpeg(w, h, 1, raw))
-                elif d % 4 == 1:
+                elif d % 5 == 1:
                     blobs.append(encode_tiff_jpeg(
                         w, h, 1, raw, rows_per_strip=5,
                         shared_tables=True))
-                elif d % 4 == 2:
+                elif d % 5 == 2:
                     jpg = encode_jpeg_gray(w, h, raw)
                     blobs.append(encode_avi_mjpeg(
                         w, h, [jpg] * (1 + d % 3)))
-                else:
+                elif d % 5 == 3:
                     blobs.append(encode_tiff_jpeg(
                         w, h, 1, raw, tile=(16, 16),
                         shared_tables=True))
+                else:
+                    jpg = encode_jpeg_gray(w, h, raw)
+                    blobs.append(make_mp4_mjpeg(
+                        w, h, [jpg] * (1 + d % 3)))
             yield pd.DataFrame({"url": urls, "html": blobs})
 
     ctr = (
