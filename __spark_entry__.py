@@ -328,6 +328,30 @@ Round-5 continuation additions (still 50 total):
                         PPTX/XLSX/EPUB + zip-bomb routing are
                         pytest-pinned)
 
+Round-5 second-continuation additions (still 50 total):
+  media_pipeline_stats += WebM/MP4 container rotations riding existing
+                        stages with zero oracle drift by construction
+                        (every wrapper decodes to identical values):
+                        vp8_decode d%5==4 wraps the same VP8 frame in
+                        a WebM SimpleBlock (kernels/webm_codec.py EBML
+                        walk), the wav_decode Vorbis band d%5==2
+                        transmuxes the same packets into a WebM audio
+                        track (Xiph-laced CodecPrivate + Duration
+                        trim), container_decode d%5==4 wraps the same
+                        JPEG as a Motion-JPEG MP4 (kernels/
+                        mp4_parse.py sample-table walk), and
+                        doc_extract d%4==3 carries the same paragraph
+                        as a WebM S_TEXT/UTF8 subtitle track through
+                        the extraction UDF (n_subtitle counter added
+                        to BOTH engines).  WebM subtitles/tags/
+                        chapters, MP4 tx3g/stpp timed text, ilst/chpl
+                        metadata, USLT lyrics, Ogg Opus header
+                        routing, old-style JPEG-in-TIFF, and the
+                        WebM-keyframe-vs-WebP-still pHash pairing are
+                        pytest-pinned (tests/test_webm_codec.py,
+                        tests/test_mp4_parse.py, tests/
+                        test_media_tags.py, tests/test_tiff_codec.py)
+
 Every merged section still runs its full operator; the single-purpose
 query functions remain in docling_graph_spark.queries as building blocks.
 
