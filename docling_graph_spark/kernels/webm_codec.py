@@ -376,14 +376,21 @@ def decode_webm(payload: bytes,
     if not 0 <= idx < n_frames:
         raise ValueError(f"WebM frame {frame} out of range "
                          f"(track has {n_frames})")
+    fs, fe = frames[idx]
+    if video.codec == "V_MJPEG":
+        # Matroska Motion-JPEG: every block a complete baseline JPEG
+        from .jpeg_codec import decode_jpeg
+
+        dj = decode_jpeg(payload[fs:fe])
+        return DecodedWebmFrame(dj.width, dj.height, dj.channels,
+                                dj.pixels, n_frames, video.codec)
     if video.codec != "V_VP8":
         raise NotImplementedError(
             f"WebM video codec '{video.codec or '?'}' requires "
             "libraries not present in this container (only VP8 key "
-            "frames decode)")
+            "frames and Motion-JPEG decode)")
     from .vp8_codec import decode_vp8, vp8_frame_to_rgb
 
-    fs, fe = frames[idx]
     dec = decode_vp8(payload[fs:fe], max_pixels=max_pixels)
     rgb = vp8_frame_to_rgb(dec)
     return DecodedWebmFrame(dec.width, dec.height, 3, rgb,
@@ -481,7 +488,8 @@ def _uint_elem(eid: int, v: int) -> bytes:
 def encode_webm_vp8(width: int, height: int, frames: List[bytes],
                     title: str = "", tags: "dict | None" = None,
                     lacing: str = "none",
-                    chapters: "List[str] | None" = None) -> bytes:
+                    chapters: "List[str] | None" = None,
+                    codec: bytes = b"V_VP8") -> bytes:
     """Fixture encoder: a structurally complete WebM around raw VP8
     frame bitstreams (as produced by `vp8_codec.encode_vp8`) — EBML
     header with DocType 'webm', Segment(Info(TimecodeScale [+ Title]),
@@ -509,7 +517,7 @@ def encode_webm_vp8(width: int, height: int, frames: List[bytes],
                   _uint_elem(_TRACK_NUMBER, 1)
                   + _uint_elem(0x73C5, 1)           # TrackUID
                   + _uint_elem(_TRACK_TYPE, 1)
-                  + _elem(_CODEC_ID, b"V_VP8") + video)
+                  + _elem(_CODEC_ID, codec) + video)
     tracks = _elem(_TRACKS, entry)
     tags_el = b""
     if tags:

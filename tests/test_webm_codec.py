@@ -236,3 +236,16 @@ def test_webm_keyframe_phash_pairs_with_webp_still(spark):
     pairs = mm.image_near_dup(df, max_hamming=8).collect()
     assert [(p.url_a, p.url_b, p.hamming) for p in pairs] == [
         ("still.webp", "vid.webm", 0)]
+
+
+def test_mjpeg_matroska_track_decodes():
+    from docling_graph_spark.kernels.jpeg_codec import (
+        decode_jpeg, encode_jpeg_gray)
+
+    jpgs = [encode_jpeg_gray(20, 12, bytes((i * s) % 256
+                                           for i in range(240)))
+            for s in (3, 5)]
+    webm = encode_webm_vp8(20, 12, jpgs, codec=b"V_MJPEG")
+    dec = decode_webm(webm, frame=1)
+    assert dec.codec == "V_MJPEG" and dec.n_frames == 2
+    assert dec.pixels == decode_jpeg(jpgs[1]).pixels
