@@ -335,6 +335,9 @@ def _read_codebook(br: _BitReader) -> _Codebook:
         e = 0
         while e < entries:
             num = br.read_bits(_ilog(entries - e))
+            if num > entries - e:     # Vorbis I §3.2.1: overrun of the
+                raise ValueError(     # remaining entry count is an error
+                    "ordered codebook run exceeds entry count")
             for k in range(num):
                 lengths[e + k] = cur_len
             e += num
@@ -688,6 +691,33 @@ def _parse_setup(packet: bytes, channels: int) -> _Setup:
         s.modes.append(mode)
     if not br.read_bit():
         raise ValueError("missing setup framing bit")
+    # Vorbis I §4.2.4: cross-reference validation — every index a
+    # corrupt header could point out of range must be a routed
+    # ValueError here, not an IndexError mid-synthesis (found by
+    # container fuzzing via the WebM CodecPrivate path)
+    nb = len(s.books)
+    for fl in s.floors:
+        if any(bk >= nb for bk in fl.masterbooks if bk >= 0) or any(
+                bk >= nb for row in fl.subclass_books
+                for bk in row if bk >= 0):
+            raise ValueError("floor references undefined codebook")
+    for res in s.residues:
+        if res.classbook >= nb or any(
+                bk >= nb for row in res.books for bk in row if bk >= 0):
+            raise ValueError("residue references undefined codebook")
+    for m in s.mappings:
+        if any(mx >= len(m["submaps"]) for mx in m["mux"]):
+            raise ValueError("mapping mux exceeds submap count")
+        if any(fl >= len(s.floors) or rs >= len(s.residues)
+               for fl, rs in m["submaps"]):
+            raise ValueError("mapping references undefined floor/"
+                             "residue")
+        if any(mag >= channels or ang >= channels or mag == ang
+               for mag, ang in m["couples"]):
+            raise ValueError("coupling channel out of range")
+    for mode in s.modes:
+        if mode["mapping"] >= len(s.mappings):
+            raise ValueError("mode references undefined mapping")
     return s
 
 

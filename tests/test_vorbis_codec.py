@@ -363,3 +363,37 @@ def test_packet_count_guard_applies_with_small_granule():
     hostile = b"".join(pages)
     with pytest.raises(ValueError, match="decode guard"):
         decode_vorbis(hostile, max_samples=2_000_000 // 16)
+
+
+def test_corrupt_setup_routes_value_error():
+    """Corrupt setup headers (out-of-range codebook runs, undefined
+    mapping/floor/residue/book references) must raise the routed
+    ValueError, never an IndexError mid-synthesis — found by WebM
+    container fuzzing."""
+    import math
+
+    import pytest
+
+    from docling_graph_spark.kernels.vorbis_codec import (
+        _parse_ident, _parse_setup, decode_vorbis, encode_vorbis,
+        ogg_pages)
+
+    rate = 8000
+    pcm = [[int(8000 * math.sin(2 * math.pi * 440 * t / rate))
+            for t in range(300)]]
+    ogg = encode_vorbis(pcm, rate, blocksize=128)
+    pkts = []
+    for _h, _g, _s, ps, _t in ogg_pages(ogg):
+        pkts.extend(ps)
+    info = _parse_ident(pkts[0])
+    setup = bytearray(pkts[2])
+    # brute mutation sweep over the whole setup packet: every mutation
+    # must either parse or raise ValueError/NotImplementedError
+    for pos in range(7, len(setup)):
+        for val in (0x00, 0xFF, setup[pos] ^ 0x10):
+            mut = bytearray(setup)
+            mut[pos] = val
+            try:
+                _parse_setup(bytes(mut), info.channels)
+            except (ValueError, NotImplementedError):
+                pass
