@@ -22,31 +22,29 @@ What is implemented, and to what fidelity:
   (§14), intra prediction for 16x16 / chroma 8x8 (DC/V/H/TM with the
   127/129 border convention) and the ten 4x4 B_PRED modes (§12.3),
   skip-coefficient handling, and YUV 4:2:0 output.
-* REPLACED (documented interop gap): RFC 6386 ships two large
-  empirically-trained probability tables — the default coefficient
-  probabilities (§13.5, 1056 entries) and the key-frame B-mode
-  probabilities (§11.5, 900 entries).  No copy of either exists in
-  this offline sandbox to transcribe, and no external VP8 payload
-  exists to validate a transcription against, so guessing them would
-  be silently wrong.  Instead both default to the neutral 128 and the
-  FIXTURE ENCODER EMITS IN-STREAM PROBABILITY UPDATES (the standard
-  §13.4 update mechanism) for every token probability it relies on:
-  streams produced here are fully self-describing and decode exactly.
-  A stream from an external encoder (libvpx) parses structurally but
-  its tokens would be read with wrong default probabilities — closing
-  that needs only the two-table transcription, every other piece is
-  in place.  Until then `decode_vp8` raises NotImplementedError for
-  streams that do not carry full coefficient-probability updates, so
-  external payloads route to `decode_error` rather than decoding
-  wrong pixels.
+* FULLY INTEROPERABLE (round-5 third continuation — the former
+  documented gap is closed): the three empirically-trained constant
+  tables RFC 6386 ships — default coefficient probabilities (§13.5),
+  coefficient-update-flag probabilities (§13.4) and key-frame B-mode
+  probabilities (§11.5) — now live in `kernels/vp8_tables.py`,
+  transcribed from the system libwebp's .rodata by
+  `tools/extract_vp8_tables.py` (public normative constants; the
+  module is frozen, no runtime library dependency) and FUNCTIONALLY
+  verified: streams from this encoder decode bit-exactly in libwebp
+  and real `WebPEncodeRGB` streams decode bit-exactly here
+  (tests/parity/test_vp8_libwebp.py, import-gated).  Streams without
+  probability updates token-decode under the §13.5 defaults — the
+  shape every real encoder emits.
 * ALPH alpha channels (round-5 continuation) decode next to the VP8
   frame — raw and lossless compression, all four prediction filters —
   so transparent lossy WebP (still and ANMF animation frames) yields
   RGBA; see webp_codec.decode_alpha.
-* The loop filter is parsed but not applied; the fixture encoder
-  always emits filter_level 0, for which the spec filter is a no-op,
-  so fixture decodes are bit-exact.  Non-zero filter levels raise
-  (routed), never silently produce unfiltered pixels.
+* The loop filter (§15) is applied in full — normal and simple
+  types, macroblock and subblock edges, sharpness-adjusted interior
+  limits, hev thresholds, per-segment/delta level adjustment — as a
+  post-pass over the padded planes (VP8 intra prediction uses
+  unfiltered neighbors, so reconstruction is unchanged).  Bit-exact
+  against libwebp across the filter parameter space.
 
 YUV->RGB uses libwebp's published fixed-point conversion (yuv.h:
 R = (19077*y>>8) + (26149*v>>8) - 14234, etc., output >>6, clamped)
@@ -281,6 +279,9 @@ _NEUTRAL_BMODE_PROB = [128] * 9
 
 _SEGMENT_TREE = [2, 4, -0, -1, -2, -3]
 
+from .vp8_tables import (COEFF_UPDATE_PROBS, DEFAULT_COEFF_PROBS,  # noqa: E402
+                         KF_BMODE_PROBS)
+
 # §13.4/§13.5: the update-flag and default coefficient probability
 # tables are the other empirically-trained pair (see docstring).  Shape
 # [4 block types][8 bands][3 contexts][11 tree positions].
@@ -460,6 +461,131 @@ class _Plane:
             edge = row[self.w]
             for c in range(8):
                 row[self.w + 1 + c] = edge
+
+
+# ---------------------------------------------------------------------------
+# Loop filter (RFC 6386 §15) — applied to the padded planes after the
+# whole frame reconstructs (VP8 intra prediction uses UNfiltered
+# neighbors, so filtering is a pure post-pass).  Bit-exactness is
+# pinned against libwebp in tests/parity/test_vp8_libwebp.py.
+# ---------------------------------------------------------------------------
+
+
+def _c128(v: int) -> int:
+    return -128 if v < -128 else (127 if v > 127 else v)
+
+
+def _lf_edge(pl: _Plane, x0: int, y0: int, n: int, horiz: bool,
+             mb_edge: bool, flt_simple: bool, elim: int, ilim: int,
+             hev_t: int) -> None:
+    """Filter one edge of length ``n``: vertical edge at column x0
+    (pixels vary along y) or horizontal edge at row y0 (pixels vary
+    along x), per the §15.2/§15.3 pixel adjustments."""
+    for k in range(n):
+        if horiz:
+            col = x0 + k + 1
+            def g(o): return pl.px[y0 + o + 1][col]
+            def s(o, v): pl.px[y0 + o + 1][col] = v
+        else:
+            row = pl.px[y0 + k + 1]
+            def g(o, row=row): return row[x0 + o + 1]
+            def s(o, v, row=row): row[x0 + o + 1] = v
+        p1, p0, q0, q1 = g(-2), g(-1), g(0), g(1)
+        if abs(p0 - q0) * 2 + abs(p1 - q1) // 2 > elim:
+            continue
+        if flt_simple:
+            P1, P0, Q0, Q1 = p1 - 128, p0 - 128, q0 - 128, q1 - 128
+            a = _c128(_c128(P1 - Q1) + 3 * (Q0 - P0))
+            F = _c128(a + 4) >> 3
+            E = _c128(a + 3) >> 3
+            s(-1, _c128(P0 + E) + 128)
+            s(0, _c128(Q0 - F) + 128)
+            continue
+        p3, p2 = g(-4), g(-3)
+        q2, q3 = g(2), g(3)
+        if (abs(p3 - p2) > ilim or abs(p2 - p1) > ilim
+                or abs(p1 - p0) > ilim or abs(q1 - q0) > ilim
+                or abs(q2 - q1) > ilim or abs(q3 - q2) > ilim):
+            continue
+        hev = abs(p1 - p0) > hev_t or abs(q1 - q0) > hev_t
+        P1, P0, Q0, Q1 = p1 - 128, p0 - 128, q0 - 128, q1 - 128
+        if mb_edge and not hev:
+            P2, Q2 = p2 - 128, q2 - 128
+            w = _c128(_c128(P1 - Q1) + 3 * (Q0 - P0))
+            a = _c128((27 * w + 63) >> 7)
+            s(0, _c128(Q0 - a) + 128)
+            s(-1, _c128(P0 + a) + 128)
+            a = _c128((18 * w + 63) >> 7)
+            s(1, _c128(Q1 - a) + 128)
+            s(-2, _c128(P1 + a) + 128)
+            a = _c128((9 * w + 63) >> 7)
+            s(2, _c128(Q2 - a) + 128)
+            s(-3, _c128(P2 + a) + 128)
+        else:
+            use_outer = 1 if (mb_edge or hev) else 0
+            a = _c128((_c128(P1 - Q1) if use_outer else 0)
+                      + 3 * (Q0 - P0))
+            F = _c128(a + 4) >> 3
+            E = _c128(a + 3) >> 3
+            s(0, _c128(Q0 - F) + 128)
+            s(-1, _c128(P0 + E) + 128)
+            if not hev:
+                a2 = (F + 1) >> 1
+                s(1, _c128(Q1 - a2) + 128)
+                s(-2, _c128(P1 + a2) + 128)
+
+
+def _apply_loop_filter(yp: _Plane, up: _Plane, vp: _Plane,
+                       mb_w: int, mb_h: int, mb_info: List[tuple],
+                       flt_simple: bool, base_level: int,
+                       sharpness: int, seg_enabled: int, seg_abs: int,
+                       seg_lf_delta: List[int], lf_delta_on: int,
+                       lf_ref_delta: List[int],
+                       lf_mode_delta: List[int]) -> None:
+    for mb_y in range(mb_h):
+        for mb_x in range(mb_w):
+            seg, bpred, inner = mb_info[mb_y * mb_w + mb_x]
+            lvl = base_level
+            if seg_enabled:
+                lvl = (seg_lf_delta[seg] if seg_abs
+                       else base_level + seg_lf_delta[seg])
+            if lf_delta_on:
+                lvl += lf_ref_delta[0]          # INTRA_FRAME
+                if bpred:
+                    lvl += lf_mode_delta[0]
+            lvl = max(0, min(63, lvl))
+            if lvl == 0:
+                continue
+            ilim = lvl
+            if sharpness:
+                ilim >>= 2 if sharpness > 4 else 1
+                if ilim > 9 - sharpness:
+                    ilim = 9 - sharpness
+            ilim = max(ilim, 1)
+            hev_t = 2 if lvl >= 40 else (1 if lvl >= 15 else 0)
+            mb_lim = ((lvl + 2) * 2) + ilim
+            sub_lim = (lvl * 2) + ilim
+            x0, y0 = mb_x * 16, mb_y * 16
+            cx0, cy0 = mb_x * 8, mb_y * 8
+            planes = ((yp, x0, y0, 16),) if flt_simple else \
+                ((yp, x0, y0, 16), (up, cx0, cy0, 8),
+                 (vp, cx0, cy0, 8))
+            for pl, px0, py0, bs in planes:
+                step = 4 if bs == 16 else 4
+                if mb_x > 0:
+                    _lf_edge(pl, px0, py0, bs, False, True,
+                             flt_simple, mb_lim, ilim, hev_t)
+                if inner:
+                    for dx in range(step, bs, step):
+                        _lf_edge(pl, px0 + dx, py0, bs, False, False,
+                                 flt_simple, sub_lim, ilim, hev_t)
+                if mb_y > 0:
+                    _lf_edge(pl, px0, py0, bs, True, True,
+                             flt_simple, mb_lim, ilim, hev_t)
+                if inner:
+                    for dy in range(step, bs, step):
+                        _lf_edge(pl, px0, py0 + dy, bs, True, False,
+                                 flt_simple, sub_lim, ilim, hev_t)
 
 
 def _pred_dc(plane: _Plane, x: int, y: int, n: int,
@@ -672,6 +798,7 @@ def decode_vp8(data: bytes, max_pixels: int = MAX_PIXELS) -> DecodedVp8:
     update_map = 0
     seg_tree_probs = [255, 255, 255]
     seg_q_delta = [0, 0, 0, 0]
+    seg_lf_delta = [0, 0, 0, 0]
     seg_abs = 0
     if seg_enabled:
         update_map = bd.get(128)
@@ -681,24 +808,26 @@ def decode_vp8(data: bytes, max_pixels: int = MAX_PIXELS) -> DecodedVp8:
             for i in range(4):
                 if bd.get(128):
                     seg_q_delta[i] = bd.signed(7)
-            for _ in range(4):            # loop filter deltas (unused)
+            for i in range(4):            # per-segment loop filter
                 if bd.get(128):
-                    bd.signed(6)
+                    seg_lf_delta[i] = bd.signed(6)
         if update_map:
             for i in range(3):
                 seg_tree_probs[i] = bd.literal(8) if bd.get(128) else 255
-    bd.get(128)                          # filter type
+    filter_type = bd.get(128)            # 0 = normal, 1 = simple
     filter_level = bd.literal(6)
-    bd.literal(3)                        # sharpness
-    if bd.get(128):                      # lf delta enable
+    sharpness = bd.literal(3)
+    lf_delta_enabled = bd.get(128)
+    lf_ref_delta = [0, 0, 0, 0]
+    lf_mode_delta = [0, 0, 0, 0]
+    if lf_delta_enabled:
         if bd.get(128):                  # lf delta update
-            for _ in range(8):
+            for i in range(4):
                 if bd.get(128):
-                    bd.signed(6)
-    if filter_level != 0:
-        raise NotImplementedError(
-            "VP8 loop filter not applied (filter_level > 0); refusing "
-            "to emit unfiltered pixels")
+                    lf_ref_delta[i] = bd.signed(6)
+            for i in range(4):
+                if bd.get(128):
+                    lf_mode_delta[i] = bd.signed(6)
 
     n_parts = 1 << bd.literal(2)
     rest = header[first_part_size:]
@@ -730,23 +859,20 @@ def decode_vp8(data: bytes, max_pixels: int = MAX_PIXELS) -> DecodedVp8:
 
     bd.get(128)                          # refresh entropy probs
 
-    coeff_probs = _new_coeff_probs()
-    updated = 0
+    # §13.4: per-probability update flags are coded under the constant
+    # COEFF_UPDATE_PROBS table; absent updates keep the RFC 6386 §13.5
+    # defaults — real encoders (libwebp et al.) rely on this, so this
+    # IS the interop path (bit-exactness pinned against libwebp in
+    # tests/parity/test_vp8_libwebp.py)
+    coeff_probs = [[[list(DEFAULT_COEFF_PROBS[i][j][k])
+                     for k in range(3)] for j in range(8)]
+                   for i in range(4)]
     for i in range(4):
         for j in range(8):
             for k in range(3):
                 for li in range(11):
-                    if bd.get(_NEUTRAL_PROB):
+                    if bd.get(COEFF_UPDATE_PROBS[i][j][k][li]):
                         coeff_probs[i][j][k][li] = bd.literal(8)
-                        updated += 1
-    if updated < 11:
-        # Streams from this module's encoder always carry full updates
-        # for the probabilities they use; a bare stream would decode
-        # against the RFC default table this sandbox cannot transcribe.
-        raise NotImplementedError(
-            "VP8 stream without coefficient-probability updates needs "
-            "the RFC 6386 default probability tables (not vendored "
-            "here; see module docstring)")
 
     mb_skip_enabled = bd.get(128)
     prob_skip = bd.literal(8) if mb_skip_enabled else 0
@@ -794,6 +920,7 @@ def decode_vp8(data: bytes, max_pixels: int = MAX_PIXELS) -> DecodedVp8:
             i += 1
         return out
 
+    mb_info: List[tuple] = []            # (segment, bpred, inner-edges)
     for mb_y in range(mb_h):
         left_nz = [0] * 9
         left_bmode = [B_DC] * 4
@@ -813,7 +940,7 @@ def decode_vp8(data: bytes, max_pixels: int = MAX_PIXELS) -> DecodedVp8:
                         bmodes[sb - 4]
                     _l = left_bmode[r] if c == 0 else bmodes[sb - 1]
                     bmodes[sb] = bd.tree(_BMODE_TREE,
-                                         _NEUTRAL_BMODE_PROB)
+                                         KF_BMODE_PROBS[_a][_l])
             uvmode = bd.tree(_UV_MODE_TREE, _KF_UV_PROB)
             above_bmode[mb_x] = ([bmodes[12 + i] for i in range(4)]
                                  if ymode == B_PRED else
@@ -823,6 +950,7 @@ def decode_vp8(data: bytes, max_pixels: int = MAX_PIXELS) -> DecodedVp8:
 
             has_y2 = ymode != B_PRED
             y2_dc = [0] * 16
+            mb_nz = False
             if skip:
                 for i in range(8):
                     above_nz[mb_x][i] = 0
@@ -839,6 +967,7 @@ def decode_vp8(data: bytes, max_pixels: int = MAX_PIXELS) -> DecodedVp8:
                     nz = int(any(c2))
                     above_nz[mb_x][8] = nz
                     left_nz[8] = nz
+                    mb_nz = mb_nz or bool(nz)
                     y2_dc = _iwht4x4(c2)
                 y_coeffs = []
                 btype = 0 if has_y2 else 3
@@ -854,6 +983,7 @@ def decode_vp8(data: bytes, max_pixels: int = MAX_PIXELS) -> DecodedVp8:
                     nz = int(any(coeffs))
                     above_nz[mb_x][c] = nz
                     left_nz[r] = nz
+                    mb_nz = mb_nz or bool(nz)
                     if has_y2:
                         coeffs[0] = y2_dc[sb]
                     y_coeffs.append(coeffs)
@@ -869,14 +999,24 @@ def decode_vp8(data: bytes, max_pixels: int = MAX_PIXELS) -> DecodedVp8:
                         nz = int(any(coeffs))
                         above_nz[mb_x][idx] = nz
                         left_nz[lidx] = nz
+                        mb_nz = mb_nz or bool(nz)
                         uv_coeffs.append(coeffs)
 
+            mb_info.append((seg, ymode == B_PRED,
+                            mb_nz or ymode == B_PRED))
             _reconstruct_mb(yp, up, vp, mb_x, mb_y, mb_w, mb_h, ymode,
                             bmodes, uvmode, y_coeffs, uv_coeffs,
                             has_y2)
         yp.extend_right(mb_y * 16, 16)
         up.extend_right(mb_y * 8, 8)
         vp.extend_right(mb_y * 8, 8)
+
+    if filter_level > 0:
+        _apply_loop_filter(yp, up, vp, mb_w, mb_h, mb_info,
+                           bool(filter_type), filter_level, sharpness,
+                           seg_enabled, seg_abs, seg_lf_delta,
+                           lf_delta_enabled, lf_ref_delta,
+                           lf_mode_delta)
 
     cw, ch = (width + 1) // 2, (height + 1) // 2
     ybytes = bytearray()
@@ -1041,24 +1181,33 @@ class _TokenWriter:
 
 def encode_vp8(width: int, height: int, y: bytes, u: bytes, v: bytes,
                qi: int = 8, mode: str = "dc", n_parts: int = 1,
-               return_recon: bool = False):
+               return_recon: bool = False, filter_level: int = 0,
+               sharpness: int = 0, filter_type: int = 0,
+               default_probs: bool = False):
     """Encode YUV 4:2:0 planes as one self-describing VP8 key frame.
 
     ``mode``: 'dc' / 'v' / 'h' / 'tm' (16x16 prediction for every MB),
     or 'bpred' (4x4 B_PRED, rotating through all ten submodes).  The
     stream mirrors the decoder exactly: reconstruction-based
     prediction, Y2 WHT for 16x16 modes, skip flags for all-zero MBs,
-    ``n_parts`` token partitions.
+    ``n_parts`` token partitions.  ``filter_level``/``sharpness``/
+    ``filter_type`` set the loop-filter header fields (the encoder's
+    own recon stays pre-filter, exactly like real encoders — decode
+    output then includes the §15 filter).  ``default_probs=True``
+    writes NO coefficient-probability updates, token-coding under the
+    RFC 6386 §13.5 default table — the shape every real encoder emits.
     """
     assert mode in ("dc", "v", "h", "tm", "bpred")
     assert n_parts in (1, 2, 4, 8)
+    assert 0 <= filter_level <= 63 and 0 <= sharpness <= 7
     cw, ch = (width + 1) // 2, (height + 1) // 2
     assert len(y) == width * height and len(u) == cw * ch \
         and len(v) == cw * ch
     mb_w = (width + 15) // 16
     mb_h = (height + 15) // 16
     quants = _resolve_quants(qi, 0, 0, 0, 0, 0)
-    probs = _fixture_coeff_probs()
+    probs = (DEFAULT_COEFF_PROBS if default_probs
+             else _fixture_coeff_probs())
 
     def padded(src: bytes, sw: int, sh: int, bs: int, nmb_w: int,
                nmb_h: int) -> List[List[int]]:
@@ -1082,21 +1231,29 @@ def encode_vp8(width: int, height: int, y: bytes, u: bytes, v: bytes,
     hd.put(128, 0)                       # color space
     hd.put(128, 0)                       # clamping
     hd.put(128, 0)                       # segmentation disabled
-    hd.put(128, 0)                       # filter type
-    hd.literal(0, 6)                     # filter level 0 (no-op filter)
-    hd.literal(0, 3)                     # sharpness
+    hd.put(128, 1 if filter_type else 0)
+    hd.literal(filter_level, 6)
+    hd.literal(sharpness, 3)
     hd.put(128, 0)                       # lf delta disable
     hd.literal({1: 0, 2: 1, 4: 2, 8: 3}[n_parts], 2)
     hd.literal(qi, 7)
     for _ in range(5):
         hd.put(128, 0)                   # no quant deltas
     hd.put(128, 1)                       # refresh entropy probs
-    for i in range(4):                   # full self-describing updates
+    # §13.4: update flags coded under the constant update-prob table;
+    # skip the flag-1 path where the fixture prob already equals the
+    # RFC default (real encoders do exactly this)
+    for i in range(4):
         for j in range(8):
             for k in range(3):
                 for li in range(11):
-                    hd.put(_NEUTRAL_PROB, 1)
-                    hd.literal(probs[i][j][k][li], 8)
+                    up = COEFF_UPDATE_PROBS[i][j][k][li]
+                    if probs[i][j][k][li] == \
+                            DEFAULT_COEFF_PROBS[i][j][k][li]:
+                        hd.put(up, 0)
+                    else:
+                        hd.put(up, 1)
+                        hd.literal(probs[i][j][k][li], 8)
     hd.put(128, 1)                       # mb_no_coeff_skip enabled
     prob_skip = 180
     hd.literal(prob_skip, 8)
@@ -1107,9 +1264,11 @@ def encode_vp8(width: int, height: int, y: bytes, u: bytes, v: bytes,
     above_nz = [[0] * 9 for _ in range(mb_w)]
     ymode_id = {"dc": DC_PRED, "v": V_PRED, "h": H_PRED,
                 "tm": TM_PRED, "bpred": B_PRED}[mode]
+    enc_above_bmode = [[B_DC] * 4 for _ in range(mb_w)]
 
     for mb_y in range(mb_h):
         left_nz = [0] * 9
+        enc_left_bmode = [B_DC] * 4
         tw = twriters[mb_y % n_parts]
         for mb_x in range(mb_w):
             x0, y0 = mb_x * 16, mb_y * 16
@@ -1197,9 +1356,20 @@ def encode_vp8(width: int, height: int, y: bytes, u: bytes, v: bytes,
             hd.tree(_KF_YMODE_PATHS[ymode_id], _KF_YMODE_PROB)
             if ymode_id == B_PRED:
                 for sb in range(16):
+                    r, c = sb // 4, sb % 4
+                    ctx_a = enc_above_bmode[mb_x][c] if r == 0 \
+                        else bmodes[sb - 4]
+                    ctx_l = enc_left_bmode[r] if c == 0 \
+                        else bmodes[sb - 1]
                     hd.tree(_BMODE_PATHS[bmodes[sb]],
-                            _NEUTRAL_BMODE_PROB)
+                            KF_BMODE_PROBS[ctx_a][ctx_l])
             hd.tree(_UV_MODE_PATHS[uvmode_id], _KF_UV_PROB)
+            enc_above_bmode[mb_x] = (
+                [bmodes[12 + i] for i in range(4)]
+                if ymode_id == B_PRED else [_MB_TO_B[ymode_id]] * 4)
+            enc_left_bmode = (
+                [bmodes[3 + 4 * i] for i in range(4)]
+                if ymode_id == B_PRED else [_MB_TO_B[ymode_id]] * 4)
 
             # ---- tokens + reconstruction (must mirror the decoder)
             if skip:
@@ -1402,14 +1572,20 @@ def encode_webp_lossy(width: int, height: int, rgb: bytes,
                       qi: int = 8, mode: str = "dc",
                       n_parts: int = 1,
                       alpha: "bytes | None" = None,
-                      alpha_filter: int = 0) -> bytes:
+                      alpha_filter: int = 0,
+                      filter_level: int = 0, sharpness: int = 0,
+                      filter_type: int = 0,
+                      default_probs: bool = False) -> bytes:
     """RIFF/WEBP container around one VP8 key frame; with ``alpha``
     (w*h bytes) a VP8X container carrying an ALPH chunk (lossless
     alpha compression, optional prediction filter) precedes it —
-    the transparent-lossy-WebP shape (round 5)."""
+    the transparent-lossy-WebP shape (round 5).  Loop-filter and
+    default-probability knobs pass through to :func:`encode_vp8`."""
     y, u, v = rgb_to_yuv420(width, height, rgb)
     frame = encode_vp8(width, height, y, u, v, qi=qi, mode=mode,
-                       n_parts=n_parts)
+                       n_parts=n_parts, filter_level=filter_level,
+                       sharpness=sharpness, filter_type=filter_type,
+                       default_probs=default_probs)
     chunks = bytearray()
     if alpha is not None:
         from .webp_codec import encode_alpha

@@ -6377,15 +6377,28 @@ def q_media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 qi = (d * 7) % 48
                 mode = "tm" if d % 2 else "dc"
                 n_parts = 2 if d % 3 == 0 else 1
+                # round-5 third continuation: rotate the REAL-stream
+                # shapes through the stage with zero oracle drift —
+                # default_probs tokens (no §13.4 updates, the form
+                # every real encoder emits) reconstruct identically,
+                # and the §15 loop filter is a mathematical no-op on
+                # solid-gray content (every edge adjustment is 0), so
+                # the closed-form pixel oracle is untouched while the
+                # default-table and filter paths run under the gate.
+                dp = d % 2 == 0
+                fl = (d * 11) % 64 if d % 3 else 0
                 if d % 5 == 4:
                     y, u, v = rgb_to_yuv420(w, h, rgb)
                     frame = encode_vp8(w, h, y, u, v, qi=qi,
-                                       mode=mode, n_parts=n_parts)
+                                       mode=mode, n_parts=n_parts,
+                                       default_probs=dp,
+                                       filter_level=fl)
                     blobs.append(encode_webm_vp8(w, h, [frame]))
                 else:
                     blobs.append(encode_webp_lossy(
                         w, h, rgb, qi=qi, mode=mode,
-                        n_parts=n_parts))
+                        n_parts=n_parts, default_probs=dp,
+                        filter_level=fl, filter_type=d % 2))
             yield pd.DataFrame({"url": urls, "html": blobs})
 
     v8 = (
