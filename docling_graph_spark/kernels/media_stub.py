@@ -1,11 +1,14 @@
-"""Media (image/audio/video) decode kernels — STUBBED decode, real plumbing.
+"""Media (image/audio/video) decode routing — real decode where feasible.
 
-No image/audio libraries ship in this container, so the actual decode step
-is explicitly unavailable (`decode_media` raises NotImplementedError), while
-everything the Spark layer needs — magic-byte sniffing, typed metadata,
-batch-shaped feature extraction with a deterministic fake feature vector —
-is real and fully testable.  A production build swaps `fake_features` for a
-real decoder/encoder behind the same signatures.
+`decode_media` dispatches every sniffed media type to a real decoder:
+the pure-Python clean-room codecs in this package for the formats whose
+specs are transcribable (PNG/JPEG/GIF/BMP/WebP incl. full VP8, TIFF,
+ICO, WAV/FLAC/Vorbis, AVI/WebM/MP4 container subsets) plus a
+dlopen-gated libheif binding for the CABAC-era HEIC/AVIF family.  The
+remaining NotImplementedError routes name their codec and fall back to
+header-only probes — a routed column, never a crash.  `fake_features`
+remains the deterministic stand-in for embedding-style feature
+extraction (content-hash floats, batch-shaped like a real model).
 
 The deterministic fake features are a content hash expanded to floats:
 blake2b(payload) → `dim` uint16 words → [0,1) floats.  Same bytes, same
@@ -55,9 +58,9 @@ def sniff_media_type(payload: Optional[bytes]) -> str:
         brand = payload[8:12]
         if brand in (b"heic", b"heix", b"hevc", b"hevx", b"mif1",
                      b"msf1"):
-            return "image/heic"     # HEIF stills (no HEVC decoder)
+            return "image/heic"     # HEIF stills (libheif-gated)
         if brand in (b"avif", b"avis"):
-            return "image/avif"     # AV1 stills (no AV1 decoder)
+            return "image/avif"     # AV1 stills (libheif-gated)
         return "video/mp4"          # any other ISO BMFF brand
     if payload[0:1] == b"\xff" and len(payload) >= 4 \
             and (payload[1] & 0xE0) == 0xE0:
@@ -144,10 +147,15 @@ def decode_media(payload: bytes, media_type: str):
     gray/RGB 8/16-bit, none/PackBits/LZW ± horizontal predictor,
     strips, tiles and planar planes) plus new-style JPEG-in-TIFF
     (compression 7 with shared JPEGTables, gray or YCbCr, through the
-    real baseline JPEG decoder; old-style 6 routes as unsupported).
+    real baseline JPEG decoder) and old-style JPEG (compression 6)
+    when it carries the JPEGInterchangeFormat whole-stream layout.
     ``image/x-icon`` (favicons) decodes
     for real — embedded-PNG and 1/4/8/24/32-bit DIB entries with AND-
     mask transparency (`kernels/ico_codec.py`), largest entry chosen.
+    ``image/heic`` and ``image/avif`` decode for real through the
+    system libheif (HEVC via libde265, AV1 via libaom/dav1d) behind a
+    dlopen gate (`kernels/heif_native.py`) — absent the library they
+    route to the ispe geometry probe as before.
     ``image/webp`` decodes for real — VP8L
     lossless bitstream (`kernels/webp_codec.py`: canonical prefix
     codes, LZ77 + color cache, all four inverse transforms) AND, round
@@ -213,6 +221,10 @@ def decode_media(payload: bytes, media_type: str):
         from .mp4_parse import decode_mp4
 
         return decode_mp4(payload)
+    if media_type in ("image/heic", "image/avif"):
+        from .heif_native import decode_heif
+
+        return decode_heif(payload)
     raise NotImplementedError(
         "media decode requires image/audio libraries not present in this "
         f"container (requested: {media_type}); use fake_features for the "

@@ -1,0 +1,64 @@
+"""HEIC/AVIF decode through the dlopen-gated libheif binding."""
+import pytest
+
+from docling_graph_spark.kernels.heif_native import (
+    decode_heif, encode_heif, heif_available)
+
+pytestmark = pytest.mark.skipif(not heif_available(),
+                                reason="libheif not loadable")
+
+
+def _rgb(w, h, seed=1):
+    return bytes((x * 3 + y * 2 + c * 5 + seed) % 256
+                 for y in range(h) for x in range(w) for c in range(3))
+
+
+@pytest.mark.parametrize("fmt", ["heic", "avif"])
+def test_roundtrip_lossy_close_and_geometry_exact(fmt):
+    w, h = 32, 24
+    rgb = _rgb(w, h)
+    blob = encode_heif(w, h, rgb, fmt=fmt, quality=90)
+    dec = decode_heif(blob)
+    assert (dec.width, dec.height, dec.channels) == (w, h, 3)
+    assert max(abs(a - b) for a, b in zip(dec.pixels, rgb)) <= 32
+    # container magic matches the sniffer's typing
+    from docling_graph_spark.kernels.media_stub import sniff_media_type
+
+    assert sniff_media_type(blob) == f"image/{fmt}"
+
+
+@pytest.mark.parametrize("fmt", ["heic", "avif"])
+def test_decode_media_routes_heif(fmt):
+    from docling_graph_spark.kernels.media_stub import decode_media
+
+    blob = encode_heif(20, 16, _rgb(20, 16, 7), fmt=fmt)
+    dec = decode_media(blob, f"image/{fmt}")
+    assert (dec.width, dec.height) == (20, 16)
+    assert len(dec.pixels) == 20 * 16 * dec.channels
+
+
+def test_malformed_and_bomb_route_cleanly():
+    blob = encode_heif(16, 16, _rgb(16, 16), fmt="avif")
+    with pytest.raises(ValueError):
+        decode_heif(blob[:40])
+    with pytest.raises(ValueError, match="decode guard"):
+        decode_heif(blob, max_pixels=16 * 16 - 1)
+    with pytest.raises(ValueError):
+        decode_heif(b"\x00\x00\x00\x10ftypavif" + b"\x00" * 16)
+
+
+def test_through_media_decode_stats(spark):
+    from docling_graph_spark.operators import multimodal as mm
+
+    blob_h = encode_heif(24, 16, _rgb(24, 16, 3), fmt="heic")
+    blob_a = encode_heif(24, 16, _rgb(24, 16, 4), fmt="avif")
+    df = spark.createDataFrame(
+        [("a.heic", blob_h), ("b.avif", blob_a)],
+        "url string, html binary")
+    rows = {r.url: r for r in mm.media_decode_stats(df).collect()}
+    for url, mt in (("a.heic", "image/heic"), ("b.avif", "image/avif")):
+        r = rows[url]
+        assert r.media_type == mt
+        assert r.decoded and (r.width, r.height) == (24, 16)
+        assert r.pixel_sum == sum(
+            decode_heif(blob_h if url == "a.heic" else blob_a).pixels)
