@@ -62,3 +62,39 @@ def test_through_media_decode_stats(spark):
         assert r.decoded and (r.width, r.height) == (24, 16)
         assert r.pixel_sum == sum(
             decode_heif(blob_h if url == "a.heic" else blob_a).pixels)
+
+
+def test_avif_transcode_pairs_with_jpeg_original(spark):
+    """The modern transcode-dedup case: a JPEG and its AVIF/HEIC
+    re-encodes of the same pixels land within the pHash near-dup
+    threshold and pair in image_near_dup."""
+    import numpy as np
+
+    from docling_graph_spark.kernels.jpeg_codec import (
+        encode_jpeg_ycbcr420)
+    from docling_graph_spark.operators import multimodal as mm
+
+    # realistic size matters: pHash works on a 32x32 downsample, so
+    # per-pixel codec noise averages out at 128x96 (at 32x32 input it
+    # feeds the DCT directly and distances blow past the threshold)
+    import math
+
+    w, h = 128, 96
+    rgb = bytes(int(127 + 110 * math.sin((x + 2 * y + c * 9) / 23))
+                % 256 for y in range(h) for x in range(w)
+                for c in range(3))
+    from docling_graph_spark.kernels.vp8_codec import rgb_to_yuv420
+
+    y_, cb, cr = rgb_to_yuv420(w, h, rgb)
+    jpg = encode_jpeg_ycbcr420(w, h, y_, cb, cr)
+    avif = encode_heif(w, h, rgb, fmt="avif", quality=85)
+    heic = encode_heif(w, h, rgb, fmt="heic", quality=85)
+    df = spark.createDataFrame(
+        [("o.jpg", jpg), ("t.avif", avif), ("t.heic", heic)],
+        "url string, html binary")
+    hashes = {r.url: r for r in mm.image_hashes(df).collect()}
+    assert all(r.decoded for r in hashes.values())
+    pairs = {(p.url_a, p.url_b) for p in
+             mm.image_near_dup(df, max_hamming=8).collect()}
+    assert ("o.jpg", "t.avif") in pairs
+    assert ("o.jpg", "t.heic") in pairs
