@@ -352,6 +352,21 @@ Round-5 second-continuation additions (still 50 total):
                         tests/test_mp4_parse.py, tests/
                         test_media_tags.py, tests/test_tiff_codec.py)
 
+Round-5 third-continuation additions (still 50 total):
+  media_pipeline_stats += vp8_decode stage rotations for REAL-stream
+                        shapes with zero oracle drift: default-prob
+                        token coding (no §13.4 updates — what every
+                        real encoder emits; reconstruction identical
+                        by definition) and §15 loop-filter levels
+                        (mathematical no-op on the solid-gray
+                        fixtures).  The interop itself — RFC 6386
+                        constant tables transcribed+verified, full
+                        loop filter, bit-exact both directions vs
+                        libwebp — and the dlopen-gated libheif
+                        HEIC/AVIF decode are pytest-pinned
+                        (tests/parity/test_vp8_libwebp.py,
+                        tests/test_heif_native.py)
+
 Every merged section still runs its full operator; the single-purpose
 query functions remain in docling_graph_spark.queries as building blocks.
 
