@@ -103,9 +103,6 @@ def _lib_write(w, h, spp, pixels, comp, pred=1, rows=8):
     ("rgb_tiled", encode_tiff(20, 14, 3, _RGB, tile=(16, 16))),
     ("gray_deflate", encode_tiff(20, 14, 1, _GRAY, deflate=True)),
     ("gray_be", encode_tiff(20, 14, 1, _GRAY, big_endian=True)),
-    ("gray_oldjpeg", encode_tiff_oldjpeg(24, 16, 1,
-                                         bytes((i * 7) % 256
-                                               for i in range(384)))),
 ])
 def test_encode_direction_libtiff_reads_fixtures(name, blob):
     mine = decode_tiff(blob)
@@ -114,6 +111,19 @@ def test_encode_direction_libtiff_reads_fixtures(name, blob):
     lib = _lib_read_rgb(blob, mine.width, mine.height)
     assert lib is not None, "libtiff refused the fixture"
     assert lib == mine_rgb
+
+
+def test_oldjpeg_fixture_reads_in_libtiff_within_idct_tolerance():
+    """Old-style JPEG goes through libtiff's OJPEG shim + libjpeg,
+    whose IDCT legitimately differs from this decoder's within the
+    T.81 accuracy bounds — parity here is close, not byte-exact."""
+    gray = bytes((i * 7) % 256 for i in range(24 * 16))
+    blob = encode_tiff_oldjpeg(24, 16, 1, gray)
+    mine = decode_tiff(blob)
+    lib = _lib_read_rgb(blob, 24, 16)
+    assert lib is not None, "libtiff refused the old-style fixture"
+    mine_rgb = bytes(b for v in mine.pixels for b in (v, v, v))
+    assert max(abs(a - b) for a, b in zip(lib, mine_rgb)) <= 4
 
 
 @pytest.mark.parametrize("name,spp,px,comp,pred", [
