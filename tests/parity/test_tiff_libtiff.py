@@ -140,3 +140,65 @@ def test_decode_direction_libtiff_written_files(name, spp, px, comp,
     dec = decode_tiff(blob)
     assert (dec.width, dec.height, dec.channels) == (20, 14, spp)
     assert dec.pixels == px
+
+
+def _lib_write_jpeg(w, h, spp, pixels, quality=90):
+    fd, path = tempfile.mkstemp(suffix=".tif")
+    os.close(fd)
+    t = ctypes.c_void_p(_LT.TIFFOpen(path.encode(), b"w"))
+
+    def sf(tag, val):
+        _LT.TIFFSetField(t, ctypes.c_uint32(tag), ctypes.c_int(val))
+
+    sf(256, w)
+    sf(257, h)
+    sf(258, 8)
+    sf(277, spp)
+    sf(259, 7)                          # new-style JPEG
+    sf(262, 6 if spp == 3 else 1)
+    sf(284, 1)
+    sf(278, 16)
+    sf(65537, quality)                  # TIFFTAG_JPEGQUALITY
+    if spp == 3:
+        sf(65538, 1)                    # JPEGCOLORMODE_RGB
+    stride = w * spp
+    for y in range(h):
+        row = (ctypes.c_uint8 * stride).from_buffer_copy(
+            pixels[y * stride:(y + 1) * stride])
+        assert _LT.TIFFWriteScanline(t, row, y, 0) == 1
+    _LT.TIFFClose(t)
+    data = open(path, "rb").read()
+    os.unlink(path)
+    return data
+
+
+@pytest.mark.parametrize("spp", [1, 3])
+def test_decode_direction_real_libjpeg_streams(spp):
+    """JPEG-in-TIFF written by libtiff carries REAL libjpeg-encoded
+    strips (optimized tables, libjpeg's own DCT choices) — the first
+    genuinely foreign JPEG entropy streams this decoder meets.  Pixels
+    must agree with libtiff's own read within the T.81 IDCT/upsample
+    tolerance."""
+    import math
+
+    w, h = 32, 24
+    px = bytes(int(127 + 100 * math.sin((x + 2 * y + c * 3) / 5))
+               % 256 for y in range(h) for x in range(w)
+               for c in range(spp))
+    blob = _lib_write_jpeg(w, h, spp, px)
+    mine = decode_tiff(blob)
+    assert (mine.width, mine.height, mine.channels) == (w, h, spp)
+    lib = _lib_read_rgb(blob, w, h)
+    assert lib is not None
+    mine_rgb = (bytes(b for v in mine.pixels for b in (v, v, v))
+                if spp == 1 else mine.pixels)
+    diffs = [abs(a - b) for a, b in zip(lib, mine_rgb)]
+    if spp == 1:
+        assert max(diffs) <= 6        # IDCT variance only
+    else:
+        # 4:2:0 chroma upsampling is decoder-discretionary (libjpeg's
+        # fancy bilinear vs this decoder's box replication): bound the
+        # mean tightly and the per-pixel max loosely — an entropy
+        # decode error would blow both by an order of magnitude
+        assert sum(diffs) / len(diffs) <= 6
+        assert max(diffs) <= 32
