@@ -273,19 +273,13 @@ _BMODE_TREE = [
     -B_HD, -B_HU,
 ]
 _BMODE_PATHS = _tree_paths(_BMODE_TREE)
-# §11.5 ships a 10x10x9 empirically-trained kf_bmode_prob table; see the
-# module docstring for why it is replaced by the neutral prior here.
-_NEUTRAL_BMODE_PROB = [128] * 9
 
 _SEGMENT_TREE = [2, 4, -0, -1, -2, -3]
 
 from .vp8_tables import (COEFF_UPDATE_PROBS, DEFAULT_COEFF_PROBS,  # noqa: E402
                          KF_BMODE_PROBS)
 
-# §13.4/§13.5: the update-flag and default coefficient probability
-# tables are the other empirically-trained pair (see docstring).  Shape
-# [4 block types][8 bands][3 contexts][11 tree positions].
-_NEUTRAL_PROB = 128
+_NEUTRAL_PROB = 128      # fixture-table fill (see _fixture_coeff_probs)
 
 
 def _new_coeff_probs(fill: int = _NEUTRAL_PROB) -> List:
@@ -1092,9 +1086,10 @@ def _reconstruct_mb(yp: _Plane, up: _Plane, vp: _Plane, mb_x: int,
 # ---------------------------------------------------------------------------
 
 # The token probabilities the fixture encoder uses; every entry is
-# emitted as an in-stream §13.4 update, so decoders never consult the
-# (absent) RFC defaults.  Values shape the coder toward EOB-and-zero
-# heavy blocks, which is what quantized fixtures produce.
+# emitted as an in-stream §13.4 update (flags coded under the spec's
+# update-prob table).  Values shape the coder toward EOB-and-zero
+# heavy blocks, which is what quantized fixtures produce; real-stream
+# shapes use default_probs=True instead.
 _FIXTURE_TOKEN_PROBS = [224, 130, 150, 160, 170, 180, 190, 160,
                         170, 190, 210]
 
