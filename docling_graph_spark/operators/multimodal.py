@@ -92,13 +92,20 @@ MEDIA_TRANSFORMED = T.StructType([
 def media_transform(web_pages: DataFrame, width: int = 16, height: int = 16,
                     n_frames: int = 4, dim: int = FEATURE_DIM) -> DataFrame:
     """Resize + frame-sample plumbing in one Arrow pass: per payload, a
-    resized thumbnail payload (stubbed byte-grid resample, declared target
-    dims) and ``n_frames`` per-frame feature vectors for video-shaped
-    payloads.  Same mapInPandas shape as `media_features`: decoder state
-    initializes once per partition, only (url, html) cross the Arrow
-    boundary, output schema is flat and typed (binary thumb + nested
-    float arrays) — the layout a downstream training-data writer stores
-    directly as Iceberg columns."""
+    resized thumbnail payload and ``n_frames`` per-frame feature
+    vectors for video-shaped payloads.  Decodable rows (every format
+    `decode_media` handles — round-5 third continuation) get a REAL
+    luma thumbnail: decode -> BT.601 luma -> exact box resample to the
+    declared grid (the same kernels the perceptual hash is built on);
+    undecodable rows keep the deterministic byte-grid stub, so the
+    column is always populated.  Same mapInPandas shape as
+    `media_features`: decoder state initializes once per partition,
+    only (url, html) cross the Arrow boundary, output schema is flat
+    and typed (binary thumb + nested float arrays) — the layout a
+    downstream training-data writer stores directly as Iceberg
+    columns."""
+    from ..kernels.media_stub import decode_media
+    from ..kernels.phash import downsample, luma_plane
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -118,7 +125,17 @@ def media_transform(web_pages: DataFrame, width: int = 16, height: int = 16,
                 out["media_type"][i] = mtype
                 if not b:
                     continue
-                out["thumb"][i] = fake_resize(b, width, height)
+                try:
+                    dec = decode_media(b, mtype)
+                    if not hasattr(dec, "width"):
+                        raise ValueError("non-image decode")
+                    g = luma_plane(dec.pixels, dec.width, dec.height,
+                                   dec.channels)
+                    small = downsample(g, width, height)
+                    out["thumb"][i] = bytes(
+                        v for row in small for v in row)
+                except Exception:
+                    out["thumb"][i] = fake_resize(b, width, height)
                 if mtype.startswith(("video/", "audio/")):
                     frames = fake_frame_sample(b, n_frames, dim)
                 else:

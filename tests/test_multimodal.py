@@ -146,3 +146,26 @@ def test_media_features_on_corpus(spark, sf_smoke_dir):
                  synthesize_web_pages(spark, sf_smoke_dir)).collect()}
     assert set(stats) == {"text/html", "application/pdf"}
     assert stats["application/pdf"]["n_docs"] == 10  # 500 docs, 1 in 50
+
+
+def test_media_transform_real_thumbnails(spark):
+    """Decodable rows get a REAL luma box-resample thumbnail (exactly
+    w*h bytes, matching the phash downsample of the decoded pixels);
+    undecodable rows keep the deterministic byte-grid stub."""
+    from docling_graph_spark.kernels.phash import downsample, luma_plane
+    from docling_graph_spark.kernels.png_codec import encode_png_gray
+    from docling_graph_spark.operators import multimodal as mm
+
+    gray = bytes((i * 7) % 256 for i in range(24 * 16))
+    png = encode_png_gray(24, 16, gray)
+    want = bytes(v for row in downsample(
+        luma_plane(gray, 24, 16, 1), 8, 8) for v in row)
+    html = b"<html><p>not an image at all, just text</p></html>"
+    df = spark.createDataFrame(
+        [("img.png", png), ("page.html", html)],
+        "url string, html binary")
+    rows = {r.url: r for r in
+            mm.media_transform(df, width=8, height=8).collect()}
+    assert bytes(rows["img.png"].thumb) == want
+    assert bytes(rows["page.html"].thumb) == media_stub.fake_resize(
+        html, 8, 8)
