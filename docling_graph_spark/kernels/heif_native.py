@@ -220,3 +220,67 @@ def encode_heif(width: int, height: int, rgb: bytes,
         if enc:
             lh._enc_rel(enc)
         lh._ctx_free(ctx)
+
+
+# ---------------------------------------------------------- AV1 bridge
+
+def _box(cc: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + cc + body
+
+
+def wrap_av1_obus_as_avif(obus: bytes, width: int, height: int,
+                          av1c: bytes) -> bytes:
+    """Wrap a raw AV1 temporal unit (e.g. a WebM ``V_AV1`` key frame)
+    in a minimal valid AVIF so the gated libheif path can decode it:
+    ftyp + meta(hdlr/pitm/iloc/iinf/iprp[ipco(av1C,ispe)+ipma]) +
+    mdat.  ``av1c`` is the AV1CodecConfigurationBox CONTENT — exactly
+    what a Matroska ``V_AV1`` CodecPrivate carries."""
+    import struct
+
+    ftyp = _box(b"ftyp", b"avif" + bytes(4) + b"avifmif1")
+    hdlr = _box(b"hdlr", bytes(4) + bytes(4) + b"pict" + bytes(12))
+    pitm = _box(b"pitm", bytes(4) + struct.pack(">H", 1))
+    iinf = _box(b"iinf", bytes(4) + struct.pack(">H", 1)
+                + _box(b"infe", b"\x02" + bytes(3)
+                       + struct.pack(">HH", 1, 0) + b"av01"
+                       + b"Image\x00"))
+    av1c_box = _box(b"av1C", av1c)
+    ispe = _box(b"ispe", bytes(4)
+                + struct.pack(">II", width, height))
+    ipco = _box(b"ipco", av1c_box + ispe)
+    # ipma: item 1 -> property 1 (av1C, essential) + property 2 (ispe)
+    ipma = _box(b"ipma", bytes(4) + struct.pack(">I", 1)
+                + struct.pack(">H", 1) + b"\x02"
+                + bytes([0x80 | 1, 2]))
+    iprp = _box(b"iprp", ipco + ipma)
+    # iloc with a 4-byte absolute extent offset, patched after layout
+    iloc = _box(b"iloc", bytes(4) + b"\x44\x00"
+                + struct.pack(">H", 1)
+                + struct.pack(">HHH", 1, 0, 1)
+                + struct.pack(">II", 0, len(obus)))
+    meta_body = bytes(4) + hdlr + pitm + iloc + iinf + iprp
+    meta = _box(b"meta", meta_body)
+    mdat_off = len(ftyp) + len(meta) + 8
+    out = bytearray(ftyp + meta + _box(b"mdat", obus))
+    # patch the extent_offset (last 8 bytes of iloc body are
+    # offset+length); locate iloc inside the assembled buffer
+    at = bytes(out).find(b"iloc")
+    iloc_end = at + 4 + len(iloc) - 8
+    struct.pack_into(">I", out, iloc_end - 8, mdat_off)
+    return bytes(out)
+
+
+def decode_av1_obus(obus: bytes, width: int, height: int,
+                    av1c: bytes,
+                    max_pixels: int = MAX_PIXELS) -> DecodedHeif:
+    """Decode a raw AV1 key-frame temporal unit via the AVIF wrapper
+    (Matroska V_AV1 path); same gating and guards as decode_heif."""
+    if width * height > max_pixels:
+        raise ValueError(
+            f"AV1 dimensions {width}x{height} exceed the {max_pixels}"
+            "-pixel decode guard (decompression-bomb protection)")
+    return decode_heif(wrap_av1_obus_as_avif(obus, width, height,
+                                             av1c),
+                       max_pixels=max_pixels)

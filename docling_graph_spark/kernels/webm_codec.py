@@ -384,11 +384,23 @@ def decode_webm(payload: bytes,
         dj = decode_jpeg(payload[fs:fe])
         return DecodedWebmFrame(dj.width, dj.height, dj.channels,
                                 dj.pixels, n_frames, video.codec)
+    if video.codec == "V_AV1":
+        # AV1 key frame: CodecPrivate carries the av1C config — wrap
+        # the temporal unit as a minimal AVIF and decode through the
+        # dlopen-gated libheif path (raises the routed
+        # NotImplementedError when the library is absent)
+        from .heif_native import decode_av1_obus
+
+        da = decode_av1_obus(payload[fs:fe], video.width,
+                             video.height, video.codec_private,
+                             max_pixels=max_pixels)
+        return DecodedWebmFrame(da.width, da.height, da.channels,
+                                da.pixels, n_frames, video.codec)
     if video.codec != "V_VP8":
         raise NotImplementedError(
             f"WebM video codec '{video.codec or '?'}' requires "
-            "libraries not present in this container (only VP8 key "
-            "frames and Motion-JPEG decode)")
+            "libraries not present in this container (only VP8/AV1 "
+            "key frames and Motion-JPEG decode)")
     from .vp8_codec import decode_vp8, vp8_frame_to_rgb
 
     dec = decode_vp8(payload[fs:fe], max_pixels=max_pixels)
@@ -489,7 +501,8 @@ def encode_webm_vp8(width: int, height: int, frames: List[bytes],
                     title: str = "", tags: "dict | None" = None,
                     lacing: str = "none",
                     chapters: "List[str] | None" = None,
-                    codec: bytes = b"V_VP8") -> bytes:
+                    codec: bytes = b"V_VP8",
+                    codec_private: bytes = b"") -> bytes:
     """Fixture encoder: a structurally complete WebM around raw VP8
     frame bitstreams (as produced by `vp8_codec.encode_vp8`) — EBML
     header with DocType 'webm', Segment(Info(TimecodeScale [+ Title]),
@@ -517,7 +530,10 @@ def encode_webm_vp8(width: int, height: int, frames: List[bytes],
                   _uint_elem(_TRACK_NUMBER, 1)
                   + _uint_elem(0x73C5, 1)           # TrackUID
                   + _uint_elem(_TRACK_TYPE, 1)
-                  + _elem(_CODEC_ID, codec) + video)
+                  + _elem(_CODEC_ID, codec)
+                  + (_elem(_CODEC_PRIVATE, codec_private)
+                     if codec_private else b"")
+                  + video)
     tracks = _elem(_TRACKS, entry)
     tags_el = b""
     if tags:

@@ -98,3 +98,62 @@ def test_avif_transcode_pairs_with_jpeg_original(spark):
              mm.image_near_dup(df, max_hamming=8).collect()}
     assert ("o.jpg", "t.avif") in pairs
     assert ("o.jpg", "t.heic") in pairs
+
+
+def test_webm_av1_track_decodes_via_bridge():
+    """A WebM V_AV1 track (CodecPrivate = av1C content, block =
+    temporal unit) decodes end-to-end through the container route and
+    the AVIF wrapper to exactly what libheif yields for the
+    equivalent AVIF still; through media_decode_stats too."""
+    from docling_graph_spark.kernels.mp4_parse import _boxes, _find
+    from docling_graph_spark.kernels.webm_codec import (
+        decode_webm, encode_webm_vp8)
+
+    w, h = 32, 24
+    rgb = _rgb(w, h, 9)
+    avif = encode_heif(w, h, rgb, fmt="avif", quality=80)
+    want = decode_heif(avif)
+    meta = _find(avif, 0, len(avif), (b"meta",))
+    av1c = None
+    for cc, s, e in _boxes(avif, meta[0] + 4, meta[1]):
+        if cc == b"iprp":
+            for cc2, s2, e2 in _boxes(avif, s, e):
+                if cc2 == b"ipco":
+                    for cc3, s3, e3 in _boxes(avif, s2, e2):
+                        if cc3 == b"av1C":
+                            av1c = avif[s3:e3]
+    mdat = _find(avif, 0, len(avif), (b"mdat",))
+    obus = avif[mdat[0]:mdat[1]]
+    webm = encode_webm_vp8(w, h, [obus], codec=b"V_AV1",
+                           codec_private=av1c)
+    dec = decode_webm(webm)
+    assert dec.codec == "V_AV1"
+    assert (dec.width, dec.height) == (w, h)
+    assert dec.pixels == want.pixels
+
+
+def test_webm_av1_through_operator(spark):
+    from docling_graph_spark.kernels.mp4_parse import _boxes, _find
+    from docling_graph_spark.kernels.webm_codec import (
+        decode_webm, encode_webm_vp8)
+    from docling_graph_spark.operators import multimodal as mm
+
+    w, h = 24, 16
+    avif = encode_heif(w, h, _rgb(w, h, 5), fmt="avif")
+    meta = _find(avif, 0, len(avif), (b"meta",))
+    av1c = None
+    for cc, s, e in _boxes(avif, meta[0] + 4, meta[1]):
+        if cc == b"iprp":
+            for cc2, s2, e2 in _boxes(avif, s, e):
+                if cc2 == b"ipco":
+                    for cc3, s3, e3 in _boxes(avif, s2, e2):
+                        if cc3 == b"av1C":
+                            av1c = avif[s3:e3]
+    mdat = _find(avif, 0, len(avif), (b"mdat",))
+    webm = encode_webm_vp8(w, h, [avif[mdat[0]:mdat[1]]],
+                           codec=b"V_AV1", codec_private=av1c)
+    df = spark.createDataFrame([("clip.webm", webm)],
+                               "url string, html binary")
+    r = mm.media_decode_stats(df).collect()[0]
+    assert r.decoded and (r.width, r.height) == (w, h)
+    assert r.pixel_sum == sum(decode_webm(webm).pixels)
