@@ -230,26 +230,26 @@ def _box(cc: bytes, body: bytes) -> bytes:
     return struct.pack(">I", 8 + len(body)) + cc + body
 
 
-def wrap_av1_obus_as_avif(obus: bytes, width: int, height: int,
-                          av1c: bytes) -> bytes:
-    """Wrap a raw AV1 temporal unit (e.g. a WebM ``V_AV1`` key frame)
-    in a minimal valid AVIF so the gated libheif path can decode it:
-    ftyp + meta(hdlr/pitm/iloc/iinf/iprp[ipco(av1C,ispe)+ipma]) +
-    mdat.  ``av1c`` is the AV1CodecConfigurationBox CONTENT — exactly
-    what a Matroska ``V_AV1`` CodecPrivate carries."""
+def _wrap_item_as_heif(brand: bytes, item_type: bytes,
+                       cfg_fourcc: bytes, cfg: bytes, data: bytes,
+                       width: int, height: int) -> bytes:
+    """Wrap one coded still item (AV1 temporal unit or HEVC
+    length-prefixed NALs) in a minimal valid HEIF container so the
+    gated libheif path can decode it: ftyp +
+    meta(hdlr/pitm/iloc/iinf/iprp[ipco(cfg,ispe)+ipma]) + mdat."""
     import struct
 
-    ftyp = _box(b"ftyp", b"avif" + bytes(4) + b"avifmif1")
+    ftyp = _box(b"ftyp", brand + bytes(4) + brand + b"mif1")
     hdlr = _box(b"hdlr", bytes(4) + bytes(4) + b"pict" + bytes(12))
     pitm = _box(b"pitm", bytes(4) + struct.pack(">H", 1))
     iinf = _box(b"iinf", bytes(4) + struct.pack(">H", 1)
                 + _box(b"infe", b"\x02" + bytes(3)
-                       + struct.pack(">HH", 1, 0) + b"av01"
+                       + struct.pack(">HH", 1, 0) + item_type
                        + b"Image\x00"))
-    av1c_box = _box(b"av1C", av1c)
+    cfg_box = _box(cfg_fourcc, cfg)
     ispe = _box(b"ispe", bytes(4)
                 + struct.pack(">II", width, height))
-    ipco = _box(b"ipco", av1c_box + ispe)
+    ipco = _box(b"ipco", cfg_box + ispe)
     # ipma: item 1 -> property 1 (av1C, essential) + property 2 (ispe)
     ipma = _box(b"ipma", bytes(4) + struct.pack(">I", 1)
                 + struct.pack(">H", 1) + b"\x02"
@@ -259,11 +259,11 @@ def wrap_av1_obus_as_avif(obus: bytes, width: int, height: int,
     iloc = _box(b"iloc", bytes(4) + b"\x44\x00"
                 + struct.pack(">H", 1)
                 + struct.pack(">HHH", 1, 0, 1)
-                + struct.pack(">II", 0, len(obus)))
+                + struct.pack(">II", 0, len(data)))
     meta_body = bytes(4) + hdlr + pitm + iloc + iinf + iprp
     meta = _box(b"meta", meta_body)
     mdat_off = len(ftyp) + len(meta) + 8
-    out = bytearray(ftyp + meta + _box(b"mdat", obus))
+    out = bytearray(ftyp + meta + _box(b"mdat", data))
     # patch the extent_offset (last 8 bytes of iloc body are
     # offset+length); locate iloc inside the assembled buffer
     at = bytes(out).find(b"iloc")
@@ -272,15 +272,42 @@ def wrap_av1_obus_as_avif(obus: bytes, width: int, height: int,
     return bytes(out)
 
 
+def wrap_av1_obus_as_avif(obus: bytes, width: int, height: int,
+                          av1c: bytes) -> bytes:
+    """Minimal AVIF around a raw AV1 temporal unit; ``av1c`` is the
+    AV1CodecConfigurationBox content (= Matroska V_AV1
+    CodecPrivate / the MP4 av01 sample entry's av1C box body)."""
+    return _wrap_item_as_heif(b"avif", b"av01", b"av1C", av1c, obus,
+                              width, height)
+
+
 def decode_av1_obus(obus: bytes, width: int, height: int,
                     av1c: bytes,
                     max_pixels: int = MAX_PIXELS) -> DecodedHeif:
     """Decode a raw AV1 key-frame temporal unit via the AVIF wrapper
-    (Matroska V_AV1 path); same gating and guards as decode_heif."""
+    (Matroska V_AV1 / MP4 av01 path); same gating and guards as
+    decode_heif."""
     if width * height > max_pixels:
         raise ValueError(
             f"AV1 dimensions {width}x{height} exceed the {max_pixels}"
             "-pixel decode guard (decompression-bomb protection)")
     return decode_heif(wrap_av1_obus_as_avif(obus, width, height,
                                              av1c),
+                       max_pixels=max_pixels)
+
+
+def decode_hevc_sample(nals: bytes, width: int, height: int,
+                       hvcc: bytes,
+                       max_pixels: int = MAX_PIXELS) -> DecodedHeif:
+    """Decode one HEVC IDR sample (length-prefixed NAL units, exactly
+    the MP4/HEIC item format) via a minimal HEIC wrapper; ``hvcc`` is
+    the HEVCDecoderConfigurationRecord (the hvcC box body from the
+    MP4 hvc1/hev1 sample entry)."""
+    if width * height > max_pixels:
+        raise ValueError(
+            f"HEVC dimensions {width}x{height} exceed the "
+            f"{max_pixels}-pixel decode guard (decompression-bomb "
+            "protection)")
+    return decode_heif(_wrap_item_as_heif(b"heic", b"hvc1", b"hvcC",
+                                          hvcc, nals, width, height),
                        max_pixels=max_pixels)

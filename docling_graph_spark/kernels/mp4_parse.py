@@ -298,13 +298,18 @@ def decode_mp4(payload: bytes, max_pixels: int = MAX_PIXELS,
             stsd = _find(b, stbl[0], stbl[1], (b"stsd",))
             fmt = b""
             width = height = 0
+            cfg = {}
             if stsd is not None:
                 for cc3, s3, e3 in _boxes(b, stsd[0] + 8, stsd[1]):
                     fmt = cc3
-                    # VisualSampleEntry: width/height at body +24/+26
+                    # VisualSampleEntry: width/height at body +24/+26,
+                    # codec config boxes (av1C/hvcC/avcC) as children
+                    # after the 78-byte fixed part
                     if e3 - s3 >= 28:
                         width, height = struct.unpack_from(
                             ">HH", b, s3 + 24)
+                    for cc4, s4, e4 in _boxes(b, s3 + 78, e3):
+                        cfg[cc4] = b[s4:e4]
                     break
             if width * height > max_pixels:
                 raise ValueError(
@@ -320,17 +325,35 @@ def decode_mp4(payload: bytes, max_pixels: int = MAX_PIXELS,
                 raise ValueError(
                     f"MP4 frame {frame} out of range "
                     f"(track has {n_frames})")
-            if fmt not in _JPEG_FORMATS:
-                raise NotImplementedError(
-                    f"MP4 video codec '{fmt.decode('latin-1')}' "
-                    "requires libraries not present in this container "
-                    "(only Motion-JPEG decodes)")
             off, size = samples[idx]
             if off + size > len(b):
                 raise ValueError("MP4 sample outside the file")
-            from .jpeg_codec import decode_jpeg
+            sample = b[off:off + size]
+            if fmt in _JPEG_FORMATS:
+                from .jpeg_codec import decode_jpeg
 
-            dec = decode_jpeg(b[off:off + size])
+                dec = decode_jpeg(sample)
+            elif fmt == b"av01" and b"av1C" in cfg:
+                # AV1 still: bridge through the gated libheif path
+                from .heif_native import decode_av1_obus
+
+                dec = decode_av1_obus(sample, width, height,
+                                      cfg[b"av1C"],
+                                      max_pixels=max_pixels)
+            elif fmt in (b"hvc1", b"hev1") and b"hvcC" in cfg:
+                # HEVC IDR sample: same bridge, HEIC wrapper
+                from .heif_native import decode_hevc_sample
+
+                dec = decode_hevc_sample(sample, width, height,
+                                         cfg[b"hvcC"],
+                                         max_pixels=max_pixels)
+            else:
+                raise NotImplementedError(
+                    f"MP4 video codec '{fmt.decode('latin-1')}' "
+                    "requires libraries not present in this "
+                    "container (Motion-JPEG decodes natively; AV1/"
+                    "HEVC key frames decode via the gated libheif "
+                    "bridge when their config boxes are present)")
             return DecodedMp4Frame(dec.width, dec.height,
                                    dec.channels, dec.pixels,
                                    n_frames,
@@ -340,7 +363,9 @@ def decode_mp4(payload: bytes, max_pixels: int = MAX_PIXELS,
 
 def make_mp4_mjpeg(width: int, height: int,
                    frames: List[bytes],
-                   per_chunk: int = 1) -> bytes:
+                   per_chunk: int = 1,
+                   fmt: bytes = b"jpeg",
+                   config: "Optional[Tuple[bytes, bytes]]" = None) -> bytes:
     """Fixture MJPEG MP4: ftyp + mdat of complete JPEG samples + moov
     with a 'vide' track whose stsd 'jpeg' VisualSampleEntry carries
     the geometry and whose sample table addresses the frames.  Decode
@@ -358,11 +383,12 @@ def make_mp4_mjpeg(width: int, height: int,
             offsets.append(pos)
         pos += len(f)
 
-    entry = _box(b"jpeg", bytes(6) + struct.pack(">H", 1)
+    entry = _box(fmt, bytes(6) + struct.pack(">H", 1)
                  + bytes(16) + struct.pack(">HH", width, height)
                  + struct.pack(">II", 0x00480000, 0x00480000)
                  + bytes(4) + struct.pack(">H", 1) + bytes(32)
-                 + struct.pack(">Hh", 24, -1))
+                 + struct.pack(">Hh", 24, -1)
+                 + (_box(*config) if config else b""))
     stsd = _box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
     stts = _box(b"stts", bytes(4) + struct.pack(">I", 1)
                 + struct.pack(">II", len(frames), 1000))

@@ -157,3 +157,43 @@ def test_webm_av1_through_operator(spark):
     r = mm.media_decode_stats(df).collect()[0]
     assert r.decoded and (r.width, r.height) == (w, h)
     assert r.pixel_sum == sum(decode_webm(webm).pixels)
+
+
+def _cfg_and_mdat(blob, cfg_cc):
+    from docling_graph_spark.kernels.mp4_parse import _boxes, _find
+
+    meta = _find(blob, 0, len(blob), (b"meta",))
+    cfg = None
+    for cc, s, e in _boxes(blob, meta[0] + 4, meta[1]):
+        if cc == b"iprp":
+            for cc2, s2, e2 in _boxes(blob, s, e):
+                if cc2 == b"ipco":
+                    for cc3, s3, e3 in _boxes(blob, s2, e2):
+                        if cc3 == cfg_cc:
+                            cfg = blob[s3:e3]
+    mdat = _find(blob, 0, len(blob), (b"mdat",))
+    return cfg, blob[mdat[0]:mdat[1]]
+
+
+@pytest.mark.parametrize("fmt,entry,cfg_cc", [
+    ("avif", b"av01", b"av1C"), ("heic", b"hvc1", b"hvcC")])
+def test_mp4_av1_and_hevc_tracks_decode_via_bridge(fmt, entry,
+                                                   cfg_cc):
+    """MP4 video tracks with av01/hvc1 sample entries decode their
+    key frame through the same libheif bridge, pixel-identical to the
+    equivalent still."""
+    from docling_graph_spark.kernels.mp4_parse import (
+        decode_mp4, make_mp4_mjpeg)
+
+    w, h = 32, 24
+    rgb = _rgb(w, h, 11)
+    still = encode_heif(w, h, rgb, fmt=fmt, quality=80)
+    want = decode_heif(still)
+    cfg, sample = _cfg_and_mdat(still, cfg_cc)
+    assert cfg is not None
+    mp4 = make_mp4_mjpeg(w, h, [sample], fmt=entry,
+                         config=(cfg_cc, cfg))
+    dec = decode_mp4(mp4)
+    assert dec.codec == entry.decode()
+    assert (dec.width, dec.height) == (w, h)
+    assert dec.pixels == want.pixels
