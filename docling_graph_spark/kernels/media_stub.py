@@ -133,11 +133,14 @@ def decode_media(payload: bytes, media_type: str):
     header-only geometry probe.  ``video/webm`` VP8 video tracks
     decode a selected key frame for real (`kernels/webm_codec.py`:
     EBML walk, SimpleBlock/BlockGroup, all lacing modes, then the
-    same VP8 decoder lossy WebP uses), audio-only WebM decodes its
-    Vorbis track; VP9/AV1/Opus tracks route to the probes.
+    same VP8 decoder lossy WebP uses), Motion-JPEG and — via the
+    gated libheif bridge — AV1 key frames decode too; audio-only WebM
+    decodes its Vorbis track; VP9/Opus route to the probes.
     ``video/mp4`` Motion-JPEG tracks (stsd 'jpeg') decode a selected
-    frame through the sample table (`kernels/mp4_parse.py`);
-    AVC/HEVC/VP9/AV1 route to the geometry probe.  So does
+    frame through the sample table (`kernels/mp4_parse.py`), and
+    av01 / hvc1 / hev1 key frames decode through the same libheif
+    bridge using the sample entry's config box; AVC/VP9 route to the
+    geometry probe.  So does
     ``audio/flac``
     (`kernels/flac_codec.py`: full lossless decode — rice residuals,
     see also round 5's ``audio/ogg`` Vorbis decode below —
