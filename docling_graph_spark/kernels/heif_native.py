@@ -176,15 +176,18 @@ def decode_heif(payload: bytes,
 
 def encode_heif(width: int, height: int, rgb: bytes,
                 fmt: str = "heic", quality: int = 75,
-                lossless: bool = False) -> bytes:
-    """Fixture encoder: RGB through libheif's HEVC (``heic``) or AV1
-    (``avif``) encoder.  Raises NotImplementedError without the
-    library (tests gate on `heif_available`)."""
+                lossless: bool = False,
+                alpha: bool = False) -> bytes:
+    """Fixture encoder: RGB (or RGBA with ``alpha=True``) through
+    libheif's HEVC (``heic``) or AV1 (``avif``) encoder.  Raises
+    NotImplementedError without the library (tests gate on
+    `heif_available`)."""
     lh = _load()
     if lh is None:
         raise NotImplementedError("libheif not loadable")
     assert fmt in ("heic", "avif")
-    assert len(rgb) == width * height * 3
+    nch = 4 if alpha else 3
+    assert len(rgb) == width * height * nch
     comp = _COMP_HEVC if fmt == "heic" else _COMP_AV1
     ctx = lh._ctx_alloc()
     enc = ctypes.c_void_p()
@@ -195,14 +198,15 @@ def encode_heif(width: int, height: int, rgb: bytes,
             lh._enc_lossless(enc, 1)
         else:
             lh._enc_quality(enc, quality)
-        _check(lh._img_create(width, height, _COL_RGB, _CHROMA_RGB,
+        _check(lh._img_create(width, height, _COL_RGB,
+                              _CHROMA_RGBA if alpha else _CHROMA_RGB,
                               ctypes.byref(img)), "image_create")
         _check(lh._add_plane(img, _CH_INTERLEAVED, width, height, 8),
                "add_plane")
         stride = ctypes.c_int()
         p = lh._plane(img, _CH_INTERLEAVED, ctypes.byref(stride))
         base = ctypes.addressof(p.contents)
-        row = width * 3
+        row = width * nch
         for y in range(height):
             ctypes.memmove(base + y * stride.value,
                            rgb[y * row:(y + 1) * row], row)

@@ -229,3 +229,19 @@ def test_native_decode_survives_mutations_in_process():
             decode_heif(bytes(b))
         except (ValueError, NotImplementedError):
             pass
+
+
+@pytest.mark.parametrize("fmt", ["avif", "heic"])
+def test_alpha_channel_roundtrip(fmt):
+    """RGBA payloads decode with channels=4: alpha byte-exact through
+    the lossless path, color within the identity-transform rounding."""
+    w, h = 24, 16
+    rgba = bytes((x * 3 + y * 2 + c * 5) % 256 if c < 3
+                 else (255 if (x + y) % 2 else 128)
+                 for y in range(h) for x in range(w) for c in range(4))
+    blob = encode_heif(w, h, rgba, fmt=fmt, lossless=True, alpha=True)
+    dec = decode_heif(blob)
+    assert (dec.width, dec.height, dec.channels) == (w, h, 4)
+    d = [abs(a - b) for a, b in zip(dec.pixels, rgba)]
+    assert max(d[3::4]) == 0                     # alpha exact
+    assert max(x for i, x in enumerate(d) if i % 4 != 3) <= 1
